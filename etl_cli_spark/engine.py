@@ -1,0 +1,129 @@
+"""Engine facade: JobSpec -> DataFrame pipeline -> result.
+
+The pipeline shape mirrors the reference's job lifecycle (SURVEY §3):
+
+    read(source) -> filter(query DSL) -> transform(post_read)
+      -> merge(merger) -> transform(post_merge)
+      -> project(target.fields) -> write-op(target)
+
+All steps are declarative DataFrame ops, so the whole job is ONE Catalyst
+plan: filters/projections push to the scans, the merger join picks its
+physical strategy (broadcast for dimensions) at runtime via AQE, and
+nothing is collected to the driver. ``workers`` survives only as an
+optional repartition hint (the reference's ceil(total/1000) worker math,
+base.py:646-681, is obsolete under AQE).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dsl import compile_query
+from .functions.registry import apply_chain
+from .operators.merger import merge
+from .operators.writeops import ParquetTable, apply_write_op
+from .sources.registry import read_dataset, write_dataset
+from .spec import JobSpec, make_spec
+from .uri import DatasetURI, expand_wildcard, parse_ds, resolve_path, template_target
+
+
+@dataclass
+class JobResult:
+    """What a job produced; ``df`` is the final state / preview."""
+
+    df: DataFrame
+    source_total: int | None = None
+    target: str | None = None
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+
+class Engine:
+    """A root-scoped engine instance: datasets resolve under ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- catalog-ish helpers -------------------------------------------------
+    def read(self, uri: str, query: Sequence[str] | None = None, **options: Any) -> DataFrame:
+        """Read a dataset and apply an optional DSL query."""
+        ds = parse_ds(uri)
+        q = compile_query(query)
+        df = read_dataset(self.spark, ds, self.root, options=options, url=q.url)
+        return q.apply(df)
+
+    def table(self, ds: DatasetURI) -> ParquetTable:
+        return ParquetTable(self.spark, resolve_path(ds, self.root))
+
+    def count(self, uri: str, query: Sequence[str] | None = None) -> int:
+        """get_source_total (base.py:481-499) incl. the min(count,_limit) rule."""
+        q = compile_query(query)
+        q.count = False
+        limit, q.limit = q.limit, None
+        n = q.apply(self.read(uri)).count()
+        return min(n, limit) if limit is not None else n
+
+    def preview(self, uri: str, query: Sequence[str] | None = None, n: int = 1) -> list[dict]:
+        """No-target preview (base.py:640-644): fetch a sample, as dicts."""
+        df = self.read(uri, query)
+        return [r.asDict(recursive=True) for r in df.limit(n).collect()]
+
+    # -- the main path -------------------------------------------------------
+    def run(self, spec: JobSpec, merge_rules_fn=None) -> JobResult:
+        """Execute one job spec (single source; use :meth:`run_many` for ``*``)."""
+        src_ds = parse_ds(spec.source.ds)
+        q = compile_query(spec.source.query)
+        df = read_dataset(self.spark, src_ds, self.root, url=q.url)
+        df = q.apply(df)
+        if spec.source.transformers:
+            df = apply_chain(df, spec.source.transformers)
+
+        if spec.merger is not None:
+            mrg_ds = parse_ds(spec.merger.ds)
+            mrg = read_dataset(self.spark, mrg_ds, self.root)
+            if spec.merger.transformers:
+                mrg = apply_chain(mrg, spec.merger.transformers)
+            df = merge(df, mrg, spec.merger, merge_rules_fn=merge_rules_fn)
+            if spec.merger.post_merge_transformers:
+                df = apply_chain(df, spec.merger.post_merge_transformers)
+
+        if spec.workers:
+            df = df.repartition(spec.workers)
+
+        if spec.target is None:
+            return JobResult(df=df)
+
+        tgt_ds = template_target(parse_ds(spec.target.ds), src_ds)
+        if tgt_ds.backend == "parquet":
+            final = apply_write_op(df, self.table(tgt_ds), spec.target)
+        else:
+            out = df.select(*spec.target.fields) if spec.target.fields else df
+            mode = "overwrite" if spec.target.drop else "append"
+            write_dataset(out, tgt_ds, self.root, mode=mode)
+            final = out
+        return JobResult(df=final, target=tgt_ds.uri)
+
+    def run_many(self, spec: JobSpec, merge_rules_fn=None) -> list[JobResult]:
+        """Wildcard fan-out (etl.py:364-377): one job per matching source."""
+        src_ds = parse_ds(spec.source.ds)
+        results = []
+        for one in expand_wildcard(src_ds, self.root):
+            sub = spec.with_overrides(
+                source=spec.source.__class__(
+                    ds=one.uri, query=spec.source.query, transformers=spec.source.transformers
+                )
+            )
+            results.append(self.run(sub, merge_rules_fn=merge_rules_fn))
+        return results
+
+    def etl(self, source: str, **kw: Any) -> JobResult:
+        """CLI-flag-shaped one-shot: ``engine.etl('region', query=[...], ...)``."""
+        merge_rules_fn = kw.pop("merge_rules_fn", None)
+        spec = make_spec(source, **kw)
+        if "*" in parse_ds(source).name:
+            results = self.run_many(spec, merge_rules_fn=merge_rules_fn)
+            return results[-1] if results else JobResult(df=self.spark.range(0))
+        return self.run(spec, merge_rules_fn=merge_rules_fn)

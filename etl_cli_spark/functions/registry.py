@@ -1,0 +1,137 @@
+"""Transformer registry: named DataFrame->DataFrame transforms with
+``name:arg1,arg2`` binding and chaining.
+
+The reference resolves transformer names through an external module
+(MORPHER_MODULE, /root/reference/etl_cli/base.py:85-94) and attaches them
+at lifecycle stages post_read / post_merge (base.py:96-108). It has no
+built-in scalar function library at all — everything lives in that
+external module. Our registry instead exposes Spark's native function
+catalog (string/date/math/array/map/JSON — JVM-side, codegen'd) through
+a handful of generic expression transformers, so the full scalar library
+comes for free and stays on the fast path (no Python UDFs).
+
+Note: the reference *parses* transformer args but drops them
+(base.py:103-107 — latent bug, SURVEY §2.11); we honor them.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..flatten import flatten, unflatten
+
+Transform = Callable[[DataFrame], DataFrame]
+Factory = Callable[..., Transform]
+
+_REGISTRY: dict[str, Factory] = {}
+
+
+def register(name: str, factory: Factory | None = None):
+    """Register a transformer factory: ``factory(*args) -> (df -> df)``."""
+    if factory is not None:
+        _REGISTRY[name] = factory
+        return factory
+
+    def deco(fn: Factory) -> Factory:
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def parse_name(spec: str) -> tuple[str, list[str]]:
+    """``'name:arg1,arg2'`` -> (name, [args]) — trans_name, base.py:88-94."""
+    name, _, argstr = spec.partition(":")
+    args = [a for a in argstr.split(",") if a] if argstr else []
+    return name.strip(), args
+
+
+def resolve(spec: str) -> Transform:
+    name, args = parse_name(spec)
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown transformer {name!r}; registered: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](*args)
+
+
+def apply_chain(df: DataFrame, specs: tuple[str, ...] | list[str]) -> DataFrame:
+    """Chain comma-separated transformer specs left-to-right."""
+    for spec in specs:
+        df = df.transform(resolve(spec))
+    return df
+
+
+# --- built-in generic transformers (expression-based, no Python UDFs) ---
+
+@register("with_column")
+def _with_column(name: str, *expr_parts: str) -> Transform:
+    """``with_column:out,<sql expr>`` — any Spark SQL scalar expression."""
+    expr = ",".join(expr_parts)  # expr may itself contain commas
+    return lambda df: df.withColumn(name, F.expr(expr))
+
+
+@register("select")
+def _select(*cols: str) -> Transform:
+    return lambda df: df.select(*cols)
+
+
+@register("drop")
+def _drop(*cols: str) -> Transform:
+    return lambda df: df.drop(*cols)
+
+
+@register("rename")
+def _rename(*pairs: str) -> Transform:
+    """``rename:old1,new1,old2,new2``"""
+    if len(pairs) % 2:
+        raise ValueError("rename needs old,new pairs")
+    mapping = dict(zip(pairs[::2], pairs[1::2]))
+    return lambda df: df.withColumnsRenamed(mapping)
+
+
+@register("filter")
+def _filter(*expr_parts: str) -> Transform:
+    return lambda df: df.filter(F.expr(",".join(expr_parts)))
+
+
+@register("upper")
+def _upper(col: str) -> Transform:
+    return lambda df: df.withColumn(col, F.upper(F.col(col)))
+
+
+@register("lower")
+def _lower(col: str) -> Transform:
+    return lambda df: df.withColumn(col, F.lower(F.col(col)))
+
+
+@register("trim")
+def _trim(col: str) -> Transform:
+    return lambda df: df.withColumn(col, F.trim(F.col(col)))
+
+
+@register("cast")
+def _cast(col: str, to_type: str) -> Transform:
+    return lambda df: df.withColumn(col, F.col(col).cast(to_type))
+
+
+@register("flatten")
+def _flatten() -> Transform:
+    return flatten
+
+
+@register("unflatten")
+def _unflatten() -> Transform:
+    return unflatten
+
+
+@register("json_extract")
+def _json_extract(src_col: str, out_col: str, path: str) -> Transform:
+    """Dynamic-schema path: pull a field out of a JSON string column."""
+    return lambda df: df.withColumn(out_col, F.get_json_object(F.col(src_col), f"$.{path}"))
+
+
+@register("repartition")
+def _repartition(n: str, *cols: str) -> Transform:
+    return lambda df: df.repartition(int(n), *cols) if cols else df.repartition(int(n))

@@ -1,0 +1,150 @@
+"""Frozen job specification — the engine's IR.
+
+Mirrors the reference's nested JSON job spec (IR2 in SURVEY §3: the wire
+format POSTed to the ETL server, built by Script.setup at
+/root/reference/etl_cli/etl.py:135-279) as immutable dataclasses. The
+reference enforces write-once args (base.py:41-72); we get the same
+discipline from ``frozen=True`` plus :meth:`JobSpec.with_overrides`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Callable, Mapping, Sequence
+
+WRITE_OPS = ("create", "index", "update", "upsert", "delete", "insert")
+MERGE_DIRECTIONS = ("s2m", "m2s")
+
+
+@dataclass(frozen=True)
+class SourceSpec:
+    """Source dataset + query + post-read transformer chain."""
+
+    ds: str
+    query: tuple[str, ...] = ()
+    transformers: tuple[str, ...] = ()  # registry names, 'name:arg1,arg2'
+
+
+@dataclass(frozen=True)
+class MergerSpec:
+    """The reference's merger = a configurable equi-join (etl.py:148-187)."""
+
+    ds: str
+    keys: tuple[str, ...] = ()          # 'k' (same name) or 'src_col:mrg_col'
+    query: tuple[str, ...] = ()          # pre-join filter on merger side (--mq)
+    merge_direction: str = "m2s"         # which side wins on conflict (--mmd)
+    require_match: bool = False          # inner semantics (--mrm)
+    require_no_match: bool = False       # anti semantics (--mrnm)
+    match_one: bool = False              # one match per source row (--mmo)
+    unwind: bool = False                 # one output row per match (--munwind)
+    strict_match: bool = False           # null-safe key equality (--mstrict)
+    merge_as: str | None = None          # nest match under a field (--mma)
+    merge_rules: str | None = None       # custom merge callable name (--mrules)
+    transformers: tuple[str, ...] = ()   # post_read (--mtr)
+    post_merge_transformers: tuple[str, ...] = ()  # (--mtr-post-merge)
+    broadcast: bool | None = None        # None = let Catalyst/AQE decide
+    match_one_order: tuple[str, ...] = ()  # deterministic pick for match_one
+
+    def __post_init__(self) -> None:
+        if self.merge_direction not in MERGE_DIRECTIONS:
+            # mandatory + validated in the reference (etl.py:159-160)
+            raise ValueError(f"merge_direction must be one of {MERGE_DIRECTIONS}")
+        if self.require_match and self.require_no_match:
+            raise ValueError("require_match and require_no_match are exclusive")
+
+
+@dataclass(frozen=True)
+class TargetSpec:
+    """Target dataset + write op (etl.py:189-248)."""
+
+    ds: str
+    op: str = "create"
+    pk: tuple[str, ...] = ()
+    fields: tuple[str, ...] = ()         # projection on write (--tf)
+    query: tuple[str, ...] = ()          # restrict rows the op touches (--tq)
+    skip_by: tuple[str, ...] = ()        # anti-join key for insert
+    skip_timestamp: bool = False
+    overwrite_fields: tuple[str, ...] = ()  # per-field overwrite policy
+    drop: bool = False                   # drop target first (--drop)
+    dry_run: bool = False
+
+    def __post_init__(self) -> None:
+        if self.op not in WRITE_OPS:
+            raise ValueError(f"op must be one of {WRITE_OPS}, got {self.op!r}")
+
+
+@dataclass(frozen=True)
+class JobSpec:
+    source: SourceSpec
+    merger: MergerSpec | None = None
+    target: TargetSpec | None = None
+    workers: int | None = None           # repartition hint; None = AQE decides
+    batch_size: int = 1000
+    fail_on_error: bool = True
+    extra: Mapping[str, Any] = field(default_factory=dict)
+
+    def with_overrides(self, **kw: Any) -> "JobSpec":
+        return replace(self, **kw)
+
+
+def make_spec(
+    source: str,
+    query: Sequence[str] | None = None,
+    *,
+    transformers: Sequence[str] | None = None,
+    merger: str | None = None,
+    mkeys: Sequence[str] | str | None = None,
+    mq: Sequence[str] | None = None,
+    mmd: str = "m2s",
+    mrm: bool = False,
+    mrnm: bool = False,
+    mmo: bool = False,
+    munwind: bool = False,
+    mstrict: bool = False,
+    mma: str | None = None,
+    mrules: str | None = None,
+    mtr: Sequence[str] | None = None,
+    mtr_post_merge: Sequence[str] | None = None,
+    mmo_order: Sequence[str] | None = None,
+    broadcast: bool | None = None,
+    target: str | None = None,
+    op: str = "create",
+    pk: Sequence[str] | str | None = None,
+    tf: Sequence[str] | None = None,
+    tq: Sequence[str] | None = None,
+    skip_by: Sequence[str] | str | None = None,
+    workers: int | None = None,
+) -> JobSpec:
+    """CLI-flag-shaped convenience constructor (names mirror etl.py flags)."""
+
+    def tup(x) -> tuple[str, ...]:
+        if x is None:
+            return ()
+        if isinstance(x, str):
+            return tuple(s.strip() for s in x.split(",") if s.strip())
+        return tuple(x)
+
+    # 'op:pk' form (etl.py:203-204)
+    if ":" in op:
+        op, _, op_pk = op.partition(":")
+        pk = pk or op_pk
+    if munwind:
+        mmo = False  # unwind forces match_one=0 (etl.py:174-176)
+    m = None
+    if merger is not None:
+        m = MergerSpec(
+            ds=merger, keys=tup(mkeys), query=tup(mq), merge_direction=mmd,
+            require_match=mrm, require_no_match=mrnm, match_one=mmo,
+            unwind=munwind, strict_match=mstrict, merge_as=mma, merge_rules=mrules,
+            transformers=tup(mtr), post_merge_transformers=tup(mtr_post_merge),
+            broadcast=broadcast, match_one_order=tup(mmo_order),
+        )
+    t = None
+    if target is not None:
+        t = TargetSpec(ds=target, op=op, pk=tup(pk), fields=tup(tf), query=tup(tq), skip_by=tup(skip_by))
+    return JobSpec(
+        source=SourceSpec(ds=source, query=tup(query), transformers=tup(transformers)),
+        merger=m,
+        target=t,
+        workers=workers,
+    )
