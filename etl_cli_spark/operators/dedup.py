@@ -1,0 +1,272 @@
+"""Deduplication operators sized for 100 TB document corpora.
+
+Four families (BASELINE.json north star):
+
+- exact: hash-groupBy on normalized content — one shuffle on the hash.
+- MinHash + LSH: shingle -> minhash signature -> band buckets ->
+  candidate pairs via a *bucket equi-join* (never an all-pairs cross
+  join) -> exact Jaccard verify. The LSH join is the scale trick: at
+  N documents, candidates ~ O(N * bucket_occupancy), not O(N^2).
+- SimHash: 64-bit near-dup fingerprint + pigeonhole banding for
+  Hamming-distance candidates.
+- embedding cosine near-dup: random-hyperplane LSH buckets -> exact
+  cosine verify (see similarity.py for the shared primitives).
+
+Everything is built-in Column expressions (codegen'd, Arrow-free) —
+no Python UDFs in any hot path. Hashes are xxhash64 with fixed seeds,
+so results are deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import fingerprint, tokens
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """Keep one deterministic row per key group (min by ``order_by``).
+
+    ``dropDuplicates`` picks an arbitrary row; for reproducible pipelines
+    (and oracle tests) we pick the first by an explicit order. One
+    shuffle on ``keys``.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_last() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_text_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup via normalized-text fingerprint.
+
+    Grouping on the 32-byte md5 instead of the full text keeps the
+    shuffle payload tiny at 100 TB (shuffle the hash, not the document).
+    """
+    return exact_dedup(
+        df.withColumn("__fp", fingerprint(F.col(text_col))), ["__fp"], [id_col]
+    ).drop("__fp")
+
+
+# --------------------------------------------------------------------------
+# shingles + minhash
+# --------------------------------------------------------------------------
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram (word) shingles of the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed, min over xxhash64(shingle, seed)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def _band_hashes(sig: Column, bands: int, rows: int) -> Column:
+    """Split the signature into ``bands`` groups of ``rows`` and hash each."""
+    return F.array(
+        *[
+            F.xxhash64(F.concat_ws("_", *[sig[b * rows + r].cast("string") for r in range(rows)]), F.lit(b))
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (a_id < b_id, jaccard >= threshold).
+
+    Plan shape (the part that matters at scale):
+      1. one narrow pass computes shingles + signature + band hashes;
+      2. ``explode`` bands -> shuffle on (band_idx, band_hash) — this is
+         the ONLY wide exchange over the corpus;
+      3. self-equi-join inside buckets -> candidates;
+      4. exact Jaccard on the candidate pairs only (shingle arrays travel
+         with the candidates, already co-located).
+    """
+    rows = num_hashes // bands
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+        .withColumn("sh", shingles(F.col("txt"), n_shingle))
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        .withColumn("bh", _band_hashes(F.col("sig"), bands, rows))
+        .select("id", "sh", F.posexplode("bh").alias("band", "bucket"))
+    )
+    left = base.select(
+        F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), "band", "bucket"
+    )
+    right = base.select(
+        F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, on=["band", "bucket"], how="inner")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .dropDuplicates(["a_id", "b_id"])  # same pair can share many bands
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("a_sh"), F.col("b_sh")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kw,
+) -> DataFrame:
+    """Drop near-duplicates, keeping the smallest id of each dup pair-set.
+
+    Greedy single-pass policy: any doc that pairs with a smaller-id doc
+    is removed. (Full transitive clustering would be connected
+    components — iterative; this one-pass policy is the standard
+    large-corpus compromise and is deterministic.)
+    """
+    pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col, **lsh_kw)
+    losers = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+def simhash(col: Column | str, bits: int = 64) -> Column:
+    """SimHash fingerprint: sign-sum of per-token hash bits -> packed long."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(tokens(c))
+    # per-token ±1 bit votes, summed across tokens (bit positions unrolled
+    # at plan-build time — shift amounts must be literals)
+    bitvotes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed.bitwiseOR(
+            F.when(bitvotes[i] > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return packed
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs within Hamming distance via pigeonhole banding.
+
+    Split the 64-bit simhash into ``chunks`` 16-bit pieces: two hashes
+    within distance ``chunks-1`` must agree on >= 1 piece, so an
+    equi-join per piece finds all candidates without a cross join.
+    """
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    base = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    pieces = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("sh", i * width).bitwiseAND(F.lit(mask)).alias("piece"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "sh", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"))
+    l = pieces.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), "chunk", "piece")
+    r = pieces.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), "chunk", "piece")
+    return (
+        l.join(r, on=["chunk", "piece"], how="inner")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("distance", hamming64(F.col("a_sh"), F.col("b_sh")))
+        .filter(F.col("distance") <= max_distance)
+        .select("a_id", "b_id", "distance")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram jaccard (exact, bucketed)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold via shared-shingle candidate join.
+
+    Candidates = pairs sharing at least one shingle (inverted-index
+    join on the shingle hash), then exact verify. For corpora where
+    common shingles explode the index, prefer minhash_lsh_pairs; this
+    exact variant is the oracle-checkable baseline.
+    """
+    base = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    inv = base.select("id", "sh", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g"))
+    l = inv.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), "g")
+    r = inv.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), "g")
+    return (
+        l.join(r, on="g", how="inner")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("jaccard", jaccard(F.col("a_sh"), F.col("b_sh")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language ID,
+quality scoring, token counting, fingerprinting — all as pure Column
+expressions (JVM-side, whole-stage codegen, no Python UDFs), so they run
+at scan speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately tiny: the heuristic is "which language's function words
+# dominate", which needs only the few highest-frequency words.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"),
+    "de": ("der", "die", "und", "das", "ist", "von", "den", "mit", "nicht", "ein"),
+    "it": ("il", "la", "di", "che", "e", "un", "per", "non", "sono", "con"),
+}
+
+_WS = r"\s+"
+_PUNCT = r"[!-/:-@\[-`{-~]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), _WS)
+
+
+def token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-ish token estimate: word+punct pieces, long words split ~4 chars.
+
+    A cheap stand-in for a BPE tokenizer: count regex word/punct pieces,
+    charging ceil(len/4) for words longer than 4 chars (BPE splits rare
+    long words into multiple units).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0)
+    return F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, p: acc + F.ceil(F.length(p) / F.lit(4.0)).cast("int"),
+    )
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    p = n - F.length(F.regexp_replace(c, _PUNCT, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p / n)
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are top-frequency function words."""
+    c = F.col(col) if isinstance(col, str) else col
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    toks = tokens(c)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(total / F.size(toks))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length, punctuation, stopwords,
+    word shape. Mirrors the usual Gopher/C4-style filters in spirit."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.3)
+    punct_ok = F.when(punct_ratio(c) < 0.3, 1.0).otherwise(0.4)
+    stop_ok = F.when(stopword_ratio(c) > 0.05, 1.0).otherwise(0.6)
+    mwl = mean_word_length(c)
+    shape_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.5)
+    return (len_ok * punct_ok * stop_ok * shape_ok).cast("double")
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language ID: the language whose function words hit most.
+
+    Falls back to 'und' when no list scores. Pure expression — a real
+    deployment would swap in a fastText/CLD pandas_udf behind the same
+    column contract.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang, words in LANG_STOPWORDS.items():
+        stop = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercase, collapsed whitespace). Portable across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), _WS, " ")
+    return F.md5(normalized.cast("binary"))
+
+
+def rolling_hashes(col: Column | str, window: int = 8) -> Column:
+    """Array of rolling (windowed token) hashes — the winnowing primitive.
+
+    xxhash64 over each ``window``-token shingle; downstream minhash/
+    winnowing selects from these.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    return F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
+    """Convenience: attach the standard per-document stat columns."""
+    c = F.col(text_col)
+    return (
+        df.withColumn(f"{prefix}n_tokens", token_count(c))
+        .withColumn(f"{prefix}n_chars_m", char_count(c))
+        .withColumn(f"{prefix}punct_ratio", punct_ratio(c))
+        .withColumn(f"{prefix}stopword_ratio", stopword_ratio(c))
+        .withColumn(f"{prefix}mean_word_len", mean_word_length(c))
+        .withColumn(f"{prefix}quality", quality_score(c))
+        .withColumn(f"{prefix}lang_pred", lang_id(c))
+        .withColumn(f"{prefix}fingerprint", fingerprint(c))
+    )

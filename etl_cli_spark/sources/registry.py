@@ -34,7 +34,7 @@ def read_dataset(
     if b == "http" or url:
         return _read_http(spark, url or options.pop("url", None) or f"{ds.ns}/{ds.name}")
     if b == "parquet":
-        return spark.read.options(**options).parquet(resolve_path(ds, root))
+        return read_parquet(spark, resolve_path(ds, root), options)
     if b == "orc":
         return spark.read.options(**options).orc(resolve_path(ds, root))
     if b == "csv":
@@ -74,6 +74,45 @@ def write_dataset(
         _write_connector(df, ds, mode, options)
     else:
         raise ValueError(f"unknown backend {ds.backend!r}")
+
+
+def _ns_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't read them
+    natively (PARQUET_TYPE_ILLEGAL); found by inspecting the footer."""
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not parts:
+            return []
+        target = os.path.join(path, parts[0])
+    try:
+        schema = pq.read_schema(target)
+    except Exception:
+        return []
+    import pyarrow as pa
+
+    return [f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
+def read_parquet(spark: SparkSession, path: str, options: dict[str, Any] | None = None) -> DataFrame:
+    """Parquet read with nanosecond-timestamp compatibility.
+
+    ns-timestamps (pandas default) are read as raw longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and converted to
+    microsecond timestamps in the plan — same truncation DuckDB applies,
+    so oracle comparisons line up.
+    """
+    ns_cols = _ns_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.options(**(options or {})).parquet(path)
+    from pyspark.sql import functions as F
+
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
 
 
 def _read_http(spark: SparkSession, url: str) -> DataFrame:

@@ -1,0 +1,77 @@
+"""Incremental convergence loop — the reference's ``contid`` mechanism.
+
+Semantics from /root/reference/etl_cli/etl.py:326-362: each pass
+processes only records not yet stamped by this job chain (the source
+query gains ``logs.job.contid__ne=<uid>``, etl.py:327), re-running until
+the remaining count reaches 0 or stops changing across two consecutive
+loops (etl.py:331-334). Self-referential pipelines (source == target)
+force loop mode (etl.py:281-295, 345-347).
+
+Spark-first: the "stamp" is a bookmark table of processed ids; each
+pass anti-joins the source against it (no per-record update), processes
+the remainder, and appends the new ids. The staged-rewrite targets make
+self-update safe (read state is snapshotted before the swap). The same
+contract maps onto Structured Streaming (source -> checkpointed sink)
+when the source is a stream; see stream.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.writeops import ParquetTable
+
+
+@dataclass
+class LoopStats:
+    passes: int
+    processed: int
+    converged: bool
+
+
+def incremental_loop(
+    spark: SparkSession,
+    source: Callable[[], DataFrame],
+    process: Callable[[DataFrame], None],
+    bookmark_path: str,
+    id_cols: list[str],
+    batch_limit: int | None = None,
+    max_passes: int = 100,
+) -> LoopStats:
+    """Run ``process`` over unseen source rows until fixpoint.
+
+    - ``source``: re-evaluated each pass (the source may grow mid-loop).
+    - ``process``: handles one batch (e.g. engine.run with a target op).
+    - bookmark: parquet table of processed ``id_cols`` tuples.
+    - convergence: remaining == 0, or unchanged across two passes
+      (matches etl.py:331-334's two-loop stall rule).
+    """
+    bm = ParquetTable(spark, bookmark_path)
+    prev_remaining = -1
+    passes = processed = 0
+    for _ in range(max_passes):
+        df = source()
+        seen = bm.read()
+        todo = df if seen is None else df.join(seen, on=id_cols, how="left_anti")
+        if batch_limit:
+            todo = todo.limit(batch_limit)
+        todo = todo.cache()
+        n = todo.count()
+        if n == 0:
+            todo.unpersist()
+            return LoopStats(passes, processed, converged=True)
+        if n == prev_remaining and batch_limit is None:
+            # two consecutive passes with identical remainder -> stall
+            todo.unpersist()
+            return LoopStats(passes, processed, converged=True)
+        process(todo)
+        bm.append(todo.select(*id_cols).distinct())
+        processed += n
+        passes += 1
+        prev_remaining = n
+        todo.unpersist()
+    return LoopStats(passes, processed, converged=False)

@@ -1,0 +1,108 @@
+"""Event-time windowing + streaming surface.
+
+The reference has no native streaming (SURVEY §2.10); its closest
+analogue is the contid micro-batch loop (incremental.py). The engine
+still exposes the full Structured-Streaming-shaped surface over event
+tables because in Spark these are built-ins: ``window`` /
+``session_window`` / ``withWatermark``. The same window helpers work in
+both batch (over the events fixture) and streaming (readStream) plans —
+identical Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_by: Sequence[str] = (),
+    aggs: Mapping[str, str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation (batch or streaming df).
+
+    Output exposes ``w_start``/``w_end`` as plain timestamp columns.
+    """
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    exprs = [F.expr(e).alias(n) for n, e in dict(aggs).items()]
+    out = df.groupBy(F.window(ts_col, duration), *group_by).agg(*exprs)
+    return out.select(
+        F.col("window.start").alias("w_start"),
+        F.col("window.end").alias("w_end"),
+        *group_by,
+        *[F.col(n) for n in dict(aggs)],
+    )
+
+
+def sliding(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_by: Sequence[str] = (),
+    aggs: Mapping[str, str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    exprs = [F.expr(e).alias(n) for n, e in dict(aggs).items()]
+    out = df.groupBy(F.window(ts_col, duration, slide), *group_by).agg(*exprs)
+    return out.select(
+        F.col("window.start").alias("w_start"),
+        F.col("window.end").alias("w_end"),
+        *group_by,
+        *[F.col(n) for n in dict(aggs)],
+    )
+
+
+def session(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_by: Sequence[str] = (),
+    aggs: Mapping[str, str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows (gap-based). Works on batch and streaming frames."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    exprs = [F.expr(e).alias(n) for n, e in dict(aggs).items()]
+    out = df.groupBy(F.session_window(ts_col, gap), *group_by).agg(*exprs)
+    return out.select(
+        F.col("session_window.start").alias("w_start"),
+        F.col("session_window.end").alias("w_end"),
+        *group_by,
+        *[F.col(n) for n in dict(aggs)],
+    )
+
+
+def stream_events(
+    spark,
+    path: str,
+    schema,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+):
+    """readStream over a parquet directory (file-based micro-batching)."""
+    return spark.readStream.schema(schema).parquet(path).withWatermark(ts_col, watermark)
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query to completion over the currently-available
+    input (local smoke path): memory sink + processAllAvailable."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,83 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cli_spark.operators.dedup import (
+    exact_dedup,
+    exact_text_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),  # near dup of 1
+        (4, "completely different text about spark catalyst optimizer and shuffle exchange plans"),
+        (5, "another unrelated document mentioning parquet files and arrow batches only"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame([(2, "a"), (1, "a"), (5, "b")], ["id", "k"])
+    out = exact_dedup(df, ["k"], ["id"])
+    assert sorted(r.id for r in out.collect()) == [1, 5]
+
+
+def test_exact_text_dedup(docs):
+    out = exact_text_dedup(docs)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # 2 dropped (exact dup of 1, keeps min id)
+
+
+def test_minhash_pairs_find_near_dup(docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=32, bands=16)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always caught
+    assert (1, 3) in got or (2, 3) in got  # near dup
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_dedup_keeps_min_id(docs):
+    out = minhash_dedup(docs, threshold=0.5, num_hashes=32, bands=16)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 1 in ids and 2 not in ids
+    assert 4 in ids and 5 in ids
+
+
+def test_simhash_properties(spark, docs):
+    sh = docs.select("doc_id", simhash(F.col("text")).alias("sh")).collect()
+    by_id = {r.doc_id: r.sh for r in sh}
+    assert by_id[1] == by_id[2]  # identical text -> identical simhash
+    assert by_id[1] != by_id[4]
+
+
+def test_simhash_pairs(docs):
+    pairs = simhash_pairs(docs, max_distance=8)
+    got = {(r.a_id, r.b_id): r.distance for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) in got
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    got = {(r.a_id, r.b_id): r.jaccard for r in pairs.collect()}
+    assert got.get((1, 2)) == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert (4, 5) not in got
+
+
+def test_lsh_scales_without_cross_join(docs):
+    # plan must join on (band, bucket) hash keys, not a cartesian product
+    pairs = minhash_lsh_pairs(docs, threshold=0.9)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

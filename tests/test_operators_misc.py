@@ -1,0 +1,81 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cli_spark.catalog import drop_ds, drop_ns, ls_ns
+from etl_cli_spark.operators.aggregate import aggregate, exact_sum
+from etl_cli_spark.operators.diff import diff
+
+
+def test_diff_symmetric(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], ["x"])
+    b = spark.createDataFrame([(2,), (3,), (4,)], ["x"])
+    out = diff(a, b)
+    got = sorted((r.x, r._diff_side) for r in out.collect())
+    assert got == [(1, "left"), (2, "left"), (4, "right")]
+
+
+def test_diff_context_projection(engine):
+    a = engine.read("orders", ["o_totalprice__gt=100000"])
+    b = engine.read("orders", ["o_totalprice__gt=200000"])
+    out = diff(a, b, context=["o_orderkey"])
+    assert out.filter("_diff_side = 'right'").count() == 0
+    assert out.count() == a.count() - b.count()
+
+
+def test_aggregate_groupby_having(engine):
+    li = engine.read("lineitem")
+    out = aggregate(
+        li,
+        group_by=["l_returnflag"],
+        aggs={"n": "count(*)", "sq": exact_sum("l_quantity")},
+        having="n > 10",
+    )
+    rows = out.collect()
+    assert all(r.n > 10 for r in rows)
+    assert {"l_returnflag", "n", "sq"} == set(out.columns)
+
+
+def test_aggregate_rollup_and_cube(engine):
+    li = engine.read("lineitem")
+    g = aggregate(li, ["l_returnflag", "l_linestatus"], {"n": "count(*)"}).count()
+    r = aggregate(li, ["l_returnflag", "l_linestatus"], {"n": "count(*)"}, mode="rollup").count()
+    c = aggregate(li, ["l_returnflag", "l_linestatus"], {"n": "count(*)"}, mode="cube").count()
+    assert r > g and c > r
+
+
+def test_aggregate_pivot(engine):
+    li = engine.read("lineitem")
+    out = aggregate(li, ["l_returnflag"], {"n": "count(*)"}, pivot=("l_linestatus", ["O", "F"]))
+    assert set(out.columns) == {"l_returnflag", "O_n", "F_n"} or set(out.columns) == {
+        "l_returnflag",
+        "O",
+        "F",
+    }
+
+
+def test_catalog_ls_drop(tmp_path, spark):
+    (tmp_path / "ns1").mkdir()
+    spark.range(3).write.parquet(str(tmp_path / "ns1" / "t1.parquet"))
+    spark.range(3).write.parquet(str(tmp_path / "ns1" / "t2.parquet"))
+    assert ls_ns(str(tmp_path), "ns1") == ["t1", "t2"]
+    assert drop_ds(str(tmp_path), "ns1", "t1", confirm=lambda m: True)
+    assert ls_ns(str(tmp_path), "ns1") == ["t2"]
+    # ns drop refuses without confirm
+    assert not drop_ns(str(tmp_path), "ns1")
+    assert drop_ns(str(tmp_path), "ns1", confirm=lambda m: True)
+    assert ls_ns(str(tmp_path), "ns1") == []
+
+
+def test_transformer_chain(engine):
+    from etl_cli_spark.functions.registry import apply_chain
+
+    df = engine.read("customer")
+    out = apply_chain(
+        df,
+        ["with_column:bal2,c_acctbal * 2", "filter:bal2 > 5000", "upper:c_mktsegment", "drop:c_nationkey"],
+    )
+    assert "c_nationkey" not in out.columns
+    row = out.first()
+    assert row.bal2 == pytest.approx(row.c_acctbal * 2)

@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cli_spark.operators.similarity import (
+    ann_topk,
+    brute_force_all_pairs_topk,
+    cosine,
+    cosine_topk,
+    embedding_neardup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(engine):
+    return engine.read("embeddings")
+
+
+def _py_cosine(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+def test_cosine_matches_python(spark):
+    a, b = [1.0, 2.0, 3.0], [0.5, -1.0, 2.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    assert abs(got - _py_cosine(a, b)) < 1e-12
+
+
+def test_cosine_topk_exact(emb):
+    qvec = emb.filter("vec_id = 0").collect()[0].embedding
+    top = cosine_topk(emb, [float(x) for x in qvec], k=5, exclude_ids=[0]).collect()
+    assert len(top) == 5
+    scores = [r.score for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in scores)
+    # verify against python brute force
+    rows = emb.collect()
+    ranked = sorted(
+        ((r.vec_id, _py_cosine(qvec, r.embedding)) for r in rows if r.vec_id != 0),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert [r.vec_id for r in top] == [v for v, _ in ranked[:5]]
+
+
+def test_ann_recall(emb):
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    exact = {r.vec_id for r in cosine_topk(emb, qvec, k=10, exclude_ids=[0]).collect()}
+    approx = {r.vec_id for r in ann_topk(emb, qvec, k=10).collect()} - {0}
+    # LSH with 4 bands should recover a reasonable share of the true top-10
+    assert len(exact & approx) >= 3
+
+
+def test_neardup_pairs_self_similarity(spark):
+    # construct two nearly-identical vectors and one orthogonal
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0] * 4),
+        (2, [0.99, 0.01, 0.0, 0.0] * 4),
+        (3, [0.0, 0.0, 1.0, 0.0] * 4),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(df, threshold=0.95, n_planes=8, bands=4)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_brute_force_guard(spark):
+    df = spark.range(200_000).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="brute-force"):
+        brute_force_all_pairs_topk(df)

@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cli_spark.streaming.incremental import incremental_loop
+from etl_cli_spark.streaming.stream import run_to_memory, session, sliding, tumbling
+
+
+def test_tumbling_batch(engine):
+    ev = engine.read("events")
+    out = tumbling(ev, "ts", "1 hour", group_by=("event_type",), aggs={"n": "count(*)"})
+    assert set(out.columns) == {"w_start", "w_end", "event_type", "n"}
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == ev.count()
+
+
+def test_sliding_batch(engine):
+    ev = engine.read("events")
+    t = tumbling(ev, "ts", "1 hour", aggs={"n": "count(*)"}).count()
+    s = sliding(ev, "ts", "1 hour", "30 minutes", aggs={"n": "count(*)"}).count()
+    assert s > t  # overlapping windows produce more groups
+
+
+def test_session_windows(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:01:00"),
+        (1, "2024-01-01 03:00:00"),  # new session after 3h gap
+    ]
+    df = spark.createDataFrame(rows, ["uid", "ts_s"]).withColumn("ts", F.to_timestamp("ts_s"))
+    out = session(df, "ts", "30 minutes", group_by=("uid",), aggs={"n": "count(*)"})
+    ns = sorted(r.n for r in out.collect())
+    assert ns == [1, 2]
+
+
+def test_streaming_tumbling_memory_sink(spark, engine, tmp_path):
+    # re-write events at us precision (raw fixture is ns; see read_parquet)
+    ev_path = str(tmp_path / "events_us.parquet")
+    engine.read("events").write.parquet(ev_path)
+    schema = engine.read("events").schema
+    stream = spark.readStream.schema(schema).parquet(ev_path)
+    agg = tumbling(stream, "ts", "1 hour", aggs={"n": "count(*)"}, watermark="1 hour")
+    run_to_memory(agg, "t_stream_out", output_mode="append")
+    # append mode only emits closed windows (watermark passed); batch equivalent is the upper bound
+    batch_n = tumbling(engine.read("events"), "ts", "1 hour", aggs={"n": "count(*)"}).count()
+    got = spark.sql("select count(*) as c from t_stream_out").collect()[0].c
+    assert 0 < got <= batch_n
+
+
+def test_incremental_loop_fixpoint(spark, engine, tmp_path):
+    processed = []
+
+    def source():
+        return engine.read("events", ["_fields=event_id,event_type"])
+
+    def process(batch):
+        processed.append(batch.count())
+
+    stats = incremental_loop(
+        spark, source, process, str(tmp_path / "bookmark.parquet"), ["event_id"], batch_limit=400
+    )
+    assert stats.converged
+    assert sum(processed) == engine.read("events").count()  # every record exactly once
+    assert stats.passes == 3  # 1000 events / 400 per batch
+
+
+def test_incremental_loop_no_reprocessing(spark, engine, tmp_path):
+    seen: set[int] = set()
+
+    def source():
+        return engine.read("events", ["_fields=event_id"])
+
+    def process(batch):
+        ids = {r.event_id for r in batch.collect()}
+        assert not (ids & seen), "record processed twice"
+        seen.update(ids)
+
+    incremental_loop(spark, source, process, str(tmp_path / "bm.parquet"), ["event_id"], batch_limit=300)
+    assert len(seen) == 1000

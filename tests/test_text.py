@@ -1,0 +1,88 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cli_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    rolling_hashes,
+    token_count,
+    with_text_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    rows = [
+        (1, "the cat and the dog sat in the garden for an hour"),
+        (2, "el perro y el gato en la casa de la abuela"),
+        (3, "le chat et le chien sont dans la maison des amis"),
+        (4, "!!! ??? ... ###"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_token_count(samples):
+    got = {r.id: r.n for r in samples.select("id", token_count("text").alias("n")).collect()}
+    assert got[1] == 12
+    assert got[5] == 0
+
+
+def test_bpe_ish_counts_more_than_words(spark):
+    df = spark.createDataFrame([("internationalization is complicated",)], ["text"])
+    n = df.select(bpe_ish_token_count("text").alias("n")).collect()[0].n
+    assert n >= 8  # long words charged multiple subword units
+
+
+def test_punct_ratio(samples):
+    got = {r.id: r.p for r in samples.select("id", punct_ratio("text").alias("p")).collect()}
+    assert got[1] < 0.05
+    assert got[4] > 0.5
+    assert got[5] == 0.0
+
+
+def test_lang_id(samples):
+    got = {r.id: r.lang for r in samples.select("id", lang_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_quality_score_ordering(samples):
+    got = {r.id: r.q for r in samples.select("id", quality_score("text").alias("q")).collect()}
+    assert got[1] > got[4]  # prose beats punctuation soup
+    assert 0.0 <= min(got.values()) and max(got.values()) <= 1.0
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",)], ["text"])
+    fps = [r.fp for r in df.select(fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]  # case + whitespace normalized
+    assert len(fps[0]) == 32  # md5 hex
+
+
+def test_rolling_hashes(spark):
+    df = spark.createDataFrame([("one two three four five six seven eight nine ten",)], ["text"])
+    hs = df.select(rolling_hashes("text", window=4).alias("h")).collect()[0].h
+    assert len(hs) == 7  # 10 tokens, window 4 -> 7 shingle positions
+    assert len(set(hs)) == 7
+
+
+def test_with_text_stats_on_fixture(engine):
+    df = with_text_stats(engine.read("documents"))
+    row = df.filter("doc_id = 0").collect()[0]
+    assert row.n_tokens > 0 and row.n_chars_m == row.n_chars
+    assert 0 <= row.quality <= 1
+    assert len(row.fingerprint) == 32
+
+
+def test_mean_word_length(spark):
+    df = spark.createDataFrame([("aa bb cc",)], ["text"])
+    assert df.select(mean_word_length("text").alias("m")).collect()[0].m == 2.0
