@@ -1,38 +1,745 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` exercises a component of the
+``etl_cli_spark`` engine (SURVEY.md §2 inventory + the LLM-pipeline
+extensions); ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+Float outputs are made engine-portable by routing sums through DECIMAL
+(exact) and rounding scores to 6 decimals on both sides — see
+``etl_cli_spark.operators.aggregate.exact_sum``.
+
+Queries without an oracle entry (minhash/simhash/ann/multimodal/
+incremental) are approximate or iterative by nature; the driver records
+rows-only checks for them.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+_TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    from etl_cli_spark.engine import Engine
+
+    return Engine(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (smoke)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: README-shaped ETL job — filter + merger + aggregate.
+
+    Mirrors the reference's canonical invocation (README.md:21: query a
+    source, merge a second dataset, write) as one engine job: orders
+    filtered by status, merged with customer (m2s), revenue by segment.
+    """
+    eng = _engine(spark, SF_DEFAULT)
+    res = eng.etl(
+        "orders",
+        query=["o_orderstatus=F"],
+        merger="customer",
+        mkeys="o_custkey:c_custkey",
+        mmd="m2s",
+        mrm=True,
+    )
+    from etl_cli_spark.operators.aggregate import aggregate, exact_sum
+
+    return aggregate(
+        res.df,
+        group_by=["c_mktsegment"],
+        aggs={"n_orders": "count(*)", "revenue": exact_sum("o_totalprice")},
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_dsl_eq_project(spark, sf):
+    return _engine(spark, sf).read("part", ["p_type=ECONOMY", "_fields=p_partkey,p_name,p_brand"])
+
+
+def _q_dsl_ne(spark, sf):
+    return _engine(spark, sf).read("orders", ["o_orderstatus__ne=F", "_fields=o_orderkey,o_orderstatus"])
+
+
+def _q_dsl_range(spark, sf):
+    return _engine(spark, sf).read(
+        "lineitem",
+        ["l_quantity__gte=30", "l_extendedprice__lt=50000",
+         "_fields=l_orderkey,l_linenumber,l_quantity,l_extendedprice"],
+    )
+
+
+def _q_dsl_in(spark, sf):
+    return _engine(spark, sf).read(
+        "customer", ["c_mktsegment__in=BUILDING,MACHINERY", "_fields=c_custkey,c_mktsegment"]
+    )
+
+
+def _q_dsl_nin_null(spark, sf):
+    return _engine(spark, sf).read(
+        "customer", ["c_mktsegment__nin=BUILDING,MACHINERY", "_fields=c_custkey,c_mktsegment"]
+    )
+
+
+def _q_dsl_string_ops(spark, sf):
+    return _engine(spark, sf).read(
+        "part", ["p_name__startswith=cold", "p_name__icontains=widget", "_fields=p_partkey,p_name"]
+    )
+
+
+def _q_dsl_sort_limit(spark, sf):
+    return _engine(spark, sf).read(
+        "lineitem",
+        ["_sort=-l_extendedprice,l_orderkey,l_linenumber", "_limit=100",
+         "_fields=l_orderkey,l_linenumber,l_extendedprice"],
+    )
+
+
+def _q_dsl_count(spark, sf):
+    return _engine(spark, sf).read("lineitem", ["l_discount__gt=0.05", "_count=1"])
+
+
+def _q_dsl_regex_json(spark, sf):
+    # dynamic-schema path: numeric field inside the props JSON string
+    eng = _engine(spark, sf)
+    ev = eng.read("events")
+    return (
+        ev.withColumn("k", F.regexp_extract("props", '"k": (\\d+)', 1).cast("int"))
+        .filter((F.col("k") > 50) & (F.col("event_type") == "click"))
+        .select("event_id", "user_id", "k")
+    )
+
+
+def _q_flatten_struct(spark, sf):
+    from etl_cli_spark.flatten import flatten
+
+    cust = _engine(spark, sf).read("customer")
+    nested = cust.select(
+        "c_custkey", F.struct(F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal")).alias("info")
+    )
+    return flatten(nested)
+
+
+def _q_merger_left(spark, sf):
+    res = _engine(spark, sf).etl(
+        "orders", merger="customer", mkeys="o_custkey:c_custkey", mmd="m2s"
+    )
+    return res.df.select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+def _q_merger_inner_mq(spark, sf):
+    res = _engine(spark, sf).etl(
+        "orders",
+        merger="customer",
+        mkeys="o_custkey:c_custkey",
+        mmd="m2s",
+        mrm=True,
+        mq=["c_acctbal__gt=5000"],
+    )
+    return res.df.select("o_orderkey", "c_name", "c_acctbal")
+
+
+def _q_merger_anti(spark, sf):
+    res = _engine(spark, sf).etl(
+        "customer", merger="orders", mkeys="c_custkey:o_custkey", mrnm=True
+    )
+    return res.df.select("c_custkey", "c_name")
+
+
+def _q_merger_match_one(spark, sf):
+    res = _engine(spark, sf).etl(
+        "orders",
+        merger="lineitem",
+        mkeys="o_orderkey:l_orderkey",
+        mmd="m2s",
+        mmo=True,
+        mmo_order=["l_linenumber", "l_partkey", "l_suppkey"],
+    )
+    # coalesce nullable join columns: keeps the output null-free and
+    # integer-typed under both collect() and toPandas() normalization
+    return res.df.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce(F.col("l_partkey"), F.lit(-1)).cast("bigint").alias("l_partkey"),
+        F.coalesce(F.col("l_linenumber"), F.lit(-1)).cast("bigint").alias("l_linenumber"),
+    )
+
+
+def _q_merger_direction(spark, sf):
+    # engineered column conflict: both sides expose `name`; m2s -> merger wins
+    res = _engine(spark, sf).etl(
+        "customer",
+        transformers=["rename:c_name,name"],
+        merger="nation",
+        mtr=["rename:n_name,name"],
+        mkeys="c_nationkey:n_nationkey",
+        mmd="m2s",
+    )
+    return res.df.select("c_custkey", "name", "n_regionkey")
+
+
+def _q_merger_unwind(spark, sf):
+    res = _engine(spark, sf).etl(
+        "orders", merger="lineitem", mkeys="o_orderkey:l_orderkey", mmd="m2s", munwind=True
+    )
+    return res.df.select(
+        "o_orderkey",
+        F.coalesce(F.col("l_linenumber"), F.lit(-1)).cast("bigint").alias("l_linenumber"),
+        F.coalesce(F.col("l_quantity"), F.lit(-1.0)).cast("double").alias("l_quantity"),
+    )
+
+
+def _q_merger_merge_as(spark, sf):
+    # nested-struct output: not portably hashable -> rows-only check
+    res = _engine(spark, sf).etl(
+        "orders",
+        merger="customer",
+        mkeys="o_custkey:c_custkey",
+        mmd="m2s",
+        mma="cust",
+        mmo=True,
+        mmo_order=["c_custkey"],
+    )
+    return res.df.select("o_orderkey", "cust")
+
+
+# -- write ops (scratch target per call) ------------------------------------
+
+_ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+def _scratch_orders(spark, sf):
+    from etl_cli_spark.operators.writeops import ParquetTable
+
+    eng = _engine(spark, sf)
+    orders = eng.read("orders")
+    tmp = tempfile.mkdtemp(prefix="etl_writeop_")
+    t = ParquetTable(spark, f"{tmp}/orders_t.parquet")
+    t.append(orders)
+    return eng, orders, t
+
+
+def _q_write_insert(spark, sf):
+    from etl_cli_spark.spec import TargetSpec
+    from etl_cli_spark.operators.writeops import apply_write_op
+
+    eng, orders, t = _scratch_orders(spark, sf)
+    dups = orders.filter("o_orderkey < 50")
+    shifted = dups.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1000000))
+    src = dups.unionByName(shifted)
+    out = apply_write_op(src, t, TargetSpec(ds="t", op="insert", pk=("o_orderkey",)))
+    return out.select(*_ORDER_COLS)
+
+
+def _q_write_upsert(spark, sf):
+    from etl_cli_spark.spec import TargetSpec
+    from etl_cli_spark.operators.writeops import apply_write_op
+
+    eng, orders, t = _scratch_orders(spark, sf)
+    changed = orders.filter("o_orderkey < 100").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    ).withColumn("o_orderstatus", F.lit("U"))
+    new = changed.filter("o_orderkey < 10").withColumn("o_orderkey", F.col("o_orderkey") + F.lit(2000000))
+    out = apply_write_op(changed.unionByName(new), t, TargetSpec(ds="t", op="upsert", pk=("o_orderkey",)))
+    return out.select(*_ORDER_COLS)
+
+
+def _q_write_update_tq(spark, sf):
+    from etl_cli_spark.spec import TargetSpec
+    from etl_cli_spark.operators.writeops import apply_write_op
+
+    eng, orders, t = _scratch_orders(spark, sf)
+    src = orders.withColumn("o_orderpriority", F.lit("X"))
+    out = apply_write_op(
+        src, t, TargetSpec(ds="t", op="update", pk=("o_orderkey",), query=("o_orderstatus=O",))
+    )
+    return out.select(*_ORDER_COLS)
+
+
+def _q_write_delete(spark, sf):
+    from etl_cli_spark.spec import TargetSpec
+    from etl_cli_spark.operators.writeops import apply_write_op
+
+    eng, orders, t = _scratch_orders(spark, sf)
+    victims = orders.filter("o_orderstatus = 'F'").select("o_orderkey")
+    out = apply_write_op(victims, t, TargetSpec(ds="t", op="delete", pk=("o_orderkey",)))
+    return out.select(*_ORDER_COLS)
+
+
+def _q_write_index(spark, sf):
+    from etl_cli_spark.spec import TargetSpec
+    from etl_cli_spark.operators.writeops import apply_write_op
+
+    eng, orders, t = _scratch_orders(spark, sf)
+    src = orders.filter("o_orderkey < 20").select("o_orderkey", "o_custkey", "o_totalprice")
+    out = apply_write_op(src, t, TargetSpec(ds="t", op="index", pk=("o_orderkey",)))
+    # index nulls out absent columns; render the timestamp as a string so
+    # null cells stay None (not pandas NaT) under either fetch path
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+# -- aggregation / window ----------------------------------------------------
+
+def _q_agg_q1(spark, sf):
+    from etl_cli_spark.operators.aggregate import aggregate, exact_sum
+
+    li = _engine(spark, sf).read("lineitem", ["l_shipdate__lte=1998-09-02"])
+    return aggregate(
+        li,
+        group_by=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": exact_sum("l_quantity"),
+            "sum_base_price": exact_sum("l_extendedprice"),
+            "sum_disc_price": "cast(round(sum(cast(l_extendedprice * (1 - l_discount) as decimal(30,10))), 6) as double)",
+            "avg_qty": "round(cast(sum(cast(l_quantity as decimal(30,2))) as double) / count(*), 6)",
+            "count_order": "count(*)",
+        },
+    )
+
+
+def _q_agg_rollup(spark, sf):
+    from etl_cli_spark.operators.aggregate import aggregate, exact_sum
+
+    li = _engine(spark, sf).read("lineitem")
+    return aggregate(
+        li, ["l_returnflag", "l_linestatus"], {"n": "count(*)", "sum_qty": exact_sum("l_quantity")},
+        mode="rollup",
+    )
+
+
+def _q_agg_cube(spark, sf):
+    from etl_cli_spark.operators.aggregate import aggregate
+
+    li = _engine(spark, sf).read("lineitem")
+    return aggregate(li, ["l_returnflag", "l_linestatus"], {"n": "count(*)"}, mode="cube")
+
+
+def _q_agg_having(spark, sf):
+    from etl_cli_spark.operators.aggregate import aggregate, exact_sum
+
+    o = _engine(spark, sf).read("orders")
+    return aggregate(
+        o, ["o_custkey"], {"n": "count(*)", "total": exact_sum("o_totalprice")}, having="n >= 3"
+    )
+
+
+def _q_window_topk_per_group(spark, sf):
+    o = _engine(spark, sf).read("orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def _q_window_running_sum(spark, sf):
+    o = _engine(spark, sf).read("orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w)
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(running.cast("double"), 2).alias("running_total")
+    )
+
+
+def _q_diff(spark, sf):
+    from etl_cli_spark.operators.diff import diff
+
+    eng = _engine(spark, sf)
+    a = eng.read("orders", ["o_totalprice__gt=100000"])
+    b = eng.read("orders", ["o_totalprice__gt=200000"])
+    return diff(a, b, context=["o_orderkey", "o_totalprice"])
+
+
+# -- events ------------------------------------------------------------------
+
+def _q_events_window_1h(spark, sf):
+    from etl_cli_spark.streaming.stream import tumbling
+
+    ev = _engine(spark, sf).read("events")
+    out = tumbling(
+        ev, "ts", "1 hour", group_by=("event_type",),
+        aggs={"n": "count(*)",
+              "sum_value": "cast(round(sum(cast(value as decimal(30,2))), 2) as double)"},
+    )
+    return out.select("w_start", "event_type", "n", "sum_value")
+
+
+def _q_events_sessionize(spark, sf):
+    from etl_cli_spark.streaming.stream import sessionize
+
+    ev = _engine(spark, sf).read("events")
+    s = sessionize(ev, "ts", 30, "user_id", tiebreak=("event_id",))
+    return s.groupBy("user_id").agg(F.max("session_id").alias("n_sessions"))
+
+
+# -- documents / text --------------------------------------------------------
+
+def _q_text_stats_by_lang(spark, sf):
+    from etl_cli_spark.operators.text import token_count
+
+    d = _engine(spark, sf).read("documents")
+    return (
+        d.withColumn("n_tokens", token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        )
+    )
+
+
+def _q_text_fingerprint(spark, sf):
+    from etl_cli_spark.operators.text import fingerprint
+
+    d = _engine(spark, sf).read("documents", ["doc_id__lt=20"])
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def _q_dedup_exact(spark, sf):
+    from etl_cli_spark.operators.dedup import exact_text_dedup
+
+    d = _engine(spark, sf).read("documents")
+    return exact_text_dedup(d).select("doc_id", "lang", "source")
+
+
+def _q_dedup_minhash(spark, sf):
+    from etl_cli_spark.operators.dedup import minhash_dedup
+
+    d = _engine(spark, sf).read("documents")
+    return minhash_dedup(d, threshold=0.8).select("doc_id", "lang")
+
+
+def _q_dedup_simhash_pairs(spark, sf):
+    from etl_cli_spark.operators.dedup import simhash_pairs
+
+    d = _engine(spark, sf).read("documents")
+    return simhash_pairs(d, max_distance=3)
+
+
+def _q_dedup_ngram_pairs(spark, sf):
+    from etl_cli_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _engine(spark, sf).read("documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.6)
+
+
+def _q_similarity_topk(spark, sf):
+    from etl_cli_spark.operators.similarity import cosine_topk
+
+    emb = _engine(spark, sf).read("embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    return cosine_topk(emb, q, k=10, exclude_ids=[0])
+
+
+def _q_similarity_ann(spark, sf):
+    from etl_cli_spark.operators.similarity import ann_topk
+
+    emb = _engine(spark, sf).read("embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    return ann_topk(emb, q, k=10)
+
+
+def _q_embedding_neardup(spark, sf):
+    from etl_cli_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _engine(spark, sf).read("embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.8)
+
+
+def _q_multimodal_decode(spark, sf):
+    from etl_cli_spark.operators.multimodal import decode_images, make_fake_media
+
+    media = make_fake_media(spark, n=32)
+    return decode_images(media).select("media_id", "dec_width", "dec_height")
+
+
+def _q_incremental_loop(spark, sf):
+    from etl_cli_spark.streaming.incremental import incremental_loop
+
+    eng = _engine(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="etl_incr_")
+    batches: list[int] = []
+
+    def source():
+        return eng.read("events", ["_fields=event_id,event_type"])
+
+    def process(b):
+        batches.append(b.count())
+
+    stats = incremental_loop(
+        spark, source, process, f"{tmp}/bm.parquet", ["event_id"], batch_limit=400
+    )
+    return spark.createDataFrame(
+        [(stats.passes, stats.processed, stats.converged)], "passes int, processed long, converged boolean"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # query DSL (SURVEY §2.2-2.3)
+        "dsl_eq_project": _q_dsl_eq_project,
+        "dsl_ne": _q_dsl_ne,
+        "dsl_range": _q_dsl_range,
+        "dsl_in": _q_dsl_in,
+        "dsl_nin_null": _q_dsl_nin_null,
+        "dsl_string_ops": _q_dsl_string_ops,
+        "dsl_sort_limit": _q_dsl_sort_limit,
+        "dsl_count": _q_dsl_count,
+        "dsl_regex_json": _q_dsl_regex_json,
+        "flatten_struct": _q_flatten_struct,
+        # merger (SURVEY §2.4)
+        "merger_left": _q_merger_left,
+        "merger_inner_mq": _q_merger_inner_mq,
+        "merger_anti": _q_merger_anti,
+        "merger_match_one": _q_merger_match_one,
+        "merger_direction": _q_merger_direction,
+        "merger_unwind": _q_merger_unwind,
+        "merger_merge_as": _q_merger_merge_as,
+        # write ops (SURVEY §2.5)
+        "write_insert": _q_write_insert,
+        "write_upsert": _q_write_upsert,
+        "write_update_tq": _q_write_update_tq,
+        "write_delete": _q_write_delete,
+        "write_index": _q_write_index,
+        # aggregation / window / diff (SURVEY §2.7-2.8)
+        "agg_q1": _q_agg_q1,
+        "agg_rollup": _q_agg_rollup,
+        "agg_cube": _q_agg_cube,
+        "agg_having": _q_agg_having,
+        "window_topk_per_group": _q_window_topk_per_group,
+        "window_running_sum": _q_window_running_sum,
+        "diff_sets": _q_diff,
+        # events / streaming-analog (SURVEY §2.9-2.10)
+        "events_window_1h": _q_events_window_1h,
+        "events_sessionize": _q_events_sessionize,
+        "incremental_loop": _q_incremental_loop,
+        # text / dedup / similarity / multimodal (north-star extensions)
+        "text_stats_by_lang": _q_text_stats_by_lang,
+        "text_fingerprint": _q_text_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_ngram_pairs": _q_dedup_ngram_pairs,
+        "similarity_topk": _q_similarity_topk,
+        "similarity_ann": _q_similarity_ann,
+        "embedding_neardup": _q_embedding_neardup,
+        "multimodal_decode": _q_multimodal_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered per table)
+# ---------------------------------------------------------------------------
+
+_NORM_TEXT = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+_TOKENS = "len(string_split_regex(lower(trim(text)), '\\s+'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["dsl_eq_project"] = "SELECT p_partkey, p_name, p_brand FROM part WHERE p_type = 'ECONOMY'"
+    sql["dsl_ne"] = (
+        "SELECT o_orderkey, o_orderstatus FROM orders "
+        "WHERE o_orderstatus <> 'F' OR o_orderstatus IS NULL"
+    )
+    sql["dsl_range"] = (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem "
+        "WHERE l_quantity >= 30 AND l_extendedprice < 50000"
+    )
+    sql["dsl_in"] = (
+        "SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_mktsegment IN ('BUILDING','MACHINERY')"
+    )
+    sql["dsl_nin_null"] = (
+        "SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_mktsegment NOT IN ('BUILDING','MACHINERY') OR c_mktsegment IS NULL"
+    )
+    sql["dsl_string_ops"] = (
+        "SELECT p_partkey, p_name FROM part "
+        "WHERE p_name LIKE 'cold%' AND lower(p_name) LIKE '%widget%'"
+    )
+    sql["dsl_sort_limit"] = (
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"
+    )
+    sql["dsl_count"] = "SELECT count(*) AS cnt FROM lineitem WHERE l_discount > 0.05"
+    sql["dsl_regex_json"] = (
+        "SELECT event_id, user_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT) AS k "
+        "FROM events WHERE CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT) > 50 "
+        "AND event_type = 'click'"
+    )
+    sql["flatten_struct"] = (
+        'SELECT c_custkey, c_name AS "info.name", c_acctbal AS "info.bal" FROM customer'
+    )
+
+    sql["merger_left"] = (
+        "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment "
+        "FROM orders LEFT JOIN customer ON o_custkey = c_custkey"
+    )
+    sql["merger_inner_mq"] = (
+        "SELECT o_orderkey, c_name, c_acctbal FROM orders "
+        "JOIN customer ON o_custkey = c_custkey AND c_acctbal > 5000"
+    )
+    sql["merger_anti"] = (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    )
+    sql["merger_match_one"] = (
+        "SELECT o_orderkey, o_totalprice, "
+        "CAST(COALESCE(l.l_partkey, -1) AS BIGINT) AS l_partkey, "
+        "CAST(COALESCE(l.l_linenumber, -1) AS BIGINT) AS l_linenumber FROM orders LEFT JOIN ("
+        "  SELECT l_orderkey, l_partkey, l_linenumber FROM ("
+        "    SELECT l_orderkey, l_partkey, l_linenumber, row_number() OVER ("
+        "      PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn"
+        "    FROM lineitem) WHERE rn = 1"
+        ") l ON o_orderkey = l.l_orderkey"
+    )
+    sql["merger_direction"] = (
+        "SELECT c_custkey, COALESCE(n_name, c_name) AS name, n_regionkey "
+        "FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey"
+    )
+    sql["merger_unwind"] = (
+        "SELECT o_orderkey, CAST(COALESCE(l_linenumber, -1) AS BIGINT) AS l_linenumber, "
+        "CAST(COALESCE(l_quantity, -1.0) AS DOUBLE) AS l_quantity "
+        "FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey"
+    )
+
+    orders_cols = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+    sql["write_insert"] = (
+        f"SELECT {orders_cols} FROM orders UNION ALL "
+        f"SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+        f"o_orderpriority FROM orders WHERE o_orderkey < 50"
+    )
+    sql["write_upsert"] = (
+        "SELECT o_orderkey, o_custkey, "
+        "CASE WHEN o_orderkey < 100 THEN 'U' ELSE o_orderstatus END AS o_orderstatus, "
+        "CASE WHEN o_orderkey < 100 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, "
+        "o_orderdate, o_orderpriority FROM orders "
+        "UNION ALL "
+        "SELECT o_orderkey + 2000000, o_custkey, 'U', o_totalprice + 1.0, o_orderdate, "
+        "o_orderpriority FROM orders WHERE o_orderkey < 10"
+    )
+    sql["write_update_tq"] = (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+        "CASE WHEN o_orderstatus = 'O' THEN 'X' ELSE o_orderpriority END AS o_orderpriority "
+        "FROM orders"
+    )
+    sql["write_delete"] = f"SELECT {orders_cols} FROM orders WHERE o_orderstatus <> 'F'"
+    sql["write_index"] = (
+        "SELECT o_orderkey, o_custkey, "
+        "CASE WHEN o_orderkey < 20 THEN NULL ELSE o_orderstatus END AS o_orderstatus, "
+        "o_totalprice, "
+        "CASE WHEN o_orderkey < 20 THEN NULL "
+        "  ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS o_orderdate, "
+        "CASE WHEN o_orderkey < 20 THEN NULL ELSE o_orderpriority END AS o_orderpriority "
+        "FROM orders"
+    )
+
+    sql["agg_q1"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(round(sum(CAST(l_quantity AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_qty, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_base_price, "
+        "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 6) AS DOUBLE) AS sum_disc_price, "
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(*), 6) AS avg_qty, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+    sql["agg_rollup"] = (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "CAST(round(sum(CAST(l_quantity AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    )
+    sql["agg_cube"] = (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    )
+    sql["agg_having"] = (
+        "SELECT o_custkey, count(*) AS n, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS total "
+        "FROM orders GROUP BY o_custkey HAVING count(*) >= 3"
+    )
+    sql["window_topk_per_group"] = (
+        "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+        "  SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER ("
+        "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn"
+        "  FROM orders) WHERE rn <= 2"
+    )
+    sql["window_running_sum"] = (
+        "SELECT o_custkey, o_orderkey, "
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER ("
+        "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "  ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_total "
+        "FROM orders"
+    )
+    sql["diff_sets"] = (
+        "WITH a AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000), "
+        "b AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000) "
+        "SELECT *, 'left' AS _diff_side FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) "
+        "UNION ALL "
+        "SELECT *, 'right' AS _diff_side FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)"
+    )
+
+    sql["events_window_1h"] = (
+        "SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, "
+        "CAST(round(sum(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+    sql["events_sessionize"] = (
+        "WITH marks AS ("
+        "  SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL "
+        "    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s"
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM marks GROUP BY user_id"
+    )
+
+    sql["text_stats_by_lang"] = (
+        f"SELECT lang, count(*) AS n_docs, CAST(sum({_TOKENS}) AS BIGINT) AS total_tokens, "
+        f"round(sum({_TOKENS}) / count(*), 6) AS avg_tokens "
+        f"FROM documents GROUP BY lang"
+    )
+    sql["text_fingerprint"] = (
+        f"SELECT doc_id, {_NORM_TEXT} AS fp FROM documents WHERE doc_id < 20"
+    )
+    sql["dedup_exact"] = (
+        f"SELECT doc_id, lang, source FROM ("
+        f"  SELECT doc_id, lang, source, row_number() OVER ("
+        f"    PARTITION BY {_NORM_TEXT} ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"
+    )
+
+    # similarity_topk: exact brute-force cosine is portable (verified:
+    # DuckDB list_cosine_similarity == Spark fold after round-6)
+    sql["similarity_topk"] = (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "
+        "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS score "
+        "FROM embeddings WHERE vec_id <> 0 "
+        "ORDER BY score DESC, vec_id LIMIT 10"
+    )
+    # no oracle (rows-only): merger_merge_as (nested struct), dedup_minhash /
+    # dedup_simhash_pairs / dedup_ngram_pairs / similarity_ann /
+    # embedding_neardup (hash/LSH-specific), multimodal_decode (synthetic),
+    # incremental_loop (iterative)
+    return sql

@@ -1,0 +1,77 @@
+"""Benchmark harness: run headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized through the no-op sink (``format("noop")``) so
+the full plan executes distributed — nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline: one per engine subsystem, heaviest representatives first
+HEADLINE = [
+    "agg_q1",                 # scan + group agg (TPC-H Q1 shape)
+    "merger_left",            # equi-join orders x customer
+    "merger_unwind",          # 1:N join multiplicity
+    "dsl_sort_limit",         # top-k (TakeOrderedAndProject)
+    "window_topk_per_group",  # window rank
+    "window_running_sum",     # window running agg
+    "events_window_1h",       # event-time tumbling window
+    "events_sessionize",      # gap sessionization (2 windows)
+    "dedup_exact",            # normalize + hash-groupBy dedup
+    "dedup_minhash",          # MinHash-LSH near-dup
+    "text_stats_by_lang",     # tokenize + agg
+    "similarity_topk",        # brute-force cosine top-k
+    "write_upsert",           # MERGE-shaped write op
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from etl_cli_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers with a trivial scan
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # keep benching; surface the failure
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

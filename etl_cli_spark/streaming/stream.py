@@ -83,6 +83,33 @@ def session(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap_minutes: int,
+    user_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Batch sessionization: lag + gap>threshold -> cumulative session id.
+
+    The classic two-window pattern (no session_window needed in batch):
+    mark rows starting a new session, then running-sum the marks.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    gap_s = gap_minutes * 60
+    new_session = F.when(
+        prev.isNull() | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)) > gap_s), 1
+    ).otherwise(0)
+    return df.withColumn("__new_s", new_session).withColumn(
+        "session_id",
+        F.sum("__new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__new_s")
+
+
 def stream_events(
     spark,
     path: str,
