@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .text import fingerprint, tokens
+from .text import fingerprint, let, tokens
 
 
 # --------------------------------------------------------------------------
@@ -61,23 +61,51 @@ def exact_text_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # --------------------------------------------------------------------------
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct n-gram (word) shingles of the text."""
+    """Distinct n-gram (word) shingles of the text.
+
+    ``let`` binds the token array once — slicing it per shingle index in
+    the lambda would otherwise re-tokenize the text per element.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(grams)
+    return F.array_distinct(
+        let(
+            tokens(c),
+            lambda toks: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        )
+    )
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per seed, min over xxhash64(shingle, seed)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    """MinHash signature: per seed, min over a rehash of the shingle hash.
+
+    Each shingle *string* is xxhash64'd exactly once; the ``num_hashes``
+    independent hash functions rehash that 8-byte long (seeded), which is
+    ~string_len/8 cheaper per slot than hashing the string per seed.
+    """
+    return minhash_signature_from_hashes(
+        F.transform(shingle_col, lambda s: F.xxhash64(s)), num_hashes
     )
+
+
+def minhash_signature_from_hashes(hashed_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature over pre-hashed (long) shingles.
+
+    Single fold with a num_hashes-wide accumulator: every subexpression
+    appears exactly ONCE in the plan. The naive form — num_hashes separate
+    array_min(transform(...)) slots — duplicates the whole shingle
+    pipeline per slot (HOFs get no common-subexpression elimination) and
+    is ~100x slower.
+    """
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+
+    def merge(acc: Column, h: Column) -> Column:
+        slots = F.array(*[F.xxhash64(h, F.lit(i)) for i in range(num_hashes)])
+        return F.zip_with(acc, slots, lambda a, b: F.least(a, b))
+
+    return F.aggregate(hashed_col, init, merge)
 
 
 def _band_hashes(sig: Column, bands: int, rows: int) -> Column:
@@ -105,39 +133,54 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (a_id < b_id, jaccard >= threshold).
 
     Plan shape (the part that matters at scale):
-      1. one narrow pass computes shingles + signature + band hashes;
+      1. one narrow pass computes shingles + signature + band hashes,
+         persisted (``cache=True``) — the self-join and the two
+         array-rejoin branches would otherwise recompute it 4x;
       2. ``explode`` bands -> shuffle on (band_idx, band_hash) — this is
          the ONLY wide exchange over the corpus;
-      3. self-equi-join inside buckets -> candidates;
-      4. exact Jaccard on the candidate pairs only (shingle arrays travel
-         with the candidates, already co-located).
+      3. self-equi-join inside buckets over narrow (id, band, bucket)
+         rows -> candidates;
+      4. exact Jaccard on the candidate pairs only, shingle arrays
+         re-attached after pair dedup.
     """
     rows = num_hashes // bands
+    # hs: one 64-bit hash per distinct shingle — signatures derive from it,
+    # and the exact-Jaccard verify compares long arrays (cheap) instead of
+    # re-shuffling the shingle strings
     base = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
-        .withColumn("sh", shingles(F.col("txt"), n_shingle))
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        .withColumn("hs", F.transform(shingles(F.col("txt"), n_shingle), lambda s: F.xxhash64(s)))
+        .withColumn("sig", minhash_signature_from_hashes(F.col("hs"), num_hashes))
         .withColumn("bh", _band_hashes(F.col("sig"), bands, rows))
-        .select("id", "sh", F.posexplode("bh").alias("band", "bucket"))
+        .select("id", "hs", "bh")
     )
-    left = base.select(
-        F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), "band", "bucket"
-    )
-    right = base.select(
-        F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), "band", "bucket"
-    )
+    if cache:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # the bucket join + pair dedup move ONLY (id, band, bucket) — the
+    # hash arrays rejoin after dedup, so the wide exchange stays narrow
+    buckets = base.select("id", F.posexplode("bh").alias("band", "bucket"))
     cand = (
-        left.join(right, on=["band", "bucket"], how="inner")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh")
+        buckets.join(
+            buckets.select(F.col("id").alias("b_id"), "band", "bucket"),
+            on=["band", "bucket"],
+            how="inner",
+        )
+        .filter(F.col("id") < F.col("b_id"))
+        .select(F.col("id").alias("a_id"), "b_id")
         .dropDuplicates(["a_id", "b_id"])  # same pair can share many bands
     )
+    shing = base.select("id", "hs")
     return (
-        cand.withColumn("jaccard", jaccard(F.col("a_sh"), F.col("b_sh")))
+        cand.join(shing.select(F.col("id").alias("a_id"), F.col("hs").alias("a_hs")), "a_id")
+        .join(shing.select(F.col("id").alias("b_id"), F.col("hs").alias("b_hs")), "b_id")
+        .withColumn("jaccard", jaccard(F.col("a_hs"), F.col("b_hs")))
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -168,29 +211,32 @@ def minhash_dedup(
 def simhash(col: Column | str, bits: int = 64) -> Column:
     """SimHash fingerprint: sign-sum of per-token hash bits -> packed long."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.array_distinct(tokens(c))
-    # per-token ±1 bit votes, summed across tokens (bit positions unrolled
-    # at plan-build time — shift amounts must be literals)
-    bitvotes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                    for i in range(bits)
-                ]
-            ),
-            lambda a, b: a + b,
-        ),
-    )
-    packed = F.lit(0).cast("long")
-    for i in range(bits):
-        packed = packed.bitwiseOR(
-            F.when(bitvotes[i] > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+    # hash each token string ONCE; all bit extraction works on the long
+    # lambda variable (cheap reference). Folding votes and packing inside a
+    # single aggregate keeps every expensive subexpression single-use —
+    # referencing the aggregate 64x from outside would inline it 64x.
+    hashed = F.transform(F.array_distinct(tokens(c)), lambda t: F.xxhash64(t))
+
+    def merge(acc: Column, h: Column) -> Column:
+        votes = F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for i in range(bits)
+            ]
         )
-    return packed
+        return F.zip_with(acc, votes, lambda a, b: a + b)
+
+    def finish(acc: Column) -> Column:
+        packed = F.lit(0).cast("long")
+        for i in range(bits):
+            packed = packed.bitwiseOR(
+                F.when(acc[i] > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return packed
+
+    return F.aggregate(hashed, F.array_repeat(F.lit(0), bits), merge, finish)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -203,6 +249,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_distance: int = 3,
     chunks: int = 4,
+    cache: bool = True,
 ) -> DataFrame:
     """Pairs within Hamming distance via pigeonhole banding.
 
@@ -213,6 +260,10 @@ def simhash_pairs(
     width = 64 // chunks
     mask = (1 << width) - 1
     base = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    if cache:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     pieces = base.select(
         "id",
         "sh",
@@ -250,6 +301,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold via shared-shingle candidate join.
 
@@ -258,15 +310,29 @@ def ngram_jaccard_pairs(
     common shingles explode the index, prefer minhash_lsh_pairs; this
     exact variant is the oracle-checkable baseline.
     """
-    base = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-    inv = base.select("id", "sh", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g"))
-    l = inv.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), "g")
-    r = inv.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), "g")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("hs"),
+    )
+    if cache:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # inverted index carries only (id, shingle-hash). Since shingle sets are
+    # distinct, counting join hits per pair IS |a ∩ b| — no array compare,
+    # no array shuffle: jaccard = c / (|a| + |b| - c) with a tiny size join.
+    sizes = base.select("id", F.size("hs").alias("n"))
+    inv = base.select("id", F.explode("hs").alias("g"))
+    inter = (
+        inv.join(inv.select(F.col("id").alias("b_id"), "g"), on="g", how="inner")
+        .filter(F.col("id") < F.col("b_id"))
+        .groupBy(F.col("id").alias("a_id"), F.col("b_id"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     return (
-        l.join(r, on="g", how="inner")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-        .withColumn("jaccard", jaccard(F.col("a_sh"), F.col("b_sh")))
+        inter.join(sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na")), "a_id")
+        .join(sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )

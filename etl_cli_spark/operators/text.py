@@ -26,6 +26,18 @@ _WS = r"\s+"
 _PUNCT = r"[!-/:-@\[-`{-~]"
 
 
+def let(value: Column, body) -> Column:
+    """Bind ``value`` to a lambda variable and evaluate ``body`` on it once.
+
+    Spark HOF lambda bodies re-evaluate any embedded non-lambda-var
+    subexpression per array element (no common-subexpression elimination
+    across HOFs). Wrapping the expensive expression as
+    ``transform(array(value), v -> body(v))[0]`` evaluates it exactly once
+    per row no matter how many times ``body`` references it.
+    """
+    return F.transform(F.array(value), body)[0]
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization (lowercased)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -129,10 +141,13 @@ def rolling_hashes(col: Column | str, window: int = 8) -> Column:
     winnowing selects from these.
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
-    return F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+    return let(
+        tokens(c),
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        ),
+    )
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
