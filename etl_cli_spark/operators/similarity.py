@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .text import let
+
 
 def dot(a: Column, b: Column) -> Column:
     """Index-order left fold — deterministic, engine-portable."""
@@ -33,7 +35,50 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity in ONE fold: zip to (x*y, x*x, y*y) triples and
+    accumulate all three sums together — a/b are let-bound so the input
+    expressions evaluate once however complex they are."""
+    return let(
+        a,
+        lambda va: let(
+            b,
+            lambda vb: F.aggregate(
+                F.zip_with(
+                    va,
+                    vb,
+                    lambda x, y: F.struct(
+                        (x * y).alias("d"), (x * x).alias("sa"), (y * y).alias("sb")
+                    ),
+                ),
+                F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("sa"), F.lit(0.0).alias("sb")),
+                lambda acc, p: F.struct(
+                    (acc["d"] + p["d"]).alias("d"),
+                    (acc["sa"] + p["sa"]).alias("sa"),
+                    (acc["sb"] + p["sb"]).alias("sb"),
+                ),
+                lambda acc: acc["d"] / (F.sqrt(acc["sa"]) * F.sqrt(acc["sb"])),
+            ),
+        ),
+    )
+
+
+def cosine_to_const(vec: Column, query_vec: list[float]) -> Column:
+    """Cosine against a constant query vector — the query norm is computed
+    driver-side (HOF folds over literal arrays are NOT constant-folded,
+    so the naive form re-normalizes the query per row)."""
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return let(
+        vec,
+        lambda v: F.aggregate(
+            F.zip_with(v, q, lambda x, y: F.struct((x * y).alias("d"), (x * x).alias("s"))),
+            F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("s")),
+            lambda acc, p: F.struct(
+                (acc["d"] + p["d"]).alias("d"), (acc["s"] + p["s"]).alias("s")
+            ),
+            lambda acc: acc["d"] / (F.sqrt(acc["s"]) * F.lit(qn)),
+        ),
+    )
 
 
 def _as_double(c: Column) -> Column:
@@ -52,10 +97,9 @@ def cosine_topk(
 
     One scan + TakeOrderedAndProject; ties broken by id for determinism.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("score"),
+        F.round(cosine_to_const(_as_double(F.col(vec_col)), query_vec), 6).alias("score"),
     )
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(exclude_ids))
@@ -77,17 +121,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature: one bit per hyperplane, packed into a long."""
-    bits = []
-    for i, p in enumerate(planes):
-        pc = F.array(*[F.lit(x) for x in p])
-        bits.append(
-            F.when(dot(vec, pc) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        )
-    sig = F.lit(0).cast("long")
-    for b in bits:
-        sig = sig.bitwiseOR(b)
-    return sig
+    """Sign-bit signature: one bit per hyperplane, packed into a long.
+
+    ``vec`` is let-bound: the n_planes dot products reference a cheap
+    lambda variable instead of re-evaluating the input expression each.
+    """
+
+    def body(v: Column) -> Column:
+        sig = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            pc = F.array(*[F.lit(x) for x in p])
+            sig = sig.bitwiseOR(
+                F.when(dot(v, pc) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return sig
+
+    return let(vec, body)
 
 
 def ann_topk(
@@ -126,9 +177,8 @@ def ann_topk(
         band_match = term if band_match is None else (band_match | term)
 
     cand = with_sig.filter(band_match)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        cand.select(F.col(id_col), F.round(cosine(vec_d, q), 6).alias("score"))
+        cand.select(F.col(id_col), F.round(cosine_to_const(vec_d, query_vec), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -152,34 +202,49 @@ def embedding_neardup_pairs(
     planes = _hyperplanes(dim, n_planes, seed)
     width = n_planes // bands
     mask = (1 << width) - 1
-    vec_d = _as_double(F.col(vec_col))
+    # persist (id, unit-norm vector, signature): the bucket join moves only
+    # (id, band, bucket); pre-normalized vectors make the verify a pure dot
     base = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("__sig", lsh_signature(_as_double(F.col("v")), planes))
+        df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("__n", norm(F.col("v")))
         .select(
             "id",
-            "v",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftright("__sig", b * width).bitwiseAND(F.lit(mask)).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("p"),
+            F.zip_with("v", F.array_repeat("__n", dim), lambda x, n: x / n).alias("u"),
+            lsh_signature(F.col("v"), planes).alias("__sig"),
         )
-        .select("id", "v", "p.band", "p.bucket")
     )
-    l = base.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"), "band", "bucket")
-    r = base.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"), "band", "bucket")
-    return (
-        l.join(r, on=["band", "bucket"], how="inner")
-        .filter(F.col("a_id") < F.col("b_id"))
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("__sig", b * width).bitwiseAND(F.lit(mask)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.band").alias("band"), F.col("p.bucket").alias("bucket"))
+    cand = (
+        buckets.join(
+            buckets.select(F.col("id").alias("b_id"), "band", "bucket"),
+            on=["band", "bucket"],
+            how="inner",
+        )
+        .filter(F.col("id") < F.col("b_id"))
+        .select(F.col("id").alias("a_id"), "b_id")
         .dropDuplicates(["a_id", "b_id"])
-        .withColumn("cosine", F.round(cosine(_as_double(F.col("a_v")), _as_double(F.col("b_v"))), 6))
+    )
+    vecs = base.select("id", "u")
+    return (
+        cand.join(vecs.select(F.col("id").alias("a_id"), F.col("u").alias("a_u")), "a_id")
+        .join(vecs.select(F.col("id").alias("b_id"), F.col("u").alias("b_u")), "b_id")
+        .withColumn("cosine", F.round(dot(F.col("a_u"), F.col("b_u")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
