@@ -371,6 +371,55 @@ def _q_diff(spark, sf):
     return diff(a, b, context=["o_orderkey", "o_totalprice"])
 
 
+# -- multi-join analytics (engine.sql surface; ANSI SQL shared with oracle) --
+
+_Q3_SQL = (
+    "SELECT o_orderkey, "
+    "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue, "
+    "o_orderdate "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+    "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
+    "GROUP BY o_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+)
+
+_Q5_SQL = (
+    "SELECT n_name, "
+    "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00' "
+    "GROUP BY n_name"
+)
+
+_Q10_SQL = (
+    "SELECT c_custkey, c_name, "
+    "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20"
+)
+
+
+def _q_sql_q3(spark, sf):
+    return _engine(spark, sf).sql(_Q3_SQL)
+
+
+def _q_sql_q5(spark, sf):
+    return _engine(spark, sf).sql(_Q5_SQL)
+
+
+def _q_sql_q10(spark, sf):
+    return _engine(spark, sf).sql(_Q10_SQL)
+
+
 # -- events ------------------------------------------------------------------
 
 def _q_events_window_1h(spark, sf):
@@ -531,6 +580,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_per_group": _q_window_topk_per_group,
         "window_running_sum": _q_window_running_sum,
         "diff_sets": _q_diff,
+        # multi-join analytics over the engine.sql surface
+        "sql_q3_shape": _q_sql_q3,
+        "sql_q5_shape": _q_sql_q5,
+        "sql_q10_shape": _q_sql_q10,
         # events / streaming-analog (SURVEY §2.9-2.10)
         "events_window_1h": _q_events_window_1h,
         "events_sessionize": _q_events_sessionize,
@@ -702,6 +755,11 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL "
         "SELECT *, 'right' AS _diff_side FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)"
     )
+
+    # identical ANSI text runs on both engines
+    sql["sql_q3_shape"] = _Q3_SQL
+    sql["sql_q5_shape"] = _Q5_SQL
+    sql["sql_q10_shape"] = _Q10_SQL
 
     sql["events_window_1h"] = (
         "SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, "

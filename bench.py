@@ -20,6 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # headline: one per engine subsystem, heaviest representatives first
 HEADLINE = [
     "agg_q1",                 # scan + group agg (TPC-H Q1 shape)
+    "sql_q3_shape",           # 3-way join + agg + top-k (TPC-H Q3 shape)
+    "sql_q5_shape",           # 6-way star join (TPC-H Q5 shape)
     "merger_left",            # equi-join orders x customer
     "merger_unwind",          # 1:N join multiplicity
     "dsl_sort_limit",         # top-k (TakeOrderedAndProject)

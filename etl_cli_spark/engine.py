@@ -41,11 +41,28 @@ class JobResult:
 
 
 class Engine:
-    """A root-scoped engine instance: datasets resolve under ``root``."""
+    """A root-scoped engine instance: datasets resolve under ``root``.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``job_log=True`` records every :meth:`run` into the ``logs/job``
+    dataset (the reference's job store / poll surface, base.py:345-392).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, job_log: bool = False):
         self.spark = spark
         self.root = root
+        self._job_log = None
+        if job_log:
+            from .metrics import JobLog
+
+            self._job_log = JobLog(spark, root)
+
+    @property
+    def job_log(self):
+        if self._job_log is None:
+            from .metrics import JobLog
+
+            self._job_log = JobLog(self.spark, self.root)
+        return self._job_log
 
     # -- catalog-ish helpers -------------------------------------------------
     def read(self, uri: str, query: Sequence[str] | None = None, **options: Any) -> DataFrame:
@@ -71,9 +88,83 @@ class Engine:
         df = self.read(uri, query)
         return [r.asDict(recursive=True) for r in df.limit(n).collect()]
 
+    def sql(self, query: str) -> DataFrame:
+        """SQL over the root's datasets: every dataset in every namespace is
+        registered as a temp view named after the dataset (namespace views
+        as ``ns_name``). The full Spark SQL surface — multi-way joins,
+        CTEs, windows — over the same catalog the job API uses."""
+        from .catalog import ls_ns
+
+        for name in ls_ns(self.root):
+            try:
+                self.read(name).createOrReplaceTempView(name)
+            except Exception:
+                for sub in ls_ns(self.root, name):
+                    self.read(f"{name}/{sub}").createOrReplaceTempView(f"{name}_{sub}")
+        return self.spark.sql(query)
+
+    def info(self, spec: JobSpec) -> dict[str, Any]:
+        """show_info (base.py:411-479): pre-flight description of a job —
+        datasets, op, compiled query, source total, and the Catalyst plan."""
+        src_ds = parse_ds(spec.source.ds)
+        q = compile_query(spec.source.query)
+        df = q.apply(read_dataset(self.spark, src_ds, self.root, url=q.url))
+        out: dict[str, Any] = {
+            "source": src_ds.uri,
+            "query": list(spec.source.query),
+            "merger": spec.merger.ds if spec.merger else None,
+            "target": spec.target.ds if spec.target else None,
+            "op": spec.target.op if spec.target else None,
+            "pk": list(spec.target.pk) if spec.target and spec.target.pk else None,
+            "source_total": self.count(spec.source.ds, spec.source.query),
+            "plan": df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+            ),
+        }
+        return out
+
     # -- the main path -------------------------------------------------------
     def run(self, spec: JobSpec, merge_rules_fn=None) -> JobResult:
         """Execute one job spec (single source; use :meth:`run_many` for ``*``)."""
+        if self._job_log is not None:
+            return self._run_logged(spec, merge_rules_fn)
+        return self._run(spec, merge_rules_fn)
+
+    def _run_logged(self, spec: JobSpec, merge_rules_fn=None) -> JobResult:
+        import time
+
+        from .metrics import JobRecord, new_uid, next_seq
+
+        uid, t0 = new_uid(), time.time()
+        try:
+            res = self._run(spec, merge_rules_fn)
+            rows_out = res.df.count()
+        except Exception as e:
+            self._job_log.record(
+                JobRecord(
+                    uid=uid, seq=next_seq(), started_at=t0,
+                    duration_sec=time.time() - t0, status="failed",
+                    source=spec.source.ds,
+                    target=spec.target.ds if spec.target else None,
+                    op=spec.target.op if spec.target else None,
+                    rows_in=None, rows_out=None, error=str(e)[:500],
+                )
+            )
+            raise
+        self._job_log.record(
+            JobRecord(
+                uid=uid, seq=next_seq(), started_at=t0,
+                duration_sec=time.time() - t0, status="succeeded",
+                source=spec.source.ds,
+                target=spec.target.ds if spec.target else None,
+                op=spec.target.op if spec.target else None,
+                rows_in=None, rows_out=rows_out,
+            )
+        )
+        res.metrics["job_uid"] = uid
+        return res
+
+    def _run(self, spec: JobSpec, merge_rules_fn=None) -> JobResult:
         src_ds = parse_ds(spec.source.ds)
         q = compile_query(spec.source.query)
         df = read_dataset(self.spark, src_ds, self.root, url=q.url)

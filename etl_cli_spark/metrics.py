@@ -1,0 +1,124 @@
+"""Job log + metrics: the engine's answer to the reference's job store.
+
+The reference records every job server-side and exposes it through
+``get_job_status`` / ``poll_job`` (/root/reference/etl_cli/base.py:345-392;
+``uid='last'`` resolves via ``_sort=-uid`` at base.py:353-354) plus a
+per-target write log (``target.log_ds = 'logs.<target>'``,
+etl.py:193-195). Here the job log is itself a dataset (parquet under
+``<root>/logs/job``), so it is queryable with the same engine — the
+reference's ``--job-poll``/``--jq`` becomes an ordinary DSL query.
+
+Counters mirror the reference's poll payload (base.py:376-381):
+``sprogress/tprogress/total`` -> rows_in/rows_out, ``sspeed`` ->
+rows_per_sec, plus wall-clock duration and status.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("uid", T.StringType()),
+        T.StructField("seq", T.LongType()),          # monotonic; _sort=-seq == 'last'
+        T.StructField("started_at", T.TimestampType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("status", T.StringType()),     # succeeded | failed
+        T.StructField("source", T.StringType()),
+        T.StructField("target", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("rows_in", T.LongType()),
+        T.StructField("rows_out", T.LongType()),
+        T.StructField("rows_per_sec", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("contid", T.StringType()),     # job-chain id (--contid)
+    ]
+)
+
+
+@dataclass
+class JobRecord:
+    uid: str
+    seq: int
+    started_at: float
+    duration_sec: float
+    status: str
+    source: str
+    target: str | None
+    op: str | None
+    rows_in: int | None
+    rows_out: int | None
+    error: str | None = None
+    contid: str | None = None
+
+
+class JobLog:
+    """Parquet-backed job log under ``<root>/<ns>/job``."""
+
+    def __init__(self, spark: SparkSession, root: str, ns: str = "logs"):
+        self.spark = spark
+        self.path = os.path.join(root, ns, "job")
+
+    def record(self, rec: JobRecord) -> None:
+        rps = (
+            rec.rows_in / rec.duration_sec
+            if rec.rows_in is not None and rec.duration_sec > 0
+            else None
+        )
+        row = (
+            rec.uid,
+            rec.seq,
+            # timestamp as UTC seconds -> Spark converts via session tz
+            _dt.datetime.fromtimestamp(rec.started_at, tz=_dt.timezone.utc).replace(tzinfo=None),
+            rec.duration_sec,
+            rec.status,
+            rec.source,
+            rec.target,
+            rec.op,
+            rec.rows_in,
+            rec.rows_out,
+            rps,
+            rec.error,
+            rec.contid,
+        )
+        self.spark.createDataFrame([row], LOG_SCHEMA).coalesce(1).write.mode("append").parquet(
+            self.path
+        )
+
+    def frame(self) -> DataFrame:
+        return self.spark.read.schema(LOG_SCHEMA).parquet(self.path)
+
+    def job_status(self, uid: str = "last") -> dict[str, Any] | None:
+        """base.py:349-364: fetch one job; 'last' = highest seq."""
+        df = self.frame()
+        row = (
+            df.orderBy(F.desc("seq")).limit(1).collect()
+            if uid == "last"
+            else df.filter(F.col("uid") == uid).limit(1).collect()
+        )
+        return row[0].asDict() if row else None
+
+    def history(self, source: str | None = None, limit: int = 100) -> DataFrame:
+        df = self.frame()
+        if source:
+            df = df.filter(F.col("source") == source)
+        return df.orderBy(F.desc("seq")).limit(limit)
+
+
+def new_uid() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def next_seq() -> int:
+    # epoch-millis is monotonic enough for a single driver; collisions only
+    # matter for 'last' resolution, where ties are broken arbitrarily
+    return int(time.time() * 1000)

@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from etl_cli_spark.engine import Engine
+
+
+@pytest.fixture()
+def work_root():
+    from conftest import SF_DIR
+
+    tmp = tempfile.mkdtemp(prefix="etl_metrics_")
+    for t in ("region", "nation", "orders", "customer"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{tmp}/{t}.parquet")
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_job_log_records_and_status(spark, work_root):
+    eng = Engine(spark, work_root, job_log=True)
+    res = eng.etl("orders", query=["o_orderstatus=F"], target="out/f_orders", op="create")
+    assert "job_uid" in res.metrics
+
+    st = eng.job_log.job_status("last")
+    assert st is not None
+    assert st["status"] == "succeeded"
+    assert st["source"] == "orders"
+    assert st["op"] == "create"
+    assert st["rows_out"] > 0
+    assert st["rows_per_sec"] is None  # rows_in not tracked on the fast path
+
+    by_uid = eng.job_log.job_status(res.metrics["job_uid"])
+    assert by_uid is not None and by_uid["uid"] == res.metrics["job_uid"]
+
+
+def test_job_log_failure_recorded(spark, work_root):
+    eng = Engine(spark, work_root, job_log=True)
+    with pytest.raises(Exception):
+        eng.etl("nope_missing", target="out/x", op="create")
+    st = eng.job_log.job_status("last")
+    assert st["status"] == "failed"
+    assert st["error"]
+
+
+def test_job_log_history_ordered(spark, work_root):
+    eng = Engine(spark, work_root, job_log=True)
+    eng.etl("region", target="out/r1", op="create")
+    eng.etl("nation", target="out/n1", op="create")
+    hist = eng.job_log.history(limit=10).collect()
+    assert len(hist) == 2
+    assert hist[0].seq >= hist[1].seq  # newest first
+    assert hist[0].source == "nation"
+
+
+def test_engine_info(spark, work_root):
+    from etl_cli_spark.spec import make_spec
+
+    eng = Engine(spark, work_root)
+    spec = make_spec("orders", query=["o_orderstatus=F"], target="out/t", op="upsert", pk="o_orderkey")
+    inf = eng.info(spec)
+    assert inf["source"].endswith("orders")
+    assert inf["op"] == "upsert"
+    assert inf["pk"] == ["o_orderkey"]
+    assert inf["source_total"] > 0
+    assert "Scan" in inf["plan"] or "FileScan" in inf["plan"]
+
+
+def test_engine_sql_views(spark, work_root):
+    eng = Engine(spark, work_root)
+    out = eng.sql(
+        "SELECT c_mktsegment, count(*) AS n FROM orders "
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+    )
+    rows = out.collect()
+    assert len(rows) >= 1 and all(r.n > 0 for r in rows)
