@@ -121,6 +121,38 @@ def stream_events(
     return spark.readStream.schema(schema).parquet(path).withWatermark(ts_col, watermark)
 
 
+def stateful_running_totals(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-key running (count, sum)
+    maintained across micro-batches via ``applyInPandasWithState``.
+
+    The reference has no streaming at all (SURVEY §2.10); this is the
+    engine's template for operators Spark's built-in windows can't
+    express — arbitrary per-key state, Arrow-batched (pandas) per group.
+    Emits one row per key per micro-batch with the cumulative totals.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} long, n long, total double"
+    state_schema = "n long, total double"
+
+    def fn(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query to completion over the currently-available
     input (local smoke path): memory sink + processAllAvailable."""

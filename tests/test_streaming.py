@@ -78,3 +78,34 @@ def test_incremental_loop_no_reprocessing(spark, engine, tmp_path):
 
     incremental_loop(spark, source, process, str(tmp_path / "bm.parquet"), ["event_id"], batch_limit=300)
     assert len(seen) == 1000
+
+
+def test_stateful_running_totals(spark, engine, tmp_path):
+    from etl_cli_spark.streaming.stream import stateful_running_totals
+
+    # 3 files -> 3 micro-batches (maxFilesPerTrigger=1) so state must
+    # actually carry across batches
+    ev_path = str(tmp_path / "events_parts")
+    engine.read("events").repartition(3).write.parquet(ev_path)
+    schema = engine.read("events").schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(ev_path)
+
+    out = stateful_running_totals(stream, "user_id", "value")
+    run_to_memory(out, "t_state_out", output_mode="update")
+
+    # last emission per key == cumulative totals == batch groupBy
+    got = spark.sql(
+        "select user_id, max(n) as n, max(total) as total from t_state_out group by user_id"
+    ).collect()
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in engine.read("events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert len(got) == len(batch)
+    for r in got:
+        bn, btotal = batch[r.user_id]
+        assert r.n == bn
+        assert abs(r.total - float(btotal or 0.0)) < 1e-6
