@@ -48,8 +48,14 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     qs = entrymod.queries()
 
-    # warm the JVM + parquet footers with a trivial scan
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the JVM, parquet footers, and OS page cache: queries should
+    # measure plan execution, not first-touch I/O (engine reader handles
+    # the fixture's TIMESTAMP(NANOS) columns)
+    from etl_cli_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        eng.read(t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -125,6 +125,53 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
 
 
+def _pandas_sig_bands(hs_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, hs) -> (id, hs, bh): signatures + band hashes, numpy-vectorized.
+
+    Arrow-batched mapInPandas: the 64-seed rehash is a single uint64
+    outer product + column-min per document (multiply-add hash family,
+    wraparound arithmetic — deterministic across runs and cluster
+    sizes). Measured slower than the JVM expression fold end-to-end at
+    this document size (the Arrow round-trip of the hash arrays costs
+    more than vectorization saves), so ``impl='expr'`` is the default;
+    this path wins when num_hashes is large or documents are long.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = num_hashes // bands
+    rng = np.random.RandomState(42)
+    A = (rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1))
+    B = rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
+    FNV_OFFSET, FNV_PRIME = np.uint64(14695981039346656037), np.uint64(1099511628211)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(hs_df.schema.fields) + [T.StructField("bh", T.ArrayType(T.LongType()))]
+    )
+
+    def gen(iters):
+        with np.errstate(over="ignore"):
+            for pdf in iters:
+                out_bh = []
+                for hs in pdf["hs"]:
+                    h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                    if h.size == 0:
+                        sig = np.full(num_hashes, np.uint64((1 << 63) - 1), dtype=np.uint64)
+                    else:
+                        sig = (h[:, None] * A[None, :] + B[None, :]).min(axis=0)
+                    acc = np.full(bands, FNV_OFFSET, dtype=np.uint64)
+                    banded = sig.reshape(bands, rows)
+                    for r in range(rows):
+                        acc = (acc ^ banded[:, r]) * FNV_PRIME
+                    out_bh.append(acc.astype(np.int64).tolist())
+                pdf = pdf.copy()
+                pdf["bh"] = out_bh
+                yield pdf
+
+    return hs_df.mapInPandas(gen, out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -134,6 +181,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     cache: bool = True,
+    impl: str = "expr",
 ) -> DataFrame:
     """Near-duplicate pairs (a_id < b_id, jaccard >= threshold).
 
@@ -152,13 +200,18 @@ def minhash_lsh_pairs(
     # hs: one 64-bit hash per distinct shingle — signatures derive from it,
     # and the exact-Jaccard verify compares long arrays (cheap) instead of
     # re-shuffling the shingle strings
-    base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
-        .withColumn("hs", F.transform(shingles(F.col("txt"), n_shingle), lambda s: F.xxhash64(s)))
-        .withColumn("sig", minhash_signature_from_hashes(F.col("hs"), num_hashes))
-        .withColumn("bh", _band_hashes(F.col("sig"), bands, rows))
-        .select("id", "hs", "bh")
+    hs_df = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(F.col(text_col), n_shingle), lambda s: F.xxhash64(s)).alias("hs"),
     )
+    if impl == "pandas":
+        base = _pandas_sig_bands(hs_df, num_hashes, bands)
+    else:
+        base = (
+            hs_df.withColumn("sig", minhash_signature_from_hashes(F.col("hs"), num_hashes))
+            .withColumn("bh", _band_hashes(F.col("sig"), bands, rows))
+            .select("id", "hs", "bh")
+        )
     if cache:
         from pyspark import StorageLevel
 

@@ -79,12 +79,6 @@ def _pk_cond(pk: tuple[str, ...]) -> Column:
     return cond
 
 
-def _with_ts(df: DataFrame, spec: TargetSpec) -> DataFrame:
-    if spec.skip_timestamp:
-        return df
-    return df
-
-
 def apply_write_op(src: DataFrame, table: ParquetTable, spec: TargetSpec) -> DataFrame:
     """Apply the write op; returns the new target state DataFrame.
 

@@ -81,3 +81,12 @@ def test_lsh_scales_without_cross_join(docs):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_impls_agree(docs):
+    kw = dict(threshold=0.5, num_hashes=32, bands=16)
+    expr = {(r.a_id, r.b_id) for r in minhash_lsh_pairs(docs, impl="expr", **kw).collect()}
+    pandas_ = {(r.a_id, r.b_id) for r in minhash_lsh_pairs(docs, impl="pandas", **kw).collect()}
+    # different hash families, same verified dups on this corpus
+    assert (1, 2) in expr and (1, 2) in pandas_
+    assert expr == pandas_
