@@ -72,8 +72,8 @@ class Engine:
         df = read_dataset(self.spark, ds, self.root, options=options, url=q.url)
         return q.apply(df)
 
-    def table(self, ds: DatasetURI) -> ParquetTable:
-        return ParquetTable(self.spark, resolve_path(ds, self.root))
+    def table(self, ds: DatasetURI, max_records_per_file: int | None = None) -> ParquetTable:
+        return ParquetTable(self.spark, resolve_path(ds, self.root), max_records_per_file)
 
     def count(self, uri: str, query: Sequence[str] | None = None) -> int:
         """get_source_total (base.py:481-499) incl. the min(count,_limit) rule."""
@@ -167,7 +167,11 @@ class Engine:
     def _run(self, spec: JobSpec, merge_rules_fn=None) -> JobResult:
         src_ds = parse_ds(spec.source.ds)
         q = compile_query(spec.source.query)
-        df = read_dataset(self.spark, src_ds, self.root, url=q.url)
+        # fail_on_error -> reader error policy for self-describing text formats
+        read_opts = {}
+        if src_ds.backend in ("csv", "json"):
+            read_opts["mode"] = "FAILFAST" if spec.fail_on_error else "PERMISSIVE"
+        df = read_dataset(self.spark, src_ds, self.root, options=read_opts, url=q.url)
         df = q.apply(df)
         if spec.source.transformers:
             df = apply_chain(df, spec.source.transformers)
@@ -177,6 +181,10 @@ class Engine:
             mrg = read_dataset(self.spark, mrg_ds, self.root)
             if spec.merger.transformers:
                 mrg = apply_chain(mrg, spec.merger.transformers)
+            if merge_rules_fn is None and spec.merger.merge_rules:
+                from .functions.registry import resolve_merge_rules
+
+                merge_rules_fn = resolve_merge_rules(spec.merger.merge_rules)
             df = merge(df, mrg, spec.merger, merge_rules_fn=merge_rules_fn)
             if spec.merger.post_merge_transformers:
                 df = apply_chain(df, spec.merger.post_merge_transformers)
@@ -189,7 +197,7 @@ class Engine:
 
         tgt_ds = template_target(parse_ds(spec.target.ds), src_ds)
         if tgt_ds.backend == "parquet":
-            final = apply_write_op(df, self.table(tgt_ds), spec.target)
+            final = apply_write_op(df, self.table(tgt_ds, spec.batch_size), spec.target)
         else:
             out = df.select(*spec.target.fields) if spec.target.fields else df
             mode = "overwrite" if spec.target.drop else "append"

@@ -63,6 +63,48 @@ def apply_chain(df: DataFrame, specs: tuple[str, ...] | list[str]) -> DataFrame:
     return df
 
 
+# --- merge-rules registry (--mrules: custom merge policy by name) -------
+
+# A merge-rules callable receives (joined_df, matched_col, src_cols,
+# mrg_cols) — the raw aliased join — and returns the merged DataFrame.
+# This mirrors the reference's external merge_rules module hook
+# (etl.py:178-180) with the engine's registry instead of a module path.
+_MERGE_RULES: dict[str, Callable] = {}
+
+
+def register_merge_rules(name: str, fn: Callable | None = None):
+    if fn is not None:
+        _MERGE_RULES[name] = fn
+        return fn
+
+    def deco(f: Callable) -> Callable:
+        _MERGE_RULES[name] = f
+        return f
+
+    return deco
+
+
+def resolve_merge_rules(name: str) -> Callable:
+    if name not in _MERGE_RULES:
+        raise KeyError(f"unknown merge_rules {name!r}; registered: {sorted(_MERGE_RULES)}")
+    return _MERGE_RULES[name]
+
+
+@register_merge_rules("prefer_nonnull")
+def _prefer_nonnull(joined, matched, src_cols, mrg_cols):
+    """Example policy: per conflicting column, first non-null of
+    (merger, source); merger-only columns appended."""
+    out = []
+    for c in src_cols:
+        sv = F.col(f"__etl_src.{c}")
+        if c in mrg_cols:
+            out.append(F.when(matched, F.coalesce(F.col(f"__etl_mrg.{c}"), sv)).otherwise(sv).alias(c))
+        else:
+            out.append(sv.alias(c))
+    out += [F.col(f"__etl_mrg.{c}").alias(c) for c in mrg_cols if c not in src_cols]
+    return joined.select(*out)
+
+
 # --- built-in generic transformers (expression-based, no Python UDFs) ---
 
 @register("with_column")

@@ -34,11 +34,23 @@ _T, _S = "__etl_tgt", "__etl_srcw"
 
 
 class ParquetTable:
-    """A parquet-directory dataset with atomic staged-rewrite semantics."""
+    """A parquet-directory dataset with atomic staged-rewrite semantics.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``max_records_per_file`` carries the reference's write batch size
+    (``batch_size``, base.py:269; 100k for s3, etl.py:133) into Spark's
+    file-sizing knob.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, max_records_per_file: int | None = None):
         self.spark = spark
         self.path = path
+        self.max_records_per_file = max_records_per_file
+
+    def _writer(self, df: DataFrame):
+        w = df.write
+        if self.max_records_per_file:
+            w = w.option("maxRecordsPerFile", self.max_records_per_file)
+        return w
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
@@ -47,12 +59,12 @@ class ParquetTable:
         return self.spark.read.parquet(self.path) if self.exists() else None
 
     def append(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.path)
+        self._writer(df).mode("append").parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
         """Full-state replace via stage + atomic swap (safe self-reference)."""
         staged = f"{self.path}.__staged_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(staged)
+        self._writer(df).mode("overwrite").parquet(staged)
         backup = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.path):
             os.rename(self.path, backup)

@@ -79,7 +79,10 @@ class JobSpec:
     merger: MergerSpec | None = None
     target: TargetSpec | None = None
     workers: int | None = None           # repartition hint; None = AQE decides
-    batch_size: int = 1000
+    # write batch (reference default 1000, base.py:269) -> maxRecordsPerFile;
+    # None = let Spark size files (the 1000-row server batch would mean
+    # pathological tiny files on a distributed filesystem)
+    batch_size: int | None = None
     fail_on_error: bool = True
     extra: Mapping[str, Any] = field(default_factory=dict)
 
@@ -113,9 +116,37 @@ def make_spec(
     tf: Sequence[str] | None = None,
     tq: Sequence[str] | None = None,
     skip_by: Sequence[str] | str | None = None,
+    skip_timestamp: bool = False,
+    overwrite: Sequence[str] | str | None = None,
+    drop: bool = False,
+    dry: bool = False,
     workers: int | None = None,
+    batch_size: int | None = None,
+    fail_on_error: bool | None = None,
 ) -> JobSpec:
-    """CLI-flag-shaped convenience constructor (names mirror etl.py flags)."""
+    """CLI-flag-shaped convenience constructor (names mirror etl.py flags).
+
+    ``SPARK_ETL__<FLAG>`` environment variables supply defaults for
+    scalar flags not passed explicitly (the reference's args2env_var
+    overlay, base.py:158-185): e.g. ``SPARK_ETL__OP=upsert``,
+    ``SPARK_ETL__WORKERS=8``, ``SPARK_ETL__BATCH_SIZE=5000``.
+    """
+    import os
+
+    def env(flag: str, cast=str):
+        raw = os.environ.get(f"SPARK_ETL__{flag.upper()}")
+        if raw is None:
+            return None
+        if cast is bool:
+            return raw.strip().lower() in ("1", "true", "yes")
+        return cast(raw)
+
+    op = op if op != "create" else (env("op") or "create")
+    workers = workers if workers is not None else env("workers", int)
+    batch_size = batch_size if batch_size is not None else env("batch_size", int)
+    if fail_on_error is None:
+        env_foe = env("fail_on_error", bool)
+        fail_on_error = True if env_foe is None else env_foe
 
     def tup(x) -> tuple[str, ...]:
         if x is None:
@@ -141,10 +172,16 @@ def make_spec(
         )
     t = None
     if target is not None:
-        t = TargetSpec(ds=target, op=op, pk=tup(pk), fields=tup(tf), query=tup(tq), skip_by=tup(skip_by))
+        t = TargetSpec(
+            ds=target, op=op, pk=tup(pk), fields=tup(tf), query=tup(tq),
+            skip_by=tup(skip_by), skip_timestamp=skip_timestamp,
+            overwrite_fields=tup(overwrite), drop=drop, dry_run=dry,
+        )
     return JobSpec(
         source=SourceSpec(ds=source, query=tup(query), transformers=tup(transformers)),
         merger=m,
         target=t,
         workers=workers,
+        batch_size=batch_size,
+        fail_on_error=fail_on_error,
     )

@@ -79,3 +79,46 @@ def test_transformer_chain(engine):
     assert "c_nationkey" not in out.columns
     row = out.first()
     assert row.bal2 == pytest.approx(row.c_acctbal * 2)
+
+
+def test_merge_rules_by_name(spark, engine):
+    # registry-resolved merge policy (--mrules by name)
+    res = engine.etl(
+        "customer",
+        transformers=["rename:c_name,name"],
+        merger="nation",
+        mtr=["rename:n_name,name"],
+        mkeys="c_nationkey:n_nationkey",
+        mmd="m2s",
+        mrules="prefer_nonnull",
+    )
+    row = res.df.filter("c_custkey = 1").first()
+    assert row.name.startswith("NATION_")  # merger value won
+
+
+def test_env_var_spec_defaults(monkeypatch):
+    from etl_cli_spark.spec import make_spec
+
+    monkeypatch.setenv("SPARK_ETL__OP", "upsert")
+    monkeypatch.setenv("SPARK_ETL__WORKERS", "7")
+    monkeypatch.setenv("SPARK_ETL__BATCH_SIZE", "5000")
+    spec = make_spec("src", target="out/t", pk="id")
+    assert spec.target.op == "upsert"
+    assert spec.workers == 7
+    assert spec.batch_size == 5000
+    # explicit args beat env
+    spec2 = make_spec("src", target="out/t", op="delete", pk="id", workers=2)
+    assert spec2.target.op == "delete"
+    assert spec2.workers == 2
+
+
+def test_batch_size_controls_file_count(spark, tmp_path):
+    from etl_cli_spark.operators.writeops import ParquetTable
+
+    df = spark.range(1000).coalesce(1)
+    t = ParquetTable(spark, str(tmp_path / "t.parquet"), max_records_per_file=100)
+    t.append(df)
+    import os
+
+    files = [f for f in os.listdir(t.path) if f.endswith(".parquet")]
+    assert len(files) >= 10
