@@ -122,3 +122,32 @@ def test_batch_size_controls_file_count(spark, tmp_path):
 
     files = [f for f in os.listdir(t.path) if f.endswith(".parquet")]
     assert len(files) >= 10
+
+
+def test_salted_join_matches_plain_join(spark):
+    from etl_cli_spark.operators.skew import salted_join
+
+    # heavily skewed left side: 900 rows of key 1, few others
+    big = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(2, 0), (3, 0)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], ["k", "name"])
+
+    plain = big.join(dim, "k", "inner")
+    salted = salted_join(big, dim, "k", "inner", salt_factor=8)
+    assert salted.count() == plain.count() == 901
+    assert sorted(salted.columns) == sorted(plain.columns)
+    a = {tuple(r) for r in salted.collect()}
+    b = {tuple(r) for r in plain.collect()}
+    assert a == b
+
+    left = salted_join(big, dim, "k", "left", salt_factor=4)
+    assert left.count() == big.count()
+
+
+def test_hot_keys(spark):
+    from etl_cli_spark.operators.skew import hot_keys
+
+    df = spark.createDataFrame([(1,)] * 500 + [(2,)] * 10 + [(3,)] * 5, ["k"])
+    hk = hot_keys(df, "k", min_share=0.5)
+    assert [r.k for r in hk.collect()] == [1]
