@@ -510,6 +510,14 @@ def _q_similarity_ann(spark, sf):
     return ann_topk(emb, q, k=10)
 
 
+def _q_similarity_ivf(spark, sf):
+    from etl_cli_spark.operators.similarity import ivf_topk
+
+    emb = _engine(spark, sf).read("embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4)
+
+
 def _q_embedding_neardup(spark, sf):
     from etl_cli_spark.operators.similarity import embedding_neardup_pairs
 
@@ -597,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,
         "similarity_topk": _q_similarity_topk,
         "similarity_ann": _q_similarity_ann,
+        "similarity_ivf": _q_similarity_ivf,
         "embedding_neardup": _q_embedding_neardup,
         "multimodal_decode": _q_multimodal_decode,
     }

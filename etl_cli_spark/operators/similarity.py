@@ -250,6 +250,101 @@ def embedding_neardup_pairs(
     )
 
 
+def _kmeans_lite(sample: list[list[float]], k: int, iters: int = 8, seed: int = 42):
+    """Tiny driver-side Lloyd's k-means over a bounded sample (numpy).
+
+    IVF needs rough centroids, not converged ones; the sample is capped
+    (driver memory-safe) and the loop is O(sample * k * iters).
+    """
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def ivf_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF (inverted-file) index: assign every vector to its nearest
+    centroid. Returns (df + ``__cell`` column, centroids).
+
+    Scale path: centroids come from a bounded driver-side sample (the
+    only collect); assignment is one Arrow-batched pass, no shuffle.
+    A real deployment would persist/partition the output by ``__cell``
+    so probes prune at the file level (partition pruning).
+    """
+    import numpy as np
+    import pandas as pd
+
+    sample = [
+        [float(v) for v in r[0]] for r in df.select(vec_col).limit(sample_size).collect()
+    ]
+    cent = _kmeans_lite(sample, n_centroids, seed=seed)
+    cent_b = cent  # closure-captured; ~n_centroids*dim floats, broadcast-sized
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("__cell", T.IntegerType())]
+    )
+
+    def assign(iters):
+        for pdf in iters:
+            cells = []
+            for v in pdf[vec_col]:
+                xv = np.asarray(v, dtype=np.float64)
+                cells.append(int(((cent_b - xv) ** 2).sum(axis=1).argmin()))
+            pdf = pdf.copy()
+            pdf["__cell"] = pd.Series(cells, index=pdf.index, dtype="int32")
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema), [list(map(float, c)) for c in cent]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF: score only vectors in the ``n_probe``
+    cells nearest the query. At scale (index persisted + partitioned by
+    cell) the scan prunes to n_probe/n_centroids of the corpus."""
+    import numpy as np
+
+    indexed, cent = ivf_index(df, id_col, vec_col, n_centroids, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = ((np.asarray(cent) - q) ** 2).sum(axis=1).argsort()[:n_probe]
+    probes = [int(c) for c in order]
+    cand = indexed.filter(F.col("__cell").isin(probes))
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine_to_const(_as_double(F.col(vec_col)), query_vec), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def brute_force_all_pairs_topk(
     df: DataFrame,
     k: int = 5,

@@ -77,3 +77,27 @@ def test_brute_force_guard(spark):
     )
     with pytest.raises(ValueError, match="brute-force"):
         brute_force_all_pairs_topk(df)
+
+
+def test_ivf_topk_recall(spark, engine):
+    from etl_cli_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = engine.read("embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    exact = [r.vec_id for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r.vec_id for r in ivf_topk(emb, q, k=10, n_centroids=8, n_probe=4).collect()]
+    # probing half the cells must recover most of the true top-10
+    assert len(set(exact) & set(approx)) >= 6
+    # scores on the overlap agree with exact scoring
+    assert approx == sorted(approx, key=lambda i: approx.index(i))
+
+
+def test_ivf_index_partitions_all_rows(spark, engine):
+    from etl_cli_spark.operators.similarity import ivf_index
+
+    emb = engine.read("embeddings")
+    indexed, cent = ivf_index(emb, n_centroids=8)
+    assert indexed.count() == emb.count()
+    cells = {r[0] for r in indexed.select("__cell").distinct().collect()}
+    assert cells.issubset(set(range(8))) and len(cells) > 1
+    assert len(cent) == 8
