@@ -466,6 +466,23 @@ def _q_text_fingerprint(spark, sf):
     return d.select("doc_id", fingerprint("text").alias("fp"))
 
 
+def _q_text_quality(spark, sf):
+    # full per-document stat surface: token counts (whitespace + BPE-ish),
+    # punctuation/stopword ratios, quality score, language ID (rows-only:
+    # the heuristics are not faithfully SQL-portable)
+    from etl_cli_spark.operators.text import bpe_ish_token_count, with_text_stats
+
+    d = _engine(spark, sf).read("documents")
+    return (
+        with_text_stats(d)
+        .withColumn("n_bpe_tokens", bpe_ish_token_count("text"))
+        .select(
+            "doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio",
+            "stopword_ratio", "quality", "lang_pred",
+        )
+    )
+
+
 def _q_dedup_exact(spark, sf):
     from etl_cli_spark.operators.dedup import exact_text_dedup
 
@@ -599,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text / dedup / similarity / multimodal (north-star extensions)
         "text_stats_by_lang": _q_text_stats_by_lang,
         "text_fingerprint": _q_text_fingerprint,
+        "text_quality": _q_text_quality,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
