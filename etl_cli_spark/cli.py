@@ -1,0 +1,121 @@
+"""CLI entry point — the reference's argparse surface, Spark-side.
+
+Flag names mirror /root/reference/etl_cli/etl.py:27-74 and base.py:110-144
+(``-s/-q/-t/-o`` plus the merger/target/orchestration families). The
+same env-var overlay applies through make_spec (``SPARK_ETL__*``).
+
+Behavioral parity with the reference's entry points (SURVEY §3):
+no target -> preview one record; ``--info`` -> pre-flight description;
+``--count-only`` -> source count; otherwise run the job (wildcard
+sources fan out) and print row counts.
+
+Usage:
+    python -m etl_cli_spark --root /data -s orders -q o_orderstatus=F \
+        -m customer --mkeys o_custkey:c_custkey --mmd m2s \
+        -t out/f_orders -o upsert:o_orderkey
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Sequence
+
+from .spec import make_spec
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="etl_cli_spark", description=__doc__.split("\n")[0])
+    p.add_argument("--root", required=True, help="engine root (dataset namespace base)")
+    p.add_argument("-s", "--source", required=True, help="source dataset uri")
+    p.add_argument("-q", "--query", action="append", default=[], help="query item k=v (repeatable)")
+    p.add_argument("--str", dest="transformers", action="append", default=[],
+                   help="source transformer name[:args] (repeatable)")
+    # merger family
+    p.add_argument("-m", "--merger", help="merger dataset uri")
+    p.add_argument("--mkeys", help="match keys: k or src:mrg, comma-separated")
+    p.add_argument("--mq", action="append", default=[], help="merger pre-join query item")
+    p.add_argument("--mmd", default="m2s", choices=["s2m", "m2s"], help="merge direction")
+    p.add_argument("--mrm", action="store_true", help="require match (inner)")
+    p.add_argument("--mrnm", action="store_true", help="require NO match (anti)")
+    p.add_argument("--mmo", action="store_true", help="match one")
+    p.add_argument("--mmo-order", help="deterministic order for --mmo (comma cols, - = desc)")
+    p.add_argument("--munwind", action="store_true", help="one row per match")
+    p.add_argument("--mstrict", action="store_true", help="null-safe key equality")
+    p.add_argument("--mma", help="nest match under this field")
+    p.add_argument("--mrules", help="merge-rules policy name")
+    p.add_argument("--mtr", action="append", default=[], help="merger post_read transformer")
+    p.add_argument("--mtr-post-merge", action="append", default=[], help="post-merge transformer")
+    # target family
+    p.add_argument("-t", "--target", help="target dataset uri (omit = preview)")
+    p.add_argument("-o", "--op", default="create", help="write op, optionally op:pk")
+    p.add_argument("--pk", help="primary key column(s), comma-separated")
+    p.add_argument("--tf", help="target fields projection, comma-separated")
+    p.add_argument("--tq", action="append", default=[], help="target scope query item")
+    p.add_argument("--skip-by", help="anti-join key for insert")
+    p.add_argument("--skip-timestamp", action="store_true")
+    p.add_argument("--overwrite", help="per-field overwrite policy, comma-separated")
+    p.add_argument("--drop", action="store_true", help="drop target first")
+    p.add_argument("--dry", action="store_true", help="dry run (no writes)")
+    # orchestration
+    p.add_argument("--workers", type=int, help="repartition hint")
+    p.add_argument("--batch", type=int, dest="batch_size", help="write batch -> maxRecordsPerFile")
+    p.add_argument("--info", action="store_true", help="pre-flight description, no execution")
+    p.add_argument("--count-only", action="store_true", help="print source count and exit")
+    p.add_argument("--job-log", action="store_true", help="record run in the logs/job dataset")
+    p.add_argument("--job-poll", metavar="UID", help="print a job-log record ('last' supported)")
+    p.add_argument("--master", default=None, help="spark master (default local[*])")
+    return p
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .engine import Engine
+    from .session import get_spark
+
+    spark = get_spark(app_name="etl_cli_spark", master=args.master)
+    eng = Engine(spark, args.root, job_log=args.job_log or bool(args.job_poll))
+
+    if args.job_poll:
+        st = eng.job_log.job_status(args.job_poll)
+        print(json.dumps(st, default=str, indent=2) if st else "no such job")
+        return 0 if st else 1
+
+    spec = make_spec(
+        args.source, query=args.query, transformers=args.transformers,
+        merger=args.merger, mkeys=args.mkeys, mq=args.mq, mmd=args.mmd,
+        mrm=args.mrm, mrnm=args.mrnm, mmo=args.mmo, munwind=args.munwind,
+        mstrict=args.mstrict, mma=args.mma, mrules=args.mrules,
+        mtr=args.mtr, mtr_post_merge=args.mtr_post_merge,
+        mmo_order=args.mmo_order,
+        target=args.target, op=args.op, pk=args.pk, tf=args.tf, tq=args.tq,
+        skip_by=args.skip_by, skip_timestamp=args.skip_timestamp,
+        overwrite=args.overwrite, drop=args.drop, dry=args.dry,
+        workers=args.workers, batch_size=args.batch_size,
+    )
+
+    if args.info:
+        print(json.dumps(eng.info(spec), default=str, indent=2))
+        return 0
+    if args.count_only:
+        print(eng.count(args.source, args.query))
+        return 0
+    if args.target is None:
+        # preview mode (base.py:640-644): one record, pretty-printed
+        for rec in eng.preview(args.source, args.query, n=1):
+            print(json.dumps(rec, default=str, indent=2))
+        return 0
+
+    results = (
+        eng.run_many(spec) if "*" in spec.source.ds else [eng.run(spec)]
+    )
+    for r in results:
+        n = r.df.count()
+        print(f"{r.target or '(no target)'}: {n} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

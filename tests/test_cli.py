@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+
+from etl_cli_spark.cli import main
+
+
+@pytest.fixture()
+def cli_root():
+    from conftest import SF_DIR
+
+    tmp = tempfile.mkdtemp(prefix="etl_cli_")
+    for t in ("region", "nation", "orders", "customer"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{tmp}/{t}.parquet")
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cli_preview_no_target(cli_root, capsys, spark):
+    rc = main(["--root", cli_root, "-s", "orders", "-q", "o_orderstatus=F"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["o_orderstatus"] == "F"
+
+
+def test_cli_count_only(cli_root, capsys, spark):
+    rc = main(["--root", cli_root, "-s", "orders", "--count-only"])
+    assert rc == 0
+    assert int(capsys.readouterr().out.strip()) == 1500
+
+
+def test_cli_full_job_with_merger(cli_root, capsys, spark):
+    rc = main([
+        "--root", cli_root,
+        "-s", "orders", "-q", "o_orderstatus=F",
+        "-m", "customer", "--mkeys", "o_custkey:c_custkey", "--mmd", "m2s", "--mrm",
+        "-t", "out/f_orders", "-o", "upsert:o_orderkey",
+        "--job-log",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "out/f_orders" in out
+
+    # job-poll reads the record back
+    rc = main(["--root", cli_root, "--job-poll", "last", "-s", "x"])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["status"] == "succeeded"
+
+
+def test_cli_info(cli_root, capsys, spark):
+    rc = main(["--root", cli_root, "-s", "orders", "-q", "o_orderstatus=F",
+               "-t", "out/t", "-o", "create", "--info"])
+    assert rc == 0
+    inf = json.loads(capsys.readouterr().out)
+    assert inf["op"] == "create"
+    assert inf["source_total"] > 0
+
+
+def test_cli_dry_run_writes_nothing(cli_root, capsys, spark):
+    import os
+
+    rc = main(["--root", cli_root, "-s", "orders", "-t", "out/dryt", "-o", "create", "--dry"])
+    assert rc == 0
+    assert not os.path.exists(f"{cli_root}/out/dryt.parquet")
