@@ -150,6 +150,22 @@ def rolling_hashes(col: Column | str, window: int = 8) -> Column:
     )
 
 
+def winnow(col: Column | str, window: int = 8, k: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): the minimum
+    rolling hash in each sliding window of ``k`` consecutive hashes,
+    deduplicated. Guarantees shared fingerprints for sufficiently long
+    shared substrings — the standard plagiarism/near-dup signature."""
+    return let(
+        rolling_hashes(col, window),
+        lambda h: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(h) - (k - 1), F.lit(1))),
+                lambda i: F.array_min(F.slice(h, i, k)),
+            )
+        ),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
     """Convenience: attach the standard per-document stat columns."""
     c = F.col(text_col)

@@ -86,3 +86,18 @@ def test_with_text_stats_on_fixture(engine):
 def test_mean_word_length(spark):
     df = spark.createDataFrame([("aa bb cc",)], ["text"])
     assert df.select(mean_word_length("text").alias("m")).collect()[0].m == 2.0
+
+
+def test_winnow_fingerprints(spark):
+    from etl_cli_spark.operators.text import winnow
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+        (2, "the quick brown fox jumps over the lazy dog and runs far away home"),
+        (3, "a completely different sentence with no overlap in any words at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r.id: set(r.fp) for r in df.select("id", winnow(F.col("text"), window=4, k=3).alias("fp")).collect()}
+    assert out[1] == out[2]  # identical text -> identical fingerprints
+    assert not (out[1] & out[3])  # disjoint text -> disjoint fingerprints
+    assert len(out[1]) >= 1
