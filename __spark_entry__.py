@@ -339,6 +339,18 @@ def _q_agg_having(spark, sf):
     )
 
 
+def _q_agg_pivot(spark, sf):
+    from etl_cli_spark.operators.aggregate import aggregate
+
+    o = _engine(spark, sf).read("orders")
+    p = aggregate(o, ["o_orderpriority"], {"n": "count(*)"}, pivot=("o_orderstatus", ["F", "O", "P"]))
+    # zero-fill: Spark pivot yields null for empty cells, FILTER yields 0
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"{c.lower()}_n") for c in ("F", "O", "P")],
+    )
+
+
 def _q_window_topk_per_group(spark, sf):
     o = _engine(spark, sf).read("orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -602,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup": _q_agg_rollup,
         "agg_cube": _q_agg_cube,
         "agg_having": _q_agg_having,
+        "agg_pivot": _q_agg_pivot,
         "window_topk_per_group": _q_window_topk_per_group,
         "window_running_sum": _q_window_running_sum,
         "diff_sets": _q_diff,
@@ -762,6 +775,14 @@ def oracle_sql() -> dict[str, str]:
         "CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS total "
         "FROM orders GROUP BY o_custkey HAVING count(*) >= 3"
     )
+    sql["agg_pivot"] = (
+        "SELECT o_orderpriority, "
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n, "
+        "count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n, "
+        "count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n "
+        "FROM orders GROUP BY o_orderpriority"
+    )
+
     sql["window_topk_per_group"] = (
         "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
         "  SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER ("
