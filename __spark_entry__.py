@@ -383,6 +383,42 @@ def _q_diff(spark, sf):
     return diff(a, b, context=["o_orderkey", "o_totalprice"])
 
 
+# -- as-of / range joins (operators Spark's API lacks; SURVEY §2.4 gap) -----
+
+def _q_asof_join(spark, sf):
+    from etl_cli_spark.operators.asof import asof_join
+
+    eng = _engine(spark, sf)
+    clicks = eng.read("events", ["event_type=click", "_fields=event_id,user_id,ts"])
+    purch = eng.read("events", ["event_type=purchase", "_fields=user_id,ts,value"])
+    # dedupe right on (key, ts): equal-timestamp ties are engine-arbitrary
+    w = Window.partitionBy("user_id", "ts").orderBy("value")
+    purch = purch.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    out = asof_join(clicks, purch, on="user_id", left_ts="ts")
+    return out.select(
+        "event_id", "user_id",
+        F.coalesce(F.round("value", 6), F.lit(-1.0)).alias("last_purchase"),
+    )
+
+
+def _q_interval_join(spark, sf):
+    from etl_cli_spark.operators.asof import interval_join
+
+    eng = _engine(spark, sf)
+    ev = eng.read("events", ["_fields=event_id,user_id,ts"])
+    iv = (
+        eng.read("events", ["event_type=purchase", "_fields=user_id,ts"])
+        .select(
+            "user_id",
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("start"),
+            F.col("ts").alias("end"),
+        )
+    )
+    out = interval_join(ev, iv, on="user_id", left_ts="ts",
+                        start_col="start", end_col="end", bucket="30 minutes")
+    return out.select("event_id", "user_id", F.col("end").alias("win_end"))
+
+
 # -- multi-join analytics (engine.sql surface; ANSI SQL shared with oracle) --
 
 _Q3_SQL = (
@@ -603,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merger_direction": _q_merger_direction,
         "merger_unwind": _q_merger_unwind,
         "merger_merge_as": _q_merger_merge_as,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
         # write ops (SURVEY §2.5)
         "write_insert": _q_write_insert,
         "write_upsert": _q_write_upsert,
@@ -718,6 +756,22 @@ def oracle_sql() -> dict[str, str]:
         "SELECT o_orderkey, CAST(COALESCE(l_linenumber, -1) AS BIGINT) AS l_linenumber, "
         "CAST(COALESCE(l_quantity, -1.0) AS DOUBLE) AS l_quantity "
         "FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey"
+    )
+
+    sql["asof_join"] = (
+        "WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
+        "p0 AS (SELECT user_id, ts, value, row_number() OVER ("
+        "  PARTITION BY user_id, ts ORDER BY value) AS rn "
+        "  FROM events WHERE event_type = 'purchase'), "
+        "purch AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1) "
+        "SELECT c.event_id, c.user_id, COALESCE(round(p.value, 6), -1.0) AS last_purchase "
+        "FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts"
+    )
+    sql["interval_join"] = (
+        "WITH iv AS (SELECT user_id, ts - INTERVAL 30 MINUTE AS s, ts AS e "
+        "  FROM events WHERE event_type = 'purchase') "
+        "SELECT e.event_id, e.user_id, iv.e AS win_end FROM events e "
+        "JOIN iv ON e.user_id = iv.user_id AND e.ts >= iv.s AND e.ts <= iv.e"
     )
 
     orders_cols = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
