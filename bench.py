@@ -29,6 +29,8 @@ HEADLINE = [
     "window_running_sum",     # window running agg
     "events_window_1h",       # event-time tumbling window
     "events_sessionize",      # gap sessionization (2 windows)
+    "asof_join",              # as-of join via union-marker sort
+    "interval_join",          # bucketed range join
     "dedup_exact",            # normalize + hash-groupBy dedup
     "dedup_minhash",          # MinHash-LSH near-dup
     "text_stats_by_lang",     # tokenize + agg
