@@ -339,6 +339,27 @@ def _q_agg_having(spark, sf):
     )
 
 
+def _q_agg_count_distinct(spark, sf):
+    from etl_cli_spark.operators.aggregate import aggregate
+
+    li = _engine(spark, sf).read("lineitem")
+    return aggregate(
+        li, ["l_returnflag"],
+        {"n_parts": "count(distinct l_partkey)", "n_supps": "count(distinct l_suppkey)",
+         "n_rows": "count(*)"},
+    )
+
+
+def _q_agg_percentiles(spark, sf):
+    # exact interpolated percentiles (Spark `percentile` == DuckDB
+    # `quantile_cont`), separate rounded columns for portable hashing
+    o = _engine(spark, sf).read("orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95"),
+    )
+
+
 def _q_agg_pivot(spark, sf):
     from etl_cli_spark.operators.aggregate import aggregate
 
@@ -653,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube": _q_agg_cube,
         "agg_having": _q_agg_having,
         "agg_pivot": _q_agg_pivot,
+        "agg_count_distinct": _q_agg_count_distinct,
+        "agg_percentiles": _q_agg_percentiles,
         "window_topk_per_group": _q_window_topk_per_group,
         "window_running_sum": _q_window_running_sum,
         "diff_sets": _q_diff,
@@ -829,6 +852,17 @@ def oracle_sql() -> dict[str, str]:
         "CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS total "
         "FROM orders GROUP BY o_custkey HAVING count(*) >= 3"
     )
+    sql["agg_count_distinct"] = (
+        "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
+        "count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    sql["agg_percentiles"] = (
+        "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 6) AS p50, "
+        "round(quantile_cont(o_totalprice, 0.95), 6) AS p95 "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+
     sql["agg_pivot"] = (
         "SELECT o_orderpriority, "
         "count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n, "
