@@ -152,8 +152,12 @@ def _q_merger_inner_mq(spark, sf):
 
 
 def _q_merger_anti(spark, sf):
+    # anti-join with a NON-empty expected result: the mq pre-filter keeps
+    # only 'P' (pending) orders, so most customers have no match — a
+    # regression to "return empty" can no longer stay green
     res = _engine(spark, sf).etl(
-        "customer", merger="orders", mkeys="c_custkey:o_custkey", mrnm=True
+        "customer", merger="orders", mkeys="c_custkey:o_custkey",
+        mmd="m2s", mq=["o_orderstatus=P"], mrnm=True
     )
     return res.df.select("c_custkey", "c_name")
 
@@ -202,7 +206,8 @@ def _q_merger_unwind(spark, sf):
 
 
 def _q_merger_merge_as(spark, sf):
-    # nested-struct output: not portably hashable -> rows-only check
+    # mma nests the match as a struct; projecting its fields back out makes
+    # the output portably hashable (the nesting path is still exercised)
     res = _engine(spark, sf).etl(
         "orders",
         merger="customer",
@@ -212,7 +217,12 @@ def _q_merger_merge_as(spark, sf):
         mmo=True,
         mmo_order=["c_custkey"],
     )
-    return res.df.select("o_orderkey", "cust")
+    return res.df.select(
+        "o_orderkey",
+        F.coalesce(F.col("cust.c_custkey"), F.lit(-1)).cast("bigint").alias("cust_custkey"),
+        F.coalesce(F.col("cust.c_name"), F.lit("")).alias("cust_name"),
+        F.coalesce(F.col("cust.c_mktsegment"), F.lit("")).alias("cust_mktsegment"),
+    )
 
 
 # -- write ops (scratch target per call) ------------------------------------
@@ -412,8 +422,10 @@ def _q_asof_join(spark, sf):
     eng = _engine(spark, sf)
     clicks = eng.read("events", ["event_type=click", "_fields=event_id,user_id,ts"])
     purch = eng.read("events", ["event_type=purchase", "_fields=user_id,ts,value"])
-    # dedupe right on (key, ts): equal-timestamp ties are engine-arbitrary
-    w = Window.partitionBy("user_id", "ts").orderBy("value")
+    # dedupe right on (key, ts): equal-timestamp ties are engine-arbitrary.
+    # nulls-last pins Spark's default (nulls FIRST) to DuckDB's (nulls LAST)
+    # so the tie-break stays identical if value ever contains nulls
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("value").asc_nulls_last())
     purch = purch.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
     out = asof_join(clicks, purch, on="user_id", left_ts="ts")
     return out.select(
@@ -537,8 +549,9 @@ def _q_text_fingerprint(spark, sf):
 
 def _q_text_quality(spark, sf):
     # full per-document stat surface: token counts (whitespace + BPE-ish),
-    # punctuation/stopword ratios, quality score, language ID (rows-only:
-    # the heuristics are not faithfully SQL-portable)
+    # punctuation/stopword ratios, quality score, language ID — every
+    # heuristic is a pure int/double expression, so the whole surface is
+    # oracle-checked (ratios rounded to 6 for portable hashing)
     from etl_cli_spark.operators.text import bpe_ish_token_count, with_text_stats
 
     d = _engine(spark, sf).read("documents")
@@ -546,8 +559,13 @@ def _q_text_quality(spark, sf):
         with_text_stats(d)
         .withColumn("n_bpe_tokens", bpe_ish_token_count("text"))
         .select(
-            "doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio",
-            "stopword_ratio", "quality", "lang_pred",
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+            F.round("punct_ratio", 6).alias("punct_ratio"),
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+            F.round("quality", 6).alias("quality"),
+            "lang_pred",
         )
     )
 
@@ -759,7 +777,8 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["merger_anti"] = (
         "SELECT c_custkey, c_name FROM customer "
-        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        "WHERE NOT EXISTS (SELECT 1 FROM orders "
+        "  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')"
     )
     sql["merger_match_one"] = (
         "SELECT o_orderkey, o_totalprice, "
@@ -780,11 +799,17 @@ def oracle_sql() -> dict[str, str]:
         "CAST(COALESCE(l_quantity, -1.0) AS DOUBLE) AS l_quantity "
         "FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey"
     )
+    sql["merger_merge_as"] = (
+        "SELECT o_orderkey, CAST(COALESCE(c_custkey, -1) AS BIGINT) AS cust_custkey, "
+        "COALESCE(c_name, '') AS cust_name, "
+        "COALESCE(c_mktsegment, '') AS cust_mktsegment "
+        "FROM orders LEFT JOIN customer ON o_custkey = c_custkey"
+    )
 
     sql["asof_join"] = (
         "WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
         "p0 AS (SELECT user_id, ts, value, row_number() OVER ("
-        "  PARTITION BY user_id, ts ORDER BY value) AS rn "
+        "  PARTITION BY user_id, ts ORDER BY value NULLS LAST) AS rn "
         "  FROM events WHERE event_type = 'purchase'), "
         "purch AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1) "
         "SELECT c.event_id, c.user_id, COALESCE(round(p.value, 6), -1.0) AS last_purchase "
@@ -924,6 +949,72 @@ def oracle_sql() -> dict[str, str]:
         f"    PARTITION BY {_NORM_TEXT} ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"
     )
 
+    # text_quality: every heuristic mirrored expression-for-expression
+    # (same stopword lists / regexes / CASE thresholds as operators/text.py)
+    _SW = {
+        "en": "'the','and','of','to','a','in','is','that','it','for'",
+        "es": "'el','la','de','que','y','en','un','los','se','por'",
+        "fr": "'le','la','de','et','les','des','un','une','est','que'",
+        "de": "'der','die','und','das','ist','von','den','mit','nicht','ein'",
+        "it": "'il','la','di','che','e','un','per','non','sono','con'",
+    }
+    _G5 = "greatest(s_en, s_es, s_fr, s_de, s_it)"
+    sql["text_quality"] = (
+        "WITH t AS (SELECT doc_id, text, "
+        "  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        "s AS (SELECT doc_id, text, toks, "
+        "  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tok, "
+        "  CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        "    (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))"
+        "     / CAST(length(text) AS DOUBLE) END AS pr, "
+        f"  CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        f"    len(list_filter(toks, w -> list_contains([{_SW['en']}], w)))"
+        f"     / CAST(len(toks) AS DOUBLE) END AS sr, "
+        "  CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        "    CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)"
+        "     / len(toks) END AS mwl, "
+        + ", ".join(
+            f"len(list_filter(toks, w -> list_contains([{words}], w))) AS s_{lang}"
+            for lang, words in _SW.items()
+        )
+        + " FROM t) "
+        "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(list_sum(list_transform("
+        "  regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'), "
+        "  p -> CAST(ceil(length(p) / 4.0) AS INTEGER))), 0) AS BIGINT) AS n_bpe_tokens, "
+        "round(pr, 6) AS punct_ratio, "
+        "round(sr, 6) AS stopword_ratio, "
+        "round(CAST(CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END "
+        "  * CASE WHEN pr < 0.3 THEN 1.0 ELSE 0.4 END "
+        "  * CASE WHEN sr > 0.05 THEN 1.0 ELSE 0.6 END "
+        "  * CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END AS DOUBLE), 6) "
+        "AS quality, "
+        f"CASE WHEN {_G5} = 0 THEN 'und' "
+        f"  WHEN s_en = {_G5} THEN 'en' WHEN s_es = {_G5} THEN 'es' "
+        f"  WHEN s_fr = {_G5} THEN 'fr' WHEN s_de = {_G5} THEN 'de' "
+        "  ELSE 'it' END AS lang_pred "
+        "FROM s"
+    )
+
+    # dedup_ngram_pairs: exact word-3-gram Jaccard, O(N^2) is fine for the
+    # oracle at sf0.01 (the Spark side stays the inverted-index join)
+    _SHG = (
+        "list_distinct(list_transform("
+        "  generate_series(1, greatest(len(toks) - 2, 1)), "
+        "  i -> array_to_string(toks[i:i+2], ' ')))"
+    )
+    sql["dedup_ngram_pairs"] = (
+        "WITH t AS (SELECT doc_id AS id, "
+        "  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        f"sh AS (SELECT id, {_SHG} AS g FROM t), "
+        "cand AS (SELECT a.id AS a_id, b.id AS b_id, "
+        "  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS c, "
+        "  len(a.g) AS na, len(b.g) AS nb "
+        "  FROM sh a JOIN sh b ON a.id < b.id) "
+        "SELECT a_id, b_id, round(c / (na + nb - c), 6) AS jaccard "
+        "FROM cand WHERE c / (na + nb - c) >= 0.6"
+    )
+
     # similarity_topk: exact brute-force cosine is portable (verified:
     # DuckDB list_cosine_similarity == Spark fold after round-6)
     sql["similarity_topk"] = (
@@ -932,8 +1023,9 @@ def oracle_sql() -> dict[str, str]:
         "FROM embeddings WHERE vec_id <> 0 "
         "ORDER BY score DESC, vec_id LIMIT 10"
     )
-    # no oracle (rows-only): merger_merge_as (nested struct), dedup_minhash /
-    # dedup_simhash_pairs / dedup_ngram_pairs / similarity_ann /
-    # embedding_neardup (hash/LSH-specific), multimodal_decode (synthetic),
-    # incremental_loop (iterative)
+    # no oracle (rows-only): dedup_minhash / dedup_simhash_pairs /
+    # similarity_ann / similarity_ivf / embedding_neardup (hash/LSH/
+    # kmeans-specific — verified by recall unit tests against the exact
+    # baselines instead), multimodal_decode (synthetic), incremental_loop
+    # (iterative)
     return sql

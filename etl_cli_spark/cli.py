@@ -36,7 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--merger", help="merger dataset uri")
     p.add_argument("--mkeys", help="match keys: k or src:mrg, comma-separated")
     p.add_argument("--mq", action="append", default=[], help="merger pre-join query item")
-    p.add_argument("--mmd", default="m2s", choices=["s2m", "m2s"], help="merge direction")
+    p.add_argument("--mmd", default=None, choices=["s2m", "m2s"],
+                   help="merge direction (required when -m is set)")
     p.add_argument("--mrm", action="store_true", help="require match (inner)")
     p.add_argument("--mrnm", action="store_true", help="require NO match (anti)")
     p.add_argument("--mmo", action="store_true", help="match one")

@@ -88,27 +88,25 @@ class Engine:
         df = self.read(uri, query)
         return [r.asDict(recursive=True) for r in df.limit(n).collect()]
 
-    _sql_views_registered: "set[tuple[int, str]]" = set()
-
     def sql(self, query: str) -> DataFrame:
         """SQL over the root's datasets: every dataset in every namespace is
         registered as a temp view named after the dataset (namespace views
         as ``ns_name``). The full Spark SQL surface — multi-way joins,
         CTEs, windows — over the same catalog the job API uses.
 
-        Registration runs once per (session, root) — views are lazy plans,
-        so later reads still see current data."""
+        Views are re-registered on every call: temp views are global to
+        the SparkSession, so a one-shot cache would go stale when another
+        Engine (different root) registers the same names, or when datasets
+        are created after the first ``sql()``. Re-registration is cheap —
+        ``createOrReplaceTempView`` stores a lazy plan, nothing executes."""
         from .catalog import ls_ns
 
-        key = (id(self.spark), self.root)
-        if key not in Engine._sql_views_registered:
-            for name in ls_ns(self.root):
-                try:
-                    self.read(name).createOrReplaceTempView(name)
-                except Exception:
-                    for sub in ls_ns(self.root, name):
-                        self.read(f"{name}/{sub}").createOrReplaceTempView(f"{name}_{sub}")
-            Engine._sql_views_registered.add(key)
+        for name in ls_ns(self.root):
+            try:
+                self.read(name).createOrReplaceTempView(name)
+            except Exception:
+                for sub in ls_ns(self.root, name):
+                    self.read(f"{name}/{sub}").createOrReplaceTempView(f"{name}_{sub}")
         return self.spark.sql(query)
 
     def info(self, spec: JobSpec) -> dict[str, Any]:

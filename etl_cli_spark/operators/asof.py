@@ -42,6 +42,14 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
     rvals = [c for c in right.columns if c not in keys and c != right_ts]
+    collisions = [c for c in rvals if c in left.columns]
+    if collisions and not rsuffix:
+        # an empty suffix would emit duplicate column names, making every
+        # downstream name-based select ambiguous
+        raise ValueError(
+            f"asof_join: right columns {collisions} collide with left; "
+            f"pass rsuffix (e.g. rsuffix='_right') to disambiguate"
+        )
     out_names = {c: (f"{c}{rsuffix}" if c in left.columns else c) for c in rvals}
 
     l = left.select(

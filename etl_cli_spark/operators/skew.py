@@ -32,7 +32,18 @@ def salted_join(
 
     ``other`` is replicated salt_factor times — keep it the smaller side.
     Output columns match ``big.join(other, on, how)``.
+
+    Only big-side-preserving join types are valid: for ``right``/``full``
+    the unmatched rows of the replicated side would appear salt_factor
+    times, silently breaking the results-identical contract.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+               "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only "
+            f"(inner/left/semi/anti), got how={how!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salted_big = big.withColumn(
         _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(salt_factor)).cast("int")

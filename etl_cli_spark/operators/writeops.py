@@ -149,10 +149,13 @@ def apply_write_op(src: DataFrame, table: ParquetTable, spec: TargetSpec) -> Dat
         set_cols = [c for c in set_cols if c != _TS_COL]
 
     if op == "delete":
-        # keep target rows NOT (in scope AND pk-matched by source)
-        hit = t.join(s.select(*pk).dropDuplicates(pk), on=pk, how="left_semi").filter(in_scope)
-        new_state = tgt.exceptAll(hit) if spec.query else tgt.join(
-            src.select(*pk), on=pk, how="left_anti"
+        # keep target rows NOT (in scope AND pk-matched by source); the
+        # same null-safe pk condition as the update family, so a null-pk
+        # source row matches null-pk target rows consistently everywhere
+        skeys = src.select(*pk).dropDuplicates(pk).alias(_S)
+        hit = t.join(skeys, cond, how="left_semi").filter(in_scope)
+        new_state = tgt.exceptAll(hit) if spec.query else t.join(
+            skeys, cond, how="left_anti"
         )
     elif op in ("update", "upsert", "index"):
         s = src.withColumn("__etl_hit", F.lit(True)).alias(_S)
@@ -172,7 +175,12 @@ def apply_write_op(src: DataFrame, table: ParquetTable, spec: TargetSpec) -> Dat
                 out.append(tv.alias(c))
         updated = joined.select(*out)
         if op in ("upsert", "index"):
-            new_keys = src.join(tgt.select(*pk).dropDuplicates(pk), on=pk, how="left_anti")
+            # null-safe anti (same _pk_cond as the matched join): otherwise a
+            # null-pk source row that null-safe-matched a target row would be
+            # both updated and re-appended
+            new_keys = src.alias(_S).join(
+                tgt.select(*pk).dropDuplicates(pk).alias(_T), cond, how="left_anti"
+            )
             aligned = new_keys.select(
                 *[
                     (F.col(c) if c in src.columns else F.lit(None).cast(tgt.schema[c].dataType)).alias(c)

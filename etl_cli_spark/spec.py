@@ -98,7 +98,7 @@ def make_spec(
     merger: str | None = None,
     mkeys: Sequence[str] | str | None = None,
     mq: Sequence[str] | None = None,
-    mmd: str = "m2s",
+    mmd: str | None = None,
     mrm: bool = False,
     mrnm: bool = False,
     mmo: bool = False,
@@ -163,6 +163,14 @@ def make_spec(
         mmo = False  # unwind forces match_one=0 (etl.py:174-176)
     m = None
     if merger is not None:
+        # the reference hard-errors on a merger without an explicit merge
+        # direction (etl.py:159-160) — the highest-risk knob gets no default
+        if mmd is None:
+            mmd = env("mmd")
+        if mmd is None:
+            raise ValueError(
+                "mmd (merge direction, s2m|m2s) is required when a merger is set"
+            )
         m = MergerSpec(
             ds=merger, keys=tup(mkeys), query=tup(mq), merge_direction=mmd,
             require_match=mrm, require_no_match=mrnm, match_one=mmo,
