@@ -113,7 +113,10 @@ def main(argv: Sequence[str] | None = None) -> int:
         eng.run_many(spec) if "*" in spec.source.ds else [eng.run(spec)]
     )
     for r in results:
-        n = r.df.count()
+        # _run_logged already counted; don't re-execute the plan
+        n = r.metrics.get("rows_out")
+        if n is None:
+            n = r.df.count()
         print(f"{r.target or '(no target)'}: {n} rows")
     return 0
 

@@ -137,14 +137,28 @@ class Engine:
         return self._run(spec, merge_rules_fn)
 
     def _run_logged(self, spec: JobSpec, merge_rules_fn=None) -> JobResult:
+        """Run + record. Counters come cheap, not from a re-execution:
+
+        - ``rows_in`` is an ``Observation`` attached to the post-query
+          source plan — populated as a side effect of whatever action the
+          job runs, zero extra passes (the reference's ``sprogress``
+          poll counter, base.py:376-381).
+        - ``rows_out`` for written parquet targets is a count on the
+          fresh target read — a metadata-only scan (parquet row-group
+          counts), not a recompute of the job plan. For lazy results
+          (no target / dry-run) one ``count()`` is the job's single
+          execution, which also resolves the observation.
+        """
         import time
 
-        from .metrics import JobRecord, new_uid, next_seq
+        from .metrics import JobRecord, new_uid, next_seq, observed_value
 
         uid, t0 = new_uid(), time.time()
         try:
-            res = self._run(spec, merge_rules_fn)
+            res = self._run(spec, merge_rules_fn, observe_rows=True)
             rows_out = res.df.count()
+            obs = res.metrics.pop("_rows_in_obs", None)
+            rows_in = observed_value(obs, "rows_in")
         except Exception as e:
             self._job_log.record(
                 JobRecord(
@@ -164,13 +178,15 @@ class Engine:
                 source=spec.source.ds,
                 target=spec.target.ds if spec.target else None,
                 op=spec.target.op if spec.target else None,
-                rows_in=None, rows_out=rows_out,
+                rows_in=rows_in, rows_out=rows_out,
             )
         )
         res.metrics["job_uid"] = uid
+        res.metrics["rows_in"] = rows_in
+        res.metrics["rows_out"] = rows_out
         return res
 
-    def _run(self, spec: JobSpec, merge_rules_fn=None) -> JobResult:
+    def _run(self, spec: JobSpec, merge_rules_fn=None, observe_rows: bool = False) -> JobResult:
         src_ds = parse_ds(spec.source.ds)
         q = compile_query(spec.source.query)
         # fail_on_error -> reader error policy for self-describing text formats
@@ -179,6 +195,13 @@ class Engine:
             read_opts["mode"] = "FAILFAST" if spec.fail_on_error else "PERMISSIVE"
         df = read_dataset(self.spark, src_ds, self.root, options=read_opts, url=q.url)
         df = q.apply(df)
+        obs = None
+        if observe_rows:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows_in"))
         if spec.source.transformers:
             df = apply_chain(df, spec.source.transformers)
 
@@ -198,8 +221,9 @@ class Engine:
         if spec.workers:
             df = df.repartition(spec.workers)
 
+        metrics = {"_rows_in_obs": obs} if obs is not None else {}
         if spec.target is None:
-            return JobResult(df=df)
+            return JobResult(df=df, metrics=metrics)
 
         tgt_ds = template_target(parse_ds(spec.target.ds), src_ds)
         if tgt_ds.backend == "parquet":
@@ -209,7 +233,7 @@ class Engine:
             mode = "overwrite" if spec.target.drop else "append"
             write_dataset(out, tgt_ds, self.root, mode=mode)
             final = out
-        return JobResult(df=final, target=tgt_ds.uri)
+        return JobResult(df=final, target=tgt_ds.uri, metrics=metrics)
 
     def run_many(self, spec: JobSpec, merge_rules_fn=None) -> list[JobResult]:
         """Wildcard fan-out (etl.py:364-377): one job per matching source."""

@@ -114,6 +114,23 @@ class JobLog:
         return df.orderBy(F.desc("seq")).limit(limit)
 
 
+def observed_value(obs, name: str) -> int | None:
+    """Fetch one metric from a ``pyspark.sql.Observation`` WITHOUT the
+    blocking ``.get`` — ``getRowOrEmpty`` waits at most ~100ms, so a plan
+    whose action never ran (e.g. a short-circuited ``limit(0)``) yields
+    None instead of hanging the job log."""
+    if obs is None:
+        return None
+    try:
+        opt = obs._jo.getRowOrEmpty()
+        if opt.isDefined():
+            v = opt.get().getAs(name)
+            return int(v) if v is not None else None
+    except Exception:
+        return None
+    return None
+
+
 def new_uid() -> str:
     return uuid.uuid4().hex[:12]
 

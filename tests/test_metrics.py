@@ -30,10 +30,52 @@ def test_job_log_records_and_status(spark, work_root):
     assert st["source"] == "orders"
     assert st["op"] == "create"
     assert st["rows_out"] > 0
-    assert st["rows_per_sec"] is None  # rows_in not tracked on the fast path
+    # rows_in comes from the source-plan Observation (one execution, no
+    # extra pass), which makes rows_per_sec (the reference's sspeed) real
+    assert st["rows_in"] == st["rows_out"]
+    assert st["rows_per_sec"] is not None and st["rows_per_sec"] > 0
 
     by_uid = eng.job_log.job_status(res.metrics["job_uid"])
     assert by_uid is not None and by_uid["uid"] == res.metrics["job_uid"]
+
+
+def test_job_log_single_execution_and_rows_in(spark, work_root):
+    """The job log must not re-execute the pipeline to get its counters."""
+    from pyspark.sql import functions as F
+
+    from etl_cli_spark.functions.registry import register
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("int")
+    def _tick(x):
+        acc.add(1)
+        return x
+
+    # keep the udf column in the output so it can't be pruned away
+    register("tick_probe", lambda col="o_orderkey": (lambda df: df.withColumn("probe", _tick(F.col(col)))))
+
+    eng = Engine(spark, work_root, job_log=True)
+    res = eng.etl(
+        "orders", query=["o_orderstatus=F"], transformers=["tick_probe"],
+        target="out/probe_orders", op="create",
+    )
+    n = res.metrics["rows_out"]
+    assert n > 0 and res.metrics["rows_in"] == n
+    # one execution of the source plan: the write. rows_out came from the
+    # target's parquet metadata, rows_in from the Observation.
+    assert acc.value == n
+
+    st = eng.job_log.job_status("last")
+    assert st["rows_in"] == n and st["rows_per_sec"] > 0
+
+
+def test_job_log_no_target_counts_once(spark, work_root):
+    eng = Engine(spark, work_root, job_log=True)
+    res = eng.etl("orders", query=["o_orderstatus=F"])
+    st = eng.job_log.job_status("last")
+    assert st["target"] is None
+    assert st["rows_in"] == st["rows_out"] == res.metrics["rows_out"] > 0
 
 
 def test_job_log_failure_recorded(spark, work_root):

@@ -151,3 +151,65 @@ def test_hot_keys(spark):
     df = spark.createDataFrame([(1,)] * 500 + [(2,)] * 10 + [(3,)] * 5, ["k"])
     hk = hot_keys(df, "k", min_share=0.5)
     assert [r.k for r in hk.collect()] == [1]
+
+
+def test_mmd_required_with_merger():
+    from etl_cli_spark.spec import make_spec
+
+    with pytest.raises(ValueError, match="mmd"):
+        make_spec("orders", merger="customer", mkeys="o_custkey:c_custkey")
+    # env overlay still satisfies the requirement
+    import os
+
+    os.environ["SPARK_ETL__MMD"] = "s2m"
+    try:
+        spec = make_spec("orders", merger="customer", mkeys="o_custkey:c_custkey")
+        assert spec.merger.merge_direction == "s2m"
+    finally:
+        del os.environ["SPARK_ETL__MMD"]
+
+
+def test_salted_join_rejects_outer(spark, engine):
+    from etl_cli_spark.operators.skew import salted_join
+
+    o = engine.read("orders")
+    c = engine.read("customer")
+    with pytest.raises(ValueError, match="big-side-preserving"):
+        salted_join(o, c, on="o_custkey", how="right")
+    with pytest.raises(ValueError, match="big-side-preserving"):
+        salted_join(o, c, on="o_custkey", how="full")
+
+
+def test_asof_join_collision_raises(spark, engine):
+    from etl_cli_spark.operators.asof import asof_join
+
+    ev = engine.read("events", ["event_type=click", "_fields=event_id,user_id,ts,value"])
+    pur = engine.read("events", ["event_type=purchase", "_fields=user_id,ts,value"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(ev, pur, on="user_id", left_ts="ts")
+    out = asof_join(ev, pur, on="user_id", left_ts="ts", rsuffix="_right")
+    assert "value_right" in out.columns
+
+
+def test_sql_sees_datasets_created_after_first_call(spark, tmp_path):
+    from etl_cli_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    spark.range(3).toDF("a").write.parquet(f"{tmp_path}/first.parquet")
+    assert eng.sql("SELECT count(*) AS n FROM first").first().n == 3
+    # a dataset created AFTER the first .sql() call must be visible too
+    spark.range(5).toDF("b").write.parquet(f"{tmp_path}/second.parquet")
+    assert eng.sql("SELECT count(*) AS n FROM second").first().n == 5
+
+
+def test_sql_two_roots_no_clobber(spark, tmp_path):
+    from etl_cli_spark.engine import Engine
+
+    r1, r2 = tmp_path / "r1", tmp_path / "r2"
+    spark.range(2).toDF("x").write.parquet(f"{r1}/ds.parquet")
+    spark.range(7).toDF("x").write.parquet(f"{r2}/ds.parquet")
+    e1, e2 = Engine(spark, str(r1)), Engine(spark, str(r2))
+    assert e1.sql("SELECT count(*) AS n FROM ds").first().n == 2
+    assert e2.sql("SELECT count(*) AS n FROM ds").first().n == 7
+    # back to the first root: views re-registered, not stale
+    assert e1.sql("SELECT count(*) AS n FROM ds").first().n == 2
