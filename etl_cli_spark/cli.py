@@ -48,6 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mrules", help="merge-rules policy name")
     p.add_argument("--mtr", action="append", default=[], help="merger post_read transformer")
     p.add_argument("--mtr-post-merge", action="append", default=[], help="post-merge transformer")
+    p.add_argument("--murl", help="http url backing the merger dataset")
     # target family
     p.add_argument("-t", "--target", help="target dataset uri (omit = preview)")
     p.add_argument("-o", "--op", default="create", help="write op, optionally op:pk")
@@ -59,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overwrite", help="per-field overwrite policy, comma-separated")
     p.add_argument("--drop", action="store_true", help="drop target first")
     p.add_argument("--dry", action="store_true", help="dry run (no writes)")
+    p.add_argument("--tmap", help="registered schema name applied on write")
+    p.add_argument("--turl", help="http url target: POST result rows as JSON")
+    p.add_argument("--surl", help="http url backing the source dataset")
     # orchestration
     p.add_argument("--workers", type=int, help="repartition hint")
     p.add_argument("--batch", type=int, dest="batch_size", help="write batch -> maxRecordsPerFile")
@@ -84,16 +88,20 @@ def main(argv: Sequence[str] | None = None) -> int:
         print(json.dumps(st, default=str, indent=2) if st else "no such job")
         return 0 if st else 1
 
+    query = list(args.query)
+    if args.surl:
+        query.append(f"_url={args.surl}")
     spec = make_spec(
-        args.source, query=args.query, transformers=args.transformers,
+        args.source, query=query, transformers=args.transformers,
         merger=args.merger, mkeys=args.mkeys, mq=args.mq, mmd=args.mmd,
         mrm=args.mrm, mrnm=args.mrnm, mmo=args.mmo, munwind=args.munwind,
         mstrict=args.mstrict, mma=args.mma, mrules=args.mrules,
         mtr=args.mtr, mtr_post_merge=args.mtr_post_merge,
-        mmo_order=args.mmo_order,
+        mmo_order=args.mmo_order, murl=args.murl,
         target=args.target, op=args.op, pk=args.pk, tf=args.tf, tq=args.tq,
         skip_by=args.skip_by, skip_timestamp=args.skip_timestamp,
         overwrite=args.overwrite, drop=args.drop, dry=args.dry,
+        tmap=args.tmap, turl=args.turl,
         workers=args.workers, batch_size=args.batch_size,
     )
 
@@ -101,11 +109,11 @@ def main(argv: Sequence[str] | None = None) -> int:
         print(json.dumps(eng.info(spec), default=str, indent=2))
         return 0
     if args.count_only:
-        print(eng.count(args.source, args.query))
+        print(eng.count(args.source, query))
         return 0
     if args.target is None:
         # preview mode (base.py:640-644): one record, pretty-printed
-        for rec in eng.preview(args.source, args.query, n=1):
+        for rec in eng.preview(args.source, query, n=1):
             print(json.dumps(rec, default=str, indent=2))
         return 0
 

@@ -207,7 +207,8 @@ class Engine:
 
         if spec.merger is not None:
             mrg_ds = parse_ds(spec.merger.ds)
-            mrg = read_dataset(self.spark, mrg_ds, self.root)
+            # --murl: the merger itself can be URL-backed (etl.py:35-37)
+            mrg = read_dataset(self.spark, mrg_ds, self.root, url=spec.merger.url)
             if spec.merger.transformers:
                 mrg = apply_chain(mrg, spec.merger.transformers)
             if merge_rules_fn is None and spec.merger.merge_rules:
@@ -225,8 +226,23 @@ class Engine:
         if spec.target is None:
             return JobResult(df=df, metrics=metrics)
 
+        # --tmap: conform outgoing rows to a registered named schema
+        # (reference attaches the mapping at write time, etl.py:237-238)
+        if spec.target.tmap:
+            from .schemas import conform, get_schema
+
+            df = conform(df, get_schema(spec.target.tmap))
+
         tgt_ds = template_target(parse_ds(spec.target.ds), src_ds)
-        if tgt_ds.backend == "parquet":
+        if spec.target.url or tgt_ds.backend == "http":
+            # --turl: POST result batches from the executors (etl.py:81-86)
+            out = df.select(*spec.target.fields) if spec.target.fields else df
+            write_dataset(
+                out, tgt_ds, self.root, url=spec.target.url,
+                options={"batch_size": spec.batch_size} if spec.batch_size else None,
+            )
+            final = out
+        elif tgt_ds.backend == "parquet":
             final = apply_write_op(df, self.table(tgt_ds, spec.batch_size), spec.target)
         else:
             out = df.select(*spec.target.fields) if spec.target.fields else df

@@ -56,9 +56,13 @@ def write_dataset(
     root: str,
     mode: str = "append",
     options: dict[str, Any] | None = None,
+    url: str | None = None,
 ) -> None:
     options = dict(options or {})
     b = ds.backend
+    if b == "http" or url:
+        write_http(df, url or options.pop("url", None), batch_size=int(options.pop("batch_size", 500)))
+        return
     if b == "parquet":
         df.write.mode(mode).options(**options).parquet(resolve_path(ds, root))
     elif b == "orc":
@@ -77,8 +81,13 @@ def write_dataset(
 
 
 def _ns_timestamp_cols(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't read them
-    natively (PARQUET_TYPE_ILLEGAL); found by inspecting the footer."""
+    """Columns stored as parquet INT64 TIMESTAMP(NANOS) — Spark can't read
+    them natively (PARQUET_TYPE_ILLEGAL); found by inspecting the footer.
+
+    The check must be on the *parquet* schema, not the Arrow view: Arrow
+    also reports Spark's INT96 timestamps as ``ns``, but those Spark reads
+    fine — only INT64 nanos need the long-roundtrip workaround.
+    """
     import pyarrow.parquet as pq
 
     target = path
@@ -88,12 +97,21 @@ def _ns_timestamp_cols(path: str) -> list[str]:
             return []
         target = os.path.join(path, parts[0])
     try:
-        schema = pq.read_schema(target)
+        schema = pq.ParquetFile(target).schema
     except Exception:
         return []
-    import pyarrow as pa
-
-    return [f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    out = []
+    for i in range(len(schema)):
+        col = schema.column(i)
+        lt = col.logical_type
+        if (
+            col.physical_type == "INT64"
+            and lt is not None
+            and getattr(lt, "type", None) == "TIMESTAMP"
+            and "nanoseconds" in lt.to_json()  # only .type/.to_json exposed
+        ):
+            out.append(col.path)
+    return out
 
 
 def read_parquet(spark: SparkSession, path: str, options: dict[str, Any] | None = None) -> DataFrame:
@@ -129,6 +147,53 @@ def _read_http(spark: SparkSession, url: str) -> DataFrame:
     if isinstance(payload, dict):
         payload = payload.get("data", [payload])
     return spark.createDataFrame(payload)
+
+
+def write_http(df: DataFrame, url: str | None, batch_size: int = 500) -> None:
+    """``--turl`` http target (etl.py:81-86): POST rows as JSON batches.
+
+    Distributed, not driver-side: each partition posts its own batches
+    from the executor (``foreachPartition``), so a 1000-executor job
+    fans its POSTs out instead of funnelling 100 TB through the driver.
+    ``batch_size`` rows per request mirrors the reference's write batch.
+    """
+    if not url or not url.startswith(("http://", "https://")):
+        raise ValueError(f"http target needs a full url, got {url!r}")
+
+    def _post_partition(rows):
+        import json as _json
+        import urllib.request as _rq
+
+        buf = []
+
+        def flush():
+            if not buf:
+                return
+            req = _rq.Request(
+                url,
+                data=_json.dumps(buf).encode("utf-8"),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with _rq.urlopen(req, timeout=60):  # noqa: S310
+                pass
+            buf.clear()
+
+        for r in rows:
+            buf.append(r.asDict(recursive=True))
+            if len(buf) >= batch_size:
+                flush()
+        flush()
+
+    # default=str below isn't available through json.dumps in executors for
+    # timestamps; serialize them up front as ISO strings (typed, portable)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.TimestampType, T.DateType, T.TimestampNTZType)):
+            df = df.withColumn(f.name, F.col(f.name).cast("string"))
+    df.foreachPartition(_post_partition)
 
 
 def _connector_format(backend: str) -> str:

@@ -44,6 +44,7 @@ class MergerSpec:
     post_merge_transformers: tuple[str, ...] = ()  # (--mtr-post-merge)
     broadcast: bool | None = None        # None = let Catalyst/AQE decide
     match_one_order: tuple[str, ...] = ()  # deterministic pick for match_one
+    url: str | None = None               # http-backed merger (--murl, etl.py:36)
 
     def __post_init__(self) -> None:
         if self.merge_direction not in MERGE_DIRECTIONS:
@@ -67,6 +68,8 @@ class TargetSpec:
     overwrite_fields: tuple[str, ...] = ()  # per-field overwrite policy
     drop: bool = False                   # drop target first (--drop)
     dry_run: bool = False
+    tmap: str | None = None              # named schema applied on write (--tmap)
+    url: str | None = None               # http-backed target (--turl, etl.py:37)
 
     def __post_init__(self) -> None:
         if self.op not in WRITE_OPS:
@@ -109,6 +112,7 @@ def make_spec(
     mtr: Sequence[str] | None = None,
     mtr_post_merge: Sequence[str] | None = None,
     mmo_order: Sequence[str] | None = None,
+    murl: str | None = None,
     broadcast: bool | None = None,
     target: str | None = None,
     op: str = "create",
@@ -120,6 +124,8 @@ def make_spec(
     overwrite: Sequence[str] | str | None = None,
     drop: bool = False,
     dry: bool = False,
+    tmap: str | None = None,
+    turl: str | None = None,
     workers: int | None = None,
     batch_size: int | None = None,
     fail_on_error: bool | None = None,
@@ -176,7 +182,7 @@ def make_spec(
             require_match=mrm, require_no_match=mrnm, match_one=mmo,
             unwind=munwind, strict_match=mstrict, merge_as=mma, merge_rules=mrules,
             transformers=tup(mtr), post_merge_transformers=tup(mtr_post_merge),
-            broadcast=broadcast, match_one_order=tup(mmo_order),
+            broadcast=broadcast, match_one_order=tup(mmo_order), url=murl,
         )
     t = None
     if target is not None:
@@ -184,6 +190,7 @@ def make_spec(
             ds=target, op=op, pk=tup(pk), fields=tup(tf), query=tup(tq),
             skip_by=tup(skip_by), skip_timestamp=skip_timestamp,
             overwrite_fields=tup(overwrite), drop=drop, dry_run=dry,
+            tmap=tmap, url=turl,
         )
     return JobSpec(
         source=SourceSpec(ds=source, query=tup(query), transformers=tup(transformers)),
