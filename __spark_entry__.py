@@ -236,7 +236,11 @@ def _scratch_orders(spark, sf):
     eng = _engine(spark, sf)
     orders = eng.read("orders")
     tmp = tempfile.mkdtemp(prefix="etl_writeop_")
-    t = ParquetTable(spark, f"{tmp}/orders_t.parquet")
+    # pk-hash bucketed layout: update-family ops partition-prune to the
+    # buckets holding source pks instead of rewriting the whole table
+    t = ParquetTable(
+        spark, f"{tmp}/orders_t.parquet", bucket_by=("o_orderkey",), n_buckets=16
+    )
     t.append(orders)
     return eng, orders, t
 

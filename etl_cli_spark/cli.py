@@ -61,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drop", action="store_true", help="drop target first")
     p.add_argument("--dry", action="store_true", help="dry run (no writes)")
     p.add_argument("--tmap", help="registered schema name applied on write")
+    p.add_argument("--buckets", type=int, dest="n_buckets",
+                   help="pk-hash bucket count for the partitioned target layout")
     p.add_argument("--turl", help="http url target: POST result rows as JSON")
     p.add_argument("--surl", help="http url backing the source dataset")
     # orchestration
@@ -101,7 +103,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         target=args.target, op=args.op, pk=args.pk, tf=args.tf, tq=args.tq,
         skip_by=args.skip_by, skip_timestamp=args.skip_timestamp,
         overwrite=args.overwrite, drop=args.drop, dry=args.dry,
-        tmap=args.tmap, turl=args.turl,
+        tmap=args.tmap, turl=args.turl, n_buckets=args.n_buckets,
         workers=args.workers, batch_size=args.batch_size,
     )
 

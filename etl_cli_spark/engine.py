@@ -72,8 +72,17 @@ class Engine:
         df = read_dataset(self.spark, ds, self.root, options=options, url=q.url)
         return q.apply(df)
 
-    def table(self, ds: DatasetURI, max_records_per_file: int | None = None) -> ParquetTable:
-        return ParquetTable(self.spark, resolve_path(ds, self.root), max_records_per_file)
+    def table(
+        self,
+        ds: DatasetURI,
+        max_records_per_file: int | None = None,
+        bucket_by: tuple[str, ...] | None = None,
+        n_buckets: int | None = None,
+    ) -> ParquetTable:
+        return ParquetTable(
+            self.spark, resolve_path(ds, self.root), max_records_per_file,
+            bucket_by=bucket_by, n_buckets=n_buckets or 32,
+        )
 
     def count(self, uri: str, query: Sequence[str] | None = None) -> int:
         """get_source_total (base.py:481-499) incl. the min(count,_limit) rule."""
@@ -243,7 +252,14 @@ class Engine:
             )
             final = out
         elif tgt_ds.backend == "parquet":
-            final = apply_write_op(df, self.table(tgt_ds, spec.batch_size), spec.target)
+            # pk-ed targets get the pk-hash bucketed layout by default, so
+            # update-family ops partition-prune instead of full-rewriting
+            tbl = self.table(
+                tgt_ds, spec.batch_size,
+                bucket_by=spec.target.pk or None,
+                n_buckets=spec.target.n_buckets,
+            )
+            final = apply_write_op(df, tbl, spec.target)
         else:
             out = df.select(*spec.target.fields) if spec.target.fields else df
             mode = "overwrite" if spec.target.drop else "append"

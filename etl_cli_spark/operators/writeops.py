@@ -9,16 +9,25 @@ which target rows an op may touch (etl.py:242-243).
 Physical strategy: Delta-style MERGE without Delta — a staged parquet
 rewrite. The new target state is computed as one Catalyst plan
 (join/anti-join/union of target x source), written to a staging
-directory, then atomically swapped in. On a real deployment the same
-planner drives ``MERGE INTO`` on Delta/Iceberg (row-level ops, no full
-rewrite); the op -> plan mapping is identical. At 100 TB, update-family
-ops join target x source on pk — a shuffle on pk both sides unless the
-source is dimension-sized (then broadcast); partitioned targets only
-rewrite touched partitions (future work, noted in ROADMAP).
+directory, then swapped in.
+
+Scale path — pk-hash bucketing: a table created with ``bucket_by=pk``
+is laid out as hive-style partitions on ``__etl_bucket =
+pmod(xxhash64(pk), n_buckets)``. Because every row an update-family op
+can touch (matched AND newly-inserted) carries a source pk, the op only
+needs the buckets of the source pks: the target read partition-prunes
+to those buckets and the rewrite swaps only those bucket directories.
+A 1-row upsert against a 100 TB table reads and rewrites 1/n_buckets of
+it, not the whole table; untouched bucket files are never opened. Size
+``n_buckets`` so one bucket ~ a comfortable rewrite unit at the target
+scale (32 is a local-test default; think thousands at 100 TB). On a
+real deployment the same planner drives ``MERGE INTO`` on
+Delta/Iceberg; the op -> plan mapping is identical.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -31,6 +40,14 @@ from ..spec import TargetSpec
 
 _TS_COL = "_etl_ts"
 _T, _S = "__etl_tgt", "__etl_srcw"
+_BUCKET = "__etl_bucket"
+_META = "_etl_bucket_meta.json"
+
+
+def bucket_expr(cols: tuple[str, ...] | list[str], n_buckets: int) -> Column:
+    """Deterministic pk-hash bucket id — same value for the same key on
+    any cluster size, so source keys locate their target buckets."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)).cast("int")
 
 
 class ParquetTable:
@@ -39,12 +56,48 @@ class ParquetTable:
     ``max_records_per_file`` carries the reference's write batch size
     (``batch_size``, base.py:269; 100k for s3, etl.py:133) into Spark's
     file-sizing knob.
+
+    ``bucket_by`` + ``n_buckets`` opt into the hive-partitioned pk-hash
+    layout; an existing table's layout (recorded in a sidecar) always
+    wins over the constructor arguments.
     """
 
-    def __init__(self, spark: SparkSession, path: str, max_records_per_file: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        max_records_per_file: int | None = None,
+        bucket_by: tuple[str, ...] | None = None,
+        n_buckets: int = 32,
+    ):
         self.spark = spark
         self.path = path
         self.max_records_per_file = max_records_per_file
+        self._bucket_by = tuple(bucket_by) if bucket_by else None
+        self._n_buckets = n_buckets
+
+    # -- layout ---------------------------------------------------------
+    @property
+    def layout(self) -> tuple[tuple[str, ...], int] | None:
+        """(bucket_cols, n_buckets) of the ON-DISK table, or None."""
+        meta = os.path.join(self.path, _META)
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            return tuple(m["cols"]), int(m["n"])
+        return None
+
+    def _target_layout(self) -> tuple[tuple[str, ...], int] | None:
+        """Layout new writes should use: existing layout, else config."""
+        if self.exists():
+            return self.layout
+        if self._bucket_by:
+            return (self._bucket_by, self._n_buckets)
+        return None
+
+    def _write_meta(self, cols: tuple[str, ...], n: int, base: str | None = None) -> None:
+        with open(os.path.join(base or self.path, _META), "w") as f:
+            json.dump({"cols": list(cols), "n": n}, f)
 
     def _writer(self, df: DataFrame):
         w = df.write
@@ -52,25 +105,92 @@ class ParquetTable:
             w = w.option("maxRecordsPerFile", self.max_records_per_file)
         return w
 
+    def _with_bucket(self, df: DataFrame, layout) -> DataFrame:
+        cols, n = layout
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"bucketed write needs columns {missing} in the frame")
+        return df.withColumn(_BUCKET, bucket_expr(cols, n))
+
+    def _write_bucketed(self, df: DataFrame, path: str, layout, mode: str) -> None:
+        cols, n = layout
+        b = self._with_bucket(df, layout)
+        # co-locate each bucket before the partitioned write: without it
+        # every task emits a file per bucket it holds (tasks x buckets
+        # small files); with it ~1 file per bucket, further split by
+        # maxRecordsPerFile when set
+        b = b.repartition(n, F.col(_BUCKET))
+        self._writer(b).mode(mode).partitionBy(_BUCKET).parquet(path)
+        self._write_meta(cols, n, base=path)
+
+    # -- basic io -------------------------------------------------------
     def exists(self) -> bool:
         return os.path.exists(self.path)
 
     def read(self) -> DataFrame | None:
-        return self.spark.read.parquet(self.path) if self.exists() else None
+        if not self.exists():
+            return None
+        df = self.spark.read.parquet(self.path)
+        return df.drop(_BUCKET) if _BUCKET in df.columns else df
+
+    def read_buckets(self, buckets: list[int]) -> DataFrame:
+        """Partition-pruned read: only the named bucket directories are
+        scanned (the filter sits on the hive partition column)."""
+        df = self.spark.read.parquet(self.path)
+        return df.filter(F.col(_BUCKET).isin([int(b) for b in buckets])).drop(_BUCKET)
 
     def append(self, df: DataFrame) -> None:
-        self._writer(df).mode("append").parquet(self.path)
+        layout = self._target_layout()
+        if layout:
+            self._write_bucketed(df, self.path, layout, mode="append")
+        else:
+            self._writer(df).mode("append").parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
         """Full-state replace via stage + atomic swap (safe self-reference)."""
         staged = f"{self.path}.__staged_{uuid.uuid4().hex[:8]}"
-        self._writer(df).mode("overwrite").parquet(staged)
+        layout = self._target_layout()
+        if layout:
+            self._write_bucketed(df, staged, layout, mode="overwrite")
+        else:
+            self._writer(df).mode("overwrite").parquet(staged)
         backup = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.path):
             os.rename(self.path, backup)
         os.rename(staged, self.path)
         if os.path.exists(backup):
             shutil.rmtree(backup)
+
+    def overwrite_buckets(self, df: DataFrame, buckets: list[int]) -> None:
+        """Replace ONLY the named bucket directories with ``df``'s state.
+
+        ``df`` must be the complete new state of those buckets (it may
+        lack a bucket entirely — that bucket becomes empty, e.g. after a
+        delete). Untouched bucket directories are not opened, written,
+        or moved — their files stay byte-identical. The swap is
+        per-bucket directory renames; a real deployment gets cross-
+        partition atomicity from the table format (Delta/Iceberg commit).
+        """
+        layout = self.layout
+        if layout is None:
+            raise ValueError("overwrite_buckets requires an on-disk bucketed table")
+        uid = uuid.uuid4().hex[:8]
+        staged = f"{self.path}.__staged_{uid}"
+        self._write_bucketed(df, staged, layout, mode="overwrite")
+        backup = f"{self.path}.__old_{uid}"
+        os.makedirs(backup, exist_ok=True)
+        try:
+            for b in buckets:
+                dname = f"{_BUCKET}={int(b)}"
+                old = os.path.join(self.path, dname)
+                new = os.path.join(staged, dname)
+                if os.path.exists(old):
+                    os.rename(old, os.path.join(backup, dname))
+                if os.path.exists(new):
+                    os.rename(new, old)
+        finally:
+            shutil.rmtree(backup, ignore_errors=True)
+            shutil.rmtree(staged, ignore_errors=True)
 
     def drop(self) -> None:
         if self.exists():
@@ -89,6 +209,15 @@ def _pk_cond(pk: tuple[str, ...]) -> Column:
         term = F.col(f"{_T}.{k}").eqNullSafe(F.col(f"{_S}.{k}"))
         cond = term if cond is None else (cond & term)
     return cond
+
+
+def _touched_buckets(src: DataFrame, layout) -> list[int]:
+    """Bucket ids of the source pks — the only partitions the op may
+    touch. Driver-side list bounded by n_buckets (partition metadata,
+    not data)."""
+    cols, n = layout
+    rows = src.select(bucket_expr(cols, n).alias(_BUCKET)).distinct().collect()
+    return sorted({r[_BUCKET] for r in rows})
 
 
 def apply_write_op(src: DataFrame, table: ParquetTable, spec: TargetSpec) -> DataFrame:
@@ -113,7 +242,13 @@ def apply_write_op(src: DataFrame, table: ParquetTable, spec: TargetSpec) -> Dat
         keys = list(spec.skip_by or spec.pk)
         if not keys:
             raise ValueError("insert requires skip_by or pk")
-        tgt = table.read()
+        layout = table.layout if table.exists() else None
+        if layout is not None and tuple(layout[0]) == tuple(keys):
+            # the anti-join only needs target keys from the buckets the
+            # source keys hash to — partition-pruned key scan
+            tgt = table.read_buckets(_touched_buckets(src, layout))
+        else:
+            tgt = table.read()
         new_rows = src if tgt is None else src.join(
             tgt.select(*keys).dropDuplicates(keys), on=keys, how="left_anti"
         )
@@ -126,7 +261,18 @@ def apply_write_op(src: DataFrame, table: ParquetTable, spec: TargetSpec) -> Dat
         raise ValueError(f"op {op!r} requires a pk")
     pk = list(spec.pk)
     src = src.dropDuplicates(pk)  # engine-enforced pk dedupe (etl.py:230-235)
-    tgt = table.read()
+
+    # partition-scoped path: when the table is bucketed exactly by this
+    # pk, restrict BOTH the target read and the rewrite to the buckets
+    # holding source pks — everything else is provably untouchable
+    layout = table.layout if table.exists() else None
+    scoped = layout is not None and tuple(layout[0]) == tuple(spec.pk)
+    touched: list[int] = []
+    if scoped:
+        touched = _touched_buckets(src, layout)
+        tgt = table.read_buckets(touched) if touched else table.read().limit(0)
+    else:
+        tgt = table.read()
 
     if tgt is None:
         if op in ("upsert", "index"):
@@ -197,5 +343,9 @@ def apply_write_op(src: DataFrame, table: ParquetTable, spec: TargetSpec) -> Dat
     new_state = new_state.drop("__etl_scope")
     if spec.dry_run:
         return new_state
-    table.overwrite(new_state)
+    if scoped:
+        if touched:
+            table.overwrite_buckets(new_state, touched)
+    else:
+        table.overwrite(new_state)
     return table.read()

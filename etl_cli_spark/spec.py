@@ -70,6 +70,9 @@ class TargetSpec:
     dry_run: bool = False
     tmap: str | None = None              # named schema applied on write (--tmap)
     url: str | None = None               # http-backed target (--turl, etl.py:37)
+    # pk-hash bucket count for the partitioned target layout (None = engine
+    # default 32; size so one bucket ~ one comfortable rewrite unit)
+    n_buckets: int | None = None
 
     def __post_init__(self) -> None:
         if self.op not in WRITE_OPS:
@@ -126,6 +129,7 @@ def make_spec(
     dry: bool = False,
     tmap: str | None = None,
     turl: str | None = None,
+    n_buckets: int | None = None,
     workers: int | None = None,
     batch_size: int | None = None,
     fail_on_error: bool | None = None,
@@ -190,7 +194,7 @@ def make_spec(
             ds=target, op=op, pk=tup(pk), fields=tup(tf), query=tup(tq),
             skip_by=tup(skip_by), skip_timestamp=skip_timestamp,
             overwrite_fields=tup(overwrite), drop=drop, dry_run=dry,
-            tmap=tmap, url=turl,
+            tmap=tmap, url=turl, n_buckets=n_buckets,
         )
     return JobSpec(
         source=SourceSpec(ds=source, query=tup(query), transformers=tup(transformers)),

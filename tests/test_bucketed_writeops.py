@@ -1,0 +1,187 @@
+"""Partition-scoped write ops: pk-hash bucketed targets only rewrite the
+buckets their source pks hash to; untouched bucket files stay
+byte-identical on disk."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cli_spark.operators.writeops import (
+    _BUCKET,
+    ParquetTable,
+    apply_write_op,
+    bucket_expr,
+)
+from etl_cli_spark.spec import TargetSpec
+
+
+def _orders(spark, sf_engine):
+    return sf_engine.read("orders")
+
+
+def _snapshot(path):
+    """{relpath: bytes} of every data file under the table dir."""
+    snap = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                snap[os.path.relpath(p, path)] = fh.read()
+    return snap
+
+
+@pytest.fixture()
+def bucketed_orders(spark, engine, tmp_path):
+    t = ParquetTable(
+        spark, str(tmp_path / "orders_b.parquet"),
+        bucket_by=("o_orderkey",), n_buckets=8,
+    )
+    t.append(engine.read("orders"))
+    return t
+
+
+def test_layout_written_and_read_roundtrip(spark, engine, bucketed_orders):
+    t = bucketed_orders
+    assert t.layout == (("o_orderkey",), 8)
+    dirs = [d for d in os.listdir(t.path) if d.startswith(f"{_BUCKET}=")]
+    assert len(dirs) == 8
+    # read() hides the physical bucket column and preserves the data
+    out = t.read()
+    assert _BUCKET not in out.columns
+    assert out.count() == engine.read("orders").count()
+
+
+def test_upsert_touches_only_source_buckets(spark, engine, bucketed_orders):
+    t = bucketed_orders
+    orders = engine.read("orders")
+    one = orders.filter("o_orderkey = 7").withColumn("o_orderstatus", F.lit("Z"))
+    assert one.count() == 1
+
+    before = _snapshot(t.path)
+    touched_bucket = one.select(
+        bucket_expr(("o_orderkey",), 8).alias("b")
+    ).first().b
+
+    out = apply_write_op(one, t, TargetSpec(ds="t", op="upsert", pk=("o_orderkey",)))
+    assert out.filter("o_orderkey = 7").first().o_orderstatus == "Z"
+    assert out.count() == orders.count()
+
+    after = _snapshot(t.path)
+    changed_dirs = {
+        os.path.dirname(p)
+        for p in (set(before) ^ set(after))
+        | {p for p in before if p in after and before[p] != after[p]}
+        if os.path.dirname(p).startswith(f"{_BUCKET}=")
+    }
+    # ONLY the bucket holding o_orderkey=7 was rewritten
+    assert changed_dirs == {f"{_BUCKET}={touched_bucket}"}
+    untouched = [p for p in before if not p.startswith(f"{_BUCKET}={touched_bucket}")
+                 and os.path.dirname(p).startswith(f"{_BUCKET}=")]
+    assert untouched and all(before[p] == after[p] for p in untouched)
+
+
+def test_delete_scoped_and_correct(spark, engine, bucketed_orders):
+    t = bucketed_orders
+    orders = engine.read("orders")
+    victims = orders.filter("o_orderkey < 40").select("o_orderkey")
+    nv = victims.count()
+    before = _snapshot(t.path)
+    out = apply_write_op(victims, t, TargetSpec(ds="t", op="delete", pk=("o_orderkey",)))
+    assert out.count() == orders.count() - nv
+    assert out.filter("o_orderkey < 40").count() == 0
+    after = _snapshot(t.path)
+    victim_buckets = {
+        f"{_BUCKET}={r.b}"
+        for r in victims.select(bucket_expr(("o_orderkey",), 8).alias("b")).distinct().collect()
+    }
+    same = [p for p in before if os.path.dirname(p) not in victim_buckets
+            and os.path.dirname(p).startswith(f"{_BUCKET}=")]
+    assert all(before[p] == after[p] for p in same)
+
+
+def test_bucketed_matches_unbucketed(spark, engine, tmp_path):
+    """Impl-agreement: every op yields identical state on both layouts."""
+    orders = engine.read("orders")
+    changed = orders.filter("o_orderkey < 60").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    new = changed.filter("o_orderkey < 15").withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(900000)
+    )
+    src = changed.unionByName(new)
+
+    results = {}
+    for tag, kw in (("flat", {}), ("bucketed", {"bucket_by": ("o_orderkey",), "n_buckets": 4})):
+        t = ParquetTable(spark, str(tmp_path / f"t_{tag}.parquet"), **kw)
+        t.append(orders)
+        out = apply_write_op(src, t, TargetSpec(ds="t", op="upsert", pk=("o_orderkey",)))
+        results[tag] = {tuple(r) for r in out.select("o_orderkey", "o_totalprice").collect()}
+    assert results["flat"] == results["bucketed"]
+
+
+def test_update_tq_scope_on_bucketed(spark, engine, tmp_path):
+    orders = engine.read("orders")
+    t = ParquetTable(spark, str(tmp_path / "tq.parquet"), bucket_by=("o_orderkey",), n_buckets=4)
+    t.append(orders)
+    src = orders.withColumn("o_orderpriority", F.lit("X"))
+    out = apply_write_op(
+        src, t, TargetSpec(ds="t", op="update", pk=("o_orderkey",), query=("o_orderstatus=O",))
+    )
+    got = {r.o_orderstatus: r.cnt for r in out.filter("o_orderpriority = 'X'")
+           .groupBy("o_orderstatus").agg(F.count("*").alias("cnt")).collect()}
+    assert set(got) == {"O"}
+
+
+def test_pk_mismatch_falls_back_to_full_rewrite(spark, engine, tmp_path):
+    """Bucketed by a different key than the op pk: correct via full path."""
+    orders = engine.read("orders")
+    t = ParquetTable(spark, str(tmp_path / "mk.parquet"), bucket_by=("o_custkey",), n_buckets=4)
+    t.append(orders)
+    one = orders.filter("o_orderkey = 3").withColumn("o_orderstatus", F.lit("Q"))
+    out = apply_write_op(one, t, TargetSpec(ds="t", op="upsert", pk=("o_orderkey",)))
+    assert out.filter("o_orderkey = 3").first().o_orderstatus == "Q"
+    assert out.count() == orders.count()
+    assert t.layout == (("o_custkey",), 4)  # layout preserved by the rewrite
+
+
+def test_insert_appends_without_rewriting(spark, engine, bucketed_orders):
+    t = bucketed_orders
+    orders = engine.read("orders")
+    dup = orders.filter("o_orderkey < 20")
+    fresh = dup.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(800000))
+    before = _snapshot(t.path)
+    out = apply_write_op(
+        dup.unionByName(fresh), t, TargetSpec(ds="t", op="insert", pk=("o_orderkey",))
+    )
+    assert out.count() == orders.count() + fresh.count()
+    after = _snapshot(t.path)
+    # pure append: every pre-existing file is still there, byte-identical
+    assert all(p in after and after[p] == before[p]
+               for p in before if os.path.dirname(p).startswith(f"{_BUCKET}="))
+
+
+def test_read_buckets_partition_prunes(spark, bucketed_orders):
+    t = bucketed_orders
+    plan = t.read_buckets([1, 2])._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and _BUCKET in plan
+    # the pruned read must not enumerate all 8 buckets
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "1,2" in m.group(1).replace(" ", "")
+
+
+def test_engine_buckets_pk_targets_by_default(spark, tmp_engine):
+    spark.createDataFrame(
+        [(i, i * 1.5) for i in range(100)], "k BIGINT, v DOUBLE"
+    ).write.parquet(f"{tmp_engine.root}/src100.parquet")
+    tmp_engine.etl("src100", target="out/t100", op="upsert", pk="k", n_buckets=4)
+    path = f"{tmp_engine.root}/out/t100.parquet"
+    dirs = [d for d in os.listdir(path) if d.startswith(f"{_BUCKET}=")]
+    assert len(dirs) == 4
+    assert tmp_engine.read("out/t100").count() == 100
