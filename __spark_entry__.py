@@ -611,19 +611,27 @@ def _q_similarity_topk(spark, sf):
 
 
 def _q_similarity_ann(spark, sf):
-    from etl_cli_spark.operators.similarity import ann_topk
+    # persisted-index path: build the banded-LSH index (one corpus pass,
+    # hive-partitioned by band/bucket), then probe with partition pruning
+    from etl_cli_spark.operators.similarity import ann_topk_indexed, build_ann_index
 
     emb = _engine(spark, sf).read("embeddings")
     q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
-    return ann_topk(emb, q, k=10)
+    idx = tempfile.mkdtemp(prefix="etl_annidx_")
+    build_ann_index(emb, idx, n_planes=16, bands=4)
+    return ann_topk_indexed(spark, idx, q, k=10)
 
 
 def _q_similarity_ivf(spark, sf):
-    from etl_cli_spark.operators.similarity import ivf_topk
+    # persisted-index path: k-means sample collect happens at BUILD time;
+    # the probe reads only n_probe __cell partitions
+    from etl_cli_spark.operators.similarity import build_ivf_index, ivf_topk_indexed
 
     emb = _engine(spark, sf).read("embeddings")
     q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
-    return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4)
+    idx = tempfile.mkdtemp(prefix="etl_ivfidx_")
+    build_ivf_index(emb, idx, n_centroids=16)
+    return ivf_topk_indexed(spark, idx, q, k=10, n_probe=4)
 
 
 def _q_embedding_neardup(spark, sf):

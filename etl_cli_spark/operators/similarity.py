@@ -345,6 +345,193 @@ def ivf_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# persisted indexes: build once, probe with partition pruning
+# --------------------------------------------------------------------------
+#
+# The one-shot ann_topk/ivf_topk above recompute their structure per query
+# — fine for ad-hoc use, wrong at 100 TB where every query must NOT rescan
+# the corpus. The persisted variants split build from probe:
+#
+# - build_*: one corpus pass, written as a hive-partitioned parquet index
+#   (IVF: partitioned by __cell; LSH: by (__band, __bucket)).
+# - *_topk_indexed: the probe reads ONLY the matching partitions
+#   (PartitionFilters at the scan — verified by unit test), runs exact
+#   re-ranking on those candidates, and never collects corpus data to the
+#   driver; the only driver-side input is the sidecar metadata file
+#   (centroids / plane seed), which is index metadata, not data.
+#
+# Trade-off noted: the LSH index stores the vector once per band
+# (replication = bands, default 4) so probes re-rank without joining back
+# to the corpus — the standard inverted-index trade.
+
+_IVF_META = "_ivf_meta.json"
+_ANN_META = "_ann_meta.json"
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Build + persist an IVF index: vectors parquet-partitioned by
+    ``__cell``, centroids in a sidecar. Returns the centroids.
+
+    The driver-side k-means sample collect happens HERE (build time,
+    bounded by sample_size) — never on the query path.
+    """
+    import json
+    import os
+
+    indexed, cent = ivf_index(df, id_col, vec_col, n_centroids, sample_size, seed)
+    (
+        indexed.repartition(n_centroids, F.col("__cell"))
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    with open(os.path.join(path, _IVF_META), "w") as f:
+        json.dump(
+            {"centroids": cent, "id_col": id_col, "vec_col": vec_col,
+             "n_centroids": n_centroids, "seed": seed},
+            f,
+        )
+    return cent
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF index: read only the ``n_probe`` cells
+    nearest the query (partition-pruned scan), exact-score, top-k."""
+    import json
+    import os
+
+    with open(os.path.join(path, _IVF_META)) as f:
+        meta = json.load(f)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    # nearest cells: pure driver arithmetic over n_centroids floats
+    dists = [
+        (sum((c - q) ** 2 for c, q in zip(cent, query_vec)), i)
+        for i, cent in enumerate(meta["centroids"])
+    ]
+    probes = [i for _, i in sorted(dists)[:n_probe]]
+    cand = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("__cell").isin(probes)
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine_to_const(_as_double(F.col(vec_col)), query_vec), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> None:
+    """Build + persist a banded hyperplane-LSH index: one corpus pass
+    computes the packed signature, explodes it into (band, bucket) rows,
+    and writes parquet partitioned by ``(__band, __bucket)``."""
+    import json
+    import os
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    vec_d = _as_double(F.col(vec_col))
+    exploded = (
+        df.select(F.col(id_col), F.col(vec_col), lsh_signature(vec_d, planes).alias("__sig"))
+        .select(
+            id_col,
+            vec_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("__sig", b * width).bitwiseAND(F.lit(mask)).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(id_col, vec_col, F.col("p.band").alias("__band"), F.col("p.bucket").alias("__bucket"))
+    )
+    (
+        exploded.repartition(bands, F.col("__band"), F.col("__bucket"))
+        .write.mode("overwrite")
+        .partitionBy("__band", "__bucket")
+        .parquet(os.path.join(path, "buckets"))
+    )
+    with open(os.path.join(path, _ANN_META), "w") as f:
+        json.dump(
+            {"id_col": id_col, "vec_col": vec_col, "n_planes": n_planes,
+             "bands": bands, "seed": seed, "dim": dim},
+            f,
+        )
+
+
+def ann_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Probe a persisted LSH index: regenerate the (seeded, deterministic)
+    planes driver-side, hash the query, and read ONLY the ``bands``
+    matching (band, bucket) partitions; exact-score those candidates."""
+    import json
+    import os
+
+    with open(os.path.join(path, _ANN_META)) as f:
+        meta = json.load(f)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    width = meta["n_planes"] // meta["bands"]
+    mask = (1 << width) - 1
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(p, query_vec)) >= 0:
+            qsig |= 1 << i
+    pred = None
+    for b in range(meta["bands"]):
+        qband = (qsig >> (b * width)) & mask
+        term = (F.col("__band") == b) & (F.col("__bucket") == qband)
+        pred = term if pred is None else (pred | term)
+    cand = (
+        spark.read.parquet(os.path.join(path, "buckets"))
+        .filter(pred)
+        .dropDuplicates([id_col])  # a vector can match the query in >1 band
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine_to_const(_as_double(F.col(vec_col)), query_vec), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def brute_force_all_pairs_topk(
     df: DataFrame,
     k: int = 5,

@@ -101,3 +101,51 @@ def test_ivf_index_partitions_all_rows(spark, engine):
     cells = {r[0] for r in indexed.select("__cell").distinct().collect()}
     assert cells.issubset(set(range(8))) and len(cells) > 1
     assert len(cent) == 8
+
+
+def test_persisted_ivf_index_probe(spark, emb, tmp_path):
+    from etl_cli_spark.operators.similarity import build_ivf_index, ivf_topk, ivf_topk_indexed
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, seed=7)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+
+    got = ivf_topk_indexed(spark, path, qvec, k=10, n_probe=3)
+    # probe plan must partition-prune to the probed cells — no full scan
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "__cell" in plan
+
+    # same structure in-memory (same seed/sample) must agree exactly
+    mem = ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=3, seed=7)
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
+
+
+def test_persisted_ivf_recall(spark, emb, tmp_path):
+    from etl_cli_spark.operators.similarity import build_ivf_index, ivf_topk_indexed
+
+    path = str(tmp_path / "ivf_r")
+    build_ivf_index(emb, path, n_centroids=8)
+    qvec = [float(x) for x in emb.filter("vec_id = 3").first().embedding]
+    exact = {r.vec_id for r in cosine_topk(emb, qvec, k=10).collect()}
+    probed = {r.vec_id for r in ivf_topk_indexed(spark, path, qvec, k=10, n_probe=4).collect()}
+    assert len(exact & probed) >= 5
+
+
+def test_persisted_ann_index_probe(spark, emb, tmp_path):
+    from etl_cli_spark.operators.similarity import ann_topk_indexed, build_ann_index
+
+    path = str(tmp_path / "ann")
+    build_ann_index(emb, path, n_planes=16, bands=4, seed=42)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+
+    got = ann_topk_indexed(spark, path, qvec, k=10)
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "__band" in plan and "__bucket" in plan
+
+    # identical candidates/result as the one-shot ann_topk (same planes)
+    mem = ann_topk(emb, qvec, k=10, n_planes=16, bands=4, seed=42)
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
