@@ -28,7 +28,7 @@ from .spec import make_spec
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="etl_cli_spark", description=__doc__.split("\n")[0])
     p.add_argument("--root", required=True, help="engine root (dataset namespace base)")
-    p.add_argument("-s", "--source", required=True, help="source dataset uri")
+    p.add_argument("-s", "--source", help="source dataset uri (required unless polling/settings)")
     p.add_argument("-q", "--query", action="append", default=[], help="query item k=v (repeatable)")
     p.add_argument("--str", dest="transformers", action="append", default=[],
                    help="source transformer name[:args] (repeatable)")
@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tmap", help="registered schema name applied on write")
     p.add_argument("--buckets", type=int, dest="n_buckets",
                    help="pk-hash bucket count for the partitioned target layout")
+    p.add_argument("--log-ds", dest="log_ds",
+                   help="namespace for the per-target write log (logs written batches)")
+    p.add_argument("--log", dest="log_fields",
+                   help="projection for the write log, comma-separated ('-x' excludes)")
+    p.add_argument("--get-setting", metavar="NAME", help="print an engine setting and exit")
+    p.add_argument("--set-setting", metavar="NAME=VALUE", help="store an engine setting and exit")
     p.add_argument("--turl", help="http url target: POST result rows as JSON")
     p.add_argument("--surl", help="http url backing the source dataset")
     # orchestration
@@ -77,7 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Sequence[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not (args.source or args.job_poll or args.get_setting or args.set_setting):
+        parser.error("-s/--source is required for job runs")
 
     from .engine import Engine
     from .session import get_spark
@@ -89,6 +98,14 @@ def main(argv: Sequence[str] | None = None) -> int:
         st = eng.job_log.job_status(args.job_poll)
         print(json.dumps(st, default=str, indent=2) if st else "no such job")
         return 0 if st else 1
+    if args.get_setting:
+        val = eng.get_setting(args.get_setting)
+        print(json.dumps(val, default=str))
+        return 0 if val is not None else 1
+    if args.set_setting:
+        name, _, value = args.set_setting.partition("=")
+        eng.set_setting(name.strip(), value)
+        return 0
 
     query = list(args.query)
     if args.surl:
@@ -104,6 +121,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         skip_by=args.skip_by, skip_timestamp=args.skip_timestamp,
         overwrite=args.overwrite, drop=args.drop, dry=args.dry,
         tmap=args.tmap, turl=args.turl, n_buckets=args.n_buckets,
+        log_ds=args.log_ds, log=args.log_fields,
         workers=args.workers, batch_size=args.batch_size,
     )
 

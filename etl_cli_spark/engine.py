@@ -64,6 +64,17 @@ class Engine:
             self._job_log = JobLog(self.spark, self.root)
         return self._job_log
 
+    # -- settings (reference get_etl_setting, base.py:563-566) ---------------
+    def get_setting(self, name: str, default: Any = None) -> Any:
+        from .settings import Settings
+
+        return Settings(self.spark, self.root).get(name, default)
+
+    def set_setting(self, name: str, value: Any) -> None:
+        from .settings import Settings
+
+        Settings(self.spark, self.root).set(name, value)
+
     # -- catalog-ish helpers -------------------------------------------------
     def read(self, uri: str, query: Sequence[str] | None = None, **options: Any) -> DataFrame:
         """Read a dataset and apply an optional DSL query."""
@@ -265,7 +276,32 @@ class Engine:
             mode = "overwrite" if spec.target.drop else "append"
             write_dataset(out, tgt_ds, self.root, mode=mode)
             final = out
+
+        if spec.target.log_ds and not spec.target.dry_run:
+            self._write_target_log(df, spec, tgt_ds)
         return JobResult(df=final, target=tgt_ds.uri, metrics=metrics)
+
+    def _write_target_log(self, df: DataFrame, spec: JobSpec, tgt_ds: DatasetURI) -> None:
+        """Per-target write log (reference ``target.log_ds`` =
+        ``<ns>.<target>``, etl.py:193-195; ``log_fields`` projection,
+        base.py:260-265): append the written batch, projected, to
+        ``<log_ds>/<sanitized target name>``.
+
+        The log write re-executes a COLUMN-PRUNED copy of the pipeline —
+        with the default exclusion fields Catalyst reads only the logged
+        columns, so the cost is a narrow second pass, not a second job.
+        """
+        from pyspark.sql import functions as F
+
+        from .dsl import compile_query
+
+        q = compile_query([f"_fields={','.join(spec.target.log_fields)}"]) if spec.target.log_fields else None
+        out = q.apply(df) if q is not None else df
+        out = out.withColumn("_etl_log_ts", F.current_timestamp())
+        # sanitized like the reference: dots/slashes -> dashes (etl.py:193-195)
+        raw = "/".join(p for p in (tgt_ds.ns, tgt_ds.name) if p)
+        name = raw.replace(".", "-").replace("/", "-")
+        write_dataset(out, parse_ds(f"{spec.target.log_ds}/{name}"), self.root, mode="append")
 
     def run_many(self, spec: JobSpec, merge_rules_fn=None) -> list[JobResult]:
         """Wildcard fan-out (etl.py:364-377): one job per matching source."""

@@ -73,6 +73,12 @@ class TargetSpec:
     # pk-hash bucket count for the partitioned target layout (None = engine
     # default 32; size so one bucket ~ one comfortable rewrite unit)
     n_buckets: int | None = None
+    # per-target write log: namespace to log written batches into
+    # (reference --log-ds -> target.log_ds = '<ns>.<target>', etl.py:193-195)
+    log_ds: str | None = None
+    # projection of the logged rows (reference target.log_fields,
+    # base.py:260-265; '-x' excludes, default hides log/source blobs)
+    log_fields: tuple[str, ...] = ("-log", "-logs", "-source")
 
     def __post_init__(self) -> None:
         if self.op not in WRITE_OPS:
@@ -130,6 +136,8 @@ def make_spec(
     tmap: str | None = None,
     turl: str | None = None,
     n_buckets: int | None = None,
+    log_ds: str | None = None,
+    log: Sequence[str] | str | None = None,
     workers: int | None = None,
     batch_size: int | None = None,
     fail_on_error: bool | None = None,
@@ -195,6 +203,8 @@ def make_spec(
             skip_by=tup(skip_by), skip_timestamp=skip_timestamp,
             overwrite_fields=tup(overwrite), drop=drop, dry_run=dry,
             tmap=tmap, url=turl, n_buckets=n_buckets,
+            log_ds=log_ds,
+            **({"log_fields": tup(log)} if log else {}),
         )
     return JobSpec(
         source=SourceSpec(ds=source, query=tup(query), transformers=tup(transformers)),

@@ -118,3 +118,55 @@ def test_engine_sql_views(spark, work_root):
     )
     rows = out.collect()
     assert len(rows) >= 1 and all(r.n > 0 for r in rows)
+
+
+def test_settings_roundtrip(spark, work_root):
+    eng = Engine(spark, work_root)
+    assert eng.get_setting("max_docs") is None
+    assert eng.get_setting("max_docs", 5) == 5
+    eng.set_setting("max_docs", 1000)
+    assert eng.get_setting("max_docs") == 1000
+    eng.set_setting("max_docs", 2000)  # latest wins, history retained
+    assert eng.get_setting("max_docs") == 2000
+    eng.set_setting("mode", "fast")
+    from etl_cli_spark.settings import Settings
+
+    assert Settings(spark, work_root).all() == {"max_docs": 2000, "mode": "fast"}
+
+
+def test_settings_cli(spark, work_root, capsys):
+    from etl_cli_spark.cli import main
+
+    assert main(["--root", work_root, "--set-setting", "answer=42"]) == 0
+    assert main(["--root", work_root, "--get-setting", "answer"]) == 0
+    assert capsys.readouterr().out.strip() == '"42"'
+    assert main(["--root", work_root, "--get-setting", "missing"]) == 1
+
+
+def test_per_target_write_log(spark, work_root):
+    eng = Engine(spark, work_root)
+    eng.etl(
+        "orders", query=["o_orderstatus=F"],
+        target="out/logged_orders", op="create",
+        log_ds="logs", log="o_orderkey,o_totalprice",
+    )
+    log = eng.read("logs/out-logged_orders")
+    assert set(log.columns) == {"o_orderkey", "o_totalprice", "_etl_log_ts"}
+    n = eng.read("orders", ["o_orderstatus=F"]).count()
+    assert log.count() == n
+    # a second run appends to the same per-target log
+    eng.etl(
+        "orders", query=["o_orderstatus=F"],
+        target="out/logged_orders", op="create",
+        log_ds="logs", log="o_orderkey,o_totalprice",
+    )
+    assert eng.read("logs/out-logged_orders").count() == 2 * n
+
+
+def test_write_log_default_exclusions(spark, work_root):
+    eng = Engine(spark, work_root)
+    eng.etl("region", target="out/r_logged", op="create", log_ds="logs")
+    name = "out-r_logged"
+    log = eng.read(f"logs/{name}")
+    assert "_etl_log_ts" in log.columns
+    assert log.count() == eng.read("region").count()
