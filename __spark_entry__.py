@@ -1035,9 +1035,32 @@ def oracle_sql() -> dict[str, str]:
         "FROM embeddings WHERE vec_id <> 0 "
         "ORDER BY score DESC, vec_id LIMIT 10"
     )
+    # incremental_loop is deterministic: batch_limit=400 over events ->
+    # passes = ceil(n/400), processed = n, converged = true
+    sql["incremental_loop"] = (
+        "SELECT CAST(ceil(count(*) / 400.0) AS INTEGER) AS passes, "
+        "count(*) AS processed, TRUE AS converged FROM events"
+    )
+
+    # multimodal_decode: the stub decoder is a pure function of the seeded
+    # payload, so the expected table is recomputed here INDEPENDENTLY
+    # (python hashlib, no Spark) and emitted as a VALUES oracle
+    import hashlib as _hl
+
+    _vals = []
+    for i in range(32):
+        payload = _hl.sha256(f"media-{i}".encode()).digest() * 8
+        h = _hl.sha256(payload).digest()
+        _vals.append(f"({i}, {64 + h[0] % 64}, {64 + h[1] % 64})")
+    sql["multimodal_decode"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(dec_width AS INTEGER) AS dec_width, "
+        "CAST(dec_height AS INTEGER) AS dec_height "
+        f"FROM (VALUES {', '.join(_vals)}) AS t(media_id, dec_width, dec_height)"
+    )
+
     # no oracle (rows-only): dedup_minhash / dedup_simhash_pairs /
     # similarity_ann / similarity_ivf / embedding_neardup (hash/LSH/
     # kmeans-specific — verified by recall unit tests against the exact
-    # baselines instead), multimodal_decode (synthetic), incremental_loop
-    # (iterative)
+    # baselines instead)
     return sql

@@ -156,6 +156,60 @@ class Engine:
             return self._run_logged(spec, merge_rules_fn)
         return self._run(spec, merge_rules_fn)
 
+    def run_async(self, spec: JobSpec, merge_rules_fn=None) -> str:
+        """Submit a job and return its uid immediately (the reference's
+        ``async=1``, base.py:678-681). A 'running' record lands in the job
+        log up front; the worker thread appends the terminal record.
+        Poll with ``engine.job_log.poll(uid)`` / ``job_status(uid)`` —
+        the reference's poll loop (base.py:366-392). SparkSessions are
+        thread-safe; the job executes on the cluster as usual.
+        """
+        import threading
+        import time
+
+        from .metrics import JobRecord, new_uid, next_seq, observed_value
+
+        uid, t0 = new_uid(), time.time()
+        self.job_log.record(
+            JobRecord(
+                uid=uid, seq=next_seq(), started_at=t0, duration_sec=0.0,
+                status="running", source=spec.source.ds,
+                target=spec.target.ds if spec.target else None,
+                op=spec.target.op if spec.target else None,
+                rows_in=None, rows_out=None,
+            )
+        )
+
+        def work():
+            try:
+                res = self._run(spec, merge_rules_fn, observe_rows=True)
+                rows_out = res.df.count()
+                obs = res.metrics.pop("_rows_in_obs", None)
+                self.job_log.record(
+                    JobRecord(
+                        uid=uid, seq=next_seq(), started_at=t0,
+                        duration_sec=time.time() - t0, status="succeeded",
+                        source=spec.source.ds,
+                        target=spec.target.ds if spec.target else None,
+                        op=spec.target.op if spec.target else None,
+                        rows_in=observed_value(obs, "rows_in"), rows_out=rows_out,
+                    )
+                )
+            except Exception as e:  # terminal failure record, never raises
+                self.job_log.record(
+                    JobRecord(
+                        uid=uid, seq=next_seq(), started_at=t0,
+                        duration_sec=time.time() - t0, status="failed",
+                        source=spec.source.ds,
+                        target=spec.target.ds if spec.target else None,
+                        op=spec.target.op if spec.target else None,
+                        rows_in=None, rows_out=None, error=str(e)[:500],
+                    )
+                )
+
+        threading.Thread(target=work, name=f"etl-job-{uid}", daemon=True).start()
+        return uid
+
     def _run_logged(self, spec: JobSpec, merge_rules_fn=None) -> JobResult:
         """Run + record. Counters come cheap, not from a re-execution:
 

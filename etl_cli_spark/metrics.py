@@ -98,14 +98,25 @@ class JobLog:
         return self.spark.read.schema(LOG_SCHEMA).parquet(self.path)
 
     def job_status(self, uid: str = "last") -> dict[str, Any] | None:
-        """base.py:349-364: fetch one job; 'last' = highest seq."""
+        """base.py:349-364: fetch one job; 'last' = highest seq. A uid can
+        have several records (running -> terminal); the latest wins."""
         df = self.frame()
-        row = (
-            df.orderBy(F.desc("seq")).limit(1).collect()
-            if uid == "last"
-            else df.filter(F.col("uid") == uid).limit(1).collect()
-        )
+        if uid != "last":
+            df = df.filter(F.col("uid") == uid)
+        row = df.orderBy(F.desc("seq")).limit(1).collect()
         return row[0].asDict() if row else None
+
+    def poll(self, uid: str, interval: float = 0.5, timeout: float = 600.0) -> dict[str, Any]:
+        """Poll until the job reaches a terminal state (the reference's
+        poll_job loop, base.py:366-392)."""
+        deadline = time.time() + timeout
+        while True:
+            st = self.job_status(uid)
+            if st and st["status"] in ("succeeded", "failed"):
+                return st
+            if time.time() > deadline:
+                raise TimeoutError(f"job {uid} still {st['status'] if st else 'unknown'}")
+            time.sleep(interval)
 
     def history(self, source: str | None = None, limit: int = 100) -> DataFrame:
         df = self.frame()

@@ -170,3 +170,26 @@ def test_write_log_default_exclusions(spark, work_root):
     log = eng.read(f"logs/{name}")
     assert "_etl_log_ts" in log.columns
     assert log.count() == eng.read("region").count()
+
+
+def test_run_async_and_poll(spark, work_root):
+    from etl_cli_spark.spec import make_spec
+
+    eng = Engine(spark, work_root, job_log=True)
+    spec = make_spec("orders", query=["o_orderstatus=F"], target="out/async_t", op="create")
+    uid = eng.run_async(spec)
+    st0 = eng.job_log.job_status(uid)
+    assert st0 is not None and st0["status"] in ("running", "succeeded")
+    st = eng.job_log.poll(uid, interval=0.2, timeout=120)
+    assert st["status"] == "succeeded"
+    assert st["rows_out"] > 0 and st["rows_in"] == st["rows_out"]
+    assert eng.read("out/async_t").count() == st["rows_out"]
+
+
+def test_run_async_failure_is_recorded(spark, work_root):
+    from etl_cli_spark.spec import make_spec
+
+    eng = Engine(spark, work_root, job_log=True)
+    uid = eng.run_async(make_spec("missing_ds_xyz", target="out/fail_t", op="create"))
+    st = eng.job_log.poll(uid, interval=0.2, timeout=120)
+    assert st["status"] == "failed" and st["error"]
