@@ -238,8 +238,10 @@ def _scratch_orders(spark, sf):
     tmp = tempfile.mkdtemp(prefix="etl_writeop_")
     # pk-hash bucketed layout: update-family ops partition-prune to the
     # buckets holding source pks instead of rewriting the whole table
+    # n_buckets matches local core count so the bucketed write keeps full
+    # parallelism (repartition(n, bucket) yields exactly n write tasks)
     t = ParquetTable(
-        spark, f"{tmp}/orders_t.parquet", bucket_by=("o_orderkey",), n_buckets=16
+        spark, f"{tmp}/orders_t.parquet", bucket_by=("o_orderkey",), n_buckets=32
     )
     t.append(orders)
     return eng, orders, t

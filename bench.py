@@ -58,6 +58,18 @@ def main() -> int:
     eng = Engine(spark, sf_dir)
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         eng.read(t).count()
+    # warm the dynamic-partitioned write path too (committer + codegen
+    # classes), so write-op queries measure the op, not first-write JIT
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    wtmp = tempfile.mkdtemp(prefix="bench_warm_")
+    spark.range(1000).withColumn("p", F.col("id") % 4).write.partitionBy("p").parquet(
+        f"{wtmp}/w.parquet"
+    )
+    shutil.rmtree(wtmp, ignore_errors=True)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -16,6 +16,7 @@ base.py:646-681, is obsolete under AQE).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any, Sequence
 
@@ -28,6 +29,28 @@ from .operators.writeops import ParquetTable, apply_write_op
 from .sources.registry import read_dataset, write_dataset
 from .spec import JobSpec, make_spec
 from .uri import DatasetURI, expand_wildcard, parse_ds, resolve_path, template_target
+
+
+def _catalog_fingerprint(root: str) -> tuple[tuple[str, int], ...]:
+    """Cheap change-token for a root: (entry, mtime_ns) one and two levels
+    deep. Any dataset create/overwrite/drop touches its directory (Spark
+    rewrites _SUCCESS and part files), so the token changes; pure reads
+    don't. os.scandir of a catalog is microseconds vs. the parquet-footer
+    reads a full view re-registration costs."""
+    fp: list[tuple[str, int]] = []
+    try:
+        entries = sorted(os.scandir(root), key=lambda e: e.name)
+    except OSError:
+        return ()
+    for e in entries:
+        try:
+            fp.append((e.name, e.stat().st_mtime_ns))
+            if e.is_dir():
+                for c in sorted(os.scandir(e.path), key=lambda c: c.name):
+                    fp.append((f"{e.name}/{c.name}", c.stat().st_mtime_ns))
+        except OSError:
+            continue
+    return tuple(fp)
 
 
 @dataclass
@@ -114,19 +137,28 @@ class Engine:
         as ``ns_name``). The full Spark SQL surface — multi-way joins,
         CTEs, windows — over the same catalog the job API uses.
 
-        Views are re-registered on every call: temp views are global to
-        the SparkSession, so a one-shot cache would go stale when another
-        Engine (different root) registers the same names, or when datasets
-        are created after the first ``sql()``. Re-registration is cheap —
-        ``createOrReplaceTempView`` stores a lazy plan, nothing executes."""
+        Temp views are global to the SparkSession, so a register-once cache
+        goes stale when another Engine (different root) overwrites the
+        names, or when datasets are created/overwritten after the first
+        ``sql()``. Re-registering on every call is also wrong at scale:
+        each ``read()`` builds an eager file index + reads parquet footers
+        for EVERY dataset per query. Instead the registered state is
+        fingerprinted — (root, {dataset: dir mtime}) stored ON the session
+        object (so it dies with the session; no ``id()`` reuse hazard) —
+        and views are re-registered only when the fingerprint changes.
+        Writes touch the dataset directory (_SUCCESS et al.), so an
+        overwrite or create bumps the mtime and invalidates the cache."""
         from .catalog import ls_ns
 
-        for name in ls_ns(self.root):
-            try:
-                self.read(name).createOrReplaceTempView(name)
-            except Exception:
-                for sub in ls_ns(self.root, name):
-                    self.read(f"{name}/{sub}").createOrReplaceTempView(f"{name}_{sub}")
+        state = (self.root, _catalog_fingerprint(self.root))
+        if getattr(self.spark, "_etl_sql_state", None) != state:
+            for name in ls_ns(self.root):
+                try:
+                    self.read(name).createOrReplaceTempView(name)
+                except Exception:
+                    for sub in ls_ns(self.root, name):
+                        self.read(f"{name}/{sub}").createOrReplaceTempView(f"{name}_{sub}")
+            self.spark._etl_sql_state = state
         return self.spark.sql(query)
 
     def info(self, spec: JobSpec) -> dict[str, Any]:

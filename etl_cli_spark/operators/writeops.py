@@ -261,6 +261,13 @@ def apply_write_op(src: DataFrame, table: ParquetTable, spec: TargetSpec) -> Dat
         raise ValueError(f"op {op!r} requires a pk")
     pk = list(spec.pk)
     src = src.dropDuplicates(pk)  # engine-enforced pk dedupe (etl.py:230-235)
+    # the update family evaluates src up to 3x (touched-bucket scan, matched
+    # join, new-keys anti-join) — persist the deduped source once instead of
+    # recomputing its whole upstream pipeline per use. MEMORY_AND_DISK: the
+    # source of a MERGE is the changed-rows set, small relative to target.
+    from pyspark import StorageLevel
+
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
 
     # partition-scoped path: when the table is bucketed exactly by this
     # pk, restrict BOTH the target read and the rewrite to the buckets
@@ -279,6 +286,7 @@ def apply_write_op(src: DataFrame, table: ParquetTable, spec: TargetSpec) -> Dat
             if spec.dry_run:
                 return src
             table.append(src)
+            src.unpersist()
             return table.read()
         # update/delete against a missing target is a no-op
         return src.limit(0)
@@ -342,10 +350,11 @@ def apply_write_op(src: DataFrame, table: ParquetTable, spec: TargetSpec) -> Dat
 
     new_state = new_state.drop("__etl_scope")
     if spec.dry_run:
-        return new_state
+        return new_state  # plan still references src; caller owns its lifetime
     if scoped:
         if touched:
             table.overwrite_buckets(new_state, touched)
     else:
         table.overwrite(new_state)
+    src.unpersist()
     return table.read()

@@ -213,3 +213,29 @@ def test_sql_two_roots_no_clobber(spark, tmp_path):
     assert e2.sql("SELECT count(*) AS n FROM ds").first().n == 7
     # back to the first root: views re-registered, not stale
     assert e1.sql("SELECT count(*) AS n FROM ds").first().n == 2
+
+
+def test_sql_sees_overwritten_dataset(spark, tmp_path):
+    """In-place overwrite (same name, new files) must invalidate the cached
+    view — the fingerprint keys on directory mtimes, not just names."""
+    from etl_cli_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    spark.range(4).toDF("a").write.parquet(f"{tmp_path}/ds.parquet")
+    assert eng.sql("SELECT count(*) AS n FROM ds").first().n == 4
+    spark.range(9).toDF("a").write.mode("overwrite").parquet(f"{tmp_path}/ds.parquet")
+    assert eng.sql("SELECT count(*) AS n FROM ds").first().n == 9
+
+
+def test_sql_fingerprint_caches_between_calls(spark, tmp_path):
+    """No writes between two sql() calls → the second call must not
+    re-register (no per-query parquet-footer reads at scale)."""
+    from etl_cli_spark.engine import Engine, _catalog_fingerprint
+
+    eng = Engine(spark, str(tmp_path))
+    spark.range(3).toDF("a").write.parquet(f"{tmp_path}/ds.parquet")
+    eng.sql("SELECT 1").collect()
+    state = getattr(spark, "_etl_sql_state", None)
+    assert state == (str(tmp_path), _catalog_fingerprint(str(tmp_path)))
+    eng.sql("SELECT count(*) AS n FROM ds").collect()
+    assert getattr(spark, "_etl_sql_state") is state  # untouched, not rebuilt
