@@ -640,7 +640,58 @@ def _q_embedding_neardup(spark, sf):
     from etl_cli_spark.operators.similarity import embedding_neardup_pairs
 
     emb = _engine(spark, sf).read("embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.8)
+    # synthetic embeddings are near-orthogonal: 0.4 is where real pairs
+    # live (59 exact pairs at sf0.01; LSH at 8 bands recovers 58 — a
+    # non-empty result so a return-nothing regression can't stay green).
+    # Recall vs the exact ground truth is pinned by unit test.
+    return embedding_neardup_pairs(emb, threshold=0.4, bands=8)
+
+
+def _q_split_deterministic(spark, sf):
+    from etl_cli_spark.operators.pipeline import deterministic_split
+
+    d = _engine(spark, sf).read("documents")
+    return (
+        deterministic_split(d, id_col="doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_stratified_sample(spark, sf):
+    from etl_cli_spark.operators.pipeline import stratified_sample
+
+    d = _engine(spark, sf).read("documents")
+    return stratified_sample(d, ["lang"], 0.1, id_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _q_chunk_documents(spark, sf):
+    from etl_cli_spark.operators.pipeline import chunk_documents
+
+    d = _engine(spark, sf).read("documents")
+    out = chunk_documents(d, size=200, overlap=50)
+    return out.select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk_text")
+
+
+def _q_pack_sequences(spark, sf):
+    from etl_cli_spark.operators.pipeline import pack_sequences
+
+    d = _engine(spark, sf).read("documents")
+    out = pack_sequences(d, budget=500, n_shards=16)
+    return out.select(
+        "doc_id", "shard", F.col("n_tokens").cast("long").alias("n_tokens"), "pack_id"
+    )
+
+
+def _q_decontaminate(spark, sf):
+    from etl_cli_spark.operators.pipeline import decontaminate
+
+    d = _engine(spark, sf).read("documents")
+    # stand-in benchmark set: every 97th document
+    bench = d.filter("doc_id % 97 = 0")
+    return decontaminate(d, bench, n=8).select("doc_id", "lang")
 
 
 def _q_multimodal_decode(spark, sf):
@@ -732,6 +783,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": _q_similarity_ivf,
         "embedding_neardup": _q_embedding_neardup,
         "multimodal_decode": _q_multimodal_decode,
+        # training-data pipeline ops (split/sample/chunk/pack/decontaminate)
+        "split_deterministic": _q_split_deterministic,
+        "stratified_sample": _q_stratified_sample,
+        "chunk_documents": _q_chunk_documents,
+        "pack_sequences": _q_pack_sequences,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -1059,6 +1116,48 @@ def oracle_sql() -> dict[str, str]:
         "CAST(dec_width AS INTEGER) AS dec_width, "
         "CAST(dec_height AS INTEGER) AS dec_height "
         f"FROM (VALUES {', '.join(_vals)}) AS t(media_id, dec_width, dec_height)"
+    )
+
+    # training-data pipeline ops: hashing is md5-prefix -> uint32 in both
+    # engines (Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT)),
+    # so split/sample/pack assignments are bit-identical, not statistical
+    _H = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)"
+    sql["split_deterministic"] = (
+        "SELECT split, count(*) AS n FROM ("
+        f"  SELECT CASE WHEN {_H} < 3865470566 THEN 'train' "
+        f"              WHEN {_H} < 4080218931 THEN 'val' "
+        "               ELSE 'test' END AS split FROM documents) GROUP BY split"
+    )
+    sql["stratified_sample"] = (
+        "SELECT doc_id, lang, source FROM ("
+        "  SELECT doc_id, lang, source, "
+        f"         row_number() OVER (PARTITION BY lang ORDER BY {_H}, doc_id) AS rk, "
+        "          count(*) OVER (PARTITION BY lang) AS n "
+        "  FROM documents) WHERE rk <= ceil(n * 0.1)"
+    )
+    sql["chunk_documents"] = (
+        "SELECT d.doc_id, CAST(g.i AS BIGINT) AS chunk_id, "
+        "       substr(d.text, CAST(g.i AS INT)*150 + 1, 200) AS chunk_text "
+        "FROM documents d, "
+        "     LATERAL (SELECT unnest(generate_series(0, "
+        "        CAST(ceil(greatest(1, length(d.text) - 50) / 150.0) AS INT) - 1)) AS i) g"
+    )
+    sql["pack_sequences"] = (
+        f"WITH t AS (SELECT doc_id, {_H} % 16 AS shard, "
+        f"                  CAST({_TOKENS} AS BIGINT) AS n_tokens FROM documents) "
+        "SELECT doc_id, shard, n_tokens, "
+        "  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+        "       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500.0) AS BIGINT) AS pack_id "
+        "FROM t"
+    )
+    sql["decontaminate"] = (
+        r"WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t "
+        "             FROM documents), "
+        "g AS (SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS gram "
+        "      FROM tok, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i) s), "
+        "hits AS (SELECT DISTINCT g.doc_id FROM g "
+        "         JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) b USING (gram)) "
+        "SELECT d.doc_id, d.lang FROM documents d ANTI JOIN hits USING (doc_id)"
     )
 
     # no oracle (rows-only): dedup_minhash / dedup_simhash_pairs /

@@ -1,0 +1,228 @@
+"""Training-data pipeline operators: split / chunk / pack / sample /
+decontaminate.
+
+These are the dataset-preparation steps a large-scale LLM training
+pipeline runs between "raw corpus" and "tokenized shards" — beyond the
+reference's ETL surface (which stops at move/merge/write, etl.py:13), but
+first-class citizens of this engine alongside dedup and similarity.
+
+Every operator here is pure Column expressions / window functions — no
+Python UDFs, no driver-side loops — so the whole stage stays inside
+whole-stage codegen and scales with the cluster:
+
+- determinism is by content hash (md5), never rand(): reruns, retried
+  tasks, and different cluster sizes produce the identical assignment,
+  and the same rule is expressible in any engine (the DuckDB oracles run
+  the same md5 math);
+- nothing shuffles except where the semantics demand grouping (packing
+  shuffles by shard; stratified sampling by stratum); splits, chunking
+  and hash-sampling are fully narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+# md5-prefix -> uint32: the portable deterministic hash. Spark's
+# conv(hex,16,10) and DuckDB's CAST('0x'||hex AS BIGINT) agree exactly.
+_HASH_MOD = 1 << 32
+
+
+def hash_bucket(col: Column | str, seed: str = "") -> Column:
+    """Deterministic uint32 from a value (content-hash, not rand()).
+
+    ``seed`` folds a salt into the hash so independent decisions (split
+    vs. sample, say) de-correlate while each stays reproducible.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(c.cast("string"), F.lit(seed)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test) by content hash.
+
+    The assignment depends only on (id, seed): stable across reruns,
+    cluster sizes, and row order — the property that matters when the
+    val set must never leak into a later training run. Narrow (no
+    shuffle): a per-row expression the optimizer can push around.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = hash_bucket(id_col, seed)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cut = int(acc * _HASH_MOD)
+        branch = F.when(bucket < F.lit(cut), F.lit(name))
+        expr = branch if expr is None else expr.when(bucket < F.lit(cut), F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str = "doc_id", fraction: float = 0.1, seed: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose content hash
+    falls under ``fraction``. Unlike ``df.sample`` it is reproducible
+    across runs/cluster layouts and consistent per id across datasets
+    (sampling documents and their embeddings by the same id keeps them
+    aligned). Narrow, pushes down."""
+    cut = int(fraction * _HASH_MOD)
+    return df.filter(hash_bucket(id_col, seed) < F.lit(cut))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Exact per-stratum fraction: rank rows inside each stratum by
+    content hash and keep the first ceil(fraction * stratum_size).
+
+    Hash-threshold sampling only approximates per-group fractions; the
+    rank cut makes them exact (a requirement when small strata must not
+    vanish, e.g. low-resource languages). One shuffle on the strata
+    columns; the rank is a window inside each stratum. Skew note: a
+    pathologically hot stratum serializes into one partition — pre-split
+    such strata with an extra bucket column if that bites.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(hash_bucket(id_col, seed), F.col(id_col))
+    cw = Window.partitionBy(*strata_cols)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(cw))
+        .filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rk", "__n")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-width overlapping character windows.
+
+    Chunk i covers [i*stride, i*stride + size) with stride = size -
+    overlap; a document emits ceil(max(1, len - overlap) / stride)
+    chunks, so every character lands in >= 1 chunk and no chunk starts
+    beyond the text. The per-row explode is narrow — Spark parallelizes
+    by document and the output inherits the input partitioning; no
+    shuffle, no UDF (sequence + posexplode + substring are all codegen).
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    n = F.ceil(
+        F.greatest(F.lit(1), F.length(F.col(text_col)) - F.lit(overlap))
+        / F.lit(float(stride))
+    ).cast("int")
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n - F.lit(1))).alias("chunk_id"),
+        F.col(text_col),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.substring(
+            F.col(text_col), F.col("chunk_id") * stride + 1, size
+        ).alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_shards: int = 16,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign documents to fixed
+    token-budget packs.
+
+    Documents are deterministically sharded (content hash), ordered by id
+    inside each shard, and the running token total is quantized into
+    packs of ``budget`` tokens: pack_id = floor(exclusive_cumsum /
+    budget) — the semantics of concatenating the shard's token stream
+    and cutting every ``budget`` tokens, which is how training shards
+    are actually packed (documents may straddle a boundary).
+
+    Scale: one shuffle on the shard key; each shard's cumsum is an
+    independent window, so parallelism = n_shards — size it to the
+    cluster (thousands at 100 TB), not to 16.
+    """
+    toks = F.col(token_col) if token_col else token_count(text_col)
+    shard = (hash_bucket(id_col) % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.select(F.col(id_col), shard, toks.alias("n_tokens"))
+    return out.withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget)),
+    )
+
+
+def ngrams(col: Column | str, n: int = 8) -> Column:
+    """Word n-grams (lowercased, whitespace-tokenized) as an array of
+    space-joined strings; texts shorter than n words produce none."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count), lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+    # guard: sequence(1, 0) yields a DESCENDING [1,0] in Spark, and
+    # slice(toks, 0, n) then errors — short texts must short-circuit
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Drop training documents sharing any word n-gram with a benchmark
+    set (test-set contamination removal, the WMT/GPT-3-style n-gram rule).
+
+    Plan shape: explode both sides to distinct (hashed) n-grams, semi-join
+    docs' grams against the benchmark's, anti-join hit ids back. Only
+    64-bit gram hashes shuffle — never document text — and the benchmark
+    gram set is small (AQE broadcasts it), so the cost is one scan of each
+    side at any scale.
+    """
+    bcol = bench_text_col or text_col
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(ngrams(text_col, n)).alias("g")
+    ).select(id_col, F.xxhash64("g").alias("gh"))
+    bench_grams = (
+        benchmark.select(F.explode(ngrams(bcol, n)).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    hit_ids = doc_grams.join(bench_grams, "gh", "left_semi").select(id_col).distinct()
+    return docs.join(hit_ids, id_col, "left_anti")

@@ -1,0 +1,129 @@
+"""Training-data pipeline operators: split / sample / chunk / pack /
+decontaminate (operators/pipeline.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cli_spark.operators.pipeline import (
+    chunk_documents,
+    decontaminate,
+    deterministic_split,
+    hash_sample,
+    ngrams,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(engine):
+    return engine.read("documents")
+
+
+def test_split_partition_complete_and_deterministic(docs):
+    out = deterministic_split(docs)
+    n = docs.count()
+    by = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by.values()) == n  # every row assigned exactly once
+    assert set(by) <= {"train", "val", "test"}
+    assert by["train"] > by.get("val", 0) and by["train"] > by.get("test", 0)
+    # identical assignment on a rerun (content hash, not rand())
+    again = deterministic_split(docs)
+    assert out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() == 0
+
+
+def test_split_seed_decorrelates(docs):
+    a = deterministic_split(docs, seed="a").select("doc_id", F.col("split").alias("sa"))
+    b = deterministic_split(docs, seed="b").select("doc_id", F.col("split").alias("sb"))
+    diff = a.join(b, "doc_id").filter("sa <> sb").count()
+    assert diff > 0  # different salts really produce different assignments
+
+
+def test_hash_sample_subset_and_aligned(docs):
+    s = hash_sample(docs, fraction=0.2)
+    n, k = docs.count(), s.count()
+    assert 0 < k < n
+    # per-id decision: sampling twice selects the same rows
+    assert s.select("doc_id").exceptAll(hash_sample(docs, fraction=0.2).select("doc_id")).count() == 0
+    # monotone: a larger fraction strictly contains the smaller sample
+    s5 = hash_sample(docs, fraction=0.5)
+    assert s.select("doc_id").exceptAll(s5.select("doc_id")).count() == 0
+
+
+def test_stratified_sample_exact_per_stratum(docs):
+    frac = 0.1
+    out = stratified_sample(docs, ["lang"], frac)
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    want = {
+        r.lang: -(-r.n * 10 // 100)  # ceil(n * 0.1) in exact integer math
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want  # every stratum hit its exact quota (none vanished)
+
+
+def test_chunk_documents_covers_text(spark):
+    text = "x" * 1000
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_documents(df, size=400, overlap=100).orderBy("chunk_id").collect()
+    # stride 300: starts 0,300,600 -> ceil(max(1,1000-100)/300)=3 chunks
+    assert [r.chunk_id for r in out] == [0, 1, 2]
+    assert len(out[0].chunk_text) == 400
+    assert len(out[-1].chunk_text) == 400  # 600..1000
+    # consecutive chunks overlap by `overlap` characters
+    assert out[0].chunk_text[300:] == out[1].chunk_text[:100]
+    # short doc -> exactly one chunk, the whole text
+    short = spark.createDataFrame([(2, "tiny")], "doc_id long, text string")
+    got = chunk_documents(short, size=400, overlap=100).collect()
+    assert len(got) == 1 and got[0].chunk_text == "tiny"
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, size=100, overlap=100)
+
+
+def test_pack_sequences_quantizes_cumsum(spark):
+    rows = [(i, "w " * 100) for i in range(10)]  # 100 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, budget=250, n_shards=1).orderBy("doc_id").collect()
+    # exclusive cumsum 0,100,...,900 / 250 -> packs 0,0,0,1,1,2,2,2,3,3
+    assert [r.pack_id for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert all(r.shard == 0 for r in out)
+
+
+def test_pack_sequences_sharded_parallel(docs):
+    out = pack_sequences(docs, budget=500, n_shards=8)
+    assert out.select("shard").distinct().count() > 1  # really fans out
+    # within a shard pack_id is nondecreasing in doc order
+    bad = (
+        out.withColumn(
+            "prev",
+            F.lag("pack_id").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "shard"
+                ).orderBy("doc_id")
+            ),
+        )
+        .filter("prev IS NOT NULL AND pack_id < prev")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    gram = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix words here then {gram} and a tail"),
+            (2, "totally unrelated text with no shared phrases at all right"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"the benchmark contains {gram} inside it")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in decontaminate(docs, bench, n=8).collect()}
+    assert kept == {2}
+
+
+def test_ngrams_short_text_empty(spark):
+    df = spark.createDataFrame([("a b c",)], "text string")
+    assert df.select(F.size(ngrams("text", 8)).alias("n")).first().n == 0

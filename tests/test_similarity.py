@@ -71,6 +71,27 @@ def test_neardup_pairs_self_similarity(spark):
     assert (1, 3) not in got
 
 
+def test_neardup_pairs_recall_vs_exact(spark, emb):
+    """Pin the driver query's parameters (threshold=0.4, bands=8) against
+    exact ground truth on the fixture: precision must be 1.0 (candidates
+    are exact-verified) and recall >= 0.9 — so the `embedding_neardup`
+    rows-only driver entry can't silently degrade to near-empty."""
+    a, b = emb.alias("a"), emb.alias("b")
+    exact_df = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.4)
+        .select(F.col("a.vec_id").alias("x"), F.col("b.vec_id").alias("y"))
+    )
+    exact = {(r.x, r.y) for r in exact_df.collect()}
+    got = {
+        (min(r.a_id, r.b_id), max(r.a_id, r.b_id))
+        for r in embedding_neardup_pairs(emb, threshold=0.4, bands=8).collect()
+    }
+    assert exact, "fixture must contain real pairs at this threshold"
+    assert got <= exact  # precision 1.0: every reported pair is a true pair
+    assert len(got) / len(exact) >= 0.9
+
+
 def test_brute_force_guard(spark):
     df = spark.range(200_000).select(
         F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
