@@ -495,6 +495,51 @@ _Q10_SQL = (
 )
 
 
+# q12 shape: join + conditional aggregation (CASE inside sum)
+_Q12_SQL = (
+    "SELECT l_returnflag, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "GROUP BY l_returnflag"
+)
+
+# q16 shape: NOT IN subquery + count(DISTINCT) grouped agg
+_Q16_SQL = (
+    "SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "WHERE p_type <> 'PROMO' AND p_size IN (1, 2, 3, 4, 5) "
+    "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY p_brand, p_type, p_size "
+    "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50"
+)
+
+# q18 shape: IN over a HAVING subquery (large-order customers)
+_Q18_SQL = (
+    "SELECT c_name, o_orderkey, "
+    "CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 6) AS DOUBLE) AS total_qty "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "  GROUP BY l_orderkey HAVING sum(l_quantity) > 250) "
+    "GROUP BY c_name, o_orderkey ORDER BY total_qty DESC, o_orderkey LIMIT 20"
+)
+
+# q22 shape: scalar subquery (rounded: double avg differs in the last ulp
+# across engines) + anti-join via NOT EXISTS on a filtered order set
+_Q22_SQL = (
+    "SELECT substring(c_name, length(c_name), 1) AS cgroup, count(*) AS numcust, "
+    "CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,10))), 6) AS DOUBLE) AS totacctbal "
+    "FROM customer "
+    "WHERE c_acctbal > (SELECT CAST(round(CAST(avg(c_acctbal) AS DECIMAL(30,10)), 6) AS DOUBLE) "
+    "  FROM customer WHERE c_acctbal > 0) "
+    "AND NOT EXISTS (SELECT 1 FROM orders "
+    "  WHERE o_custkey = c_custkey AND o_orderstatus = 'P') "
+    "GROUP BY 1 ORDER BY 1"
+)
+
+
 def _q_sql_q3(spark, sf):
     return _engine(spark, sf).sql(_Q3_SQL)
 
@@ -505,6 +550,22 @@ def _q_sql_q5(spark, sf):
 
 def _q_sql_q10(spark, sf):
     return _engine(spark, sf).sql(_Q10_SQL)
+
+
+def _q_sql_q12(spark, sf):
+    return _engine(spark, sf).sql(_Q12_SQL)
+
+
+def _q_sql_q16(spark, sf):
+    return _engine(spark, sf).sql(_Q16_SQL)
+
+
+def _q_sql_q18(spark, sf):
+    return _engine(spark, sf).sql(_Q18_SQL)
+
+
+def _q_sql_q22(spark, sf):
+    return _engine(spark, sf).sql(_Q22_SQL)
 
 
 # -- events ------------------------------------------------------------------
@@ -766,6 +827,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_q3_shape": _q_sql_q3,
         "sql_q5_shape": _q_sql_q5,
         "sql_q10_shape": _q_sql_q10,
+        "sql_q12_shape": _q_sql_q12,
+        "sql_q16_shape": _q_sql_q16,
+        "sql_q18_shape": _q_sql_q18,
+        "sql_q22_shape": _q_sql_q22,
         # events / streaming-analog (SURVEY §2.9-2.10)
         "events_window_1h": _q_events_window_1h,
         "events_sessionize": _q_events_sessionize,
@@ -992,6 +1057,10 @@ def oracle_sql() -> dict[str, str]:
     sql["sql_q3_shape"] = _Q3_SQL
     sql["sql_q5_shape"] = _Q5_SQL
     sql["sql_q10_shape"] = _Q10_SQL
+    sql["sql_q12_shape"] = _Q12_SQL
+    sql["sql_q16_shape"] = _Q16_SQL
+    sql["sql_q18_shape"] = _Q18_SQL
+    sql["sql_q22_shape"] = _Q22_SQL
 
     sql["events_window_1h"] = (
         "SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, "
@@ -1160,8 +1229,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT d.doc_id, d.lang FROM documents d ANTI JOIN hits USING (doc_id)"
     )
 
-    # no oracle (rows-only): dedup_minhash / dedup_simhash_pairs /
-    # similarity_ann / similarity_ivf / embedding_neardup (hash/LSH/
-    # kmeans-specific — verified by recall unit tests against the exact
-    # baselines instead)
+    # dedup_minhash: the oracle is the EXACT 3-shingle Jaccard ground
+    # truth (no MinHash) with the same greedy smallest-id-wins policy.
+    # LSH recall on the fixture is exactly 1.0 (verified: 25/25 pairs,
+    # deterministic seeds), so the approximate operator must reproduce
+    # the exact answer — a much stronger check than rows-only.
+    sql["dedup_minhash"] = (
+        r"WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t "
+        "             FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)), "
+        "         i -> array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS s FROM tok), "
+        "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+        "                / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8) "
+        "SELECT d.doc_id, d.lang FROM documents d "
+        "ANTI JOIN (SELECT DISTINCT b_id AS doc_id FROM pairs) l USING (doc_id)"
+    )
+
+    # no oracle (rows-only): dedup_simhash_pairs / similarity_ann /
+    # similarity_ivf / embedding_neardup (hash/LSH/kmeans-specific —
+    # verified by recall unit tests against the exact baselines instead)
     return sql
