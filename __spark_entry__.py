@@ -755,6 +755,36 @@ def _q_decontaminate(spark, sf):
     return decontaminate(d, bench, n=8).select("doc_id", "lang")
 
 
+def _q_text_repetition(spark, sf):
+    from etl_cli_spark.operators.text import repetition_stats
+
+    d = _engine(spark, sf).read("documents")
+    out = repetition_stats(d, n=2)
+    return out.select(
+        "doc_id",
+        F.round("top2gram_frac", 6).alias("top2gram_frac"),
+        "n_2grams",
+    )
+
+
+def _q_text_pii_scrub(spark, sf):
+    from etl_cli_spark.operators.text import pii_scrub
+
+    d = _engine(spark, sf).read("documents")
+    # the fixture corpus is synthetic word-salad with no PII, so inject a
+    # deterministic email/IP per row and verify the scrubbed output
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0.0."),
+        (F.col("doc_id") % 255).cast("string"),
+        F.lit(" tel +1-555-01"),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+    )
+    return d.select("doc_id", pii_scrub(dirty).alias("clean"))
+
+
 def _q_multimodal_decode(spark, sf):
     from etl_cli_spark.operators.multimodal import decode_images, make_fake_media
 
@@ -848,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": _q_similarity_ivf,
         "embedding_neardup": _q_embedding_neardup,
         "multimodal_decode": _q_multimodal_decode,
+        "text_repetition": _q_text_repetition,
+        "text_pii_scrub": _q_text_pii_scrub,
         # training-data pipeline ops (split/sample/chunk/pack/decontaminate)
         "split_deterministic": _q_split_deterministic,
         "stratified_sample": _q_stratified_sample,
@@ -1228,6 +1260,30 @@ def oracle_sql() -> dict[str, str]:
         "         JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) b USING (gram)) "
         "SELECT d.doc_id, d.lang FROM documents d ANTI JOIN hits USING (doc_id)"
     )
+
+    sql["text_repetition"] = (
+        r"WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t "
+        "             FROM documents), "
+        "g AS (SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS gram "
+        "      FROM tok, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-1, 0))) AS i) s), "
+        "per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram) "
+        "SELECT doc_id, round(CAST(max(c) AS DOUBLE)/sum(c), 6) AS top2gram_frac, "
+        "       CAST(sum(c) AS BIGINT) AS n_2grams FROM per GROUP BY doc_id"
+    )
+
+    # text_pii_scrub: same injected-PII text, same pattern chain — DuckDB
+    # needs the 'g' flag (its regexp_replace is first-match by default;
+    # Spark's is always global)
+    from etl_cli_spark.operators.text import _PII_PATTERNS
+
+    _dirty = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.0.' "
+        "|| CAST(doc_id % 255 AS VARCHAR) || ' tel +1-555-01' || CAST(doc_id % 90 + 10 AS VARCHAR)"
+    )
+    _expr = _dirty
+    for _pat, _tag in _PII_PATTERNS:
+        _expr = f"regexp_replace({_expr}, '{_pat}', '{_tag}', 'g')"
+    sql["text_pii_scrub"] = f"SELECT doc_id, {_expr} AS clean FROM documents"
 
     # dedup_minhash: the oracle is the EXACT 3-shingle Jaccard ground
     # truth (no MinHash) with the same greedy smallest-id-wins policy.

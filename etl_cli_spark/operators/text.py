@@ -166,6 +166,65 @@ def winnow(col: Column | str, window: int = 8, k: int = 4) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality rules) and PII scrubbing
+# ---------------------------------------------------------------------------
+
+def all_ngrams(col: Column | str, n: int) -> Column:
+    """ALL word n-grams (non-distinct — frequency matters for repetition
+    signals; `dedup.shingles` is the distinct variant)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), _WS)
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Per-document repetition fraction: occurrences of the most frequent
+    word n-gram over all n-gram occurrences (the Gopher "top n-gram
+    fraction" rule; high values flag boilerplate/spam).
+
+    Plan: explode to (id, gram), two-level aggregation — the shuffle keys
+    are (id, 64-bit gram hash), never the text, and the per-(id,gram)
+    partial counts combine map-side. Scales as a word-count does.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(all_ngrams(text_col, n)).alias("g")
+    ).select(id_col, F.xxhash64("g").alias("gh"))
+    per = grams.groupBy(id_col, "gh").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy(id_col).agg(
+        (F.max("c") / F.sum("c")).alias(f"top{n}gram_frac"),
+        F.sum("c").alias(f"n_{n}grams"),
+    )
+
+
+# portable, deliberately conservative patterns (same regex dialect works
+# in Spark and DuckDB/RE2): emails, international-ish phone numbers, IPv4
+_PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}", "<PHONE>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Redact common PII shapes (email / phone / IPv4) with typed tags.
+
+    A chain of JVM-side regexp_replace — codegen, no UDF. The pattern
+    list is the seam: a production deployment swaps in its legal team's
+    patterns (or an NER model via pandas_udf) without touching callers.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
     """Convenience: attach the standard per-document stat columns."""
     c = F.col(text_col)

@@ -101,3 +101,35 @@ def test_winnow_fingerprints(spark):
     assert out[1] == out[2]  # identical text -> identical fingerprints
     assert not (out[1] & out[3])  # disjoint text -> disjoint fingerprints
     assert len(out[1]) >= 1
+
+
+def test_repetition_stats(spark):
+    from etl_cli_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a b a b a"),          # 2-grams: "a b","b a","a b","b a" -> top 2/4
+        (2, "w x y z"),            # all 2-grams unique -> top 1/3
+        (3, "solo"),               # 1 token: no 2-grams, no output row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.top2gram_frac, r.n_2grams) for r in repetition_stats(df).collect()}
+    assert got[1] == (0.5, 4)
+    assert got[2] == (1 / 3, 3)
+    assert 3 not in got
+
+
+def test_pii_scrub(spark):
+    from etl_cli_spark.operators.text import pii_scrub
+
+    rows = [
+        ("mail me at jane.doe+x@corp.example.org thanks",),
+        ("call +1-555-0123 or 44 555 123 4567 now",),
+        ("server at 192.168.1.254 is up",),
+        ("nothing sensitive here",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r.c for r in df.select(pii_scrub("text").alias("c")).collect()]
+    assert got[0] == "mail me at <EMAIL> thanks"
+    assert "<PHONE>" in got[1] and "555" not in got[1]
+    assert got[2] == "server at <IP> is up"
+    assert got[3] == "nothing sensitive here"
