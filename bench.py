@@ -71,18 +71,29 @@ def main() -> int:
     )
     shutil.rmtree(wtmp, ignore_errors=True)
 
+    # best-of-N per query: single-run numbers on a shared box swing
+    # +-30% with background load; the min is the reproducible figure
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as e:  # keep benching; surface the failure
-            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-            timings[name] = -1.0
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = -1.0
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as e:  # keep benching; surface the failure
+                print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+                best = -1.0
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best < 0 else min(best, dt)
+            # drop Spark-level persisted data between runs: a repeat must
+            # re-execute the whole plan (JIT/page-cache warmth is the
+            # thing being isolated, cached DataFrames would be cheating)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({
@@ -91,6 +102,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs": n_runs,
     }))
     return 0
 
