@@ -287,14 +287,20 @@ def ivf_index(
     A real deployment would persist/partition the output by ``__cell``
     so probes prune at the file level (partition pruning).
     """
-    import numpy as np
-    import pandas as pd
-
     sample = [
         [float(v) for v in r[0]] for r in df.select(vec_col).limit(sample_size).collect()
     ]
     cent = _kmeans_lite(sample, n_centroids, seed=seed)
-    cent_b = cent  # closure-captured; ~n_centroids*dim floats, broadcast-sized
+    return _assign_cells(df, cent, vec_col), [list(map(float, c)) for c in cent]
+
+
+def _assign_cells(df: DataFrame, centroids, vec_col: str) -> DataFrame:
+    """Attach ``__cell`` = nearest-centroid id. One Arrow-batched pass,
+    no shuffle; centroids are closure-captured (broadcast-sized)."""
+    import numpy as np
+    import pandas as pd
+
+    cent_b = np.asarray(centroids, dtype=np.float64)
 
     from pyspark.sql import types as T
 
@@ -312,7 +318,7 @@ def ivf_index(
             pdf["__cell"] = pd.Series(cells, index=pdf.index, dtype="int32")
             yield pdf
 
-    return df.mapInPandas(assign, out_schema), [list(map(float, c)) for c in cent]
+    return df.mapInPandas(assign, out_schema)
 
 
 def ivf_topk(
@@ -437,27 +443,16 @@ def ivf_topk_indexed(
     )
 
 
-def build_ann_index(
-    df: DataFrame,
-    path: str,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 16,
-    bands: int = 4,
-    seed: int = 42,
-) -> None:
-    """Build + persist a banded hyperplane-LSH index: one corpus pass
-    computes the packed signature, explodes it into (band, bucket) rows,
-    and writes parquet partitioned by ``(__band, __bucket)``."""
-    import json
-    import os
-
-    dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+def _ann_exploded(
+    df: DataFrame, planes: list[list[float]], bands: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec) -> one row per band with its bucket hash — the persisted
+    layout of the LSH index (shared by build and incremental append)."""
+    n_planes = len(planes)
     width = n_planes // bands
     mask = (1 << width) - 1
     vec_d = _as_double(F.col(vec_col))
-    exploded = (
+    return (
         df.select(F.col(id_col), F.col(vec_col), lsh_signature(vec_d, planes).alias("__sig"))
         .select(
             id_col,
@@ -476,6 +471,73 @@ def build_ann_index(
         )
         .select(id_col, vec_col, F.col("p.band").alias("__band"), F.col("p.bucket").alias("__bucket"))
     )
+
+
+def append_to_ivf_index(df: DataFrame, path: str) -> None:
+    """Incrementally add vectors to a persisted IVF index — no k-means
+    rerun, no rewrite of existing cells.
+
+    New vectors are assigned to the EXISTING centroids (read from the
+    sidecar) and appended to their cell partitions; untouched cell files
+    are never opened. Probes see old + new vectors immediately. Centroid
+    drift is the documented rebuild trigger: if the appended distribution
+    diverges from what k-means saw, recall decays and a periodic
+    ``build_ivf_index`` refresh re-balances the cells.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, _IVF_META)) as f:
+        meta = json.load(f)
+    assigned = _assign_cells(df, meta["centroids"], meta["vec_col"])
+    (
+        assigned.repartition(meta["n_centroids"], F.col("__cell"))
+        .write.mode("append")
+        .partitionBy("__cell")
+        .parquet(os.path.join(path, "vectors"))
+    )
+
+
+def append_to_ann_index(df: DataFrame, path: str) -> None:
+    """Incrementally add vectors to a persisted LSH index.
+
+    Signatures are a pure function of (seeded planes, vector), so the
+    appended rows are bit-identical to what a full rebuild would produce
+    — an appended index IS the rebuilt index, no drift caveat.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, _ANN_META)) as f:
+        meta = json.load(f)
+    planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    exploded = _ann_exploded(df, planes, meta["bands"], meta["id_col"], meta["vec_col"])
+    (
+        exploded.repartition(meta["bands"], F.col("__band"), F.col("__bucket"))
+        .write.mode("append")
+        .partitionBy("__band", "__bucket")
+        .parquet(os.path.join(path, "buckets"))
+    )
+
+
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> None:
+    """Build + persist a banded hyperplane-LSH index: one corpus pass
+    computes the packed signature, explodes it into (band, bucket) rows,
+    and writes parquet partitioned by ``(__band, __bucket)``."""
+    import json
+    import os
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    exploded = _ann_exploded(df, planes, bands, id_col, vec_col)
     (
         exploded.repartition(bands, F.col("__band"), F.col("__bucket"))
         .write.mode("overwrite")

@@ -170,3 +170,51 @@ def test_persisted_ann_index_probe(spark, emb, tmp_path):
     # identical candidates/result as the one-shot ann_topk (same planes)
     mem = ann_topk(emb, qvec, k=10, n_planes=16, bands=4, seed=42)
     assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
+
+
+def test_append_to_ann_index_equals_rebuild(spark, emb, tmp_path):
+    """Incremental append is bit-identical to a full rebuild: signatures
+    are a pure function of (seeded planes, vector)."""
+    from etl_cli_spark.operators.similarity import (
+        ann_topk_indexed,
+        append_to_ann_index,
+        build_ann_index,
+    )
+
+    half_a, half_b = emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_ann_index(half_a, inc, n_planes=16, bands=4, seed=42)
+    append_to_ann_index(half_b, inc)
+    build_ann_index(emb, full, n_planes=16, bands=4, seed=42)
+
+    n_inc = spark.read.parquet(f"{inc}/buckets").count()
+    assert n_inc == spark.read.parquet(f"{full}/buckets").count()
+    qvec = [float(x) for x in emb.filter("vec_id = 1").first().embedding]
+    got_inc = [r.vec_id for r in ann_topk_indexed(spark, inc, qvec, k=10).collect()]
+    got_full = [r.vec_id for r in ann_topk_indexed(spark, full, qvec, k=10).collect()]
+    assert got_inc == got_full
+    # appended-half vectors are actually reachable (not just present)
+    assert any(v % 2 == 1 for v in got_inc)
+
+
+def test_append_to_ivf_index(spark, emb, tmp_path):
+    """Append assigns to the EXISTING centroids: every vector lands in
+    exactly one cell and probes see old + new immediately."""
+    from etl_cli_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    half_a, half_b = emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "ivf_inc")
+    build_ivf_index(half_a, path, n_centroids=8, seed=7)
+    append_to_ivf_index(half_b, path)
+
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert vecs.count() == emb.count()
+    assert vecs.select("vec_id").distinct().count() == emb.count()
+    # querying an appended vector's own embedding must surface it
+    qvec = [float(x) for x in emb.filter("vec_id = 1").first().embedding]
+    top = [r.vec_id for r in ivf_topk_indexed(spark, path, qvec, k=5, n_probe=8).collect()]
+    assert top[0] == 1
