@@ -153,6 +153,26 @@ def stateful_running_totals(
     )
 
 
+def stream_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins across
+    micro-batches.
+
+    With ``ts_col`` (requires a watermark upstream, e.g. from
+    ``stream_events``), state for a key is dropped once the watermark
+    passes it — ``dropDuplicatesWithinWatermark`` — so state stays
+    bounded at 100 TB/day ingest: the dedup window is the watermark, not
+    forever. Without ``ts_col`` the state grows with distinct keys
+    (exactly-once over the whole stream; only for bounded key spaces).
+    """
+    if ts_col is not None:
+        return stream_df.dropDuplicatesWithinWatermark(keys)
+    return stream_df.dropDuplicates(keys)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query to completion over the currently-available
     input (local smoke path): memory sink + processAllAvailable."""

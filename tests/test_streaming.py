@@ -109,3 +109,37 @@ def test_stateful_running_totals(spark, engine, tmp_path):
         bn, btotal = batch[r.user_id]
         assert r.n == bn
         assert abs(r.total - float(btotal or 0.0)) < 1e-6
+
+
+def test_stream_dedup_across_microbatches(spark, engine, tmp_path):
+    from etl_cli_spark.streaming.stream import stream_dedup
+
+    # write the same events TWICE as separate files -> duplicate keys
+    # arrive in different micro-batches; dedup state must span batches
+    ev = engine.read("events").limit(200)
+    ev_path = str(tmp_path / "ev_dup")
+    ev.coalesce(1).write.mode("append").parquet(ev_path)
+    ev.coalesce(1).write.mode("append").parquet(ev_path)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_path)
+    )
+    out = stream_dedup(stream, ["event_id"])
+    run_to_memory(out, "t_dedup_out", output_mode="append")
+    n = spark.sql("select count(*) as n from t_dedup_out").first().n
+    assert n == ev.count()  # every duplicate suppressed, every key kept once
+
+
+def test_stream_dedup_within_watermark(spark, engine, tmp_path):
+    from etl_cli_spark.streaming.stream import stream_dedup, stream_events
+
+    ev = engine.read("events").limit(100)
+    ev_path = str(tmp_path / "ev_wm")
+    ev.coalesce(1).write.mode("append").parquet(ev_path)
+    ev.coalesce(1).write.mode("append").parquet(ev_path)
+    stream = stream_events(spark, ev_path, ev.schema, watermark="1 hour")
+    out = stream_dedup(stream, ["event_id"], ts_col="ts")
+    run_to_memory(out, "t_dedup_wm_out", output_mode="append")
+    n = spark.sql("select count(*) as n from t_dedup_wm_out").first().n
+    assert n == ev.count()
