@@ -112,10 +112,12 @@ class Engine:
         max_records_per_file: int | None = None,
         bucket_by: tuple[str, ...] | None = None,
         n_buckets: int | None = None,
+        partition_by: tuple[str, ...] | None = None,
     ) -> ParquetTable:
         return ParquetTable(
             self.spark, resolve_path(ds, self.root), max_records_per_file,
             bucket_by=bucket_by, n_buckets=n_buckets or 32,
+            partition_by=partition_by,
         )
 
     def count(self, uri: str, query: Sequence[str] | None = None) -> int:

@@ -69,35 +69,62 @@ class ParquetTable:
         max_records_per_file: int | None = None,
         bucket_by: tuple[str, ...] | None = None,
         n_buckets: int = 32,
+        partition_by: tuple[str, ...] | None = None,
     ):
+        if bucket_by and partition_by:
+            raise ValueError("bucket_by and partition_by are mutually exclusive")
         self.spark = spark
         self.path = path
         self.max_records_per_file = max_records_per_file
         self._bucket_by = tuple(bucket_by) if bucket_by else None
         self._n_buckets = n_buckets
+        self._partition_by = tuple(partition_by) if partition_by else None
 
     # -- layout ---------------------------------------------------------
-    @property
-    def layout(self) -> tuple[tuple[str, ...], int] | None:
-        """(bucket_cols, n_buckets) of the ON-DISK table, or None."""
+    def _meta(self) -> dict | None:
         meta = os.path.join(self.path, _META)
         if os.path.exists(meta):
             with open(meta) as f:
-                m = json.load(f)
+                return json.load(f)
+        return None
+
+    @property
+    def layout(self) -> tuple[tuple[str, ...], int] | None:
+        """(bucket_cols, n_buckets) of the ON-DISK table, or None."""
+        m = self._meta()
+        if m is not None and m.get("kind", "bucket") == "bucket":
             return tuple(m["cols"]), int(m["n"])
         return None
 
+    @property
+    def value_layout(self) -> tuple[str, ...] | None:
+        """Value-partition columns (hive layout on real columns, e.g. a
+        date) of the ON-DISK table, or None."""
+        m = self._meta()
+        if m is not None and m.get("kind") == "values":
+            return tuple(m["cols"])
+        return None
+
     def _target_layout(self) -> tuple[tuple[str, ...], int] | None:
-        """Layout new writes should use: existing layout, else config."""
+        """Bucket layout new writes should use: existing layout, else config."""
         if self.exists():
             return self.layout
         if self._bucket_by:
             return (self._bucket_by, self._n_buckets)
         return None
 
+    def _target_value_layout(self) -> tuple[str, ...] | None:
+        if self.exists():
+            return self.value_layout
+        return self._partition_by
+
     def _write_meta(self, cols: tuple[str, ...], n: int, base: str | None = None) -> None:
         with open(os.path.join(base or self.path, _META), "w") as f:
             json.dump({"cols": list(cols), "n": n}, f)
+
+    def _write_value_meta(self, cols: tuple[str, ...], base: str | None = None) -> None:
+        with open(os.path.join(base or self.path, _META), "w") as f:
+            json.dump({"cols": list(cols), "kind": "values"}, f)
 
     def _writer(self, df: DataFrame):
         w = df.write
@@ -123,6 +150,18 @@ class ParquetTable:
         self._writer(b).mode(mode).partitionBy(_BUCKET).parquet(path)
         self._write_meta(cols, n, base=path)
 
+    def _write_value_partitioned(
+        self, df: DataFrame, path: str, cols: tuple[str, ...], mode: str
+    ) -> None:
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"value-partitioned write needs columns {missing}")
+        # hash-cluster on the partition cols: each value lands in one task
+        # -> ~1 file per partition dir instead of tasks x values
+        out = df.repartition(*[F.col(c) for c in cols])
+        self._writer(out).mode(mode).partitionBy(*cols).parquet(path)
+        self._write_value_meta(cols, base=path)
+
     # -- basic io -------------------------------------------------------
     def exists(self) -> bool:
         return os.path.exists(self.path)
@@ -139,10 +178,18 @@ class ParquetTable:
         df = self.spark.read.parquet(self.path)
         return df.filter(F.col(_BUCKET).isin([int(b) for b in buckets])).drop(_BUCKET)
 
+    def read_value_partitions(self, col: str, values: list) -> DataFrame:
+        """Partition-pruned read of a value-partitioned table."""
+        df = self.spark.read.parquet(self.path)
+        return df.filter(F.col(col).isin(values))
+
     def append(self, df: DataFrame) -> None:
         layout = self._target_layout()
+        vcols = self._target_value_layout()
         if layout:
             self._write_bucketed(df, self.path, layout, mode="append")
+        elif vcols:
+            self._write_value_partitioned(df, self.path, vcols, mode="append")
         else:
             self._writer(df).mode("append").parquet(self.path)
 
@@ -150,8 +197,11 @@ class ParquetTable:
         """Full-state replace via stage + atomic swap (safe self-reference)."""
         staged = f"{self.path}.__staged_{uuid.uuid4().hex[:8]}"
         layout = self._target_layout()
+        vcols = self._target_value_layout()
         if layout:
             self._write_bucketed(df, staged, layout, mode="overwrite")
+        elif vcols:
+            self._write_value_partitioned(df, staged, vcols, mode="overwrite")
         else:
             self._writer(df).mode("overwrite").parquet(staged)
         backup = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
@@ -192,6 +242,41 @@ class ParquetTable:
             shutil.rmtree(backup, ignore_errors=True)
             shutil.rmtree(staged, ignore_errors=True)
 
+    def overwrite_value_partitions(self, df: DataFrame, col: str, values: list) -> None:
+        """Replace ONLY the partitions of ``values`` with ``df``'s state.
+
+        ``df`` must be the complete new state of those partitions (a
+        value it lacks entirely becomes empty — e.g. a delete drained
+        it). Same staged-swap shape as ``overwrite_buckets``: the new
+        state is staged (its plan may read the live table), then only
+        the touched partition directories are swapped; everything else
+        is never opened. Cross-partition atomicity comes from the table
+        format (Delta/Iceberg commit) on a real deployment.
+        """
+        from urllib.parse import unquote
+
+        vcols = self.value_layout
+        if vcols is None:
+            raise ValueError("overwrite_value_partitions needs a value-partitioned table")
+        uid = uuid.uuid4().hex[:8]
+        staged = f"{self.path}.__staged_{uid}"
+        self._write_value_partitioned(df, staged, vcols, mode="overwrite")
+        backup = f"{self.path}.__old_{uid}"
+        os.makedirs(backup, exist_ok=True)
+        touched = {str(v) for v in values}
+        prefix = f"{col}="
+        try:
+            for entry in list(os.listdir(self.path)):
+                # hive dir name -> value string (Spark URL-escapes specials)
+                if entry.startswith(prefix) and unquote(entry[len(prefix):]) in touched:
+                    os.rename(os.path.join(self.path, entry), os.path.join(backup, entry))
+            for entry in list(os.listdir(staged)):
+                if entry.startswith(prefix):
+                    os.rename(os.path.join(staged, entry), os.path.join(self.path, entry))
+        finally:
+            shutil.rmtree(backup, ignore_errors=True)
+            shutil.rmtree(staged, ignore_errors=True)
+
     def drop(self) -> None:
         if self.exists():
             shutil.rmtree(self.path)
@@ -220,6 +305,26 @@ def _touched_buckets(src: DataFrame, layout) -> list[int]:
     return sorted({r[_BUCKET] for r in rows})
 
 
+_MAX_TOUCHED_VALUES = 4096
+
+
+def _touched_values(src: DataFrame, col: str) -> list | None:
+    """Distinct partition values in the source, or None if the scoped
+    path must be declined: too many values (the collect is partition
+    metadata, so it stays bounded), nulls (no prunable directory), or
+    values whose hive-dir encoding is ambiguous to match."""
+    rows = src.select(col).distinct().limit(_MAX_TOUCHED_VALUES + 1).collect()
+    vals = [r[0] for r in rows]
+    if len(vals) > _MAX_TOUCHED_VALUES:
+        return None
+    for v in vals:
+        if v is None or not isinstance(v, (str, int)):
+            return None
+        if any(ch in str(v) for ch in ("/", "%", "=")):
+            return None
+    return vals
+
+
 def apply_write_op(src: DataFrame, table: ParquetTable, spec: TargetSpec) -> DataFrame:
     """Apply the write op; returns the new target state DataFrame.
 
@@ -243,10 +348,20 @@ def apply_write_op(src: DataFrame, table: ParquetTable, spec: TargetSpec) -> Dat
         if not keys:
             raise ValueError("insert requires skip_by or pk")
         layout = table.layout if table.exists() else None
+        vlayout = table.value_layout if table.exists() else None
         if layout is not None and tuple(layout[0]) == tuple(keys):
             # the anti-join only needs target keys from the buckets the
             # source keys hash to — partition-pruned key scan
             tgt = table.read_buckets(_touched_buckets(src, layout))
+        elif (
+            vlayout is not None
+            and len(vlayout) == 1
+            and vlayout[0] in keys
+            and vlayout[0] in src.columns
+            and (vals := _touched_values(src, vlayout[0])) is not None
+        ):
+            # same-key rows can only live in the source values' partitions
+            tgt = table.read_value_partitions(vlayout[0], vals)
         else:
             tgt = table.read()
         new_rows = src if tgt is None else src.join(
@@ -269,15 +384,37 @@ def apply_write_op(src: DataFrame, table: ParquetTable, spec: TargetSpec) -> Dat
 
     src = src.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # partition-scoped path: when the table is bucketed exactly by this
-    # pk, restrict BOTH the target read and the rewrite to the buckets
-    # holding source pks — everything else is provably untouchable
+    # partition-scoped paths: when the table is bucketed exactly by this
+    # pk — or value-partitioned on a column CONTAINED in the pk (the row
+    # can then never change partition) — restrict BOTH the target read
+    # and the rewrite to the partitions holding source pks; everything
+    # else is provably untouchable
     layout = table.layout if table.exists() else None
     scoped = layout is not None and tuple(layout[0]) == tuple(spec.pk)
+    vlayout = table.value_layout if table.exists() else None
+    vscoped = (
+        not scoped
+        and vlayout is not None
+        and len(vlayout) == 1
+        and vlayout[0] in spec.pk
+        and vlayout[0] in src.columns
+    )
     touched: list[int] = []
+    touched_vals: list | None = None
     if scoped:
         touched = _touched_buckets(src, layout)
         tgt = table.read_buckets(touched) if touched else table.read().limit(0)
+    elif vscoped:
+        touched_vals = _touched_values(src, vlayout[0])
+        if touched_vals is None:
+            vscoped = False
+            tgt = table.read()
+        else:
+            tgt = (
+                table.read_value_partitions(vlayout[0], touched_vals)
+                if touched_vals
+                else table.read().limit(0)
+            )
     else:
         tgt = table.read()
 
@@ -354,6 +491,9 @@ def apply_write_op(src: DataFrame, table: ParquetTable, spec: TargetSpec) -> Dat
     if scoped:
         if touched:
             table.overwrite_buckets(new_state, touched)
+    elif vscoped:
+        if touched_vals:
+            table.overwrite_value_partitions(new_state, vlayout[0], touched_vals)
     else:
         table.overwrite(new_state)
     src.unpersist()
