@@ -272,6 +272,29 @@ def _q_write_upsert(spark, sf):
     return out.select(*_ORDER_COLS)
 
 
+def _q_write_upsert_datepart(spark, sf):
+    """Upsert against a VALUE-partitioned target (hive layout on
+    o_orderstatus, pk-contained): exercises the partition-scoped rewrite
+    path end-to-end — only the 'F' partition is touched."""
+    from etl_cli_spark.spec import TargetSpec
+    from etl_cli_spark.operators.writeops import ParquetTable, apply_write_op
+
+    eng = _engine(spark, sf)
+    orders = eng.read("orders")
+    tmp = tempfile.mkdtemp(prefix="etl_writeop_v_")
+    t = ParquetTable(
+        spark, f"{tmp}/orders_v.parquet", partition_by=("o_orderstatus",)
+    )
+    t.append(orders)
+    src = orders.filter("o_orderstatus = 'F' AND o_orderkey < 500").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(5.0)
+    )
+    out = apply_write_op(
+        src, t, TargetSpec(ds="t", op="upsert", pk=("o_orderkey", "o_orderstatus"))
+    )
+    return out.select(*_ORDER_COLS)
+
+
 def _q_write_update_tq(spark, sf):
     from etl_cli_spark.spec import TargetSpec
     from etl_cli_spark.operators.writeops import apply_write_op
@@ -839,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # write ops (SURVEY §2.5)
         "write_insert": _q_write_insert,
         "write_upsert": _q_write_upsert,
+        "write_upsert_datepart": _q_write_upsert_datepart,
         "write_update_tq": _q_write_update_tq,
         "write_delete": _q_write_delete,
         "write_index": _q_write_index,
@@ -1004,6 +1028,12 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL "
         "SELECT o_orderkey + 2000000, o_custkey, 'U', o_totalprice + 1.0, o_orderdate, "
         "o_orderpriority FROM orders WHERE o_orderkey < 10"
+    )
+    sql["write_upsert_datepart"] = (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "CASE WHEN o_orderstatus = 'F' AND o_orderkey < 500 "
+        "     THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice, "
+        "o_orderdate, o_orderpriority FROM orders"
     )
     sql["write_update_tq"] = (
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
