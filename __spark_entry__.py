@@ -674,6 +674,13 @@ def _q_dedup_minhash(spark, sf):
     return minhash_dedup(d, threshold=0.8).select("doc_id", "lang")
 
 
+def _q_dedup_minhash_cc(spark, sf):
+    from etl_cli_spark.operators.dedup import minhash_dedup_cc
+
+    d = _engine(spark, sf).read("documents")
+    return minhash_dedup_cc(d, threshold=0.8).select("doc_id", "lang")
+
+
 def _q_dedup_simhash_pairs(spark, sf):
     from etl_cli_spark.operators.dedup import simhash_pairs
 
@@ -895,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_minhash_cc": _q_dedup_minhash_cc,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,
         "similarity_topk": _q_similarity_topk,
@@ -1330,6 +1338,29 @@ def oracle_sql() -> dict[str, str]:
         "                / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8) "
         "SELECT d.doc_id, d.lang FROM documents d "
         "ANTI JOIN (SELECT DISTINCT b_id AS doc_id FROM pairs) l USING (doc_id)"
+    )
+
+    # dedup_minhash_cc: transitive clustering — the oracle computes the
+    # SAME exact-Jaccard pair graph, then connected components via a
+    # recursive CTE (min reachable id = cluster), keeping min-id per
+    # cluster. Verifies both the LSH pair recall AND the iterative
+    # label-propagation against an independent reachability computation.
+    sql["dedup_minhash_cc"] = (
+        r"WITH RECURSIVE "
+        r"tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t "
+        "        FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)), "
+        "         i -> array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS s FROM tok), "
+        "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+        "                / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8), "
+        "edges AS (SELECT a_id AS s, b_id AS d FROM pairs "
+        "          UNION SELECT b_id, a_id FROM pairs), "
+        "reach(node, r) AS (SELECT s, s FROM edges "
+        "                   UNION SELECT rc.node, e.d FROM reach rc JOIN edges e ON e.s = rc.r), "
+        "comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node) "
+        "SELECT d.doc_id, d.lang FROM documents d "
+        "ANTI JOIN (SELECT node AS doc_id FROM comp WHERE node <> cluster) l USING (doc_id)"
     )
 
     # no oracle (rows-only): dedup_simhash_pairs / similarity_ann /

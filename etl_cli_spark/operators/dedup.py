@@ -403,3 +403,89 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# transitive clustering (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster) labels for the pair graph: cluster = min node id
+    reachable from the node (transitive closure of the near-dup relation).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels. Rounds needed = graph
+    diameter — near-dup clusters are shallow (pairs all share content),
+    so this converges in a handful of rounds; each round is one
+    shuffle-join + groupBy over (node, label) longs only. Convergence is
+    detected by an exact changed-label count (driver-side scalar), and
+    every round's result is persisted + the previous unpersisted so the
+    lineage doesn't grow with iterations.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .unionByName(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["d"] == labels["node"])
+            .groupBy(F.col("s").alias("node2"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("lbl").alias("cluster"))
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kw,
+) -> DataFrame:
+    """Drop near-duplicates with TRANSITIVE clustering: keep exactly the
+    min-id document of each connected near-dup component.
+
+    Stricter than ``minhash_dedup``'s greedy pair policy: if A~B and
+    B~C (but not A~C), greedy keeps {A, C} while this keeps {A} —
+    the chain is one cluster. The standard corpus-dedup semantics when
+    near-dup transitivity is assumed.
+    """
+    pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col, **lsh_kw)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -90,3 +90,36 @@ def test_minhash_impls_agree(docs):
     # different hash families, same verified dups on this corpus
     assert (1, 2) in expr and (1, 2) in pandas_
     assert expr == pandas_
+
+
+def test_connected_components_chain(spark):
+    from etl_cli_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "a_id long, b_id long",
+    )
+    got = {r.node: r.cluster for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_minhash_dedup_cc_transitive(spark):
+    """A~B and B~C but not A~C: greedy keeps {A, C}; transitive CC keeps
+    only A — the chain is one cluster."""
+    from etl_cli_spark.operators.dedup import minhash_dedup, minhash_dedup_cc
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    mid = base.replace("gamma", "XgammaX")          # ~ both ends
+    far = base.replace("gamma", "XgammaX").replace("kappa", "XkappaX").replace(
+        "beta", "XbetaX"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, mid), (3, far)], "doc_id long, text string"
+    )
+    greedy = {r.doc_id for r in minhash_dedup(df, threshold=0.55).collect()}
+    cc = {r.doc_id for r in minhash_dedup_cc(df, threshold=0.55).collect()}
+    assert 1 in cc
+    assert cc <= greedy
+    # the crafted chain: 1~2 and 2~3 hold but 1~3 does not
+    if greedy == {1, 3}:
+        assert cc == {1}
