@@ -822,6 +822,20 @@ def _q_multimodal_decode(spark, sf):
     return decode_images(media).select("media_id", "dec_width", "dec_height")
 
 
+def _q_events_funnel(spark, sf):
+    from etl_cli_spark.operators.events import funnel
+
+    ev = _engine(spark, sf).read("events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+def _q_events_retention(spark, sf):
+    from etl_cli_spark.operators.events import retention
+
+    ev = _engine(spark, sf).read("events")
+    return retention(ev)
+
+
 def _q_incremental_loop(spark, sf):
     from etl_cli_spark.streaming.incremental import incremental_loop
 
@@ -895,6 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events / streaming-analog (SURVEY §2.9-2.10)
         "events_window_1h": _q_events_window_1h,
         "events_sessionize": _q_events_sessionize,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "incremental_loop": _q_incremental_loop,
         # text / dedup / similarity / multimodal (north-star extensions)
         "text_stats_by_lang": _q_text_stats_by_lang,
@@ -1143,6 +1159,26 @@ def oracle_sql() -> dict[str, str]:
         "    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s"
         "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
         "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM marks GROUP BY user_id"
+    )
+
+    sql["events_funnel"] = (
+        "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        "            WHERE event_type = 'view' GROUP BY user_id), "
+        "s2 AS (SELECT e.user_id, min(ts) AS t FROM events e JOIN s1 USING (user_id) "
+        "       WHERE event_type = 'click' AND ts > s1.t GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, min(ts) AS t FROM events e JOIN s2 USING (user_id) "
+        "       WHERE event_type = 'purchase' AND ts > s2.t GROUP BY e.user_id) "
+        "SELECT 'view' AS step, 1 AS stage, count(*) AS n_users FROM s1 "
+        "UNION ALL SELECT 'click', 2, count(*) FROM s2 "
+        "UNION ALL SELECT 'purchase', 3, count(*) FROM s3"
+    )
+    sql["events_retention"] = (
+        "WITH first AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort "
+        "               FROM events GROUP BY user_id), "
+        "act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) "
+        "SELECT cohort, CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset, "
+        "       count(DISTINCT user_id) AS n_users "
+        "FROM act JOIN first USING (user_id) GROUP BY cohort, day_offset"
     )
 
     sql["text_stats_by_lang"] = (

@@ -1,0 +1,85 @@
+"""Event-sequence analytics: funnels and retention cohorts.
+
+Beyond the reference's surface (its events are just rows to move); these
+are the standard product-analytics queries over an event stream, shaped
+for Spark:
+
+- funnel: per-step ordered-conversion via min-timestamp-after-previous
+  joins — every join is a per-user equi-join (shuffle on user_id only),
+  never a sequence scan of the whole stream per step;
+- retention: two aggregations over (user, day) pairs; the wide exchange
+  carries (user_id, date) pairs, not events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: users who did step1, then step2 AFTER
+    their first step1, then step3 after that first step2, ...
+
+    Returns (step, stage, n_users) with stage = 1-based position.
+    "First occurrence after the previous stage's first occurrence" is
+    the deterministic textbook semantics (no windowing ambiguity), and
+    each stage is one filtered aggregate + one equi-join on the user.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    stages: list[tuple[str, DataFrame]] = []
+    prev: DataFrame | None = None
+    for step in steps:
+        ev = df.filter(F.col(type_col) == step)
+        if prev is None:
+            cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
+        else:
+            cur = (
+                ev.join(prev.select(user_col, F.col("__t").alias("__pt")), user_col)
+                .filter(F.col(ts_col) > F.col("__pt"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("__t"))
+            )
+        stages.append((step, cur))
+        prev = cur
+    spark = df.sparkSession
+    out = None
+    for i, (step, cur) in enumerate(stages):
+        row = cur.agg(
+            F.lit(step).alias("step"),
+            F.lit(i + 1).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort_day, day_offset) the count of distinct users active then.
+
+    Classic triangle table. Two shuffles total: the distinct (user, day)
+    projection and the cohort join+agg — both over narrow key pairs.
+    """
+    day = F.to_date(F.col(ts_col))
+    first = df.groupBy(user_col).agg(F.min(day).alias("cohort"))
+    active = df.select(F.col(user_col), day.alias("__day")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort",
+            F.datediff(F.col("__day"), F.col("cohort")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )
