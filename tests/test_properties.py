@@ -83,3 +83,81 @@ def test_incremental_loop_exactly_once(spark, tmp_path_factory, n_rows, limit):
     assert stats.converged
     assert sorted(seen) == list(range(n_rows))  # exactly once, all of them
     assert stats.passes == -(-n_rows // limit)  # ceil
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops
+# ---------------------------------------------------------------------------
+
+_texts = st.lists(
+    st.text(alphabet="abc xyz", min_size=0, max_size=60), min_size=1, max_size=6
+)
+
+
+@given(texts=_texts, size=st.integers(8, 40), overlap=st.integers(0, 7))
+@SETTINGS
+def test_chunking_reconstructs_text(spark, texts, size, overlap):
+    """Invariants for any (text, size, overlap): stripping each chunk's
+    leading overlap and concatenating reproduces the document exactly,
+    and every chunk is at most `size` chars."""
+    from etl_cli_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = chunk_documents(df, size=size, overlap=overlap)
+    rows = sorted((r.doc_id, r.chunk_id, r.chunk_text) for r in out.collect())
+    stride = size - overlap
+    by_doc: dict[int, list[str]] = {}
+    for doc_id, chunk_id, text in rows:
+        assert len(text) <= size
+        by_doc.setdefault(doc_id, []).append(text)
+    for doc_id, chunks in by_doc.items():
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        # trailing chunks may re-cover already-seen text; the rebuilt
+        # prefix must BE the document
+        assert rebuilt[: len(texts[doc_id])] == texts[doc_id]
+        assert len(rebuilt) >= len(texts[doc_id])
+        # no chunk starts beyond the text: second-to-last must add value
+        if len(chunks) > 1:
+            assert (len(chunks) - 1) * stride < max(1, len(texts[doc_id]) - overlap) + stride
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True),
+    frac=st.floats(0.05, 0.95),
+)
+@SETTINGS
+def test_split_and_sample_consistency(spark, ids, frac):
+    """Splits partition the id set exactly; hash_sample is a subset and
+    monotone in the fraction — for arbitrary id sets and fractions."""
+    from etl_cli_spark.operators.pipeline import deterministic_split, hash_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = deterministic_split(df)
+    rows = [(r.doc_id, r.split) for r in out.collect()]
+    assert sorted(i for i, _ in rows) == sorted(ids)  # exactly once each
+    assert {s for _, s in rows} <= {"train", "val", "test"}
+    small = {r.doc_id for r in hash_sample(df, fraction=frac).collect()}
+    big = {r.doc_id for r in hash_sample(df, fraction=min(1.0, frac + 0.04)).collect()}
+    assert small <= big <= set(ids)
+
+
+@given(
+    toks=st.lists(st.integers(0, 50), min_size=1, max_size=12),
+    budget=st.integers(10, 100),
+)
+@SETTINGS
+def test_packing_quantizes_any_stream(spark, toks, budget):
+    """pack_id equals floor(exclusive-cumsum / budget) for any token
+    stream — verified against a pure-python reference."""
+    from etl_cli_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, "w " * n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.pack_id)
+        for r in pack_sequences(df, budget=budget, n_shards=1).collect()
+    }
+    cum = 0
+    for i, n in enumerate(toks):
+        assert got[i] == (n, cum // budget)
+        cum += n
