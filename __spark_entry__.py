@@ -749,6 +749,13 @@ def _q_split_deterministic(spark, sf):
     )
 
 
+def _q_hash_sample(spark, sf):
+    from etl_cli_spark.operators.pipeline import hash_sample
+
+    d = _engine(spark, sf).read("documents")
+    return hash_sample(d, fraction=0.2, seed="bench").select("doc_id", "lang", "n_chars")
+
+
 def _q_stratified_sample(spark, sf):
     from etl_cli_spark.operators.pipeline import stratified_sample
 
@@ -930,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _q_text_pii_scrub,
         # training-data pipeline ops (split/sample/chunk/pack/decontaminate)
         "split_deterministic": _q_split_deterministic,
+        "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
@@ -1302,6 +1310,11 @@ def oracle_sql() -> dict[str, str]:
         f"  SELECT CASE WHEN {_H} < 3865470566 THEN 'train' "
         f"              WHEN {_H} < 4080218931 THEN 'val' "
         "               ELSE 'test' END AS split FROM documents) GROUP BY split"
+    )
+    sql["hash_sample"] = (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'bench'),1,8)) AS BIGINT) "
+        "      < 858993459"
     )
     sql["stratified_sample"] = (
         "SELECT doc_id, lang, source FROM ("
