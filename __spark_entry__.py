@@ -822,6 +822,22 @@ def _q_text_pii_scrub(spark, sf):
     return d.select("doc_id", pii_scrub(dirty).alias("clean"))
 
 
+def _q_pipeline_end_to_end(spark, sf):
+    """Capstone: the whole training-data prep pipeline — quality filter
+    -> exact dedup -> benchmark decontamination -> deterministic split ->
+    per-(split, lang) counts — composed as ONE declarative plan."""
+    from etl_cli_spark.operators.dedup import exact_text_dedup
+    from etl_cli_spark.operators.pipeline import decontaminate, deterministic_split
+    from etl_cli_spark.operators.text import token_count
+
+    d = _engine(spark, sf).read("documents")
+    filtered = d.filter(token_count("text") >= 20)
+    deduped = exact_text_dedup(filtered)
+    clean = decontaminate(deduped, d.filter("doc_id % 97 = 0"), n=8)
+    split = deterministic_split(clean, id_col="doc_id")
+    return split.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _q_multimodal_decode(spark, sf):
     from etl_cli_spark.operators.multimodal import decode_images, make_fake_media
 
@@ -942,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
+        "pipeline_end_to_end": _q_pipeline_end_to_end,
     }
 
 
@@ -1371,6 +1388,29 @@ def oracle_sql() -> dict[str, str]:
     for _pat, _tag in _PII_PATTERNS:
         _expr = f"regexp_replace({_expr}, '{_pat}', '{_tag}', 'g')"
     sql["text_pii_scrub"] = f"SELECT doc_id, {_expr} AS clean FROM documents"
+
+    # pipeline_end_to_end: the composed stages, each reusing its
+    # already-verified oracle formulation (filter -> dedup window ->
+    # decontamination CTE -> split CASE) in one statement
+    sql["pipeline_end_to_end"] = (
+        rf"WITH f AS (SELECT doc_id, lang, text FROM documents WHERE {_TOKENS} >= 20), "
+        "d AS (SELECT doc_id, lang, text FROM ("
+        f"  SELECT doc_id, lang, text, row_number() OVER ("
+        f"    PARTITION BY {_NORM_TEXT} ORDER BY doc_id) AS rn FROM f) WHERE rn = 1), "
+        r"tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM d), "
+        "g AS (SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS gram "
+        "      FROM tok, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i) s), "
+        r"btok AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t "
+        "         FROM documents WHERE doc_id % 97 = 0), "
+        "bg AS (SELECT DISTINCT array_to_string(t[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS gram "
+        "       FROM btok, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i) s), "
+        "hits AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)), "
+        "clean AS (SELECT d.doc_id, d.lang FROM d ANTI JOIN hits USING (doc_id)), "
+        "sp AS (SELECT lang, "
+        f"  CASE WHEN {_H} < 3865470566 THEN 'train' "
+        f"       WHEN {_H} < 4080218931 THEN 'val' ELSE 'test' END AS split FROM clean) "
+        "SELECT split, lang, count(*) AS n FROM sp GROUP BY split, lang"
+    )
 
     # dedup_minhash: the oracle is the EXACT 3-shingle Jaccard ground
     # truth (no MinHash) with the same greedy smallest-id-wins policy.
