@@ -70,6 +70,7 @@ class ParquetTable:
         bucket_by: tuple[str, ...] | None = None,
         n_buckets: int = 32,
         partition_by: tuple[str, ...] | None = None,
+        sort_by: tuple[str, ...] | None = None,
     ):
         if bucket_by and partition_by:
             raise ValueError("bucket_by and partition_by are mutually exclusive")
@@ -79,6 +80,11 @@ class ParquetTable:
         self._bucket_by = tuple(bucket_by) if bucket_by else None
         self._n_buckets = n_buckets
         self._partition_by = tuple(partition_by) if partition_by else None
+        # clustering: rows sorted on these columns within every written
+        # file, so parquet column min/max stats become selective and
+        # point/range scans skip whole files (data skipping) — the poor
+        # man's Z-order, exact for a single leading column
+        self._sort_by = tuple(sort_by) if sort_by else None
 
     # -- layout ---------------------------------------------------------
     def _meta(self) -> dict | None:
@@ -119,12 +125,45 @@ class ParquetTable:
         return self._partition_by
 
     def _write_meta(self, cols: tuple[str, ...], n: int, base: str | None = None) -> None:
+        m: dict = {"cols": list(cols), "n": n}
+        if self._effective_sort():
+            m["sort"] = list(self._effective_sort())
         with open(os.path.join(base or self.path, _META), "w") as f:
-            json.dump({"cols": list(cols), "n": n}, f)
+            json.dump(m, f)
 
     def _write_value_meta(self, cols: tuple[str, ...], base: str | None = None) -> None:
+        m: dict = {"cols": list(cols), "kind": "values"}
+        if self._effective_sort():
+            m["sort"] = list(self._effective_sort())
         with open(os.path.join(base or self.path, _META), "w") as f:
-            json.dump({"cols": list(cols), "kind": "values"}, f)
+            json.dump(m, f)
+
+    def _write_plain_meta(self, base: str | None = None) -> None:
+        """Unpartitioned table: persist only the clustering columns (if
+        any) so later rewrites by a plain ``ParquetTable(path)`` keep it."""
+        sort = self._effective_sort()
+        if sort:
+            with open(os.path.join(base or self.path, _META), "w") as f:
+                json.dump({"kind": "plain", "sort": list(sort)}, f)
+
+    def _effective_sort(self) -> tuple[str, ...] | None:
+        """Clustering columns: the on-disk table's recorded sort wins (so
+        rewrites by a plain ParquetTable(path) preserve it), else ctor."""
+        m = self._meta()
+        if m is not None and m.get("sort"):
+            return tuple(m["sort"])
+        return self._sort_by
+
+    def _clustered(self, df: DataFrame, lead: tuple[str, ...] = ()) -> DataFrame:
+        """Sort within write tasks by (partition cols, sort cols): the
+        writer's dynamic-partition ordering requirement is then already
+        satisfied (no second, clustering-destroying sort) and every file
+        gets tight parquet min/max stats on the sort columns."""
+        sort = self._effective_sort()
+        cols = [*lead, *(sort or ())]
+        if not cols:
+            return df
+        return df.sortWithinPartitions(*[F.col(c) for c in cols])
 
     def _writer(self, df: DataFrame):
         w = df.write
@@ -146,7 +185,7 @@ class ParquetTable:
         # every task emits a file per bucket it holds (tasks x buckets
         # small files); with it ~1 file per bucket, further split by
         # maxRecordsPerFile when set
-        b = b.repartition(n, F.col(_BUCKET))
+        b = self._clustered(b.repartition(n, F.col(_BUCKET)), lead=(_BUCKET,))
         self._writer(b).mode(mode).partitionBy(_BUCKET).parquet(path)
         self._write_meta(cols, n, base=path)
 
@@ -158,7 +197,7 @@ class ParquetTable:
             raise ValueError(f"value-partitioned write needs columns {missing}")
         # hash-cluster on the partition cols: each value lands in one task
         # -> ~1 file per partition dir instead of tasks x values
-        out = df.repartition(*[F.col(c) for c in cols])
+        out = self._clustered(df.repartition(*[F.col(c) for c in cols]), lead=cols)
         self._writer(out).mode(mode).partitionBy(*cols).parquet(path)
         self._write_value_meta(cols, base=path)
 
@@ -191,7 +230,8 @@ class ParquetTable:
         elif vcols:
             self._write_value_partitioned(df, self.path, vcols, mode="append")
         else:
-            self._writer(df).mode("append").parquet(self.path)
+            self._writer(self._clustered(df)).mode("append").parquet(self.path)
+            self._write_plain_meta()
 
     def overwrite(self, df: DataFrame) -> None:
         """Full-state replace via stage + atomic swap (safe self-reference)."""
@@ -203,7 +243,8 @@ class ParquetTable:
         elif vcols:
             self._write_value_partitioned(df, staged, vcols, mode="overwrite")
         else:
-            self._writer(df).mode("overwrite").parquet(staged)
+            self._writer(self._clustered(df)).mode("overwrite").parquet(staged)
+            self._write_plain_meta(base=staged)
         backup = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.path):
             os.rename(self.path, backup)
@@ -276,6 +317,35 @@ class ParquetTable:
         finally:
             shutil.rmtree(backup, ignore_errors=True)
             shutil.rmtree(staged, ignore_errors=True)
+
+    def compact(self) -> None:
+        """Merge the small files accumulated by appends/incremental ops:
+        rewrite the table through the normal layout-preserving path
+        (bucket/value partitioning and clustering all come from the
+        on-disk meta), which repartitions to ~1 file per partition (or
+        maxRecordsPerFile-sized). Staged + swapped, so reading while
+        compacting is safe. At 100 TB you'd compact per-partition on a
+        schedule; partition dirs untouched by appends compact to
+        byte-identical content either way."""
+        df = self.read()
+        if df is not None:
+            self.overwrite(df)
+
+    def vacuum(self) -> int:
+        """Remove leftover ``__staged_*`` / ``__old_*`` directories from
+        interrupted swaps. Returns how many were removed. Safe anytime:
+        live data is never under these names."""
+        base_dir, name = os.path.split(self.path)
+        removed = 0
+        try:
+            entries = os.listdir(base_dir or ".")
+        except OSError:
+            return 0
+        for entry in entries:
+            if entry.startswith(f"{name}.__staged_") or entry.startswith(f"{name}.__old_"):
+                shutil.rmtree(os.path.join(base_dir, entry), ignore_errors=True)
+                removed += 1
+        return removed
 
     def drop(self) -> None:
         if self.exists():
