@@ -239,3 +239,21 @@ def test_sql_fingerprint_caches_between_calls(spark, tmp_path):
     assert state == (str(tmp_path), _catalog_fingerprint(str(tmp_path)))
     eng.sql("SELECT count(*) AS n FROM ds").collect()
     assert getattr(spark, "_etl_sql_state") is state  # untouched, not rebuilt
+
+
+def test_schema_drift_mergeschema_read(spark, tmp_path):
+    """SURVEY §7 hard-part (d): schema drift across parquet files —
+    mergeSchema passes through Engine.read options and unions the
+    schemas (missing columns null-filled)."""
+    from etl_cli_spark.engine import Engine
+
+    p = f"{tmp_path}/drift.parquet"
+    spark.createDataFrame([(1, "a")], "id long, x string").write.mode("append").parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, x string, y double").write.mode(
+        "append"
+    ).parquet(p)
+    eng = Engine(spark, str(tmp_path))
+    got = eng.read("drift", mergeSchema="true")
+    assert set(got.columns) == {"id", "x", "y"}
+    rows = {r.id: (r.x, r.y) for r in got.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
