@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tmap", help="registered schema name applied on write")
     p.add_argument("--buckets", type=int, dest="n_buckets",
                    help="pk-hash bucket count for the partitioned target layout")
+    p.add_argument("--partition-by", dest="partition_by",
+                   help="value/date hive partition column(s), comma-separated "
+                        "(replaces the pk-hash bucket layout)")
+    p.add_argument("--sort-by", dest="sort_by",
+                   help="cluster rows within files on column(s) for parquet "
+                        "min/max data skipping, comma-separated")
     p.add_argument("--log-ds", dest="log_ds",
                    help="namespace for the per-target write log (logs written batches)")
     p.add_argument("--log", dest="log_fields",
@@ -121,6 +127,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         skip_by=args.skip_by, skip_timestamp=args.skip_timestamp,
         overwrite=args.overwrite, drop=args.drop, dry=args.dry,
         tmap=args.tmap, turl=args.turl, n_buckets=args.n_buckets,
+        partition_by=args.partition_by, sort_by=args.sort_by,
         log_ds=args.log_ds, log=args.log_fields,
         workers=args.workers, batch_size=args.batch_size,
     )

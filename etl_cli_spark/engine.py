@@ -113,11 +113,12 @@ class Engine:
         bucket_by: tuple[str, ...] | None = None,
         n_buckets: int | None = None,
         partition_by: tuple[str, ...] | None = None,
+        sort_by: tuple[str, ...] | None = None,
     ) -> ParquetTable:
         return ParquetTable(
             self.spark, resolve_path(ds, self.root), max_records_per_file,
             bucket_by=bucket_by, n_buckets=n_buckets or 32,
-            partition_by=partition_by,
+            partition_by=partition_by, sort_by=sort_by,
         )
 
     def count(self, uri: str, query: Sequence[str] | None = None) -> int:
@@ -351,12 +352,17 @@ class Engine:
             )
             final = out
         elif tgt_ds.backend == "parquet":
-            # pk-ed targets get the pk-hash bucketed layout by default, so
-            # update-family ops partition-prune instead of full-rewriting
+            # pk-ed targets get the pk-hash bucketed layout by default
+            # (update-family ops partition-prune instead of full-
+            # rewriting); --partition-by opts into value/date hive
+            # partitioning instead, --sort-by adds file clustering
             tbl = self.table(
                 tgt_ds, spec.batch_size,
-                bucket_by=spec.target.pk or None,
+                bucket_by=(spec.target.pk or None)
+                if not spec.target.partition_by else None,
                 n_buckets=spec.target.n_buckets,
+                partition_by=spec.target.partition_by or None,
+                sort_by=spec.target.sort_by or None,
             )
             final = apply_write_op(df, tbl, spec.target)
         else:

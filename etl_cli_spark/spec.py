@@ -73,6 +73,10 @@ class TargetSpec:
     # pk-hash bucket count for the partitioned target layout (None = engine
     # default 32; size so one bucket ~ one comfortable rewrite unit)
     n_buckets: int | None = None
+    # value/date hive partitioning (--partition-by; scoped write ops when
+    # the column is pk-contained) and within-file clustering (--sort-by)
+    partition_by: tuple[str, ...] = ()
+    sort_by: tuple[str, ...] = ()
     # per-target write log: namespace to log written batches into
     # (reference --log-ds -> target.log_ds = '<ns>.<target>', etl.py:193-195)
     log_ds: str | None = None
@@ -136,6 +140,8 @@ def make_spec(
     tmap: str | None = None,
     turl: str | None = None,
     n_buckets: int | None = None,
+    partition_by: Sequence[str] | str | None = None,
+    sort_by: Sequence[str] | str | None = None,
     log_ds: str | None = None,
     log: Sequence[str] | str | None = None,
     workers: int | None = None,
@@ -203,6 +209,7 @@ def make_spec(
             skip_by=tup(skip_by), skip_timestamp=skip_timestamp,
             overwrite_fields=tup(overwrite), drop=drop, dry_run=dry,
             tmap=tmap, url=turl, n_buckets=n_buckets,
+            partition_by=tup(partition_by), sort_by=tup(sort_by),
             log_ds=log_ds,
             **({"log_fields": tup(log)} if log else {}),
         )

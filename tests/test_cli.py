@@ -67,3 +67,33 @@ def test_cli_dry_run_writes_nothing(cli_root, capsys, spark):
     rc = main(["--root", cli_root, "-s", "orders", "-t", "out/dryt", "-o", "create", "--dry"])
     assert rc == 0
     assert not os.path.exists(f"{cli_root}/out/dryt.parquet")
+
+
+def test_cli_partition_by_and_sort_by(cli_root, capsys, spark):
+    """--partition-by lays the target out as hive value partitions;
+    --sort-by records clustering; a follow-up upsert via the engine path
+    stays partition-scoped."""
+    import os
+
+    rc = main([
+        "--root", cli_root, "-s", "orders",
+        "-t", "out/orders_p", "-o", "create",
+        "--partition-by", "o_orderstatus", "--sort-by", "o_totalprice",
+    ])
+    assert rc == 0
+    path = f"{cli_root}/out/orders_p.parquet"
+    dirs = [e for e in os.listdir(path) if e.startswith("o_orderstatus=")]
+    assert len(dirs) >= 2
+    import json as _json
+
+    meta = _json.load(open(f"{path}/_etl_bucket_meta.json"))
+    assert meta == {"cols": ["o_orderstatus"], "kind": "values", "sort": ["o_totalprice"]}
+    # engine upsert against the created table: layout read from disk
+    from etl_cli_spark.engine import Engine
+
+    eng = Engine(spark, cli_root)
+    res = eng.etl(
+        "orders", query=["o_orderstatus=F"], target="out/orders_p",
+        op="upsert", pk="o_orderkey,o_orderstatus",
+    )
+    assert res.df.count() == eng.read("orders").count()
