@@ -122,3 +122,33 @@ def test_bucket_and_partition_mutually_exclusive(spark, tmp_path):
             spark, str(tmp_path / "x.parquet"),
             bucket_by=("a",), partition_by=("b",),
         )
+
+
+def test_scoped_read_partition_prunes(spark, part_orders):
+    """The pruned target read must show PartitionFilters on the partition
+    column — file groups outside the touched values are never opened."""
+    df = part_orders.read_value_partitions("o_orderstatus", ["F"])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+
+
+def test_touched_values_guards(spark, engine):
+    from etl_cli_spark.operators.writeops import _touched_values
+
+    orders = engine.read("orders")
+    assert set(_touched_values(orders, "o_orderstatus")) == {"F", "O", "P"}
+    # nulls -> decline the scoped path
+    from pyspark.sql import functions as F
+
+    with_null = orders.withColumn(
+        "s", F.when(F.col("o_orderkey") == 1, None).otherwise(F.col("o_orderstatus"))
+    )
+    assert _touched_values(with_null, "s") is None
+    # hive-dir-ambiguous encodings -> decline
+    weird = spark.createDataFrame([("a=b",), ("ok",)], "s string")
+    assert _touched_values(weird, "s") is None
+    # cardinality cap -> decline
+    wide = spark.range(5000).select(F.col("id").alias("s"))
+    assert _touched_values(wide, "s") is None
