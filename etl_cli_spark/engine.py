@@ -53,6 +53,43 @@ def _catalog_fingerprint(root: str) -> tuple[tuple[str, int], ...]:
     return tuple(fp)
 
 
+def _bucket_point_prune(df: DataFrame, path: str, query) -> DataFrame:
+    """Point-lookup pruning on a pk-hash bucketed table: when the DSL
+    query pins EVERY bucket column with a plain equality, pre-filter on
+    the precomputed bucket id — partition pruning then reads 1/n_buckets
+    of the files. A 100 TB table answers `pk=X` from one bucket."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    meta_p = os.path.join(path, "_etl_bucket_meta.json")
+    if not query or not os.path.exists(meta_p):
+        return df
+    try:
+        with open(meta_p) as f:
+            m = json.load(f)
+    except (OSError, ValueError):
+        return df
+    if m.get("kind", "bucket") != "bucket":
+        return df
+    cols, n = m["cols"], int(m["n"])
+    eq: dict[str, Any] = {}
+    items = query.items() if hasattr(query, "items") else (
+        (i.partition("=")[0], i.partition("=")[2])
+        for i in query
+        if isinstance(i, str) and "=" in i
+    )
+    for k, v in items:
+        # plain equality only: no __op suffix, not a _control key
+        if k and not k.startswith("_") and "__" not in k:
+            eq[k] = v
+    if not all(c in eq for c in cols):
+        return df
+    lits = [F.lit(eq[c]).cast(df.schema[c].dataType) for c in cols]
+    bucket = F.pmod(F.xxhash64(*lits), F.lit(n)).cast("int")
+    return df.filter(F.col("__etl_bucket") == bucket)
+
+
 @dataclass
 class JobResult:
     """What a job produced; ``df`` is the final state / preview."""
@@ -100,10 +137,20 @@ class Engine:
 
     # -- catalog-ish helpers -------------------------------------------------
     def read(self, uri: str, query: Sequence[str] | None = None, **options: Any) -> DataFrame:
-        """Read a dataset and apply an optional DSL query."""
+        """Read a dataset and apply an optional DSL query.
+
+        Bucketed targets get two extra courtesies: a point lookup that
+        pins every bucket column with plain equality is bucket-pruned
+        (1/n_buckets of the files read instead of all of them), and the
+        internal ``__etl_bucket`` partition column never leaks into the
+        result."""
         ds = parse_ds(uri)
         q = compile_query(query)
         df = read_dataset(self.spark, ds, self.root, options=options, url=q.url)
+        if ds.backend == "parquet" and "__etl_bucket" in df.columns:
+            df = _bucket_point_prune(df, resolve_path(ds, self.root), query)
+            out = q.apply(df)
+            return out.drop("__etl_bucket") if "__etl_bucket" in out.columns else out
         return q.apply(df)
 
     def table(

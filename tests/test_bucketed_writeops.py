@@ -185,3 +185,31 @@ def test_engine_buckets_pk_targets_by_default(spark, tmp_engine):
     dirs = [d for d in os.listdir(path) if d.startswith(f"{_BUCKET}=")]
     assert len(dirs) == 4
     assert tmp_engine.read("out/t100").count() == 100
+
+
+def test_engine_read_hides_bucket_and_point_prunes(spark, engine, bucketed_orders, tmp_path):
+    """Engine.read over a bucketed target: the internal __etl_bucket
+    column never leaks, and a pk point lookup partition-prunes to the
+    key's bucket (PartitionFilters on __etl_bucket, 1/n files read)."""
+    from etl_cli_spark.engine import Engine
+
+    # bucketed_orders lives under a tmp dir; build an engine rooted there
+    root = os.path.dirname(bucketed_orders.path)
+    name = os.path.basename(bucketed_orders.path).removesuffix(".parquet")
+    eng = Engine(spark, root)
+
+    full = eng.read(name)
+    assert "__etl_bucket" not in full.columns
+
+    point = eng.read(name, [f"o_orderkey=42"])
+    assert "__etl_bucket" not in point.columns
+    rows = point.collect()
+    assert [r.o_orderkey for r in rows] == [42]
+    plan = point._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "__etl_bucket" in plan
+
+    # range queries must NOT be bucket-pruned (would lose rows)
+    rng = eng.read(name, ["o_orderkey__lt=100"])
+    assert rng.count() == engine.read("orders").filter("o_orderkey < 100").count()
