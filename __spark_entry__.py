@@ -434,6 +434,26 @@ def _q_window_running_sum(spark, sf):
     )
 
 
+def _q_window_range_hourly(spark, sf):
+    """RANGE-frame window (time-interval, not row-count): per user, the
+    moving count and value-sum over the trailing hour of events. The
+    frame is defined on epoch seconds so ties and bounds are exact."""
+    ev = _engine(spark, sf).read("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,2)")).over(w).cast("double"), 2
+        ).alias("sum_trailing_1h"),
+    )
+
+
 def _q_diff(spark, sf):
     from etl_cli_spark.operators.diff import diff
 
@@ -920,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": _q_agg_percentiles,
         "window_topk_per_group": _q_window_topk_per_group,
         "window_running_sum": _q_window_running_sum,
+        "window_range_hourly": _q_window_range_hourly,
         "diff_sets": _q_diff,
         # multi-join analytics over the engine.sql surface
         "sql_q3_shape": _q_sql_q3,
@@ -1155,6 +1176,14 @@ def oracle_sql() -> dict[str, str]:
         "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
         "  ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_total "
         "FROM orders"
+    )
+    sql["window_range_hourly"] = (
+        "SELECT user_id, event_id, "
+        "count(*) OVER w AS n_trailing_1h, "
+        "round(CAST(sum(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE), 2) AS sum_trailing_1h "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+        "             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)"
     )
     sql["diff_sets"] = (
         "WITH a AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000), "
