@@ -702,10 +702,14 @@ def _q_dedup_minhash_cc(spark, sf):
 
 
 def _q_dedup_simhash_pairs(spark, sf):
-    from etl_cli_spark.operators.dedup import simhash_pairs
+    from etl_cli_spark.operators.dedup import md5_hash64, simhash_pairs
 
     d = _engine(spark, sf).read("documents")
-    return simhash_pairs(d, max_distance=3)
+    # the md5-based token hash is bit-reproducible in DuckDB, and with
+    # max_distance <= chunks-1 pigeonhole recall is exact — so the whole
+    # simhash algorithm (bit votes, packing, banding, hamming verify) is
+    # oracle-verified; production keeps the faster xxhash64 default
+    return simhash_pairs(d, max_distance=3, token_hash=md5_hash64)
 
 
 def _q_dedup_ngram_pairs(spark, sf):
@@ -1481,7 +1485,31 @@ def oracle_sql() -> dict[str, str]:
         "ANTI JOIN (SELECT node AS doc_id FROM comp WHERE node <> cluster) l USING (doc_id)"
     )
 
-    # no oracle (rows-only): dedup_simhash_pairs / similarity_ann /
-    # similarity_ivf / embedding_neardup (hash/LSH/kmeans-specific —
-    # verified by recall unit tests against the exact baselines instead)
+    # dedup_simhash_pairs: full independent recomputation — per-token
+    # 64-bit md5-prefix hash (two 32-bit halves), per-bit +-1 votes,
+    # sign fingerprint, exact hamming pairs. Pigeonhole recall at
+    # max_distance=3 / 4 chunks is exact, so Spark must reproduce this
+    # exactly (the production xxhash64 variant differs only in the hash).
+    sql["dedup_simhash_pairs"] = (
+        r"WITH tok AS (SELECT doc_id, "
+        r"  unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS w "
+        "  FROM documents), "
+        "h AS (SELECT doc_id, "
+        "  CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hi, "
+        "  CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT) AS lo FROM tok), "
+        "bits AS (SELECT doc_id, i, "
+        "  CASE WHEN i < 32 THEN (lo >> i) & 1 ELSE (hi >> (i - 32)) & 1 END AS b "
+        "  FROM h, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) s), "
+        "votes AS (SELECT doc_id, i, sum(2*b - 1) AS v FROM bits GROUP BY doc_id, i), "
+        "fp AS (SELECT doc_id, i, CASE WHEN v > 0 THEN 1 ELSE 0 END AS f FROM votes), "
+        "dist AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "  sum(CASE WHEN a.f <> b.f THEN 1 ELSE 0 END) AS d "
+        "  FROM fp a JOIN fp b ON a.i = b.i AND a.doc_id < b.doc_id "
+        "  GROUP BY a.doc_id, b.doc_id) "
+        "SELECT a_id, b_id, CAST(d AS INT) AS distance FROM dist WHERE d <= 3"
+    )
+
+    # no oracle (rows-only): similarity_ann / similarity_ivf /
+    # embedding_neardup (LSH/kmeans-probabilistic — verified by
+    # precision/recall unit tests against the exact baselines instead)
     return sql

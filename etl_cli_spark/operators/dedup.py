@@ -275,14 +275,30 @@ def minhash_dedup(
 # simhash
 # --------------------------------------------------------------------------
 
-def simhash(col: Column | str, bits: int = 64) -> Column:
-    """SimHash fingerprint: sign-sum of per-token hash bits -> packed long."""
+def md5_hash64(t: Column) -> Column:
+    """64-bit token hash from the md5 prefix (two 32-bit halves packed).
+
+    Slower than xxhash64 but bit-reproducible in any engine that has md5
+    — the hash the DuckDB oracle recomputes. Production simhash keeps
+    xxhash64; this variant proves the algorithm end-to-end."""
+    h = F.md5(t)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def simhash(col: Column | str, bits: int = 64, token_hash=None) -> Column:
+    """SimHash fingerprint: sign-sum of per-token hash bits -> packed long.
+
+    ``token_hash``: Column -> Column 64-bit hash of a token; default
+    xxhash64 (fastest), ``md5_hash64`` for engine-portable fingerprints.
+    """
     c = F.col(col) if isinstance(col, str) else col
     # hash each token string ONCE; all bit extraction works on the long
     # lambda variable (cheap reference). Folding votes and packing inside a
     # single aggregate keeps every expensive subexpression single-use —
     # referencing the aggregate 64x from outside would inline it 64x.
-    hashed = F.transform(F.array_distinct(tokens(c)), lambda t: F.xxhash64(t))
+    hashed = F.transform(F.array_distinct(tokens(c)), token_hash or (lambda t: F.xxhash64(t)))
 
     def merge(acc: Column, h: Column) -> Column:
         votes = F.array(
@@ -317,16 +333,22 @@ def simhash_pairs(
     max_distance: int = 3,
     chunks: int = 4,
     cache: bool = True,
+    token_hash=None,
 ) -> DataFrame:
     """Pairs within Hamming distance via pigeonhole banding.
 
     Split the 64-bit simhash into ``chunks`` 16-bit pieces: two hashes
     within distance ``chunks-1`` must agree on >= 1 piece, so an
-    equi-join per piece finds all candidates without a cross join.
+    equi-join per piece finds all candidates without a cross join —
+    recall is EXACT (pigeonhole), not probabilistic, whenever
+    ``max_distance <= chunks - 1``.
     """
     width = 64 // chunks
     mask = (1 << width) - 1
-    base = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), token_hash=token_hash).alias("sh"),
+    )
     if cache:
         from pyspark import StorageLevel
 
