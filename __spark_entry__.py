@@ -1509,7 +1509,55 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a_id, b_id, CAST(d AS INT) AS distance FROM dist WHERE d <= 3"
     )
 
-    # no oracle (rows-only): similarity_ann / similarity_ivf /
-    # embedding_neardup (LSH/kmeans-probabilistic — verified by
-    # precision/recall unit tests against the exact baselines instead)
+    # similarity_ann / embedding_neardup: the hyperplanes are a pure
+    # function of (dim, n_planes, seed) — no data dependency — so the
+    # oracle EMBEDS them as literals and recomputes the signature bits,
+    # band matching, and exact cosine verify entirely in SQL. Every stage
+    # of the LSH pipeline is thereby independently verified; only IVF
+    # stays rows-only (its centroids come from a data-dependent k-means).
+    from etl_cli_spark.operators.similarity import _hyperplanes
+
+    def _plist(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    def _sig_expr(planes, vec):
+        return " | ".join(
+            f"((CASE WHEN list_dot_product({vec}, {_plist(p)}) >= 0 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << {i})"
+            for i, p in enumerate(planes)
+        )
+
+    _planes16 = _hyperplanes(64, 16, 42)
+
+    # ann: n_planes=16, bands=4 -> width 4, mask 15; query vec = vec_id 0
+    _band_match_q = " OR ".join(
+        f"((s.sig >> {b * 4}) & 15) = ((qs.sig >> {b * 4}) & 15)" for b in range(4)
+    )
+    sql["similarity_ann"] = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+        f"s AS (SELECT vec_id, v, {_sig_expr(_planes16, 'v')} AS sig FROM e), "
+        f"qs AS (SELECT {_sig_expr(_planes16, 'qv')} AS sig FROM q) "
+        "SELECT s.vec_id, round(list_cosine_similarity(s.v, (SELECT qv FROM q)), 6) AS score "
+        f"FROM s, qs WHERE {_band_match_q} "
+        "ORDER BY score DESC, s.vec_id LIMIT 10"
+    )
+
+    # embedding_neardup: n_planes=16, bands=8 -> width 2, mask 3;
+    # threshold 0.4 on the rounded exact cosine of candidate pairs
+    _band_match_p = " OR ".join(
+        f"((a.sig >> {b * 2}) & 3) = ((b.sig >> {b * 2}) & 3)" for b in range(8)
+    )
+    sql["embedding_neardup"] = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"s AS (SELECT vec_id, v, {_sig_expr(_planes16, 'v')} AS sig FROM e) "
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+        "round(list_cosine_similarity(a.v, b.v), 6) AS cosine "
+        f"FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({_band_match_p}) "
+        "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4"
+    )
+
+    # no oracle (rows-only): similarity_ivf — its centroids come from a
+    # data-dependent driver-side k-means sample, so no static SQL can
+    # recompute them; pinned by recall/agreement unit tests instead
     return sql
