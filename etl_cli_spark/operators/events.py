@@ -23,9 +23,14 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: users who did step1, then step2 AFTER
     their first step1, then step3 after that first step2, ...
+
+    ``max_gap_seconds`` additionally requires each step to happen within
+    that many seconds of the previous stage's qualifying event (the
+    "converted within an hour" product question); None = unbounded.
 
     Returns (step, stage, n_users) with stage = 1-based position.
     "First occurrence after the previous stage's first occurrence" is
@@ -41,9 +46,16 @@ def funnel(
         if prev is None:
             cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
         else:
+            after_prev = F.col(ts_col) > F.col("__pt")
+            if max_gap_seconds is not None:
+                after_prev = after_prev & (
+                    F.unix_timestamp(F.col(ts_col))
+                    - F.unix_timestamp(F.col("__pt"))
+                    <= max_gap_seconds
+                )
             cur = (
                 ev.join(prev.select(user_col, F.col("__t").alias("__pt")), user_col)
-                .filter(F.col(ts_col) > F.col("__pt"))
+                .filter(after_prev)
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("__t"))
             )

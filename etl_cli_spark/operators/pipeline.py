@@ -205,15 +205,20 @@ def decontaminate(
     id_col: str = "doc_id",
     n: int = 8,
     bench_text_col: str | None = None,
+    min_hits: int = 1,
 ) -> DataFrame:
-    """Drop training documents sharing any word n-gram with a benchmark
-    set (test-set contamination removal, the WMT/GPT-3-style n-gram rule).
+    """Drop training documents sharing word n-grams with a benchmark set
+    (test-set contamination removal, the WMT/GPT-3-style n-gram rule).
+
+    ``min_hits``: how many DISTINCT benchmark n-grams a document must
+    share before it is dropped. 1 is the strict classic rule; raising it
+    trades recall for fewer false positives on boilerplate phrases.
 
     Plan shape: explode both sides to distinct (hashed) n-grams, semi-join
-    docs' grams against the benchmark's, anti-join hit ids back. Only
-    64-bit gram hashes shuffle — never document text — and the benchmark
-    gram set is small (AQE broadcasts it), so the cost is one scan of each
-    side at any scale.
+    (or count-join for min_hits > 1) docs' grams against the benchmark's,
+    anti-join hit ids back. Only 64-bit gram hashes shuffle — never
+    document text — and the benchmark gram set is small (AQE broadcasts
+    it), so the cost is one scan of each side at any scale.
     """
     bcol = bench_text_col or text_col
     doc_grams = docs.select(
@@ -224,5 +229,16 @@ def decontaminate(
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
-    hit_ids = doc_grams.join(bench_grams, "gh", "left_semi").select(id_col).distinct()
+    if min_hits <= 1:
+        # semi-join tolerates duplicate grams: no pre-distinct shuffle
+        hit_ids = doc_grams.join(bench_grams, "gh", "left_semi").select(id_col).distinct()
+    else:
+        hit_ids = (
+            doc_grams.distinct()  # count DISTINCT shared grams per doc
+            .join(bench_grams, "gh", "inner")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__hits"))
+            .filter(F.col("__hits") >= min_hits)
+            .select(id_col)
+        )
     return docs.join(hit_ids, id_col, "left_anti")

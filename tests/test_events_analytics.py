@@ -50,3 +50,16 @@ def test_retention_triangle(spark):
         ("2024-01-01", 0): 1, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1, ("2024-01-02", 2): 1,
     }
+
+
+def test_funnel_max_gap(crafted):
+    # u1 converts view(0h) -> click(1h) -> purchase(2h); a 30-minute gap
+    # cap breaks every transition, a 2-hour cap keeps them all
+    tight = {r.step: r.n_users for r in funnel(
+        crafted, ["view", "click", "purchase"], max_gap_seconds=1800
+    ).collect()}
+    loose = {r.step: r.n_users for r in funnel(
+        crafted, ["view", "click", "purchase"], max_gap_seconds=7200
+    ).collect()}
+    assert tight == {"view": 3, "click": 0, "purchase": 0}
+    assert loose == {"view": 3, "click": 2, "purchase": 1}

@@ -127,3 +127,22 @@ def test_decontaminate_drops_overlapping_docs(spark):
 def test_ngrams_short_text_empty(spark):
     df = spark.createDataFrame([("a b c",)], "text string")
     assert df.select(F.size(ngrams("text", 8)).alias("n")).first().n == 0
+
+
+def test_decontaminate_min_hits(spark):
+    g1 = "one two three four five six seven eight"
+    g2 = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{g1} filler words here then {g2} tail"),  # 2 distinct shared grams
+            (2, f"{g1} and nothing else that matches words"),  # 1 shared gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"{g1} separator text {g2}")], "doc_id long, text string"
+    )
+    strict = {r.doc_id for r in decontaminate(docs, bench, n=8).collect()}
+    lenient = {r.doc_id for r in decontaminate(docs, bench, n=8, min_hits=2).collect()}
+    assert strict == set()          # both share >= 1 gram
+    assert lenient == {2}           # only doc 1 shares >= 2 distinct grams
