@@ -270,6 +270,7 @@ class ParquetTable:
         self._write_bucketed(df, staged, layout, mode="overwrite")
         backup = f"{self.path}.__old_{uid}"
         os.makedirs(backup, exist_ok=True)
+        moved: list[str] = []
         try:
             for b in buckets:
                 dname = f"{_BUCKET}={int(b)}"
@@ -277,11 +278,15 @@ class ParquetTable:
                 new = os.path.join(staged, dname)
                 if os.path.exists(old):
                     os.rename(old, os.path.join(backup, dname))
+                    moved.append(dname)
                 if os.path.exists(new):
                     os.rename(new, old)
-        finally:
-            shutil.rmtree(backup, ignore_errors=True)
-            shutil.rmtree(staged, ignore_errors=True)
+        except BaseException:
+            self._restore_swap(backup, moved)
+            raise
+        # only after the whole swap succeeded is it safe to discard state
+        shutil.rmtree(backup, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
 
     def overwrite_value_partitions(self, df: DataFrame, col: str, values: list) -> None:
         """Replace ONLY the partitions of ``values`` with ``df``'s state.
@@ -306,17 +311,38 @@ class ParquetTable:
         os.makedirs(backup, exist_ok=True)
         touched = {str(v) for v in values}
         prefix = f"{col}="
+        moved: list[str] = []
         try:
             for entry in list(os.listdir(self.path)):
                 # hive dir name -> value string (Spark URL-escapes specials)
                 if entry.startswith(prefix) and unquote(entry[len(prefix):]) in touched:
                     os.rename(os.path.join(self.path, entry), os.path.join(backup, entry))
+                    moved.append(entry)
             for entry in list(os.listdir(staged)):
                 if entry.startswith(prefix):
                     os.rename(os.path.join(staged, entry), os.path.join(self.path, entry))
-        finally:
+        except BaseException:
+            self._restore_swap(backup, moved)
+            raise
+        # only after the whole swap succeeded is it safe to discard state
+        shutil.rmtree(backup, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
+
+    def _restore_swap(self, backup: str, moved: list[str]) -> None:
+        """Roll a failed partition swap back: every directory that was
+        moved into ``backup`` goes back to its live location (evicting a
+        half-installed staged replacement first). If the rollback itself
+        fails, ``backup``/``__staged_*`` stay on disk for ``vacuum()`` /
+        manual recovery — live data is never deleted without a copy."""
+        try:
+            for dname in moved:
+                live = os.path.join(self.path, dname)
+                if os.path.exists(live):
+                    shutil.rmtree(live)
+                os.rename(os.path.join(backup, dname), live)
             shutil.rmtree(backup, ignore_errors=True)
-            shutil.rmtree(staged, ignore_errors=True)
+        except OSError:
+            pass
 
     def compact(self) -> None:
         """Merge the small files accumulated by appends/incremental ops:
@@ -388,7 +414,9 @@ def _touched_values(src: DataFrame, col: str) -> list | None:
     if len(vals) > _MAX_TOUCHED_VALUES:
         return None
     for v in vals:
-        if v is None or not isinstance(v, (str, int)):
+        # bool is excluded explicitly: isinstance(True, int) holds but the
+        # hive dir is 'col=true' while str(True) is 'True' — unmatchable
+        if v is None or isinstance(v, bool) or not isinstance(v, (str, int)):
             return None
         if any(ch in str(v) for ch in ("/", "%", "=")):
             return None

@@ -213,3 +213,54 @@ def test_engine_read_hides_bucket_and_point_prunes(spark, engine, bucketed_order
     # range queries must NOT be bucket-pruned (would lose rows)
     rng = eng.read(name, ["o_orderkey__lt=100"])
     assert rng.count() == engine.read("orders").filter("o_orderkey < 100").count()
+
+
+def test_failed_swap_rolls_back_and_preserves_data(spark, engine, bucketed_orders, monkeypatch):
+    """A mid-swap rename failure must leave the live table intact: backed-up
+    bucket dirs are restored, nothing is deleted (ADVICE r2: the old finally
+    block rmtree'd backup+staged even on failure, losing the moved buckets)."""
+    import os as _os
+
+    t = bucketed_orders
+    before = t.read().orderBy("o_orderkey").collect()
+    src = engine.read("orders").filter("o_orderkey < 40").withColumn(
+        "o_orderstatus", F.lit("Z")
+    )
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(a, b):
+        # let the first backup move succeed, then blow up mid-swap
+        if f"{_BUCKET}=" in os.path.basename(a) or f"{_BUCKET}=" in os.path.basename(b):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise OSError("injected swap failure")
+        return real_rename(a, b)
+
+    monkeypatch.setattr("etl_cli_spark.operators.writeops.os.rename", flaky_rename)
+    with pytest.raises(OSError, match="injected"):
+        apply_write_op(src, t, TargetSpec(ds="t", op="update", pk=("o_orderkey",)))
+    monkeypatch.undo()
+
+    after = t.read().orderBy("o_orderkey").collect()
+    assert after == before
+
+
+def test_bool_partition_value_falls_back_to_full_rewrite(spark, engine, tmp_path):
+    """Boolean partition columns hive-encode as col=true/false, which
+    str(True) can't match — the scoped path must decline (return None)
+    and the op must still produce the right table via full rewrite."""
+    from etl_cli_spark.operators.writeops import _touched_values
+
+    orders = engine.read("orders").withColumn("flag", F.col("o_orderkey") % 2 == 0)
+    t = ParquetTable(spark, str(tmp_path / "orders_flag.parquet"), partition_by=("flag",))
+    t.append(orders)
+
+    src = orders.filter("o_orderkey < 30").withColumn("o_orderpriority", F.lit("X"))
+    assert _touched_values(src, "flag") is None
+
+    out = apply_write_op(src, t, TargetSpec(ds="t", op="upsert", pk=("o_orderkey", "flag")))
+    got = {r.o_orderkey: r.o_orderpriority for r in out.collect()}
+    assert all(v == "X" for k, v in got.items() if k < 30)
+    assert out.count() == orders.count()
