@@ -1710,7 +1710,62 @@ def oracle_sql() -> dict[str, str]:
         _digest_sql_one(n, sql[n]) for n in _AGG_FAMILY
     )
 
-    # no oracle (rows-only): similarity_ivf — its centroids come from a
-    # data-dependent driver-side k-means sample, so no static SQL can
-    # recompute them; pinned by recall/agreement unit tests instead
+    # similarity_ivf: full in-SQL replay of the deterministic k-means —
+    # the Spark side samples the lowest-2048 vec_ids, inits centroids from
+    # the first 16, and runs 8 Lloyd iterations under a floating-point-
+    # portable protocol (squared distances rounded to 6 dp before argmin
+    # with lowest-cid tie-break; centroids rounded to 9 dp per iteration),
+    # so DuckDB can recompute centroids, cell assignment, probe choice and
+    # the final exact re-rank entirely from the embeddings view. Every
+    # stage of the IVF pipeline is thereby independently verified.
+    _DIM, _K, _ITERS, _PROBE = 64, 16, 8, 4
+
+    def _d2(a, b):
+        return (
+            f"list_sum(list_transform(generate_series(1, {_DIM}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    _ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv "
+        f"FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT {_K}))",
+    ]
+    _prev = "c0"
+    for _t in range(1, _ITERS + 1):
+        _ctes.append(
+            f"a{_t} AS (SELECT s.vec_id, s.v, c.cid, row_number() OVER ("
+            f"PARTITION BY s.vec_id ORDER BY round({_d2('s.v', 'c.cv')}, 6), c.cid) AS rn "
+            f"FROM samp s CROSS JOIN {_prev} c)"
+        )
+        _ctes.append(
+            f"m{_t} AS (SELECT cid, g.d, round(avg(v[g.d]), 9) AS val "
+            f"FROM (SELECT v, cid FROM a{_t} WHERE rn = 1) a, "
+            f"LATERAL (SELECT unnest(generate_series(1, {_DIM})) AS d) g GROUP BY cid, g.d)"
+        )
+        _ctes.append(f"n{_t} AS (SELECT cid, list(val ORDER BY d) AS cv FROM m{_t} GROUP BY cid)")
+        _ctes.append(
+            f"c{_t} AS (SELECT c.cid, list_transform(COALESCE(n.cv, c.cv), "
+            f"x -> round(x, 9)) AS cv FROM {_prev} c LEFT JOIN n{_t} n USING (cid))"
+        )
+        _prev = f"c{_t}"
+    _ctes.append(
+        f"fin AS (SELECT t.vec_id, t.v, c.cid, row_number() OVER ("
+        f"PARTITION BY t.vec_id ORDER BY round({_d2('t.v', 'c.cv')}, 6), c.cid) AS rn "
+        f"FROM e t CROSS JOIN {_prev} c)"
+    )
+    _ctes.append("cells AS (SELECT vec_id, v, cid FROM fin WHERE rn = 1)")
+    _ctes.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    _ctes.append(
+        f"probes AS (SELECT c.cid FROM {_prev} c, q "
+        f"ORDER BY round({_d2('c.cv', 'qv')}, 6), c.cid LIMIT {_PROBE})"
+    )
+    sql["similarity_ivf"] = (
+        "WITH " + ", ".join(_ctes) + " "
+        "SELECT vec_id, round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS score "
+        "FROM cells WHERE cid IN (SELECT cid FROM probes) "
+        "ORDER BY score DESC, vec_id LIMIT 10"
+    )
+
     return sql

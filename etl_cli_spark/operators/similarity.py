@@ -255,19 +255,28 @@ def _kmeans_lite(sample: list[list[float]], k: int, iters: int = 8, seed: int = 
 
     IVF needs rough centroids, not converged ones; the sample is capped
     (driver memory-safe) and the loop is O(sample * k * iters).
+
+    Fully deterministic AND floating-point-portable so an independent
+    engine (the DuckDB oracle) can replay it bit-for-bit: init = the
+    first k sample rows (callers pass the sample in id order), squared
+    distances are rounded to 6 dp before argmin (ties break to the
+    lowest centroid id, numpy argmin's native behavior), and centroids
+    are rounded to 9 dp after each update so summation-order ulp drift
+    can never flip a later assignment. ``seed`` is kept for API
+    compatibility; the deterministic init no longer uses it.
     """
     import numpy as np
 
     x = np.asarray(sample, dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    cent = x[: min(k, len(x))].copy()
     for _ in range(iters):
-        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).round(6)
         assign = d.argmin(axis=1)
         for j in range(len(cent)):
             members = x[assign == j]
             if len(members):
                 cent[j] = members.mean(axis=0)
+        cent = cent.round(9)
     return cent
 
 
@@ -287,8 +296,11 @@ def ivf_index(
     A real deployment would persist/partition the output by ``__cell``
     so probes prune at the file level (partition pruning).
     """
+    # lowest-id rows, not partition order: the sample (and therefore the
+    # centroids) is a pure function of the data, replayable by the oracle
     sample = [
-        [float(v) for v in r[0]] for r in df.select(vec_col).limit(sample_size).collect()
+        [float(v) for v in r[1]]
+        for r in df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
     ]
     cent = _kmeans_lite(sample, n_centroids, seed=seed)
     return _assign_cells(df, cent, vec_col), [list(map(float, c)) for c in cent]
@@ -313,7 +325,8 @@ def _assign_cells(df: DataFrame, centroids, vec_col: str) -> DataFrame:
             cells = []
             for v in pdf[vec_col]:
                 xv = np.asarray(v, dtype=np.float64)
-                cells.append(int(((cent_b - xv) ** 2).sum(axis=1).argmin()))
+                # same rounded-distance protocol as _kmeans_lite
+                cells.append(int(((cent_b - xv) ** 2).sum(axis=1).round(6).argmin()))
             pdf = pdf.copy()
             pdf["__cell"] = pd.Series(cells, index=pdf.index, dtype="int32")
             yield pdf
@@ -338,8 +351,8 @@ def ivf_topk(
 
     indexed, cent = ivf_index(df, id_col, vec_col, n_centroids, seed=seed)
     q = np.asarray(query_vec, dtype=np.float64)
-    order = ((np.asarray(cent) - q) ** 2).sum(axis=1).argsort()[:n_probe]
-    probes = [int(c) for c in order]
+    order = ((np.asarray(cent) - q) ** 2).sum(axis=1).round(6).argsort(kind="stable")
+    probes = [int(c) for c in order[:n_probe]]
     cand = indexed.filter(F.col("__cell").isin(probes))
     return (
         cand.select(
@@ -425,8 +438,9 @@ def ivf_topk_indexed(
         meta = json.load(f)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     # nearest cells: pure driver arithmetic over n_centroids floats
+    # (rounded-distance + lowest-cid tie-break, the oracle-replay protocol)
     dists = [
-        (sum((c - q) ** 2 for c, q in zip(cent, query_vec)), i)
+        (round(sum((c - q) ** 2 for c, q in zip(cent, query_vec)), 6), i)
         for i, cent in enumerate(meta["centroids"])
     ]
     probes = [i for _, i in sorted(dists)[:n_probe]]
