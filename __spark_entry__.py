@@ -863,10 +863,14 @@ def _q_pipeline_end_to_end(spark, sf):
 
 
 def _q_multimodal_decode(spark, sf):
+    # REAL decode: payloads are valid PPM/BMP bytes; the oracle
+    # recomputes width/height and the sha256 pixel digest independently
     from etl_cli_spark.operators.multimodal import decode_images, make_fake_media
 
     media = make_fake_media(spark, n=32)
-    return decode_images(media).select("media_id", "dec_width", "dec_height")
+    return decode_images(media).select(
+        "media_id", "dec_width", "dec_height", F.hex("dec_digest").alias("digest_hex")
+    )
 
 
 def _q_events_funnel(spark, sf):
@@ -1473,21 +1477,29 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS processed, TRUE AS converged FROM events"
     )
 
-    # multimodal_decode: the stub decoder is a pure function of the seeded
-    # payload, so the expected table is recomputed here INDEPENDENTLY
-    # (python hashlib, no Spark) and emitted as a VALUES oracle
+    # multimodal_decode: payloads are REAL PPM/BMP images of a pixel
+    # pattern p[y,x,c] = (3x+7y+11i+13c) mod 256, so the expected
+    # width/height and sha256 pixel digest are recomputed here
+    # INDEPENDENTLY (pure python, no Spark, no package encoders) and
+    # emitted as a VALUES oracle — a header-parse or row-padding bug in
+    # the numpy decoders would change the digest and fail the hash.
     import hashlib as _hl
 
     _vals = []
     for i in range(32):
-        payload = _hl.sha256(f"media-{i}".encode()).digest() * 8
-        h = _hl.sha256(payload).digest()
-        _vals.append(f"({i}, {64 + h[0] % 64}, {64 + h[1] % 64})")
+        w, h = 8 + i % 5, 6 + i % 4
+        buf = bytearray()
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    buf.append((3 * x + 7 * y + 11 * i + 13 * c) % 256)
+        dg = _hl.sha256(bytes(buf)).hexdigest()[:32].upper()
+        _vals.append(f"({i}, {w}, {h}, '{dg}')")
     sql["multimodal_decode"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, "
         "CAST(dec_width AS INTEGER) AS dec_width, "
-        "CAST(dec_height AS INTEGER) AS dec_height "
-        f"FROM (VALUES {', '.join(_vals)}) AS t(media_id, dec_width, dec_height)"
+        "CAST(dec_height AS INTEGER) AS dec_height, digest_hex "
+        f"FROM (VALUES {', '.join(_vals)}) AS t(media_id, dec_width, dec_height, digest_hex)"
     )
 
     # training-data pipeline ops: hashing is md5-prefix -> uint32 in both

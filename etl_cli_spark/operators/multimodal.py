@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata.
 
-The image/audio decode libraries are not in this container, so the
-*decode kernels* are stubbed (deterministic fakes clearly marked below),
-but everything Spark-side is real and tested: the schema contract, the
-Arrow-batched ``mapInPandas`` pipelines, batch shaping, and partition
-sizing. Swapping a real decoder in means replacing ONE pure-python
-function per modality; the distributed plan does not change.
+Image decode is REAL for PPM (P6) and uncompressed 24-bpp BMP — pure
+numpy decoders below, no external image library needed. Formats that do
+need a native library (JPEG/PNG/audio/video) fall back to the clearly
+marked deterministic stub kernels; swapping a real decoder in means
+replacing ONE pure-python function per modality. Everything Spark-side
+is real and tested either way: the schema contract, the Arrow-batched
+``mapInPandas`` pipelines, batch shaping, and partition sizing.
 
 Scale notes: binary payloads ride in parquet binary columns; frames are
 processed per Arrow batch (``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -46,8 +47,79 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _decode_ppm(data: bytes):
+    """Real P6 (binary PPM) decoder: header parse (whitespace + ``#``
+    comments) then a zero-copy numpy view over the RGB pixel block.
+    Returns (width, height, HxWx3 uint8 array)."""
+    import numpy as np
+
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header from pixels
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+    return w, h, px
+
+
+def _decode_bmp(data: bytes):
+    """Real BMP decoder for the uncompressed 24-bpp BITMAPINFOHEADER
+    case: bottom-up BGR rows with 4-byte stride padding -> top-down RGB.
+    Returns (width, height, HxWx3 uint8 array)."""
+    import struct
+
+    import numpy as np
+
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bpp BMP supported (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=pixel_off).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if bottom_up:
+        px = px[::-1]
+    return w, h, np.ascontiguousarray(px)
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Dispatch on magic bytes: PPM and BMP decode for real (pure numpy);
+    other formats fall back to the deterministic stub (JPEG/PNG need a
+    native library this container doesn't ship). The digest is the
+    sha256[:16] of the decoded top-down row-major RGB pixel bytes."""
+    if payload is None:
+        raise NotImplementedError("real image decode requires an image library")
+    data = bytes(payload)
+    if data[:2] == b"P6":
+        w, h, px = _decode_ppm(data)
+    elif data[:2] == b"BM":
+        w, h, px = _decode_bmp(data)
+    else:
+        return _fake_decode_image(data)
+    return w, h, hashlib.sha256(px.tobytes()).digest()[:16]
+
+
 def _fake_decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """STUB decoder (no image libs in this container).
+    """STUB decoder for formats needing a native library (JPEG/PNG/...).
 
     Deterministic fake: derives a (width, height, pixels-digest) from the
     payload bytes. Replace with PIL/turbojpeg in a real deployment —
@@ -62,9 +134,9 @@ def _fake_decode_image(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Decode image payloads -> width/height/digest via Arrow-batched
-    mapInPandas. The plumbing (schema, batching) is production-shaped;
-    only the kernel is a stub."""
+    """Decode image payloads -> width/height/pixel-digest via Arrow-batched
+    mapInPandas. PPM/BMP decode for real (pure numpy); other formats use
+    the stub kernel. The plumbing (schema, batching) is production-shaped."""
     out_schema = T.StructType(
         df.schema.fields
         + [
@@ -76,7 +148,7 @@ def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_fake_decode_image(p) for p in pdf[payload_col]]
+            decoded = [_decode_image(p) for p in pdf[payload_col]]
             pdf = pdf.assign(
                 dec_width=[d[0] for d in decoded],
                 dec_height=[d[1] for d in decoded],
@@ -162,17 +234,55 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     return df.mapInPandas(batches, out_schema)
 
 
+def media_pixels(i: int, w: int, h: int):
+    """Deterministic RGB pixel pattern for synthetic media row ``i``:
+    p[y, x, c] = (3x + 7y + 11i + 13c) mod 256. Trivially recomputable
+    by an independent oracle without touching the encoders below."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(3 * xx + 7 * yy + 11 * i + 13 * c) % 256 for c in range(3)], axis=-1
+    ).astype(np.uint8)
+
+
+def encode_ppm(px) -> bytes:
+    h, w = px.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def encode_bmp(px) -> bytes:
+    """Minimal uncompressed 24-bpp BMP: bottom-up BGR rows, 4-byte
+    stride padding, BITMAPINFOHEADER."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, RGB->BGR
+    data = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return file_hdr + info + data
+
+
+def media_dims(i: int) -> tuple[int, int]:
+    """Width/height of synthetic media row ``i`` (includes widths whose
+    BMP stride needs padding, so the padded-row path is exercised)."""
+    return 8 + i % 5, 6 + i % 4
+
+
 def make_fake_media(spark, n: int = 20, kind: str = "image") -> DataFrame:
-    """Deterministic synthetic media table for tests (seeded by row id)."""
+    """Deterministic synthetic media table: REAL image payloads (PPM for
+    most rows, BMP for every third) with a pixel pattern an oracle can
+    recompute independently of the encoders/decoders."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 8
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                (64 + i, 48 + i, 16000, 5000 + 1000 * (i % 3), kind),
-            )
-        )
+        w, h = media_dims(i)
+        px = media_pixels(i, w, h)
+        fmt = "bmp" if i % 3 == 2 else "ppm"
+        payload = encode_bmp(px) if fmt == "bmp" else encode_ppm(px)
+        rows.append((i, kind, bytearray(payload), (w, h, 16000, 5000 + 1000 * (i % 3), fmt)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -17,14 +17,50 @@ def media(spark):
     return make_fake_media(spark, n=12)
 
 
-def test_decode_plumbing(media):
+def test_decode_real_ppm_and_bmp(media):
+    """The PPM/BMP decoders must recover the exact dims and pixel bytes
+    that went in (every third row is BMP, including padded-stride widths)."""
+    import hashlib
+
+    from etl_cli_spark.operators.multimodal import media_dims, media_pixels
+
     out = decode_images(media)
     rows = out.collect()
     assert len(rows) == 12
-    assert all(64 <= r.dec_width < 128 for r in rows)
-    # deterministic: same payload -> same digest on re-run
-    again = {r.media_id: r.dec_digest for r in decode_images(media).collect()}
-    assert all(bytes(r.dec_digest) == bytes(again[r.media_id]) for r in rows)
+    for r in rows:
+        w, h = media_dims(r.media_id)
+        assert (r.dec_width, r.dec_height) == (w, h)
+        expected = hashlib.sha256(media_pixels(r.media_id, w, h).tobytes()).digest()[:16]
+        assert bytes(r.dec_digest) == expected
+
+
+def test_decode_bmp_padded_stride():
+    """w=9 -> 27-byte rows padded to 28: the decoder must strip padding,
+    flip bottom-up rows, and swap BGR back to RGB."""
+    from etl_cli_spark.operators.multimodal import (
+        _decode_bmp,
+        encode_bmp,
+        media_pixels,
+    )
+
+    px = media_pixels(11, 9, 7)
+    w, h, dec = _decode_bmp(encode_bmp(px))
+    assert (w, h) == (9, 7)
+    assert (dec == px).all()
+
+
+def test_decode_unknown_format_uses_stub(media, spark):
+    import hashlib
+
+    from etl_cli_spark.operators.multimodal import MEDIA_SCHEMA
+
+    payload = b"\x89PNG fake bytes"
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(payload), (1, 1, 0, 0, "png"))], MEDIA_SCHEMA
+    )
+    r = decode_images(df).first()
+    hh = hashlib.sha256(payload).digest()
+    assert (r.dec_width, r.dec_height) == (64 + hh[0] % 64, 64 + hh[1] % 64)
 
 
 def test_resize_schema(media):
