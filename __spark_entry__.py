@@ -259,17 +259,36 @@ def _q_write_insert(spark, sf):
     return out.select(*_ORDER_COLS)
 
 
-def _q_write_upsert(spark, sf):
-    from etl_cli_spark.spec import TargetSpec
-    from etl_cli_spark.operators.writeops import apply_write_op
-
+def _setup_write_upsert(spark, sf):
+    """Bench-separable setup: build the scratch bucketed target and the
+    upsert source. NOT part of the measured op (bench.py times only
+    ``_run_write_upsert``; the correctness query composes both)."""
     eng, orders, t = _scratch_orders(spark, sf)
     changed = orders.filter("o_orderkey < 100").withColumn(
         "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
     ).withColumn("o_orderstatus", F.lit("U"))
     new = changed.filter("o_orderkey < 10").withColumn("o_orderkey", F.col("o_orderkey") + F.lit(2000000))
-    out = apply_write_op(changed.unionByName(new), t, TargetSpec(ds="t", op="upsert", pk=("o_orderkey",)))
+    return t, changed.unionByName(new)
+
+
+def _run_write_upsert(spark, sf, state):
+    from etl_cli_spark.spec import TargetSpec
+    from etl_cli_spark.operators.writeops import apply_write_op
+
+    t, src = state
+    out = apply_write_op(src, t, TargetSpec(ds="t", op="upsert", pk=("o_orderkey",)))
     return out.select(*_ORDER_COLS)
+
+
+def _q_write_upsert(spark, sf):
+    return _run_write_upsert(spark, sf, _setup_write_upsert(spark, sf))
+
+
+def bench_parts() -> dict[str, tuple]:
+    """Queries whose bench timing must exclude setup: name ->
+    (setup(spark, sf) -> state, run(spark, sf, state) -> DataFrame).
+    Setup re-runs before every timed attempt (the op mutates its target)."""
+    return {"write_upsert": (_setup_write_upsert, _run_write_upsert)}
 
 
 def _q_write_upsert_datepart(spark, sf):
