@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="etl_cli_spark", description=__doc__.split("\n")[0])
     p.add_argument("--root", required=True, help="engine root (dataset namespace base)")
     p.add_argument("-s", "--source", help="source dataset uri (required unless polling/settings)")
+    # combined-dataset aliases (reference etl.py:29-31, expansion 88-98)
+    p.add_argument("--st", help="one uri as BOTH source and target")
+    p.add_argument("--smt", help="one uri as source, merger AND target")
+    p.add_argument("--mt", help="one uri as BOTH merger and target")
     p.add_argument("-q", "--query", action="append", default=[], help="query item k=v (repeatable)")
     p.add_argument("--str", dest="transformers", action="append", default=[],
                    help="source transformer name[:args] (repeatable)")
@@ -78,6 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--turl", help="http url target: POST result rows as JSON")
     p.add_argument("--surl", help="http url backing the source dataset")
     # orchestration
+    p.add_argument("--contid", metavar="CHAIN",
+                   help="convergence loop: re-run over unprocessed rows until "
+                        "fixpoint; 'self' starts a fresh chain (etl.py:74,326-362)")
+    p.add_argument("--diff", metavar="DS",
+                   help="set-diff the (queried) source against this dataset")
+    p.add_argument("--diff-context",
+                   help="context columns for --diff, comma-separated")
     p.add_argument("--workers", type=int, help="repartition hint")
     p.add_argument("--batch", type=int, dest="batch_size", help="write batch -> maxRecordsPerFile")
     p.add_argument("--info", action="store_true", help="pre-flight description, no execution")
@@ -91,6 +102,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Sequence[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    # expand_ds_args (etl.py:88-98): smt beats st beats mt, elif-chained
+    if args.smt:
+        args.source = args.merger = args.target = args.smt
+    elif args.st:
+        args.source = args.target = args.st
+    elif args.mt:
+        args.merger = args.target = args.mt
     if not (args.source or args.job_poll or args.get_setting or args.set_setting):
         parser.error("-s/--source is required for job runs")
 
@@ -116,6 +134,19 @@ def main(argv: Sequence[str] | None = None) -> int:
     query = list(args.query)
     if args.surl:
         query.append(f"_url={args.surl}")
+
+    if args.diff:
+        from .operators.diff import diff as diff_op
+
+        left = eng.read(args.source, query)
+        right = eng.read(args.diff)
+        ctx = args.diff_context.split(",") if args.diff_context else None
+        out = diff_op(left, right, context=ctx)
+        rows = out.limit(20).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        print(f"diff rows: {out.count()}")
+        return 0
     spec = make_spec(
         args.source, query=query, transformers=args.transformers,
         merger=args.merger, mkeys=args.mkeys, mq=args.mq, mmd=args.mmd,
@@ -142,6 +173,14 @@ def main(argv: Sequence[str] | None = None) -> int:
         # preview mode (base.py:640-644): one record, pretty-printed
         for rec in eng.preview(args.source, query, n=1):
             print(json.dumps(rec, default=str, indent=2))
+        return 0
+
+    if args.contid:
+        stats, chain = eng.run_contid(spec, args.contid)
+        print(
+            f"contid {chain}: passes={stats.passes} processed={stats.processed} "
+            f"converged={stats.converged}"
+        )
         return 0
 
     results = (

@@ -358,6 +358,15 @@ class Engine:
 
             obs = Observation()
             df = df.observe(obs, F.count(F.lit(1)).alias("rows_in"))
+        return self._run_stages(df, spec, src_ds, merge_rules_fn=merge_rules_fn, obs=obs)
+
+    def _run_stages(
+        self, df: DataFrame, spec: JobSpec, src_ds: DatasetURI,
+        merge_rules_fn=None, obs=None,
+    ) -> JobResult:
+        """Everything after the source scan: transformers -> merger ->
+        target write. Factored out so run_contid can replay the stages
+        over each convergence-loop batch."""
         if spec.source.transformers:
             df = apply_chain(df, spec.source.transformers)
 
@@ -443,6 +452,44 @@ class Engine:
         raw = "/".join(p for p in (tgt_ds.ns, tgt_ds.name) if p)
         name = raw.replace(".", "-").replace("/", "-")
         write_dataset(out, parse_ds(f"{spec.target.log_ds}/{name}"), self.root, mode="append")
+
+    def run_contid(
+        self,
+        spec: JobSpec,
+        contid: str,
+        id_cols: Sequence[str] | None = None,
+        batch_limit: int | None = None,
+    ):
+        """The reference's ``--contid`` convergence loop (etl.py:326-362):
+        re-run the job over not-yet-processed source rows until the
+        remainder reaches 0 or stalls. ``contid='self'`` starts a fresh
+        chain (etl.py:356-358). The processed-row bookmark (the Spark
+        stand-in for the reference's ``logs.job.contid`` stamp) is a
+        parquet id table under ``logs/contid/<chain>``.
+
+        Returns (LoopStats, chain_id)."""
+        import uuid as _uuid
+
+        from .streaming.incremental import incremental_loop
+
+        ids = list(id_cols or (spec.target.pk if spec.target else ()))
+        if not ids:
+            raise ValueError("contid needs id columns (target pk) to bookmark processed rows")
+        chain = _uuid.uuid4().hex[:12] if contid == "self" else contid
+        bookmark = os.path.join(self.root, "logs", "contid", chain)
+        src_ds = parse_ds(spec.source.ds)
+        q = compile_query(spec.source.query)
+
+        def source() -> DataFrame:
+            return q.apply(read_dataset(self.spark, src_ds, self.root, url=q.url))
+
+        def process(batch: DataFrame) -> None:
+            self._run_stages(batch, spec, src_ds)
+
+        stats = incremental_loop(
+            self.spark, source, process, bookmark, ids, batch_limit=batch_limit
+        )
+        return stats, chain
 
     def run_many(self, spec: JobSpec, merge_rules_fn=None) -> list[JobResult]:
         """Wildcard fan-out (etl.py:364-377): one job per matching source."""

@@ -97,3 +97,72 @@ def test_cli_partition_by_and_sort_by(cli_root, capsys, spark):
         op="upsert", pk="o_orderkey,o_orderstatus",
     )
     assert res.df.count() == eng.read("orders").count()
+
+
+def test_cli_st_alias_source_and_target(cli_root, capsys, spark):
+    """--st X == -s X -t X (reference etl.py:88-98): a self-update. Stage
+    a copy first so the source exists under a target-writable name."""
+    import os
+
+    rc = main([
+        "--root", cli_root, "-s", "orders", "-t", "out/self", "-o", "create",
+    ])
+    assert rc == 0
+    rc = main([
+        "--root", cli_root, "--st", "out/self",
+        "-q", "o_orderkey__lt=100", "-o", "index:o_orderkey",
+    ])
+    assert rc == 0
+    assert os.path.exists(f"{cli_root}/out/self.parquet")
+    from etl_cli_spark.engine import Engine
+
+    assert Engine(spark, cli_root).read("out/self").count() == 1500
+
+
+def test_cli_smt_and_mt_aliases(cli_root, capsys, spark):
+    rc = main(["--root", cli_root, "-s", "orders", "-t", "out/smt", "-o", "create"])
+    assert rc == 0
+    # --smt: source = merger = target; self-join on the pk then upsert back
+    rc = main([
+        "--root", cli_root, "--smt", "out/smt",
+        "--mkeys", "o_orderkey", "--mmd", "s2m", "-o", "upsert:o_orderkey",
+    ])
+    assert rc == 0
+    # --mt: merger = target
+    rc = main([
+        "--root", cli_root, "-s", "orders", "--mt", "out/smt",
+        "--mkeys", "o_orderkey", "--mmd", "s2m", "-o", "upsert:o_orderkey",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "out/smt" in out
+
+
+def test_cli_diff(cli_root, capsys, spark):
+    rc = main([
+        "--root", cli_root,
+        "-s", "orders", "-q", "o_orderstatus=F",
+        "--diff", "orders", "--diff-context", "o_orderkey,o_orderstatus",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    # queried source vs full table: every non-F row shows on the right side
+    assert out[-1].startswith("diff rows: ")
+    assert int(out[-1].split(": ")[1]) > 0
+
+
+def test_cli_contid_converges(cli_root, capsys, spark):
+    rc = main([
+        "--root", cli_root,
+        "-s", "orders", "-q", "o_orderstatus=F",
+        "-t", "out/cont", "-o", "insert:o_orderkey",
+        "--contid", "self",
+    ])
+    assert rc == 0
+    line = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("contid ")][0]
+    assert "converged=True" in line
+    # a second chain over the same source finds nothing new to insert
+    from etl_cli_spark.engine import Engine
+
+    eng = Engine(spark, cli_root)
+    assert eng.read("out/cont").count() == eng.read("orders", ["o_orderstatus=F"]).count()
