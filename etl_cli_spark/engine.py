@@ -31,25 +31,35 @@ from .spec import JobSpec, make_spec
 from .uri import DatasetURI, expand_wildcard, parse_ds, resolve_path, template_target
 
 
-def _catalog_fingerprint(root: str) -> tuple[tuple[str, int], ...]:
-    """Cheap change-token for a root: (entry, mtime_ns) one and two levels
-    deep. Any dataset create/overwrite/drop touches its directory (Spark
-    rewrites _SUCCESS and part files), so the token changes; pure reads
-    don't. os.scandir of a catalog is microseconds vs. the parquet-footer
-    reads a full view re-registration costs."""
+def _catalog_fingerprint(root: str, depth: int = 3) -> tuple[tuple[str, int], ...]:
+    """Cheap change-token for a root: (entry, mtime_ns) up to ``depth``
+    levels deep. Any dataset create/overwrite/drop touches a fingerprinted
+    directory, so the token changes; pure reads don't. Depth 3 covers
+    appends into a namespaced hive-partitioned dataset
+    (``<root>/<ns>/<name>/<part=val>/``): the new part files bump the
+    partition directory's mtime, which sits at depth 3. (ParquetTable
+    additionally utimes the dataset dir on every write, so engine-side
+    writes are visible at depth 2 regardless of layout depth.)
+    os.scandir of a catalog is microseconds vs. the parquet-footer reads a
+    full view re-registration costs; on an object store, bound the listing
+    rate with the engine's ``catalog_ttl``."""
     fp: list[tuple[str, int]] = []
-    try:
-        entries = sorted(os.scandir(root), key=lambda e: e.name)
-    except OSError:
-        return ()
-    for e in entries:
+
+    def scan(path: str, rel: str, d: int) -> None:
         try:
-            fp.append((e.name, e.stat().st_mtime_ns))
-            if e.is_dir():
-                for c in sorted(os.scandir(e.path), key=lambda c: c.name):
-                    fp.append((f"{e.name}/{c.name}", c.stat().st_mtime_ns))
+            entries = sorted(os.scandir(path), key=lambda e: e.name)
         except OSError:
-            continue
+            return
+        for e in entries:
+            try:
+                name = f"{rel}/{e.name}" if rel else e.name
+                fp.append((name, e.stat().st_mtime_ns))
+                if d > 1 and e.is_dir():
+                    scan(e.path, name, d - 1)
+            except OSError:
+                continue
+
+    scan(root, "", depth)
     return tuple(fp)
 
 
@@ -107,14 +117,38 @@ class Engine:
     dataset (the reference's job store / poll surface, base.py:345-392).
     """
 
-    def __init__(self, spark: SparkSession, root: str, job_log: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        job_log: bool = False,
+        catalog_ttl: float | None = None,
+    ):
         self.spark = spark
         self.root = root
+        # sql() view-cache freshness: within ttl seconds the catalog is NOT
+        # re-listed (engine-side writes still invalidate instantly via
+        # invalidate_catalog). Default 0 = always check — microseconds on a
+        # local FS; on an object store set SPARK_ETL_CATALOG_TTL to bound
+        # the listing rate and accept ttl-delayed visibility of EXTERNAL
+        # writers (your own writes are always visible immediately).
+        self.catalog_ttl = (
+            float(os.environ.get("SPARK_ETL_CATALOG_TTL", "0"))
+            if catalog_ttl is None
+            else catalog_ttl
+        )
+        self._fp_cache: tuple[float, tuple] | None = None
+        self._catalog_dirty = False
         self._job_log = None
         if job_log:
             from .metrics import JobLog
 
             self._job_log = JobLog(spark, root)
+
+    def invalidate_catalog(self) -> None:
+        """Force the next :meth:`sql` call to re-fingerprint the root
+        (called automatically after engine-side writes)."""
+        self._catalog_dirty = True
 
     @property
     def job_log(self):
@@ -198,9 +232,19 @@ class Engine:
         and views are re-registered only when the fingerprint changes.
         Writes touch the dataset directory (_SUCCESS et al.), so an
         overwrite or create bumps the mtime and invalidates the cache."""
+        import time as _time
+
         from .catalog import ls_ns
 
-        state = (self.root, _catalog_fingerprint(self.root))
+        now = _time.monotonic()
+        if (
+            self._catalog_dirty
+            or self._fp_cache is None
+            or now - self._fp_cache[0] > self.catalog_ttl
+        ):
+            self._fp_cache = (now, _catalog_fingerprint(self.root))
+            self._catalog_dirty = False
+        state = (self.root, self._fp_cache[1])
         if getattr(self.spark, "_etl_sql_state", None) != state:
             for name in ls_ns(self.root):
                 try:
@@ -429,6 +473,8 @@ class Engine:
 
         if spec.target.log_ds and not spec.target.dry_run:
             self._write_target_log(df, spec, tgt_ds)
+        if not spec.target.dry_run:
+            self.invalidate_catalog()
         return JobResult(df=final, target=tgt_ds.uri, metrics=metrics)
 
     def _write_target_log(self, df: DataFrame, spec: JobSpec, tgt_ds: DatasetURI) -> None:

@@ -222,6 +222,15 @@ class ParquetTable:
         df = self.spark.read.parquet(self.path)
         return df.filter(F.col(col).isin(values))
 
+    def _touch(self) -> None:
+        """Bump the dataset dir mtime so catalog fingerprints (engine.sql
+        view cache) see every write, however deep the partition layout
+        put the actual files."""
+        try:
+            os.utime(self.path, None)
+        except OSError:
+            pass
+
     def append(self, df: DataFrame) -> None:
         layout = self._target_layout()
         vcols = self._target_value_layout()
@@ -232,6 +241,7 @@ class ParquetTable:
         else:
             self._writer(self._clustered(df)).mode("append").parquet(self.path)
             self._write_plain_meta()
+        self._touch()
 
     def overwrite(self, df: DataFrame) -> None:
         """Full-state replace via stage + atomic swap (safe self-reference)."""
@@ -251,6 +261,7 @@ class ParquetTable:
         os.rename(staged, self.path)
         if os.path.exists(backup):
             shutil.rmtree(backup)
+        self._touch()
 
     def overwrite_buckets(self, df: DataFrame, buckets: list[int]) -> None:
         """Replace ONLY the named bucket directories with ``df``'s state.
@@ -287,6 +298,7 @@ class ParquetTable:
         # only after the whole swap succeeded is it safe to discard state
         shutil.rmtree(backup, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
+        self._touch()
 
     def overwrite_value_partitions(self, df: DataFrame, col: str, values: list) -> None:
         """Replace ONLY the partitions of ``values`` with ``df``'s state.
@@ -327,6 +339,7 @@ class ParquetTable:
         # only after the whole swap succeeded is it safe to discard state
         shutil.rmtree(backup, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
+        self._touch()
 
     def _restore_swap(self, backup: str, moved: list[str]) -> None:
         """Roll a failed partition swap back: every directory that was

@@ -257,3 +257,48 @@ def test_schema_drift_mergeschema_read(spark, tmp_path):
     assert set(got.columns) == {"id", "x", "y"}
     rows = {r.id: (r.x, r.y) for r in got.collect()}
     assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
+
+
+def test_sql_catalog_ttl_skips_relisting(spark, tmp_path, monkeypatch):
+    """With a ttl, back-to-back sql() calls walk the catalog ONCE; an
+    engine-side write invalidates instantly even inside the window."""
+    import etl_cli_spark.engine as engmod
+    from etl_cli_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path), catalog_ttl=300.0)
+    spark.range(3).toDF("a").write.parquet(f"{tmp_path}/ds.parquet")
+
+    walks = {"n": 0}
+    real_fp = engmod._catalog_fingerprint
+
+    def counting_fp(root, depth=3):
+        walks["n"] += 1
+        return real_fp(root, depth)
+
+    monkeypatch.setattr(engmod, "_catalog_fingerprint", counting_fp)
+    assert eng.sql("SELECT count(*) AS n FROM ds").first().n == 3
+    assert eng.sql("SELECT count(*) AS n FROM ds").first().n == 3
+    assert walks["n"] == 1  # second call served from the ttl cache
+
+    # engine-side write -> dirty flag -> next sql() re-lists immediately
+    eng.etl("ds", target="ds2", op="create")
+    assert eng.sql("SELECT count(*) AS n FROM ds2").first().n == 3
+    assert walks["n"] == 2
+
+
+def test_sql_sees_namespaced_hive_append(spark, tmp_path):
+    """Append into <root>/<ns>/<name>/<part=val>/ writes files at depth 4
+    with no dirent change at depth <= 2 — the depth-3 fingerprint (plus
+    the ParquetTable dataset-dir utime) must still invalidate the cached
+    view (ADVICE r2)."""
+    from etl_cli_spark.engine import Engine
+    from etl_cli_spark.operators.writeops import ParquetTable
+
+    eng = Engine(spark, str(tmp_path))
+    t = ParquetTable(
+        spark, f"{tmp_path}/ns/ds.parquet", partition_by=("p",)
+    )
+    t.append(spark.range(4).selectExpr("id", "id % 2 AS p"))
+    assert eng.sql("SELECT count(*) AS n FROM ns_ds").first().n == 4
+    t.append(spark.range(6).selectExpr("id + 100 AS id", "id % 2 AS p"))
+    assert eng.sql("SELECT count(*) AS n FROM ns_ds").first().n == 10
