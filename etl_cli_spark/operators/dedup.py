@@ -436,18 +436,28 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """(node, cluster) labels for the pair graph: cluster = min node id
     reachable from the node (transitive closure of the near-dup relation).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels. Rounds needed = graph
-    diameter — near-dup clusters are shallow (pairs all share content),
-    so this converges in a handful of rounds; each round is one
-    shuffle-join + groupBy over (node, label) longs only. Convergence is
-    detected by an exact changed-label count (driver-side scalar), and
-    every round's result is persisted + the previous unpersisted so the
-    lineage doesn't grow with iterations.
+    Min-label propagation WITH pointer jumping: each round a node takes
+    the min of its own and its neighbors' labels, then replaces that
+    label by its label's label (labels only shrink, so label(lbl) <=
+    lbl). The jump doubles the effective propagation distance per round,
+    so a component of diameter d converges in O(log d) rounds — a
+    pathological crawl-dup chain of 10^6 docs needs ~20 rounds, not 10^6
+    (the plain-propagation failure mode flagged in round-2 ADVICE).
+    Each round shuffles only (node, label) longs. The jump is a
+    self-join, so the logical plan would DOUBLE every round
+    (2^rounds nodes — analyzer OOM by round ~10); ``localCheckpoint``
+    materializes each round's labels and truncates lineage so the plan
+    stays constant-size. (localCheckpoint stores blocks on executors —
+    non-resilient to executor loss; on a real cluster set a checkpoint
+    dir and swap in ``checkpoint()`` if the job must survive preemption.)
+    Convergence is an exact changed-label count; if ``max_iter`` rounds
+    pass without a fixpoint the result is WRONG (clusters split), so
+    ``strict=True`` raises instead of silently returning it.
     """
     from pyspark import StorageLevel
 
@@ -461,21 +471,30 @@ def connected_components(
         edges.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["d"] == labels["node"])
             .groupBy(F.col("s").alias("node2"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
+        cand = (
             labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
+        )
+        # pointer jump: lbl <- label(lbl). Labels are node ids, so the
+        # self-join always finds the row; labels only decrease.
+        jump_src = cand.select(F.col("node").alias("jn"), F.col("lbl").alias("jl"))
+        new_labels = (
+            cand.join(jump_src, cand["lbl"] == jump_src["jn"], "left")
+            .select("node", F.coalesce("jl", F.col("lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -483,11 +502,17 @@ def connected_components(
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            f"labels are still moving, clusters would be split; raise max_iter "
+            f"(rounds needed ~ log2 of the largest component's diameter)"
+        )
     return labels.select(F.col("node"), F.col("lbl").alias("cluster"))
 
 

@@ -123,3 +123,33 @@ def test_minhash_dedup_cc_transitive(spark):
     # the crafted chain: 1~2 and 2~3 hold but 1~3 does not
     if greedy == {1, 3}:
         assert cc == {1}
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 64-node path graph has diameter 63; pointer jumping must collapse
+    it to one cluster in O(log n) rounds (10 is generous), where plain
+    one-hop propagation would need 63."""
+    from etl_cli_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a_id long, b_id long"
+    )
+    comp = connected_components(pairs, max_iter=10)
+    rows = comp.collect()
+    assert len(rows) == 64
+    assert {r.cluster for r in rows} == {0}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from etl_cli_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a_id long, b_id long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+    # strict=False returns the partial labels instead
+    part = connected_components(pairs, max_iter=2, strict=False)
+    assert part.count() == 64
