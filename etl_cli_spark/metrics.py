@@ -61,6 +61,36 @@ class JobRecord:
     contid: str | None = None
 
 
+_RECORD_LOCK = __import__("threading").Lock()
+
+_ARROW_LOG_SCHEMA = None  # built lazily so pyarrow import stays off the module path
+
+
+def _arrow_log_schema():
+    global _ARROW_LOG_SCHEMA
+    if _ARROW_LOG_SCHEMA is None:
+        import pyarrow as pa
+
+        _ARROW_LOG_SCHEMA = pa.schema(
+            [
+                ("uid", pa.string()),
+                ("seq", pa.int64()),
+                ("started_at", pa.timestamp("us", tz="UTC")),
+                ("duration_sec", pa.float64()),
+                ("status", pa.string()),
+                ("source", pa.string()),
+                ("target", pa.string()),
+                ("op", pa.string()),
+                ("rows_in", pa.int64()),
+                ("rows_out", pa.int64()),
+                ("rows_per_sec", pa.float64()),
+                ("error", pa.string()),
+                ("contid", pa.string()),
+            ]
+        )
+    return _ARROW_LOG_SCHEMA
+
+
 class JobLog:
     """Parquet-backed job log under ``<root>/<ns>/job``."""
 
@@ -69,30 +99,34 @@ class JobLog:
         self.path = os.path.join(root, ns, "job")
 
     def record(self, rec: JobRecord) -> None:
+        """Append one record as its own uniquely-named parquet file,
+        written driver-side with pyarrow — NOT through Spark's file
+        committer. ``run_async`` worker threads record concurrently with
+        the main thread; Spark's committer stages every write in a shared
+        ``<path>/_temporary`` dir, so two in-flight appends to the same
+        path can delete each other's attempt dirs (round-2 ADVICE). A
+        unique filename per record plus a driver-local write has no shared
+        staging state; the process lock additionally serializes makedirs
+        and keeps same-process records ordered on disk."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         rps = (
             rec.rows_in / rec.duration_sec
             if rec.rows_in is not None and rec.duration_sec > 0
             else None
         )
-        row = (
-            rec.uid,
-            rec.seq,
-            # timestamp as UTC seconds -> Spark converts via session tz
-            _dt.datetime.fromtimestamp(rec.started_at, tz=_dt.timezone.utc).replace(tzinfo=None),
-            rec.duration_sec,
-            rec.status,
-            rec.source,
-            rec.target,
-            rec.op,
-            rec.rows_in,
-            rec.rows_out,
-            rps,
-            rec.error,
-            rec.contid,
-        )
-        self.spark.createDataFrame([row], LOG_SCHEMA).coalesce(1).write.mode("append").parquet(
-            self.path
-        )
+        started = _dt.datetime.fromtimestamp(rec.started_at, tz=_dt.timezone.utc)
+        cols = [
+            [rec.uid], [rec.seq], [started], [rec.duration_sec], [rec.status],
+            [rec.source], [rec.target], [rec.op], [rec.rows_in], [rec.rows_out],
+            [rps], [rec.error], [rec.contid],
+        ]
+        table = pa.table(dict(zip(_arrow_log_schema().names, cols)), schema=_arrow_log_schema())
+        fname = f"part-{rec.seq:012d}-{uuid.uuid4().hex}.parquet"
+        with _RECORD_LOCK:
+            os.makedirs(self.path, exist_ok=True)
+            pq.write_table(table, os.path.join(self.path, fname))
 
     def frame(self) -> DataFrame:
         return self.spark.read.schema(LOG_SCHEMA).parquet(self.path)

@@ -193,3 +193,50 @@ def test_run_async_failure_is_recorded(spark, work_root):
     uid = eng.run_async(make_spec("missing_ds_xyz", target="out/fail_t", op="create"))
     st = eng.job_log.poll(uid, interval=0.2, timeout=120)
     assert st["status"] == "failed" and st["error"]
+
+
+def test_job_log_concurrent_records(spark, work_root):
+    """run_async workers record from daemon threads while the main thread
+    records too; every record must land (unique-file pyarrow writes, no
+    shared Spark committer staging dir to clobber)."""
+    import threading
+    import time as _time
+
+    from etl_cli_spark.metrics import JobLog, JobRecord
+
+    log = JobLog(spark, work_root)
+    n_threads, per_thread = 8, 5
+    errors = []
+
+    def _write(tid):
+        try:
+            for i in range(per_thread):
+                log.record(
+                    JobRecord(
+                        uid=f"job-{tid}-{i}",
+                        seq=tid * per_thread + i,
+                        started_at=_time.time(),
+                        duration_sec=0.1,
+                        status="succeeded",
+                        source="orders",
+                        target=None,
+                        op="create",
+                        rows_in=10,
+                        rows_out=10,
+                    )
+                )
+        except Exception as ex:  # pragma: no cover - failure detail
+            errors.append(ex)
+
+    threads = [threading.Thread(target=_write, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    df = log.frame()
+    assert df.count() == n_threads * per_thread
+    assert df.select("uid").distinct().count() == n_threads * per_thread
+    # status lookups still work over the pyarrow-written files
+    st = log.job_status("last")
+    assert st["status"] == "succeeded" and st["seq"] == n_threads * per_thread - 1
