@@ -652,6 +652,18 @@ def _q_events_sessionize(spark, sf):
     return s.groupBy("user_id").agg(F.max("session_id").alias("n_sessions"))
 
 
+def _q_events_sessionize_hot(spark, sf):
+    # skew-guarded variant: windows over (user, 6h-chunk) then stitches
+    # boundary sessions — a hot user spreads across chunks instead of
+    # serializing onto one task. Same oracle as events_sessionize: the
+    # session ids must be identical.
+    from etl_cli_spark.streaming.stream import sessionize_scalable
+
+    ev = _engine(spark, sf).read("events")
+    s = sessionize_scalable(ev, "ts", 30, "user_id", tiebreak=("event_id",), chunk_hours=6)
+    return s.groupBy("user_id").agg(F.max("session_id").alias("n_sessions"))
+
+
 # -- documents / text --------------------------------------------------------
 
 def _q_text_stats_by_lang(spark, sf):
@@ -1095,6 +1107,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # events / streaming-analog (SURVEY §2.9-2.10)
     "events_window_1h": _q_events_window_1h,
     "events_sessionize": _q_events_sessionize,
+    "events_sessionize_hot": _q_events_sessionize_hot,
     "events_funnel": _q_events_funnel,
     "events_retention": _q_events_retention,
     "incremental_loop": _q_incremental_loop,
@@ -1380,6 +1393,8 @@ def oracle_sql() -> dict[str, str]:
         "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
         "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM marks GROUP BY user_id"
     )
+    # the chunked skew-guarded sessionize must produce identical ids
+    sql["events_sessionize_hot"] = sql["events_sessionize"]
 
     sql["events_funnel"] = (
         "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "

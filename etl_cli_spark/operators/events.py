@@ -24,6 +24,8 @@ def funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     max_gap_seconds: int | None = None,
+    skew: str | None = None,
+    salt_factor: int = 16,
 ) -> DataFrame:
     """Ordered conversion funnel: users who did step1, then step2 AFTER
     their first step1, then step3 after that first step2, ...
@@ -36,9 +38,21 @@ def funnel(
     "First occurrence after the previous stage's first occurrence" is
     the deterministic textbook semantics (no windowing ambiguity), and
     each stage is one filtered aggregate + one equi-join on the user.
+
+    Skew: the per-stage groupBys are safe under hot users (map-side
+    partial aggregation combines a hot user's events before the
+    shuffle), but the events-side of each stage JOIN hashes on user_id —
+    a user owning half the events lands on one task in a plain
+    sort-merge join. AQE's skew-join split (on in the engine session)
+    covers that at runtime; ``skew='salt'`` forces it deterministically
+    via :func:`etl_cli_spark.operators.skew.salted_join`, spreading each
+    hot user over ``salt_factor`` tasks (the per-user stage frame is
+    replicated salt_factor times — it is one narrow row per user).
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if skew not in (None, "salt"):
+        raise ValueError(f"skew must be None or 'salt', got {skew!r}")
     stages: list[tuple[str, DataFrame]] = []
     prev: DataFrame | None = None
     for step in steps:
@@ -53,9 +67,15 @@ def funnel(
                     - F.unix_timestamp(F.col("__pt"))
                     <= max_gap_seconds
                 )
+            prev_sel = prev.select(user_col, F.col("__t").alias("__pt"))
+            if skew == "salt":
+                from .skew import salted_join
+
+                joined = salted_join(ev, prev_sel, user_col, "inner", salt_factor)
+            else:
+                joined = ev.join(prev_sel, user_col)
             cur = (
-                ev.join(prev.select(user_col, F.col("__t").alias("__pt")), user_col)
-                .filter(after_prev)
+                joined.filter(after_prev)
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("__t"))
             )

@@ -110,6 +110,85 @@ def sessionize(
     ).drop("__new_s")
 
 
+def sessionize_scalable(
+    df: DataFrame,
+    ts_col: str,
+    gap_minutes: int,
+    user_col: str,
+    tiebreak: Sequence[str] = (),
+    chunk_hours: int = 24,
+) -> DataFrame:
+    """Sessionize with hot-user skew protection. Same output contract as
+    :func:`sessionize` (identical session ids).
+
+    Plain ``sessionize`` windows over ``partitionBy(user)`` — a hot user
+    owning half the events serializes half the table onto ONE task, and
+    AQE cannot split a running window. Here the window partitions by
+    (user, time-chunk), so a hot user's events spread over as many tasks
+    as they span chunks; a boundary pass then stitches sessions that
+    cross chunk edges:
+
+    1. local pass — lag/cumsum windows over (user, chunk): every chunk's
+       first event is tentatively a session start;
+    2. per-chunk summary (one narrow row per (user, chunk): mark count +
+       min/max ts) windowed per user ORDER BY chunk — tiny relative to
+       the events;
+    3. a chunk "connects" to its predecessor when the boundary gap is
+       within threshold: its first tentative mark is retracted, shifting
+       the chunk's local ids by -1; session_id = running corrected marks
+       of prior chunks + local cumsum - connect.
+
+    The per-user state that remains serial is one row per CHUNK, not per
+    event — bounded by time range / chunk_hours regardless of event
+    volume. Cost vs plain sessionize: one extra (user, chunk) shuffle
+    for the summary join.
+    """
+    from pyspark.sql.window import Window
+
+    gap_s = gap_minutes * 60
+    chunk_s = chunk_hours * 3600
+    ts_long = F.unix_timestamp(F.col(ts_col))
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+
+    ev = df.withColumn("__chunk", F.floor(ts_long / F.lit(chunk_s)))
+    wc = Window.partitionBy(user_col, "__chunk").orderBy(*order)
+    prev = F.lag(ts_col).over(wc)
+    local_mark = F.when(
+        prev.isNull() | ((ts_long - F.unix_timestamp(prev)) > gap_s), 1
+    ).otherwise(0)
+    ev = ev.withColumn("__mark", local_mark).withColumn(
+        "__local_id", F.sum("__mark").over(wc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+    summary = ev.groupBy(user_col, "__chunk").agg(
+        F.sum("__mark").alias("__n_marks"),
+        F.min(ts_long).alias("__first"),
+        F.max(ts_long).alias("__last"),
+    )
+    wu = Window.partitionBy(user_col).orderBy("__chunk")
+    prev_last = F.lag("__last").over(wu)
+    connect = F.when(
+        prev_last.isNotNull() & ((F.col("__first") - prev_last) <= gap_s), 1
+    ).otherwise(0)
+    summary = summary.withColumn("__connect", connect).withColumn(
+        "__prior",
+        F.coalesce(
+            F.sum(F.col("__n_marks") - F.col("__connect")).over(
+                wu.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+
+    out = ev.join(
+        summary.select(user_col, "__chunk", "__connect", "__prior"),
+        [user_col, "__chunk"],
+    ).withColumn(
+        "session_id", F.col("__prior") + F.col("__local_id") - F.col("__connect")
+    )
+    return out.drop("__chunk", "__mark", "__local_id", "__connect", "__prior")
+
+
 def stream_events(
     spark,
     path: str,

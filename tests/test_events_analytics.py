@@ -63,3 +63,93 @@ def test_funnel_max_gap(crafted):
     ).collect()}
     assert tight == {"view": 3, "click": 0, "purchase": 0}
     assert loose == {"view": 3, "click": 2, "purchase": 1}
+
+
+# ---------------------------------------------------------------------------
+# hot-user skew guards (round-2 ADVICE task: one user owning 50% of events)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def hot_user_events(spark):
+    """User 0 owns half of all events; 50 normal users share the rest.
+    Timestamps spread over ~20 days so chunked sessionization has many
+    chunks to parallelize the hot user across."""
+    rows = []
+    for i in range(500):
+        rows.append(_ev(0, i * 0.9, ["view", "click", "purchase"][i % 3]))
+    for u in range(1, 51):
+        for i in range(10):
+            rows.append(_ev(u, u + i * 2.5, ["view", "click", "purchase"][i % 3]))
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_salted_matches_plain(hot_user_events):
+    steps = ["view", "click", "purchase"]
+    plain = {r.step: (r.stage, r.n_users) for r in funnel(hot_user_events, steps).collect()}
+    salted = {
+        r.step: (r.stage, r.n_users)
+        for r in funnel(hot_user_events, steps, skew="salt", salt_factor=8).collect()
+    }
+    assert salted == plain
+    assert plain["view"][1] == 51  # every user views
+
+
+def test_funnel_salt_spreads_hot_user(hot_user_events):
+    """Plan-level evidence: the salted stage join hashes on (user, salt),
+    so the hot user cannot land on a single shuffle partition."""
+    df = funnel(hot_user_events, ["view", "click"], skew="salt", salt_factor=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__etl_salt" in plan
+
+
+def test_funnel_rejects_unknown_skew(hot_user_events):
+    with pytest.raises(ValueError, match="skew"):
+        funnel(hot_user_events, ["view"], skew="shuffle")
+
+
+def test_sessionize_scalable_matches_plain(hot_user_events):
+    from etl_cli_spark.streaming.stream import sessionize, sessionize_scalable
+
+    plain = {
+        (r.user_id, r.ts, r.event_type): r.session_id
+        for r in sessionize(hot_user_events, "ts", 30, "user_id").collect()
+    }
+    # chunk_hours=6 -> the hot user's 500 events span ~75 chunks
+    chunked = {
+        (r.user_id, r.ts, r.event_type): r.session_id
+        for r in sessionize_scalable(
+            hot_user_events, "ts", 30, "user_id", chunk_hours=6
+        ).collect()
+    }
+    assert chunked == plain
+    assert len(chunked) == hot_user_events.count()
+
+
+def test_sessionize_scalable_sessions_cross_chunks(spark):
+    """A single unbroken session spanning several chunk boundaries must
+    keep ONE session id; a real gap inside one chunk must still split."""
+    from etl_cli_spark.streaming.stream import sessionize_scalable
+
+    rows = (
+        # one event every 20 min for 10 hours -> one session over 10 chunks
+        [(1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=20 * i), "a") for i in range(30)]
+        # same chunk, 2h gap -> two sessions
+        + [(2, dt.datetime(2024, 1, 1, 0, 0), "a"), (2, dt.datetime(2024, 1, 1, 2, 0), "a")]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = sessionize_scalable(df, "ts", 30, "user_id", chunk_hours=1)
+    u1 = {r.session_id for r in got.filter("user_id = 1").collect()}
+    u2 = sorted(r.session_id for r in got.filter("user_id = 2").collect())
+    assert u1 == {1}
+    assert u2 == [1, 2]
+
+
+def test_sessionize_scalable_partitions_by_chunk(hot_user_events):
+    """Explain-level evidence: the event-level window partitions on
+    (user, chunk), never on the bare user."""
+    from etl_cli_spark.streaming.stream import sessionize_scalable
+
+    df = sessionize_scalable(hot_user_events, "ts", 30, "user_id", chunk_hours=6)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__chunk" in plan
