@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="set-diff the (queried) source against this dataset")
     p.add_argument("--diff-context",
                    help="context columns for --diff, comma-separated")
+    p.add_argument("--fanout", choices=["per_source", "union"], default="per_source",
+                   help="wildcard sources: a job per match (default) or one "
+                        "union-by-name job into a single target")
     p.add_argument("--workers", type=int, help="repartition hint")
     p.add_argument("--batch", type=int, dest="batch_size", help="write batch -> maxRecordsPerFile")
     p.add_argument("--info", action="store_true", help="pre-flight description, no execution")
@@ -184,7 +187,9 @@ def main(argv: Sequence[str] | None = None) -> int:
         return 0
 
     results = (
-        eng.run_many(spec) if "*" in spec.source.ds else [eng.run(spec)]
+        eng.run_many(spec, mode=args.fanout)
+        if "*" in spec.source.ds
+        else [eng.run(spec)]
     )
     for r in results:
         # _run_logged already counted; don't re-execute the plan

@@ -537,11 +537,61 @@ class Engine:
         )
         return stats, chain
 
-    def run_many(self, spec: JobSpec, merge_rules_fn=None) -> list[JobResult]:
-        """Wildcard fan-out (etl.py:364-377): one job per matching source."""
+    def run_many(
+        self,
+        spec: JobSpec,
+        merge_rules_fn=None,
+        mode: str = "per_source",
+        provenance_col: str | None = None,
+    ) -> list[JobResult]:
+        """Wildcard fan-out (etl.py:364-377).
+
+        ``mode='per_source'`` (the reference's semantics): one job per
+        matching source, each with its own query/stages/target
+        (``*``-templated). N matches = N Spark jobs — right when each
+        source writes its own target, wasteful when N small sources feed
+        ONE result: N scheduler round-trips, N tiny writes.
+
+        ``mode='union'``: all matches are unioned by name (missing
+        columns null-filled) into ONE plan and the stages run once —
+        Catalyst pushes query filters down into every scan, and the
+        single job amortizes scheduling across sources. The query
+        applies to the union, so ``_limit``/``_sort`` act on the whole
+        (per_source applies them per source). Requires a non-templated
+        target (a ``*`` target means per-source outputs by definition).
+        ``provenance_col`` optionally records each row's source name.
+        """
         src_ds = parse_ds(spec.source.ds)
+        matches = expand_wildcard(src_ds, self.root)
+        if mode == "union":
+            from pyspark.sql import functions as F
+
+            if spec.target is not None and "*" in parse_ds(spec.target.ds).name:
+                raise ValueError(
+                    "run_many(mode='union') needs a single non-templated target; "
+                    f"got {spec.target.ds!r}"
+                )
+            if not matches:
+                return []
+            q = compile_query(spec.source.query)
+            frames = []
+            for one in matches:
+                read_opts = {}
+                if one.backend in ("csv", "json"):
+                    read_opts["mode"] = "FAILFAST" if spec.fail_on_error else "PERMISSIVE"
+                f = read_dataset(self.spark, one, self.root, options=read_opts, url=q.url)
+                if provenance_col:
+                    f = f.withColumn(provenance_col, F.lit(one.name))
+                frames.append(f)
+            df = frames[0]
+            for f in frames[1:]:
+                df = df.unionByName(f, allowMissingColumns=True)
+            df = q.apply(df)
+            return [self._run_stages(df, spec, src_ds, merge_rules_fn=merge_rules_fn)]
+        if mode != "per_source":
+            raise ValueError(f"mode must be 'per_source' or 'union', got {mode!r}")
         results = []
-        for one in expand_wildcard(src_ds, self.root):
+        for one in matches:
             sub = spec.with_overrides(
                 source=spec.source.__class__(
                     ds=one.uri, query=spec.source.query, transformers=spec.source.transformers
@@ -551,10 +601,15 @@ class Engine:
         return results
 
     def etl(self, source: str, **kw: Any) -> JobResult:
-        """CLI-flag-shaped one-shot: ``engine.etl('region', query=[...], ...)``."""
+        """CLI-flag-shaped one-shot: ``engine.etl('region', query=[...], ...)``.
+
+        ``fanout='union'`` runs a wildcard source as ONE union-by-name
+        job instead of a job per match (see :meth:`run_many`).
+        """
         merge_rules_fn = kw.pop("merge_rules_fn", None)
+        fanout = kw.pop("fanout", "per_source")
         spec = make_spec(source, **kw)
         if "*" in parse_ds(source).name:
-            results = self.run_many(spec, merge_rules_fn=merge_rules_fn)
+            results = self.run_many(spec, merge_rules_fn=merge_rules_fn, mode=fanout)
             return results[-1] if results else JobResult(df=self.spark.range(0))
         return self.run(spec, merge_rules_fn=merge_rules_fn)
