@@ -1124,7 +1124,6 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # flagship aggregate / windows / diff (SURVEY §2.7-2.8)
     "agg_q1": _q_agg_q1,
     "window_topk_per_group": _q_window_topk_per_group,
-    "window_running_sum": _q_window_running_sum,
     "window_range_hourly": _q_window_range_hourly,
     "diff_sets": _q_diff,
     # composite digests certifying the 51+ tail inside the window
@@ -1132,6 +1131,9 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_shapes_digest": _q_sql_shapes_digest,
     "agg_digest": _q_agg_digest,
     # ---- positions 51+: individual members of the digested families ----
+    # (window_running_sum moved here when events_sessionize_hot joined the
+    # window: the windows family keeps topk + range-frame entries inside)
+    "window_running_sum": _q_window_running_sum,
     "dsl_eq_project": _q_dsl_eq_project,
     "dsl_ne": _q_dsl_ne,
     "dsl_range": _q_dsl_range,
