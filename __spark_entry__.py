@@ -893,6 +893,16 @@ def _q_pipeline_end_to_end(spark, sf):
     return split.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_sketch_distinct_kmv(spark, sf):
+    """KMV approximate-distinct: customers per order status, k=256.
+    Deterministic portable-hash sketch — the oracle replays the k-th
+    minimum md5 and the exact estimator arithmetic in DuckDB."""
+    from etl_cli_spark.operators.sketch import kmv_distinct
+
+    o = _engine(spark, sf).read("orders")
+    return kmv_distinct(o, "o_custkey", by=["o_orderstatus"], k=256)
+
+
 def _q_multimodal_decode(spark, sf):
     # REAL decode: payloads are valid PPM/BMP bytes; the oracle
     # recomputes width/height and the sha256 pixel digest independently
@@ -1097,13 +1107,13 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": _q_pack_sequences,
     "decontaminate": _q_decontaminate,
     "pipeline_end_to_end": _q_pipeline_end_to_end,
+    "sketch_distinct_kmv": _q_sketch_distinct_kmv,
     # write ops (SURVEY §2.5)
     "write_insert": _q_write_insert,
     "write_upsert": _q_write_upsert,
     "write_upsert_datepart": _q_write_upsert_datepart,
     "write_update_tq": _q_write_update_tq,
     "write_delete": _q_write_delete,
-    "write_index": _q_write_index,
     # events / streaming-analog (SURVEY §2.9-2.10)
     "events_window_1h": _q_events_window_1h,
     "events_sessionize": _q_events_sessionize,
@@ -1131,9 +1141,11 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_shapes_digest": _q_sql_shapes_digest,
     "agg_digest": _q_agg_digest,
     # ---- positions 51+: individual members of the digested families ----
-    # (window_running_sum moved here when events_sessionize_hot joined the
-    # window: the windows family keeps topk + range-frame entries inside)
+    # (window_running_sum / write_index moved here when
+    # events_sessionize_hot and sketch_distinct_kmv joined the window:
+    # both families keep several driver-checked entries inside)
     "window_running_sum": _q_window_running_sum,
+    "write_index": _q_write_index,
     "dsl_eq_project": _q_dsl_eq_project,
     "dsl_ne": _q_dsl_ne,
     "dsl_range": _q_dsl_range,
@@ -1630,6 +1642,24 @@ def oracle_sql() -> dict[str, str]:
         f"  CASE WHEN {_H} < 3865470566 THEN 'train' "
         f"       WHEN {_H} < 4080218931 THEN 'val' ELSE 'test' END AS split FROM clean) "
         "SELECT split, lang, count(*) AS n FROM sp GROUP BY split, lang"
+    )
+
+    # sketch_distinct_kmv: replay the k-minimum-values estimator —
+    # k-th smallest distinct md5 per group, (k-1)*2^60 / kth-prefix,
+    # identical double arithmetic order (multiply then divide)
+    sql["sketch_distinct_kmv"] = (
+        "WITH h AS (SELECT DISTINCT o_orderstatus, md5(CAST(o_custkey AS VARCHAR)) AS h "
+        "           FROM orders), "
+        "c AS (SELECT o_orderstatus, count(*) AS n FROM h GROUP BY o_orderstatus), "
+        "r AS (SELECT o_orderstatus, h, row_number() OVER "
+        "        (PARTITION BY o_orderstatus ORDER BY h) AS rn FROM h), "
+        "kth AS (SELECT o_orderstatus, h AS kh FROM r WHERE rn = 256) "
+        "SELECT c.o_orderstatus, "
+        "  CASE WHEN c.n < 256 THEN CAST(c.n AS DOUBLE) "
+        "       ELSE round(255.0 * 1152921504606846976 "
+        "            / CAST(concat('0x', substring(kth.kh, 1, 15)) AS BIGINT), 4) "
+        "  END AS est_distinct "
+        "FROM c LEFT JOIN kth USING (o_orderstatus)"
     )
 
     # dedup_minhash: the oracle is the EXACT 3-shingle Jaccard ground

@@ -1,0 +1,155 @@
+"""KMV (k-minimum-values) distinct-count sketches.
+
+Approximate COUNT(DISTINCT) at 100 TB without a full distinct shuffle of
+the values: hash every value, keep only the k smallest distinct hashes
+per group, estimate cardinality from the k-th smallest. Error is
+~1/sqrt(k-2) relative (k=256 -> ~6%). Sketches are MERGEABLE (union =
+min-k of the concatenation), so partial sketches can be built per
+partition / per day and combined without re-reading the data —
+the property HyperLogLog is usually picked for, but KMV keeps exact
+replayability: the estimate is a deterministic function of md5, so an
+external SQL engine can verify it bit-for-bit (`conv(hex)` here,
+`CAST('0x'||hex)` in DuckDB), unlike opaque HLL registers.
+
+Scale shape: the only wide exchange carries (group, hash-prefix) pairs.
+Per-group min-k runs as a two-level tournament — top-k within
+(group, salt) buckets, then top-k of the <= salt_buckets*k survivors —
+so a group with a billion distinct values never serializes onto one
+task (a bare per-group window would).
+
+Spark has approx_count_distinct (HLL) built in; this module exists for
+the mergeable-sketch-table workflow (persist per-shard sketches, union
+later) and for oracle-verifiable estimates. Reference parity: the
+reference engine exposes only exact counts (_count=1, base.py:351);
+sketches are part of this engine's large-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 2^60: the first 15 hex digits of the hash as an integer, exactly
+# representable as a double so Spark and an external oracle compute the
+# identical estimate
+_SCALE = 1 << 60
+_GRP = "__kmv_g"
+
+
+def _portable_hash(col: str):
+    """Lowercase md5 hex of the value's string form — identical in
+    Spark (`md5(cast(v as string))`) and DuckDB (`md5(CAST(v AS
+    VARCHAR))`). Lexicographic order on the fixed-width hex == numeric
+    order, so "k smallest hashes" needs no numeric conversion."""
+    return F.md5(F.col(col).cast("string"))
+
+
+def _hash_num(h):
+    # first 15 hex digits -> bigint in [0, 2^60)
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def _min_k(hashed: DataFrame, by: Sequence[str], k: int, salt_buckets: int = 64) -> DataFrame:
+    """k smallest distinct __h per group, skew-safe: local top-k within
+    (group, hash-salt) buckets first, global top-k over the survivors.
+    Survivor count per group is <= salt_buckets * k regardless of group
+    size, so the second window never sees a giant partition."""
+    salt = F.pmod(_hash_num(F.col("__h")), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*by, salt).orderBy("__h")
+    stage1 = (
+        hashed.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy(*by).orderBy("__h")
+    return stage1.withColumn("__rn", F.row_number().over(w2)).filter(F.col("__rn") <= k)
+
+
+def _estimate(k: int):
+    """(k-1) / normalized k-th minimum; exact count when the group has
+    fewer than k distinct hashes. Arithmetic order (double multiply,
+    then divide) matters: the oracle must replay it bit-for-bit."""
+    return F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(_SCALE) / _hash_num(F.col("__kth")), 4
+        )
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Approximate distinct count of ``col`` per ``by`` group.
+
+    Returns (by..., est_distinct: double). Exact when a group has fewer
+    than k distinct values, (k-1)/h_(k) otherwise.
+    """
+    if k < 2:
+        raise ValueError("kmv needs k >= 2")
+    grp = list(by) if by else [_GRP]
+    src = df if by else df.withColumn(_GRP, F.lit(1))
+    hashed = src.select(*grp, _portable_hash(col).alias("__h")).distinct()
+    counts = hashed.groupBy(*grp).agg(F.count(F.lit(1)).alias("__n"))
+    kth = (
+        _min_k(hashed, grp, k)
+        .filter(F.col("__rn") == k)
+        .select(*grp, F.col("__h").alias("__kth"))
+    )
+    out = counts.join(kth, grp, "left").select(
+        *grp, _estimate(k).alias("est_distinct")
+    )
+    return out.drop(_GRP) if not by else out
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """The sketch itself: (by..., kmv: array<string>) — the sorted k
+    smallest distinct hashes. Persist per shard/day; combine later with
+    :func:`kmv_merge` without touching the raw data again."""
+    grp = list(by) if by else [_GRP]
+    src = df if by else df.withColumn(_GRP, F.lit(1))
+    hashed = src.select(*grp, _portable_hash(col).alias("__h")).distinct()
+    out = (
+        _min_k(hashed, grp, k)
+        .groupBy(*grp)
+        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    )
+    return out.drop(_GRP) if not by else out
+
+
+def kmv_merge(sketches: DataFrame, by: Sequence[str] = (), k: int = 256) -> DataFrame:
+    """Union partial sketches: rows carry ``kmv`` arrays (possibly many
+    per group — one per shard); output is one merged sketch per group.
+    Merge = k smallest of the deduplicated concatenation, the exact
+    sketch of the unioned underlying data."""
+    grp = list(by) if by else [_GRP]
+    src = sketches if by else sketches.withColumn(_GRP, F.lit(1))
+    exploded = src.select(*grp, F.explode("kmv").alias("__h")).distinct()
+    out = (
+        _min_k(exploded, grp, k)
+        .groupBy(*grp)
+        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    )
+    return out.drop(_GRP) if not by else out
+
+
+def kmv_estimate(sketch: DataFrame, by: Sequence[str] = (), k: int = 256) -> DataFrame:
+    """Cardinality estimate from a sketch frame (by..., kmv)."""
+    grp = list(by) if by else [_GRP]
+    src = sketch if by else sketch.withColumn(_GRP, F.lit(1))
+    out = src.select(
+        *grp,
+        F.size("kmv").alias("__n"),
+        F.element_at("kmv", k).alias("__kth"),
+    ).select(*grp, _estimate(k).alias("est_distinct"))
+    return out.drop(_GRP) if not by else out

@@ -1,0 +1,73 @@
+"""KMV distinct sketches (operators/sketch.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cli_spark.operators.sketch import (
+    kmv_distinct,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 5000 distinct values, each duplicated 3x, two groups
+    df = spark.range(5000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    return df.unionByName(df).unionByName(df).cache()
+
+
+def test_kmv_accuracy_global(values):
+    est = kmv_distinct(values, "v", k=256).collect()[0].est_distinct
+    assert abs(est - 5000) / 5000 < 0.2  # ~6% expected at k=256
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(100).select(F.col("id").alias("v"))
+    est = kmv_distinct(df, "v", k=256).collect()[0].est_distinct
+    assert est == 100.0  # fewer than k distinct -> exact
+
+
+def test_kmv_grouped(values):
+    rows = {r.g: r.est_distinct for r in kmv_distinct(values, "v", by=["g"], k=256).collect()}
+    assert set(rows) == {0, 1}
+    for g, est in rows.items():
+        assert abs(est - 2500) / 2500 < 0.2
+
+
+def test_kmv_sketch_merge_equals_direct(spark):
+    """Sketch(A) merged with Sketch(B) must equal Sketch(A union B) —
+    the mergeability contract that makes per-shard sketch tables valid."""
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("v"))  # overlap 2000-3000
+    sk_a, sk_b = kmv_sketch(a, "v", k=128), kmv_sketch(b, "v", k=128)
+    merged = kmv_merge(sk_a.unionByName(sk_b), k=128)
+    direct = kmv_sketch(a.unionByName(b), "v", k=128)
+    assert merged.collect()[0].kmv == direct.collect()[0].kmv
+    est = kmv_estimate(merged, k=128).collect()[0].est_distinct
+    assert abs(est - 6000) / 6000 < 0.3
+
+
+def test_kmv_estimate_matches_distinct(values):
+    via_sketch = kmv_estimate(kmv_sketch(values, "v", by=["g"], k=64), by=["g"], k=64)
+    direct = kmv_distinct(values, "v", by=["g"], k=64)
+    a = {r.g: r.est_distinct for r in via_sketch.collect()}
+    b = {r.g: r.est_distinct for r in direct.collect()}
+    assert a == b
+
+
+def test_kmv_rejects_tiny_k(values):
+    with pytest.raises(ValueError, match="k >= 2"):
+        kmv_distinct(values, "v", k=1)
+
+
+def test_kmv_min_k_is_salted(values):
+    """Plan evidence for the skew guard: the first window partitions by
+    (group, salt), so no single task ranks a whole group's hashes."""
+    plan = kmv_distinct(values, "v", by=["g"], k=64)._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod" in plan
