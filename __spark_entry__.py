@@ -247,6 +247,28 @@ def _scratch_orders(spark, sf):
     return eng, orders, t
 
 
+def _q_zorder_roundtrip(spark, sf):
+    """OPTIMIZE ZORDER on a scratch copy of orders, then prove the
+    Morton-curve rewrite is row-set-preserving: the post-zorder
+    aggregate must equal the same aggregate over the pristine table."""
+    from etl_cli_spark.operators.writeops import ParquetTable
+
+    eng = _engine(spark, sf)
+    orders = eng.read("orders")
+    tmp = tempfile.mkdtemp(prefix="etl_zorder_")
+    t = ParquetTable(spark, f"{tmp}/orders_z.parquet")
+    t.append(orders)
+    t.zorder(["o_custkey", "o_totalprice"], num_partitions=8)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("string").alias("sum_price"),
+        )
+    )
+
+
 def _q_write_insert(spark, sf):
     from etl_cli_spark.spec import TargetSpec
     from etl_cli_spark.operators.writeops import apply_write_op
@@ -1146,6 +1168,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # both families keep several driver-checked entries inside)
     "window_running_sum": _q_window_running_sum,
     "write_index": _q_write_index,
+    "zorder_roundtrip": _q_zorder_roundtrip,
     "dsl_eq_project": _q_dsl_eq_project,
     "dsl_ne": _q_dsl_ne,
     "dsl_range": _q_dsl_range,
@@ -1642,6 +1665,13 @@ def oracle_sql() -> dict[str, str]:
         f"  CASE WHEN {_H} < 3865470566 THEN 'train' "
         f"       WHEN {_H} < 4080218931 THEN 'val' ELSE 'test' END AS split FROM clean) "
         "SELECT split, lang, count(*) AS n FROM sp GROUP BY split, lang"
+    )
+
+    # zorder_roundtrip: the curve rewrite must not add/drop/dup rows
+    sql["zorder_roundtrip"] = (
+        "SELECT o_orderstatus, count(*) AS n, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS sum_price "
+        "FROM orders GROUP BY o_orderstatus"
     )
 
     # sketch_distinct_kmv: replay the k-minimum-values estimator —

@@ -139,12 +139,32 @@ class ParquetTable:
             json.dump(m, f)
 
     def _write_plain_meta(self, base: str | None = None) -> None:
-        """Unpartitioned table: persist only the clustering columns (if
-        any) so later rewrites by a plain ``ParquetTable(path)`` keep it."""
+        """Unpartitioned table: persist the clustering columns (sort or
+        z-order) so later rewrites by a plain ``ParquetTable(path)``
+        keep the layout."""
+        m: dict = {"kind": "plain"}
         sort = self._effective_sort()
         if sort:
+            m["sort"] = list(sort)
+        zm = self._zorder_meta()
+        if zm:
+            cols, bits, ranges = zm
+            m.update(zorder=list(cols), zbits=bits,
+                     zranges={c: list(v) for c, v in ranges.items()})
+        if len(m) > 1:
             with open(os.path.join(base or self.path, _META), "w") as f:
-                json.dump({"kind": "plain", "sort": list(sort)}, f)
+                json.dump(m, f)
+
+    def _zorder_meta(self) -> tuple[list[str], int, dict] | None:
+        """(cols, bits, pinned ranges) of the on-disk z-order layout."""
+        m = self._meta()
+        if m is not None and m.get("zorder"):
+            return (
+                list(m["zorder"]),
+                int(m["zbits"]),
+                {c: tuple(v) for c, v in m.get("zranges", {}).items()},
+            )
+        return None
 
     def _effective_sort(self) -> tuple[str, ...] | None:
         """Clustering columns: the on-disk table's recorded sort wins (so
@@ -158,7 +178,20 @@ class ParquetTable:
         """Sort within write tasks by (partition cols, sort cols): the
         writer's dynamic-partition ordering requirement is then already
         satisfied (no second, clustering-destroying sort) and every file
-        gets tight parquet min/max stats on the sort columns."""
+        gets tight parquet min/max stats on the sort columns.
+
+        A z-ordered table (see :meth:`zorder`) clusters incoming writes
+        along the SAME Morton curve with the quantization ranges pinned
+        at zorder() time — no re-scan, and appends stay skippable until
+        the next explicit zorder() re-optimizes the global layout."""
+        zm = self._zorder_meta()
+        if zm is not None:
+            cols, bits, ranges = zm
+            if all(c in df.columns for c in cols):
+                from .zorder import zorder_col
+
+                z = zorder_col(df, cols, bits=bits, ranges=ranges)
+                return df.sortWithinPartitions(*[F.col(c) for c in lead], z)
         sort = self._effective_sort()
         cols = [*lead, *(sort or ())]
         if not cols:
@@ -369,6 +402,53 @@ class ParquetTable:
         df = self.read()
         if df is not None:
             self.overwrite(df)
+
+    def zorder(
+        self,
+        cols: tuple[str, ...] | list[str],
+        bits: int | None = None,
+        num_partitions: int | None = None,
+    ) -> None:
+        """OPTIMIZE ZORDER: rewrite the (plain) table along the Morton
+        curve of ``cols`` — range-partitioned on the z-value so files
+        cover disjoint z-ranges, sorted within files. Multi-column box
+        predicates then skip most row groups (parquet min/max pruning);
+        plain ``sort_by`` only achieves this for its leading column.
+
+        The quantization ranges are computed once here and persisted in
+        the sidecar: subsequent write ops cluster new rows on the same
+        curve per-task (cheap, no re-scan), and a later ``zorder()``
+        re-optimizes globally — the Delta/Iceberg OPTIMIZE cadence.
+        Partitioned tables cluster per-partition via sort_by instead.
+        """
+        from .zorder import compute_ranges, zorder_frame
+
+        if self.layout is not None or self.value_layout is not None:
+            raise ValueError(
+                "zorder() supports plain tables; bucket/value-partitioned "
+                "tables cluster within partitions via sort_by"
+            )
+        df = self.read()
+        if df is None:
+            raise FileNotFoundError(self.path)
+        cols = list(cols)
+        if bits is None:
+            bits = min(16, 63 // len(cols))
+        ranges = compute_ranges(df, cols)
+        out = zorder_frame(df, cols, num_partitions=num_partitions, bits=bits, ranges=ranges)
+        staged = f"{self.path}.__staged_{uuid.uuid4().hex[:8]}"
+        self._writer(out).mode("overwrite").parquet(staged)
+        with open(os.path.join(staged, _META), "w") as f:
+            json.dump(
+                {"kind": "plain", "zorder": cols, "zbits": bits,
+                 "zranges": {c: list(v) for c, v in ranges.items()}},
+                f,
+            )
+        backup = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, backup)
+        os.rename(staged, self.path)
+        shutil.rmtree(backup, ignore_errors=True)
+        self._touch()
 
     def vacuum(self) -> int:
         """Remove leftover ``__staged_*`` / ``__old_*`` directories from

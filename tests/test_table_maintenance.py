@@ -121,3 +121,97 @@ def test_vacuum_removes_leftovers(spark, engine, tmp_path):
     assert t.vacuum() == 2
     assert t.vacuum() == 0
     assert t.read().count() > 0  # live table untouched
+
+
+# ---------------------------------------------------------------------------
+# z-order clustering
+# ---------------------------------------------------------------------------
+
+
+def _box_overlap_count(path, xcol, ycol, xr, yr):
+    """Files whose (x, y) footer stats intersect the query box — the
+    files a stats-pruning scan must open."""
+    xs, ys = _parquet_minmax(path, xcol), _parquet_minmax(path, ycol)
+    n = 0
+    for (xlo, xhi), (ylo, yhi) in zip(xs, ys):
+        if xlo is None or ylo is None:
+            n += 1
+        elif not (xhi < xr[0] or xlo > xr[1] or yhi < yr[0] or ylo > yr[1]):
+            n += 1
+    return n, len(xs)
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from etl_cli_spark.operators.zorder import zorder_col
+
+    df = spark.createDataFrame([(x, y) for x in range(4) for y in range(4)], "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", zorder_col(df, ["x", "y"], bits=2, ranges={"x": (0, 3), "y": (0, 3)})
+        ).collect()
+    }
+
+    def ref(x, y):  # interleave: x gets even bit positions, y odd
+        z = 0
+        for i in range(2):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): ref(x, y) for x in range(4) for y in range(4)}
+
+
+def test_zorder_skips_more_files_than_linear_sort(spark, tmp_path):
+    """2-d box query: a z-ordered layout must touch far fewer files than
+    a layout sorted on x alone (where every file spans all of y)."""
+    import random
+
+    from etl_cli_spark.operators.zorder import zorder_frame
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(10_000), rng.randrange(10_000)) for _ in range(60_000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    lin = str(tmp_path / "linear.parquet")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lin)
+    zed = str(tmp_path / "zorder.parquet")
+    zorder_frame(df, ["x", "y"], num_partitions=16).write.parquet(zed)
+
+    # selective in Y, wide in X: the linear x-sort cannot prune on y at
+    # all (every file spans the full y domain), z-order can
+    box = ((0, 9999), (4000, 4400))
+    n_lin, total_lin = _box_overlap_count(lin, "x", "y", *box)
+    n_z, total_z = _box_overlap_count(zed, "x", "y", *box)
+    assert total_lin >= 16 and total_z >= 16
+    assert n_lin == total_lin  # x-sorted files all span all of y
+    assert n_z < n_lin / 2  # z-order skips most files on the y predicate
+
+
+def test_zorder_table_roundtrip_and_meta(spark, engine, tmp_path):
+    from etl_cli_spark.operators.writeops import ParquetTable
+
+    orders = engine.read("orders")
+    t = ParquetTable(spark, str(tmp_path / "zt.parquet"))
+    t.append(orders)
+    t.zorder(["o_custkey", "o_totalprice"], num_partitions=8)
+    # same rows, layout recorded with pinned quantization ranges
+    assert t.read().count() == orders.count()
+    zm = t._zorder_meta()
+    assert zm is not None and zm[0] == ["o_custkey", "o_totalprice"]
+    assert set(zm[2]) == {"o_custkey", "o_totalprice"}
+    # later writes keep clustering on the same curve (no error, same rows)
+    t.append(orders.limit(100))
+    assert t.read().count() == orders.count() + 100
+
+
+def test_zorder_rejects_partitioned_tables(spark, engine, tmp_path):
+    from etl_cli_spark.operators.writeops import ParquetTable
+
+    orders = engine.read("orders")
+    t = ParquetTable(spark, str(tmp_path / "bt.parquet"), bucket_by=("o_orderkey",), n_buckets=4)
+    t.append(orders)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="plain tables"):
+        t.zorder(["o_custkey", "o_totalprice"])
