@@ -77,6 +77,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="namespace for the per-target write log (logs written batches)")
     p.add_argument("--log", dest="log_fields",
                    help="projection for the write log, comma-separated ('-x' excludes)")
+    # table maintenance (applies to -s, then exits)
+    p.add_argument("--compact", action="store_true",
+                   help="compact the source table's small files and exit")
+    p.add_argument("--vacuum", action="store_true",
+                   help="remove leftover staged/backup dirs of the source table and exit")
+    p.add_argument("--zorder-by", metavar="COLS",
+                   help="OPTIMIZE ZORDER the source table on these comma-"
+                        "separated columns and exit (multi-column data skipping)")
     p.add_argument("--get-setting", metavar="NAME", help="print an engine setting and exit")
     p.add_argument("--set-setting", metavar="NAME=VALUE", help="store an engine setting and exit")
     p.add_argument("--turl", help="http url target: POST result rows as JSON")
@@ -132,6 +140,20 @@ def main(argv: Sequence[str] | None = None) -> int:
     if args.set_setting:
         name, _, value = args.set_setting.partition("=")
         eng.set_setting(name.strip(), value)
+        return 0
+    if args.compact or args.vacuum or args.zorder_by:
+        from .uri import parse_ds
+
+        t = eng.table(parse_ds(args.source))
+        if args.vacuum:
+            print(f"{args.source}: vacuumed {t.vacuum()} leftover dirs")
+        if args.compact:
+            t.compact()
+            print(f"{args.source}: compacted")
+        if args.zorder_by:
+            cols = [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+            t.zorder(cols)
+            print(f"{args.source}: z-ordered on {', '.join(cols)}")
         return 0
 
     query = list(args.query)

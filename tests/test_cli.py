@@ -166,3 +166,21 @@ def test_cli_contid_converges(cli_root, capsys, spark):
 
     eng = Engine(spark, cli_root)
     assert eng.read("out/cont").count() == eng.read("orders", ["o_orderstatus=F"]).count()
+
+
+def test_cli_maintenance_zorder_and_compact(cli_root, capsys):
+    from etl_cli_spark.cli import main
+
+    # copy orders into an engine-written table first
+    rc = main(["--root", cli_root, "-s", "orders", "-t", "zmt", "--op", "create"])
+    assert rc == 0
+    rc = main(["--root", cli_root, "-s", "zmt", "--zorder-by", "o_custkey,o_totalprice"])
+    assert rc == 0
+    assert "z-ordered on o_custkey, o_totalprice" in capsys.readouterr().out
+    rc = main(["--root", cli_root, "-s", "zmt", "--compact", "--vacuum"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "vacuumed" in out and "compacted" in out
+    # rows intact after both rewrites
+    rc = main(["--root", cli_root, "-s", "zmt", "--count-only"])
+    assert rc == 0
