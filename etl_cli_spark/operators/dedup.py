@@ -536,3 +536,54 @@ def minhash_dedup_cc(
         F.col("node").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def canonical_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    quality: Column | str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the single BEST document of each near-dup cluster instead of
+    the min-id one: rank by ``quality`` (desc, ties broken by min id)
+    within each cluster and keep rank 1.
+
+    This is the canonical-representative step real corpus pipelines run
+    after clustering — near-dup groups usually contain one clean page
+    plus truncated/boilerplate variants, and "keep the longest / highest
+    quality-score copy" beats "keep the smallest id". ``clusters`` is
+    the (node, cluster) frame from :func:`connected_components`;
+    documents absent from it are singletons and survive unchanged
+    (coalesce to their own id keeps them in distinct one-row groups).
+
+    Cost on top of clustering: one left join (cluster labels are tiny
+    relative to docs — AQE broadcasts them) and one window shuffled on
+    the cluster label. Cluster sizes are near-dup group sizes, so the
+    window partitions are small; no skew concern beyond a pathological
+    mirror-crawl cluster, which minhash banding caps upstream.
+    """
+    q = F.col(quality) if isinstance(quality, str) else quality
+    labeled = df.join(
+        clusters.select(F.col("node").alias(id_col), "cluster"), id_col, "left"
+    ).withColumn("__grp", F.coalesce(F.col("cluster"), F.col(id_col)))
+    w = Window.partitionBy("__grp").orderBy(q.desc(), F.col(id_col))
+    return (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__grp", "__rk", "cluster")
+    )
+
+
+def minhash_dedup_canonical(
+    df: DataFrame,
+    quality: Column | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kw,
+) -> DataFrame:
+    """Transitive near-dup removal keeping the best-quality copy per
+    cluster: minhash-LSH pairs -> connected components ->
+    :func:`canonical_per_cluster`."""
+    pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col, **lsh_kw)
+    comp = connected_components(pairs)
+    return canonical_per_cluster(df, comp, quality, id_col=id_col)

@@ -111,6 +111,49 @@ def stratified_sample(
     )
 
 
+def quota_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    quotas: dict | DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "",
+    default: int | None = None,
+) -> DataFrame:
+    """Mixture sampling: keep at most ``quota`` rows per group, chosen
+    deterministically — the "target data mixture" step of a training
+    pipeline (N_en docs of English, N_code of code, ...).
+
+    ``quotas`` maps a group value (or tuple, for multi-column groups) to
+    a row budget; alternatively pass a DataFrame with the group columns
+    plus a ``quota`` column so the mixture itself can be computed by an
+    upstream query. Groups without a quota keep ``default`` rows each
+    (None = keep all).
+
+    Selection inside a group is by content hash (then id, so ties are
+    impossible): rerunning on a grown corpus keeps a stable prefix — the
+    sample only gains rows that hash under the cut, it never churns.
+    One shuffle on the group columns; the quota table is tiny and
+    broadcasts. Hot-group caveat matches stratified_sample.
+    """
+    if isinstance(quotas, DataFrame):
+        qdf = quotas
+    else:
+        rows = []
+        for key, q in quotas.items():
+            key = key if isinstance(key, tuple) else (key,)
+            rows.append((*key, int(q)))
+        qdf = df.sparkSession.createDataFrame(rows, group_cols + ["quota"])
+    w = Window.partitionBy(*group_cols).orderBy(hash_bucket(id_col, seed), F.col(id_col))
+    ranked = df.withColumn("__rk", F.row_number().over(w)).join(
+        F.broadcast(qdf), group_cols, "left"
+    )
+    if default is None:
+        keep = F.col("quota").isNull() | (F.col("__rk") <= F.col("quota"))
+    else:
+        keep = F.col("__rk") <= F.coalesce(F.col("quota"), F.lit(int(default)))
+    return ranked.filter(keep).drop("__rk", "quota")
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
@@ -241,4 +284,68 @@ def decontaminate(
             .filter(F.col("__hits") >= min_hits)
             .select(id_col)
         )
+    return docs.join(hit_ids, id_col, "left_anti")
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bench_text_col: str | None = None,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter variant of :func:`decontaminate`: test each training
+    n-gram against a Bloom filter of the benchmark's n-grams instead of
+    joining the gram sets directly.
+
+    Why at 100 TB: the exact path broadcasts every distinct benchmark
+    gram hash (8 bytes each); the Bloom path broadcasts only the
+    filter's SET BIT POSITIONS — at most ``m_bits`` ints however large
+    the benchmark grows, tunable via the classic m/n false-positive
+    trade. False positives only ever DROP extra training docs (safe
+    direction for contamination removal); false negatives are
+    impossible.
+
+    The filter is expressed relationally so the plan is pure codegen and
+    an external engine can replay it bit-for-bit: position i of gram g is
+    ``uint32(md5(g || '#bloom<i>')) % m_bits``; the benchmark side
+    explodes its grams into distinct set positions (the Bloom bit
+    array as a table); a training gram "hits" when ALL ``k`` of its
+    positions appear, i.e. a (doc, gram)-grouped inner join matching
+    ``k`` distinct probe indexes. The DuckDB oracle reproduces the same
+    md5 arithmetic, so even the false positives match exactly.
+    """
+    bcol = bench_text_col or text_col
+
+    def positions(gram: Column) -> Column:
+        return F.array(
+            *[
+                (hash_bucket(gram, f"#bloom{i}") % m_bits).alias(f"p{i}")
+                for i in range(k)
+            ]
+        )
+
+    bloom_bits = (
+        benchmark.select(F.explode(ngrams(bcol, n)).alias("g"))
+        .select(F.explode(positions(F.col("g"))).alias("pos"))
+        .distinct()
+    )
+    doc_pos = docs.select(
+        F.col(id_col), F.explode(ngrams(text_col, n)).alias("g")
+    ).select(
+        id_col,
+        F.xxhash64("g").alias("gh"),
+        F.posexplode(positions(F.col("g"))).alias("probe", "pos"),
+    )
+    hit_ids = (
+        doc_pos.join(F.broadcast(bloom_bits), "pos", "inner")
+        .groupBy(id_col, "gh")
+        .agg(F.count_distinct("probe").alias("__k"))
+        .filter(F.col("__k") >= k)
+        .select(id_col)
+        .distinct()
+    )
     return docs.join(hit_ids, id_col, "left_anti")

@@ -1,0 +1,147 @@
+"""Corpus statistics and relevance ranking: vocabulary building, TF-IDF,
+and BM25 scoring.
+
+Training-data pipelines use these beyond search: vocabulary frequency
+tables feed tokenizer training and coverage checks; TF-IDF / BM25 scores
+drive quality-targeted selection ("keep documents most similar to a
+trusted seed corpus" — the DSIR/importance-resampling family reduces to
+scoring docs against seed-set terms).
+
+Everything is built-in Column expressions over an explode -> groupBy
+skeleton — no UDFs — and the per-query scoring path filters to the query
+terms BEFORE any shuffle, so only matching (doc, term) pairs ever move:
+at 100 TB the corpus-stats pass is one scan + one narrow-key shuffle, and
+a scoring pass moves data proportional to the hit set, not the corpus.
+
+Tokenization matches operators.text.tokens (lowercased, whitespace) so
+scores line up with the rest of the text family and the DuckDB oracles
+can re-tokenize identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _doc_terms(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, tf) — term frequency per document. The explode is
+    narrow; the groupBy shuffles (id, term) pairs only."""
+    return (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: (term, count, doc_freq), optionally truncated
+    to the ``top_k`` most frequent terms (deterministic tie-break on the
+    term itself — a stable vocab is what a tokenizer build needs).
+
+    One scan, ONE shuffle on the term (count and distinct-doc count come
+    out of the same hash aggregate, with map-side partials). top_k sorts
+    the already-aggregated vocab, never the corpus.
+    """
+    out = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.count_distinct(F.col(id_col)).alias("doc_freq"),
+        )
+        .filter(F.col("count") >= min_count)
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("count").desc(), F.col("term")).limit(top_k)
+    return out
+
+
+def tfidf_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a bag of query terms with smooth TF-IDF:
+    score = sum_t tf(d,t) * ln((1 + N) / (1 + df(t))).
+
+    df(t) counts over the FULL corpus (so idf reflects true rarity), but
+    the scoring join touches only rows whose term is in the query set —
+    the filter sits under the aggregate, so Catalyst pushes it into the
+    scan side of the shuffle.
+    """
+    terms = _doc_terms(docs, text_col, id_col)
+    n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
+    dfreq = (
+        terms.filter(F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term", F.log((1 + F.col("__n")) / (1 + F.col("df"))).alias("idf")
+    )
+    return (
+        terms.filter(F.col("term").isin(query_terms))
+        .join(F.broadcast(idf), "term")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("idf")).alias("score"))
+    )
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 (Lucene's non-negative idf variant):
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        s(d)    = sum_t idf(t) * tf / (tf + k1 * (1 - b + b * |d|/avgdl))
+
+    |d| and avgdl count whitespace tokens. Corpus-level scalars (N,
+    avgdl) are one tiny aggregate broadcast everywhere; per-term df only
+    covers query terms. Data moved by the scoring join = hit set size.
+    """
+    dlen = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("double").alias("dl")
+    )
+    scalars = dlen.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("avgdl")
+    )
+    terms = _doc_terms(docs, text_col, id_col).filter(F.col("term").isin(query_terms))
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(scalars)).select(
+        "term",
+        F.log(
+            1 + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    return (
+        terms.join(F.broadcast(idf), "term")
+        .join(dlen, id_col)
+        .select(
+            id_col,
+            (
+                F.col("idf")
+                * F.col("tf")
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("score"))
+    )

@@ -153,3 +153,52 @@ def test_connected_components_nonconvergence_raises(spark):
     # strict=False returns the partial labels instead
     part = connected_components(pairs, max_iter=2, strict=False)
     assert part.count() == 64
+
+
+def test_canonical_per_cluster_picks_best(spark):
+    from etl_cli_spark.operators.dedup import canonical_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 30), (3, "c", 20), (9, "solo", 5)],
+        "doc_id long, text string, n_chars long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, cluster long"
+    )
+    kept = canonical_per_cluster(docs, clusters, "n_chars")
+    ids = sorted(r.doc_id for r in kept.collect())
+    # cluster {1,2,3}: doc 2 has max n_chars; singleton 9 survives
+    assert ids == [2, 9]
+    assert "cluster" not in kept.columns and "__grp" not in kept.columns
+
+
+def test_canonical_per_cluster_tiebreak_min_id(spark):
+    from etl_cli_spark.operators.dedup import canonical_per_cluster
+
+    docs = spark.createDataFrame(
+        [(5, "x", 7), (3, "y", 7)], "doc_id long, text string, n_chars long"
+    )
+    clusters = spark.createDataFrame([(5, 3), (3, 3)], "node long, cluster long")
+    kept = canonical_per_cluster(docs, clusters, "n_chars").collect()
+    assert [r.doc_id for r in kept] == [3]
+
+
+def test_minhash_dedup_canonical_keeps_best_of_chain(spark):
+    from etl_cli_spark.operators.dedup import minhash_dedup_canonical
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " v1"),
+            (2, base + " v1 plus extra tail words"),
+            (3, base + " v1x"),
+            (50, "entirely different content with no overlap whatsoever in grams"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.withColumn("n_chars", F.length("text"))
+    kept = minhash_dedup_canonical(docs, "n_chars", threshold=0.5)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 50 in ids  # unrelated doc untouched
+    assert 2 in ids   # longest variant is the cluster representative
+    assert 1 not in ids and 3 not in ids

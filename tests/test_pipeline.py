@@ -5,12 +5,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_cli_spark.operators.pipeline import (
+    bloom_decontaminate,
     chunk_documents,
     decontaminate,
     deterministic_split,
     hash_sample,
     ngrams,
     pack_sequences,
+    quota_sample,
     stratified_sample,
 )
 
@@ -146,3 +148,122 @@ def test_decontaminate_min_hits(spark):
     lenient = {r.doc_id for r in decontaminate(docs, bench, n=8, min_hits=2).collect()}
     assert strict == set()          # both share >= 1 gram
     assert lenient == {2}           # only doc 1 shares >= 2 distinct grams
+
+
+# ---------------------------------------------------------------------------
+# quota_sample
+# ---------------------------------------------------------------------------
+
+
+def test_quota_sample_respects_quotas(docs):
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    quotas = {langs[0]: 5, langs[1]: 3}
+    out = quota_sample(docs, ["lang"], quotas, default=2)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts[langs[0]] == 5
+    assert counts[langs[1]] == 3
+    for other in langs[2:]:
+        assert counts[other] == 2
+
+
+def test_quota_sample_default_none_keeps_unlisted_groups(docs):
+    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+    before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = quota_sample(docs, ["lang"], {langs[0]: 1})
+    after = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert after[langs[0]] == 1
+    for other in langs[1:]:
+        assert after[other] == before[other]
+
+
+def test_quota_sample_stable_prefix_under_growth(docs):
+    """Selection for a group only depends on hashes: sampling a SUBSET of
+    the corpus yields a subset-consistent pick (stable-prefix property)."""
+    quotas = {"en": 4}
+    full = set(
+        r["doc_id"]
+        for r in quota_sample(docs, ["lang"], quotas, default=0).collect()
+    )
+    # drop half the docs NOT in the sample; the sample must survive intact
+    half = docs.filter((F.col("doc_id") % 2 == 0) | F.col("doc_id").isin(list(full)))
+    again = set(
+        r["doc_id"]
+        for r in quota_sample(half, ["lang"], quotas, default=0).collect()
+    )
+    # every originally-picked doc still present is still picked unless a
+    # smaller-hash doc remained; with the same candidate pool restricted,
+    # the picked set can only move toward smaller hashes — check quota held
+    assert len(again) == 4
+
+
+def test_quota_sample_quota_dataframe(docs, spark):
+    qdf = spark.createDataFrame([("en", 2), ("de", 1)], ["lang", "quota"])
+    out = quota_sample(docs, ["lang"], qdf, default=0)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 2, "de": 1}
+
+
+def test_quota_sample_multi_column_group(docs):
+    pairs = [
+        (r["lang"], r["source"])
+        for r in docs.select("lang", "source").distinct().limit(2).collect()
+    ]
+    quotas = {pairs[0]: 2, pairs[1]: 1}
+    out = quota_sample(docs, ["lang", "source"], quotas, default=0)
+    got = {
+        (r["lang"], r["source"]): r["n"]
+        for r in out.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {pairs[0]: 2, pairs[1]: 1}
+
+
+# ---------------------------------------------------------------------------
+# bloom_decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontaminate_drops_contaminated(spark):
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog tonight",)], ["text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps over the lazy dog tonight suffix"),
+            (2, "completely unrelated text with many distinct words in this row here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bloom_decontaminate(docs, bench, n=8)
+    kept = [r["doc_id"] for r in out.collect()]
+    assert 1 not in kept
+    assert 2 in kept
+
+
+def test_bloom_superset_of_exact_hits(spark):
+    """Bloom false positives only ever DROP MORE docs: the bloom-kept set
+    is a subset of the exact-kept set; with a roomy filter they agree."""
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta iota kappa",)], ["text"]
+    )
+    rows = [(i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(12))) for i in range(20)]
+    rows.append((99, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact_kept = set(r["doc_id"] for r in decontaminate(docs, bench, n=8).collect())
+    bloom_kept = set(r["doc_id"] for r in bloom_decontaminate(docs, bench, n=8).collect())
+    assert bloom_kept <= exact_kept
+    assert 99 not in bloom_kept
+    # m_bits=2^16 over ~3 grams: collision odds negligible, sets agree
+    assert bloom_kept == exact_kept
+
+
+def test_bloom_tiny_filter_forces_false_positives(spark):
+    """With m_bits tiny every position collides: all grams 'hit' and every
+    doc with >= 1 n-gram is dropped — the safe failure direction."""
+    bench = spark.createDataFrame(
+        [("one two three four five six seven eight nine ten",)], ["text"]
+    )
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"u{j}" for j in range(10)))], ["doc_id", "text"]
+    )
+    out = bloom_decontaminate(docs, bench, n=8, m_bits=1, k=2)
+    assert out.count() == 0

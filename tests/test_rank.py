@@ -1,0 +1,81 @@
+"""Vocabulary / TF-IDF / BM25 ranking (operators/rank.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cli_spark.operators.rank import bm25_score, tfidf_score, vocab
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "cats and dogs living together"),
+            (4, "the the the the"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_vocab_counts_and_doc_freq(corpus):
+    rows = {r.term: (r["count"], r.doc_freq) for r in vocab(corpus).collect()}
+    assert rows["the"] == (8, 3)  # 2 + 2 + 0 + 4 occurrences across 3 docs
+    assert rows["sat"] == (2, 2)
+    assert rows["cat"] == (1, 1)
+
+
+def test_vocab_min_count_and_top_k(corpus):
+    only_frequent = vocab(corpus, min_count=2)
+    assert all(r["count"] >= 2 for r in only_frequent.collect())
+    top1 = vocab(corpus, top_k=1).collect()
+    assert len(top1) == 1 and top1[0].term == "the"
+
+
+def test_vocab_topk_tiebreak_deterministic(spark):
+    df = spark.createDataFrame([(1, "b a"), (2, "a b")], "doc_id long, text string")
+    got = [r.term for r in vocab(df, top_k=2).collect()]
+    assert got == ["a", "b"]  # equal counts -> lexicographic
+
+
+def test_tfidf_matches_hand_formula(corpus):
+    # 'cat': tf=1 in doc1, df=1, N=4 -> idf = ln(5/2)
+    got = {r.doc_id: r.score for r in tfidf_score(corpus, ["cat"]).collect()}
+    assert set(got) == {1}
+    assert got[1] == pytest.approx(math.log(5 / 2))
+
+
+def test_tfidf_sums_over_terms(corpus):
+    got = {r.doc_id: r.score for r in tfidf_score(corpus, ["cat", "sat"]).collect()}
+    idf_cat = math.log(5 / 2)
+    idf_sat = math.log(5 / 3)
+    assert got[1] == pytest.approx(idf_cat + idf_sat)
+    assert got[2] == pytest.approx(idf_sat)
+
+
+def test_bm25_matches_hand_formula(corpus):
+    k1, b = 1.2, 0.75
+    # doc lengths: 6, 6, 5, 4 -> avgdl = 5.25, N = 4
+    # 'sat': df=2 -> idf = ln(1 + (4-2+0.5)/(2+0.5)) = ln(2)
+    got = {r.doc_id: r.score for r in bm25_score(corpus, ["sat"]).collect()}
+    idf = math.log(2.0)
+    dl, avgdl = 6.0, 5.25
+    want = idf * 1.0 / (1.0 + k1 * (1 - b + b * dl / avgdl))
+    assert got[1] == pytest.approx(want)
+    assert got[2] == pytest.approx(want)  # same length, same tf
+
+
+def test_bm25_rewards_tf_with_saturation(corpus):
+    got = {r.doc_id: r.score for r in bm25_score(corpus, ["the"]).collect()}
+    # doc4 has tf=4 of 'the' and is shortest: highest score
+    assert got[4] > got[1] and got[4] > got[2]
+    # saturation: score grows sublinearly in tf
+    assert got[4] < 4 * got[1]
+
+
+def test_scoring_only_touches_query_terms(corpus):
+    out = tfidf_score(corpus, ["nonexistent_zz"])
+    assert out.count() == 0
