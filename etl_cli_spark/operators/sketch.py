@@ -153,3 +153,112 @@ def kmv_estimate(sketch: DataFrame, by: Sequence[str] = (), k: int = 256) -> Dat
         F.element_at("kmv", k).alias("__kth"),
     ).select(*grp, _estimate(k).alias("est_distinct"))
     return out.drop(_GRP) if not by else out
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: mergeable frequency estimation
+# ---------------------------------------------------------------------------
+# The frequency-side twin of KMV: estimate per-item counts at 100 TB
+# without shuffling items — only (group, depth, cell) triples move, and a
+# sketch is at most depth*width rows per group however large the group.
+# Over-estimates only (collisions add), never under; error <= 2N/width
+# with probability 1 - (1/2)^depth. Cell position d of value v is
+# uint32(md5(str(v) || '#cms<d>')) % width — the same portable md5
+# arithmetic as the rest of the engine, so an external SQL engine
+# rebuilds the identical sketch, collisions included.
+
+
+def _cms_pos(col, d: int, width: int):
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(c.cast("string"), F.lit(f"#cms{d}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    width: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """Build the sketch: (by..., d, pos, c) — one row per non-empty cell.
+
+    One shuffle on (group, d, pos) with map-side partial combine: the
+    exchange carries at most depth*width rows per group regardless of
+    input size. Persist per shard/day and combine with
+    :func:`cms_merge`.
+    """
+    grp = list(by) if by else [_GRP]
+    src = df if by else df.withColumn(_GRP, F.lit(1))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), _cms_pos(col, d, width).alias("pos")
+            )
+            for d in range(depth)
+        ]
+    )
+    out = (
+        src.select(*grp, F.explode(cells).alias("__cell"))
+        .select(*grp, F.col("__cell.d").alias("d"), F.col("__cell.pos").alias("pos"))
+        .groupBy(*grp, "d", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return out.drop(_GRP) if not by else out
+
+
+def cms_merge(sketches: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """Union partial sketches (rows from several :func:`cms_sketch`
+    outputs): cell-wise sum — the exact sketch of the concatenated
+    underlying data, the linearity property that makes CMS shardable."""
+    grp = list(by) if by else [_GRP]
+    src = sketches if by else sketches.withColumn(_GRP, F.lit(1))
+    out = src.groupBy(*grp, "d", "pos").agg(F.sum("c").alias("c"))
+    return out.drop(_GRP) if not by else out
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    values: Sequence,
+    by: Sequence[str] = (),
+    width: int = 1024,
+    depth: int = 3,
+    value_col: str = "value",
+) -> DataFrame:
+    """Point-frequency estimates for ``values`` from a sketch frame:
+    (by..., value, est_count) with est = min over depths of the probed
+    cell (absent cell = 0).
+
+    The probe table is (groups x values x depth) — tiny; it broadcasts,
+    and only sketch cells matching a probed position are read.
+    """
+    spark = sketch.sparkSession
+    grp = list(by) if by else [_GRP]
+    src = sketch if by else sketch.withColumn(_GRP, F.lit(1))
+    vals = spark.createDataFrame([(str(v),) for v in values], [value_col])
+    probes = (
+        src.select(*grp).distinct()
+        .crossJoin(vals)
+        .select(
+            *grp,
+            value_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _cms_pos(value_col, d, width).alias("pos"),
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("__cell"),
+        )
+        .select(*grp, value_col, F.col("__cell.d").alias("d"), F.col("__cell.pos").alias("pos"))
+    )
+    est = (
+        probes.join(src, [*grp, "d", "pos"], "left")
+        .groupBy(*grp, value_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+    )
+    return est.drop(_GRP) if not by else est

@@ -15,6 +15,22 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """``withWatermark`` requires TIMESTAMP (ltz); parquet written with
+    ``isAdjustedToUTC=false`` reads back as TIMESTAMP_NTZ, which Spark
+    rejects as an event-time column (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    Cast NTZ to the session-zone timestamp (UTC in the session factory)
+    so every helper accepts either parquet timestamp encoding."""
+    try:
+        is_ntz = isinstance(df.schema[ts_col].dataType, TimestampNTZType)
+    except KeyError:
+        is_ntz = False
+    if is_ntz:
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, watermark)
 
 
 def tumbling(
@@ -30,7 +46,7 @@ def tumbling(
     Output exposes ``w_start``/``w_end`` as plain timestamp columns.
     """
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _with_watermark(df, ts_col, watermark)
     exprs = [F.expr(e).alias(n) for n, e in dict(aggs).items()]
     out = df.groupBy(F.window(ts_col, duration), *group_by).agg(*exprs)
     return out.select(
@@ -51,7 +67,7 @@ def sliding(
     watermark: str | None = None,
 ) -> DataFrame:
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _with_watermark(df, ts_col, watermark)
     exprs = [F.expr(e).alias(n) for n, e in dict(aggs).items()]
     out = df.groupBy(F.window(ts_col, duration, slide), *group_by).agg(*exprs)
     return out.select(
@@ -72,7 +88,7 @@ def session(
 ) -> DataFrame:
     """Session windows (gap-based). Works on batch and streaming frames."""
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _with_watermark(df, ts_col, watermark)
     exprs = [F.expr(e).alias(n) for n, e in dict(aggs).items()]
     out = df.groupBy(F.session_window(ts_col, gap), *group_by).agg(*exprs)
     return out.select(
@@ -197,7 +213,9 @@ def stream_events(
     watermark: str = "10 minutes",
 ):
     """readStream over a parquet directory (file-based micro-batching)."""
-    return spark.readStream.schema(schema).parquet(path).withWatermark(ts_col, watermark)
+    return _with_watermark(
+        spark.readStream.schema(schema).parquet(path), ts_col, watermark
+    )
 
 
 def stateful_running_totals(

@@ -71,3 +71,55 @@ def test_kmv_min_k_is_salted(values):
     (group, salt), so no single task ranks a whole group's hashes."""
     plan = kmv_distinct(values, "v", by=["g"], k=64)._jdf.queryExecution().optimizedPlan().toString()
     assert "pmod" in plan
+
+
+# -- count-min sketch -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zipfy(spark):
+    # skewed frequencies: item i appears (50 - i) times, i in 0..49
+    df = spark.range(50).select(F.col("id").alias("i"))
+    rep = df.select("i", F.explode(F.sequence(F.lit(1), 50 - F.col("i"))).alias("_"))
+    return rep.select(F.concat(F.lit("item"), F.col("i")).alias("v")).cache()
+
+
+def test_cms_overestimates_only_and_tight(zipfy):
+    from etl_cli_spark.operators.sketch import cms_estimate, cms_sketch
+
+    sk = cms_sketch(zipfy, "v", width=2048, depth=3)
+    est = {
+        r.value: r.est_count
+        for r in cms_estimate(sk, [f"item{i}" for i in range(50)], width=2048).collect()
+    }
+    for i in range(50):
+        true = 50 - i
+        assert est[f"item{i}"] >= true  # CMS never under-counts
+        assert est[f"item{i}"] <= true + 10  # 1275 items in 2048 cells: tiny overshoot
+    # absent item estimates ~0 (may collide, still bounded)
+    ghost = cms_estimate(sk, ["never-seen"], width=2048).collect()[0].est_count
+    assert ghost <= 10
+
+
+def test_cms_merge_equals_direct(spark):
+    from etl_cli_spark.operators.sketch import cms_estimate, cms_merge, cms_sketch
+
+    a = spark.range(1000).select((F.col("id") % 7).cast("string").alias("v"))
+    b = spark.range(500).select((F.col("id") % 3).cast("string").alias("v"))
+    merged = cms_merge(cms_sketch(a, "v").unionByName(cms_sketch(b, "v")))
+    direct = cms_sketch(a.unionByName(b), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    est = {r.value: r.est_count for r in cms_estimate(merged, ["0", "1", "2"]).collect()}
+    # value "0": 143 in a (ids 0,7,...,994) + 167 in b -> >= 310
+    assert est["0"] >= 310
+
+
+def test_cms_grouped_sketch_bounded(zipfy):
+    """The sketch never exceeds depth*width rows per group, whatever the
+    input size — the property that makes the exchange narrow at scale."""
+    from etl_cli_spark.operators.sketch import cms_sketch
+
+    g = zipfy.withColumn("g", F.lit("g0"))
+    sk = cms_sketch(g, "v", by=["g"], width=64, depth=2)
+    assert sk.count() <= 64 * 2
+    assert set(sk.columns) == {"g", "d", "pos", "c"}
