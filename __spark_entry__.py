@@ -944,6 +944,62 @@ def _q_sketch_topk_cms(spark, sf):
     )
 
 
+def _q_http_bulk_source(spark, sf):
+    """Bulk-HTTP ingest through the partitioned Python DataSource: the
+    events table is served over local HTTP in offset/limit pages, read
+    back with one executor-side fetch per input partition (8 here), and
+    aggregated. The oracle computes the same aggregate straight from the
+    parquet — the HTTP path must be lossless."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    import duckdb as _dk
+
+    from etl_cli_spark.sources.http_bulk import read_http_bulk
+
+    rows = _dk.sql(
+        f"SELECT event_id, user_id, event_type, value "
+        f"FROM '{sf}/events.parquet' ORDER BY event_id"
+    ).fetchall()
+    payload = [
+        {"event_id": a, "user_id": b, "event_type": c, "value": d}
+        for a, b, c, d in rows
+    ]
+
+    class _H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            off, lim = int(q["offset"][0]), int(q["limit"][0])
+            body = _json.dumps(payload[off : off + lim]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    df = read_http_bulk(
+        spark,
+        schema="event_id long, user_id long, event_type string, value double",
+        url=f"http://127.0.0.1:{srv.server_port}/data?offset={{offset}}&limit={{limit}}",
+        total=len(payload),
+        rows_per_part=max(1, (len(payload) + 7) // 8),
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "cast(round(sum(cast(value as decimal(30,2))), 2) as double)"
+        ).alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
 def _q_multimodal_decode(spark, sf):
     # REAL decode: payloads are valid PPM/BMP bytes; the oracle
     # recomputes width/height and the sha256 pixel digest independently
@@ -1243,6 +1299,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_distinct_kmv": _q_sketch_distinct_kmv,
     "sketch_topk_cms": _q_sketch_topk_cms,
     "zorder_roundtrip": _q_zorder_roundtrip,
+    "http_bulk_source": _q_http_bulk_source,
     # write ops (SURVEY §2.5)
     "write_insert": _q_write_insert,
     "write_upsert": _q_write_upsert,
@@ -1910,6 +1967,15 @@ def oracle_sql() -> dict[str, str]:
         "comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node) "
         "SELECT d.doc_id, d.lang FROM documents d "
         "ANTI JOIN (SELECT node AS doc_id FROM comp WHERE node <> cluster) l USING (doc_id)"
+    )
+
+    # http_bulk_source: the HTTP hop must be lossless — the oracle reads
+    # the same events straight from parquet
+    sql["http_bulk_source"] = (
+        "SELECT event_type, count(*) AS n, "
+        "CAST(round(sum(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_value, "
+        "min(event_id) AS min_id, max(event_id) AS max_id "
+        "FROM events GROUP BY event_type"
     )
 
     # sketch_topk_cms: rebuild the identical count-min sketch (md5 cell
