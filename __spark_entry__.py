@@ -624,6 +624,102 @@ _Q22_SQL = (
 )
 
 
+# q4 shape: correlated EXISTS + priority rollup (commit/receipt dates are
+# not in the reduced schema; late-ship EXISTS keeps the plan shape)
+_Q4_SQL = (
+    "SELECT o_orderpriority, count(*) AS order_count "
+    "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+    "AND EXISTS (SELECT 1 FROM lineitem "
+    "  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+    "GROUP BY o_orderpriority"
+)
+
+# q6 shape: single-table filtered aggregate (the pushdown showcase)
+_Q6_SQL = (
+    "SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+)
+
+# q7 shape: self-joined dimension (nation twice) + year rollup
+_Q7_SQL = (
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year, "
+    "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue "
+    "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "WHERE n1.n_name IN ('NATION_1', 'NATION_2') "
+    "AND n2.n_name IN ('NATION_1', 'NATION_2') "
+    "AND n1.n_name <> n2.n_name "
+    "GROUP BY 1, 2, 3"
+)
+
+# q14 shape: conditional-revenue ratio. Both sums reduce as exact
+# decimals and convert to double BEFORE the division — decimal-division
+# scale rules differ between engines, double division does not
+_Q14_SQL = (
+    "SELECT CAST(round(100.0 * "
+    "CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) "
+    "    ELSE 0 END AS DECIMAL(30,10))) AS DOUBLE) / "
+    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 6) "
+    "AS DOUBLE) AS promo_revenue "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'"
+)
+
+# q15 shape: CTE revenue ranking + scalar-max equality (top supplier)
+_Q15_SQL = (
+    "WITH rev AS (SELECT l_suppkey AS supplier_no, "
+    "  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 6) AS DOUBLE) AS total_revenue "
+    "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+    "  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00' GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue "
+    "FROM supplier JOIN rev ON s_suppkey = supplier_no "
+    "WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"
+)
+
+# q17 shape: correlated scalar subquery per part. avg(l_quantity) is
+# exact (integer-valued doubles sum exactly), so the 0.2*avg threshold
+# is deterministic across engines
+_Q17_SQL = (
+    "SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0, 6) AS DOUBLE) AS avg_yearly "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_brand = 'Brand#1' AND l_quantity < ("
+    "  SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"
+)
+
+# q19 shape: disjunction of conjunctive brand/size/quantity predicates
+_Q19_SQL = (
+    "SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) "
+    "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) "
+    "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"
+)
+
+# q21 shape: EXISTS + NOT EXISTS against the same fact table (waiting
+# suppliers; ship-date ordering stands in for commit/receipt)
+_Q21_SQL = (
+    "SELECT s_name, count(*) AS numwait "
+    "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+    "JOIN orders ON o_orderkey = l1.l_orderkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE o_orderstatus = 'F' AND n_name = 'NATION_3' "
+    "AND EXISTS (SELECT 1 FROM lineitem l2 "
+    "  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+    "  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey "
+    "  AND l3.l_shipdate > l1.l_shipdate) "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"
+)
+
+
 def _q_sql_q3(spark, sf):
     return _engine(spark, sf).sql(_Q3_SQL)
 
@@ -650,6 +746,38 @@ def _q_sql_q18(spark, sf):
 
 def _q_sql_q22(spark, sf):
     return _engine(spark, sf).sql(_Q22_SQL)
+
+
+def _q_sql_q4(spark, sf):
+    return _engine(spark, sf).sql(_Q4_SQL)
+
+
+def _q_sql_q6(spark, sf):
+    return _engine(spark, sf).sql(_Q6_SQL)
+
+
+def _q_sql_q7(spark, sf):
+    return _engine(spark, sf).sql(_Q7_SQL)
+
+
+def _q_sql_q14(spark, sf):
+    return _engine(spark, sf).sql(_Q14_SQL)
+
+
+def _q_sql_q15(spark, sf):
+    return _engine(spark, sf).sql(_Q15_SQL)
+
+
+def _q_sql_q17(spark, sf):
+    return _engine(spark, sf).sql(_Q17_SQL)
+
+
+def _q_sql_q19(spark, sf):
+    return _engine(spark, sf).sql(_Q19_SQL)
+
+
+def _q_sql_q21(spark, sf):
+    return _engine(spark, sf).sql(_Q21_SQL)
 
 
 # -- events ------------------------------------------------------------------
@@ -1148,6 +1276,15 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
                       ("supplier_cnt", "i")],
     "sql_q18_shape": [("c_name", "s"), ("o_orderkey", "i"), ("total_qty", "f")],
     "sql_q22_shape": [("cgroup", "s"), ("numcust", "i"), ("totacctbal", "f")],
+    "sql_q4_shape": [("o_orderpriority", "s"), ("order_count", "i")],
+    "sql_q6_shape": [("revenue", "f")],
+    "sql_q7_shape": [("supp_nation", "s"), ("cust_nation", "s"),
+                     ("l_year", "i"), ("revenue", "f")],
+    "sql_q14_shape": [("promo_revenue", "f")],
+    "sql_q15_shape": [("s_suppkey", "i"), ("s_name", "s"), ("total_revenue", "f")],
+    "sql_q17_shape": [("avg_yearly", "f")],
+    "sql_q19_shape": [("revenue", "f")],
+    "sql_q21_shape": [("s_name", "s"), ("numwait", "i")],
     # -- secondary-aggregate family --
     "agg_rollup": [("l_returnflag", "s"), ("l_linestatus", "s"), ("n", "i"),
                    ("sum_qty", "f")],
@@ -1182,6 +1319,8 @@ _DSL_FAMILY = [
 _SQL_FAMILY = [
     "sql_q3_shape", "sql_q5_shape", "sql_q10_shape", "sql_q12_shape",
     "sql_q16_shape", "sql_q18_shape", "sql_q22_shape",
+    "sql_q4_shape", "sql_q6_shape", "sql_q7_shape", "sql_q14_shape",
+    "sql_q15_shape", "sql_q17_shape", "sql_q19_shape", "sql_q21_shape",
 ]
 _AGG_FAMILY = [
     "agg_rollup", "agg_cube", "agg_having", "agg_pivot",
@@ -1357,6 +1496,14 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_q16_shape": _q_sql_q16,
     "sql_q18_shape": _q_sql_q18,
     "sql_q22_shape": _q_sql_q22,
+    "sql_q4_shape": _q_sql_q4,
+    "sql_q6_shape": _q_sql_q6,
+    "sql_q7_shape": _q_sql_q7,
+    "sql_q14_shape": _q_sql_q14,
+    "sql_q15_shape": _q_sql_q15,
+    "sql_q17_shape": _q_sql_q17,
+    "sql_q19_shape": _q_sql_q19,
+    "sql_q21_shape": _q_sql_q21,
     "agg_rollup": _q_agg_rollup,
     "agg_cube": _q_agg_cube,
     "agg_having": _q_agg_having,
@@ -1588,6 +1735,14 @@ def oracle_sql() -> dict[str, str]:
     sql["sql_q16_shape"] = _Q16_SQL
     sql["sql_q18_shape"] = _Q18_SQL
     sql["sql_q22_shape"] = _Q22_SQL
+    sql["sql_q4_shape"] = _Q4_SQL
+    sql["sql_q6_shape"] = _Q6_SQL
+    sql["sql_q7_shape"] = _Q7_SQL
+    sql["sql_q14_shape"] = _Q14_SQL
+    sql["sql_q15_shape"] = _Q15_SQL
+    sql["sql_q17_shape"] = _Q17_SQL
+    sql["sql_q19_shape"] = _Q19_SQL
+    sql["sql_q21_shape"] = _Q21_SQL
 
     sql["events_window_1h"] = (
         "SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, "
