@@ -1139,6 +1139,23 @@ def _q_multimodal_decode(spark, sf):
     )
 
 
+def _q_multimodal_audio(spark, sf):
+    # REAL RIFF/PCM16 decode (pure stdlib/numpy): the oracle recomputes
+    # header fields and the PCM sha256 from the deterministic sample
+    # pattern without touching encoder or decoder
+    from etl_cli_spark.operators.multimodal import decode_audio, make_fake_audio
+
+    audio = make_fake_audio(spark, n=24)
+    return decode_audio(audio).select(
+        "media_id",
+        "dec_sample_rate",
+        "dec_channels",
+        "dec_n_samples",
+        "dec_duration_ms",
+        F.hex("dec_digest").alias("digest_hex"),
+    )
+
+
 def _q_events_funnel(spark, sf):
     from etl_cli_spark.operators.events import funnel
 
@@ -1309,6 +1326,8 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
                          ("sum_value", "f")],
     "events_funnel": [("step", "s"), ("stage", "i"), ("n_users", "i")],
     "events_retention": [("cohort", "s"), ("day_offset", "i"), ("n_users", "i")],
+    "merger_unwind": [("o_orderkey", "i"), ("l_linenumber", "i"),
+                      ("l_quantity", "f")],
 }
 
 _DSL_FAMILY = [
@@ -1332,7 +1351,7 @@ _AGG_FAMILY = [
 _JOINWIN_FAMILY = [
     "asof_join", "interval_join", "agg_q1", "window_topk_per_group",
     "window_range_hourly", "diff_sets", "events_window_1h",
-    "events_funnel", "events_retention",
+    "events_funnel", "events_retention", "merger_unwind",
 ]
 
 
@@ -1422,6 +1441,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf": _q_similarity_ivf,
     "embedding_neardup": _q_embedding_neardup,
     "multimodal_decode": _q_multimodal_decode,
+    "multimodal_audio": _q_multimodal_audio,
     # training-data pipeline ops (split/sample/chunk/pack/decontaminate)
     "split_deterministic": _q_split_deterministic,
     "hash_sample": _q_hash_sample,
@@ -1455,7 +1475,6 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merger_anti": _q_merger_anti,
     "merger_match_one": _q_merger_match_one,
     "merger_direction": _q_merger_direction,
-    "merger_unwind": _q_merger_unwind,
     "merger_merge_as": _q_merger_merge_as,
     # composite digests certifying the 51+ tail inside the window
     "dsl_digest": _q_dsl_digest,
@@ -1477,6 +1496,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window_1h": _q_events_window_1h,
     "events_funnel": _q_events_funnel,
     "events_retention": _q_events_retention,
+    "merger_unwind": _q_merger_unwind,
     "window_running_sum": _q_window_running_sum,
     "write_index": _q_write_index,
     "dsl_eq_project": _q_dsl_eq_project,
@@ -1897,6 +1917,29 @@ def oracle_sql() -> dict[str, str]:
         "CAST(dec_width AS INTEGER) AS dec_width, "
         "CAST(dec_height AS INTEGER) AS dec_height, digest_hex "
         f"FROM (VALUES {', '.join(_vals)}) AS t(media_id, dec_width, dec_height, digest_hex)"
+    )
+
+    # multimodal_audio: recompute the PCM16 byte stream from the sample
+    # pattern in pure python (no numpy, no encoder/decoder involvement)
+    # and take the same sha256[:16]
+    import struct as _st
+
+    _avals = []
+    for i in range(24):
+        sr, n_samp = 8000 + 4000 * (i % 3), 400 + 30 * i
+        pcm = b"".join(
+            _st.pack("<h", ((1234 * i + 17 * j) % 65536) - 32768)
+            for j in range(n_samp)
+        )
+        dg = _hl.sha256(pcm).hexdigest()[:32].upper()
+        _avals.append(f"({i}, {sr}, 1, {n_samp}, {n_samp * 1000 // sr}, '{dg}')")
+    sql["multimodal_audio"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(sr AS INTEGER) AS dec_sample_rate, "
+        "CAST(ch AS INTEGER) AS dec_channels, "
+        "CAST(ns AS BIGINT) AS dec_n_samples, "
+        "CAST(dur AS BIGINT) AS dec_duration_ms, digest_hex "
+        f"FROM (VALUES {', '.join(_avals)}) AS t(media_id, sr, ch, ns, dur, digest_hex)"
     )
 
     # training-data pipeline ops: hashing is md5-prefix -> uint32 in both

@@ -85,3 +85,53 @@ def test_features_compose_with_similarity(media, spark):
     q = feats.filter("vec_id = 0").collect()[0].embedding
     top = cosine_topk(feats, [float(x) for x in q], k=3)
     assert top.collect()[0].vec_id == 0  # self is most similar
+
+
+def test_wav_decode_real(spark):
+    """REAL RIFF/PCM16 decode: header fields and the PCM digest come from
+    parsing the bytes, verified against the independent sample pattern."""
+    import hashlib as _hl
+
+    from etl_cli_spark.operators.multimodal import decode_audio, make_fake_audio, media_samples
+
+    audio = make_fake_audio(spark, n=9)
+    rows = {r.media_id: r for r in decode_audio(audio).collect()}
+    assert len(rows) == 9
+    for i in range(9):
+        r = rows[i]
+        sr, n_samp = 8000 + 4000 * (i % 3), 400 + 30 * i
+        assert (r.dec_sample_rate, r.dec_channels, r.dec_n_samples) == (sr, 1, n_samp)
+        assert r.dec_duration_ms == n_samp * 1000 // sr
+        expect = _hl.sha256(media_samples(i, n_samp).tobytes()).digest()[:16]
+        assert bytes(r.dec_digest) == expect
+
+
+def test_wav_decode_rejects_non_pcm(spark):
+    import pytest as _pt
+
+    from etl_cli_spark.operators.multimodal import _decode_wav, encode_wav, media_samples
+
+    with _pt.raises(ValueError, match="RIFF"):
+        _decode_wav(b"not a wav at all")
+    # flip the format tag to non-PCM: native decode must refuse, not garble
+    wav = bytearray(encode_wav(media_samples(1, 100)))
+    wav[20] = 3  # fmt chunk audio_format field
+    with _pt.raises(NotImplementedError, match="PCM16"):
+        _decode_wav(bytes(wav))
+
+
+def test_wav_odd_chunk_alignment():
+    """RIFF chunks are word-aligned; an odd-sized extra chunk before data
+    must not derail the walk."""
+    import struct
+
+    from etl_cli_spark.operators.multimodal import _decode_wav, encode_wav, media_samples
+
+    wav = encode_wav(media_samples(2, 50), sample_rate=8000)
+    # splice an odd-length LIST chunk between fmt and data
+    head, rest = wav[:36], wav[36:]
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3 bytes + pad
+    spliced = head + odd + rest
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    sr, ch, n, pcm = _decode_wav(spliced)
+    assert (sr, ch, n) == (8000, 1, 50)
