@@ -1202,16 +1202,17 @@ def _q_rank_vocab(spark, sf):
 
 
 def _q_rank_scores(spark, sf):
-    """Smooth TF-IDF and Okapi BM25 scores against a fixed query-term
-    bag, joined per document. Both scores round to 6 dp so the log/div
-    arithmetic hashes portably across engines."""
-    from etl_cli_spark.operators.rank import bm25_score, tfidf_score
+    """Smooth TF-IDF, Okapi BM25 (fixed query-term bag) and the corpus
+    unigram-LM nll, joined per document. All scores round to 6 dp so the
+    log/div arithmetic hashes portably across engines."""
+    from etl_cli_spark.operators.rank import bm25_score, tfidf_score, unigram_logprob
 
     d = _engine(spark, sf).read("documents")
     terms = ["spark", "join", "window"]
     tf = tfidf_score(d, terms).select("doc_id", F.round("score", 6).alias("tfidf"))
     bm = bm25_score(d, terms).select("doc_id", F.round("score", 6).alias("bm25"))
-    return tf.join(bm, "doc_id")
+    lm = unigram_logprob(d).select("doc_id", F.round("nll", 6).alias("nll"))
+    return tf.join(bm, "doc_id").join(lm, "doc_id")
 
 
 def _q_quota_sample(spark, sf):
@@ -2051,8 +2052,15 @@ def oracle_sql() -> dict[str, str]:
         "bm_s AS (SELECT t.doc_id, round(sum(i.idf * t.tf / "
         "           (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / a.avgdl))), 6) AS bm25 "
         "         FROM tfq t JOIN idf2 i USING (term) "
-        "         JOIN dlen d ON t.doc_id = d.doc_id, ad a GROUP BY t.doc_id) "
-        "SELECT doc_id, tfidf, bm25 FROM tf_s JOIN bm_s USING (doc_id)"
+        "         JOIN dlen d ON t.doc_id = d.doc_id, ad a GROUP BY t.doc_id), "
+        "alltf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+        "          WHERE term <> '' GROUP BY doc_id, term), "
+        "cnt AS (SELECT term, sum(tf) AS cnt FROM alltf GROUP BY term), "
+        "tot AS (SELECT sum(cnt) AS total FROM cnt), "
+        "lm AS (SELECT doc_id, round(-sum(tf * ln(cnt / total)) / sum(tf), 6) AS nll "
+        "       FROM alltf JOIN cnt USING (term), tot GROUP BY doc_id) "
+        "SELECT doc_id, tfidf, bm25, nll "
+        "FROM tf_s JOIN bm_s USING (doc_id) JOIN lm USING (doc_id)"
     )
 
     sql["text_repetition"] = (

@@ -99,6 +99,36 @@ def tfidf_score(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-token negative log-likelihood under the corpus's own unigram
+    model: nll(d) = -(1/|d|) * sum_t tf(d,t) * ln(count(t) / total).
+
+    The KenLM-style perplexity quality filter reduced to its relational
+    core — documents full of corpus-rare tokens score high (surprising),
+    boilerplate scores low. Train and score are ONE plan: corpus term
+    counts (one term-key shuffle with map-side partials), broadcast-join
+    back onto the (doc, term) pairs, weighted average per doc. No UDFs;
+    at 100 TB the vocabulary table is Zipf-small next to the corpus, so
+    AQE broadcasts it and the scoring pass adds no extra wide shuffle
+    beyond the tf aggregate.
+    """
+    terms = _doc_terms(docs, text_col, id_col)
+    cnt = terms.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("total"))
+    logp = cnt.crossJoin(F.broadcast(total)).select(
+        "term", F.log(F.col("cnt") / F.col("total")).alias("logp")
+    )
+    return (
+        terms.join(logp, "term")
+        .groupBy(id_col)
+        .agg((-F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")).alias("nll"))
+    )
+
+
 def bm25_score(
     docs: DataFrame,
     query_terms: list[str],

@@ -79,3 +79,36 @@ def test_bm25_rewards_tf_with_saturation(corpus):
 def test_scoring_only_touches_query_terms(corpus):
     out = tfidf_score(corpus, ["nonexistent_zz"])
     assert out.count() == 0
+
+
+def test_unigram_logprob_hand_computed(corpus):
+    """Doc 4 is pure 'the' (the most common token -> lowest nll); the
+    value matches a hand-built unigram model over the corpus."""
+    import math
+
+    from etl_cli_spark.operators.rank import unigram_logprob
+
+    toks = []
+    for _, text in [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "cats and dogs living together"),
+        (4, "the the the the"),
+    ]:
+        toks.extend(text.split())
+    total = len(toks)
+    cnt = {t: toks.count(t) for t in set(toks)}
+    got = {r.doc_id: r.nll for r in unigram_logprob(corpus).collect()}
+    for doc_id, text in [(1, "the cat sat on the mat"), (4, "the the the the")]:
+        ts = text.split()
+        want = -sum(math.log(cnt[t] / total) for t in ts) / len(ts)
+        assert got[doc_id] == pytest.approx(want)
+    assert got[4] == min(got.values())  # all-boilerplate scores lowest
+
+
+def test_unigram_logprob_flags_rare_tokens(corpus):
+    from etl_cli_spark.operators.rank import unigram_logprob
+
+    got = {r.doc_id: r.nll for r in unigram_logprob(corpus).collect()}
+    # doc 3 is all singleton tokens -> most surprising
+    assert got[3] == max(got.values())
