@@ -118,6 +118,7 @@ def quota_sample(
     id_col: str = "doc_id",
     seed: str = "",
     default: int | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Mixture sampling: keep at most ``quota`` rows per group, chosen
     deterministically — the "target data mixture" step of a training
@@ -133,7 +134,16 @@ def quota_sample(
     impossible): rerunning on a grown corpus keeps a stable prefix — the
     sample only gains rows that hash under the cut, it never churns.
     One shuffle on the group columns; the quota table is tiny and
-    broadcasts. Hot-group caveat matches stratified_sample.
+    broadcasts.
+
+    ``salt_buckets``: hot-group guard for corpus scale. The default
+    single window ranks each group on ONE task — fine until a group owns
+    half the corpus. With ``salt_buckets=S`` the rank runs as a two-level
+    tournament (exactly :func:`~etl_cli_spark.operators.sketch._min_k`'s
+    shape): top-``quota`` within each (group, hash-salt) bucket first —
+    any row outside its bucket's top-quota cannot be in the group's — so
+    the final window sees at most ``S * quota`` survivors per group
+    instead of the whole group. Identical output, unit-asserted.
     """
     if isinstance(quotas, DataFrame):
         qdf = quotas
@@ -143,10 +153,26 @@ def quota_sample(
             key = key if isinstance(key, tuple) else (key,)
             rows.append((*key, int(q)))
         qdf = df.sparkSession.createDataFrame(rows, group_cols + ["quota"])
-    w = Window.partitionBy(*group_cols).orderBy(hash_bucket(id_col, seed), F.col(id_col))
-    ranked = df.withColumn("__rk", F.row_number().over(w)).join(
-        F.broadcast(qdf), group_cols, "left"
+
+    rank_key = [hash_bucket(id_col, seed), F.col(id_col)]
+    src = df.join(F.broadcast(qdf), group_cols, "left")
+    bound = (
+        F.col("quota")
+        if default is None
+        else F.coalesce(F.col("quota"), F.lit(int(default)))
     )
+    if salt_buckets and salt_buckets > 1:
+        # pre-prune: a row not in its salt bucket's top-`bound` cannot be
+        # in the group's top-`bound`; unbounded (null-quota) groups pass
+        salt = F.pmod(hash_bucket(id_col, seed + "#qsalt"), F.lit(salt_buckets))
+        w1 = Window.partitionBy(*group_cols, salt).orderBy(*rank_key)
+        src = (
+            src.withColumn("__rk1", F.row_number().over(w1))
+            .filter(bound.isNull() | (F.col("__rk1") <= bound))
+            .drop("__rk1")
+        )
+    w = Window.partitionBy(*group_cols).orderBy(*rank_key)
+    ranked = src.withColumn("__rk", F.row_number().over(w))
     if default is None:
         keep = F.col("quota").isNull() | (F.col("__rk") <= F.col("quota"))
     else:

@@ -267,3 +267,33 @@ def test_bloom_tiny_filter_forces_false_positives(spark):
     )
     out = bloom_decontaminate(docs, bench, n=8, m_bits=1, k=2)
     assert out.count() == 0
+
+
+def test_quota_sample_salted_equals_plain(docs):
+    """The two-level tournament must pick the identical set — it only
+    pre-prunes rows that provably cannot make the group's top-quota."""
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    quotas = {langs[0]: 5, langs[1]: 3}
+    plain = quota_sample(docs, ["lang"], quotas, default=2)
+    salted = quota_sample(docs, ["lang"], quotas, default=2, salt_buckets=8)
+    assert sorted(r.doc_id for r in plain.collect()) == sorted(
+        r.doc_id for r in salted.collect()
+    )
+    # null-quota (keep-all) groups survive the salted path too
+    plain_all = quota_sample(docs, ["lang"], {langs[0]: 1})
+    salted_all = quota_sample(docs, ["lang"], {langs[0]: 1}, salt_buckets=8)
+    assert sorted(r.doc_id for r in plain_all.collect()) == sorted(
+        r.doc_id for r in salted_all.collect()
+    )
+
+
+def test_quota_sample_salted_prunes_before_global_window(docs):
+    """Plan evidence: the salted variant's first window partitions by
+    (group, salt), so no task ranks a whole hot group."""
+    plan = (
+        quota_sample(docs, ["lang"], {"en": 3}, default=1, salt_buckets=16)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "pmod" in plan
