@@ -297,3 +297,21 @@ def test_quota_sample_salted_prunes_before_global_window(docs):
         .toString()
     )
     assert "pmod" in plan
+
+
+def test_bloom_decontaminate_false_positives_only_drop(docs):
+    """Bloom containment errs only in the safe direction: everything the
+    exact rule drops, the Bloom rule also drops (no false negatives), so
+    bloom survivors are a subset of exact survivors."""
+    from etl_cli_spark.operators.pipeline import bloom_decontaminate, decontaminate
+
+    bench = docs.filter("doc_id % 7 = 0")
+    exact = {r.doc_id for r in decontaminate(docs, bench, n=3).select("doc_id").collect()}
+    # tiny filter (m_bits=256) to force false positives
+    bloom = {
+        r.doc_id
+        for r in bloom_decontaminate(docs, bench, n=3, m_bits=256, k=2)
+        .select("doc_id")
+        .collect()
+    }
+    assert bloom <= exact

@@ -1,0 +1,97 @@
+"""Plan-shape invariants for the scale-critical query surface.
+
+These assert the properties the 100 TB design depends on, so a refactor
+that silently degrades a plan (a filter that stops pushing down, a join
+that falls back to cartesian) fails CI instead of failing at deploy:
+
+- NO CartesianProduct anywhere in the flagship read surface;
+- DSL predicates reach the parquet scan (PushedFilters);
+- `_fields` projection prunes the read schema;
+- small-dimension joins broadcast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+# read-only queries() entries (no table writes, no servers, no tempdir
+# index builds) spanning every plan family
+READ_QUERIES = [
+    "dsl_eq_project",
+    "dsl_sort_limit",
+    "flatten_struct",
+    "sql_q3_shape",
+    "sql_q7_shape",
+    "sql_q17_shape",
+    "sql_q21_shape",
+    "agg_q1",
+    "merger_left",
+    "merger_anti",
+    "asof_join",
+    "interval_join",
+    "window_topk_per_group",
+    "events_funnel",
+    "events_retention",
+    "dedup_exact",
+    "dedup_minhash",
+    "decontaminate",
+    "bloom_decontaminate",
+    "quota_sample",
+    "rank_scores",
+    "sketch_topk_cms",
+    "text_stats_by_lang",
+    "similarity_topk",
+]
+
+
+def _optimized(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.mark.parametrize("name", READ_QUERIES)
+def test_no_cartesian_product(spark, name):
+    """A CartesianProduct in any of these is a 100 TB outage. (Broadcast
+    nested-loop joins of scalar aggregates — corpus totals, avgdl — are
+    fine and expected; `Join Cross` with a non-broadcast side is not.)"""
+    plan = _optimized(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_dsl_filters_reach_the_scan(spark, engine):
+    df = engine.read("orders", ["o_orderstatus=F", "o_totalprice__gt=100000"])
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in physical
+    assert "IsNotNull(o_orderstatus)" in physical or "EqualTo(o_orderstatus,F)" in physical
+
+
+def test_dsl_fields_prune_read_schema(spark, engine):
+    df = engine.read("lineitem", ["_fields=l_orderkey,l_quantity"])
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    # the parquet scan must read exactly the two requested columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in physical
+
+
+def test_small_dimension_joins_broadcast(spark, engine):
+    df = engine.sql(
+        "SELECT n_name, count(*) AS n FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in physical
+
+
+def test_decontaminate_shuffles_hashes_not_text(spark, engine):
+    """The decontamination join must move 64-bit gram hashes, never the
+    document text: no plan operator above the scan carries `text`."""
+    from etl_cli_spark.operators.pipeline import decontaminate
+
+    d = engine.read("documents")
+    out = decontaminate(d, d.filter("doc_id % 97 = 0"), n=8).select("doc_id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert joins and all("text#" not in ln for ln in joins)
