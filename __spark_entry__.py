@@ -1156,6 +1156,20 @@ def _q_multimodal_audio(spark, sf):
     )
 
 
+def _q_multimodal_resize(spark, sf):
+    # REAL nearest-neighbor resample of the decoded pixels; the oracle
+    # recomputes the resized RGB bytes from the pattern in pure python
+    from etl_cli_spark.operators.multimodal import make_fake_media, resize_images
+
+    media = make_fake_media(spark, n=32)
+    return resize_images(media, 5, 4).select(
+        "media_id",
+        "resized_width",
+        "resized_height",
+        F.hex("resized_digest").alias("digest_hex"),
+    )
+
+
 def _q_events_funnel(spark, sf):
     from etl_cli_spark.operators.events import funnel
 
@@ -1498,6 +1512,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": _q_events_funnel,
     "events_retention": _q_events_retention,
     "merger_unwind": _q_merger_unwind,
+    "multimodal_resize": _q_multimodal_resize,
     "window_running_sum": _q_window_running_sum,
     "write_index": _q_write_index,
     "dsl_eq_project": _q_dsl_eq_project,
@@ -1918,6 +1933,26 @@ def oracle_sql() -> dict[str, str]:
         "CAST(dec_width AS INTEGER) AS dec_width, "
         "CAST(dec_height AS INTEGER) AS dec_height, digest_hex "
         f"FROM (VALUES {', '.join(_vals)}) AS t(media_id, dec_width, dec_height, digest_hex)"
+    )
+
+    # multimodal_resize: replay the exact integer nearest-neighbor map
+    # (src row = y*h//H) over the recomputed pattern, pure python
+    _rvals = []
+    for i in range(32):
+        w, h = 8 + i % 5, 6 + i % 4
+        buf = bytearray()
+        for y in range(4):
+            sy = y * h // 4
+            for x in range(5):
+                sx = x * w // 5
+                for c in range(3):
+                    buf.append((3 * sx + 7 * sy + 11 * i + 13 * c) % 256)
+        dg = _hl.sha256(bytes(buf)).hexdigest()[:32].upper()
+        _rvals.append(f"({i}, '{dg}')")
+    sql["multimodal_resize"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(5 AS INTEGER) AS resized_width, CAST(4 AS INTEGER) AS resized_height, "
+        f"digest_hex FROM (VALUES {', '.join(_rvals)}) AS t(media_id, digest_hex)"
     )
 
     # multimodal_audio: recompute the PCM16 byte stream from the sample

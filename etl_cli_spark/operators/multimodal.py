@@ -101,6 +101,16 @@ def _decode_bmp(data: bytes):
     return w, h, np.ascontiguousarray(px)
 
 
+def _decode_pixels(data: bytes):
+    """Pixel array for natively-decodable formats (PPM/BMP), else None —
+    the shared dispatch for decode/resize/feature kernels."""
+    if data[:2] == b"P6":
+        return _decode_ppm(data)[2]
+    if data[:2] == b"BM":
+        return _decode_bmp(data)[2]
+    return None
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Dispatch on magic bytes: PPM and BMP decode for real (pure numpy);
     other formats fall back to the deterministic stub (JPEG/PNG need a
@@ -109,12 +119,10 @@ def _decode_image(payload: bytes) -> tuple[int, int, bytes]:
     if payload is None:
         raise NotImplementedError("real image decode requires an image library")
     data = bytes(payload)
-    if data[:2] == b"P6":
-        w, h, px = _decode_ppm(data)
-    elif data[:2] == b"BM":
-        w, h, px = _decode_bmp(data)
-    else:
+    px = _decode_pixels(data)
+    if px is None:
         return _fake_decode_image(data)
+    h, w = px.shape[:2]
     return w, h, hashlib.sha256(px.tobytes()).digest()[:16]
 
 
@@ -159,9 +167,23 @@ def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(batches, out_schema)
 
 
+def _resize_nearest(px, width: int, height: int):
+    """REAL nearest-neighbor resize, pure numpy fancy indexing. The
+    source index map is exact integer arithmetic (``y*h // H``), so an
+    external oracle replays the resampled pixels bit-for-bit."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return px[ys][:, xs]
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB resize: records the target dims + a deterministic digest of
-    (payload, dims). Real impl: vectorized resize per Arrow batch."""
+    """Resize payloads to (width, height): REAL nearest-neighbor resample
+    for natively-decodable formats (PPM/BMP); formats needing a codec
+    library fall back to the deterministic stub digest. Arrow-batched
+    mapInPandas; digest is sha256[:16] of the resized RGB bytes."""
     out_schema = T.StructType(
         df.schema.fields
         + [
@@ -171,14 +193,18 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         ]
     )
 
+    def digest_one(p) -> bytes:
+        px = _decode_pixels(bytes(p))
+        if px is None:  # stub path for codec-library formats
+            return hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()[:16]
+        return hashlib.sha256(_resize_nearest(px, width, height).tobytes()).digest()[:16]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            digests = [
-                hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()[:16]
-                for p in pdf["payload"]
-            ]
             yield pdf.assign(
-                resized_width=width, resized_height=height, resized_digest=digests
+                resized_width=width,
+                resized_height=height,
+                resized_digest=[digest_one(p) for p in pdf["payload"]],
             )
 
     return df.mapInPandas(batches, out_schema)
@@ -212,10 +238,19 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
-    """STUB feature extractor: deterministic pseudo-embedding from payload
-    bytes. Real impl: model inference per Arrow batch (ONNX/torch),
-    batch-size-tuned. Output contract (array<float>) matches the
-    similarity operators, so the ANN path composes with media."""
+    """Visual descriptor per payload: for natively-decodable formats a
+    REAL grid-pooled grayscale descriptor (mean luminance over a
+    sqrt(dim) x sqrt(dim) cell grid — exact integer sums, normalized to
+    [-0.5, 0.5]) — the classic "tiny image" baseline feature. Formats
+    needing a codec library keep the deterministic stub embedding. A
+    model-based extractor (ONNX/torch per Arrow batch) drops into the
+    same contract. Output (array<float>) matches the similarity
+    operators, so the ANN path composes with media."""
+    import math
+
+    g = int(math.isqrt(dim))
+    if g * g != dim:
+        raise ValueError(f"dim must be a perfect square for grid pooling, got {dim}")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -223,13 +258,31 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
         ]
     )
 
+    def feature_one(p) -> list:
+        data = bytes(p) if p is not None else b""
+        px = _decode_pixels(data) if data else None
+        if px is None:  # stub path for codec-library formats
+            h = hashlib.sha256(data).digest()
+            return [((h[i % 32] / 255.0) - 0.5) for i in range(dim)]
+        gray = px.astype("int64").sum(axis=2)  # 0..765, exact ints
+        h_, w_ = gray.shape
+        feats = []
+        for i in range(g):  # mean over each cell: exact int sum / count
+            for j in range(g):
+                cell = gray[
+                    i * h_ // g : (i + 1) * h_ // g, j * w_ // g : (j + 1) * w_ // g
+                ]
+                feats.append(float(cell.sum()) / (cell.size * 765.0) - 0.5)
+        return feats
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = []
-            for p in pdf["payload"]:
-                h = hashlib.sha256(bytes(p) if p is not None else b"").digest()
-                feats.append([((h[i % 32] / 255.0) - 0.5) for i in range(dim)])
-            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": [feature_one(p) for p in pdf["payload"]],
+                }
+            )
 
     return df.mapInPandas(batches, out_schema)
 

@@ -135,3 +135,62 @@ def test_wav_odd_chunk_alignment():
     spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
     sr, ch, n, pcm = _decode_wav(spliced)
     assert (sr, ch, n) == (8000, 1, 50)
+
+
+def test_resize_real_nearest_neighbor(spark):
+    """Resized digest must equal sha256 of the independently-resampled
+    pattern (exact integer index map y*h//H), not a payload-hash stub."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from etl_cli_spark.operators.multimodal import (
+        make_fake_media,
+        media_dims,
+        media_pixels,
+        resize_images,
+    )
+
+    media = make_fake_media(spark, n=6)
+    rows = {r.media_id: r for r in resize_images(media, 4, 3).collect()}
+    for i in range(6):
+        w, h = media_dims(i)
+        px = media_pixels(i, w, h)
+        ys = (np.arange(3) * h) // 3
+        xs = (np.arange(4) * w) // 4
+        want = _hl.sha256(px[ys][:, xs].tobytes()).digest()[:16]
+        assert bytes(rows[i].resized_digest) == want
+
+
+def test_features_real_grid_pool(spark):
+    """Feature vector must equal the hand-computed per-cell mean
+    luminance of the REAL decoded pixels."""
+    import pytest as _pt
+
+    from etl_cli_spark.operators.multimodal import (
+        extract_features,
+        make_fake_media,
+        media_dims,
+        media_pixels,
+    )
+
+    media = make_fake_media(spark, n=4)
+    rows = {r.media_id: list(r.feature) for r in extract_features(media, dim=4).collect()}
+    for i in range(4):
+        w, h = media_dims(i)
+        gray = media_pixels(i, w, h).astype("int64").sum(axis=2)
+        want = []
+        for a in range(2):
+            for b in range(2):
+                cell = gray[a * h // 2 : (a + 1) * h // 2, b * w // 2 : (b + 1) * w // 2]
+                want.append(float(cell.sum()) / (cell.size * 765.0) - 0.5)
+        assert rows[i] == _pt.approx(want, abs=1e-6)
+
+
+def test_features_reject_non_square_dim(spark):
+    import pytest as _pt
+
+    from etl_cli_spark.operators.multimodal import extract_features, make_fake_media
+
+    with _pt.raises(ValueError, match="perfect square"):
+        extract_features(make_fake_media(spark, n=1), dim=15)
