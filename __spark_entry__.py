@@ -1053,6 +1053,37 @@ def _q_sketch_distinct_kmv(spark, sf):
     return kmv_distinct(o, "o_custkey", by=["o_orderstatus"], k=256)
 
 
+def _q_tokenize_documents(spark, sf):
+    """Vocab-id tokenization (the tokenized-shards endpoint): top-30
+    vocabulary so the unk path is exercised; the oracle rebuilds the
+    same deterministic ids and order-preserving reassembly."""
+    from etl_cli_spark.operators.rank import tokenize_documents, vocab_with_ids
+
+    d = _engine(spark, sf).read("documents")
+    out = tokenize_documents(d, vocab_with_ids(d, top_k=30))
+    # arrays hash engine-specifically (numpy vs list repr); a CSV string
+    # of the ids is representation-stable in both engines
+    return out.select(
+        "doc_id", F.array_join("token_ids", ",").alias("token_ids_csv")
+    )
+
+
+def _q_sketch_quantile_hist(spark, sf):
+    """Mergeable histogram quantiles of order totals per status: exact
+    integer bin counts + deterministic rank interpolation, so DuckDB
+    replays the estimates bit-for-bit."""
+    from etl_cli_spark.operators.sketch import hist_quantile, hist_sketch
+
+    o = _engine(spark, sf).read("orders")
+    sk = hist_sketch(
+        o, "o_totalprice", lo=0.0, hi=600000.0, by=["o_orderstatus"], bins=200
+    )
+    out = hist_quantile(
+        sk, [0.25, 0.5, 0.95], 0.0, 600000.0, by=["o_orderstatus"], bins=200
+    )
+    return out.select("o_orderstatus", "q", F.round("est", 6).alias("est"))
+
+
 def _q_sketch_topk_cms(spark, sf):
     """Count-min frequency estimates for a fixed term list per language.
     The sketch's md5 cell arithmetic is portable, so DuckDB rebuilds the
@@ -1343,6 +1374,10 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "events_retention": [("cohort", "s"), ("day_offset", "i"), ("n_users", "i")],
     "merger_unwind": [("o_orderkey", "i"), ("l_linenumber", "i"),
                       ("l_quantity", "f")],
+    "merger_left": [("o_orderkey", "i"), ("o_totalprice", "f"),
+                    ("c_name", "s"), ("c_mktsegment", "s")],
+    "merger_match_one": [("o_orderkey", "i"), ("o_totalprice", "f"),
+                         ("l_partkey", "i"), ("l_linenumber", "i")],
 }
 
 _DSL_FAMILY = [
@@ -1367,6 +1402,7 @@ _JOINWIN_FAMILY = [
     "asof_join", "interval_join", "agg_q1", "window_topk_per_group",
     "window_range_hourly", "diff_sets", "events_window_1h",
     "events_funnel", "events_retention", "merger_unwind",
+    "merger_left", "merger_match_one",
 ]
 
 
@@ -1469,9 +1505,11 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical": _q_dedup_canonical,
     "rank_vocab": _q_rank_vocab,
     "rank_scores": _q_rank_scores,
+    "tokenize_documents": _q_tokenize_documents,
     "pipeline_end_to_end": _q_pipeline_end_to_end,
     "sketch_distinct_kmv": _q_sketch_distinct_kmv,
     "sketch_topk_cms": _q_sketch_topk_cms,
+    "sketch_quantile_hist": _q_sketch_quantile_hist,
     "zorder_roundtrip": _q_zorder_roundtrip,
     "http_bulk_source": _q_http_bulk_source,
     # write ops (SURVEY §2.5)
@@ -1485,10 +1523,8 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize_hot": _q_events_sessionize_hot,
     "incremental_loop": _q_incremental_loop,
     # merger (SURVEY §2.4)
-    "merger_left": _q_merger_left,
     "merger_inner_mq": _q_merger_inner_mq,
     "merger_anti": _q_merger_anti,
-    "merger_match_one": _q_merger_match_one,
     "merger_direction": _q_merger_direction,
     "merger_merge_as": _q_merger_merge_as,
     # composite digests certifying the 51+ tail inside the window
@@ -1512,6 +1548,8 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": _q_events_funnel,
     "events_retention": _q_events_retention,
     "merger_unwind": _q_merger_unwind,
+    "merger_left": _q_merger_left,
+    "merger_match_one": _q_merger_match_one,
     "multimodal_resize": _q_multimodal_resize,
     "window_running_sum": _q_window_running_sum,
     "write_index": _q_write_index,
@@ -2217,6 +2255,42 @@ def oracle_sql() -> dict[str, str]:
         "CAST(round(sum(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_value, "
         "min(event_id) AS min_id, max(event_id) AS max_id "
         "FROM events GROUP BY event_type"
+    )
+
+    # tokenize_documents: rebuild the deterministic top-30 vocab ids
+    # (count desc, term) and the order-preserving id reassembly
+    sql["tokenize_documents"] = (
+        r"WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr "
+        "           FROM documents), "
+        "tok AS (SELECT doc_id, CAST(i AS INT) AS pos, arr[CAST(i AS INT)] AS term "
+        "        FROM t, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s), "
+        "voc AS (SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS tid "
+        "        FROM tok WHERE term <> '' GROUP BY term QUALIFY tid <= 30), "
+        "ids AS (SELECT tok.doc_id, tok.pos, CAST(coalesce(v.tid, 0) AS INT) AS tid "
+        "        FROM tok LEFT JOIN voc v USING (term) WHERE tok.term <> '') "
+        "SELECT doc_id, array_to_string(list(tid ORDER BY pos), ',') AS token_ids_csv "
+        "FROM ids GROUP BY doc_id"
+    )
+
+    # sketch_quantile_hist: identical bin arithmetic (floor((v-lo)/(hi-lo)
+    # *bins), clamped), cumulative ranks, and interpolation formula
+    _HB = (
+        "least(greatest(CAST(floor((o_totalprice - 0.0) / 600000.0 * 200) AS INT), 0), 199)"
+    )
+    sql["sketch_quantile_hist"] = (
+        f"WITH h AS (SELECT o_orderstatus, {_HB} AS bin, count(*) AS c "
+        "           FROM orders GROUP BY 1, 2), "
+        "cur AS (SELECT o_orderstatus, bin, c, "
+        "        sum(c) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS cum, "
+        "        sum(c) OVER (PARTITION BY o_orderstatus ORDER BY bin) - c AS prev, "
+        "        sum(c) OVER (PARTITION BY o_orderstatus) AS n FROM h), "
+        "qq AS (SELECT CAST(unnest([0.25, 0.5, 0.95]) AS DOUBLE) AS q) "
+        "SELECT o_orderstatus, q, "
+        "round(0.0 + 3000.0 * (bin + (greatest(1, CAST(ceil(q * n) AS BIGINT)) - prev) "
+        "      / CAST(c AS DOUBLE)), 6) AS est "
+        "FROM cur, qq "
+        "WHERE cum >= greatest(1, CAST(ceil(q * n) AS BIGINT)) "
+        "AND prev < greatest(1, CAST(ceil(q * n) AS BIGINT))"
     )
 
     # sketch_topk_cms: rebuild the identical count-min sketch (md5 cell

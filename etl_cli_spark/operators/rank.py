@@ -99,6 +99,58 @@ def tfidf_score(
     )
 
 
+def vocab_with_ids(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """(term, tid) — deterministic contiguous token ids, 1-based, ordered
+    by (count desc, term). Id 0 is reserved for unknown tokens.
+
+    The id-assignment window is unpartitioned — one task ranks the
+    VOCABULARY (already aggregated, Zipf-bounded: ~1e5-1e6 tiny rows at
+    any corpus size), never the corpus. That is the right trade: stable
+    dense ids need a total order.
+    """
+    from pyspark.sql.window import Window
+
+    v = vocab(docs, text_col, id_col, min_count=min_count, top_k=top_k)
+    w = Window.orderBy(F.col("count").desc(), F.col("term"))
+    return v.select("term", F.row_number().over(w).alias("tid"))
+
+
+def tokenize_documents(
+    docs: DataFrame,
+    vocab_ids: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = 0,
+) -> DataFrame:
+    """(doc_id, token_ids array<int>) — the "tokenized shards" endpoint
+    of the training pipeline: posexplode tokens with positions,
+    broadcast-join the vocabulary, reassemble in document order.
+
+    The only wide exchange carries (doc_id, pos, tid) triples — ints,
+    never text — and the vocab join broadcasts. Documents with no tokens
+    produce no row (matching the explode semantics).
+    """
+    if vocab_ids is None:
+        vocab_ids = vocab_with_ids(docs, text_col, id_col)
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    joined = toks.join(F.broadcast(vocab_ids), "term", "left").select(
+        id_col, "pos", F.coalesce(F.col("tid"), F.lit(int(unk_id))).alias("tid")
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("__pt"))
+        .select(id_col, F.transform("__pt", lambda s: s["tid"]).alias("token_ids"))
+    )
+
+
 def unigram_logprob(
     docs: DataFrame,
     text_col: str = "text",

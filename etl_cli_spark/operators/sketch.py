@@ -262,3 +262,95 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
     )
     return est.drop(_GRP) if not by else est
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram sketch: mergeable quantiles
+# ---------------------------------------------------------------------------
+# The quantile member of the sketch family: one scan, (group, bin)
+# integer counts — at most `bins` rows per group on the exchange — then
+# rank interpolation over the cumulative histogram. Mergeable by cell
+# sum (same linearity as CMS), so per-shard/day sketches combine without
+# re-reading data. Error is bounded by the bin width (hi-lo)/bins; the
+# arithmetic is plain double ops on exact integer counts, so an external
+# engine replays estimates bit-for-bit — unlike t-digest/KLL whose
+# internal state is order-dependent.
+
+
+def _hist_bin(col, lo: float, hi: float, bins: int):
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    raw = F.floor((c - F.lit(float(lo))) / F.lit(float(hi - lo)) * bins).cast("int")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+
+
+def hist_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    by: Sequence[str] = (),
+    bins: int = 128,
+) -> DataFrame:
+    """Build the histogram: (by..., bin, c). Values outside [lo, hi)
+    clamp into the edge bins (they count, with saturated position)."""
+    if not hi > lo:
+        raise ValueError("hist_sketch needs hi > lo")
+    grp = list(by) if by else [_GRP]
+    src = df if by else df.withColumn(_GRP, F.lit(1))
+    out = (
+        src.select(*grp, _hist_bin(col, lo, hi, bins).alias("bin"))
+        .groupBy(*grp, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return out.drop(_GRP) if not by else out
+
+
+def hist_merge(sketches: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """Cell-wise sum of partial histograms — the exact sketch of the
+    concatenated data."""
+    grp = list(by) if by else [_GRP]
+    src = sketches if by else sketches.withColumn(_GRP, F.lit(1))
+    out = src.groupBy(*grp, "bin").agg(F.sum("c").alias("c"))
+    return out.drop(_GRP) if not by else out
+
+
+def hist_quantile(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    by: Sequence[str] = (),
+    bins: int = 128,
+) -> DataFrame:
+    """Quantile estimates from a histogram frame: (by..., q, est).
+
+    Rank r = max(1, ceil(q*N)); the estimate interpolates linearly
+    inside the first bin whose cumulative count reaches r:
+    ``lo + width * (bin + (r - cum_before) / c_bin)``. Each group's
+    cumulative pass windows over at most ``bins`` rows.
+    """
+    spark = sketch.sparkSession
+    grp = list(by) if by else [_GRP]
+    src = sketch if by else sketch.withColumn(_GRP, F.lit(1))
+    width = (hi - lo) / bins
+    wcum = Window.partitionBy(*grp).orderBy("bin")
+    wall = Window.partitionBy(*grp)
+    cum = F.sum("c").over(wcum)
+    cur = (
+        src.withColumn("__cum", cum)
+        .withColumn("__prev", F.col("__cum") - F.col("c"))
+        .withColumn("__n", F.sum("c").over(wall))
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    hit = cur.crossJoin(F.broadcast(qdf)).filter(
+        (F.col("__cum") >= F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("__n"))))
+        & (F.col("__prev") < F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("__n"))))
+    )
+    r = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("__n"))).cast("double")
+    est = (
+        F.lit(float(lo))
+        + F.lit(float(width))
+        * (F.col("bin") + (r - F.col("__prev")) / F.col("c"))
+    )
+    out = hit.select(*grp, "q", est.alias("est"))
+    return out.drop(_GRP) if not by else out

@@ -112,3 +112,24 @@ def test_unigram_logprob_flags_rare_tokens(corpus):
     got = {r.doc_id: r.nll for r in unigram_logprob(corpus).collect()}
     # doc 3 is all singleton tokens -> most surprising
     assert got[3] == max(got.values())
+
+
+def test_vocab_with_ids_deterministic(corpus):
+    from etl_cli_spark.operators.rank import vocab_with_ids
+
+    ids = {r.term: r.tid for r in vocab_with_ids(corpus).collect()}
+    # 'the' dominates (8 occurrences) -> id 1; ids dense 1..V
+    assert ids["the"] == 1
+    assert sorted(ids.values()) == list(range(1, len(ids) + 1))
+
+
+def test_tokenize_documents_order_and_unk(corpus):
+    from etl_cli_spark.operators.rank import tokenize_documents, vocab_with_ids
+
+    voc = vocab_with_ids(corpus, top_k=3)  # small vocab -> unk path real
+    ids = {r.term: r.tid for r in voc.collect()}
+    got = {r.doc_id: list(r.token_ids) for r in tokenize_documents(corpus, voc).collect()}
+    for doc_id, text in [(1, "the cat sat on the mat"), (4, "the the the the")]:
+        want = [ids.get(t, 0) for t in text.split()]
+        assert got[doc_id] == want  # document order preserved, unk = 0
+    assert 0 in got[3]  # doc 3 is rare words -> unks present

@@ -123,3 +123,49 @@ def test_cms_grouped_sketch_bounded(zipfy):
     sk = cms_sketch(g, "v", by=["g"], width=64, depth=2)
     assert sk.count() <= 64 * 2
     assert set(sk.columns) == {"g", "d", "pos", "c"}
+
+
+# -- histogram quantile sketch ----------------------------------------------
+
+
+def test_hist_quantile_exact_on_uniform(spark):
+    from etl_cli_spark.operators.sketch import hist_quantile, hist_sketch
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    sk = hist_sketch(df, "v", lo=0.0, hi=100.0, bins=10)
+    got = {r.q: r.est for r in hist_quantile(sk, [0.5, 0.9], 0.0, 100.0, bins=10).collect()}
+    # N=100, r=50: bins of 10, cum(bin4)=50 -> est = 10*(4 + 10/10) = 50
+    assert got[0.5] == 50.0
+    assert got[0.9] == 90.0
+
+
+def test_hist_quantile_within_bin_width(spark):
+    from etl_cli_spark.operators.sketch import hist_quantile, hist_sketch
+
+    df = spark.range(5000).select(((F.col("id") * 37) % 1000).cast("double").alias("v"))
+    sk = hist_sketch(df, "v", lo=0.0, hi=1000.0, bins=100)
+    exact = df.selectExpr("percentile(v, 0.25) AS p").collect()[0].p
+    est = hist_quantile(sk, [0.25], 0.0, 1000.0, bins=100).collect()[0].est
+    assert abs(est - exact) <= 10.0  # one bin width
+
+
+def test_hist_merge_equals_direct(spark):
+    from etl_cli_spark.operators.sketch import hist_merge, hist_quantile, hist_sketch
+
+    a = spark.range(0, 600).select(F.col("id").cast("double").alias("v"))
+    b = spark.range(600, 1000).select(F.col("id").cast("double").alias("v"))
+    merged = hist_merge(hist_sketch(a, "v", 0.0, 1000.0).unionByName(hist_sketch(b, "v", 0.0, 1000.0)))
+    direct = hist_sketch(a.unionByName(b), "v", 0.0, 1000.0)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    q_m = hist_quantile(merged, [0.5], 0.0, 1000.0).collect()[0].est
+    q_d = hist_quantile(direct, [0.5], 0.0, 1000.0).collect()[0].est
+    assert q_m == q_d
+
+
+def test_hist_clamps_out_of_range(spark):
+    from etl_cli_spark.operators.sketch import hist_sketch
+
+    df = spark.createDataFrame([(-5.0,), (0.0,), (99.0,), (500.0,)], "v double")
+    rows = {r.bin: r.c for r in hist_sketch(df, "v", lo=0.0, hi=100.0, bins=10).collect()}
+    assert rows[0] == 2  # -5 clamps into bin 0
+    assert rows[9] == 2  # 500 clamps into the top bin
