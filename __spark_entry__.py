@@ -1250,14 +1250,16 @@ def _q_rank_scores(spark, sf):
     """Smooth TF-IDF, Okapi BM25 (fixed query-term bag) and the corpus
     unigram-LM nll, joined per document. All scores round to 6 dp so the
     log/div arithmetic hashes portably across engines."""
-    from etl_cli_spark.operators.rank import bm25_score, tfidf_score, unigram_logprob
+    from etl_cli_spark.operators.rank import score_documents
 
     d = _engine(spark, sf).read("documents")
-    terms = ["spark", "join", "window"]
-    tf = tfidf_score(d, terms).select("doc_id", F.round("score", 6).alias("tfidf"))
-    bm = bm25_score(d, terms).select("doc_id", F.round("score", 6).alias("bm25"))
-    lm = unigram_logprob(d).select("doc_id", F.round("nll", 6).alias("nll"))
-    return tf.join(bm, "doc_id").join(lm, "doc_id")
+    out = score_documents(d, ["spark", "join", "window"])
+    return out.select(
+        "doc_id",
+        F.round("tfidf", 6).alias("tfidf"),
+        F.round("bm25", 6).alias("bm25"),
+        F.round("nll", 6).alias("nll"),
+    )
 
 
 def _q_quota_sample(spark, sf):

@@ -133,3 +133,23 @@ def test_tokenize_documents_order_and_unk(corpus):
         want = [ids.get(t, 0) for t in text.split()]
         assert got[doc_id] == want  # document order preserved, unk = 0
     assert 0 in got[3]  # doc 3 is rare words -> unks present
+
+
+def test_score_documents_matches_individual_scorers(corpus):
+    """The shared-terms combined pass must equal the three scorers run
+    independently — same math, one corpus scan instead of three."""
+    from etl_cli_spark.operators.rank import (
+        bm25_score,
+        score_documents,
+        tfidf_score,
+        unigram_logprob,
+    )
+
+    q = ["the", "sat"]
+    combined = {r.doc_id: (r.tfidf, r.bm25, r.nll) for r in score_documents(corpus, q).collect()}
+    tf = {r.doc_id: r.score for r in tfidf_score(corpus, q).collect()}
+    bm = {r.doc_id: r.score for r in bm25_score(corpus, q).collect()}
+    lm = {r.doc_id: r.nll for r in unigram_logprob(corpus).collect()}
+    assert set(combined) == set(tf)
+    for k, (a, b, c) in combined.items():
+        assert (a, b, c) == pytest.approx((tf[k], bm[k], lm[k]))
