@@ -75,3 +75,39 @@ def incremental_loop(
         prev_remaining = n
         todo.unpersist()
     return LoopStats(passes, processed, converged=False)
+
+
+def incremental_stream(
+    spark,
+    path: str,
+    schema,
+    process,
+    checkpoint: str,
+):
+    """Structured-Streaming contid for APPEND-ONLY sources: Spark's
+    checkpointed file index replaces the bookmark table.
+
+    Where :func:`incremental_loop` re-reads the source each pass and
+    anti-joins a bookmark of processed pks (correct for mutable
+    sources), an append-only directory needs neither — the streaming
+    file source tracks processed FILES in the checkpoint, so each
+    invocation processes exactly the files added since the last one,
+    with no growing pk anti-join. ``process`` receives each micro-batch
+    DataFrame (same callback contract as the loop). One
+    ``trigger(availableNow)`` run drains everything currently pending
+    and returns; re-invoke after more files land — progress survives
+    restarts via the checkpoint.
+
+    At 100 TB/day this is the right contid: the anti-join bookmark costs
+    a shuffle against an ever-growing table; the file-index checkpoint
+    is O(new files).
+    """
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, _bid: process(df))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -143,3 +143,27 @@ def test_stream_dedup_within_watermark(spark, engine, tmp_path):
     run_to_memory(out, "t_dedup_wm_out", output_mode="append")
     n = spark.sql("select count(*) as n from t_dedup_wm_out").first().n
     assert n == ev.count()
+
+
+def test_incremental_stream_processes_only_new_files(spark, engine, tmp_path):
+    """Checkpointed contid: run 1 drains the directory; files added
+    later are the ONLY thing run 2 processes; an idle run 3 is a no-op."""
+    from etl_cli_spark.streaming.incremental import incremental_stream
+
+    src = str(tmp_path / "incoming")
+    ev = engine.read("events", ["_fields=event_id,event_type"])
+    ev.filter("event_id < 600").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    ckpt = str(tmp_path / "ckpt")
+
+    seen: list[int] = []
+    incremental_stream(spark, src, schema, lambda df: seen.append(df.count()), ckpt)
+    assert sum(seen) == 600
+
+    ev.filter("event_id >= 600").write.mode("append").parquet(src)
+    incremental_stream(spark, src, schema, lambda df: seen.append(df.count()), ckpt)
+    assert sum(seen) == ev.count()  # every record exactly once across runs
+
+    before = len(seen)
+    incremental_stream(spark, src, schema, lambda df: seen.append(df.count()), ckpt)
+    assert sum(seen) == ev.count() and all(n == 0 for n in seen[before:])
