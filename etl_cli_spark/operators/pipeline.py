@@ -90,6 +90,7 @@ def stratified_sample(
     fraction: float,
     id_col: str = "doc_id",
     seed: str = "",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Exact per-stratum fraction: rank rows inside each stratum by
     content hash and keep the first ceil(fraction * stratum_size).
@@ -97,10 +98,24 @@ def stratified_sample(
     Hash-threshold sampling only approximates per-group fractions; the
     rank cut makes them exact (a requirement when small strata must not
     vanish, e.g. low-resource languages). One shuffle on the strata
-    columns; the rank is a window inside each stratum. Skew note: a
-    pathologically hot stratum serializes into one partition — pre-split
-    such strata with an extra bucket column if that bites.
+    columns; the rank is a window inside each stratum.
+
+    ``salt_buckets``: hot-stratum guard. The stratum sizes are computed
+    first (one cheap aggregate) and the selection delegates to
+    :func:`quota_sample` with quota = ceil(n * fraction) — identical
+    kept set (same hash-rank order, unit-asserted), but the rank runs
+    as the salted two-level tournament, so a stratum owning half the
+    corpus never serializes onto one task.
     """
+    if salt_buckets and salt_buckets > 1:
+        counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("__n"))
+        qdf = counts.select(
+            *strata_cols,
+            F.ceil(F.col("__n") * F.lit(fraction)).cast("int").alias("quota"),
+        )
+        return quota_sample(
+            df, strata_cols, qdf, id_col=id_col, seed=seed, salt_buckets=salt_buckets
+        )
     w = Window.partitionBy(*strata_cols).orderBy(hash_bucket(id_col, seed), F.col(id_col))
     cw = Window.partitionBy(*strata_cols)
     return (

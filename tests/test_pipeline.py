@@ -315,3 +315,13 @@ def test_bloom_decontaminate_false_positives_only_drop(docs):
         .collect()
     }
     assert bloom <= exact
+
+
+def test_stratified_sample_salted_equals_plain(docs):
+    """salt_buckets routes through the quota tournament: identical kept
+    set, no single-task hot stratum."""
+    plain = stratified_sample(docs, ["lang"], 0.3)
+    salted = stratified_sample(docs, ["lang"], 0.3, salt_buckets=8)
+    assert sorted(r.doc_id for r in plain.collect()) == sorted(
+        r.doc_id for r in salted.collect()
+    )
