@@ -161,3 +161,64 @@ def test_packing_quantizes_any_stream(spark, toks, budget):
     for i, n in enumerate(toks):
         assert got[i] == (n, cum // budget)
         cum += n
+
+
+@given(
+    n=st.integers(min_value=5, max_value=40),
+    quota=st.integers(min_value=1, max_value=12),
+    grow=st.integers(min_value=0, max_value=15),
+)
+@SETTINGS
+def test_quota_sample_prefix_stability_property(spark, n, quota, grow):
+    """Growing the corpus never CHURNS a quota sample: every id kept from
+    the small corpus is either kept in the grown corpus or displaced by
+    a grown-in row with a strictly smaller hash rank — i.e. the kept set
+    of the grown corpus restricted to old ids is a subset of the old
+    kept set, and the budget stays exactly filled."""
+    from etl_cli_spark.operators.pipeline import quota_sample
+
+    old = spark.createDataFrame([(i, "g") for i in range(n)], "doc_id long, lang string")
+    new = spark.createDataFrame(
+        [(i, "g") for i in range(n + grow)], "doc_id long, lang string"
+    )
+    kept_old = {r.doc_id for r in quota_sample(old, ["lang"], {"g": quota}).collect()}
+    kept_new = {r.doc_id for r in quota_sample(new, ["lang"], {"g": quota}).collect()}
+    assert len(kept_old) == min(quota, n)
+    assert len(kept_new) == min(quota, n + grow)
+    # old ids surviving in the grown sample were already in the old sample
+    assert (kept_new & set(range(n))) <= kept_old
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+    probe=st.integers(min_value=0, max_value=30),
+)
+@SETTINGS
+def test_cms_never_undercounts_property(spark, vals, probe):
+    from etl_cli_spark.operators.sketch import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([(str(v),) for v in vals], "v string")
+    sk = cms_sketch(df, "v", width=64, depth=3)
+    est = cms_estimate(sk, [str(probe)], width=64, depth=3).collect()[0].est_count
+    assert est >= vals.count(probe)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=99.0, allow_nan=False), min_size=2, max_size=80
+    ),
+    q=st.sampled_from([0.1, 0.5, 0.9]),
+)
+@SETTINGS
+def test_hist_quantile_bin_width_bound_property(spark, vals, q):
+    """The histogram quantile is always within one bin width of the true
+    rank statistic."""
+    from etl_cli_spark.operators.sketch import hist_quantile, hist_sketch
+
+    import math
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    sk = hist_sketch(df, "v", lo=0.0, hi=100.0, bins=20)
+    est = hist_quantile(sk, [q], 0.0, 100.0, bins=20).collect()[0].est
+    exact = sorted(vals)[max(0, math.ceil(q * len(vals)) - 1)]
+    assert abs(est - exact) <= 5.0 + 1e-9  # one bin width
