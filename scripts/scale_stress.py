@@ -1,0 +1,116 @@
+"""Corpus scale-stress: time the pipeline operators at 1x and Nx.
+
+Replicates the documents table N times (ids offset; one token perturbed
+per copy so replicas are NEAR-duplicates, the crawl-dedup shape) into a
+scratch dir, then times each operator at both scales. Sub-linear or
+~linear growth is the pass signal; anything super-linear means a plan
+lost its narrow-exchange shape.
+
+    python scripts/scale_stress.py [sf_dir] [factor]
+
+Writes nothing outside /tmp; prints a markdown table for COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+
+def build_corpus(spark, sf_dir: str, factor: int) -> tuple[str, str]:
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="etl_stress_")
+    one = f"{tmp}/docs_1x.parquet"
+    big = f"{tmp}/docs_{factor}x.parquet"
+    base.write.parquet(one)
+    n = base.count()
+    copies = [base]
+    for i in range(1, factor):
+        copies.append(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * n)).withColumn(
+                # perturb one token so replicas are near- not exact dups
+                "text",
+                F.concat(F.col("text"), F.lit(f" replica{i}")),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.parquet(big)
+    return one, big
+
+
+def ops(spark):
+    from etl_cli_spark.operators.dedup import minhash_dedup
+    from etl_cli_spark.operators.pipeline import bloom_decontaminate, quota_sample
+    from etl_cli_spark.operators.rank import score_documents, tokenize_documents, vocab_with_ids
+    from etl_cli_spark.operators.sketch import cms_sketch
+    from etl_cli_spark.operators.text import tokens
+
+    def _minhash(d):
+        return minhash_dedup(d, threshold=0.8)
+
+    def _quota(d):
+        return quota_sample(d, ["lang"], {"en": 500}, default=200, salt_buckets=16)
+
+    def _bloom(d):
+        return bloom_decontaminate(d, d.filter("doc_id % 97 = 0"), n=8)
+
+    def _cms(d):
+        t = d.select("lang", F.explode(tokens("text")).alias("term")).filter(
+            F.col("term") != ""
+        )
+        return cms_sketch(t, "term", by=["lang"])
+
+    def _tokenize(d):
+        return tokenize_documents(d, vocab_with_ids(d, top_k=50))
+
+    def _scores(d):
+        return score_documents(d, ["spark", "join", "window"])
+
+    return {
+        "minhash_dedup": _minhash,
+        "quota_sample(salted)": _quota,
+        "bloom_decontaminate": _bloom,
+        "cms_sketch(terms by lang)": _cms,
+        "tokenize_documents": _tokenize,
+        "score_documents(3-in-1)": _scores,
+    }
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from etl_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-stress")
+    one, big = build_corpus(spark, sf, factor)
+    d1 = spark.read.parquet(one)
+    dn = spark.read.parquet(big)
+    print(f"corpus: {d1.count()} -> {dn.count()} docs ({factor}x)\n")
+    rows = []
+    for name, fn in ops(spark).items():
+        t0 = time.time()
+        fn(d1).count()
+        t1 = time.time() - t0
+        t0 = time.time()
+        fn(dn).count()
+        tn = time.time() - t0
+        rows.append((name, t1, tn, tn / t1))
+        print(f"{name:28s} 1x={t1:6.1f}s  {factor}x={tn:6.1f}s  ratio={tn/t1:4.1f}")
+    print("\n| op | 1x | %dx | ratio |" % factor)
+    print("|---|---|---|---|")
+    for name, t1, tn, r in rows:
+        print(f"| {name} | {t1:.1f} s | {tn:.1f} s | {r:.1f}x |")
+    shutil.rmtree(one.rsplit("/", 1)[0], ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
