@@ -1187,6 +1187,18 @@ def _q_multimodal_audio(spark, sf):
     )
 
 
+def _q_profile_orders(spark, sf):
+    """Exact column profile of orders: every statistic recomputed
+    column-by-column in DuckDB (avg_len over the string forms)."""
+    from etl_cli_spark.operators.profile import profile_columns
+
+    o = _engine(spark, sf).read("orders")
+    return profile_columns(o, exact=True).select(
+        "column", "n_rows", "n_nonnull", "n_distinct", "min", "max",
+        F.round("avg_len", 6).alias("avg_len"),
+    )
+
+
 def _q_multimodal_resize(spark, sf):
     # REAL nearest-neighbor resample of the decoded pixels; the oracle
     # recomputes the resized RGB bytes from the pattern in pure python
@@ -1553,6 +1565,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merger_left": _q_merger_left,
     "merger_match_one": _q_merger_match_one,
     "multimodal_resize": _q_multimodal_resize,
+    "profile_orders": _q_profile_orders,
     "window_running_sum": _q_window_running_sum,
     "write_index": _q_write_index,
     "dsl_eq_project": _q_dsl_eq_project,
@@ -1973,6 +1986,20 @@ def oracle_sql() -> dict[str, str]:
         "CAST(dec_width AS INTEGER) AS dec_width, "
         "CAST(dec_height AS INTEGER) AS dec_height, digest_hex "
         f"FROM (VALUES {', '.join(_vals)}) AS t(media_id, dec_width, dec_height, digest_hex)"
+    )
+
+    # profile_orders: every column's stats recomputed independently
+    # (native-order min/max cast to VARCHAR, avg_len over string forms)
+    _pcols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    sql["profile_orders"] = " UNION ALL ".join(
+        f"SELECT '{c}' AS column, count(*) AS n_rows, count({c}) AS n_nonnull, "
+        f"count(DISTINCT {c}) AS n_distinct, CAST(min({c}) AS VARCHAR) AS min, "
+        f"CAST(max({c}) AS VARCHAR) AS max, "
+        f"round(avg(length(CAST({c} AS VARCHAR))), 6) AS avg_len FROM orders"
+        for c in _pcols
     )
 
     # multimodal_resize: replay the exact integer nearest-neighbor map

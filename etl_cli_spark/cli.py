@@ -103,6 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workers", type=int, help="repartition hint")
     p.add_argument("--batch", type=int, dest="batch_size", help="write batch -> maxRecordsPerFile")
     p.add_argument("--info", action="store_true", help="pre-flight description, no execution")
+    p.add_argument("--describe", action="store_true",
+                   help="per-column profile of the source (one scan): nulls, "
+                        "distincts, min/max, lengths")
     p.add_argument("--count-only", action="store_true", help="print source count and exit")
     p.add_argument("--job-log", action="store_true", help="record run in the logs/job dataset")
     p.add_argument("--job-poll", metavar="UID", help="print a job-log record ('last' supported)")
@@ -193,6 +196,10 @@ def main(argv: Sequence[str] | None = None) -> int:
         return 0
     if args.count_only:
         print(eng.count(args.source, query))
+        return 0
+    if args.describe:
+        for rec in eng.profile(args.source, query).collect():
+            print(json.dumps(rec.asDict(), default=str))
         return 0
     if args.target is None:
         # preview mode (base.py:640-644): one record, pretty-printed

@@ -215,6 +215,15 @@ class Engine:
         df = self.read(uri, query)
         return [r.asDict(recursive=True) for r in df.limit(n).collect()]
 
+    def profile(self, uri: str, query: Sequence[str] | None = None, exact: bool = False) -> DataFrame:
+        """Column-level stats for a dataset (one scan): null rates,
+        cardinalities (HLL by default, exact on request), string-form
+        min/max, average lengths. The `--info` pre-flight grown into a
+        real profiling pass — see operators/profile.py."""
+        from .operators.profile import profile_columns
+
+        return profile_columns(self.read(uri, query), exact=exact)
+
     def sql(self, query: str) -> DataFrame:
         """SQL over the root's datasets: every dataset in every namespace is
         registered as a temp view named after the dataset (namespace views

@@ -302,3 +302,30 @@ def test_sql_sees_namespaced_hive_append(spark, tmp_path):
     assert eng.sql("SELECT count(*) AS n FROM ns_ds").first().n == 4
     t.append(spark.range(6).selectExpr("id + 100 AS id", "id % 2 AS p"))
     assert eng.sql("SELECT count(*) AS n FROM ns_ds").first().n == 10
+
+
+def test_profile_columns_exact(spark, engine):
+    from etl_cli_spark.operators.profile import profile_columns
+
+    o = engine.read("orders")
+    prof = {r.column: r for r in profile_columns(o, exact=True).collect()}
+    assert set(prof) == set(o.columns)
+    n = o.count()
+    assert all(prof[c].n_rows == n for c in prof)
+    assert prof["o_orderkey"].n_distinct == n  # pk
+    assert prof["o_orderstatus"].n_distinct == 3
+    assert prof["o_orderkey"].min == "0"
+    assert prof["o_orderstatus"].dtype == "string"
+
+
+def test_profile_cli_describe(tmp_path, capsys):
+    import json as _json
+
+    from etl_cli_spark.cli import main
+
+    rc = main(["-s", "region", "--root", "/root/testdata/sf0.001", "--describe",
+               "--master", "local[2]"])
+    assert rc == 0
+    lines = [_json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert {r["column"] for r in lines} == {"r_regionkey", "r_name"}
+    assert all(r["n_rows"] == 5 for r in lines)
