@@ -1053,6 +1053,19 @@ def _q_sketch_distinct_kmv(spark, sf):
     return kmv_distinct(o, "o_custkey", by=["o_orderstatus"], k=256)
 
 
+def _q_search_bm25_indexed(spark, sf):
+    """BM25 top-15 through the persisted inverted index (build into a
+    scratch dir, partition-pruned probe); the oracle recomputes BM25
+    directly from the documents — the index must be a pure access-path
+    change, never an answer change."""
+    from etl_cli_spark.operators.rank import bm25_topk_indexed, build_text_index
+
+    d = _engine(spark, sf).read("documents")
+    path = tempfile.mkdtemp(prefix="etl_tidx_") + "/idx"
+    build_text_index(d, path, n_buckets=16)
+    return bm25_topk_indexed(spark, path, ["spark", "join", "window"], k=15)
+
+
 def _q_tokenize_documents(spark, sf):
     """Vocab-id tokenization (the tokenized-shards endpoint): top-30
     vocabulary so the unk path is exercised; the oracle rebuilds the
@@ -1392,6 +1405,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
                     ("c_name", "s"), ("c_mktsegment", "s")],
     "merger_match_one": [("o_orderkey", "i"), ("o_totalprice", "f"),
                          ("l_partkey", "i"), ("l_linenumber", "i")],
+    "merger_anti": [("c_custkey", "i"), ("c_name", "s")],
 }
 
 _DSL_FAMILY = [
@@ -1520,6 +1534,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_vocab": _q_rank_vocab,
     "rank_scores": _q_rank_scores,
     "tokenize_documents": _q_tokenize_documents,
+    "search_bm25_indexed": _q_search_bm25_indexed,
     "pipeline_end_to_end": _q_pipeline_end_to_end,
     "sketch_distinct_kmv": _q_sketch_distinct_kmv,
     "sketch_topk_cms": _q_sketch_topk_cms,
@@ -1538,7 +1553,6 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_loop": _q_incremental_loop,
     # merger (SURVEY §2.4)
     "merger_inner_mq": _q_merger_inner_mq,
-    "merger_anti": _q_merger_anti,
     "merger_direction": _q_merger_direction,
     "merger_merge_as": _q_merger_merge_as,
     # composite digests certifying the 51+ tail inside the window
@@ -1564,6 +1578,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merger_unwind": _q_merger_unwind,
     "merger_left": _q_merger_left,
     "merger_match_one": _q_merger_match_one,
+    "merger_anti": _q_merger_anti,
     "multimodal_resize": _q_multimodal_resize,
     "profile_orders": _q_profile_orders,
     "window_running_sum": _q_window_running_sum,
@@ -2284,6 +2299,26 @@ def oracle_sql() -> dict[str, str]:
         "CAST(round(sum(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_value, "
         "min(event_id) AS min_id, max(event_id) AS max_id "
         "FROM events GROUP BY event_type"
+    )
+
+    # search_bm25_indexed: BM25 recomputed straight from the documents —
+    # the persisted index may only change the access path, not answers
+    sql["search_bm25_indexed"] = (
+        r"WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term "
+        "             FROM documents), "
+        "tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+        "        WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term), "
+        "nd AS (SELECT count(*) AS n_docs FROM documents), "
+        r"dlen AS (SELECT doc_id, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS dl "
+        "         FROM documents), "
+        "ad AS (SELECT avg(dl) AS avgdl FROM dlen), "
+        "dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term), "
+        "idf2 AS (SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf FROM dfq, nd) "
+        "SELECT t.doc_id, round(sum(i.idf * t.tf / "
+        "  (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / a.avgdl))), 6) AS score "
+        "FROM tfq t JOIN idf2 i USING (term) "
+        "JOIN dlen d ON t.doc_id = d.doc_id, ad a GROUP BY t.doc_id "
+        "ORDER BY score DESC, t.doc_id LIMIT 15"
     )
 
     # tokenize_documents: rebuild the deterministic top-30 vocab ids

@@ -233,6 +233,98 @@ def bm25_score(
     )
 
 
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Persist an inverted index for BM25 search: postings
+    (term, doc_id, tf, dl) hive-partitioned by ``__tb =
+    pmod(xxhash64(term), n_buckets)``, plus a one-row ``_stats`` sidecar
+    (n_docs, avgdl, n_buckets).
+
+    The text twin of the persisted ANN/IVF indexes: one corpus pass at
+    build time; a query then reads ONLY the partitions holding its
+    terms' buckets — a handful of directories, not the corpus. Document
+    length is denormalized onto each posting so scoring needs no
+    doc-side join. Rebuild on append (corpus stats shift); the
+    re-partitioned write clusters each bucket into ~1 file.
+    """
+    terms = _doc_terms(docs, text_col, id_col)
+    dlen = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("double").alias("dl")
+    )
+    postings = (
+        terms.join(dlen, id_col)
+        .withColumn("__tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    (
+        postings.repartition(n_buckets, F.col("__tb"))
+        .sortWithinPartitions("term", id_col)
+        .write.mode("overwrite")
+        .partitionBy("__tb")
+        .parquet(path)
+    )
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).withColumn("n_buckets", F.lit(n_buckets))
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k over a :func:`build_text_index` artifact.
+
+    Plan shape: the term-bucket ids for the query are computed with one
+    tiny JVM job (|query| rows), then the index read carries BOTH a
+    partition filter on ``__tb`` (directory pruning — PartitionFilters
+    in the scan, unit-asserted) and a term filter (row pruning inside
+    the touched buckets). Everything downstream — df(t), idf, score,
+    top-k — runs on the hit postings only; identical math to
+    :func:`bm25_score` (unit-asserted)."""
+    stats = spark.read.parquet(f"{path}/_stats").first()
+    tdf = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    tb = [
+        r[0]
+        for r in tdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(stats.n_buckets))
+        ).collect()
+    ]
+    idx = spark.read.parquet(path).where(
+        F.col("__tb").isin(sorted(set(tb))) & F.col("term").isin(query_terms)
+    )
+    dfreq = idx.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "term",
+        F.log(
+            1 + (F.lit(stats.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    return (
+        idx.join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(stats.avgdl)))
+            ).alias("__s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
 def score_documents(
     docs: DataFrame,
     query_terms: list[str],

@@ -153,3 +153,38 @@ def test_score_documents_matches_individual_scorers(corpus):
     assert set(combined) == set(tf)
     for k, (a, b, c) in combined.items():
         assert (a, b, c) == pytest.approx((tf[k], bm[k], lm[k]))
+
+
+def test_text_index_search_matches_direct(spark, engine, tmp_path):
+    """Indexed BM25 top-k must equal the direct scorer's top-k — same
+    math, but the read is partition-pruned postings, not the corpus."""
+    from etl_cli_spark.operators.rank import bm25_score, bm25_topk_indexed, build_text_index
+
+    docs = engine.read("documents")
+    path = str(tmp_path / "tidx")
+    build_text_index(docs, path, n_buckets=16)
+    q = ["spark", "join", "window"]
+    indexed = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, path, q, k=15).collect()]
+    direct = [
+        (r.doc_id, r.score)
+        for r in bm25_score(docs, q)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(15)
+        .collect()
+    ]
+    assert indexed == direct
+
+
+def test_text_index_probe_is_partition_pruned(spark, engine, tmp_path):
+    """The probe's parquet scan must carry a PartitionFilters entry on
+    __tb — directory pruning, the property that makes a query touch a
+    handful of buckets instead of the corpus."""
+    from etl_cli_spark.operators.rank import bm25_topk_indexed, build_text_index
+
+    docs = engine.read("documents")
+    path = str(tmp_path / "tidx2")
+    build_text_index(docs, path, n_buckets=16)
+    df = bm25_topk_indexed(spark, path, ["spark"], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "__tb" in plan.split("PartitionFilters: [", 1)[1][:200]
