@@ -267,9 +267,54 @@ def build_text_index(
         .partitionBy("__tb")
         .parquet(path)
     )
+    # sum_dl not avgdl: dl values are integer-valued doubles, so the sum
+    # is EXACT in any order — incremental appends can update it and stay
+    # bit-identical to a rebuild (avgdl derives as sum_dl / n_docs)
     stats = dlen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     ).withColumn("n_buckets", F.lit(n_buckets))
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def append_to_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Add documents to an existing index WITHOUT a rebuild: their
+    postings append into the same term buckets, and the stats sidecar
+    updates incrementally (counts and the exact integer-double dl sum).
+
+    Query results afterwards are bit-identical to a full rebuild over
+    the union: df(t) is derived from the postings at query time (so it
+    is automatically current), and (n_docs, sum_dl) update exactly.
+    Unit-asserted against a rebuild. Deletes/updates still need a
+    rebuild — postings carry no tombstones by design."""
+    spark = docs.sparkSession
+    old = spark.read.parquet(f"{path}/_stats").first()
+    terms = _doc_terms(docs, text_col, id_col)
+    dlen = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("double").alias("dl")
+    )
+    postings = (
+        terms.join(dlen, id_col)
+        .withColumn("__tb", F.pmod(F.xxhash64("term"), F.lit(old.n_buckets)))
+    )
+    (
+        postings.repartition(F.col("__tb"))
+        .sortWithinPartitions("term", id_col)
+        .write.mode("append")
+        .partitionBy("__tb")
+        .parquet(path)
+    )
+    add = dlen.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).first()
+    stats = spark.createDataFrame(
+        [(old.n_docs + add.n, float(old.sum_dl) + float(add.s or 0.0), old.n_buckets)],
+        "n_docs long, sum_dl double, n_buckets int",
+    )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
 
 
@@ -291,6 +336,7 @@ def bm25_topk_indexed(
     top-k — runs on the hit postings only; identical math to
     :func:`bm25_score` (unit-asserted)."""
     stats = spark.read.parquet(f"{path}/_stats").first()
+    avgdl = float(stats.sum_dl) / stats.n_docs
     tdf = spark.createDataFrame([(t,) for t in query_terms], "term string")
     tb = [
         r[0]
@@ -315,7 +361,7 @@ def bm25_topk_indexed(
             (
                 F.col("idf")
                 * F.col("tf")
-                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(stats.avgdl)))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
             ).alias("__s"),
         )
         .groupBy("doc_id")

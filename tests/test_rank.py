@@ -188,3 +188,25 @@ def test_text_index_probe_is_partition_pruned(spark, engine, tmp_path):
     df = bm25_topk_indexed(spark, path, ["spark"], k=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "__tb" in plan.split("PartitionFilters: [", 1)[1][:200]
+
+
+def test_text_index_append_equals_rebuild(spark, engine, tmp_path):
+    """build(A) + append(B) must answer identically to build(A union B):
+    df(t) derives from postings at query time and (n_docs, sum_dl)
+    update exactly (integer-double sums), so no drift is possible."""
+    from etl_cli_spark.operators.rank import (
+        append_to_text_index,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    docs = engine.read("documents")
+    a, b = docs.filter("doc_id % 3 != 0"), docs.filter("doc_id % 3 = 0")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_text_index(a, inc, n_buckets=8)
+    append_to_text_index(b, inc)
+    build_text_index(docs, full, n_buckets=8)
+    q = ["spark", "join", "window"]
+    got_inc = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, inc, q, k=20).collect()]
+    got_full = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, full, q, k=20).collect()]
+    assert got_inc == got_full
