@@ -75,6 +75,12 @@ AUDITED: dict[str, str] = {
         "vocab broadcasts; the only wide exchange carries (doc, pos, tid) "
         "ints; reassembly is a single groupBy with array_sort, no window."
     ),
+    "search_bm25_indexed": (
+        "the index probe: the parquet scan carries PartitionFilters on "
+        "the query terms' buckets — directories pruned before any IO — "
+        "plus a row-level term filter inside them; scoring runs on hit "
+        "postings only. (The build itself is a one-off corpus pass.)"
+    ),
     "similarity_topk": (
         "brute-force cosine is one scan + TakeOrderedAndProject: the "
         "correct exact baseline (the indexed ANN/IVF paths replace the "
