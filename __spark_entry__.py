@@ -1226,6 +1226,15 @@ def _q_multimodal_resize(spark, sf):
     )
 
 
+def _q_events_top_paths(spark, sf):
+    """Top event-type 3-step paths inside 30-minute sessions; the oracle
+    re-derives session ids, ordered sequences, and sliding n-grams."""
+    from etl_cli_spark.operators.events import session_paths
+
+    ev = _engine(spark, sf).read("events")
+    return session_paths(ev, n=3, top_k=20)
+
+
 def _q_events_funnel(spark, sf):
     from etl_cli_spark.operators.events import funnel
 
@@ -1406,6 +1415,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "merger_match_one": [("o_orderkey", "i"), ("o_totalprice", "f"),
                          ("l_partkey", "i"), ("l_linenumber", "i")],
     "merger_anti": [("c_custkey", "i"), ("c_name", "s")],
+    "merger_inner_mq": [("o_orderkey", "i"), ("c_name", "s"), ("c_acctbal", "f")],
 }
 
 _DSL_FAMILY = [
@@ -1430,7 +1440,7 @@ _JOINWIN_FAMILY = [
     "asof_join", "interval_join", "agg_q1", "window_topk_per_group",
     "window_range_hourly", "diff_sets", "events_window_1h",
     "events_funnel", "events_retention", "merger_unwind",
-    "merger_left", "merger_match_one",
+    "merger_left", "merger_match_one", "merger_anti", "merger_inner_mq",
 ]
 
 
@@ -1550,9 +1560,9 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # events / streaming-analog (SURVEY §2.9-2.10)
     "events_sessionize": _q_events_sessionize,
     "events_sessionize_hot": _q_events_sessionize_hot,
+    "events_top_paths": _q_events_top_paths,
     "incremental_loop": _q_incremental_loop,
     # merger (SURVEY §2.4)
-    "merger_inner_mq": _q_merger_inner_mq,
     "merger_direction": _q_merger_direction,
     "merger_merge_as": _q_merger_merge_as,
     # composite digests certifying the 51+ tail inside the window
@@ -1579,6 +1589,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merger_left": _q_merger_left,
     "merger_match_one": _q_merger_match_one,
     "merger_anti": _q_merger_anti,
+    "merger_inner_mq": _q_merger_inner_mq,
     "multimodal_resize": _q_multimodal_resize,
     "profile_orders": _q_profile_orders,
     "window_running_sum": _q_window_running_sum,
@@ -1862,6 +1873,23 @@ def oracle_sql() -> dict[str, str]:
     )
     # the chunked skew-guarded sessionize must produce identical ids
     sql["events_sessionize_hot"] = sql["events_sessionize"]
+
+    # events_top_paths: session ids re-derived row-level, ordered type
+    # sequences per session, sliding 3-gram paths, top-20
+    sql["events_top_paths"] = (
+        "WITH marks AS (SELECT user_id, event_id, event_type, ts, "
+        "  CASE WHEN lag(ts) OVER w IS NULL "
+        "    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS m "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT *, sum(m) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "      ROWS UNBOUNDED PRECEDING) AS sid FROM marks), "
+        "seq AS (SELECT user_id, sid, list(event_type ORDER BY ts, event_id) AS types "
+        "        FROM s GROUP BY user_id, sid), "
+        "g AS (SELECT array_to_string(types[CAST(i AS INT):CAST(i AS INT)+2], ' > ') AS path "
+        "      FROM seq, LATERAL (SELECT unnest(generate_series(1, greatest(len(types)-2, 0))) AS i) x) "
+        "SELECT path, count(*) AS n_sessions_through FROM g GROUP BY path "
+        "ORDER BY n_sessions_through DESC, path LIMIT 20"
+    )
 
     sql["events_funnel"] = (
         "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "

@@ -115,3 +115,53 @@ def retention(
         )
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def session_paths(
+    df: DataFrame,
+    n: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+    top_k: int = 20,
+    sep: str = " > ",
+) -> DataFrame:
+    """Top event-type paths: the most common length-``n`` step sequences
+    inside sessions (flow analysis — "view > click > purchase").
+
+    Plan: sessionize (one window per user), collect each session's
+    ordered type sequence (array_sort over (ts, id, type) structs — the
+    per-session array, bounded by session length, never the user's full
+    history), slide an n-gram window over it (narrow explode), count.
+    The heavy exchange carries (path, 1) pairs; sessions with fewer than
+    ``n`` events contribute nothing.
+    """
+    from ..streaming.stream import sessionize
+
+    s = sessionize(df, ts_col, gap_minutes, user_col, tiebreak=(id_col,))
+    seq = (
+        s.groupBy(user_col, "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(ts_col, id_col, type_col))
+            ).alias("__evs")
+        )
+        .select(F.transform("__evs", lambda e: e[type_col]).alias("__types"))
+    )
+    count = F.size("__types") - F.lit(n - 1)
+    grams = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice("__types", i, n), sep),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        seq.select(F.explode(grams).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions_through"))
+        .orderBy(F.col("n_sessions_through").desc(), "path")
+        .limit(top_k)
+    )

@@ -153,3 +153,26 @@ def test_sessionize_scalable_partitions_by_chunk(hot_user_events):
     df = sessionize_scalable(hot_user_events, "ts", 30, "user_id", chunk_hours=6)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "__chunk" in plan
+
+
+def test_session_paths_hand_computed(spark):
+    from etl_cli_spark.operators.events import session_paths
+
+    rows = []
+    # user 1: one session  view->click->buy->view  (ts 0,60,120,180 s)
+    for i, t in enumerate(["view", "click", "buy", "view"]):
+        rows.append((1, i, t, i * 60))
+    # user 2: two sessions split by a 2h gap: view->click | view->click->buy
+    for i, t in enumerate(["view", "click"]):
+        rows.append((2, 10 + i, t, i * 60))
+    for i, t in enumerate(["view", "click", "buy"]):
+        rows.append((2, 20 + i, t, 7200 + 60 + i * 60))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, sec long").selectExpr(
+        "user_id", "event_id", "event_type", "timestamp_seconds(sec) AS ts"
+    )
+    got = {r.path: r.n_sessions_through for r in session_paths(df, n=2).collect()}
+    assert got["view > click"] == 3  # all three sessions
+    assert got["click > buy"] == 2
+    assert got["buy > view"] == 1
+    trigrams = {r.path: r.n_sessions_through for r in session_paths(df, n=3).collect()}
+    assert trigrams["view > click > buy"] == 2  # the 2-event session contributes nothing
