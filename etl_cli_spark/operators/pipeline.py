@@ -390,3 +390,32 @@ def bloom_decontaminate(
         .distinct()
     )
     return docs.join(hit_ids, id_col, "left_anti")
+
+
+def validate(
+    df: DataFrame,
+    rules: dict,
+    reason_col: str = "reasons",
+):
+    """Data-quality gate: split rows into (valid, quarantined) by named
+    rule predicates, with every failed rule's name attached.
+
+    ``rules`` maps rule name -> boolean Column that must hold. A row
+    fails if ANY rule is false (null counts as a failure — unknown is
+    not valid); the quarantine frame carries the failed names in
+    ``reason_col`` (sorted array, so downstream grouping by reason set
+    is deterministic). Pure Column expressions — the gate is a single
+    narrow projection + filter, evaluated once per row inside codegen;
+    both outputs share one scan under Spark's plan reuse.
+
+    The pipeline-stage shape: quarantine-with-reasons beats dropping
+    rows silently (you can count, sample, and re-admit by reason).
+    """
+    checks = [
+        F.when(cond.isNull() | ~cond, F.lit(name)) for name, cond in rules.items()
+    ]
+    reasons = F.array_sort(F.array_compact(F.array(*checks)))
+    tagged = df.withColumn(reason_col, reasons)
+    valid = tagged.filter(F.size(reason_col) == 0).drop(reason_col)
+    quarantined = tagged.filter(F.size(reason_col) > 0)
+    return valid, quarantined

@@ -325,3 +325,37 @@ def test_stratified_sample_salted_equals_plain(docs):
     assert sorted(r.doc_id for r in plain.collect()) == sorted(
         r.doc_id for r in salted.collect()
     )
+
+
+def test_validate_splits_with_reasons(spark):
+    from etl_cli_spark.operators.pipeline import validate
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok"), (2, -5.0, "ok"), (3, 7.0, None), (4, -1.0, None)],
+        "id long, amount double, status string",
+    )
+    valid, bad = validate(
+        df,
+        {
+            "amount_positive": F.col("amount") > 0,
+            "status_present": F.col("status").isNotNull(),
+        },
+    )
+    assert [r.id for r in valid.orderBy("id").collect()] == [1]
+    got = {r.id: list(r.reasons) for r in bad.collect()}
+    assert got == {
+        2: ["amount_positive"],
+        3: ["status_present"],
+        4: ["amount_positive", "status_present"],
+    }
+    assert "reasons" not in valid.columns
+
+
+def test_validate_null_predicate_quarantines(spark):
+    """NULL rule results are failures — unknown is not valid."""
+    from etl_cli_spark.operators.pipeline import validate
+
+    df = spark.createDataFrame([(1, None), (2, 5.0)], "id long, v double")
+    valid, bad = validate(df, {"v_small": F.col("v") < 10})
+    assert [r.id for r in valid.collect()] == [2]
+    assert {r.id for r in bad.collect()} == {1}
