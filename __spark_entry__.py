@@ -1200,6 +1200,19 @@ def _q_multimodal_audio(spark, sf):
     )
 
 
+def _q_multimodal_frames(spark, sf):
+    # REAL frame sampling from BMP reels: the sampled frame is decoded
+    # and its pixel digest must match the oracle's independent pattern
+    # recomputation
+    from etl_cli_spark.operators.multimodal import make_fake_video, sample_frames
+
+    video = make_fake_video(spark, n=12, fps=4)
+    return sample_frames(video, every_ms=1000).select(
+        "media_id", "frame_idx", "frame_ts_ms",
+        F.hex("frame_digest").alias("digest_hex"),
+    )
+
+
 def _q_profile_orders(spark, sf):
     """Exact column profile of orders: every statistic recomputed
     column-by-column in DuckDB (avg_len over the string forms)."""
@@ -1591,6 +1604,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merger_anti": _q_merger_anti,
     "merger_inner_mq": _q_merger_inner_mq,
     "multimodal_resize": _q_multimodal_resize,
+    "multimodal_frames": _q_multimodal_frames,
     "profile_orders": _q_profile_orders,
     "window_running_sum": _q_window_running_sum,
     "write_index": _q_write_index,
@@ -2063,6 +2077,27 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(media_id AS BIGINT) AS media_id, "
         "CAST(5 AS INTEGER) AS resized_width, CAST(4 AS INTEGER) AS resized_height, "
         f"digest_hex FROM (VALUES {', '.join(_rvals)}) AS t(media_id, digest_hex)"
+    )
+
+    # multimodal_frames: recompute each sampled frame's pattern pixels
+    # in pure python (frame f of video i is pattern i*1000+f) and digest
+    _fvals = []
+    for i in range(12):
+        w, h = 8 + i % 5, 6 + i % 4
+        dur, n_frames = 2000 + 500 * (i % 3), (2000 + 500 * (i % 3)) * 4 // 1000
+        for s, ts in enumerate(range(0, dur, 1000)):
+            fi = min(ts // 250, n_frames - 1)
+            buf = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    for c in range(3):
+                        buf.append((3 * x + 7 * y + 11 * (i * 1000 + fi) + 13 * c) % 256)
+            dg = _hl.sha256(bytes(buf)).hexdigest()[:32].upper()
+            _fvals.append(f"({i}, {s}, {ts}, '{dg}')")
+    sql["multimodal_frames"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(fi AS INTEGER) AS frame_idx, CAST(ts AS BIGINT) AS frame_ts_ms, "
+        f"digest_hex FROM (VALUES {', '.join(_fvals)}) AS t(media_id, fi, ts, digest_hex)"
     )
 
     # multimodal_audio: recompute the PCM16 byte stream from the sample

@@ -210,10 +210,35 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(batches, out_schema)
 
 
+def _split_bmp_reel(data: bytes) -> list[bytes]:
+    """Split a BMP reel (concatenated BMP frames — the codec-free video
+    container) into frame byte slices by walking each frame's declared
+    file size (BMP header bytes 2..6)."""
+    import struct
+
+    frames, pos = [], 0
+    while pos + 6 <= len(data) and data[pos : pos + 2] == b"BM":
+        size = struct.unpack_from("<I", data, pos + 2)[0]
+        if size < 54 or pos + size > len(data):
+            raise ValueError("corrupt BMP reel: bad frame size")
+        frames.append(data[pos : pos + size])
+        pos += size
+    if pos != len(data):
+        raise ValueError("corrupt BMP reel: trailing bytes")
+    return frames
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """STUB video frame sampling: emits one row per sampled frame from the
-    duration metadata (payload decode stubbed). Real impl decodes I-frames
-    per batch. Row-explosion shape (1 video -> N frames) is real."""
+    """Video frame sampling: one row per sampled frame.
+
+    REAL for BMP-reel payloads (concatenated BMP frames, the codec-free
+    container `make_fake_video` emits): the reel is split by each
+    frame's declared size, the sampled frame is DECODED and the digest
+    is sha256[:16] of its pixel bytes — frame timing comes from the
+    metadata fps. Codec formats (H.264 etc.) keep the deterministic
+    stub digest; a real I-frame decoder drops into the same per-batch
+    contract. Row-explosion shape (1 video -> N frames) is identical on
+    both paths."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -229,10 +254,24 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             for _, r in pdf.iterrows():
                 dur = (r["meta"]["duration_ms"] if r["meta"] is not None else 0) or 0
                 payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                for i, ts in enumerate(range(0, int(dur), every_ms)):
-                    digest = hashlib.sha256(payload + ts.to_bytes(8, "little")).digest()[:16]
-                    rows.append((r["media_id"], i, ts, digest))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_ts_ms", "frame_digest"])
+                if payload[:2] == b"BM":  # real path: decode sampled frames
+                    frames = _split_bmp_reel(payload)
+                    # fps from metadata: n_frames over duration
+                    frame_ms = dur / len(frames) if frames else 0
+                    for i, ts in enumerate(range(0, int(dur), every_ms)):
+                        fi = min(int(ts / frame_ms) if frame_ms else 0, len(frames) - 1)
+                        px = _decode_bmp(frames[fi])[2]
+                        digest = hashlib.sha256(px.tobytes()).digest()[:16]
+                        rows.append((r["media_id"], i, ts, digest))
+                else:  # stub path for codec formats
+                    for i, ts in enumerate(range(0, int(dur), every_ms)):
+                        digest = hashlib.sha256(
+                            payload + ts.to_bytes(8, "little")
+                        ).digest()[:16]
+                        rows.append((r["media_id"], i, ts, digest))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_ts_ms", "frame_digest"]
+            )
 
     return df.mapInPandas(batches, out_schema)
 
@@ -365,6 +404,23 @@ def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
     chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def make_fake_video(spark, n: int = 12, fps: int = 4) -> DataFrame:
+    """Deterministic synthetic video table: REAL BMP-reel payloads —
+    frame f of video i is the BMP of pattern ``media_pixels(i*1000+f)``
+    at that video's dims, so an oracle can recompute any sampled frame's
+    pixels without encoder or decoder."""
+    rows = []
+    for i in range(n):
+        w, h = media_dims(i)
+        dur = 2000 + 500 * (i % 3)
+        n_frames = dur * fps // 1000
+        reel = b"".join(
+            encode_bmp(media_pixels(i * 1000 + f, w, h)) for f in range(n_frames)
+        )
+        rows.append((i, "video", bytearray(reel), (w, h, None, dur, "bmpreel")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def make_fake_audio(spark, n: int = 20) -> DataFrame:

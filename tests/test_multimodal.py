@@ -194,3 +194,40 @@ def test_features_reject_non_square_dim(spark):
 
     with _pt.raises(ValueError, match="perfect square"):
         extract_features(make_fake_media(spark, n=1), dim=15)
+
+
+def test_video_frame_sampling_real_decode(spark):
+    """BMP-reel frame sampling must DECODE the sampled frame: digests
+    equal sha256 of the independently-recomputed pattern pixels."""
+    import hashlib as _hl
+
+    from etl_cli_spark.operators.multimodal import (
+        make_fake_video,
+        media_dims,
+        media_pixels,
+        sample_frames,
+    )
+
+    video = make_fake_video(spark, n=6, fps=4)  # 250 ms per frame
+    out = sample_frames(video, every_ms=1000)
+    rows = {(r.media_id, r.frame_idx): r for r in out.collect()}
+    for i in range(6):
+        w, h = media_dims(i)
+        dur = 2000 + 500 * (i % 3)
+        n_samples = len(range(0, dur, 1000))
+        for s in range(n_samples):
+            ts = s * 1000
+            fi = min(int(ts / 250), dur * 4 // 1000 - 1)
+            want = _hl.sha256(media_pixels(i * 1000 + fi, w, h).tobytes()).digest()[:16]
+            assert bytes(rows[(i, s)].frame_digest) == want
+
+
+def test_bmp_reel_rejects_corrupt(spark):
+    import pytest as _pt
+
+    from etl_cli_spark.operators.multimodal import _split_bmp_reel, encode_bmp, media_pixels
+
+    good = encode_bmp(media_pixels(0, 8, 6))
+    assert len(_split_bmp_reel(good * 3)) == 3
+    with _pt.raises(ValueError, match="trailing"):
+        _split_bmp_reel(good + b"junk")
