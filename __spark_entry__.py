@@ -1239,6 +1239,21 @@ def _q_multimodal_resize(spark, sf):
     )
 
 
+def _q_graph_pagerank(spark, sf):
+    """Damped PageRank with dangling redistribution over a deterministic
+    customer->order-bucket digraph (every dst is dangling — the hard
+    path). The 9-dp per-iteration rounding protocol makes the iterative
+    algorithm itself oracle-replayable (like the IVF k-means)."""
+    from etl_cli_spark.operators.graph import pagerank
+
+    o = _engine(spark, sf).read("orders")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 2000 + 10000).alias("dst"),
+    )
+    return pagerank(edges, iters=5).select("node", F.round("rank", 6).alias("rank"))
+
+
 def _q_events_top_paths(spark, sf):
     """Top event-type 3-step paths inside 30-minute sessions; the oracle
     re-derives session ids, ordered sequences, and sliding n-grams."""
@@ -1572,8 +1587,8 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "write_delete": _q_write_delete,
     # events / streaming-analog (SURVEY §2.9-2.10)
     "events_sessionize": _q_events_sessionize,
-    "events_sessionize_hot": _q_events_sessionize_hot,
     "events_top_paths": _q_events_top_paths,
+    "graph_pagerank": _q_graph_pagerank,
     "incremental_loop": _q_incremental_loop,
     # merger (SURVEY §2.4)
     "merger_direction": _q_merger_direction,
@@ -1603,6 +1618,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merger_match_one": _q_merger_match_one,
     "merger_anti": _q_merger_anti,
     "merger_inner_mq": _q_merger_inner_mq,
+    "events_sessionize_hot": _q_events_sessionize_hot,
     "multimodal_resize": _q_multimodal_resize,
     "multimodal_frames": _q_multimodal_frames,
     "profile_orders": _q_profile_orders,
@@ -1887,6 +1903,11 @@ def oracle_sql() -> dict[str, str]:
     )
     # the chunked skew-guarded sessionize must produce identical ids
     sql["events_sessionize_hot"] = sql["events_sessionize"]
+
+    # graph_pagerank: the 5 damped iterations (dangling mass, 9-dp
+    # rounding protocol) unrolled as a CTE chain — every iteration of
+    # the iterative algorithm is independently recomputed
+    sql["graph_pagerank"] = 'WITH e AS (SELECT o_custkey AS src, o_orderkey % 2000 + 10000 AS dst FROM orders), nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src), base AS (SELECT n.node, d.deg FROM nodes n LEFT JOIN deg d USING (node)), r0 AS (SELECT node, deg, round(1.0 / (SELECT n FROM nn), 9) AS rank FROM base), d1 AS (SELECT coalesce(sum(rank), 0.0) AS m FROM r0 WHERE deg IS NULL), c1 AS (SELECT e.dst AS node, sum(r.rank / r.deg) AS cin FROM e JOIN r0 r ON e.src = r.node WHERE r.deg IS NOT NULL GROUP BY e.dst), r1 AS (SELECT b.node, b.deg, round((1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * (coalesce(c.cin, 0.0) + (SELECT m FROM d1) / (SELECT n FROM nn)), 9) AS rank FROM base b LEFT JOIN c1 c USING (node)), d2 AS (SELECT coalesce(sum(rank), 0.0) AS m FROM r1 WHERE deg IS NULL), c2 AS (SELECT e.dst AS node, sum(r.rank / r.deg) AS cin FROM e JOIN r1 r ON e.src = r.node WHERE r.deg IS NOT NULL GROUP BY e.dst), r2 AS (SELECT b.node, b.deg, round((1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * (coalesce(c.cin, 0.0) + (SELECT m FROM d2) / (SELECT n FROM nn)), 9) AS rank FROM base b LEFT JOIN c2 c USING (node)), d3 AS (SELECT coalesce(sum(rank), 0.0) AS m FROM r2 WHERE deg IS NULL), c3 AS (SELECT e.dst AS node, sum(r.rank / r.deg) AS cin FROM e JOIN r2 r ON e.src = r.node WHERE r.deg IS NOT NULL GROUP BY e.dst), r3 AS (SELECT b.node, b.deg, round((1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * (coalesce(c.cin, 0.0) + (SELECT m FROM d3) / (SELECT n FROM nn)), 9) AS rank FROM base b LEFT JOIN c3 c USING (node)), d4 AS (SELECT coalesce(sum(rank), 0.0) AS m FROM r3 WHERE deg IS NULL), c4 AS (SELECT e.dst AS node, sum(r.rank / r.deg) AS cin FROM e JOIN r3 r ON e.src = r.node WHERE r.deg IS NOT NULL GROUP BY e.dst), r4 AS (SELECT b.node, b.deg, round((1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * (coalesce(c.cin, 0.0) + (SELECT m FROM d4) / (SELECT n FROM nn)), 9) AS rank FROM base b LEFT JOIN c4 c USING (node)), d5 AS (SELECT coalesce(sum(rank), 0.0) AS m FROM r4 WHERE deg IS NULL), c5 AS (SELECT e.dst AS node, sum(r.rank / r.deg) AS cin FROM e JOIN r4 r ON e.src = r.node WHERE r.deg IS NOT NULL GROUP BY e.dst), r5 AS (SELECT b.node, b.deg, round((1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * (coalesce(c.cin, 0.0) + (SELECT m FROM d5) / (SELECT n FROM nn)), 9) AS rank FROM base b LEFT JOIN c5 c USING (node)) SELECT node, round(rank, 6) AS rank FROM r5'
 
     # events_top_paths: session ids re-derived row-level, ordered type
     # sequences per session, sliding 3-gram paths, top-20

@@ -1,0 +1,85 @@
+"""Iterative graph analytics: PageRank over edge frames.
+
+Training-data pipelines meet graphs twice: near-dup/similarity pair
+graphs (connected components lives in operators/dedup.py) and
+link/citation graphs where PageRank-style mass propagation scores
+document quality ("popular pages are higher quality" — the classic
+web-corpus curation signal).
+
+Execution model: rank iteration is a JOIN + AGGREGATE per round —
+exactly what Catalyst schedules well — with the same float-portability
+protocol as the IVF k-means (similarity.py): per-iteration ranks round
+to 9 dp, so an external SQL engine replays every iteration bit-for-bit
+and the oracle can verify an ITERATIVE algorithm, not just its shape.
+Per round: one shuffle on dst for contributions, one tiny dangling-mass
+aggregate (broadcast). Plans are truncated with localCheckpoint every
+few rounds so lineage doesn't grow unbounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, rank) after ``iters`` rounds of damped PageRank with
+    dangling-mass redistribution.
+
+    rank_{t+1}(v) = (1-d)/N + d * (sum_{u->v} rank_t(u)/deg(u)
+                                   + dangling_t / N)
+
+    Deterministic protocol: ranks round to 9 dp each round (sum-order
+    float drift cannot accumulate), so the result is engine-replayable.
+    Self-loops count; parallel edges each carry mass (pre-`distinct`
+    the frame if that is not wanted).
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .unionByName(edges.select(dst.alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    deg = edges.groupBy(src.alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree is static: attach once, reuse every round
+    base = nodes.join(deg, "node", "left").persist()
+    ranks = base.select(
+        "node", "deg", F.round(F.lit(1.0 / n_nodes), 9).alias("rank")
+    )
+    e = edges.select(src.alias("node"), dst.alias("__dst"))
+    for it in range(iters):
+        dangling = (
+            ranks.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .first()
+            .m
+        )
+        contribs = (
+            e.join(ranks.filter(F.col("deg").isNotNull()), "node")
+            .select(F.col("__dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("__in"))
+        )
+        new_rank = F.round(
+            F.lit((1.0 - damping) / n_nodes)
+            + F.lit(damping)
+            * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.lit(dangling / n_nodes)),
+            9,
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .select("node", "deg", new_rank.alias("rank"))
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    out = ranks.select("node", "rank")
+    base.unpersist()
+    return out

@@ -1,0 +1,35 @@
+"""PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_cli_spark.operators.graph import pagerank
+
+
+def test_pagerank_hand_computed_star(spark):
+    """3 nodes all pointing at a hub: hub rank highest; spokes equal;
+    ranks sum to ~1 (dangling hub redistributes)."""
+    edges = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "src long, dst long")
+    pr = {r.node: r.rank for r in pagerank(edges, iters=10).collect()}
+    assert pr[0] > pr[1]
+    assert pr[1] == pr[2] == pr[3]
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_cycle_uniform(spark):
+    """A directed cycle is perfectly symmetric: uniform ranks 1/N."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    pr = {r.node: r.rank for r in pagerank(edges, iters=8).collect()}
+    assert all(v == pytest.approx(0.25, abs=1e-8) for v in pr.values())
+
+
+def test_pagerank_mass_conserved_with_dangling(spark):
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 11), (3, 12)], "src long, dst long"
+    )
+    pr = pagerank(edges, iters=6)
+    total = sum(r.rank for r in pr.collect())
+    assert total == pytest.approx(1.0, abs=1e-6)
