@@ -1043,6 +1043,25 @@ def _q_pipeline_end_to_end(spark, sf):
     return split.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_pipeline_declarative(spark, sf):
+    """The capstone pipeline expressed as CONFIG through the declarative
+    runner — must produce exactly the hand-composed plan's answers, so
+    it shares the pipeline_end_to_end oracle verbatim."""
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline
+
+    d = _engine(spark, sf).read("documents")
+    out = run_corpus_pipeline(
+        d,
+        [
+            {"stage": "quality_filter", "min_tokens": 20},
+            {"stage": "dedup_exact"},
+            {"stage": "decontaminate", "benchmark_filter": "doc_id % 97 = 0", "n": 8},
+            {"stage": "split"},
+        ],
+    )
+    return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _q_sketch_distinct_kmv(spark, sf):
     """KMV approximate-distinct: customers per order status, k=256.
     Deterministic portable-hash sketch — the oracle replays the k-th
@@ -1622,6 +1641,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": _q_multimodal_resize,
     "multimodal_frames": _q_multimodal_frames,
     "profile_orders": _q_profile_orders,
+    "pipeline_declarative": _q_pipeline_declarative,
     "window_running_sum": _q_window_running_sum,
     "write_index": _q_write_index,
     "dsl_eq_project": _q_dsl_eq_project,
@@ -2565,6 +2585,9 @@ def oracle_sql() -> dict[str, str]:
     # wrapped in the shared canonicalization spec (_DIGEST_SPECS) and the
     # same 32-bit md5 row hash as the Spark side — a hash-match on the
     # composite certifies full value equality of every member
+    # the declarative runner must equal the hand-composed capstone
+    sql["pipeline_declarative"] = sql["pipeline_end_to_end"]
+
     sql["dsl_digest"] = " UNION ALL ".join(
         _digest_sql_one(n, sql[n]) for n in _DSL_FAMILY
     )

@@ -1,0 +1,161 @@
+"""Declarative corpus-pipeline runner: the training-data prep pipeline
+as a list of stage dicts, composed into ONE Catalyst plan.
+
+The reference drives everything through flag-shaped job specs; this is
+the same philosophy applied to the corpus-prep surface — a pipeline is
+data (checkable, diffable, storable in the settings dataset), not a
+script:
+
+    stages = [
+        {"stage": "filter", "expr": "n_chars > 100"},
+        {"stage": "quality_filter", "min_tokens": 20},
+        {"stage": "dedup_exact"},
+        {"stage": "decontaminate", "benchmark_filter": "doc_id % 97 = 0"},
+        {"stage": "split", "weights": {"train": 0.9, "val": 0.1}},
+        {"stage": "quota", "group_cols": ["lang"], "quotas": {"en": 10_000}},
+        {"stage": "validate", "rules": {"has_text": "length(text) > 0"}},
+        {"stage": "tokenize", "top_k": 50_000},
+    ]
+    out = run_corpus_pipeline(docs, stages)
+
+Every stage maps onto an already-verified operator; no stage triggers a
+job by itself (lazy composition), so Catalyst optimizes ACROSS stages —
+filters sink below joins, projections prune scans — exactly what a
+hand-written script of sequential `.cache()` steps would prevent.
+Unknown stage names raise with the known list (config typos fail fast,
+not silently skip)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _s_filter(df: DataFrame, expr: str) -> DataFrame:
+    return df.filter(expr)
+
+
+def _s_quality_filter(df: DataFrame, min_tokens: int = 1, text_col: str = "text") -> DataFrame:
+    from ..operators.text import token_count
+
+    return df.filter(token_count(text_col) >= min_tokens)
+
+
+def _s_dedup_exact(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
+    from ..operators.dedup import exact_text_dedup
+
+    return exact_text_dedup(df, text_col=text_col, **kw)
+
+
+def _s_dedup_minhash(df: DataFrame, **kw) -> DataFrame:
+    from ..operators.dedup import minhash_dedup
+
+    return minhash_dedup(df, **kw)
+
+
+def _s_dedup_canonical(df: DataFrame, quality: str = "n_chars", **kw) -> DataFrame:
+    from ..operators.dedup import minhash_dedup_canonical
+
+    return minhash_dedup_canonical(df, quality=quality, **kw)
+
+
+def _s_decontaminate(
+    df: DataFrame,
+    benchmark_filter: str | None = None,
+    benchmark: DataFrame | None = None,
+    bloom: bool = False,
+    **kw,
+) -> DataFrame:
+    from ..operators.pipeline import bloom_decontaminate, decontaminate
+
+    bench = benchmark if benchmark is not None else df.filter(benchmark_filter)
+    return (bloom_decontaminate if bloom else decontaminate)(df, bench, **kw)
+
+
+def _s_split(df: DataFrame, **kw) -> DataFrame:
+    from ..operators.pipeline import deterministic_split
+
+    return deterministic_split(df, **kw)
+
+
+def _s_sample(df: DataFrame, fraction: float, **kw) -> DataFrame:
+    from ..operators.pipeline import hash_sample
+
+    return hash_sample(df, fraction=fraction, **kw)
+
+
+def _s_quota(df: DataFrame, group_cols: list, quotas, **kw) -> DataFrame:
+    from ..operators.pipeline import quota_sample
+
+    return quota_sample(df, group_cols, quotas, **kw)
+
+
+def _s_validate(df: DataFrame, rules: Mapping[str, str], **kw) -> DataFrame:
+    from ..operators.pipeline import validate
+
+    valid, _quarantined = validate(df, {n: F.expr(e) for n, e in rules.items()}, **kw)
+    return valid
+
+
+def _s_chunk(df: DataFrame, **kw) -> DataFrame:
+    from ..operators.pipeline import chunk_documents
+
+    return chunk_documents(df, **kw)
+
+
+def _s_pack(df: DataFrame, **kw) -> DataFrame:
+    from ..operators.pipeline import pack_sequences
+
+    return pack_sequences(df, **kw)
+
+
+def _s_tokenize(df: DataFrame, top_k: int | None = None, **kw) -> DataFrame:
+    from ..operators.rank import tokenize_documents, vocab_with_ids
+
+    voc = vocab_with_ids(df, top_k=top_k)
+    out = tokenize_documents(df, voc, **kw)
+    # keep pipeline columns alongside the ids (join back on the id col)
+    id_col = kw.get("id_col", "doc_id")
+    return df.join(out, id_col)
+
+
+def _s_transform(df: DataFrame, exprs: Mapping[str, str]) -> DataFrame:
+    for name, e in exprs.items():
+        df = df.withColumn(name, F.expr(e))
+    return df
+
+
+STAGES: dict[str, Callable[..., DataFrame]] = {
+    "filter": _s_filter,
+    "quality_filter": _s_quality_filter,
+    "dedup_exact": _s_dedup_exact,
+    "dedup_minhash": _s_dedup_minhash,
+    "dedup_canonical": _s_dedup_canonical,
+    "decontaminate": _s_decontaminate,
+    "split": _s_split,
+    "sample": _s_sample,
+    "quota": _s_quota,
+    "validate": _s_validate,
+    "chunk": _s_chunk,
+    "pack": _s_pack,
+    "tokenize": _s_tokenize,
+    "transform": _s_transform,
+}
+
+
+def run_corpus_pipeline(
+    docs: DataFrame, stages: Sequence[Mapping[str, Any]]
+) -> DataFrame:
+    """Compose the stage list into one lazy DataFrame (no action here)."""
+    df = docs
+    for i, spec in enumerate(stages):
+        spec = dict(spec)
+        name = spec.pop("stage", None)
+        if name not in STAGES:
+            raise ValueError(
+                f"stage {i}: unknown stage {name!r}; known: {sorted(STAGES)}"
+            )
+        df = STAGES[name](df, **spec)
+    return df
