@@ -1942,8 +1942,8 @@ def oracle_sql() -> dict[str, str]:
         "        FROM s GROUP BY user_id, sid), "
         "g AS (SELECT array_to_string(types[CAST(i AS INT):CAST(i AS INT)+2], ' > ') AS path "
         "      FROM seq, LATERAL (SELECT unnest(generate_series(1, greatest(len(types)-2, 0))) AS i) x) "
-        "SELECT path, count(*) AS n_sessions_through FROM g GROUP BY path "
-        "ORDER BY n_sessions_through DESC, path LIMIT 20"
+        "SELECT path, count(*) AS n_occurrences FROM g GROUP BY path "
+        "ORDER BY n_occurrences DESC, path LIMIT 20"
     )
 
     sql["events_funnel"] = (

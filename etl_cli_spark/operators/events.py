@@ -127,6 +127,7 @@ def session_paths(
     gap_minutes: int = 30,
     top_k: int = 20,
     sep: str = " > ",
+    distinct_per_session: bool = False,
 ) -> DataFrame:
     """Top event-type paths: the most common length-``n`` step sequences
     inside sessions (flow analysis — "view > click > purchase").
@@ -137,6 +138,11 @@ def session_paths(
     history), slide an n-gram window over it (narrow explode), count.
     The heavy exchange carries (path, 1) pairs; sessions with fewer than
     ``n`` events contribute nothing.
+
+    The count is OCCURRENCES: a path repeated inside one session counts
+    each time (``n_occurrences``). Pass ``distinct_per_session=True`` to
+    count each path at most once per session instead (array_distinct on
+    the per-session gram list before exploding).
     """
     from ..streaming.stream import sessionize
 
@@ -158,10 +164,12 @@ def session_paths(
             lambda i: F.array_join(F.slice("__types", i, n), sep),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    if distinct_per_session:
+        grams = F.array_distinct(grams)
     return (
         seq.select(F.explode(grams).alias("path"))
         .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n_sessions_through"))
-        .orderBy(F.col("n_sessions_through").desc(), "path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(top_k)
     )

@@ -111,7 +111,7 @@ def stratified_sample(
         counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("__n"))
         qdf = counts.select(
             *strata_cols,
-            F.ceil(F.col("__n") * F.lit(fraction)).cast("int").alias("quota"),
+            F.ceil(F.col("__n") * F.lit(fraction)).cast("long").alias("quota"),
         )
         return quota_sample(
             df, strata_cols, qdf, id_col=id_col, seed=seed, salt_buckets=salt_buckets

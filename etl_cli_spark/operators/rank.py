@@ -386,15 +386,26 @@ def score_documents(
     Only docs containing at least one query term carry tfidf/bm25; the
     inner join keeps exactly those (nll exists for all docs — use
     :func:`unigram_logprob` directly for a full-corpus quality pass).
+
+    The shared terms frame is persisted for the duration of this call
+    and unpersisted before returning: the result is materialized into a
+    ``localCheckpoint`` (hit-set-sized — one row per matching doc, four
+    columns — so the checkpoint is bounded however large the corpus),
+    which lets the corpus-sized cache be released instead of living for
+    the session (cache leak fixed per round-3 review).
     """
     from pyspark import StorageLevel
 
     terms = _doc_terms(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    tf = tfidf_score(docs, query_terms, text_col, id_col, terms=terms).select(
-        id_col, F.col("score").alias("tfidf")
-    )
-    bm = bm25_score(docs, query_terms, text_col, id_col, terms=terms).select(
-        id_col, F.col("score").alias("bm25")
-    )
-    lm = unigram_logprob(docs, text_col, id_col, terms=terms)
-    return tf.join(bm, id_col).join(lm, id_col)
+    try:
+        tf = tfidf_score(docs, query_terms, text_col, id_col, terms=terms).select(
+            id_col, F.col("score").alias("tfidf")
+        )
+        bm = bm25_score(docs, query_terms, text_col, id_col, terms=terms).select(
+            id_col, F.col("score").alias("bm25")
+        )
+        lm = unigram_logprob(docs, text_col, id_col, terms=terms)
+        out = tf.join(bm, id_col).join(lm, id_col)
+        return out.localCheckpoint(eager=True)
+    finally:
+        terms.unpersist()

@@ -79,6 +79,35 @@ def _estimate(k: int):
     )
 
 
+def _check_meta(df: DataFrame, checks: dict) -> DataFrame:
+    """JVM-side guard: fail the job (not the estimate) when a sketch's
+    embedded build parameters disagree with the probe call's. A filter
+    carrying ``assert_true`` — evaluated per row, never pruned, and a
+    no-op (coalesce to TRUE) when every row agrees. No driver collect."""
+    cond = None
+    for col, expected in checks.items():
+        c = F.col(col) == F.lit(expected)
+        cond = c if cond is None else (cond & c)
+    msg = "sketch metadata mismatch: probe parameters %s disagree with the build call" % (
+        {k.strip("_"): v for k, v in checks.items()},
+    )
+    return df.filter(
+        F.coalesce(F.assert_true(cond, F.lit(msg)).cast("boolean"), F.lit(True))
+    )
+
+
+def _read_meta(df: DataFrame, cols: Sequence[str]):
+    """Driver-side read of embedded build parameters (one tiny job —
+    the metadata is constant per sketch, so ``first()`` suffices). Used
+    only when the probe call omits the parameters."""
+    row = df.select(*cols).first()
+    if row is None:
+        raise ValueError(
+            "empty sketch frame: cannot derive build parameters; pass them explicitly"
+        )
+    return tuple(row)
+
+
 def kmv_distinct(
     df: DataFrame,
     col: str,
@@ -113,8 +142,10 @@ def kmv_sketch(
     by: Sequence[str] = (),
     k: int = 256,
 ) -> DataFrame:
-    """The sketch itself: (by..., kmv: array<string>) — the sorted k
-    smallest distinct hashes. Persist per shard/day; combine later with
+    """The sketch itself: (by..., kmv: array<string>, __k) — the sorted
+    k smallest distinct hashes, plus the build parameter embedded as a
+    literal column so later merges/probes cannot silently use a
+    mismatched ``k``. Persist per shard/day; combine later with
     :func:`kmv_merge` without touching the raw data again."""
     grp = list(by) if by else [_GRP]
     src = df if by else df.withColumn(_GRP, F.lit(1))
@@ -123,15 +154,30 @@ def kmv_sketch(
         _min_k(hashed, grp, k)
         .groupBy(*grp)
         .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+        .withColumn("__k", F.lit(int(k)))
     )
     return out.drop(_GRP) if not by else out
 
 
-def kmv_merge(sketches: DataFrame, by: Sequence[str] = (), k: int = 256) -> DataFrame:
+def kmv_merge(
+    sketches: DataFrame, by: Sequence[str] = (), k: int | None = None
+) -> DataFrame:
     """Union partial sketches: rows carry ``kmv`` arrays (possibly many
     per group — one per shard); output is one merged sketch per group.
     Merge = k smallest of the deduplicated concatenation, the exact
-    sketch of the unioned underlying data."""
+    sketch of the unioned underlying data.
+
+    ``k`` defaults to the sketches' embedded ``__k``; passing it
+    explicitly (or merging shards built with differing k) is validated
+    JVM-side and fails the job rather than producing a silently-wrong
+    merged sketch."""
+    has_meta = "__k" in sketches.columns
+    if k is None:
+        if not has_meta:
+            raise ValueError("kmv_merge: sketches carry no __k metadata; pass k=")
+        (k,) = _read_meta(sketches, ["__k"])
+    if has_meta:
+        sketches = _check_meta(sketches, {"__k": int(k)})
     grp = list(by) if by else [_GRP]
     src = sketches if by else sketches.withColumn(_GRP, F.lit(1))
     exploded = src.select(*grp, F.explode("kmv").alias("__h")).distinct()
@@ -139,12 +185,26 @@ def kmv_merge(sketches: DataFrame, by: Sequence[str] = (), k: int = 256) -> Data
         _min_k(exploded, grp, k)
         .groupBy(*grp)
         .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+        .withColumn("__k", F.lit(int(k)))
     )
     return out.drop(_GRP) if not by else out
 
 
-def kmv_estimate(sketch: DataFrame, by: Sequence[str] = (), k: int = 256) -> DataFrame:
-    """Cardinality estimate from a sketch frame (by..., kmv)."""
+def kmv_estimate(
+    sketch: DataFrame, by: Sequence[str] = (), k: int | None = None
+) -> DataFrame:
+    """Cardinality estimate from a sketch frame (by..., kmv).
+
+    ``k`` defaults to the sketch's embedded ``__k``; an explicit
+    mismatched value fails the job (JVM-side assert) instead of
+    silently estimating with the wrong order statistic."""
+    has_meta = "__k" in sketch.columns
+    if k is None:
+        if not has_meta:
+            raise ValueError("kmv_estimate: sketch carries no __k metadata; pass k=")
+        (k,) = _read_meta(sketch, ["__k"])
+    if has_meta:
+        sketch = _check_meta(sketch, {"__k": int(k)})
     grp = list(by) if by else [_GRP]
     src = sketch if by else sketch.withColumn(_GRP, F.lit(1))
     out = src.select(
@@ -181,7 +241,10 @@ def cms_sketch(
     width: int = 1024,
     depth: int = 3,
 ) -> DataFrame:
-    """Build the sketch: (by..., d, pos, c) — one row per non-empty cell.
+    """Build the sketch: (by..., d, pos, c, __w, __d) — one row per
+    non-empty cell, with (width, depth) embedded as literal columns so a
+    probe or merge with mismatched parameters fails instead of silently
+    returning wrong estimates.
 
     One shuffle on (group, d, pos) with map-side partial combine: the
     exchange carries at most depth*width rows per group regardless of
@@ -203,6 +266,8 @@ def cms_sketch(
         .select(*grp, F.col("__cell.d").alias("d"), F.col("__cell.pos").alias("pos"))
         .groupBy(*grp, "d", "pos")
         .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("__w", F.lit(int(width)))
+        .withColumn("__d", F.lit(int(depth)))
     )
     return out.drop(_GRP) if not by else out
 
@@ -210,10 +275,36 @@ def cms_sketch(
 def cms_merge(sketches: DataFrame, by: Sequence[str] = ()) -> DataFrame:
     """Union partial sketches (rows from several :func:`cms_sketch`
     outputs): cell-wise sum — the exact sketch of the concatenated
-    underlying data, the linearity property that makes CMS shardable."""
+    underlying data, the linearity property that makes CMS shardable.
+    Shards built with differing (width, depth) fail the merge job
+    (JVM-side assert on the embedded metadata) — cell sums across
+    incompatible geometries are meaningless."""
     grp = list(by) if by else [_GRP]
     src = sketches if by else sketches.withColumn(_GRP, F.lit(1))
-    out = src.groupBy(*grp, "d", "pos").agg(F.sum("c").alias("c"))
+    if "__w" in src.columns:
+        out = src.groupBy(*grp, "d", "pos").agg(
+            F.sum("c").alias("c"),
+            F.min("__w").alias("__wmin"),
+            F.max("__w").alias("__w"),
+            F.min("__d").alias("__dmin"),
+            F.max("__d").alias("__dmax"),
+        )
+        ok = (F.col("__wmin") == F.col("__w")) & (F.col("__dmin") == F.col("__dmax"))
+        out = (
+            out.filter(
+                F.coalesce(
+                    F.assert_true(
+                        ok, F.lit("cms_merge: shards built with differing width/depth")
+                    ).cast("boolean"),
+                    F.lit(True),
+                )
+            )
+            .withColumn("__d2", F.col("__dmax"))
+            .drop("__wmin", "__dmin", "__dmax")
+            .withColumnRenamed("__d2", "__d")
+        )
+    else:
+        out = src.groupBy(*grp, "d", "pos").agg(F.sum("c").alias("c"))
     return out.drop(_GRP) if not by else out
 
 
@@ -221,18 +312,33 @@ def cms_estimate(
     sketch: DataFrame,
     values: Sequence,
     by: Sequence[str] = (),
-    width: int = 1024,
-    depth: int = 3,
+    width: int | None = None,
+    depth: int | None = None,
     value_col: str = "value",
 ) -> DataFrame:
     """Point-frequency estimates for ``values`` from a sketch frame:
     (by..., value, est_count) with est = min over depths of the probed
     cell (absent cell = 0).
 
+    (width, depth) default to the sketch's embedded metadata; explicit
+    values that disagree with it fail the job JVM-side — a probe hashed
+    with the wrong geometry would silently return garbage otherwise.
+
     The probe table is (groups x values x depth) — tiny; it broadcasts,
     and only sketch cells matching a probed position are read.
     """
     spark = sketch.sparkSession
+    has_meta = "__w" in sketch.columns
+    if width is None or depth is None:
+        if not has_meta:
+            raise ValueError(
+                "cms_estimate: sketch carries no __w/__d metadata; pass width= and depth="
+            )
+        mw, md = _read_meta(sketch, ["__w", "__d"])
+        width = int(mw) if width is None else width
+        depth = int(md) if depth is None else depth
+    if has_meta:
+        sketch = _check_meta(sketch, {"__w": int(width), "__d": int(depth)})
     grp = list(by) if by else [_GRP]
     src = sketch if by else sketch.withColumn(_GRP, F.lit(1))
     vals = spark.createDataFrame([(str(v),) for v in values], [value_col])
@@ -291,8 +397,11 @@ def hist_sketch(
     by: Sequence[str] = (),
     bins: int = 128,
 ) -> DataFrame:
-    """Build the histogram: (by..., bin, c). Values outside [lo, hi)
-    clamp into the edge bins (they count, with saturated position)."""
+    """Build the histogram: (by..., bin, c, __lo, __hi, __bins). Values
+    outside [lo, hi) clamp into the edge bins (they count, with
+    saturated position). The bin geometry is embedded as literal
+    columns so a probe with mismatched (lo, hi, bins) fails instead of
+    silently interpolating against the wrong edges."""
     if not hi > lo:
         raise ValueError("hist_sketch needs hi > lo")
     grp = list(by) if by else [_GRP]
@@ -301,26 +410,54 @@ def hist_sketch(
         src.select(*grp, _hist_bin(col, lo, hi, bins).alias("bin"))
         .groupBy(*grp, "bin")
         .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("__lo", F.lit(float(lo)))
+        .withColumn("__hi", F.lit(float(hi)))
+        .withColumn("__bins", F.lit(int(bins)))
     )
     return out.drop(_GRP) if not by else out
 
 
 def hist_merge(sketches: DataFrame, by: Sequence[str] = ()) -> DataFrame:
     """Cell-wise sum of partial histograms — the exact sketch of the
-    concatenated data."""
+    concatenated data. Shards with differing bin geometry fail the
+    merge job (JVM-side assert on the embedded metadata)."""
     grp = list(by) if by else [_GRP]
     src = sketches if by else sketches.withColumn(_GRP, F.lit(1))
-    out = src.groupBy(*grp, "bin").agg(F.sum("c").alias("c"))
+    if "__bins" in src.columns:
+        out = src.groupBy(*grp, "bin").agg(
+            F.sum("c").alias("c"),
+            F.min("__lo").alias("__lomin"),
+            F.max("__lo").alias("__lo"),
+            F.min("__hi").alias("__himin"),
+            F.max("__hi").alias("__hi"),
+            F.min("__bins").alias("__binsmin"),
+            F.max("__bins").alias("__bins"),
+        )
+        ok = (
+            (F.col("__lomin") == F.col("__lo"))
+            & (F.col("__himin") == F.col("__hi"))
+            & (F.col("__binsmin") == F.col("__bins"))
+        )
+        out = out.filter(
+            F.coalesce(
+                F.assert_true(
+                    ok, F.lit("hist_merge: shards built with differing lo/hi/bins")
+                ).cast("boolean"),
+                F.lit(True),
+            )
+        ).drop("__lomin", "__himin", "__binsmin")
+    else:
+        out = src.groupBy(*grp, "bin").agg(F.sum("c").alias("c"))
     return out.drop(_GRP) if not by else out
 
 
 def hist_quantile(
     sketch: DataFrame,
     qs: Sequence[float],
-    lo: float,
-    hi: float,
+    lo: float | None = None,
+    hi: float | None = None,
     by: Sequence[str] = (),
-    bins: int = 128,
+    bins: int | None = None,
 ) -> DataFrame:
     """Quantile estimates from a histogram frame: (by..., q, est).
 
@@ -328,8 +465,26 @@ def hist_quantile(
     inside the first bin whose cumulative count reaches r:
     ``lo + width * (bin + (r - cum_before) / c_bin)``. Each group's
     cumulative pass windows over at most ``bins`` rows.
+
+    (lo, hi, bins) default to the sketch's embedded metadata; explicit
+    values that disagree fail the job JVM-side.
     """
     spark = sketch.sparkSession
+    has_meta = "__bins" in sketch.columns
+    if lo is None or hi is None or bins is None:
+        if not has_meta:
+            raise ValueError(
+                "hist_quantile: sketch carries no __lo/__hi/__bins metadata; "
+                "pass lo=, hi= and bins="
+            )
+        mlo, mhi, mbins = _read_meta(sketch, ["__lo", "__hi", "__bins"])
+        lo = float(mlo) if lo is None else lo
+        hi = float(mhi) if hi is None else hi
+        bins = int(mbins) if bins is None else bins
+    if has_meta:
+        sketch = _check_meta(
+            sketch, {"__lo": float(lo), "__hi": float(hi), "__bins": int(bins)}
+        )
     grp = list(by) if by else [_GRP]
     src = sketch if by else sketch.withColumn(_GRP, F.lit(1))
     width = (hi - lo) / bins

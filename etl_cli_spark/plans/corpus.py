@@ -70,6 +70,11 @@ def _s_decontaminate(
 ) -> DataFrame:
     from ..operators.pipeline import bloom_decontaminate, decontaminate
 
+    if benchmark is None and benchmark_filter is None:
+        raise ValueError(
+            "decontaminate stage needs 'benchmark' (a DataFrame) or "
+            "'benchmark_filter' (a SQL predicate selecting benchmark rows)"
+        )
     bench = benchmark if benchmark is not None else df.filter(benchmark_filter)
     return (bloom_decontaminate if bloom else decontaminate)(df, bench, **kw)
 

@@ -59,10 +59,17 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 1
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -98,7 +105,8 @@ def main():
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"ok   {name}: MATCH ({len(srows)} rows, {time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok; failures: {failures or 'none'}")
+    scope = f" (subset of {len(qs)} declared)" if only else ""
+    print(f"\n{n_run - len(failures)}/{n_run} ok{scope}; failures: {failures or 'none'}")
     return 1 if failures else 0
 
 

@@ -170,9 +170,9 @@ def test_session_paths_hand_computed(spark):
     df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, sec long").selectExpr(
         "user_id", "event_id", "event_type", "timestamp_seconds(sec) AS ts"
     )
-    got = {r.path: r.n_sessions_through for r in session_paths(df, n=2).collect()}
+    got = {r.path: r.n_occurrences for r in session_paths(df, n=2).collect()}
     assert got["view > click"] == 3  # all three sessions
     assert got["click > buy"] == 2
     assert got["buy > view"] == 1
-    trigrams = {r.path: r.n_sessions_through for r in session_paths(df, n=3).collect()}
+    trigrams = {r.path: r.n_occurrences for r in session_paths(df, n=3).collect()}
     assert trigrams["view > click > buy"] == 2  # the 2-event session contributes nothing

@@ -122,7 +122,7 @@ def test_cms_grouped_sketch_bounded(zipfy):
     g = zipfy.withColumn("g", F.lit("g0"))
     sk = cms_sketch(g, "v", by=["g"], width=64, depth=2)
     assert sk.count() <= 64 * 2
-    assert set(sk.columns) == {"g", "d", "pos", "c"}
+    assert set(sk.columns) == {"g", "d", "pos", "c", "__w", "__d"}
 
 
 # -- histogram quantile sketch ----------------------------------------------
@@ -169,3 +169,90 @@ def test_hist_clamps_out_of_range(spark):
     rows = {r.bin: r.c for r in hist_sketch(df, "v", lo=0.0, hi=100.0, bins=10).collect()}
     assert rows[0] == 2  # -5 clamps into bin 0
     assert rows[9] == 2  # 500 clamps into the top bin
+
+
+# -- embedded build-parameter metadata (round-3 review item) ----------------
+
+
+def test_sketch_metadata_derived_on_probe(spark):
+    """Probes with omitted parameters read the embedded metadata and
+    match an explicit-parameter probe exactly."""
+    from etl_cli_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+        hist_quantile,
+        hist_sketch,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.range(500).select((F.col("id") % 37).cast("string").alias("v"))
+    sk = cms_sketch(df, "v", width=128, depth=2)
+    imp = {r.value: r.est_count for r in cms_estimate(sk, ["0", "1"]).collect()}
+    exp = {
+        r.value: r.est_count
+        for r in cms_estimate(sk, ["0", "1"], width=128, depth=2).collect()
+    }
+    assert imp == exp
+
+    dv = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    hs = hist_sketch(dv, "v", lo=0.0, hi=100.0, bins=10)
+    assert (
+        hist_quantile(hs, [0.5]).collect()[0].est
+        == hist_quantile(hs, [0.5], 0.0, 100.0, bins=10).collect()[0].est
+    )
+
+    ks = kmv_sketch(df, "v", k=32)
+    assert (
+        kmv_estimate(ks).collect()[0].est_distinct
+        == kmv_estimate(ks, k=32).collect()[0].est_distinct
+    )
+
+
+def test_sketch_metadata_mismatch_fails_job(spark):
+    """An explicit probe parameter that disagrees with the embedded
+    build parameter fails the job instead of returning wrong numbers."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from etl_cli_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+        hist_quantile,
+        hist_sketch,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.range(100).select((F.col("id") % 7).cast("string").alias("v"))
+    sk = cms_sketch(df, "v", width=128, depth=2)
+    with pytest.raises(Exception):
+        cms_estimate(sk, ["0"], width=64, depth=2).collect()
+
+    dv = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    hs = hist_sketch(dv, "v", lo=0.0, hi=100.0, bins=10)
+    with pytest.raises(Exception):
+        hist_quantile(hs, [0.5], 0.0, 200.0, bins=10).collect()
+
+    ks = kmv_sketch(df, "v", k=32)
+    with pytest.raises(Exception):
+        kmv_estimate(ks, k=64).collect()
+
+
+def test_sketch_merge_mixed_geometry_fails(spark):
+    """Merging shards built with differing geometry fails the merge job."""
+    import pytest
+    from etl_cli_spark.operators.sketch import cms_merge, cms_sketch, hist_merge, hist_sketch
+
+    df = spark.range(100).select((F.col("id") % 7).cast("string").alias("v"))
+    mixed = cms_sketch(df, "v", width=64, depth=2).unionByName(
+        cms_sketch(df, "v", width=128, depth=2)
+    )
+    with pytest.raises(Exception):
+        cms_merge(mixed).collect()
+
+    dv = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    hmixed = hist_sketch(dv, "v", 0.0, 100.0, bins=10).unionByName(
+        hist_sketch(dv, "v", 0.0, 200.0, bins=10)
+    )
+    with pytest.raises(Exception):
+        hist_merge(hmixed).collect()
