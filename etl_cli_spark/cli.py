@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sort-by", dest="sort_by",
                    help="cluster rows within files on column(s) for parquet "
                         "min/max data skipping, comma-separated")
+    p.add_argument("--manifest", action="store_true",
+                   help="commit writes through a _log manifest (snapshot-"
+                        "isolated reads, atomic object-store-safe commits)")
     p.add_argument("--log-ds", dest="log_ds",
                    help="namespace for the per-target write log (logs written batches)")
     p.add_argument("--log", dest="log_fields",
@@ -187,6 +190,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         overwrite=args.overwrite, drop=args.drop, dry=args.dry,
         tmap=args.tmap, turl=args.turl, n_buckets=args.n_buckets,
         partition_by=args.partition_by, sort_by=args.sort_by,
+        manifest=args.manifest,
         log_ds=args.log_ds, log=args.log_fields,
         workers=args.workers, batch_size=args.batch_size,
     )

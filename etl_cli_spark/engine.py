@@ -195,11 +195,12 @@ class Engine:
         n_buckets: int | None = None,
         partition_by: tuple[str, ...] | None = None,
         sort_by: tuple[str, ...] | None = None,
+        manifest: bool = False,
     ) -> ParquetTable:
         return ParquetTable(
             self.spark, resolve_path(ds, self.root), max_records_per_file,
             bucket_by=bucket_by, n_buckets=n_buckets or 32,
-            partition_by=partition_by, sort_by=sort_by,
+            partition_by=partition_by, sort_by=sort_by, manifest=manifest,
         )
 
     def count(self, uri: str, query: Sequence[str] | None = None) -> int:
@@ -472,6 +473,7 @@ class Engine:
                 n_buckets=spec.target.n_buckets,
                 partition_by=spec.target.partition_by or None,
                 sort_by=spec.target.sort_by or None,
+                manifest=spec.target.manifest,
             )
             final = apply_write_op(df, tbl, spec.target)
         else:

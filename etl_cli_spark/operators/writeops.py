@@ -42,6 +42,7 @@ _TS_COL = "_etl_ts"
 _T, _S = "__etl_tgt", "__etl_srcw"
 _BUCKET = "__etl_bucket"
 _META = "_etl_bucket_meta.json"
+_LOG = "_log"
 
 
 def bucket_expr(cols: tuple[str, ...] | list[str], n_buckets: int) -> Column:
@@ -60,6 +61,26 @@ class ParquetTable:
     ``bucket_by`` + ``n_buckets`` opt into the hive-partitioned pk-hash
     layout; an existing table's layout (recorded in a sidecar) always
     wins over the constructor arguments.
+
+    ``manifest=True`` opts into the transaction-log commit protocol:
+    every write lands its files under transaction-unique names (never
+    replacing anything) and becomes visible by committing a
+    ``_log/<version>.json`` manifest listing the table's complete live
+    file set. Readers resolve the newest committed manifest, so they
+    always see one consistent snapshot — no torn table mid-swap, which
+    is exactly what directory renames cannot guarantee on an object
+    store (S3/GCS rename = copy+delete, neither atomic nor isolated).
+    Writers commit with an atomic put-if-absent of the next version
+    (``os.link`` locally; conditional PUT on a real object store) and
+    the loser of a commit race recomputes against the new tip and
+    retries, so concurrent appends/partition-scoped rewrites serialize
+    correctly. Stale files are invisible until :meth:`vacuum` removes
+    them. The on-disk file layout (pk-hash buckets, value partitions,
+    zorder clustering) is unchanged — the manifest only governs
+    visibility. Scale note: a manifest lists the full file set (O(files)
+    per commit, like an Iceberg manifest list); at extreme file counts
+    you would add delta logs + checkpoint compaction a la Delta — the
+    read/commit contract here is the same one those formats present.
     """
 
     def __init__(
@@ -71,6 +92,7 @@ class ParquetTable:
         n_buckets: int = 32,
         partition_by: tuple[str, ...] | None = None,
         sort_by: tuple[str, ...] | None = None,
+        manifest: bool = False,
     ):
         if bucket_by and partition_by:
             raise ValueError("bucket_by and partition_by are mutually exclusive")
@@ -85,6 +107,134 @@ class ParquetTable:
         # point/range scans skip whole files (data skipping) — the poor
         # man's Z-order, exact for a single leading column
         self._sort_by = tuple(sort_by) if sort_by else None
+        self._manifest = manifest
+
+    # -- manifest transaction log --------------------------------------
+    def _log_dir(self) -> str:
+        return os.path.join(self.path, _LOG)
+
+    def _is_manifest(self) -> bool:
+        """On-disk state wins over the constructor flag: a ``_log`` dir
+        means the table is manifest-committed however it is opened, and
+        a table that already holds legacy data without a log stays
+        legacy (so ``manifest=True`` can never misread existing data)."""
+        if os.path.isdir(self._log_dir()):
+            return True
+        if not self._manifest:
+            return False
+        if os.path.exists(self.path):
+            entries = [e for e in os.listdir(self.path) if e != _META]
+            return not entries
+        return True
+
+    def _latest_manifest(self) -> tuple[int, dict] | None:
+        """(version, manifest) of the newest committed snapshot. Commits
+        are atomic (hard-link put-if-absent), so any listed file is
+        complete — no torn-read handling needed."""
+        try:
+            names = os.listdir(self._log_dir())
+        except OSError:
+            return None
+        vers = sorted(
+            int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
+        )
+        if not vers:
+            return None
+        v = vers[-1]
+        with open(os.path.join(self._log_dir(), f"{v:020d}.json")) as f:
+            return v, json.load(f)
+
+    def _commit(self, make) -> int:
+        """Commit the next manifest version. ``make(prev_files,
+        prev_schema) -> (files, schema_json)`` computes the new complete
+        file set FROM the snapshot being replaced, and is re-invoked on
+        a commit race so the loser rebases onto the winner's tip — an
+        optimistic-concurrency loop, the local twin of a conditional PUT
+        against an object store's commit log."""
+        os.makedirs(self._log_dir(), exist_ok=True)
+        while True:
+            latest = self._latest_manifest()
+            ver = 0 if latest is None else latest[0] + 1
+            prev_files = [] if latest is None else latest[1]["files"]
+            prev_schema = None if latest is None else latest[1].get("schema")
+            files, schema = make(prev_files, prev_schema)
+            doc = {"version": ver, "files": sorted(files), "schema": schema}
+            tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(doc, f)
+                f.flush()
+                os.fsync(f.fileno())
+            final = os.path.join(self._log_dir(), f"{ver:020d}.json")
+            try:
+                # put-if-absent: atomic; fails iff a concurrent writer
+                # took this version first
+                os.link(tmp, final)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue
+            os.unlink(tmp)
+            return ver
+
+    def _stage_write(self, df: DataFrame) -> tuple[list[str], str | None]:
+        """Write ``df`` through the normal layout writers into a staging
+        dir, then move the data files into the live tree under
+        transaction-unique names. The files are INVISIBLE to readers (no
+        manifest references them yet); returns (relative paths, schema
+        json from the written footers — None if the write was empty)."""
+        staged = f"{self.path}.__staged_{uuid.uuid4().hex[:8]}"
+        layout = self._target_layout()
+        vcols = self._target_value_layout()
+        if layout:
+            self._write_bucketed(df, staged, layout, mode="overwrite")
+            self._write_meta(*layout)
+        elif vcols:
+            self._write_value_partitioned(df, staged, vcols, mode="overwrite")
+            self._write_value_meta(vcols)
+        else:
+            self._writer(self._clustered(df)).mode("overwrite").parquet(staged)
+            self._write_plain_meta()
+        has_data = any(
+            not fn.startswith(("_", "."))
+            for _r, _d, fns in os.walk(staged)
+            for fn in fns
+        )
+        schema = (
+            self.spark.read.option("basePath", staged).parquet(staged).schema.json()
+            if has_data
+            else None
+        )
+        return self._ingest_staged(staged), schema
+
+    def _ingest_staged(self, staged: str) -> list[str]:
+        txn = uuid.uuid4().hex[:12]
+        out: list[str] = []
+        for root, _dirs, files in os.walk(staged):
+            rel = os.path.relpath(root, staged)
+            reldir = "" if rel == "." else rel
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                dst_dir = os.path.join(self.path, reldir) if reldir else self.path
+                os.makedirs(dst_dir, exist_ok=True)
+                dst_name = f"{txn}-{fn}"
+                os.rename(os.path.join(root, fn), os.path.join(dst_dir, dst_name))
+                out.append(os.path.join(reldir, dst_name) if reldir else dst_name)
+        shutil.rmtree(staged, ignore_errors=True)
+        return out
+
+    def _read_manifest_files(
+        self, files: list[str], schema_json: str | None
+    ) -> DataFrame | None:
+        if not files:
+            if schema_json is None:
+                return None
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+        paths = [os.path.join(self.path, f) for f in files]
+        return self.spark.read.option("basePath", self.path).parquet(*paths)
 
     # -- layout ---------------------------------------------------------
     def _meta(self) -> dict | None:
@@ -124,19 +274,31 @@ class ParquetTable:
             return self.value_layout
         return self._partition_by
 
+    def _dump_meta(self, m: dict, base: str | None = None) -> None:
+        """Atomic sidecar write (tmp + rename): a concurrent reader sees
+        the old meta or the new one, never a torn JSON."""
+        base = base or self.path
+        os.makedirs(base, exist_ok=True)
+        tmp = os.path.join(base, f".{_META}.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, os.path.join(base, _META))
+
     def _write_meta(self, cols: tuple[str, ...], n: int, base: str | None = None) -> None:
         m: dict = {"cols": list(cols), "n": n}
         if self._effective_sort():
             m["sort"] = list(self._effective_sort())
-        with open(os.path.join(base or self.path, _META), "w") as f:
-            json.dump(m, f)
+        if self._is_manifest():
+            m["manifest"] = True
+        self._dump_meta(m, base)
 
     def _write_value_meta(self, cols: tuple[str, ...], base: str | None = None) -> None:
         m: dict = {"cols": list(cols), "kind": "values"}
         if self._effective_sort():
             m["sort"] = list(self._effective_sort())
-        with open(os.path.join(base or self.path, _META), "w") as f:
-            json.dump(m, f)
+        if self._is_manifest():
+            m["manifest"] = True
+        self._dump_meta(m, base)
 
     def _write_plain_meta(self, base: str | None = None) -> None:
         """Unpartitioned table: persist the clustering columns (sort or
@@ -151,9 +313,10 @@ class ParquetTable:
             cols, bits, ranges = zm
             m.update(zorder=list(cols), zbits=bits,
                      zranges={c: list(v) for c, v in ranges.items()})
+        if self._is_manifest():
+            m["manifest"] = True
         if len(m) > 1:
-            with open(os.path.join(base or self.path, _META), "w") as f:
-                json.dump(m, f)
+            self._dump_meta(m, base)
 
     def _zorder_meta(self) -> tuple[list[str], int, dict] | None:
         """(cols, bits, pinned ranges) of the on-disk z-order layout."""
@@ -236,9 +399,19 @@ class ParquetTable:
 
     # -- basic io -------------------------------------------------------
     def exists(self) -> bool:
+        if self._is_manifest():
+            # files on disk without a committed manifest are an
+            # interrupted write: invisible, the table does not exist yet
+            return self._latest_manifest() is not None
         return os.path.exists(self.path)
 
     def read(self) -> DataFrame | None:
+        if self._is_manifest():
+            latest = self._latest_manifest()
+            if latest is None:
+                return None
+            df = self._read_manifest_files(latest[1]["files"], latest[1].get("schema"))
+            return df.drop(_BUCKET) if df is not None and _BUCKET in df.columns else df
         if not self.exists():
             return None
         df = self.spark.read.parquet(self.path)
@@ -246,12 +419,47 @@ class ParquetTable:
 
     def read_buckets(self, buckets: list[int]) -> DataFrame:
         """Partition-pruned read: only the named bucket directories are
-        scanned (the filter sits on the hive partition column)."""
+        scanned (the filter sits on the hive partition column; in
+        manifest mode the file list itself is pruned to those bucket
+        dirs before Spark ever builds a file index)."""
+        if self._is_manifest():
+            latest = self._latest_manifest()
+            keep = {f"{_BUCKET}={int(b)}" for b in buckets}
+            files = [] if latest is None else [
+                f for f in latest[1]["files"] if f.split(os.sep)[0] in keep
+            ]
+            schema = None if latest is None else latest[1].get("schema")
+            df = self._read_manifest_files(files, schema)
+            if df is None:
+                raise FileNotFoundError(self.path)
+            return df.filter(
+                F.col(_BUCKET).isin([int(b) for b in buckets])
+            ).drop(_BUCKET)
         df = self.spark.read.parquet(self.path)
         return df.filter(F.col(_BUCKET).isin([int(b) for b in buckets])).drop(_BUCKET)
 
     def read_value_partitions(self, col: str, values: list) -> DataFrame:
-        """Partition-pruned read of a value-partitioned table."""
+        """Partition-pruned read of a value-partitioned table. Manifest
+        mode prunes the file list when every value maps unambiguously to
+        a hive dir name (same guard as the scoped-write path); the
+        partition filter stays on regardless, so results are identical
+        either way."""
+        if self._is_manifest():
+            latest = self._latest_manifest()
+            if latest is None:
+                raise FileNotFoundError(self.path)
+            files, schema = latest[1]["files"], latest[1].get("schema")
+            if all(
+                v is not None
+                and not isinstance(v, bool)
+                and isinstance(v, (str, int))
+                and not any(ch in str(v) for ch in ("/", "%", "="))
+                for v in values
+            ):
+                keep = {f"{col}={v}" for v in values}
+                files = [f for f in files if f.split(os.sep)[0] in keep]
+            df = self._read_manifest_files(files, schema)
+            return df.filter(F.col(col).isin(values))
         df = self.spark.read.parquet(self.path)
         return df.filter(F.col(col).isin(values))
 
@@ -265,6 +473,14 @@ class ParquetTable:
             pass
 
     def append(self, df: DataFrame) -> None:
+        if self._is_manifest():
+            files, schema = self._stage_write(df)
+            # rebase-safe under concurrency: an append only ADDS its own
+            # files, so on a commit race the retry unions with whatever
+            # the winning snapshot holds
+            self._commit(lambda prev, ps: (list(prev) + files, schema or ps))
+            self._touch()
+            return
         layout = self._target_layout()
         vcols = self._target_value_layout()
         if layout:
@@ -277,7 +493,16 @@ class ParquetTable:
         self._touch()
 
     def overwrite(self, df: DataFrame) -> None:
-        """Full-state replace via stage + atomic swap (safe self-reference)."""
+        """Full-state replace via stage + atomic swap (safe
+        self-reference). Manifest mode: the new state's files land
+        invisibly, then one manifest commit points the table at them —
+        readers see the old snapshot until the commit, then the new one;
+        never a mix."""
+        if self._is_manifest():
+            files, schema = self._stage_write(df)
+            self._commit(lambda prev, ps: (files, schema or ps))
+            self._touch()
+            return
         staged = f"{self.path}.__staged_{uuid.uuid4().hex[:8]}"
         layout = self._target_layout()
         vcols = self._target_value_layout()
@@ -309,6 +534,20 @@ class ParquetTable:
         layout = self.layout
         if layout is None:
             raise ValueError("overwrite_buckets requires an on-disk bucketed table")
+        if self._is_manifest():
+            files, schema = self._stage_write(df)
+            drop = {f"{_BUCKET}={int(b)}" for b in buckets}
+            # replace the touched buckets' files, keep everything else
+            # from whatever snapshot the commit lands on — bucket-
+            # disjoint concurrent rewrites compose instead of clobbering
+            self._commit(
+                lambda prev, ps: (
+                    [f for f in prev if f.split(os.sep)[0] not in drop] + files,
+                    schema or ps,
+                )
+            )
+            self._touch()
+            return
         uid = uuid.uuid4().hex[:8]
         staged = f"{self.path}.__staged_{uid}"
         self._write_bucketed(df, staged, layout, mode="overwrite")
@@ -349,6 +588,17 @@ class ParquetTable:
         vcols = self.value_layout
         if vcols is None:
             raise ValueError("overwrite_value_partitions needs a value-partitioned table")
+        if self._is_manifest():
+            files, schema = self._stage_write(df)
+            drop = {f"{col}={v}" for v in values}
+            self._commit(
+                lambda prev, ps: (
+                    [f for f in prev if f.split(os.sep)[0] not in drop] + files,
+                    schema or ps,
+                )
+            )
+            self._touch()
+            return
         uid = uuid.uuid4().hex[:8]
         staged = f"{self.path}.__staged_{uid}"
         self._write_value_partitioned(df, staged, vcols, mode="overwrite")
@@ -436,14 +686,22 @@ class ParquetTable:
             bits = min(16, 63 // len(cols))
         ranges = compute_ranges(df, cols)
         out = zorder_frame(df, cols, num_partitions=num_partitions, bits=bits, ranges=ranges)
+        zmeta = {"kind": "plain", "zorder": cols, "zbits": bits,
+                 "zranges": {c: list(v) for c, v in ranges.items()}}
+        if self._is_manifest():
+            zmeta["manifest"] = True
+            staged = f"{self.path}.__staged_{uuid.uuid4().hex[:8]}"
+            self._writer(out).mode("overwrite").parquet(staged)
+            schema = self.spark.read.parquet(staged).schema.json()
+            files = self._ingest_staged(staged)
+            self._dump_meta(zmeta)
+            self._commit(lambda prev, ps: (files, schema))
+            self._touch()
+            return
         staged = f"{self.path}.__staged_{uuid.uuid4().hex[:8]}"
         self._writer(out).mode("overwrite").parquet(staged)
         with open(os.path.join(staged, _META), "w") as f:
-            json.dump(
-                {"kind": "plain", "zorder": cols, "zbits": bits,
-                 "zranges": {c: list(v) for c, v in ranges.items()}},
-                f,
-            )
+            json.dump(zmeta, f)
         backup = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
         os.rename(self.path, backup)
         os.rename(staged, self.path)
@@ -452,8 +710,12 @@ class ParquetTable:
 
     def vacuum(self) -> int:
         """Remove leftover ``__staged_*`` / ``__old_*`` directories from
-        interrupted swaps. Returns how many were removed. Safe anytime:
-        live data is never under these names."""
+        interrupted swaps, and — on a manifest table — data files no
+        manifest references (interrupted ingests, replaced snapshots)
+        plus superseded manifest versions. Returns how many entries were
+        removed. Requires no in-flight writers on a manifest table (an
+        uncommitted ingest looks exactly like garbage — the same
+        retention caveat Delta's VACUUM documents)."""
         base_dir, name = os.path.split(self.path)
         removed = 0
         try:
@@ -464,6 +726,27 @@ class ParquetTable:
             if entry.startswith(f"{name}.__staged_") or entry.startswith(f"{name}.__old_"):
                 shutil.rmtree(os.path.join(base_dir, entry), ignore_errors=True)
                 removed += 1
+        if self._is_manifest():
+            latest = self._latest_manifest()
+            if latest is not None:
+                ver, live = latest[0], set(latest[1]["files"])
+                for root, dirs, files in os.walk(self.path, topdown=True):
+                    dirs[:] = [d for d in dirs if d != _LOG]
+                    for fn in files:
+                        if fn.startswith(("_", ".")):
+                            continue
+                        rel = os.path.relpath(os.path.join(root, fn), self.path)
+                        if rel not in live:
+                            os.remove(os.path.join(root, fn))
+                            removed += 1
+                for n in os.listdir(self._log_dir()):
+                    if n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) < ver:
+                        os.remove(os.path.join(self._log_dir(), n))
+                        removed += 1
+                # drop partition dirs drained by the file sweep
+                for root, dirs, files in os.walk(self.path, topdown=False):
+                    if root != self.path and not os.listdir(root):
+                        os.rmdir(root)
         return removed
 
     def drop(self) -> None:

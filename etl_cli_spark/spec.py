@@ -77,6 +77,10 @@ class TargetSpec:
     # the column is pk-contained) and within-file clustering (--sort-by)
     partition_by: tuple[str, ...] = ()
     sort_by: tuple[str, ...] = ()
+    # transaction-log commit protocol (--manifest): snapshot-isolated
+    # reads + atomic put-if-absent commits instead of directory renames
+    # (the object-store-safe posture; see writeops.ParquetTable)
+    manifest: bool = False
     # per-target write log: namespace to log written batches into
     # (reference --log-ds -> target.log_ds = '<ns>.<target>', etl.py:193-195)
     log_ds: str | None = None
@@ -142,6 +146,7 @@ def make_spec(
     n_buckets: int | None = None,
     partition_by: Sequence[str] | str | None = None,
     sort_by: Sequence[str] | str | None = None,
+    manifest: bool = False,
     log_ds: str | None = None,
     log: Sequence[str] | str | None = None,
     workers: int | None = None,
@@ -210,7 +215,7 @@ def make_spec(
             overwrite_fields=tup(overwrite), drop=drop, dry_run=dry,
             tmap=tmap, url=turl, n_buckets=n_buckets,
             partition_by=tup(partition_by), sort_by=tup(sort_by),
-            log_ds=log_ds,
+            manifest=manifest, log_ds=log_ds,
             **({"log_fields": tup(log)} if log else {}),
         )
     return JobSpec(
