@@ -202,3 +202,89 @@ def test_minhash_dedup_canonical_keeps_best_of_chain(spark):
     assert 50 in ids  # unrelated doc untouched
     assert 2 in ids   # longest variant is the cluster representative
     assert 1 not in ids and 3 not in ids
+
+
+# -- persisted dedup index (round-4: incremental-crawl near-dup) -------------
+
+
+@pytest.fixture()
+def crawl_docs(engine):
+    return engine.read("documents")
+
+
+def _idx_rows(spark, path, sub):
+    df = spark.read.parquet(f"{path}/{sub}")
+    if sub == "buckets":
+        return sorted(map(tuple, df.select("id", "band", "bucket").collect()))
+    return sorted((r.id, tuple(r.hs)) for r in df.collect())
+
+
+def test_dedup_index_append_equals_rebuild(spark, crawl_docs, tmp_path):
+    """index(A) + append(B) holds bit-identical bucket and signature
+    rows to build(A ∪ B) — signatures are a pure function of the text
+    and the persisted meta parameters."""
+    from etl_cli_spark.operators.dedup import append_to_dedup_index, build_dedup_index
+
+    d = crawl_docs
+    mid = d.agg(F.max("doc_id")).first()[0] // 2
+    a, b = d.filter(F.col("doc_id") <= mid), d.filter(F.col("doc_id") > mid)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_dedup_index(a, inc)
+    append_to_dedup_index(b, inc, threshold=0.8)
+    build_dedup_index(d, full)
+    assert _idx_rows(spark, inc, "buckets") == _idx_rows(spark, full, "buckets")
+    assert _idx_rows(spark, inc, "sigs") == _idx_rows(spark, full, "sigs")
+
+
+def test_dedup_index_kept_set_equals_batch_dedup(spark, crawl_docs, tmp_path):
+    """The incremental kept set (dedup A, then append B against A's
+    index) is EXACTLY minhash_dedup(A ∪ B) — including docs whose only
+    near-twin was itself dropped (the reason the index stores dropped
+    docs' signatures too)."""
+    from etl_cli_spark.operators.dedup import append_to_dedup_index, build_dedup_index
+
+    d = crawl_docs
+    mid = d.agg(F.max("doc_id")).first()[0] // 2
+    a, b = d.filter(F.col("doc_id") <= mid), d.filter(F.col("doc_id") > mid)
+    path = str(tmp_path / "idx")
+    build_dedup_index(a, path)
+    kept_a = minhash_dedup(a, threshold=0.8)
+    kept_b = append_to_dedup_index(b, path, threshold=0.8)
+    inc_ids = sorted(
+        r.doc_id for r in kept_a.select("doc_id").unionByName(kept_b.select("doc_id")).collect()
+    )
+    batch_ids = sorted(r.doc_id for r in minhash_dedup(d, threshold=0.8).collect())
+    assert inc_ids == batch_ids
+
+
+def test_dedup_index_probe_is_partition_pruned(spark, crawl_docs, tmp_path):
+    """The index read inside dedup_against_index must carry a
+    PartitionFilters entry on __bb — the probe touches the batch's
+    bucket dirs, never the whole index."""
+    from etl_cli_spark.operators.dedup import build_dedup_index, dedup_against_index
+
+    d = crawl_docs
+    path = str(tmp_path / "pidx")
+    build_dedup_index(d.filter("doc_id % 2 = 0"), path)
+    probe = dedup_against_index(d.filter("doc_id % 97 = 0"), path, threshold=0.8)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # several scans appear (documents has no partitions); the index
+    # bucket scan must be the one carrying a non-empty __bb filter
+    assert any(
+        seg[:300].lstrip().startswith("__bb")
+        for seg in plan.split("PartitionFilters: [")[1:]
+    )
+
+
+def test_dedup_index_cross_batch_dup_detected(spark, tmp_path):
+    """A doc in drop 2 that near-dups a drop-1 doc is removed even
+    though drop 2 alone has no duplicates."""
+    from etl_cli_spark.operators.dedup import append_to_dedup_index, build_dedup_index
+
+    t = "the quick brown fox jumps over the lazy dog near the river bank"
+    a = spark.createDataFrame([(1, t + " today"), (2, "totally unrelated words about parquet arrow")], ["doc_id", "text"])
+    b = spark.createDataFrame([(10, t + " yesterday"), (11, "fresh unique content mentioning catalyst plans")], ["doc_id", "text"])
+    path = str(tmp_path / "cidx")
+    build_dedup_index(a, path)
+    kept = append_to_dedup_index(b, path, threshold=0.7)
+    assert sorted(r.doc_id for r in kept.collect()) == [11]
