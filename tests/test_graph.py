@@ -33,3 +33,27 @@ def test_pagerank_mass_conserved_with_dangling(spark):
     pr = pagerank(edges, iters=6)
     total = sum(r.rank for r in pr.collect())
     assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_tol_stops_early_identical_ranks(spark):
+    """On a cycle the ranks are uniform from round 1, so tol= stops
+    after round 2 (first measurable zero delta) with ranks IDENTICAL to
+    the full fixed-iteration run — convergence is an early exit, never
+    a different answer."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    full = {r.node: r.rank for r in pagerank(edges, iters=20).collect()}
+    early = {r.node: r.rank for r in pagerank(edges, iters=20, tol=1e-12).collect()}
+    assert early == full
+
+
+def test_pagerank_tol_respects_iter_cap(spark):
+    """A tolerance no round can reach still stops at the iters cap and
+    matches the fixed-round protocol exactly."""
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 11), (3, 12)], "src long, dst long"
+    )
+    fixed = {r.node: r.rank for r in pagerank(edges, iters=4).collect()}
+    capped = {r.node: r.rank for r in pagerank(edges, iters=4, tol=0.0).collect()}
+    assert capped == fixed
