@@ -231,3 +231,60 @@ def test_bmp_reel_rejects_corrupt(spark):
     assert len(_split_bmp_reel(good * 3)) == 3
     with _pt.raises(ValueError, match="trailing"):
         _split_bmp_reel(good + b"junk")
+
+
+# -- PNG (round-4: real stdlib-zlib decode, all five filters) ----------------
+
+
+def test_decode_png_roundtrip_all_filters():
+    """encode_png cycles filters 0-4 across rows; the decoder must
+    reverse every one of them back to the exact source pixels."""
+    from etl_cli_spark.operators.multimodal import _decode_png, encode_png, media_pixels
+
+    px = media_pixels(7, 9, 11)  # >= 5 rows -> every filter type present
+    w, h, dec = _decode_png(encode_png(px))
+    assert (w, h) == (9, 11)
+    assert (dec == px).all()
+
+
+def test_decode_png_in_media_pipeline(spark):
+    """make_fake_media now cycles ppm/png/bmp; every row must decode to
+    the pattern digest regardless of format."""
+    import hashlib
+
+    from etl_cli_spark.operators.multimodal import (
+        make_fake_media,
+        media_dims,
+        media_pixels,
+    )
+
+    media = make_fake_media(spark, n=9)
+    fmts = {r.media_id: r.meta.format for r in media.collect()}
+    assert sorted(set(fmts.values())) == ["bmp", "png", "ppm"]
+    for r in decode_images(media).collect():
+        w, h = media_dims(r.media_id)
+        assert (r.dec_width, r.dec_height) == (w, h)
+        exp = hashlib.sha256(media_pixels(r.media_id, w, h).tobytes()).digest()[:16]
+        assert bytes(r.dec_digest) == exp
+
+
+def test_decode_png_rejects_unsupported_variants():
+    """Palette/16-bit/interlaced PNGs raise a clear error instead of
+    decoding garbage."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from etl_cli_spark.operators.multimodal import _PNG_SIG, _decode_png
+
+    def mk(depth, color, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        end = struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+        return _PNG_SIG + chunk + end
+
+    for depth, color, inter in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+        with _pytest.raises(ValueError, match="only 8-bit truecolor"):
+            _decode_png(mk(depth, color, inter))
