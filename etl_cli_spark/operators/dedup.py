@@ -691,6 +691,53 @@ def build_dedup_index(
         )
 
 
+def create_dedup_index(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n_parts: int = 64,
+    impl: str = "auto",
+) -> None:
+    """Bootstrap an EMPTY index (meta only): the incremental-crawl entry
+    point when there is no initial corpus — the first
+    :func:`append_to_dedup_index` call populates it. Parameters freeze
+    here; every later append reuses them bit-for-bit."""
+    import json
+    import os
+
+    if impl == "auto":
+        try:
+            import numpy  # noqa: F401
+
+            impl = "pandas"
+        except ImportError:
+            impl = "expr"
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _DEDUP_META), "w") as f:
+        json.dump(
+            {"id_col": id_col, "text_col": text_col, "n_shingle": n_shingle,
+             "num_hashes": num_hashes, "bands": bands, "n_parts": n_parts,
+             "impl": impl},
+            f,
+        )
+
+
+def _index_populated(path: str) -> bool:
+    import os
+
+    b = os.path.join(path, "buckets")
+    if not os.path.isdir(b):
+        return False
+    # hive partition dirs are named __bb=N — they ARE data (a bare
+    # startswith('_') check would skip them and silently disable the
+    # cross-batch dedup); only committer sidecars like _SUCCESS aren't
+    return any("=" in e or not e.startswith(("_", ".")) for e in os.listdir(b))
+
+
 def dedup_against_index(
     df: DataFrame, path: str, threshold: float = 0.7
 ) -> DataFrame:
@@ -719,37 +766,41 @@ def dedup_against_index(
         meta["num_hashes"], meta["bands"], meta["impl"],
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    new_buckets = base.select(
-        "id", F.posexplode("bh").alias("band", "bucket")
-    ).withColumn("__bb", F.pmod(F.xxhash64("band", "bucket"), F.lit(meta["n_parts"])))
-    # driver-side partition list: bounded by n_parts, metadata not data
-    bbs = sorted(
-        r[0] for r in new_buckets.select("__bb").distinct().collect()
-    )
-    idx = (
-        spark.read.parquet(os.path.join(path, "buckets"))
-        .filter(F.col("__bb").isin(bbs))
-        .select(F.col("id").alias("old_id"), "band", "bucket")
-    )
-    cross_cand = (
-        new_buckets.join(idx, on=["band", "bucket"], how="inner")
-        .select(F.col("id").alias("new_id"), "old_id")
-        .dropDuplicates(["new_id", "old_id"])
-    )
-    sigs = spark.read.parquet(os.path.join(path, "sigs"))
-    cross_dups = (
-        cross_cand.join(
-            base.select(F.col("id").alias("new_id"), F.col("hs").alias("new_hs")),
-            "new_id",
+    if _index_populated(path):
+        new_buckets = base.select(
+            "id", F.posexplode("bh").alias("band", "bucket")
+        ).withColumn("__bb", F.pmod(F.xxhash64("band", "bucket"), F.lit(meta["n_parts"])))
+        # driver-side partition list: bounded by n_parts, metadata not data
+        bbs = sorted(
+            r[0] for r in new_buckets.select("__bb").distinct().collect()
         )
-        .join(
-            sigs.select(F.col("id").alias("old_id"), F.col("hs").alias("old_hs")),
-            "old_id",
+        idx = (
+            spark.read.parquet(os.path.join(path, "buckets"))
+            .filter(F.col("__bb").isin(bbs))
+            .select(F.col("id").alias("old_id"), "band", "bucket")
         )
-        .filter(jaccard(F.col("new_hs"), F.col("old_hs")) >= threshold)
-        .select(F.col("new_id").alias("id"))
-        .distinct()
-    )
+        cross_cand = (
+            new_buckets.join(idx, on=["band", "bucket"], how="inner")
+            .select(F.col("id").alias("new_id"), "old_id")
+            .dropDuplicates(["new_id", "old_id"])
+        )
+        sigs = spark.read.parquet(os.path.join(path, "sigs"))
+        cross_dups = (
+            cross_cand.join(
+                base.select(F.col("id").alias("new_id"), F.col("hs").alias("new_hs")),
+                "new_id",
+            )
+            .join(
+                sigs.select(F.col("id").alias("old_id"), F.col("hs").alias("old_hs")),
+                "old_id",
+            )
+            .filter(jaccard(F.col("new_hs"), F.col("old_hs")) >= threshold)
+            .select(F.col("new_id").alias("id"))
+            .distinct()
+        )
+    else:
+        # freshly created (or still-empty) index: no cross candidates
+        cross_dups = base.select("id").limit(0)
     # in-batch duplicates: same greedy min-id policy as minhash_dedup
     in_batch = _pairs_from_base(base, threshold).select(
         F.col("b_id").alias("id")

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_cli_spark.plans.corpus import run_corpus_pipeline
 
@@ -73,3 +74,73 @@ def test_pipeline_is_lazy_one_plan(spark, engine):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     # both filters collapse into the scan-adjacent Filter of one plan
     assert plan.count("Scan") <= 2 and "split" in df.columns
+
+
+# -- streaming corpus pipeline (round-4: incremental crawl drops) ------------
+
+
+def test_streaming_pipeline_two_drops_equal_batch(spark, engine, tmp_path):
+    """Two crawl drops through run_corpus_pipeline_streaming (stages +
+    persisted-index dedup) must produce EXACTLY the one-shot batch
+    result: stages over the union, then minhash_dedup. Also proves
+    exactly-once: a third invocation with no new files appends nothing."""
+    from etl_cli_spark.operators.dedup import create_dedup_index, minhash_dedup
+    from etl_cli_spark.operators.writeops import ParquetTable
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline, run_corpus_pipeline_streaming
+
+    docs = engine.read("documents")
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    drop1 = docs.filter(F.col("doc_id") <= mid)
+    drop2 = docs.filter(F.col("doc_id") > mid)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    stages = [{"stage": "filter", "expr": "n_chars > 50"}]
+    create_dedup_index(spark, idx)
+
+    drop1.write.mode("append").parquet(src)
+    run_corpus_pipeline_streaming(
+        spark, src, docs.schema, stages, out, ckpt,
+        dedup_index_path=idx, threshold=0.8,
+    )
+    drop2.write.mode("append").parquet(src)
+    run_corpus_pipeline_streaming(
+        spark, src, docs.schema, stages, out, ckpt,
+        dedup_index_path=idx, threshold=0.8,
+    )
+    inc_ids = sorted(
+        r.doc_id for r in ParquetTable(spark, out).read().select("doc_id").collect()
+    )
+    batch = minhash_dedup(run_corpus_pipeline(docs, stages), threshold=0.8)
+    batch_ids = sorted(r.doc_id for r in batch.select("doc_id").collect())
+    assert inc_ids == batch_ids
+
+    # exactly-once: nothing new -> nothing appended
+    run_corpus_pipeline_streaming(
+        spark, src, docs.schema, stages, out, ckpt,
+        dedup_index_path=idx, threshold=0.8,
+    )
+    again = sorted(
+        r.doc_id for r in ParquetTable(spark, out).read().select("doc_id").collect()
+    )
+    assert again == inc_ids
+
+
+def test_streaming_pipeline_stateless_stages_only(spark, tmp_path):
+    """Without a dedup index the runner is a pure per-drop map: rows in
+    the output are exactly the union of per-drop stage outputs."""
+    from etl_cli_spark.operators.writeops import ParquetTable
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline_streaming
+
+    rows1 = [(1, "short", 5), (2, "long enough text here", 21)]
+    rows2 = [(3, "x", 1), (4, "another sufficiently long text", 30)]
+    schema = "doc_id long, text string, n_chars long"
+    src, out, ckpt = str(tmp_path / "s"), str(tmp_path / "o.parquet"), str(tmp_path / "c")
+    stages = [{"stage": "filter", "expr": "n_chars > 10"}]
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+    run_corpus_pipeline_streaming(spark, src, spark.createDataFrame(rows1, schema).schema, stages, out, ckpt)
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    run_corpus_pipeline_streaming(spark, src, spark.createDataFrame(rows2, schema).schema, stages, out, ckpt)
+    got = sorted(r.doc_id for r in ParquetTable(spark, out).read().collect())
+    assert got == [2, 4]
