@@ -1316,6 +1316,21 @@ def _q_multimodal_frames(spark, sf):
     )
 
 
+def _q_multimodal_jpeg(spark, sf):
+    # REAL baseline JPEG decode (pure numpy T.81 decoder: Huffman,
+    # dequant, IDCT, 4:2:0 upsample, YCbCr->RGB, restart markers). The
+    # fixtures are uniform-per-block patterns quantized exactly (flat-16
+    # table, even values -> DC-only blocks that round-trip losslessly),
+    # so the oracle replays every decoded pixel in pure python without
+    # running either codec — see multimodal.jpeg_spec for the contract.
+    from etl_cli_spark.operators.multimodal import decode_images, make_fake_jpeg
+
+    media = make_fake_jpeg(spark, n=24)
+    return decode_images(media).select(
+        "media_id", "dec_width", "dec_height", F.hex("dec_digest").alias("digest_hex")
+    )
+
+
 def _q_profile_orders(spark, sf):
     """Exact column profile of orders: every statistic recomputed
     column-by-column in DuckDB (avg_len over the string forms)."""
@@ -1685,6 +1700,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": _q_embedding_neardup,
     "multimodal_decode": _q_multimodal_decode,
     "multimodal_audio": _q_multimodal_audio,
+    "multimodal_jpeg": _q_multimodal_jpeg,
     # training-data pipeline ops (split/sample/chunk/pack/decontaminate)
     "split_deterministic": _q_split_deterministic,
     "hash_sample": _q_hash_sample,
@@ -2276,6 +2292,48 @@ def oracle_sql() -> dict[str, str]:
         "CAST(ns AS BIGINT) AS dec_n_samples, "
         "CAST(dur AS BIGINT) AS dec_duration_ms, digest_hex "
         f"FROM (VALUES {', '.join(_avals)}) AS t(media_id, sr, ch, ns, dur, digest_hex)"
+    )
+
+    # multimodal_jpeg: the fixture contract (multimodal.jpeg_spec) makes
+    # every coding block uniform with an even value under a flat-16
+    # quant table, so the lossy round-trip is exact by construction.
+    # Expected pixels are replayed here in PURE PYTHON — block-grid
+    # lookups + the BT.601 YCbCr->RGB formula with the same float64
+    # arithmetic — with no numpy and neither codec involved. A Huffman,
+    # zigzag, IDCT, upsample, restart, or color-convert bug in the
+    # decoder changes the digest and fails the hash.
+    _jvals = []
+    for i in range(24):
+        _mode = i % 3
+        if _mode == 0:
+            w, h = 20 + 4 * (i % 3), 12 + 8 * (i % 2)
+        elif _mode == 1:
+            w, h = 16 + 8 * (i % 2), 16
+        else:
+            w, h = 32, 16 + 16 * (i % 2)
+        buf = bytearray()
+        for y in range(h):
+            for x in range(w):
+                yv = float(((5 * (x // 8) + 9 * (y // 8) + 11 * i) % 128) * 2)
+                if _mode == 0:
+                    v = int(yv)
+                    buf += bytes((v, v, v))
+                else:
+                    g = 16 if _mode == 2 else 8
+                    cb = float(((3 * (x // g) + 7 * (y // g) + 13 * i) % 128) * 2)
+                    cr = float(((4 * (x // g) + 5 * (y // g) + 17 * i) % 128) * 2)
+                    r = min(255, max(0, round(yv + 1.402 * (cr - 128.0))))
+                    gg = min(255, max(0, round(
+                        yv - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))))
+                    b = min(255, max(0, round(yv + 1.772 * (cb - 128.0))))
+                    buf += bytes((int(r), int(gg), int(b)))
+        dg = _hl.sha256(bytes(buf)).hexdigest()[:32].upper()
+        _jvals.append(f"({i}, {w}, {h}, '{dg}')")
+    sql["multimodal_jpeg"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(dec_width AS INTEGER) AS dec_width, "
+        "CAST(dec_height AS INTEGER) AS dec_height, digest_hex "
+        f"FROM (VALUES {', '.join(_jvals)}) AS t(media_id, dec_width, dec_height, digest_hex)"
     )
 
     # training-data pipeline ops: hashing is md5-prefix -> uint32 in both

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata.
 
-Image decode is REAL for PPM (P6), uncompressed 24-bpp BMP, and 8-bit
-truecolor PNG (stdlib zlib inflate + full five-filter reversal) — pure
-numpy/stdlib decoders below, no external image library needed. Formats
-that genuinely need a native codec (JPEG/H.264) fall back to the
-clearly marked deterministic stub kernels; swapping a real decoder in
-means replacing ONE pure-python function per modality. Everything
+Image decode is REAL for PPM (P6), uncompressed 24-bpp BMP, 8-bit
+truecolor PNG (stdlib zlib inflate + full five-filter reversal), and
+baseline sequential JPEG (full T.81 decoder in ``operators/jpeg.py``:
+Huffman, dequant, IDCT, 4:2:0 upsample, YCbCr->RGB, restart markers) —
+pure numpy/stdlib, no external image library needed. Formats that
+genuinely need a native codec (progressive JPEG/H.264 video) fall back
+to the clearly marked deterministic stub kernels; swapping a real
+decoder in means replacing ONE pure-python function per modality. Everything
 Spark-side is real and tested either way: the schema contract, the
 Arrow-batched ``mapInPandas`` pipelines, batch shaping, and partition
 sizing.
@@ -180,23 +182,28 @@ def _decode_png(data: bytes):
 
 
 def _decode_pixels(data: bytes):
-    """Pixel array for natively-decodable formats (PPM/BMP/PNG), else
-    None — the shared dispatch for decode/resize/feature kernels."""
+    """Pixel array for natively-decodable formats (PPM/BMP/PNG/baseline
+    JPEG), else None — the shared dispatch for decode/resize/feature
+    kernels."""
     if data[:2] == b"P6":
         return _decode_ppm(data)[2]
     if data[:2] == b"BM":
         return _decode_bmp(data)[2]
     if data[:8] == _PNG_SIG:
         return _decode_png(data)[2]
+    if data[:2] == b"\xFF\xD8":
+        from etl_cli_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(data)[2]
     return None
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Dispatch on magic bytes: PPM, BMP, and PNG decode for real (pure
-    numpy/stdlib); other formats fall back to the deterministic stub
-    (JPEG needs a native codec this container doesn't ship). The digest
-    is the sha256[:16] of the decoded top-down row-major RGB pixel
-    bytes."""
+    """Dispatch on magic bytes: PPM, BMP, PNG, and baseline JPEG decode
+    for real (pure numpy/stdlib — see ``operators/jpeg.py`` for the
+    full T.81 baseline decoder); remaining formats fall back to the
+    deterministic stub. The digest is the sha256[:16] of the decoded
+    top-down row-major RGB pixel bytes."""
     if payload is None:
         raise NotImplementedError("real image decode requires an image library")
     data = bytes(payload)
@@ -608,6 +615,91 @@ def encode_png(px) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + chunk(b"IEND", b"")
     )
+
+
+def jpeg_spec(i: int) -> dict:
+    """Deterministic spec for synthetic JPEG row ``i`` — shared contract
+    between the fixture encoder below and any independent oracle.
+
+    mode = i % 3: 0 grayscale, 1 color 4:4:4, 2 color 4:2:0.
+    restart_interval = 2 when i % 4 == 3 (exercises RSTn machinery).
+    All plane values are UNIFORM per coding block and EVEN, and the
+    quantization table is flat 16, so each block is DC-only with
+    16 | 8*(v-128): the lossy round-trip is exact by construction and
+    an oracle can replay decoded pixels without running either codec:
+
+    - Y at luma block (by, bx)     = ((5*bx + 9*by + 11*i) % 128) * 2
+    - Cb at chroma block (by, bx)  = ((3*bx + 7*by + 13*i) % 128) * 2
+    - Cr at chroma block (by, bx)  = ((4*bx + 5*by + 17*i) % 128) * 2
+
+    For 4:4:4 the chroma block grid is the 8-px luma grid; for 4:2:0 it
+    is the 16-px MCU grid. Grayscale dims include non-multiples of 8
+    (edge-block crop path).
+    """
+    mode = i % 3
+    if mode == 0:
+        w, h = 20 + 4 * (i % 3), 12 + 8 * (i % 2)
+    elif mode == 1:
+        w, h = 16 + 8 * (i % 2), 16
+    else:
+        w, h = 32, 16 + 16 * (i % 2)
+    return {
+        "mode": mode,
+        "w": w,
+        "h": h,
+        "restart": 2 if i % 4 == 3 else 0,
+    }
+
+
+def _jpeg_plane(i: int, which: int, bw: int, bh: int):
+    """Uniform-per-block plane from the ``jpeg_spec`` formulas, expanded
+    to (bh*8, bw*8) samples."""
+    import numpy as np
+
+    by, bx = np.mgrid[0:bh, 0:bw]
+    if which == 0:
+        v = ((5 * bx + 9 * by + 11 * i) % 128) * 2
+    elif which == 1:
+        v = ((3 * bx + 7 * by + 13 * i) % 128) * 2
+    else:
+        v = ((4 * bx + 5 * by + 17 * i) % 128) * 2
+    return np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.float64)
+
+
+def make_fake_jpeg(spark, n: int = 24) -> DataFrame:
+    """Deterministic synthetic JPEG media table: REAL baseline JFIF
+    payloads (grayscale / 4:4:4 / 4:2:0, some with restart intervals)
+    built from the ``jpeg_spec`` uniform-block patterns, so an
+    independent oracle can replay every decoded pixel."""
+    from etl_cli_spark.operators.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        sp = jpeg_spec(i)
+        w, h = sp["w"], sp["h"]
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        y = _jpeg_plane(i, 0, bw, bh)[:h, :w]
+        if sp["mode"] == 0:
+            payload = encode_jpeg(
+                y, quant=16, grayscale=True, restart_interval=sp["restart"]
+            )
+        elif sp["mode"] == 1:
+            cb = _jpeg_plane(i, 1, bw, bh)[:h, :w]
+            cr = _jpeg_plane(i, 2, bw, bh)[:h, :w]
+            payload = encode_jpeg(
+                None, quant=16, ycbcr_planes=(y, cb, cr),
+                restart_interval=sp["restart"],
+            )
+        else:  # 4:2:0 — chroma planes at half resolution, per-MCU uniform
+            mw, mh = w // 16, h // 16
+            cb = _jpeg_plane(i, 1, mw, mh)[: h // 2, : w // 2]
+            cr = _jpeg_plane(i, 2, mw, mh)[: h // 2, : w // 2]
+            payload = encode_jpeg(
+                None, quant=16, subsample=True, ycbcr_planes=(y, cb, cr),
+                restart_interval=sp["restart"],
+            )
+        rows.append((i, "image", bytearray(payload), (w, h, None, None, "jpeg")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def media_dims(i: int) -> tuple[int, int]:

@@ -288,3 +288,89 @@ def test_decode_png_rejects_unsupported_variants():
     for depth, color, inter in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
         with _pytest.raises(ValueError, match="only 8-bit truecolor"):
             _decode_png(mk(depth, color, inter))
+
+
+# -- JPEG (round-4: real baseline T.81 decode, pure numpy/stdlib) ------------
+
+
+def test_jpeg_exact_roundtrip_uniform_blocks():
+    """Uniform even-valued blocks under a flat-16 quant table are
+    DC-only and round-trip EXACTLY (16 | 8*(v-128) for even v) —
+    grayscale, 4:4:4, and 4:2:0, including non-multiple-of-8 dims."""
+    import numpy as np
+
+    from etl_cli_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    # grayscale with edge-block crop
+    for w, h in [(16, 8), (20, 12), (28, 20)]:
+        bv = (rng.integers(0, 128, ((h + 7) // 8, (w + 7) // 8)) * 2).astype(np.uint8)
+        px = np.repeat(np.repeat(bv, 8, 0), 8, 1)[:h, :w]
+        w2, h2, out = decode_jpeg(encode_jpeg(px, quant=16, grayscale=True))
+        assert (w2, h2) == (w, h)
+        assert (out[:, :, 0] == px).all() and (out[:, :, 0] == out[:, :, 2]).all()
+    # color 4:2:0: chroma uniform per MCU
+    w, h = 32, 16
+    mk = lambda s, g: np.repeat(
+        np.repeat((np.random.default_rng(s).integers(0, 128, (h // g, w // g)) * 2), g, 0),
+        g, 1,
+    ).astype(np.float64)
+    Y, Cb, Cr = mk(1, 8), mk(2, 16), mk(3, 16)
+    data = encode_jpeg(
+        None, quant=16, subsample=True,
+        # chroma at half resolution: 2x2 decimation (uniform cells, exact)
+        ycbcr_planes=(Y, Cb[::2, ::2], Cr[::2, ::2]),
+    )
+    _, _, out = decode_jpeg(data)
+    r = np.rint(Y + 1.402 * (Cr - 128.0)).clip(0, 255)
+    g = np.rint(Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)).clip(0, 255)
+    b = np.rint(Y + 1.772 * (Cb - 128.0)).clip(0, 255)
+    assert (out == np.stack([r, g, b], -1).astype(np.uint8)).all()
+
+
+def test_jpeg_general_content_within_quant_error():
+    """Arbitrary pixel content (full AC coefficients, ZRL runs) decodes
+    within quantization error; restart markers don't change pixels."""
+    import numpy as np
+
+    from etl_cli_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    base = ((np.arange(24)[:, None] * 7 + np.arange(40)[None, :] * 3) % 256).astype(np.uint8)
+    px = np.stack([base, (base * 2) % 256, (base * 3) % 256], -1)
+    _, _, out = decode_jpeg(encode_jpeg(px, quant=4))
+    err = np.abs(out.astype(int) - px.astype(int))
+    assert err.mean() < 5 and err.max() <= 40
+    _, _, out_rst = decode_jpeg(encode_jpeg(px, quant=4, restart_interval=2))
+    assert (out_rst == out).all()
+
+
+def test_jpeg_rejects_progressive():
+    """Progressive (SOF2) streams raise a clear NotImplementedError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_cli_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.zeros((8, 8), dtype=np.uint8)
+    data = bytearray(encode_jpeg(px, grayscale=True))
+    i = bytes(data).find(b"\xFF\xC0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(data))
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_in_media_pipeline(spark):
+    """make_fake_jpeg payloads decode through the standard
+    decode_images dispatch (magic-byte routing), widths/heights from
+    the jpeg_spec contract."""
+    from etl_cli_spark.operators.multimodal import jpeg_spec, make_fake_jpeg
+
+    media = make_fake_jpeg(spark, n=6)
+    rows = {r.media_id: r for r in decode_images(media).collect()}
+    assert len(rows) == 6
+    for i in range(6):
+        sp = jpeg_spec(i)
+        assert (rows[i].dec_width, rows[i].dec_height) == (sp["w"], sp["h"])
+        assert rows[i].dec_digest is not None
