@@ -405,6 +405,45 @@ def _q_write_upsert_manifest(spark, sf):
     return out.select(*_ORDER_COLS)
 
 
+def _q_manifest_time_travel(spark, sf):
+    """Time travel + change data feed over the manifest log: v0 = full
+    orders, v1 = upsert (keys<100 updated, keys<10 duplicated to
+    +2000000), v2 = delete (o_orderkey % 10 == 3). The CDF between v0
+    and the tip is computed by diffing the RETAINED snapshots
+    (snapshots are immutable, so the diff IS the change set) and
+    classifying by pk into insert / update_postimage / delete. The
+    oracle derives the same change set from relational algebra on the
+    source table — manifest machinery, retention, and the diff
+    classification must all agree for the hash to match."""
+    from etl_cli_spark.spec import TargetSpec
+    from etl_cli_spark.operators.writeops import ParquetTable, apply_write_op
+
+    eng = _engine(spark, sf)
+    orders = eng.read("orders")
+    tmp = tempfile.mkdtemp(prefix="etl_tt_")
+    t = ParquetTable(
+        spark, f"{tmp}/orders_tt.parquet",
+        bucket_by=("o_orderkey",), n_buckets=32, manifest=True,
+    )
+    t.append(orders)  # v0
+    changed = orders.filter("o_orderkey < 100").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    ).withColumn("o_orderstatus", F.lit("U"))
+    new = changed.filter("o_orderkey < 10").withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(2000000)
+    )
+    apply_write_op(
+        changed.unionByName(new), t,
+        TargetSpec(ds="t", op="upsert", pk=("o_orderkey",)),
+    )  # v1
+    dels = t.read().filter("o_orderkey % 10 = 3")
+    apply_write_op(dels, t, TargetSpec(ds="t", op="delete", pk=("o_orderkey",)))  # v2
+    assert t.versions() == [0, 1, 2]
+    return t.snapshot_changes(0, pk=("o_orderkey",)).select(
+        *_ORDER_COLS, "change_type", "commit_version"
+    )
+
+
 # -- aggregation / window ----------------------------------------------------
 
 def _q_agg_q1(spark, sf):
@@ -1727,6 +1766,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the five simpler ops (insert/datepart/tq/delete/index) in-window
     "write_upsert": _q_write_upsert,
     "write_upsert_manifest": _q_write_upsert_manifest,
+    "manifest_time_travel": _q_manifest_time_travel,
     "write_digest": _q_write_digest,
     # events / streaming-analog (SURVEY §2.9-2.10)
     "events_sessionize": _q_events_sessionize,
@@ -2791,6 +2831,29 @@ def oracle_sql() -> dict[str, str]:
     )
     # the manifest protocol must not change a single row: same oracle
     sql["write_upsert_manifest"] = sql["write_upsert"]
+
+    # manifest_time_travel: the v0->v2 change feed derived by pure
+    # relational algebra on the source table (inserts = surviving new
+    # keys; updates = changed-and-surviving keys; deletes = keys the
+    # delete op removed), never touching the manifest machinery
+    sql["manifest_time_travel"] = (
+        # inserts: +2000000 keys from the upsert that survive the delete
+        "SELECT o_orderkey + 2000000 AS o_orderkey, o_custkey, "
+        "'U' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice, "
+        "o_orderdate, o_orderpriority, 'insert' AS change_type, "
+        "2 AS commit_version FROM orders "
+        "WHERE o_orderkey < 10 AND o_orderkey % 10 <> 3 "
+        "UNION ALL "
+        # updates: keys < 100 changed by the upsert, surviving the delete
+        "SELECT o_orderkey, o_custkey, 'U', o_totalprice + 1.0, "
+        "o_orderdate, o_orderpriority, 'update_postimage', 2 FROM orders "
+        "WHERE o_orderkey < 100 AND o_orderkey % 10 <> 3 "
+        "UNION ALL "
+        # deletes: every original key hit by the delete op (pre-image)
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+        "o_orderdate, o_orderpriority, 'delete', 2 FROM orders "
+        "WHERE o_orderkey % 10 = 3"
+    )
     sql["write_digest"] = " UNION ALL ".join(
         _digest_sql_one(n, sql[n]) for n in _WRITE_FAMILY
     )

@@ -417,6 +417,89 @@ class ParquetTable:
         df = self.spark.read.parquet(self.path)
         return df.drop(_BUCKET) if _BUCKET in df.columns else df
 
+    # -- time travel -----------------------------------------------------
+    def versions(self) -> list[int]:
+        """Committed manifest versions still present in the log (oldest
+        first). Empty for legacy (non-manifest) tables."""
+        try:
+            names = os.listdir(self._log_dir())
+        except OSError:
+            return []
+        return sorted(
+            int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
+        )
+
+    def read_version(self, version: int) -> DataFrame:
+        """Snapshot-isolated read AT a committed manifest version (time
+        travel). Every manifest lists its snapshot's complete file set
+        and stale files stay on disk until ``vacuum`` drops them, so any
+        retained version reads back exactly — the same contract as Delta
+        ``VERSION AS OF`` / Iceberg snapshot reads. Raises if the
+        version was never committed or has been vacuumed away."""
+        path = os.path.join(self._log_dir(), f"{int(version):020d}.json")
+        if not os.path.exists(path):
+            have = self.versions()
+            raise FileNotFoundError(
+                f"version {version} not in the log for {self.path} "
+                f"(retained: {have or 'none'} — vacuumed or never committed)"
+            )
+        with open(path) as f:
+            man = json.load(f)
+        df = self._read_manifest_files(man["files"], man.get("schema"))
+        return df.drop(_BUCKET) if df is not None and _BUCKET in df.columns else df
+
+    def snapshot_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        pk: tuple[str, ...] | list[str] | None = None,
+    ) -> DataFrame:
+        """Change data feed between two snapshots, computed by diffing
+        the retained manifests (no per-write change capture needed —
+        snapshots are immutable, so the diff IS the change set).
+
+        Without ``pk``: multiset semantics via two ``exceptAll`` —
+        ``change_type`` is ``insert`` / ``delete``. With ``pk``: rows
+        whose key exists on both sides classify as ``update_postimage``
+        (new image emitted), the rest as ``insert`` / ``delete`` —
+        Delta-CDF-style labels. ``commit_version`` carries the target
+        snapshot. Scale: both sides are snapshot scans, but the
+        classifying join runs on the (usually tiny) exceptAll deltas,
+        not on the full table."""
+        if to_version is None:
+            latest = self._latest_manifest()
+            if latest is None:
+                raise FileNotFoundError(self.path)
+            to_version = latest[0]
+        old = self.read_version(from_version)
+        new = self.read_version(to_version)
+        removed = old.exceptAll(new)
+        added = new.exceptAll(old)
+        if not pk:
+            out = added.withColumn("change_type", F.lit("insert")).unionByName(
+                removed.withColumn("change_type", F.lit("delete"))
+            )
+            return out.withColumn("commit_version", F.lit(int(to_version)))
+        pk = list(pk)
+        old_keys = removed.select(*pk)
+        new_keys = added.select(*pk)
+        ins = added.join(old_keys, on=pk, how="left_anti").withColumn(
+            "change_type", F.lit("insert")
+        )
+        # deltas are usually small; AQE picks broadcast when they are,
+        # and a full-rewrite-sized delta still hash-joins safely
+        upd = added.join(old_keys.distinct(), on=pk, how="left_semi").withColumn(
+            "change_type", F.lit("update_postimage")
+        )
+        del_ = removed.join(new_keys, on=pk, how="left_anti").withColumn(
+            "change_type", F.lit("delete")
+        )
+        return (
+            ins.unionByName(upd)
+            .unionByName(del_)
+            .withColumn("commit_version", F.lit(int(to_version)))
+        )
+
     def read_buckets(self, buckets: list[int]) -> DataFrame:
         """Partition-pruned read: only the named bucket directories are
         scanned (the filter sits on the hive partition column; in
@@ -708,14 +791,21 @@ class ParquetTable:
         shutil.rmtree(backup, ignore_errors=True)
         self._touch()
 
-    def vacuum(self) -> int:
+    def vacuum(self, retain_versions: int = 1) -> int:
         """Remove leftover ``__staged_*`` / ``__old_*`` directories from
         interrupted swaps, and — on a manifest table — data files no
-        manifest references (interrupted ingests, replaced snapshots)
-        plus superseded manifest versions. Returns how many entries were
-        removed. Requires no in-flight writers on a manifest table (an
-        uncommitted ingest looks exactly like garbage — the same
-        retention caveat Delta's VACUUM documents)."""
+        RETAINED manifest references (interrupted ingests, replaced
+        snapshots) plus manifest versions older than the newest
+        ``retain_versions``. The live set is the union of every retained
+        manifest's file list, so all retained versions remain exactly
+        time-travel-readable (``read_version``) after the sweep —
+        ``retain_versions`` is the same knob as Delta's VACUUM retention
+        window, expressed in versions rather than hours. Returns how
+        many entries were removed. Requires no in-flight writers (an
+        uncommitted ingest looks exactly like garbage — the same caveat
+        Delta's VACUUM documents)."""
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
         base_dir, name = os.path.split(self.path)
         removed = 0
         try:
@@ -727,9 +817,13 @@ class ParquetTable:
                 shutil.rmtree(os.path.join(base_dir, entry), ignore_errors=True)
                 removed += 1
         if self._is_manifest():
-            latest = self._latest_manifest()
-            if latest is not None:
-                ver, live = latest[0], set(latest[1]["files"])
+            vers = self.versions()
+            if vers:
+                keep = set(vers[-retain_versions:])
+                live: set[str] = set()
+                for v in keep:
+                    with open(os.path.join(self._log_dir(), f"{v:020d}.json")) as f:
+                        live |= set(json.load(f)["files"])
                 for root, dirs, files in os.walk(self.path, topdown=True):
                     dirs[:] = [d for d in dirs if d != _LOG]
                     for fn in files:
@@ -739,9 +833,9 @@ class ParquetTable:
                         if rel not in live:
                             os.remove(os.path.join(root, fn))
                             removed += 1
-                for n in os.listdir(self._log_dir()):
-                    if n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) < ver:
-                        os.remove(os.path.join(self._log_dir(), n))
+                for v in vers:
+                    if v not in keep:
+                        os.remove(os.path.join(self._log_dir(), f"{v:020d}.json"))
                         removed += 1
                 # drop partition dirs drained by the file sweep
                 for root, dirs, files in os.walk(self.path, topdown=False):

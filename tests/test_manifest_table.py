@@ -323,3 +323,107 @@ def test_zorder_on_manifest_table(spark, orders, tmp_path):
     assert _rows(t.read()) == before
     assert t._zorder_meta() is not None
     assert len(_versions(t.path)) == 2
+
+
+# -- time travel / CDF / retention (round-4 extension) -----------------------
+
+
+def test_read_version_time_travel(spark, orders, tmp_path):
+    """Every retained version reads back exactly; versions() lists them."""
+    t = ParquetTable(
+        spark, str(tmp_path / "tt.parquet"),
+        bucket_by=("o_orderkey",), n_buckets=4, manifest=True,
+    )
+    a = orders.filter("o_orderkey < 500")
+    b = orders.filter("o_orderkey >= 500 and o_orderkey < 900")
+    t.append(a)       # v0
+    t.append(b)       # v1
+    t.overwrite(a)    # v2
+    assert t.versions() == [0, 1, 2]
+    assert _rows(t.read_version(0)) == _rows(a)
+    assert _rows(t.read_version(1)) == _rows(a.unionByName(b))
+    assert _rows(t.read_version(2)) == _rows(a)
+    assert _rows(t.read()) == _rows(t.read_version(2))
+    with pytest.raises(FileNotFoundError, match="version 7"):
+        t.read_version(7)
+
+
+def test_vacuum_retention_window(spark, orders, tmp_path):
+    """vacuum(retain_versions=N) keeps the newest N snapshots exactly
+    readable and removes everything older; default 1 keeps only the tip."""
+    t = ParquetTable(spark, str(tmp_path / "ret.parquet"), manifest=True)
+    a = orders.filter("o_orderkey < 300")
+    b = orders.filter("o_orderkey < 600")
+    c = orders.filter("o_orderkey < 900")
+    t.overwrite(a)  # v0
+    t.overwrite(b)  # v1
+    t.overwrite(c)  # v2
+    assert t.vacuum(retain_versions=2) > 0
+    assert t.versions() == [1, 2]
+    assert _rows(t.read_version(1)) == _rows(b)  # retained: still exact
+    assert _rows(t.read_version(2)) == _rows(c)
+    with pytest.raises(FileNotFoundError):
+        t.read_version(0)
+    assert t.vacuum() > 0  # default: keep only the tip
+    assert t.versions() == [2]
+    assert _rows(t.read()) == _rows(c)
+    with pytest.raises(ValueError, match="retain_versions"):
+        t.vacuum(retain_versions=0)
+
+
+def test_snapshot_changes_multiset_and_pk(spark, orders, tmp_path):
+    """CDF without pk = insert/delete multiset; with pk the key present
+    on both sides classifies as update_postimage (new image)."""
+    t = ParquetTable(spark, str(tmp_path / "cdf.parquet"), manifest=True)
+    t.overwrite(orders)  # v0
+    changed = orders.filter("o_orderkey < 50").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(9.0)
+    )
+    kept = orders.filter("o_orderkey >= 50 and o_orderkey % 7 != 0")
+    extra = orders.filter("o_orderkey < 5").withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    t.overwrite(changed.unionByName(kept).unionByName(extra))  # v1
+
+    by_type = {
+        r["change_type"]: r["n"]
+        for r in t.snapshot_changes(0, 1, pk=("o_orderkey",))
+        .groupBy("change_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_upd = changed.count()
+    n_ins = extra.count()
+    n_del = orders.filter("o_orderkey >= 50 and o_orderkey % 7 = 0").count()
+    assert by_type == {
+        "update_postimage": n_upd, "insert": n_ins, "delete": n_del,
+    }
+    # without pk: updates surface as one insert + one delete each
+    flat = {
+        r["change_type"]: r["n"]
+        for r in t.snapshot_changes(0, 1)
+        .groupBy("change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert flat == {"insert": n_ins + n_upd, "delete": n_del + n_upd}
+    assert t.snapshot_changes(0, 1).select("commit_version").distinct().collect()[0][0] == 1
+    # identical snapshots -> empty feed
+    assert t.snapshot_changes(1, 1).count() == 0
+
+
+def test_snapshot_changes_after_write_ops(spark, orders, tmp_path):
+    """CDF composes with apply_write_op: upsert then delete on a
+    bucketed manifest table yields the classified net change."""
+    t = ParquetTable(
+        spark, str(tmp_path / "cdfop.parquet"),
+        bucket_by=("o_orderkey",), n_buckets=4, manifest=True,
+    )
+    t.append(orders)  # v0
+    upd = orders.filter("o_orderkey < 20").withColumn("o_orderstatus", F.lit("X"))
+    apply_write_op(upd, t, TargetSpec(ds="t", op="update", pk=("o_orderkey",)))  # v1
+    dels = orders.filter("o_orderkey >= 1000").select("o_orderkey")
+    full_dels = t.read().join(dels, "o_orderkey", "left_semi")
+    apply_write_op(full_dels, t, TargetSpec(ds="t", op="delete", pk=("o_orderkey",)))  # v2
+    ch = t.snapshot_changes(0, pk=("o_orderkey",))
+    got = {r["change_type"]: r["n"] for r in
+           ch.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
+    n_upd = orders.filter("o_orderkey < 20").count()
+    n_del = orders.filter("o_orderkey >= 1000").count()
+    assert got == {"update_postimage": n_upd, "delete": n_del}
