@@ -230,6 +230,56 @@ def _q_merger_merge_as(spark, sf):
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
 
 
+def _d2_sql(a: str, b: str, dim: int) -> str:
+    """DuckDB squared-euclidean between two DOUBLE[] expressions."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _ivf_cells_ctes(dim: int, k: int, iters: int) -> tuple[list[str], str]:
+    """CTE chain replaying the deterministic driver-side k-means
+    (similarity._kmeans_lite protocol: lowest-id sample init, distances
+    rounded to 6 dp before argmin with lowest-cid tie-break, centroids
+    rounded to 9 dp per iteration) plus the final cell assignment —
+    shared by the similarity_ivf and semantic_dedup oracles. Returns
+    (ctes, final_centroid_cte_name); the chain defines ``e`` (vec_id,
+    v) and ``cells`` (vec_id, v, cid)."""
+    d2 = lambda a, b: _d2_sql(a, b, dim)
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv "
+        f"FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT {k}))",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"a{t} AS (SELECT s.vec_id, s.v, c.cid, row_number() OVER ("
+            f"PARTITION BY s.vec_id ORDER BY round({d2('s.v', 'c.cv')}, 6), c.cid) AS rn "
+            f"FROM samp s CROSS JOIN {prev} c)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT cid, g.d, round(avg(v[g.d]), 9) AS val "
+            f"FROM (SELECT v, cid FROM a{t} WHERE rn = 1) a, "
+            f"LATERAL (SELECT unnest(generate_series(1, {dim})) AS d) g GROUP BY cid, g.d)"
+        )
+        ctes.append(f"n{t} AS (SELECT cid, list(val ORDER BY d) AS cv FROM m{t} GROUP BY cid)")
+        ctes.append(
+            f"c{t} AS (SELECT c.cid, list_transform(COALESCE(n.cv, c.cv), "
+            f"x -> round(x, 9)) AS cv FROM {prev} c LEFT JOIN n{t} n USING (cid))"
+        )
+        prev = f"c{t}"
+    ctes.append(
+        f"fin AS (SELECT t.vec_id, t.v, c.cid, row_number() OVER ("
+        f"PARTITION BY t.vec_id ORDER BY round({d2('t.v', 'c.cv')}, 6), c.cid) AS rn "
+        f"FROM e t CROSS JOIN {prev} c)"
+    )
+    ctes.append("cells AS (SELECT vec_id, v, cid FROM fin WHERE rn = 1)")
+    return ctes, prev
+
+
 def _scratch_orders(spark, sf):
     from etl_cli_spark.operators.writeops import ParquetTable
 
@@ -1038,6 +1088,45 @@ def _q_embedding_neardup(spark, sf):
     return embedding_neardup_pairs(emb, threshold=0.4, bands=8)
 
 
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic dedup: deterministic k-means clusters
+    (the oracle-replayable IVF protocol), within-cluster cosine >= 0.4
+    drops the higher id of each pair. DuckDB replays the k-means, the
+    cell assignment, the pair comparison and the keep policy end to
+    end — nothing about the clustering is taken on faith."""
+    from etl_cli_spark.operators.similarity import semantic_dedup
+
+    emb = _engine(spark, sf).read("embeddings")
+    out = semantic_dedup(emb, n_clusters=16, threshold=0.4, sample_size=2048)
+    return out.select("vec_id", F.col("__cell").alias("cell"), "label")
+
+
+def _q_token_budget_sample(spark, sf):
+    """Mixture sampling by token budget (en=3000, de=1500, rest 800
+    tokens): greedy prefix in (content-hash, id) order, kept iff the
+    running token sum stays within budget — the oracle replays the
+    exact kept set with a window cumsum."""
+    from etl_cli_spark.operators.pipeline import token_budget_sample
+
+    d = _engine(spark, sf).read("documents")
+    out = token_budget_sample(d, ["lang"], {"en": 3000, "de": 1500}, default=800)
+    return out.select("doc_id", "lang")
+
+
+def _q_paragraph_dedup(spark, sf):
+    """Paragraph(passage)-level exact dedup with first-occurrence-wins
+    and in-order reassembly (the RefinedWeb recipe; 10-word passages —
+    the synthetic corpus has no blank-line structure). The oracle
+    re-segments, re-picks winners, and re-assembles every document in
+    SQL, so the reassembled text itself is hash-checked."""
+    from etl_cli_spark.operators.pipeline import paragraph_dedup
+
+    d = _engine(spark, sf).read("documents")
+    return paragraph_dedup(d, window_words=10).select(
+        "doc_id", "text", "n_kept", "n_dropped"
+    )
+
+
 def _q_split_deterministic(spark, sf):
     from etl_cli_spark.operators.pipeline import deterministic_split
 
@@ -1612,6 +1701,24 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     # write_index renders o_orderdate as a string (nulled-out cells)
     "write_index": [("o_orderkey", "i"), ("o_custkey", "i"), ("o_orderstatus", "s"),
                     ("o_totalprice", "f"), ("o_orderdate", "s"), ("o_orderpriority", "s")],
+    "write_upsert": [("o_orderkey", "i"), ("o_custkey", "i"), ("o_orderstatus", "s"),
+                     ("o_totalprice", "f"), ("o_orderdate", "t"), ("o_orderpriority", "s")],
+    # -- multimodal family (round-4 digest) --
+    "multimodal_decode": [("media_id", "i"), ("dec_width", "i"),
+                          ("dec_height", "i"), ("digest_hex", "s")],
+    "multimodal_audio": [("media_id", "i"), ("dec_sample_rate", "i"),
+                         ("dec_channels", "i"), ("dec_n_samples", "i"),
+                         ("dec_duration_ms", "i"), ("digest_hex", "s")],
+    "multimodal_jpeg": [("media_id", "i"), ("dec_width", "i"),
+                        ("dec_height", "i"), ("digest_hex", "s")],
+    "multimodal_resize": [("media_id", "i"), ("resized_width", "i"),
+                          ("resized_height", "i"), ("digest_hex", "s")],
+    "multimodal_frames": [("media_id", "i"), ("frame_idx", "i"),
+                          ("frame_ts_ms", "i"), ("digest_hex", "s")],
+    # -- sketch family (round-4 digest) --
+    "sketch_distinct_kmv": [("o_orderstatus", "s"), ("est_distinct", "f")],
+    "sketch_topk_cms": [("lang", "s"), ("term", "s"), ("est_count", "i")],
+    "sketch_quantile_hist": [("o_orderstatus", "s"), ("q", "f"), ("est", "f")],
 }
 
 _DSL_FAMILY = [
@@ -1642,8 +1749,8 @@ _JOINWIN_FAMILY = [
 # round-4 manifest/dedup-index/streaming additions; write_upsert (the
 # flagship MERGE) and write_upsert_manifest stay in-window directly
 _WRITE_FAMILY = [
-    "write_insert", "write_upsert_datepart", "write_update_tq",
-    "write_delete", "write_index",
+    "write_upsert", "write_insert", "write_upsert_datepart",
+    "write_update_tq", "write_delete", "write_index",
 ]
 
 
@@ -1698,6 +1805,21 @@ def _q_write_digest(spark, sf):
     return _q_family_digest(spark, sf, _WRITE_FAMILY)
 
 
+_MULTIMODAL_FAMILY = [
+    "multimodal_decode", "multimodal_audio", "multimodal_jpeg",
+    "multimodal_resize", "multimodal_frames",
+]
+_SKETCH_FAMILY = ["sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist"]
+
+
+def _q_multimodal_digest(spark, sf):
+    return _q_family_digest(spark, sf, _MULTIMODAL_FAMILY)
+
+
+def _q_sketch_digest(spark, sf):
+    return _q_family_digest(spark, sf, _SKETCH_FAMILY)
+
+
 def _digest_sql_one(name: str, inner: str) -> str:
     canon = []
     for c, k in _DIGEST_SPECS[name]:
@@ -1737,9 +1859,10 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann": _q_similarity_ann,
     "similarity_ivf": _q_similarity_ivf,
     "embedding_neardup": _q_embedding_neardup,
-    "multimodal_decode": _q_multimodal_decode,
-    "multimodal_audio": _q_multimodal_audio,
-    "multimodal_jpeg": _q_multimodal_jpeg,
+    "semantic_dedup": _q_semantic_dedup,
+    # composite certifying all five multimodal decode paths in-window
+    # (decode/audio/jpeg/resize/frames — individuals at positions 51+)
+    "multimodal_digest": _q_multimodal_digest,
     # training-data pipeline ops (split/sample/chunk/pack/decontaminate)
     "split_deterministic": _q_split_deterministic,
     "hash_sample": _q_hash_sample,
@@ -1749,6 +1872,8 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": _q_decontaminate,
     "bloom_decontaminate": _q_bloom_decontaminate,
     "quota_sample": _q_quota_sample,
+    "token_budget_sample": _q_token_budget_sample,
+    "paragraph_dedup": _q_paragraph_dedup,
     "dedup_canonical": _q_dedup_canonical,
     "rank_vocab": _q_rank_vocab,
     "rank_scores": _q_rank_scores,
@@ -1756,15 +1881,14 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_bm25_indexed": _q_search_bm25_indexed,
     "pipeline_end_to_end": _q_pipeline_end_to_end,
     "pipeline_streaming": _q_pipeline_streaming,
-    "sketch_distinct_kmv": _q_sketch_distinct_kmv,
-    "sketch_topk_cms": _q_sketch_topk_cms,
-    "sketch_quantile_hist": _q_sketch_quantile_hist,
+    # composite certifying the three mergeable sketches in-window
+    "sketch_digest": _q_sketch_digest,
     "zorder_roundtrip": _q_zorder_roundtrip,
     "http_bulk_source": _q_http_bulk_source,
-    # write ops (SURVEY §2.5): the flagship MERGE, the same MERGE through
-    # the round-4 manifest commit protocol, and a composite certifying
-    # the five simpler ops (insert/datepart/tq/delete/index) in-window
-    "write_upsert": _q_write_upsert,
+    # write ops (SURVEY §2.5): the MERGE through the round-4 manifest
+    # commit protocol, its time-travel/CDF companion, and a composite
+    # certifying the six rewrite-family ops (upsert/insert/datepart/tq/
+    # delete/index) in-window
     "write_upsert_manifest": _q_write_upsert_manifest,
     "manifest_time_travel": _q_manifest_time_travel,
     "write_digest": _q_write_digest,
@@ -1802,8 +1926,17 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merger_anti": _q_merger_anti,
     "merger_inner_mq": _q_merger_inner_mq,
     "events_sessionize_hot": _q_events_sessionize_hot,
+    # multimodal + sketch members displaced by their round-4 in-window
+    # digests (multimodal_digest / sketch_digest certify all of them)
+    "multimodal_decode": _q_multimodal_decode,
+    "multimodal_audio": _q_multimodal_audio,
+    "multimodal_jpeg": _q_multimodal_jpeg,
     "multimodal_resize": _q_multimodal_resize,
     "multimodal_frames": _q_multimodal_frames,
+    "sketch_distinct_kmv": _q_sketch_distinct_kmv,
+    "sketch_topk_cms": _q_sketch_topk_cms,
+    "sketch_quantile_hist": _q_sketch_quantile_hist,
+    "write_upsert": _q_write_upsert,
     "profile_orders": _q_profile_orders,
     "pipeline_declarative": _q_pipeline_declarative,
     "window_running_sum": _q_window_running_sum,
@@ -2857,6 +2990,12 @@ def oracle_sql() -> dict[str, str]:
     sql["write_digest"] = " UNION ALL ".join(
         _digest_sql_one(n, sql[n]) for n in _WRITE_FAMILY
     )
+    sql["multimodal_digest"] = " UNION ALL ".join(
+        _digest_sql_one(n, sql[n]) for n in _MULTIMODAL_FAMILY
+    )
+    sql["sketch_digest"] = " UNION ALL ".join(
+        _digest_sql_one(n, sql[n]) for n in _SKETCH_FAMILY
+    )
 
     # similarity_ivf: full in-SQL replay of the deterministic k-means —
     # the Spark side samples the lowest-2048 vec_ids, inits centroids from
@@ -2868,43 +3007,12 @@ def oracle_sql() -> dict[str, str]:
     # stage of the IVF pipeline is thereby independently verified.
     _DIM, _K, _ITERS, _PROBE = 64, 16, 8, 4
 
-    def _d2(a, b):
-        return (
-            f"list_sum(list_transform(generate_series(1, {_DIM}), "
-            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
-        )
-
-    _ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        "samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048)",
-        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv "
-        f"FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT {_K}))",
-    ]
-    _prev = "c0"
-    for _t in range(1, _ITERS + 1):
-        _ctes.append(
-            f"a{_t} AS (SELECT s.vec_id, s.v, c.cid, row_number() OVER ("
-            f"PARTITION BY s.vec_id ORDER BY round({_d2('s.v', 'c.cv')}, 6), c.cid) AS rn "
-            f"FROM samp s CROSS JOIN {_prev} c)"
-        )
-        _ctes.append(
-            f"m{_t} AS (SELECT cid, g.d, round(avg(v[g.d]), 9) AS val "
-            f"FROM (SELECT v, cid FROM a{_t} WHERE rn = 1) a, "
-            f"LATERAL (SELECT unnest(generate_series(1, {_DIM})) AS d) g GROUP BY cid, g.d)"
-        )
-        _ctes.append(f"n{_t} AS (SELECT cid, list(val ORDER BY d) AS cv FROM m{_t} GROUP BY cid)")
-        _ctes.append(
-            f"c{_t} AS (SELECT c.cid, list_transform(COALESCE(n.cv, c.cv), "
-            f"x -> round(x, 9)) AS cv FROM {_prev} c LEFT JOIN n{_t} n USING (cid))"
-        )
-        _prev = f"c{_t}"
-    _ctes.append(
-        f"fin AS (SELECT t.vec_id, t.v, c.cid, row_number() OVER ("
-        f"PARTITION BY t.vec_id ORDER BY round({_d2('t.v', 'c.cv')}, 6), c.cid) AS rn "
-        f"FROM e t CROSS JOIN {_prev} c)"
-    )
-    _ctes.append("cells AS (SELECT vec_id, v, cid FROM fin WHERE rn = 1)")
+    _ctes, _prev = _ivf_cells_ctes(_DIM, _K, _ITERS)
+    _ctes = list(_ctes)
     _ctes.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+
+    def _d2(a, b):
+        return _d2_sql(a, b, _DIM)
     _ctes.append(
         f"probes AS (SELECT c.cid FROM {_prev} c, q "
         f"ORDER BY round({_d2('c.cv', 'qv')}, 6), c.cid LIMIT {_PROBE})"
@@ -2914,6 +3022,55 @@ def oracle_sql() -> dict[str, str]:
         "SELECT vec_id, round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS score "
         "FROM cells WHERE cid IN (SELECT cid FROM probes) "
         "ORDER BY score DESC, vec_id LIMIT 10"
+    )
+
+    # semantic_dedup: same k-means/cell replay, then within-cluster
+    # pairwise cosine (round-6 protocol) and the keep-lowest-id policy
+    _sctes, _ = _ivf_cells_ctes(_DIM, _K, _ITERS)
+    _sctes = list(_sctes)
+    _sctes.append(
+        "drops AS (SELECT DISTINCT b.vec_id AS d FROM cells a JOIN cells b "
+        "ON a.cid = b.cid AND a.vec_id < b.vec_id "
+        "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)"
+    )
+    sql["semantic_dedup"] = (
+        "WITH " + ", ".join(_sctes) + " "
+        "SELECT c.vec_id, CAST(c.cid AS INTEGER) AS cell, em.label "
+        "FROM cells c JOIN embeddings em USING (vec_id) "
+        "WHERE c.vec_id NOT IN (SELECT d FROM drops)"
+    )
+
+    # token_budget_sample: greedy prefix by running token sum in
+    # (content-hash, id) order — exact window-cumsum replay
+    sql["token_budget_sample"] = (
+        "SELECT doc_id, lang FROM ("
+        f"  SELECT doc_id, lang, sum({_TOKENS}) OVER ("
+        f"    PARTITION BY lang ORDER BY {_H}, doc_id) AS cum"
+        "   FROM documents) "
+        "WHERE cum <= CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500 ELSE 800 END"
+    )
+
+    # paragraph_dedup: re-segment into 10-word passages, first
+    # occurrence by (doc_id, pos) wins globally, reassemble in order
+    sql["paragraph_dedup"] = (
+        r"WITH words AS (SELECT doc_id, string_split_regex(text, '\s+') AS wl "
+        "               FROM documents), "
+        "segs AS (SELECT doc_id, g AS pos, "
+        "                array_to_string(wl[g*10+1 : g*10+10], ' ') AS seg "
+        "         FROM words, LATERAL (SELECT unnest(generate_series(0, "
+        "              greatest(len(wl) - 1, 0) // 10)) AS g) t), "
+        "nz AS (SELECT * FROM segs WHERE trim(seg) <> ''), "
+        "kept AS (SELECT doc_id, pos, seg FROM ("
+        "  SELECT nz.*, row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn "
+        "  FROM nz) WHERE rn = 1), "
+        "agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text, "
+        "               count(*) AS n_kept FROM kept GROUP BY doc_id), "
+        "tot AS (SELECT doc_id, count(*) AS n_segs FROM nz GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(a.text, '') AS text, "
+        "COALESCE(a.n_kept, 0) AS n_kept, "
+        "COALESCE(t.n_segs, 0) - COALESCE(a.n_kept, 0) AS n_dropped "
+        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id "
+        "LEFT JOIN tot t ON d.doc_id = t.doc_id"
     )
 
     return sql

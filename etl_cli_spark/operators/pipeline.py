@@ -419,3 +419,173 @@ def validate(
     valid = tagged.filter(F.size(reason_col) == 0).drop(reason_col)
     quarantined = tagged.filter(F.size(reason_col) > 0)
     return valid, quarantined
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    budgets: dict | DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str | Column = None,
+    seed: str = "",
+    default: int | None = None,
+    shards: int | None = None,
+) -> DataFrame:
+    """Mixture sampling by TOKEN budget instead of row quota — the form
+    a training-data mixture is actually specified in ("300B tokens of
+    web, 50B of code, ..."). :func:`quota_sample` caps rows; this walks
+    each group in content-hash order and keeps whole documents while
+    the group's cumulative token count stays within its budget.
+
+    ``budgets`` maps a group value (or tuple) to a token budget, or is a
+    DataFrame with the group columns plus a ``token_budget`` column.
+    ``tokens_col`` is the per-document token count (a column name or
+    expression; defaults to the whitespace ``token_count`` over
+    ``text``). Groups without a budget keep everything (or ``default``
+    tokens). A document is kept iff the cumulative count INCLUDING it
+    is <= budget, in (hash, id) order — so the kept set is a stable
+    prefix: a grown corpus only inserts documents at hash positions,
+    it never churns the decision boundary arbitrarily.
+
+    One shuffle on the group columns. The running sum is a window over
+    each group — one task per group, like every order-sensitive prefix
+    walk. ``shards=S`` is the hot-group guard: the budget splits evenly
+    across S hash-shards of the group and the prefix walk runs per
+    shard. That changes the kept SET (each shard enforces budget/S
+    locally — the deviation from the exact prefix is bounded by S *
+    max_doc_tokens) but keeps determinism and stability, and the
+    window parallelism becomes S per group.
+    """
+    from .text import token_count
+
+    if tokens_col is None:
+        tokens_col = token_count("text")
+    elif isinstance(tokens_col, str):
+        tokens_col = F.col(tokens_col)
+    if isinstance(budgets, DataFrame):
+        bdf = budgets
+    else:
+        rows = []
+        for key, q in budgets.items():
+            key = key if isinstance(key, tuple) else (key,)
+            rows.append((*key, int(q)))
+        bdf = df.sparkSession.createDataFrame(rows, group_cols + ["token_budget"])
+
+    src = df.join(F.broadcast(bdf), group_cols, "left").withColumn(
+        "__ntok", tokens_col.cast("long")
+    )
+    bound = (
+        F.col("token_budget")
+        if default is None
+        else F.coalesce(F.col("token_budget"), F.lit(int(default)))
+    )
+    if shards and shards > 1:
+        shard = F.pmod(hash_bucket(id_col, seed + "#tshard"), F.lit(int(shards)))
+        w = Window.partitionBy(*group_cols, shard).orderBy(
+            hash_bucket(id_col, seed), F.col(id_col)
+        )
+        bound = F.floor(bound / F.lit(int(shards)))
+    else:
+        w = Window.partitionBy(*group_cols).orderBy(
+            hash_bucket(id_col, seed), F.col(id_col)
+        )
+    # running sum INCLUDING the current row (window must materialize
+    # before the filter — Spark disallows window functions in WHERE)
+    withcum = src.withColumn("__cum", F.sum("__ntok").over(w))
+    keep = bound.isNull() | (F.col("__cum") <= bound)
+    return withcum.filter(keep).drop("__ntok", "__cum", "token_budget")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n{2,}",
+    window_words: int | None = None,
+) -> DataFrame:
+    """Paragraph-level exact deduplication with first-occurrence-wins
+    (the RefinedWeb / Dolma recipe, public: Penedo et al. 2023 §3;
+    repeated boilerplate paragraphs — headers, navbars, license blocks
+    — are removed corpus-wide while each document keeps its unique
+    prose, reassembled in order).
+
+    Segmentation: split on ``sep`` (default blank lines). For corpora
+    without paragraph structure pass ``window_words=W`` to segment into
+    fixed W-word passages instead (same dedup semantics at passage
+    granularity). A segment instance survives iff it is the globally
+    FIRST occurrence of its content, ordered by (id, position) — a
+    deterministic, order-free policy. Documents whose every segment was
+    seen elsewhere come back empty (callers typically filter on
+    ``n_kept > 0``).
+
+    Scale: segments explode narrowly; the winner per distinct segment
+    is a ``min_by`` HASH AGGREGATE on the segment hash (partial
+    aggregation absorbs hot segments map-side — a boilerplate paragraph
+    repeated a billion times reduces to one row per map task, no
+    skewed window), then one semi join back on (hash, id, position) and
+    one groupBy(id) to reassemble. Only hashes and ids shuffle twice;
+    segment text shuffles once for reassembly.
+    """
+    if window_words:
+        segs = F.transform(
+            # group the word array into W-word windows, rejoin with spaces
+            F.array_compact(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            (F.size(F.split(F.col(text_col), r"\s+")) - 1)
+                            / F.lit(int(window_words)),
+                            F.lit(0),
+                        ).cast("int"),
+                    ),
+                    lambda i: F.slice(
+                        F.split(F.col(text_col), r"\s+"),
+                        i * int(window_words) + 1,
+                        int(window_words),
+                    ),
+                )
+            ),
+            lambda a: F.array_join(a, " "),
+        )
+    else:
+        segs = F.split(F.col(text_col), sep)
+    exploded = (
+        df.select(F.col(id_col), F.posexplode(segs).alias("__pos", "__seg"))
+        .filter(F.length(F.trim("__seg")) > 0)
+        .withColumn("__h", F.sha2(F.col("__seg"), 256))
+    )
+    winners = exploded.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first")
+    )
+    kept = exploded.join(
+        winners,
+        (exploded["__h"] == winners["__h"])
+        & (exploded[id_col] == winners["__first"][id_col])
+        & (exploded["__pos"] == winners["__first"]["__pos"]),
+        "left_semi",
+    )
+    joiner = " " if window_words else "\n\n"
+    out = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+            joiner,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.filter(segs, lambda s: F.length(F.trim(s)) > 0)).alias("__n_segs"),
+    )
+    return (
+        totals.join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("__n_segs") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+    )

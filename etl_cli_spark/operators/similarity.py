@@ -628,3 +628,56 @@ def brute_force_all_pairs_topk(
     scored = pairs.select("a_id", "b_id", F.round(cosine(F.col("a_v"), F.col("b_v")), 6).alias("score"))
     w = Window.partitionBy("a_id").orderBy(F.col("score").desc(), F.col("b_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.97,
+    sample_size: int = 2048,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication" — public arXiv method).
+
+    Cluster embeddings with the deterministic driver-side k-means that
+    backs the IVF index (bounded lowest-id sample, rounded-distance
+    Lloyd protocol — oracle-replayable), then compare pairs ONLY within
+    a cluster and drop the higher id of any pair whose cosine (rounded
+    to 6 dp, the portable protocol every similarity oracle here uses)
+    reaches ``threshold``. The keep-lowest-id policy is deterministic
+    and order-free, so the kept set is a pure function of the data.
+
+    Scale posture: the within-cluster self-join is the standard
+    SemDeDup shape — O(sum of cluster^2) instead of O(N^2); size
+    ``n_clusters`` ~ N/target_cluster_size so clusters stay bounded
+    (the paper uses ~100k clusters for web scale). Cosine is a pure
+    Column expression (zip_with dot over pre-normalized arrays — no
+    UDF); the only shuffle is the equi-join on ``__cell``. Returns the
+    kept rows of ``df`` plus their ``__cell`` assignment.
+    """
+    with_cells, _cent = ivf_index(
+        df, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_clusters, sample_size=sample_size,
+    )
+    a = with_cells.select(
+        F.col("__cell"),
+        F.col(id_col).alias("__a_id"),
+        _as_double(F.col(vec_col)).alias("__a_v"),
+    )
+    b = with_cells.select(
+        F.col("__cell"),
+        F.col(id_col).alias("__b_id"),
+        _as_double(F.col(vec_col)).alias("__b_v"),
+    )
+    dup_pairs = (
+        a.join(b, on="__cell")
+        .filter(F.col("__a_id") < F.col("__b_id"))
+        .filter(
+            F.round(cosine(F.col("__a_v"), F.col("__b_v")), 6) >= F.lit(threshold)
+        )
+    )
+    drops = dup_pairs.select(F.col("__b_id").alias(id_col)).distinct()
+    return with_cells.join(drops, on=id_col, how="left_anti")

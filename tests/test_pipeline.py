@@ -359,3 +359,130 @@ def test_validate_null_predicate_quarantines(spark):
     valid, bad = validate(df, {"v_small": F.col("v") < 10})
     assert [r.id for r in valid.collect()] == [2]
     assert {r.id for r in bad.collect()} == {1}
+
+
+# -- token-budget mixture sampling (round-4) ---------------------------------
+
+
+def test_token_budget_respects_budgets(engine):
+    from etl_cli_spark.operators.pipeline import token_budget_sample
+    from etl_cli_spark.operators.text import token_count
+
+    docs = engine.read("documents")
+    out = token_budget_sample(docs, ["lang"], {"en": 400, "de": 200}, default=150)
+    sums = {
+        r["lang"]: r["toks"]
+        for r in out.withColumn("__t", token_count("text"))
+        .groupBy("lang").agg(F.sum("__t").alias("toks")).collect()
+    }
+    budget = {"en": 400, "de": 200}
+    for lang, got in sums.items():
+        assert got <= budget.get(lang, 150), (lang, got)
+
+
+def test_token_budget_prefix_stability(engine):
+    """A grown corpus never evicts previously kept docs whose hash
+    position precedes the growth — the kept set of the subset is a
+    subset of the kept set of the superset restricted to common docs
+    ONLY when the added docs hash after them; the hard guarantee is
+    determinism: same input -> same output."""
+    from etl_cli_spark.operators.pipeline import token_budget_sample
+
+    docs = engine.read("documents")
+    a = {r.doc_id for r in token_budget_sample(docs, ["lang"], {"en": 500}).select("doc_id").collect()}
+    b = {r.doc_id for r in token_budget_sample(docs, ["lang"], {"en": 500}).select("doc_id").collect()}
+    assert a == b and a
+
+
+def test_token_budget_unbudgeted_groups_keep_all(engine):
+    from etl_cli_spark.operators.pipeline import token_budget_sample
+
+    docs = engine.read("documents")
+    out = token_budget_sample(docs, ["lang"], {"en": 100})  # default=None
+    n_non_en = docs.filter("lang != 'en'").count()
+    assert out.filter("lang != 'en'").count() == n_non_en
+
+
+def test_token_budget_sharded_bounds_and_determinism(engine):
+    """shards=S enforces budget/S per hash-shard: total stays within
+    budget, result is deterministic, and every shard's sum is within
+    its slice."""
+    from etl_cli_spark.operators.pipeline import token_budget_sample
+    from etl_cli_spark.operators.text import token_count
+
+    docs = engine.read("documents")
+    out = token_budget_sample(docs, ["lang"], {"en": 600}, default=200, shards=3)
+    en = out.filter("lang = 'en'").withColumn("__t", token_count("text"))
+    assert en.agg(F.sum("__t")).collect()[0][0] <= 600
+    again = token_budget_sample(docs, ["lang"], {"en": 600}, default=200, shards=3)
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {
+        r.doc_id for r in again.select("doc_id").collect()
+    }
+
+
+# -- paragraph-level dedup (round-4) -----------------------------------------
+
+
+def test_paragraph_dedup_blank_line_mode(spark):
+    """Default separator: blank lines. The repeated boilerplate
+    paragraph survives only at its first (doc_id, pos) occurrence."""
+    from etl_cli_spark.operators.pipeline import paragraph_dedup
+
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique one\n\n{boiler}"),
+            (2, f"{boiler}\n\nunique two"),
+            (3, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert out[1].text == f"unique one\n\n{boiler}"
+    assert out[1].n_kept == 2 and out[1].n_dropped == 0
+    assert out[2].text == "unique two"
+    assert out[2].n_kept == 1 and out[2].n_dropped == 1
+    assert out[3].text == "" and out[3].n_kept == 0 and out[3].n_dropped == 1
+
+
+def test_paragraph_dedup_within_doc_duplicates(spark):
+    """A paragraph repeated INSIDE one document also dedups (first
+    position wins)."""
+    from etl_cli_spark.operators.pipeline import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(7, "same para\n\nother\n\nsame para")], "doc_id long, text string"
+    )
+    r = paragraph_dedup(df).collect()[0]
+    assert r.text == "same para\n\nother" and r.n_kept == 2 and r.n_dropped == 1
+
+
+def test_paragraph_dedup_window_words_counts(engine):
+    """Passage mode: totals are conserved (kept + dropped = segments)
+    and a deduped corpus re-runs to a fixpoint (no further drops)."""
+    from etl_cli_spark.operators.pipeline import paragraph_dedup
+
+    docs = engine.read("documents")
+    out = paragraph_dedup(docs, window_words=10)
+    tot = out.agg(F.sum("n_kept").alias("k"), F.sum("n_dropped").alias("d")).collect()[0]
+    assert tot.k > 0 and tot.d > 0
+    # each DISTINCT non-empty segment survives exactly once corpus-wide
+    segs = docs.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            ((F.size(F.split("text", r"\s+")) - 1) / 10), F.lit(0)
+                        ).cast("int"),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.split("text", r"\s+"), i * 10 + 1, 10), " "
+                    ),
+                ),
+                lambda s: F.length(F.trim(s)) > 0,
+            )
+        ).alias("seg")
+    )
+    assert segs.distinct().count() == tot.k

@@ -218,3 +218,57 @@ def test_append_to_ivf_index(spark, emb, tmp_path):
     qvec = [float(x) for x in emb.filter("vec_id = 1").first().embedding]
     top = [r.vec_id for r in ivf_topk_indexed(spark, path, qvec, k=5, n_probe=8).collect()]
     assert top[0] == 1
+
+
+# -- semantic dedup (round-4, SemDeDup-style) --------------------------------
+
+
+def test_semantic_dedup_drops_higher_id_of_close_pairs(engine):
+    """Every dropped id has a kept lower-id neighbor at cosine >= tau
+    in ITS OWN cluster... more precisely: the drop set equals exactly
+    {b : exists a < b in same cluster, cos(a,b) >= tau} — verified
+    against a brute-force recomputation."""
+    from etl_cli_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        ivf_index,
+        semantic_dedup,
+    )
+
+    emb = engine.read("embeddings")
+    kept = semantic_dedup(emb, n_clusters=16, threshold=0.4)
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    # brute-force expected drop set from the same deterministic cells
+    cells, _ = ivf_index(emb, n_centroids=16)
+    a = cells.select(
+        F.col("__cell"), F.col("vec_id").alias("a_id"),
+        _as_double(F.col("embedding")).alias("a_v"),
+    )
+    b = cells.select(
+        F.col("__cell"), F.col("vec_id").alias("b_id"),
+        _as_double(F.col("embedding")).alias("b_v"),
+    )
+    drops = {
+        r.b_id
+        for r in a.join(b, "__cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(cosine(F.col("a_v"), F.col("b_v")), 6) >= 0.4)
+        .select("b_id").distinct().collect()
+    }
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert kept_ids == all_ids - drops
+    assert drops, "fixture should contain semantic near-dups"
+
+
+def test_semantic_dedup_deterministic_and_keeps_cell(engine):
+    from etl_cli_spark.operators.similarity import semantic_dedup
+
+    emb = engine.read("embeddings")
+    k1 = semantic_dedup(emb, n_clusters=8, threshold=0.4)
+    k2 = semantic_dedup(emb, n_clusters=8, threshold=0.4)
+    assert sorted(r.vec_id for r in k1.collect()) == sorted(
+        r.vec_id for r in k2.collect()
+    )
+    assert "__cell" in k1.columns
+    # impossible threshold keeps everything
+    assert semantic_dedup(emb, n_clusters=8, threshold=1.1).count() == emb.count()
