@@ -108,6 +108,8 @@ class ParquetTable:
         # man's Z-order, exact for a single leading column
         self._sort_by = tuple(sort_by) if sort_by else None
         self._manifest = manifest
+        # armed by stream_commit_meta, consumed by the next _commit
+        self._pending_stream: tuple[str, int] | None = None
 
     # -- manifest transaction log --------------------------------------
     def _log_dir(self) -> str:
@@ -159,6 +161,15 @@ class ParquetTable:
             prev_schema = None if latest is None else latest[1].get("schema")
             files, schema = make(prev_files, prev_schema)
             doc = {"version": ver, "files": sorted(files), "schema": schema}
+            # stream watermarks ride IN the manifest so "data visible"
+            # and "batch recorded" are one atomic commit (the foundation
+            # of the exactly-once streaming merge sink)
+            streams = dict() if latest is None else dict(latest[1].get("streams", {}))
+            if self._pending_stream is not None:
+                sid, bid = self._pending_stream
+                streams[sid] = int(bid)
+            if streams:
+                doc["streams"] = streams
             tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
                 json.dump(doc, f)
@@ -173,7 +184,26 @@ class ParquetTable:
                 os.unlink(tmp)
                 continue
             os.unlink(tmp)
+            self._pending_stream = None
             return ver
+
+    def stream_commit_meta(self, stream_id: str, batch_id: int) -> None:
+        """Arm the NEXT manifest commit to also record ``batch_id`` as
+        the high-water mark of ``stream_id``. Because the watermark and
+        the data files land in one atomic put-if-absent, a foreachBatch
+        writer that crashes between sink write and checkpoint commit can
+        detect the replay (`last_stream_batch`) and skip it — the
+        idempotent-sink half of streaming exactly-once."""
+        if not self._is_manifest():
+            raise ValueError("stream watermarks need a manifest table")
+        self._pending_stream = (str(stream_id), int(batch_id))
+
+    def last_stream_batch(self, stream_id: str) -> int | None:
+        latest = self._latest_manifest()
+        if latest is None:
+            return None
+        v = latest[1].get("streams", {}).get(str(stream_id))
+        return None if v is None else int(v)
 
     def _stage_write(self, df: DataFrame) -> tuple[list[str], str | None]:
         """Write ``df`` through the normal layout writers into a staging

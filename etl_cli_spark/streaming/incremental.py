@@ -111,3 +111,62 @@ def incremental_stream(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_merge(
+    spark: SparkSession,
+    path: str,
+    schema,
+    table: ParquetTable,
+    spec,
+    checkpoint: str,
+    stream_id: str = "default",
+):
+    """Exactly-once streaming MERGE: an append-only CDC drop directory
+    streamed (``availableNow``) into a manifest ``ParquetTable`` via
+    ``apply_write_op`` — the production shape of "upserts arriving
+    continuously from a change feed".
+
+    Exactly-once comes from BOTH halves of the standard recipe:
+
+    - Structured Streaming's checkpoint makes each input file part of
+      exactly one micro-batch (at-least-once delivery of batches);
+    - the manifest commit atomically records ``(stream_id, batch_id)``
+      alongside the data files (``stream_commit_meta``), so when a
+      crash lands between the sink commit and the checkpoint commit,
+      the re-delivered batch sees ``last_stream_batch >= batch_id`` and
+      skips — an idempotent sink. Data visibility and the watermark are
+      one put-if-absent, never out of sync.
+
+    ``spec`` is the TargetSpec for every batch (op=upsert/update/
+    delete..., pk=...). Requires ``table`` to be manifest-mode (the
+    guarantee is meaningless on a rename-swap table). One
+    ``availableNow`` invocation drains all pending drops and returns;
+    re-invoke as more land — progress survives restarts.
+    """
+    from ..operators.writeops import apply_write_op
+
+    if not table._is_manifest():
+        raise ValueError("streaming_merge requires a manifest-mode ParquetTable")
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        last = table.last_stream_batch(stream_id)
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already visible in a committed manifest
+        table.stream_commit_meta(stream_id, batch_id)
+        try:
+            apply_write_op(df, table, spec)
+        finally:
+            # a no-commit batch (empty delta) must not leave the armed
+            # watermark to ride a later unrelated commit
+            table._pending_stream = None
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -167,3 +167,96 @@ def test_incremental_stream_processes_only_new_files(spark, engine, tmp_path):
     before = len(seen)
     incremental_stream(spark, src, schema, lambda df: seen.append(df.count()), ckpt)
     assert sum(seen) == ev.count() and all(n == 0 for n in seen[before:])
+
+
+def test_streaming_merge_upserts_cdc_drops(spark, engine, tmp_path):
+    """Exactly-once streaming MERGE: CDC drops upsert into a manifest
+    table; two incremental drains equal one batch apply, and the stream
+    watermark rides in the manifest."""
+    from etl_cli_spark.operators.writeops import ParquetTable
+    from etl_cli_spark.spec import TargetSpec
+    from etl_cli_spark.streaming.incremental import streaming_merge
+
+    orders = engine.read("orders")
+    t = ParquetTable(
+        spark, str(tmp_path / "tgt.parquet"),
+        bucket_by=("o_orderkey",), n_buckets=4, manifest=True,
+    )
+    t.append(orders)
+
+    drops = str(tmp_path / "cdc")
+    d1 = orders.filter("o_orderkey < 50").withColumn("o_orderstatus", F.lit("S1"))
+    d1.write.parquet(drops)
+    schema = spark.read.parquet(drops).schema
+    ckpt = str(tmp_path / "ckpt")
+    spec = TargetSpec(ds="t", op="upsert", pk=("o_orderkey",))
+
+    streaming_merge(spark, drops, schema, t, spec, ckpt)
+    got = {r.o_orderkey for r in t.read().filter("o_orderstatus = 'S1'").collect()}
+    assert got == {r.o_orderkey for r in d1.select("o_orderkey").collect()}
+    assert t.last_stream_batch("default") is not None
+
+    # second drop: only the new files process; net state == one big upsert
+    d2 = orders.filter("o_orderkey >= 50 and o_orderkey < 80").withColumn(
+        "o_orderstatus", F.lit("S2")
+    )
+    d2.write.mode("append").parquet(drops)
+    streaming_merge(spark, drops, schema, t, spec, ckpt)
+    assert t.read().filter("o_orderstatus = 'S2'").count() == d2.count()
+    assert t.read().filter("o_orderstatus = 'S1'").count() == d1.count()
+    assert t.read().count() == orders.count()  # pure updates, no inserts
+
+
+def test_streaming_merge_replayed_batch_skipped(spark, engine, tmp_path):
+    """Crash-replay simulation: re-applying an already-committed batch id
+    is a no-op (idempotent sink), because the watermark landed in the
+    same atomic commit as the data."""
+    from etl_cli_spark.operators.writeops import ParquetTable, apply_write_op
+    from etl_cli_spark.spec import TargetSpec
+    from etl_cli_spark.streaming.incremental import streaming_merge
+
+    orders = engine.read("orders")
+    t = ParquetTable(
+        spark, str(tmp_path / "tgt2.parquet"),
+        bucket_by=("o_orderkey",), n_buckets=4, manifest=True,
+    )
+    t.append(orders)
+    drops = str(tmp_path / "cdc2")
+    d1 = orders.filter("o_orderkey < 30").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(5.0)
+    )
+    d1.write.parquet(drops)
+    schema = spark.read.parquet(drops).schema
+    spec = TargetSpec(ds="t", op="upsert", pk=("o_orderkey",))
+    streaming_merge(spark, drops, schema, t, spec, str(tmp_path / "ck2"))
+    v_after = t.versions()[-1]
+    wm = t.last_stream_batch("default")
+
+    # simulate the replay: a fresh checkpoint re-delivers batch 0
+    streaming_merge(spark, drops, schema, t, spec, str(tmp_path / "ck2_replay"))
+    assert t.versions()[-1] == v_after, "replayed batch must not commit"
+    assert t.last_stream_batch("default") == wm
+    # and the data applied exactly once (prices moved by 5.0, not 10.0)
+    base = {r.o_orderkey: r.o_totalprice for r in orders.filter("o_orderkey < 30").collect()}
+    got = {r.o_orderkey: r.o_totalprice for r in t.read().filter("o_orderkey < 30").collect()}
+    assert all(abs(got[k] - (v + 5.0)) < 1e-9 for k, v in base.items())
+
+
+def test_stream_commit_meta_guards(spark, engine, tmp_path):
+    from etl_cli_spark.operators.writeops import ParquetTable
+
+    import pytest as _pt
+
+    legacy = ParquetTable(spark, str(tmp_path / "legacy.parquet"))
+    with _pt.raises(ValueError, match="manifest"):
+        legacy.stream_commit_meta("s", 0)
+
+    t = ParquetTable(spark, str(tmp_path / "m.parquet"), manifest=True)
+    orders = engine.read("orders")
+    t.stream_commit_meta("s", 3)
+    t.append(orders.limit(10))
+    assert t.last_stream_batch("s") == 3
+    # watermark carries forward through unrelated commits
+    t.append(orders.limit(5))
+    assert t.last_stream_batch("s") == 3
+    assert t.last_stream_batch("other") is None
