@@ -1127,6 +1127,20 @@ def _q_paragraph_dedup(spark, sf):
     )
 
 
+def _q_dsir_select(spark, sf):
+    """DSIR data selection: hashed-bigram models over target (en docs
+    with doc_id % 7 = 0) vs raw corpus, add-1 smoothed log importance
+    ratio per document, deterministic top-50. The oracle rebuilds the
+    hash buckets, both models, the float arithmetic, and the rank in
+    DuckDB — the whole importance-resampling pipeline is replayed."""
+    from etl_cli_spark.operators.rank import dsir_select
+
+    d = _engine(spark, sf).read("documents")
+    target = d.filter("lang = 'en' and doc_id % 7 = 0")
+    out = dsir_select(d, target, k=50, n=2, m_buckets=10_000)
+    return out.select("doc_id", "lang", "log_weight")
+
+
 def _q_split_deterministic(spark, sf):
     from etl_cli_spark.operators.pipeline import deterministic_split
 
@@ -1719,6 +1733,11 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "sketch_distinct_kmv": [("o_orderstatus", "s"), ("est_distinct", "f")],
     "sketch_topk_cms": [("lang", "s"), ("term", "s"), ("est_count", "i")],
     "sketch_quantile_hist": [("o_orderstatus", "s"), ("q", "f"), ("est", "f")],
+    # -- hash-sampling family (round-4 digest) --
+    "split_deterministic": [("split", "s"), ("n", "i")],
+    "hash_sample": [("doc_id", "i"), ("lang", "s"), ("n_chars", "i")],
+    "stratified_sample": [("doc_id", "i"), ("lang", "s"), ("source", "s")],
+    "quota_sample": [("doc_id", "i"), ("lang", "s"), ("source", "s")],
 }
 
 _DSL_FAMILY = [
@@ -1810,6 +1829,9 @@ _MULTIMODAL_FAMILY = [
     "multimodal_resize", "multimodal_frames",
 ]
 _SKETCH_FAMILY = ["sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist"]
+_SAMPLING_FAMILY = [
+    "split_deterministic", "hash_sample", "stratified_sample", "quota_sample",
+]
 
 
 def _q_multimodal_digest(spark, sf):
@@ -1818,6 +1840,10 @@ def _q_multimodal_digest(spark, sf):
 
 def _q_sketch_digest(spark, sf):
     return _q_family_digest(spark, sf, _SKETCH_FAMILY)
+
+
+def _q_sampling_digest(spark, sf):
+    return _q_family_digest(spark, sf, _SAMPLING_FAMILY)
 
 
 def _digest_sql_one(name: str, inner: str) -> str:
@@ -1863,17 +1889,17 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # composite certifying all five multimodal decode paths in-window
     # (decode/audio/jpeg/resize/frames — individuals at positions 51+)
     "multimodal_digest": _q_multimodal_digest,
-    # training-data pipeline ops (split/sample/chunk/pack/decontaminate)
-    "split_deterministic": _q_split_deterministic,
-    "hash_sample": _q_hash_sample,
-    "stratified_sample": _q_stratified_sample,
+    # training-data pipeline ops (sample/chunk/pack/decontaminate/select);
+    # sampling_digest certifies split/hash/stratified/quota in-window
+    # (individuals at positions 51+)
+    "sampling_digest": _q_sampling_digest,
     "chunk_documents": _q_chunk_documents,
     "pack_sequences": _q_pack_sequences,
     "decontaminate": _q_decontaminate,
     "bloom_decontaminate": _q_bloom_decontaminate,
-    "quota_sample": _q_quota_sample,
     "token_budget_sample": _q_token_budget_sample,
     "paragraph_dedup": _q_paragraph_dedup,
+    "dsir_select": _q_dsir_select,
     "dedup_canonical": _q_dedup_canonical,
     "rank_vocab": _q_rank_vocab,
     "rank_scores": _q_rank_scores,
@@ -1905,14 +1931,13 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_shapes_digest": _q_sql_shapes_digest,
     "agg_digest": _q_agg_digest,
     "join_window_digest": _q_join_window_digest,
-    # ---- positions 51+: individual members of the digested families ----
-    # (window_running_sum / write_index moved here when
-    # events_sessionize_hot and sketch_distinct_kmv joined the window;
-    # asof/interval/agg_q1/window/diff/events_window_1h moved here when
-    # the round-3 rank/quota/bloom/canonical queries joined — all seven
-    # stay driver-certified via join_window_digest inside the window)
+    # flagship extension joins, back in-window (round-4 rebalance
+    # freed the slots)
     "asof_join": _q_asof_join,
     "interval_join": _q_interval_join,
+    # ---- positions 51+: individual members of the digested families ----
+    # (agg_q1/window/diff/events_window_1h stay driver-certified via
+    # join_window_digest inside the window)
     "agg_q1": _q_agg_q1,
     "window_topk_per_group": _q_window_topk_per_group,
     "window_range_hourly": _q_window_range_hourly,
@@ -1937,6 +1962,10 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_topk_cms": _q_sketch_topk_cms,
     "sketch_quantile_hist": _q_sketch_quantile_hist,
     "write_upsert": _q_write_upsert,
+    "split_deterministic": _q_split_deterministic,
+    "hash_sample": _q_hash_sample,
+    "stratified_sample": _q_stratified_sample,
+    "quota_sample": _q_quota_sample,
     "profile_orders": _q_profile_orders,
     "pipeline_declarative": _q_pipeline_declarative,
     "window_running_sum": _q_window_running_sum,
@@ -2995,6 +3024,44 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["sketch_digest"] = " UNION ALL ".join(
         _digest_sql_one(n, sql[n]) for n in _SKETCH_FAMILY
+    )
+    sql["sampling_digest"] = " UNION ALL ".join(
+        _digest_sql_one(n, sql[n]) for n in _SAMPLING_FAMILY
+    )
+
+    # dsir_select: the full importance-resampling pipeline replayed —
+    # hashed-bigram buckets (portable md5 % m), add-1 smoothed models on
+    # both corpora, per-doc log ratio (round-6), deterministic top-50
+    _M = 10_000
+    _grams = (
+        r"SELECT doc_id, lang, g.i AS gi, "
+        r"array_to_string(t[g.i + 1 : g.i + 2], ' ') AS gram "
+        r"FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t "
+        r"      FROM documents) d, "
+        r"LATERAL (SELECT unnest(generate_series(0, len(t) - 2)) AS i) g "
+        r"WHERE len(t) >= 2"
+    )
+    _bk = f"(CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % {_M})"
+    sql["dsir_select"] = (
+        f"WITH grams AS ({_grams}), "
+        f"rawb AS (SELECT doc_id, {_bk} AS bucket, count(*) AS c "
+        "         FROM grams GROUP BY doc_id, bucket), "
+        f"tgtb AS (SELECT doc_id, {_bk} AS bucket, count(*) AS c "
+        "         FROM grams WHERE lang = 'en' AND doc_id % 7 = 0 "
+        "         GROUP BY doc_id, bucket), "
+        "qmodel AS (SELECT bucket, sum(c) AS qc FROM rawb GROUP BY bucket), "
+        "pmodel AS (SELECT bucket, sum(c) AS pc FROM tgtb GROUP BY bucket), "
+        "tots AS (SELECT (SELECT COALESCE(sum(qc), 0) FROM qmodel) AS qt, "
+        "               (SELECT COALESCE(sum(pc), 0) FROM pmodel) AS pt), "
+        "model AS (SELECT COALESCE(q.bucket, p.bucket) AS bucket, "
+        f"  ln((COALESCE(pc, 0) + 1.0) / (pt + {_M})) - "
+        f"  ln((COALESCE(qc, 0) + 1.0) / (qt + {_M})) AS llr "
+        "  FROM qmodel q FULL JOIN pmodel p ON q.bucket = p.bucket, tots), "
+        "scored AS (SELECT r.doc_id, round(sum(r.c * m.llr), 6) AS log_weight "
+        "           FROM rawb r JOIN model m ON r.bucket = m.bucket GROUP BY r.doc_id) "
+        "SELECT d.doc_id, d.lang, COALESCE(s.log_weight, 0.0) AS log_weight "
+        "FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id "
+        "ORDER BY log_weight DESC, d.doc_id LIMIT 50"
     )
 
     # similarity_ivf: full in-SQL replay of the deterministic k-means —

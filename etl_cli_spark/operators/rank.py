@@ -409,3 +409,126 @@ def score_documents(
         return out.localCheckpoint(eager=True)
     finally:
         terms.unpersist()
+
+
+# -- DSIR importance resampling (round-4) ------------------------------------
+
+def _gram_bucket(gram: Column, m_buckets: int) -> Column:
+    """Portable hashed-n-gram bucket: md5-prefix uint32 mod m — the same
+    engine-replayable hash the split/sample/bloom family uses."""
+    h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(int(m_buckets)))
+
+
+def _doc_gram_buckets(
+    docs: DataFrame, text_col: str, id_col: str, n: int, m_buckets: int
+) -> DataFrame:
+    """(id, bucket, c) — hashed word-n-gram bucket counts per document.
+    Explode is narrow; the groupBy shuffles (id, bucket) int pairs only."""
+    toks = tokens(text_col)
+    grams = F.when(F.size(toks) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("__g"))
+        .select(F.col(id_col), _gram_bucket(F.col("__g"), m_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    m_buckets: int = 10_000,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public arXiv method):
+    fit bag-of-hashed-n-grams models on the target (seed) corpus and the
+    raw corpus, then score every raw document by its log importance
+    ratio  sum_b c_b * (log p_target(b) - log p_raw(b))  with add-1
+    smoothing over the m hashed buckets.
+
+    Returns ``raw`` plus ``log_weight`` (rounded to 6 dp — the portable
+    cross-engine protocol; an independent SQL engine replays the hash,
+    the counts, and the float arithmetic).
+
+    Scale: both model fits are ONE narrow groupBy each, reduced to
+    m-bucket tables that broadcast (m is 10^4..10^6 — the paper's
+    hashing trick exists precisely so model size is corpus-independent);
+    the scoring join touches only each doc's own buckets. No UDFs.
+    """
+    raw_grams = _doc_gram_buckets(raw, text_col, id_col, n, m_buckets)
+    tgt_grams = _doc_gram_buckets(target, text_col, id_col, n, m_buckets)
+    raw_model = raw_grams.groupBy("bucket").agg(F.sum("c").alias("qc"))
+    tgt_model = tgt_grams.groupBy("bucket").agg(F.sum("c").alias("pc"))
+    # add-1 smoothed log prob difference per bucket; totals are scalars
+    q_tot = raw_model.agg(F.sum("qc")).collect()[0][0] or 0
+    p_tot = tgt_model.agg(F.sum("pc")).collect()[0][0] or 0
+    model = (
+        raw_model.join(tgt_model, "bucket", "full")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("pc", F.lit(0)) + 1.0) / F.lit(float(p_tot + m_buckets)))
+                - F.log((F.coalesce("qc", F.lit(0)) + 1.0) / F.lit(float(q_tot + m_buckets)))
+            ).alias("llr"),
+        )
+    )
+    scored = (
+        raw_grams.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("c") * F.col("llr")), 6).alias("log_weight"))
+    )
+    # docs with no n-grams (too short) get weight 0 — neutral
+    return raw.join(scored, id_col, "left").withColumn(
+        "log_weight", F.coalesce("log_weight", F.lit(0.0))
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    m_buckets: int = 10_000,
+    gumbel: bool = False,
+    seed: str = "",
+) -> DataFrame:
+    """Select the ``k`` raw documents most target-like by DSIR weight.
+
+    ``gumbel=False``: deterministic top-k by (log_weight desc, id) — the
+    mode-seeking variant. ``gumbel=True``: importance RESAMPLING without
+    replacement via the Gumbel top-k trick, with the Gumbel noise
+    derived from the portable content hash (u = (h+1)/2^32+1), so the
+    "randomness" is reproducible AND engine-replayable — rerunning or
+    re-deriving on another engine draws the identical sample.
+
+    The rank is a global TopK (TakeOrderedAndProject when k is small —
+    no full sort), after a scoring pass that moves only (doc, bucket)
+    pairs.
+    """
+    w = importance_weights(raw, target, text_col, id_col, n, m_buckets)
+    if gumbel:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8),
+            16, 10,
+        ).cast("double")
+        u = (h + 1.0) / F.lit(float((1 << 32) + 1))
+        key = F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
+    else:
+        key = F.col("log_weight")
+    return (
+        w.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col))
+        .limit(int(k))
+        .drop("__key")
+    )

@@ -132,16 +132,45 @@ def _s_transform(df: DataFrame, exprs: Mapping[str, str]) -> DataFrame:
     return df
 
 
+def _s_paragraph_dedup(df: DataFrame, **kw) -> DataFrame:
+    from ..operators.pipeline import paragraph_dedup
+
+    id_col = kw.get("id_col", "doc_id")
+    text_col = kw.get("text_col", "text")
+    out = paragraph_dedup(df, **kw)
+    # carry the non-text pipeline columns forward, swap in deduped text
+    return (
+        df.drop(text_col)
+        .join(out.filter(F.col("n_kept") > 0), id_col)
+        .drop("n_kept", "n_dropped")
+    )
+
+
+def _s_token_budget(df: DataFrame, group_cols: list, budgets, **kw) -> DataFrame:
+    from ..operators.pipeline import token_budget_sample
+
+    return token_budget_sample(df, group_cols, budgets, **kw)
+
+
+def _s_semantic_dedup(df: DataFrame, **kw) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    return semantic_dedup(df, **kw).drop("__cell")
+
+
 STAGES: dict[str, Callable[..., DataFrame]] = {
     "filter": _s_filter,
     "quality_filter": _s_quality_filter,
     "dedup_exact": _s_dedup_exact,
     "dedup_minhash": _s_dedup_minhash,
     "dedup_canonical": _s_dedup_canonical,
+    "paragraph_dedup": _s_paragraph_dedup,
+    "semantic_dedup": _s_semantic_dedup,
     "decontaminate": _s_decontaminate,
     "split": _s_split,
     "sample": _s_sample,
     "quota": _s_quota,
+    "token_budget": _s_token_budget,
     "validate": _s_validate,
     "chunk": _s_chunk,
     "pack": _s_pack,
@@ -194,7 +223,9 @@ def run_corpus_pipeline_streaming(
     file to exactly one batch across restarts; a crash INSIDE a batch
     can replay it, so a production sink should commit per batchId
     (foreachBatch's documented idempotence contract) — the append here
-    is the simple at-least-once form.
+    is the simple at-least-once form; for the exactly-once form see
+    ``streaming.incremental.streaming_merge``, whose manifest commit
+    records the batch watermark atomically with the data.
     """
     from ..operators.dedup import append_to_dedup_index
     from ..operators.writeops import ParquetTable

@@ -144,3 +144,39 @@ def test_streaming_pipeline_stateless_stages_only(spark, tmp_path):
     run_corpus_pipeline_streaming(spark, src, spark.createDataFrame(rows2, schema).schema, stages, out, ckpt)
     got = sorted(r.doc_id for r in ParquetTable(spark, out).read().collect())
     assert got == [2, 4]
+
+
+def test_round4_stages_compose(engine):
+    """paragraph_dedup / token_budget stages equal their operators and
+    compose lazily with the rest of the pipeline."""
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline
+
+    docs = engine.read("documents")
+    out = run_corpus_pipeline(
+        docs,
+        [
+            {"stage": "filter", "expr": "n_chars > 50"},
+            {"stage": "paragraph_dedup", "window_words": 10},
+            {"stage": "token_budget", "group_cols": ["lang"],
+             "budgets": {"en": 800}, "default": 300},
+        ],
+    )
+    assert out.count() > 0
+    assert set(out.columns) >= {"doc_id", "text", "lang"}
+    # text was actually rewritten by the dedup (non-empty everywhere)
+    assert out.filter("length(text) = 0").count() == 0
+
+
+def test_semantic_dedup_stage(engine):
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline
+    from etl_cli_spark.operators.similarity import semantic_dedup
+
+    emb = engine.read("embeddings")
+    out = run_corpus_pipeline(
+        emb, [{"stage": "semantic_dedup", "n_clusters": 8, "threshold": 0.4}]
+    )
+    direct = semantic_dedup(emb, n_clusters=8, threshold=0.4)
+    assert sorted(r.vec_id for r in out.collect()) == sorted(
+        r.vec_id for r in direct.collect()
+    )
+    assert "__cell" not in out.columns

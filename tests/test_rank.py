@@ -210,3 +210,55 @@ def test_text_index_append_equals_rebuild(spark, engine, tmp_path):
     got_inc = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, inc, q, k=20).collect()]
     got_full = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, full, q, k=20).collect()]
     assert got_inc == got_full
+
+
+# -- DSIR importance resampling (round-4) ------------------------------------
+
+
+def test_importance_weights_favor_target_like_docs(engine):
+    """Documents from the target distribution score higher than the
+    corpus average — the basic DSIR property."""
+    from etl_cli_spark.operators.rank import importance_weights
+
+    d = engine.read("documents")
+    target = d.filter("lang = 'en' and doc_id % 7 = 0")
+    w = importance_weights(d, target)
+    rows = {r.doc_id: r.log_weight for r in w.select("doc_id", "log_weight").collect()}
+    import statistics
+
+    tgt_ids = {r.doc_id for r in target.select("doc_id").collect()}
+    tgt_mean = statistics.mean(rows[i] for i in tgt_ids)
+    rest_mean = statistics.mean(v for k, v in rows.items() if k not in tgt_ids)
+    assert tgt_mean > rest_mean
+    assert len(rows) == d.count()  # every doc scored (short docs -> 0)
+
+
+def test_dsir_select_deterministic_topk(engine):
+    from etl_cli_spark.operators.rank import dsir_select, importance_weights
+
+    d = engine.read("documents")
+    target = d.filter("lang = 'de'")
+    sel = dsir_select(d, target, k=20)
+    assert sel.count() == 20
+    # the selection IS the top-20 by (weight desc, id)
+    w = importance_weights(d, target)
+    expected = [
+        r.doc_id
+        for r in w.orderBy(F.col("log_weight").desc(), "doc_id").limit(20).collect()
+    ]
+    assert sorted(r.doc_id for r in sel.collect()) == sorted(expected)
+
+
+def test_dsir_gumbel_reproducible_and_distinct(engine):
+    """Gumbel resampling is deterministic given the seed (hash-derived
+    noise), differs from the mode-seeking top-k, and changes with seed."""
+    from etl_cli_spark.operators.rank import dsir_select
+
+    d = engine.read("documents")
+    target = d.filter("lang = 'en' and doc_id % 7 = 0")
+    g1 = {r.doc_id for r in dsir_select(d, target, k=20, gumbel=True).collect()}
+    g2 = {r.doc_id for r in dsir_select(d, target, k=20, gumbel=True).collect()}
+    assert g1 == g2 and len(g1) == 20
+    plain = {r.doc_id for r in dsir_select(d, target, k=20).collect()}
+    other = {r.doc_id for r in dsir_select(d, target, k=20, gumbel=True, seed="x").collect()}
+    assert g1 != plain or g1 != other  # noise actually does something
