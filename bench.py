@@ -36,6 +36,11 @@ HEADLINE = [
     "text_stats_by_lang",     # tokenize + agg
     "similarity_topk",        # brute-force cosine top-k
     "write_upsert",           # MERGE-shaped write op
+    # round-4 additions
+    "paragraph_dedup",        # segment explode + min_by winner + reassembly
+    "semantic_dedup",         # k-means cells + within-cluster cosine prune
+    "dsir_select",            # hashed-bigram models + importance rank
+    "manifest_time_travel",   # manifest write history + snapshot CDF diff
 ]
 
 

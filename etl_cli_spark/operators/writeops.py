@@ -252,19 +252,52 @@ class ParquetTable:
         shutil.rmtree(staged, ignore_errors=True)
         return out
 
+    @staticmethod
+    def _merge_schema_json(prev: str | None, new: str | None) -> str | None:
+        """Union-by-name schema evolution for the manifest log: columns
+        added by later writes join the table schema (older files read
+        them as null); same-name columns must keep their type — a type
+        flip raises instead of silently corrupting (Delta's mergeSchema
+        contract)."""
+        if prev is None or new is None or prev == new:
+            return new or prev
+        from pyspark.sql.types import StructType
+
+        pf = StructType.fromJson(json.loads(prev))
+        nf = StructType.fromJson(json.loads(new))
+        by_name = {f.name: f for f in pf.fields}
+        out = list(pf.fields)
+        for f in nf.fields:
+            old = by_name.get(f.name)
+            if old is None:
+                out.append(f)
+            elif old.dataType != f.dataType:
+                raise ValueError(
+                    f"schema drift changes column {f.name!r} type "
+                    f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}; "
+                    "rewrite the table (overwrite) to change types"
+                )
+        return StructType(out).json()
+
     def _read_manifest_files(
         self, files: list[str], schema_json: str | None
     ) -> DataFrame | None:
+        from pyspark.sql.types import StructType
+
         if not files:
             if schema_json is None:
                 return None
-            from pyspark.sql.types import StructType
-
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
             )
         paths = [os.path.join(self.path, f) for f in files]
-        return self.spark.read.option("basePath", self.path).parquet(*paths)
+        reader = self.spark.read.option("basePath", self.path)
+        if schema_json is not None:
+            # the committed schema is authoritative: files written before
+            # a column was added read it as null (schema evolution),
+            # instead of the reader inferring from one arbitrary footer
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        return reader.parquet(*paths)
 
     # -- layout ---------------------------------------------------------
     def _meta(self) -> dict | None:
@@ -590,8 +623,13 @@ class ParquetTable:
             files, schema = self._stage_write(df)
             # rebase-safe under concurrency: an append only ADDS its own
             # files, so on a commit race the retry unions with whatever
-            # the winning snapshot holds
-            self._commit(lambda prev, ps: (list(prev) + files, schema or ps))
+            # the winning snapshot holds; schema evolves union-by-name
+            self._commit(
+                lambda prev, ps: (
+                    list(prev) + files,
+                    self._merge_schema_json(ps, schema),
+                )
+            )
             self._touch()
             return
         layout = self._target_layout()
@@ -656,7 +694,8 @@ class ParquetTable:
             self._commit(
                 lambda prev, ps: (
                     [f for f in prev if f.split(os.sep)[0] not in drop] + files,
-                    schema or ps,
+                    # untouched partitions keep their old files: merge
+                    self._merge_schema_json(ps, schema),
                 )
             )
             self._touch()
@@ -707,7 +746,8 @@ class ParquetTable:
             self._commit(
                 lambda prev, ps: (
                     [f for f in prev if f.split(os.sep)[0] not in drop] + files,
-                    schema or ps,
+                    # untouched partitions keep their old files: merge
+                    self._merge_schema_json(ps, schema),
                 )
             )
             self._touch()

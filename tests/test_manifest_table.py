@@ -427,3 +427,41 @@ def test_snapshot_changes_after_write_ops(spark, orders, tmp_path):
     n_upd = orders.filter("o_orderkey < 20").count()
     n_del = orders.filter("o_orderkey >= 1000").count()
     assert got == {"update_postimage": n_upd, "delete": n_del}
+
+
+def test_manifest_schema_evolution(spark, tmp_path):
+    """Appends with drifted schemas union-by-name: new columns join the
+    table schema (older files read null), each retained version keeps
+    ITS schema, and a type flip refuses loudly."""
+    t = ParquetTable(spark, str(tmp_path / "drift.parquet"), manifest=True)
+    t.append(spark.createDataFrame([(1, "a")], "id long, name string"))
+    t.append(spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double"))
+    out = t.read()
+    assert out.columns == ["id", "name", "score"]
+    rows = {r.id: r.score for r in out.collect()}
+    assert rows == {1: None, 2: 9.5}
+    assert t.read_version(0).columns == ["id", "name"]  # time travel keeps v0 shape
+    with pytest.raises(ValueError, match="schema drift changes column"):
+        t.append(spark.createDataFrame([(3, 1)], "id long, name int"))
+    # full overwrite REPLACES the schema (rewrite is the type-change path)
+    t.overwrite(spark.createDataFrame([(9, 1)], "id long, name int"))
+    assert [f.dataType.simpleString() for f in t.read().schema.fields] == ["bigint", "int"]
+
+
+def test_manifest_drift_on_partitioned_layouts(spark, tmp_path):
+    """Schema evolution composes with the bucketed layout: a scoped
+    rewrite that adds a column merges instead of clobbering."""
+    t = ParquetTable(
+        spark, str(tmp_path / "bdrift.parquet"),
+        bucket_by=("id",), n_buckets=4, manifest=True,
+    )
+    base = spark.range(40).select(F.col("id"), F.lit("x").alias("name"))
+    t.append(base)
+    newer = spark.range(5).select(
+        F.col("id"), F.lit("y").alias("name"), F.lit(1.0).alias("extra")
+    )
+    t.append(newer)
+    out = t.read()
+    assert set(out.columns) == {"id", "name", "extra"}
+    assert out.filter("extra IS NOT NULL").count() == 5
+    assert out.count() == 45
