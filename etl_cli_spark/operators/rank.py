@@ -464,28 +464,40 @@ def importance_weights(
     hashing trick exists precisely so model size is corpus-independent);
     the scoring join touches only each doc's own buckets. No UDFs.
     """
-    raw_grams = _doc_gram_buckets(raw, text_col, id_col, n, m_buckets)
-    tgt_grams = _doc_gram_buckets(target, text_col, id_col, n, m_buckets)
-    raw_model = raw_grams.groupBy("bucket").agg(F.sum("c").alias("qc"))
-    tgt_model = tgt_grams.groupBy("bucket").agg(F.sum("c").alias("pc"))
-    # add-1 smoothed log prob difference per bucket; totals are scalars
-    q_tot = raw_model.agg(F.sum("qc")).collect()[0][0] or 0
-    p_tot = tgt_model.agg(F.sum("pc")).collect()[0][0] or 0
-    model = (
-        raw_model.join(tgt_model, "bucket", "full")
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce("pc", F.lit(0)) + 1.0) / F.lit(float(p_tot + m_buckets)))
-                - F.log((F.coalesce("qc", F.lit(0)) + 1.0) / F.lit(float(q_tot + m_buckets)))
-            ).alias("llr"),
+    from pyspark import StorageLevel
+
+    # the raw-corpus gram pass feeds BOTH the q-model and the scoring
+    # join: persist it so the corpus tokenizes once, not per branch;
+    # scored is narrow (id, weight), so it checkpoints eagerly and the
+    # persisted frame is released before returning (no cache leak)
+    raw_grams = _doc_gram_buckets(raw, text_col, id_col, n, m_buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        tgt_grams = _doc_gram_buckets(target, text_col, id_col, n, m_buckets)
+        raw_model = raw_grams.groupBy("bucket").agg(F.sum("c").alias("qc"))
+        tgt_model = tgt_grams.groupBy("bucket").agg(F.sum("c").alias("pc"))
+        # add-1 smoothed log prob difference per bucket; totals are scalars
+        q_tot = raw_model.agg(F.sum("qc")).collect()[0][0] or 0
+        p_tot = tgt_model.agg(F.sum("pc")).collect()[0][0] or 0
+        model = (
+            raw_model.join(tgt_model, "bucket", "full")
+            .select(
+                "bucket",
+                (
+                    F.log((F.coalesce("pc", F.lit(0)) + 1.0) / F.lit(float(p_tot + m_buckets)))
+                    - F.log((F.coalesce("qc", F.lit(0)) + 1.0) / F.lit(float(q_tot + m_buckets)))
+                ).alias("llr"),
+            )
         )
-    )
-    scored = (
-        raw_grams.join(F.broadcast(model), "bucket")
-        .groupBy(id_col)
-        .agg(F.round(F.sum(F.col("c") * F.col("llr")), 6).alias("log_weight"))
-    )
+        scored = (
+            raw_grams.join(F.broadcast(model), "bucket")
+            .groupBy(id_col)
+            .agg(F.round(F.sum(F.col("c") * F.col("llr")), 6).alias("log_weight"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        raw_grams.unpersist()
     # docs with no n-grams (too short) get weight 0 — neutral
     return raw.join(scored, id_col, "left").withColumn(
         "log_weight", F.coalesce("log_weight", F.lit(0.0))

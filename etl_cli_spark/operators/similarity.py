@@ -322,11 +322,22 @@ def _assign_cells(df: DataFrame, centroids, vec_col: str) -> DataFrame:
 
     def assign(iters):
         for pdf in iters:
-            cells = []
-            for v in pdf[vec_col]:
-                xv = np.asarray(v, dtype=np.float64)
-                # same rounded-distance protocol as _kmeans_lite
-                cells.append(int(((cent_b - xv) ** 2).sum(axis=1).round(6).argmin()))
+            if len(pdf) == 0:
+                pdf = pdf.copy()
+                pdf["__cell"] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cells = np.empty(len(x), dtype=np.int32)
+            # vectorized batch distance with the same rounded-distance
+            # protocol as _kmeans_lite ((x-c)^2 summed THEN rounded —
+            # never the expanded form, which rounds differently);
+            # chunked so the (B, k, dim) intermediate stays ~50 MB
+            step = max(1, 65536 // max(1, len(cent_b)))
+            for s in range(0, len(x), step):
+                blk = x[s : s + step]
+                d = ((blk[:, None, :] - cent_b[None, :, :]) ** 2).sum(axis=2).round(6)
+                cells[s : s + step] = d.argmin(axis=1)
             pdf = pdf.copy()
             pdf["__cell"] = pd.Series(cells, index=pdf.index, dtype="int32")
             yield pdf
@@ -658,26 +669,46 @@ def semantic_dedup(
     UDF); the only shuffle is the equi-join on ``__cell``. Returns the
     kept rows of ``df`` plus their ``__cell`` assignment.
     """
+    from pyspark import StorageLevel
+
     with_cells, _cent = ivf_index(
         df, id_col=id_col, vec_col=vec_col,
         n_centroids=n_clusters, sample_size=sample_size,
     )
-    a = with_cells.select(
-        F.col("__cell"),
-        F.col(id_col).alias("__a_id"),
-        _as_double(F.col(vec_col)).alias("__a_v"),
-    )
-    b = with_cells.select(
-        F.col("__cell"),
-        F.col(id_col).alias("__b_id"),
-        _as_double(F.col(vec_col)).alias("__b_v"),
-    )
-    dup_pairs = (
-        a.join(b, on="__cell")
-        .filter(F.col("__a_id") < F.col("__b_id"))
-        .filter(
-            F.round(cosine(F.col("__a_v"), F.col("__b_v")), 6) >= F.lit(threshold)
+    dim = len(df.select(vec_col).first()[0])
+    # normalize ONCE and persist (cell, id, unit vector): the self-join's
+    # two branches would otherwise each re-run the Arrow assign pass, and
+    # per-pair cosine would recompute both norms — unit vectors make the
+    # verify a pure dot (same round-6 protocol embedding_neardup uses)
+    base = (
+        with_cells.select(
+            F.col("__cell"),
+            F.col(id_col).alias("__id"),
+            _as_double(F.col(vec_col)).alias("__v"),
         )
+        .withColumn("__n", norm(F.col("__v")))
+        .select(
+            "__cell",
+            "__id",
+            F.zip_with(
+                "__v", F.array_repeat("__n", dim), lambda x, n: x / n
+            ).alias("__u"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    drops = dup_pairs.select(F.col("__b_id").alias(id_col)).distinct()
+    try:
+        a = base.select("__cell", F.col("__id").alias("__a_id"), F.col("__u").alias("__a_u"))
+        b = base.select("__cell", F.col("__id").alias("__b_id"), F.col("__u").alias("__b_u"))
+        drops = (
+            a.join(b, on="__cell")
+            .filter(F.col("__a_id") < F.col("__b_id"))
+            .filter(F.round(dot(F.col("__a_u"), F.col("__b_u")), 6) >= F.lit(threshold))
+            .select(F.col("__b_id").alias(id_col))
+            .distinct()
+            # narrow (ids only): materialize so the returned plan doesn't
+            # depend on the persisted frame after we release it
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        base.unpersist()
     return with_cells.join(drops, on=id_col, how="left_anti")

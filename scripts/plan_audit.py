@@ -86,6 +86,27 @@ AUDITED: dict[str, str] = {
         "correct exact baseline (the indexed ANN/IVF paths replace the "
         "scan with partition-pruned bucket reads)."
     ),
+    "paragraph_dedup": (
+        "segments explode narrowly; the first-occurrence winner per "
+        "distinct segment is a min(struct(id,pos)) HASH AGGREGATE — "
+        "map-side partials absorb hot boilerplate (a billion-copy "
+        "paragraph reduces per task), where a window would serialize "
+        "them onto one partition; one semi join back, one groupBy to "
+        "reassemble."
+    ),
+    "semantic_dedup": (
+        "SemDeDup: cells assigned in one Arrow pass (centroids closure-"
+        "captured, no shuffle), then the within-cluster self-join is the "
+        "only exchange — O(sum cluster^2) pair work instead of O(N^2); "
+        "cosine is a pure Column fold inside codegen."
+    ),
+    "dsir_select": (
+        "both hashed-bigram model fits are single narrow groupBys "
+        "reduced to m-bucket tables; the 10k-row model BROADCASTS into "
+        "the scoring join (corpus-independent model size is the point "
+        "of the hashing trick); the final top-k is "
+        "TakeOrderedAndProject, never a global sort."
+    ),
 }
 
 _KEEP = re.compile(

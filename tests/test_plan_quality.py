@@ -45,6 +45,11 @@ READ_QUERIES = [
     "sketch_topk_cms",
     "text_stats_by_lang",
     "similarity_topk",
+    # round-4 operators
+    "paragraph_dedup",
+    "token_budget_sample",
+    "semantic_dedup",
+    "dsir_select",
 ]
 
 
@@ -95,3 +100,34 @@ def test_decontaminate_shuffles_hashes_not_text(spark, engine):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     joins = [ln for ln in plan.splitlines() if "Join" in ln]
     assert joins and all("text#" not in ln for ln in joins)
+
+
+def test_paragraph_dedup_winner_is_hash_aggregate(spark, engine):
+    """The first-occurrence winner per segment must be an aggregate
+    (partial/map-side combine absorbs hot boilerplate), not a window
+    over a hash-partitioned sort — a window would serialize every copy
+    of a repeated paragraph onto one task."""
+    from etl_cli_spark.operators.pipeline import paragraph_dedup
+
+    docs = engine.read("documents")
+    plan = paragraph_dedup(
+        docs, window_words=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "min(" in plan or "HashAggregate" in plan
+    # reassembly aside, no global Window over the segment hash
+    import re
+
+    assert not re.search(r"Window .*__h", plan), "winner pick must not be a window"
+
+
+def test_dsir_model_broadcasts(spark, engine):
+    """The m-bucket model is corpus-independent and must broadcast —
+    the scoring join shuffling the corpus against a 10k-row model would
+    be the classic avoidable-exchange mistake."""
+    from etl_cli_spark.operators.rank import importance_weights
+
+    d = engine.read("documents")
+    plan = importance_weights(
+        d, d.filter("lang = 'en'")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
