@@ -1473,6 +1473,43 @@ def _q_multimodal_jpeg(spark, sf):
     )
 
 
+def _q_stream_interval_join(spark, sf):
+    """The stream-stream interval join's SAME Catalyst expression run
+    in batch mode (withWatermark is a no-op on batch frames): clicks
+    joined to purchases by user within [ts, ts + 30 min]. The oracle is
+    a plain range join in DuckDB — the join semantics are certified;
+    the streaming-specific state bounding is unit-tested
+    (tests/test_streaming.py::test_stream_stream_interval_join proves
+    stream == batch on real file streams)."""
+    from etl_cli_spark.streaming.stream import stream_interval_join
+
+    ev = _engine(spark, sf).read("events", ["_fields=event_id,ts,user_id,event_type"])
+    clicks = ev.filter("event_type = 'click'")
+    buys = ev.filter("event_type = 'purchase'")
+    out = stream_interval_join(
+        clicks, buys, on="user_id", lower="0 seconds", upper="30 minutes",
+        watermark="2 hours",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("r_event_id").alias("matched_id")
+    )
+
+
+def _q_multimodal_features(spark, sf):
+    # REAL grid-pooled luminance descriptors over the decoded pattern
+    # pixels (exact integer cell sums / 765, float32 storage); the
+    # oracle recomputes every cell mean — including the float32
+    # quantization — in pure python with no codec or numpy involved
+    from etl_cli_spark.operators.multimodal import extract_features, make_fake_media
+
+    media = make_fake_media(spark, n=24)
+    return (
+        extract_features(media, dim=16)
+        .select("media_id", F.posexplode("feature").alias("fi", "val"))
+        .withColumn("val", F.col("val").cast("double"))
+    )
+
+
 def _q_profile_orders(spark, sf):
     """Exact column profile of orders: every statistic recomputed
     column-by-column in DuckDB (avg_len over the string forms)."""
@@ -1729,6 +1766,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
                           ("resized_height", "i"), ("digest_hex", "s")],
     "multimodal_frames": [("media_id", "i"), ("frame_idx", "i"),
                           ("frame_ts_ms", "i"), ("digest_hex", "s")],
+    "multimodal_features": [("media_id", "i"), ("fi", "i"), ("val", "f")],
     # -- sketch family (round-4 digest) --
     "sketch_distinct_kmv": [("o_orderstatus", "s"), ("est_distinct", "f")],
     "sketch_topk_cms": [("lang", "s"), ("term", "s"), ("est_count", "i")],
@@ -1826,7 +1864,7 @@ def _q_write_digest(spark, sf):
 
 _MULTIMODAL_FAMILY = [
     "multimodal_decode", "multimodal_audio", "multimodal_jpeg",
-    "multimodal_resize", "multimodal_frames",
+    "multimodal_resize", "multimodal_frames", "multimodal_features",
 ]
 _SKETCH_FAMILY = ["sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist"]
 _SAMPLING_FAMILY = [
@@ -1921,6 +1959,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # events / streaming-analog (SURVEY §2.9-2.10)
     "events_sessionize": _q_events_sessionize,
     "events_top_paths": _q_events_top_paths,
+    "stream_interval_join": _q_stream_interval_join,
     "graph_pagerank": _q_graph_pagerank,
     "incremental_loop": _q_incremental_loop,
     # merger (SURVEY §2.4)
@@ -1961,6 +2000,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_distinct_kmv": _q_sketch_distinct_kmv,
     "sketch_topk_cms": _q_sketch_topk_cms,
     "sketch_quantile_hist": _q_sketch_quantile_hist,
+    "multimodal_features": _q_multimodal_features,
     "write_upsert": _q_write_upsert,
     "split_deterministic": _q_split_deterministic,
     "hash_sample": _q_hash_sample,
@@ -2113,6 +2153,14 @@ def oracle_sql() -> dict[str, str]:
         "  FROM events WHERE event_type = 'purchase') "
         "SELECT e.event_id, e.user_id, iv.e AS win_end FROM events e "
         "JOIN iv ON e.user_id = iv.user_id AND e.ts >= iv.s AND e.ts <= iv.e"
+    )
+    # stream_interval_join (batch twin): clicks x purchases per user
+    # within [ts, ts + 30 min] — a plain range join here
+    sql["stream_interval_join"] = (
+        "SELECT c.event_id, c.user_id, p.event_id AS matched_id "
+        "FROM events c JOIN events p ON c.user_id = p.user_id "
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"
     )
 
     orders_cols = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
@@ -2536,6 +2584,38 @@ def oracle_sql() -> dict[str, str]:
         "CAST(dec_width AS INTEGER) AS dec_width, "
         "CAST(dec_height AS INTEGER) AS dec_height, digest_hex "
         f"FROM (VALUES {', '.join(_jvals)}) AS t(media_id, dec_width, dec_height, digest_hex)"
+    )
+
+    # multimodal_features: grid-pooled luminance over the deterministic
+    # pattern, recomputed in PURE python (integer cell sums / 765 - 0.5,
+    # then the float32 quantization the ArrayType(FloatType) storage
+    # applies) — no numpy, no decoder, no feature kernel involved
+    import struct as _st2
+
+    _fvals2 = []
+    for i in range(24):
+        w, h = 8 + i % 5, 6 + i % 4
+        # gray[y][x] = sum over c of pattern -> exact ints
+        gray = [
+            [sum((3 * x + 7 * y + 11 * i + 13 * c) % 256 for c in range(3))
+             for x in range(w)]
+            for y in range(h)
+        ]
+        fi = 0
+        for gi in range(4):
+            for gj in range(4):
+                ys = range(gi * h // 4, (gi + 1) * h // 4)
+                xs = range(gj * w // 4, (gj + 1) * w // 4)
+                tot = sum(gray[y][x] for y in ys for x in xs)
+                cnt = len(ys) * len(xs)
+                v = float(tot) / (cnt * 765.0) - 0.5
+                v32 = _st2.unpack("f", _st2.pack("f", v))[0]  # float32 storage
+                _fvals2.append(f"({i}, {fi}, {v32!r})")
+                fi += 1
+    sql["multimodal_features"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(fi AS INTEGER) AS fi, CAST(val AS DOUBLE) AS val "
+        f"FROM (VALUES {', '.join(_fvals2)}) AS t(media_id, fi, val)"
     )
 
     # training-data pipeline ops: hashing is md5-prefix -> uint32 in both

@@ -447,6 +447,7 @@ def importance_weights(
     id_col: str = "doc_id",
     n: int = 2,
     m_buckets: int = 10_000,
+    eager: bool = True,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling" — public arXiv method):
@@ -470,9 +471,9 @@ def importance_weights(
     # join: persist it so the corpus tokenizes once, not per branch;
     # scored is narrow (id, weight), so it checkpoints eagerly and the
     # persisted frame is released before returning (no cache leak)
-    raw_grams = _doc_gram_buckets(raw, text_col, id_col, n, m_buckets).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    raw_grams = _doc_gram_buckets(raw, text_col, id_col, n, m_buckets)
+    if eager:
+        raw_grams = raw_grams.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         tgt_grams = _doc_gram_buckets(target, text_col, id_col, n, m_buckets)
         raw_model = raw_grams.groupBy("bucket").agg(F.sum("c").alias("qc"))
@@ -494,10 +495,15 @@ def importance_weights(
             raw_grams.join(F.broadcast(model), "bucket")
             .groupBy(id_col)
             .agg(F.round(F.sum(F.col("c") * F.col("llr")), 6).alias("log_weight"))
-            .localCheckpoint(eager=True)
         )
+        if eager:
+            # narrow (id, weight): materialize so the cache below can be
+            # released; eager=False keeps the full lazy plan (used by
+            # plan-quality tests to assert the model join broadcasts)
+            scored = scored.localCheckpoint(eager=True)
     finally:
-        raw_grams.unpersist()
+        if eager:
+            raw_grams.unpersist()
     # docs with no n-grams (too short) get weight 0 — neutral
     return raw.join(scored, id_col, "left").withColumn(
         "log_weight", F.coalesce("log_weight", F.lit(0.0))

@@ -282,3 +282,51 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream event-time interval join: match right-side rows to
+    left-side rows with the same ``on`` key whose timestamp falls in
+    [left_ts + lower, left_ts + upper] — "attach the purchase that
+    happened within an hour of the click", continuously.
+
+    Both sides get the watermark (required: Spark bounds each side's
+    join state with the watermark + the time-range condition, so state
+    is dropped once no future match is possible — without the interval
+    bound a stream-stream join's state grows forever). ``how`` supports
+    inner and left_outer (outer emits non-matches only after the
+    watermark closes their window — the documented Structured Streaming
+    contract). Right-side non-key columns are prefixed to avoid
+    collisions. The same plan works in batch (the oracle shape: a plain
+    range equi+theta join).
+
+    Scale: the join shuffles both streams on the key; state per key is
+    bounded by (upper - lower + watermark) of event time, so sizing the
+    interval IS sizing the state store.
+    """
+    lw = _with_watermark(left, left_ts, watermark)
+    rw = _with_watermark(right, right_ts, watermark)
+    rcols = [
+        F.col(c).alias(c if c in (on, right_ts) else f"{right_prefix}{c}")
+        for c in rw.columns
+    ]
+    rw = rw.select(*rcols).withColumnRenamed(right_ts, f"{right_prefix}{right_ts}")
+    r_ts = f"{right_prefix}{right_ts}"
+    cond = (
+        (lw[on] == rw[on])
+        & (F.col(r_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    joined = lw.join(rw, cond, how)
+    return joined.drop(rw[on]) if how == "inner" else joined

@@ -128,6 +128,6 @@ def test_dsir_model_broadcasts(spark, engine):
 
     d = engine.read("documents")
     plan = importance_weights(
-        d, d.filter("lang = 'en'")
+        d, d.filter("lang = 'en'"), eager=False
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -260,3 +260,57 @@ def test_stream_commit_meta_guards(spark, engine, tmp_path):
     t.append(orders.limit(5))
     assert t.last_stream_batch("s") == 3
     assert t.last_stream_batch("other") is None
+
+
+def test_stream_stream_interval_join(spark, engine, tmp_path):
+    """Two real file streams joined on user_id within an event-time
+    interval: the streaming result equals the equivalent batch range join."""
+    from etl_cli_spark.streaming.stream import stream_interval_join
+
+    ev = engine.read("events", ["_fields=event_id,ts,user_id,event_type"])
+    clicks = ev.filter("event_type = 'click'")
+    buys = ev.filter("event_type = 'purchase'")
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks.write.parquet(cdir)
+    buys.write.parquet(bdir)
+    cs = spark.readStream.schema(spark.read.parquet(cdir).schema).parquet(cdir)
+    bs = spark.readStream.schema(spark.read.parquet(bdir).schema).parquet(bdir)
+
+    joined = stream_interval_join(
+        cs, bs, on="user_id", lower="0 seconds", upper="30 minutes",
+        watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT event_id, r_event_id FROM ssj ORDER BY event_id, r_event_id"
+    ).collect()
+
+    # batch ground truth: same interval condition as a plain join
+    c = clicks.select(
+        F.col("event_id"), F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    b = buys.select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").cast("timestamp").alias("r_ts"),
+        F.col("user_id").alias("r_user"),
+    )
+    exp = (
+        c.join(
+            b,
+            (c["user_id"] == b["r_user"])
+            & (b["r_ts"] >= c["ts"])
+            & (b["r_ts"] <= c["ts"] + F.expr("INTERVAL 30 minutes")),
+        )
+        .select("event_id", "r_event_id")
+        .orderBy("event_id", "r_event_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    assert got, "fixture should produce click->purchase matches"
