@@ -799,12 +799,61 @@ class ParquetTable:
         (bucket/value partitioning and clustering all come from the
         on-disk meta), which repartitions to ~1 file per partition (or
         maxRecordsPerFile-sized). Staged + swapped, so reading while
-        compacting is safe. At 100 TB you'd compact per-partition on a
-        schedule; partition dirs untouched by appends compact to
-        byte-identical content either way."""
+        compacting is safe. At 100 TB prefer :meth:`compact_partitions`
+        (incremental, only where needed); this full rewrite is the
+        small-table / layout-change form."""
         df = self.read()
         if df is not None:
             self.overwrite(df)
+
+    def compact_partitions(self, min_files: int = 4) -> list[str]:
+        """Incremental OPTIMIZE for a manifest table: rewrite ONLY the
+        partition directories currently holding >= ``min_files`` data
+        files, commit atomically (readers keep the old snapshot until
+        the commit; time travel keeps it after). Untouched partitions
+        are never opened — their files stay byte-identical, which is
+        the property that makes compaction affordable on a 100 TB
+        table where appends touch a sliver of partitions per day.
+        Returns the partition dirs compacted ("" = table root for
+        unpartitioned tables). No-op (empty list) when nothing
+        qualifies."""
+        if not self._is_manifest():
+            raise ValueError("compact_partitions requires a manifest table "
+                             "(use compact() for legacy tables)")
+        latest = self._latest_manifest()
+        if latest is None:
+            return []
+        files, schema = latest[1]["files"], latest[1].get("schema")
+        by_dir: dict[str, list[str]] = {}
+        for f in files:
+            d = os.path.dirname(f)
+            by_dir.setdefault(d, []).append(f)
+        crowded = sorted(d for d, fs in by_dir.items() if len(fs) >= min_files)
+        if not crowded:
+            return []
+        crowded_set = set(crowded)
+        victims = [f for d in crowded for f in by_dir[d]]
+        df = self._read_manifest_files(victims, schema)
+        if _BUCKET in df.columns:
+            # the hive partition column materializes on a file-list read;
+            # the bucketed writer recomputes it from the pk
+            df = df.drop(_BUCKET)
+        # rewrite through the normal layout writers: rows land back in
+        # the same partition dirs (their partition values are unchanged),
+        # one file per partition unless maxRecordsPerFile splits it
+        new_files, _ns = self._stage_write(df)
+        gone = set(victims)
+        self._commit(
+            lambda prev, ps: (
+                # drop only the files we read; keep files that appeared
+                # in a concurrent commit (rebase-correct: a racing
+                # append to a compacted dir survives)
+                [f for f in prev if f not in gone] + new_files,
+                ps,
+            )
+        )
+        self._touch()
+        return crowded
 
     def zorder(
         self,

@@ -215,3 +215,89 @@ def test_zorder_rejects_partitioned_tables(spark, engine, tmp_path):
 
     with _pytest.raises(ValueError, match="plain tables"):
         t.zorder(["o_custkey", "o_totalprice"])
+
+
+# -- incremental manifest compaction (round-4) -------------------------------
+
+
+def test_compact_partitions_only_crowded_dirs(spark, engine, tmp_path):
+    """Only directories holding >= min_files files rewrite; untouched
+    partition files stay BYTE-identical; row set is preserved; the old
+    snapshot stays time-travel-readable."""
+    import os
+
+    from etl_cli_spark.operators.writeops import ParquetTable
+
+    orders = engine.read("orders")
+    t = ParquetTable(
+        spark, str(tmp_path / "c.parquet"),
+        bucket_by=("o_orderkey",), n_buckets=4, manifest=True,
+    )
+    t.append(orders)
+    # crowd bucket dirs with 5 tiny appends each touching few keys
+    for i in range(5):
+        t.append(orders.filter(f"o_orderkey % 97 = {i}"))
+    before = {r[0] for r in t.read().groupBy().count().collect()}
+
+    def files_by_dir():
+        out = {}
+        for root, dirs, files in os.walk(t.path):
+            if "_log" in root:
+                continue
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                d = os.path.relpath(root, t.path)
+                out.setdefault(d, []).append(os.path.join(root, fn))
+        return out
+
+    pre = files_by_dir()
+    crowded_pre = {d for d, fs in pre.items() if len(fs) >= 4}
+    assert crowded_pre, "setup should crowd at least one bucket dir"
+    # content hash of files in NON-crowded dirs must not change
+    import hashlib
+
+    def dir_digest(d, listing):
+        h = hashlib.sha256()
+        for p in sorted(listing.get(d, [])):
+            h.update(open(p, "rb").read())
+        return h.hexdigest()
+
+    quiet = [d for d in pre if d not in crowded_pre]
+    quiet_digests = {d: dir_digest(d, pre) for d in quiet}
+    v_before = t.versions()[-1]
+
+    done = t.compact_partitions(min_files=4)
+    assert sorted(done) == sorted(f"__etl_bucket={d.split('=')[1]}" if "=" in d else d
+                                  for d in crowded_pre)
+    after = files_by_dir()
+    # crowded dirs now hold fewer LIVE files per the new manifest
+    latest_files = set()
+    import json as _json
+
+    log = os.path.join(t.path, "_log")
+    v = max(int(n[:-5]) for n in os.listdir(log) if n.endswith(".json"))
+    latest_files = set(_json.load(open(os.path.join(log, f"{v:020d}.json")))["files"])
+    for d in crowded_pre:
+        live = [f for f in latest_files if os.path.dirname(f) == d]
+        assert len(live) < len(pre[d])
+    for d in quiet:
+        assert dir_digest(d, after) == quiet_digests[d], f"quiet dir {d} changed"
+    # rows preserved, old snapshot still readable
+    assert {r[0] for r in t.read().groupBy().count().collect()} == before
+    assert t.read_version(v_before).count() == t.read().count()
+    # idempotent: second pass finds nothing
+    assert t.compact_partitions(min_files=4) == []
+
+
+def test_compact_partitions_guards(spark, engine, tmp_path):
+    import pytest as _pt
+
+    from etl_cli_spark.operators.writeops import ParquetTable
+
+    legacy = ParquetTable(spark, str(tmp_path / "l.parquet"))
+    legacy.append(engine.read("orders").limit(10))
+    with _pt.raises(ValueError, match="manifest"):
+        legacy.compact_partitions()
+    empty = ParquetTable(spark, str(tmp_path / "e.parquet"), manifest=True)
+    assert empty.compact_partitions() == []
