@@ -74,6 +74,23 @@ def ops(spark):
     def _scores(d):
         return score_documents(d, ["spark", "join", "window"])
 
+    def _paragraph(d):
+        from etl_cli_spark.operators.pipeline import paragraph_dedup
+
+        return paragraph_dedup(d, window_words=10)
+
+    def _token_budget(d):
+        from etl_cli_spark.operators.pipeline import token_budget_sample
+
+        return token_budget_sample(
+            d, ["lang"], {"en": 3000}, default=1500, shards=8
+        )
+
+    def _dsir(d):
+        from etl_cli_spark.operators.rank import importance_weights
+
+        return importance_weights(d, d.filter("lang = 'en' and doc_id % 7 = 0"))
+
     return {
         "minhash_dedup": _minhash,
         "quota_sample(salted)": _quota,
@@ -81,6 +98,9 @@ def ops(spark):
         "cms_sketch(terms by lang)": _cms,
         "tokenize_documents": _tokenize,
         "score_documents(3-in-1)": _scores,
+        "paragraph_dedup": _paragraph,
+        "token_budget(sharded)": _token_budget,
+        "dsir_weights": _dsir,
     }
 
 
