@@ -158,6 +158,24 @@ def _s_semantic_dedup(df: DataFrame, **kw) -> DataFrame:
     return semantic_dedup(df, **kw).drop("__cell")
 
 
+def _s_dsir(
+    df: DataFrame,
+    k: int,
+    target_filter: str | None = None,
+    target: DataFrame | None = None,
+    **kw,
+) -> DataFrame:
+    from ..operators.rank import dsir_select
+
+    if target is None and target_filter is None:
+        raise ValueError(
+            "dsir stage needs 'target' (a DataFrame) or 'target_filter' "
+            "(a SQL predicate selecting the seed rows)"
+        )
+    tgt = target if target is not None else df.filter(target_filter)
+    return dsir_select(df, tgt, k=k, **kw)
+
+
 STAGES: dict[str, Callable[..., DataFrame]] = {
     "filter": _s_filter,
     "quality_filter": _s_quality_filter,
@@ -171,6 +189,7 @@ STAGES: dict[str, Callable[..., DataFrame]] = {
     "sample": _s_sample,
     "quota": _s_quota,
     "token_budget": _s_token_budget,
+    "dsir": _s_dsir,
     "validate": _s_validate,
     "chunk": _s_chunk,
     "pack": _s_pack,

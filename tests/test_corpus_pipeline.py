@@ -180,3 +180,22 @@ def test_semantic_dedup_stage(engine):
         r.vec_id for r in direct.collect()
     )
     assert "__cell" not in out.columns
+
+
+def test_dsir_stage(engine):
+    from etl_cli_spark.operators.rank import dsir_select
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline
+
+    docs = engine.read("documents")
+    out = run_corpus_pipeline(
+        docs,
+        [{"stage": "dsir", "k": 15, "target_filter": "lang = 'en' and doc_id % 7 = 0"}],
+    )
+    direct = dsir_select(docs, docs.filter("lang = 'en' and doc_id % 7 = 0"), k=15)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in direct.collect()
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="dsir stage needs"):
+        run_corpus_pipeline(docs, [{"stage": "dsir", "k": 5}])
