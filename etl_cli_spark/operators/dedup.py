@@ -643,6 +643,62 @@ def minhash_dedup_canonical(
 _DEDUP_META = "_dedup_index_meta.json"
 
 
+def _resolve_impl(impl: str) -> str:
+    """``auto`` -> pandas when numpy is importable, else expr — the ONE
+    place the choice is made, so build/create/append can never diverge
+    (append MUST reuse the frozen parameters bit-for-bit)."""
+    if impl != "auto":
+        return impl
+    try:
+        import numpy  # noqa: F401
+
+        return "pandas"
+    except ImportError:
+        return "expr"
+
+
+def _write_dedup_meta(path: str, **params) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _DEDUP_META), "w") as f:
+        json.dump(params, f)
+
+
+def _read_dedup_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, _DEDUP_META)) as f:
+        return json.load(f)
+
+
+def _base_from_meta(df: DataFrame, meta: dict) -> DataFrame:
+    """Signature base under an index's FROZEN parameters."""
+    return _minhash_base(
+        df, meta["id_col"], meta["text_col"], meta["n_shingle"],
+        meta["num_hashes"], meta["bands"], meta["impl"],
+    )
+
+
+def _write_index_rows(base: DataFrame, path: str, n_parts: int, mode: str) -> None:
+    """Bucket + signature rows from a (persisted) base -> the index
+    layout; shared by full build and incremental append."""
+    import os
+
+    buckets = base.select("id", F.posexplode("bh").alias("band", "bucket")).withColumn(
+        "__bb", F.pmod(F.xxhash64("band", "bucket"), F.lit(n_parts))
+    )
+    (
+        buckets.repartition(n_parts, F.col("__bb"))
+        .write.mode(mode)
+        .partitionBy("__bb")
+        .parquet(os.path.join(path, "buckets"))
+    )
+    base.select("id", "hs").write.mode(mode).parquet(os.path.join(path, "sigs"))
+
+
 def build_dedup_index(
     df: DataFrame,
     path: str,
@@ -657,38 +713,19 @@ def build_dedup_index(
     """Sign the corpus once and persist the LSH index (see module notes
     on layout). One corpus pass; the bucket write's only exchange is the
     repartition on ``__bb`` (narrow (id, band, bucket) rows)."""
-    import json
-    import os
-
-    if impl == "auto":
-        try:
-            import numpy  # noqa: F401
-
-            impl = "pandas"
-        except ImportError:
-            impl = "expr"
+    impl = _resolve_impl(impl)
     base = _minhash_base(df, id_col, text_col, n_shingle, num_hashes, bands, impl)
     from pyspark import StorageLevel
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    buckets = base.select("id", F.posexplode("bh").alias("band", "bucket")).withColumn(
-        "__bb", F.pmod(F.xxhash64("band", "bucket"), F.lit(n_parts))
+    try:
+        _write_index_rows(base, path, n_parts, mode="overwrite")
+    finally:
+        base.unpersist()
+    _write_dedup_meta(
+        path, id_col=id_col, text_col=text_col, n_shingle=n_shingle,
+        num_hashes=num_hashes, bands=bands, n_parts=n_parts, impl=impl,
     )
-    (
-        buckets.repartition(n_parts, F.col("__bb"))
-        .write.mode("overwrite")
-        .partitionBy("__bb")
-        .parquet(os.path.join(path, "buckets"))
-    )
-    base.select("id", "hs").write.mode("overwrite").parquet(os.path.join(path, "sigs"))
-    base.unpersist()
-    with open(os.path.join(path, _DEDUP_META), "w") as f:
-        json.dump(
-            {"id_col": id_col, "text_col": text_col, "n_shingle": n_shingle,
-             "num_hashes": num_hashes, "bands": bands, "n_parts": n_parts,
-             "impl": impl},
-            f,
-        )
 
 
 def create_dedup_index(
@@ -706,24 +743,11 @@ def create_dedup_index(
     point when there is no initial corpus — the first
     :func:`append_to_dedup_index` call populates it. Parameters freeze
     here; every later append reuses them bit-for-bit."""
-    import json
-    import os
-
-    if impl == "auto":
-        try:
-            import numpy  # noqa: F401
-
-            impl = "pandas"
-        except ImportError:
-            impl = "expr"
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, _DEDUP_META), "w") as f:
-        json.dump(
-            {"id_col": id_col, "text_col": text_col, "n_shingle": n_shingle,
-             "num_hashes": num_hashes, "bands": bands, "n_parts": n_parts,
-             "impl": impl},
-            f,
-        )
+    _write_dedup_meta(
+        path, id_col=id_col, text_col=text_col, n_shingle=n_shingle,
+        num_hashes=num_hashes, bands=bands, n_parts=n_parts,
+        impl=_resolve_impl(impl),
+    )
 
 
 def _index_populated(path: str) -> bool:
@@ -746,69 +770,108 @@ def dedup_against_index(
     itself — exactly :func:`minhash_dedup`'s greedy policy evaluated
     incrementally.
 
-    Plan shape: the batch signs itself (one narrow pass, persisted), the
+    Plan shape: the batch signs itself (one narrow pass, persisted for
+    the duration of this call — the loser-id set is narrow and
+    checkpoints eagerly, so the cache releases before returning), the
     index read partition-prunes to the __bb dirs the batch's buckets
     hash to (PartitionFilters, unit-asserted), the candidate join moves
     (id, band, bucket) only, and the shingle arrays join in for
     candidate ids alone. Work scales with the BATCH and its hit set,
     never the corpus.
+
+    Index entries whose id is IN the batch are excluded from the
+    comparison: a doc cannot duplicate itself. Under the crawl-monotone
+    id contract that only happens on a crash-REPLAY (the batch's own
+    signatures were appended, the streaming checkpoint wasn't reached),
+    and the exclusion makes the replayed batch keep exactly its
+    original survivor set instead of self-dedup-ing to empty.
     """
-    import json
     import os
 
     spark = df.sparkSession
-    with open(os.path.join(path, _DEDUP_META)) as f:
-        meta = json.load(f)
+    meta = _read_dedup_meta(path)
     from pyspark import StorageLevel
 
-    base = _minhash_base(
-        df, meta["id_col"], meta["text_col"], meta["n_shingle"],
-        meta["num_hashes"], meta["bands"], meta["impl"],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    if _index_populated(path):
-        new_buckets = base.select(
-            "id", F.posexplode("bh").alias("band", "bucket")
-        ).withColumn("__bb", F.pmod(F.xxhash64("band", "bucket"), F.lit(meta["n_parts"])))
-        # driver-side partition list: bounded by n_parts, metadata not data
-        bbs = sorted(
-            r[0] for r in new_buckets.select("__bb").distinct().collect()
-        )
-        idx = (
-            spark.read.parquet(os.path.join(path, "buckets"))
-            .filter(F.col("__bb").isin(bbs))
-            .select(F.col("id").alias("old_id"), "band", "bucket")
-        )
-        cross_cand = (
-            new_buckets.join(idx, on=["band", "bucket"], how="inner")
-            .select(F.col("id").alias("new_id"), "old_id")
-            .dropDuplicates(["new_id", "old_id"])
-        )
-        sigs = spark.read.parquet(os.path.join(path, "sigs"))
-        cross_dups = (
-            cross_cand.join(
-                base.select(F.col("id").alias("new_id"), F.col("hs").alias("new_hs")),
-                "new_id",
+    base = _base_from_meta(df, meta).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if _index_populated(path):
+            new_buckets = base.select(
+                "id", F.posexplode("bh").alias("band", "bucket")
+            ).withColumn(
+                "__bb", F.pmod(F.xxhash64("band", "bucket"), F.lit(meta["n_parts"]))
             )
-            .join(
-                sigs.select(F.col("id").alias("old_id"), F.col("hs").alias("old_hs")),
-                "old_id",
+            # driver-side partition list: bounded by n_parts, metadata not data
+            bbs = sorted(
+                r[0] for r in new_buckets.select("__bb").distinct().collect()
             )
-            .filter(jaccard(F.col("new_hs"), F.col("old_hs")) >= threshold)
-            .select(F.col("new_id").alias("id"))
+            batch_ids = base.select("id")
+            idx = (
+                spark.read.parquet(os.path.join(path, "buckets"))
+                .filter(F.col("__bb").isin(bbs))
+                .select(F.col("id").alias("old_id"), "band", "bucket")
+                # replay self-exclusion (see docstring)
+                .join(
+                    batch_ids.withColumnRenamed("id", "old_id"),
+                    "old_id",
+                    "left_anti",
+                )
+            )
+            cross_cand = (
+                new_buckets.join(idx, on=["band", "bucket"], how="inner")
+                .select(F.col("id").alias("new_id"), "old_id")
+                .dropDuplicates(["new_id", "old_id"])
+            )
+            sigs = spark.read.parquet(os.path.join(path, "sigs"))
+            cross_dups = (
+                cross_cand.join(
+                    base.select(F.col("id").alias("new_id"), F.col("hs").alias("new_hs")),
+                    "new_id",
+                )
+                .join(
+                    sigs.select(F.col("id").alias("old_id"), F.col("hs").alias("old_hs")),
+                    "old_id",
+                )
+                .filter(jaccard(F.col("new_hs"), F.col("old_hs")) >= threshold)
+                .select(F.col("new_id").alias("id"))
+                .distinct()
+            )
+        else:
+            # freshly created (or still-empty) index: no cross candidates
+            cross_dups = base.select("id").limit(0)
+        # in-batch duplicates: same greedy min-id policy as minhash_dedup
+        in_batch = _pairs_from_base(base, threshold).select(
+            F.col("b_id").alias("id")
+        ).distinct()
+        losers = (
+            cross_dups.unionByName(in_batch)
             .distinct()
+            .withColumnRenamed("id", meta["id_col"])
+            # narrow (ids only): materialize so the returned plan doesn't
+            # depend on the persisted base after we release it
+            .localCheckpoint(eager=True)
         )
-    else:
-        # freshly created (or still-empty) index: no cross candidates
-        cross_dups = base.select("id").limit(0)
-    # in-batch duplicates: same greedy min-id policy as minhash_dedup
-    in_batch = _pairs_from_base(base, threshold).select(
-        F.col("b_id").alias("id")
-    ).distinct()
-    losers = cross_dups.unionByName(in_batch).distinct().withColumnRenamed(
-        "id", meta["id_col"]
-    )
+    finally:
+        base.unpersist()
     return df.join(losers, on=meta["id_col"], how="left_anti")
+
+
+def append_dedup_signatures(df: DataFrame, path: str) -> None:
+    """Append the batch's signatures to the index WITHOUT deduping —
+    the second half of :func:`append_to_dedup_index`, exposed so a
+    streaming sink can order its writes crash-safely: dedup first,
+    commit the surviving rows to the OUTPUT, then index the batch.
+    With that ordering a crash between the two leaves the batch
+    unindexed but delivered (replay re-delivers it — at-least-once,
+    and the replay self-exclusion in :func:`dedup_against_index` keeps
+    the survivor set identical), never indexed-but-lost."""
+    meta = _read_dedup_meta(path)
+    from pyspark import StorageLevel
+
+    base = _base_from_meta(df, meta).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        _write_index_rows(base, path, meta["n_parts"], mode="append")
+    finally:
+        base.unpersist()
 
 
 def append_to_dedup_index(
@@ -822,29 +885,12 @@ def append_to_dedup_index(
     Append == rebuild: band hashes are a pure deterministic function of
     (text, meta parameters), so the appended bucket/sig rows are
     bit-identical to a fresh :func:`build_dedup_index` over the union —
-    unit- and oracle-asserted.
+    unit- and oracle-asserted. (The dedup and the signature append each
+    sign the batch from the frozen meta — one narrow pass each, caches
+    released on return; callers needing crash-safe ordering between
+    output and index writes compose :func:`dedup_against_index` +
+    :func:`append_dedup_signatures` directly.)
     """
-    import json
-    import os
-
-    with open(os.path.join(path, _DEDUP_META)) as f:
-        meta = json.load(f)
     kept = dedup_against_index(df, path, threshold=threshold)
-    from pyspark import StorageLevel
-
-    base = _minhash_base(
-        df, meta["id_col"], meta["text_col"], meta["n_shingle"],
-        meta["num_hashes"], meta["bands"], meta["impl"],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    buckets = base.select("id", F.posexplode("bh").alias("band", "bucket")).withColumn(
-        "__bb", F.pmod(F.xxhash64("band", "bucket"), F.lit(meta["n_parts"]))
-    )
-    (
-        buckets.repartition(F.col("__bb"))
-        .write.mode("append")
-        .partitionBy("__bb")
-        .parquet(os.path.join(path, "buckets"))
-    )
-    base.select("id", "hs").write.mode("append").parquet(os.path.join(path, "sigs"))
-    base.unpersist()
+    append_dedup_signatures(df, path)
     return kept

@@ -184,17 +184,25 @@ def _decode_png(data: bytes):
 def _decode_pixels(data: bytes):
     """Pixel array for natively-decodable formats (PPM/BMP/PNG/baseline
     JPEG), else None — the shared dispatch for decode/resize/feature
-    kernels."""
-    if data[:2] == b"P6":
-        return _decode_ppm(data)[2]
-    if data[:2] == b"BM":
-        return _decode_bmp(data)[2]
-    if data[:8] == _PNG_SIG:
-        return _decode_png(data)[2]
-    if data[:2] == b"\xFF\xD8":
-        from etl_cli_spark.operators.jpeg import decode_jpeg
+    kernels. Unsupported VARIANTS of a recognized container (palette/
+    interlaced/16-bit PNG, progressive JPEG) return None too, so one
+    such payload degrades to the stub kernel instead of killing the
+    whole Spark job — the batch-robustness contract the module
+    docstring promises. The decoders themselves still raise when
+    called directly (unit-tested error messages)."""
+    try:
+        if data[:2] == b"P6":
+            return _decode_ppm(data)[2]
+        if data[:2] == b"BM":
+            return _decode_bmp(data)[2]
+        if data[:8] == _PNG_SIG:
+            return _decode_png(data)[2]
+        if data[:2] == b"\xFF\xD8":
+            from etl_cli_spark.operators.jpeg import decode_jpeg
 
-        return decode_jpeg(data)[2]
+            return decode_jpeg(data)[2]
+    except (ValueError, NotImplementedError):
+        return None
     return None
 
 

@@ -211,6 +211,12 @@ class ParquetTable:
         transaction-unique names. The files are INVISIBLE to readers (no
         manifest references them yet); returns (relative paths, schema
         json from the written footers — None if the write was empty)."""
+        # the _log dir must exist BEFORE any file lands in the live
+        # tree: a crash mid-ingest on a table's FIRST write would
+        # otherwise leave data files with no _log, and _is_manifest()
+        # would misread the table as legacy — serving uncommitted torn
+        # files, exactly what the protocol exists to prevent
+        os.makedirs(self._log_dir(), exist_ok=True)
         staged = f"{self.path}.__staged_{uuid.uuid4().hex[:8]}"
         layout = self._target_layout()
         vcols = self._target_value_layout()
@@ -228,11 +234,23 @@ class ParquetTable:
             for _r, _d, fns in os.walk(staged)
             for fn in fns
         )
-        schema = (
-            self.spark.read.option("basePath", staged).parquet(staged).schema.json()
-            if has_data
-            else None
-        )
+        if has_data:
+            staged_schema = (
+                self.spark.read.option("basePath", staged).parquet(staged).schema
+            )
+            # the staged read re-INFERS hive partition column types from
+            # dir names ('007' -> int, losing leading zeros); the input
+            # frame's types are the written truth — pin them wherever
+            # names match. Writer-added columns (__etl_bucket) keep
+            # their inferred (always-int) type.
+            from pyspark.sql.types import StructType as _ST
+
+            by_name = {f.name: f for f in df.schema.fields}
+            schema = _ST(
+                [by_name.get(f.name, f) for f in staged_schema.fields]
+            ).json()
+        else:
+            schema = None
         return self._ingest_staged(staged), schema
 
     def _ingest_staged(self, staged: str) -> list[str]:
@@ -843,15 +861,25 @@ class ParquetTable:
         # one file per partition unless maxRecordsPerFile splits it
         new_files, _ns = self._stage_write(df)
         gone = set(victims)
-        self._commit(
-            lambda prev, ps: (
-                # drop only the files we read; keep files that appeared
-                # in a concurrent commit (rebase-correct: a racing
-                # append to a compacted dir survives)
-                [f for f in prev if f not in gone] + new_files,
-                ps,
-            )
-        )
+
+        def make(prev, ps):
+            # a racing append to a compacted dir survives (its files
+            # stay), but if any victim VANISHED from the tip — another
+            # compaction or a partition rewrite replaced the rows we
+            # read — committing our copies would resurrect/duplicate
+            # them. Abort like Delta/Iceberg do on a conflicting
+            # OPTIMIZE; the staged files stay invisible and vacuum()
+            # reclaims them.
+            missing = gone - set(prev)
+            if missing:
+                raise RuntimeError(
+                    f"concurrent modification during compact_partitions: "
+                    f"{len(missing)} compacted file(s) no longer in the "
+                    f"manifest tip (another rewrite won); rerun compaction"
+                )
+            return [f for f in prev if f not in gone] + new_files, ps
+
+        self._commit(make)
         self._touch()
         return crowded
 

@@ -246,7 +246,7 @@ def run_corpus_pipeline_streaming(
     ``streaming.incremental.streaming_merge``, whose manifest commit
     records the batch watermark atomically with the data.
     """
-    from ..operators.dedup import append_to_dedup_index
+    from ..operators.dedup import append_dedup_signatures, dedup_against_index
     from ..operators.writeops import ParquetTable
     from ..streaming.incremental import incremental_stream
 
@@ -255,7 +255,17 @@ def run_corpus_pipeline_streaming(
     def process(batch_df: DataFrame) -> None:
         df = run_corpus_pipeline(batch_df, stages)
         if dedup_index_path is not None:
-            df = append_to_dedup_index(df, dedup_index_path, threshold=threshold)
-        out.append(df)
+            # crash-safe ordering: dedup, COMMIT THE OUTPUT, then index
+            # the batch. A crash between the two replays the batch
+            # unindexed (duplicate output rows — at-least-once), never
+            # indexed-but-undelivered; and if the index write DID land
+            # before a replay, dedup_against_index's self-exclusion
+            # keeps the survivor set identical instead of self-dedup-ing
+            # the replayed batch to empty.
+            kept = dedup_against_index(df, dedup_index_path, threshold=threshold)
+            out.append(kept)
+            append_dedup_signatures(df, dedup_index_path)
+        else:
+            out.append(df)
 
     return incremental_stream(spark, source_path, schema, process, checkpoint)

@@ -317,16 +317,15 @@ def stream_interval_join(
     """
     lw = _with_watermark(left, left_ts, watermark)
     rw = _with_watermark(right, right_ts, watermark)
-    rcols = [
-        F.col(c).alias(c if c in (on, right_ts) else f"{right_prefix}{c}")
-        for c in rw.columns
-    ]
-    rw = rw.select(*rcols).withColumnRenamed(right_ts, f"{right_prefix}{right_ts}")
-    r_ts = f"{right_prefix}{right_ts}"
+    # prefix EVERY right column, the key included: an outer join must
+    # not return two same-named key columns (AMBIGUOUS_REFERENCE for
+    # any downstream select); inner mode drops the redundant copy
+    rw = rw.select(*[F.col(c).alias(f"{right_prefix}{c}") for c in rw.columns])
+    r_on, r_ts = f"{right_prefix}{on}", f"{right_prefix}{right_ts}"
     cond = (
-        (lw[on] == rw[on])
+        (lw[on] == rw[r_on])
         & (F.col(r_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))
         & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
     joined = lw.join(rw, cond, how)
-    return joined.drop(rw[on]) if how == "inner" else joined
+    return joined.drop(r_on) if how == "inner" else joined

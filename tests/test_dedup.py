@@ -288,3 +288,52 @@ def test_dedup_index_cross_batch_dup_detected(spark, tmp_path):
     build_dedup_index(a, path)
     kept = append_to_dedup_index(b, path, threshold=0.7)
     assert sorted(r.doc_id for r in kept.collect()) == [11]
+
+
+def test_dedup_index_replay_keeps_original_survivors(spark, engine, tmp_path):
+    """Crash-replay contract: a batch whose signatures ALREADY landed in
+    the index (index write succeeded, streaming checkpoint didn't) must
+    dedup to its ORIGINAL survivor set on replay — self-matches are
+    excluded — never to empty."""
+    from etl_cli_spark.operators.dedup import (
+        append_dedup_signatures,
+        create_dedup_index,
+        dedup_against_index,
+    )
+
+    docs = engine.read("documents").limit(120)
+    idx = str(tmp_path / "replay_idx")
+    create_dedup_index(spark, idx)
+    kept1 = {r.doc_id for r in dedup_against_index(docs, idx, threshold=0.8)
+             .select("doc_id").collect()}
+    append_dedup_signatures(docs, idx)
+    # replay: same batch, signatures already present
+    kept2 = {r.doc_id for r in dedup_against_index(docs, idx, threshold=0.8)
+             .select("doc_id").collect()}
+    assert kept2 == kept1 and kept1, "replayed batch must keep its survivors"
+
+
+def test_append_composes_from_parts(spark, engine, tmp_path):
+    """append_to_dedup_index == dedup_against_index + append_dedup_signatures
+    (the crash-safe decomposition used by the streaming sink)."""
+    from etl_cli_spark.operators.dedup import (
+        append_dedup_signatures,
+        append_to_dedup_index,
+        create_dedup_index,
+        dedup_against_index,
+    )
+
+    docs = engine.read("documents")
+    a = docs.filter("doc_id < 250")
+    b = docs.filter("doc_id >= 250")
+    i1, i2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    for p in (i1, i2):
+        create_dedup_index(spark, p)
+    k1a = append_to_dedup_index(a, i1, threshold=0.8)
+    k1b = append_to_dedup_index(b, i1, threshold=0.8)
+    k2a = dedup_against_index(a, i2, threshold=0.8)
+    append_dedup_signatures(a, i2)
+    k2b = dedup_against_index(b, i2, threshold=0.8)
+    append_dedup_signatures(b, i2)
+    assert {r.doc_id for r in k1a.collect()} == {r.doc_id for r in k2a.collect()}
+    assert {r.doc_id for r in k1b.collect()} == {r.doc_id for r in k2b.collect()}

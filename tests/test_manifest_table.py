@@ -465,3 +465,69 @@ def test_manifest_drift_on_partitioned_layouts(spark, tmp_path):
     assert set(out.columns) == {"id", "name", "extra"}
     assert out.filter("extra IS NOT NULL").count() == 5
     assert out.count() == 45
+
+
+# -- round-4 review fixes ----------------------------------------------------
+
+
+def test_first_write_crash_stays_invisible(spark, orders, tmp_path):
+    """A crash during a manifest table's FIRST ingest (files landed, no
+    manifest committed) must not flip the table to legacy mode and
+    serve the torn files."""
+    t = ParquetTable(spark, str(tmp_path / "crash.parquet"), manifest=True)
+
+    real_commit = t._commit
+
+    def dying_commit(make):
+        raise RuntimeError("simulated crash before commit")
+
+    t._commit = dying_commit
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.append(orders.limit(50))
+    # files are on disk, but the table must read as nonexistent
+    reopened = ParquetTable(spark, t.path, manifest=True)
+    assert reopened.exists() is False
+    assert reopened.read() is None
+    # recovery: a successful append commits and serves ONLY its rows
+    t._commit = real_commit
+    reopened.append(orders.limit(10))
+    assert reopened.read().count() == 10
+
+
+def test_compact_partitions_aborts_on_conflict(spark, orders, tmp_path):
+    """A racing rewrite that removed the compacted files must abort the
+    compaction (Delta/Iceberg OPTIMIZE conflict semantics), not
+    resurrect the old rows."""
+    t = ParquetTable(spark, str(tmp_path / "race.parquet"), manifest=True)
+    for i in range(5):
+        t.append(orders.filter(f"o_orderkey % 5 = {i}"))
+
+    orig_commit = t._commit
+
+    def racing_commit(make):
+        # a concurrent writer replaces the whole table first
+        other = ParquetTable(spark, t.path, manifest=True)
+        other.overwrite(orders.limit(7))
+        return orig_commit(make)
+
+    t._commit = racing_commit
+    with pytest.raises(RuntimeError, match="concurrent modification"):
+        t.compact_partitions(min_files=2)
+    # the winner's state is intact; the compaction's files are invisible
+    t._commit = orig_commit
+    assert t.read().count() == 7
+
+
+def test_partition_value_types_not_reinferred(spark, tmp_path):
+    """String partition values that LOOK numeric ('007') keep their
+    type and leading zeros through the manifest schema — hive dir-name
+    re-inference must not win over the written frame's types."""
+    t = ParquetTable(
+        spark, str(tmp_path / "pv.parquet"),
+        partition_by=("code",), manifest=True,
+    )
+    df = spark.createDataFrame([("007", 1), ("042", 2)], "code string, v int")
+    t.append(df)
+    out = t.read()
+    assert dict(out.dtypes)["code"] == "string"
+    assert sorted(r.code for r in out.collect()) == ["007", "042"]

@@ -374,3 +374,50 @@ def test_jpeg_in_media_pipeline(spark):
         sp = jpeg_spec(i)
         assert (rows[i].dec_width, rows[i].dec_height) == (sp["w"], sp["h"])
         assert rows[i].dec_digest is not None
+
+
+def test_unsupported_variants_degrade_to_stub_in_batch(spark):
+    """One RGBA/palette PNG or progressive JPEG payload must not kill
+    the whole decode job: the kernel degrades that row to the stub
+    digest (the module's batch-robustness contract); direct decoder
+    calls still raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_cli_spark.operators.jpeg import encode_jpeg
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _PNG_SIG,
+        _decode_pixels,
+        encode_ppm,
+        media_pixels,
+    )
+
+    def chunk(ctype, payload):
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+    palette_png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    prog = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8), grayscale=True))
+    i = bytes(prog).find(b"\xFF\xC0")
+    prog[i + 1] = 0xC2  # progressive SOF2
+    assert _decode_pixels(palette_png) is None
+    assert _decode_pixels(bytes(prog)) is None
+
+    good = encode_ppm(media_pixels(0, 8, 6))
+    rows = [
+        (0, "image", bytearray(good), (8, 6, None, None, "ppm")),
+        (1, "image", bytearray(palette_png), (2, 2, None, None, "png")),
+        (2, "image", bytearray(bytes(prog)), (8, 8, None, None, "jpeg")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_images(media).collect()}
+    assert len(got) == 3  # nothing raised
+    assert (got[0].dec_width, got[0].dec_height) == (8, 6)  # real decode
+    assert got[1].dec_digest is not None and got[2].dec_digest is not None  # stubs

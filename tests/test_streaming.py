@@ -314,3 +314,23 @@ def test_stream_stream_interval_join(spark, engine, tmp_path):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
     assert got, "fixture should produce click->purchase matches"
+
+
+def test_stream_interval_join_left_outer_unambiguous(spark, engine):
+    """Outer mode must not return two same-named key columns; every
+    left row appears, non-matches with null right side. (Batch mode:
+    the Catalyst expression is identical.)"""
+    ev = engine.read("events", ["_fields=event_id,ts,user_id,event_type"])
+    clicks = ev.filter("event_type = 'click'")
+    buys = ev.filter("event_type = 'purchase'")
+    from etl_cli_spark.streaming.stream import stream_interval_join
+
+    out = stream_interval_join(
+        clicks, buys, on="user_id", upper="30 minutes", how="left_outer"
+    )
+    assert out.columns.count("user_id") == 1 and "r_user_id" in out.columns
+    # selecting the key must not be ambiguous, and all left rows survive
+    assert out.select("user_id").count() == out.count()
+    n_left_rows = clicks.count()
+    assert out.select("event_id").distinct().count() == n_left_rows
+    assert out.filter("r_event_id IS NULL").count() > 0
