@@ -88,6 +88,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--zorder-by", metavar="COLS",
                    help="OPTIMIZE ZORDER the source table on these comma-"
                         "separated columns and exit (multi-column data skipping)")
+    p.add_argument("--retain", type=int, default=1, metavar="N",
+                   help="with --vacuum on a manifest table: keep the newest N "
+                        "versions time-travel-readable (default 1 = tip only)")
+    p.add_argument("--versions", action="store_true",
+                   help="list the source manifest table's committed versions and exit")
+    p.add_argument("--as-of", type=int, metavar="V", dest="as_of",
+                   help="time travel: preview the source AT manifest version V and exit")
+    p.add_argument("--changes", metavar="FROM[,TO]",
+                   help="change data feed of the source manifest table between "
+                        "two versions (TO defaults to the tip); --pk classifies "
+                        "insert/update_postimage/delete, else insert/delete multiset")
     p.add_argument("--get-setting", metavar="NAME", help="print an engine setting and exit")
     p.add_argument("--set-setting", metavar="NAME=VALUE", help="store an engine setting and exit")
     p.add_argument("--turl", help="http url target: POST result rows as JSON")
@@ -147,12 +158,33 @@ def main(argv: Sequence[str] | None = None) -> int:
         name, _, value = args.set_setting.partition("=")
         eng.set_setting(name.strip(), value)
         return 0
-    if args.compact or args.vacuum or args.zorder_by:
+    if (args.compact or args.vacuum or args.zorder_by or args.versions
+            or args.as_of is not None or args.changes):
         from .uri import parse_ds
 
         t = eng.table(parse_ds(args.source))
+        if args.versions:
+            print(json.dumps(t.versions()))
+            return 0
+        if args.as_of is not None:
+            df = t.read_version(args.as_of)
+            for r in df.limit(20).collect():
+                print(json.dumps(r.asDict(), default=str))
+            print(f"{args.source} @v{args.as_of}: {df.count()} rows")
+            return 0
+        if args.changes:
+            parts = [v.strip() for v in args.changes.split(",")]
+            v_from = int(parts[0])
+            v_to = int(parts[1]) if len(parts) > 1 else None
+            pk = tuple(args.pk.split(",")) if args.pk else None
+            ch = t.snapshot_changes(v_from, v_to, pk=pk)
+            for r in ch.limit(20).collect():
+                print(json.dumps(r.asDict(), default=str))
+            print(f"{args.source}: {ch.count()} change rows")
+            return 0
         if args.vacuum:
-            print(f"{args.source}: vacuumed {t.vacuum()} leftover dirs")
+            n = t.vacuum(retain_versions=args.retain)
+            print(f"{args.source}: vacuumed {n} entries (retain={args.retain})")
         if args.compact:
             t.compact()
             print(f"{args.source}: compacted")

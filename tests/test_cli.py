@@ -184,3 +184,40 @@ def test_cli_maintenance_zorder_and_compact(cli_root, capsys):
     # rows intact after both rewrites
     rc = main(["--root", cli_root, "-s", "zmt", "--count-only"])
     assert rc == 0
+
+
+def test_cli_time_travel_surface(spark, cli_root, capsys):
+    """--versions / --as-of / --changes / --vacuum --retain on a
+    manifest table through the CLI."""
+    import json as _json
+
+    from etl_cli_spark.cli import main
+
+    # create a manifest table with two versions via two CLI writes
+    rc = main(["--root", cli_root, "-s", "orders", "-t", "tt_orders",
+               "--op", "create", "--manifest", "--drop"])
+    assert rc == 0
+    rc = main(["--root", cli_root, "-s", "orders", "-q", "o_orderkey__lt=50",
+               "-t", "tt_orders", "--op", "upsert", "--pk", "o_orderkey",
+               "--tf", "o_orderkey,o_custkey,o_orderstatus,o_totalprice,"
+               "o_orderdate,o_orderpriority", "--manifest"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["--root", cli_root, "-s", "tt_orders", "--versions"])
+    assert rc == 0
+    vers = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vers == [0, 1]
+
+    rc = main(["--root", cli_root, "-s", "tt_orders", "--as-of", "0"])
+    assert rc == 0
+    assert "@v0" in capsys.readouterr().out
+
+    rc = main(["--root", cli_root, "-s", "tt_orders", "--changes", "0,1",
+               "--pk", "o_orderkey"])
+    assert rc == 0
+    assert "change rows" in capsys.readouterr().out
+
+    rc = main(["--root", cli_root, "-s", "tt_orders", "--vacuum", "--retain", "2"])
+    assert rc == 0
+    assert "retain=2" in capsys.readouterr().out
