@@ -840,6 +840,42 @@ _Q21_SQL = (
 )
 
 
+# q8 shape: market share — 8-way join (nation twice, through region) with
+# a conditional-share ratio per year. Both sums reduce as exact decimals
+# and convert to double BEFORE the division (the q14 protocol).
+_Q8_SQL = (
+    "SELECT o_year, "
+    "CAST(round("
+    "CAST(sum(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(30,10))) AS DOUBLE) / "
+    "CAST(sum(CAST(volume AS DECIMAL(30,10))) AS DOUBLE), 6) AS DOUBLE) AS mkt_share "
+    "FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year, "
+    "  l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation "
+    "  FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "  JOIN supplier ON s_suppkey = l_suppkey "
+    "  JOIN orders ON l_orderkey = o_orderkey "
+    "  JOIN customer ON o_custkey = c_custkey "
+    "  JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+    "  JOIN region ON n1.n_regionkey = r_regionkey "
+    "  JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+    "  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY' "
+    "  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') AS all_nations "
+    "GROUP BY o_year ORDER BY o_year"
+)
+
+# q13 shape: customer order-count distribution — LEFT JOIN with a
+# join-side predicate (priority stands in for the comment filter the
+# reduced schema lacks), then a histogram over the per-customer counts
+_Q13_SQL = (
+    "SELECT c_count, count(*) AS custdist FROM ("
+    "  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
+    "  FROM customer LEFT JOIN orders "
+    "  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
+    "  GROUP BY c_custkey) AS c_orders "
+    "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+)
+
+
 def _q_sql_q3(spark, sf):
     return _engine(spark, sf).sql(_Q3_SQL)
 
@@ -898,6 +934,14 @@ def _q_sql_q19(spark, sf):
 
 def _q_sql_q21(spark, sf):
     return _engine(spark, sf).sql(_Q21_SQL)
+
+
+def _q_sql_q8(spark, sf):
+    return _engine(spark, sf).sql(_Q8_SQL)
+
+
+def _q_sql_q13(spark, sf):
+    return _engine(spark, sf).sql(_Q13_SQL)
 
 
 # -- events ------------------------------------------------------------------
@@ -1709,6 +1753,8 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "sql_q17_shape": [("avg_yearly", "f")],
     "sql_q19_shape": [("revenue", "f")],
     "sql_q21_shape": [("s_name", "s"), ("numwait", "i")],
+    "sql_q8_shape": [("o_year", "i"), ("mkt_share", "f")],
+    "sql_q13_shape": [("c_count", "i"), ("custdist", "i")],
     # -- secondary-aggregate family --
     "agg_rollup": [("l_returnflag", "s"), ("l_linestatus", "s"), ("n", "i"),
                    ("sum_qty", "f")],
@@ -1788,6 +1834,7 @@ _SQL_FAMILY = [
     "sql_q16_shape", "sql_q18_shape", "sql_q22_shape",
     "sql_q4_shape", "sql_q6_shape", "sql_q7_shape", "sql_q14_shape",
     "sql_q15_shape", "sql_q17_shape", "sql_q19_shape", "sql_q21_shape",
+    "sql_q8_shape", "sql_q13_shape",
 ]
 _AGG_FAMILY = [
     "agg_rollup", "agg_cube", "agg_having", "agg_pivot",
@@ -2041,6 +2088,8 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_q17_shape": _q_sql_q17,
     "sql_q19_shape": _q_sql_q19,
     "sql_q21_shape": _q_sql_q21,
+    "sql_q8_shape": _q_sql_q8,
+    "sql_q13_shape": _q_sql_q13,
     "agg_rollup": _q_agg_rollup,
     "agg_cube": _q_agg_cube,
     "agg_having": _q_agg_having,
@@ -2288,6 +2337,8 @@ def oracle_sql() -> dict[str, str]:
     sql["sql_q17_shape"] = _Q17_SQL
     sql["sql_q19_shape"] = _Q19_SQL
     sql["sql_q21_shape"] = _Q21_SQL
+    sql["sql_q8_shape"] = _Q8_SQL
+    sql["sql_q13_shape"] = _Q13_SQL
 
     sql["events_window_1h"] = (
         "SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, "

@@ -762,6 +762,52 @@ def _index_populated(path: str) -> bool:
     return any("=" in e or not e.startswith(("_", ".")) for e in os.listdir(b))
 
 
+def _cross_index_losers(spark, base, path, meta, threshold):
+    """Batch ids that near-dup an already-indexed doc: the
+    partition-pruned probe at the heart of :func:`dedup_against_index`,
+    kept separate so its plan (PartitionFilters on ``__bb``) stays
+    inspectable before the caller checkpoints the loser set away."""
+    import os
+
+    if not _index_populated(path):
+        # freshly created (or still-empty) index: no cross candidates
+        return base.select("id").limit(0)
+    new_buckets = base.select(
+        "id", F.posexplode("bh").alias("band", "bucket")
+    ).withColumn(
+        "__bb", F.pmod(F.xxhash64("band", "bucket"), F.lit(meta["n_parts"]))
+    )
+    # driver-side partition list: bounded by n_parts, metadata not data
+    bbs = sorted(r[0] for r in new_buckets.select("__bb").distinct().collect())
+    batch_ids = base.select("id")
+    idx = (
+        spark.read.parquet(os.path.join(path, "buckets"))
+        .filter(F.col("__bb").isin(bbs))
+        .select(F.col("id").alias("old_id"), "band", "bucket")
+        # replay self-exclusion (see dedup_against_index docstring)
+        .join(batch_ids.withColumnRenamed("id", "old_id"), "old_id", "left_anti")
+    )
+    cross_cand = (
+        new_buckets.join(idx, on=["band", "bucket"], how="inner")
+        .select(F.col("id").alias("new_id"), "old_id")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    return (
+        cross_cand.join(
+            base.select(F.col("id").alias("new_id"), F.col("hs").alias("new_hs")),
+            "new_id",
+        )
+        .join(
+            sigs.select(F.col("id").alias("old_id"), F.col("hs").alias("old_hs")),
+            "old_id",
+        )
+        .filter(jaccard(F.col("new_hs"), F.col("old_hs")) >= threshold)
+        .select(F.col("new_id").alias("id"))
+        .distinct()
+    )
+
+
 def dedup_against_index(
     df: DataFrame, path: str, threshold: float = 0.7
 ) -> DataFrame:
@@ -786,58 +832,13 @@ def dedup_against_index(
     and the exclusion makes the replayed batch keep exactly its
     original survivor set instead of self-dedup-ing to empty.
     """
-    import os
-
     spark = df.sparkSession
     meta = _read_dedup_meta(path)
     from pyspark import StorageLevel
 
     base = _base_from_meta(df, meta).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        if _index_populated(path):
-            new_buckets = base.select(
-                "id", F.posexplode("bh").alias("band", "bucket")
-            ).withColumn(
-                "__bb", F.pmod(F.xxhash64("band", "bucket"), F.lit(meta["n_parts"]))
-            )
-            # driver-side partition list: bounded by n_parts, metadata not data
-            bbs = sorted(
-                r[0] for r in new_buckets.select("__bb").distinct().collect()
-            )
-            batch_ids = base.select("id")
-            idx = (
-                spark.read.parquet(os.path.join(path, "buckets"))
-                .filter(F.col("__bb").isin(bbs))
-                .select(F.col("id").alias("old_id"), "band", "bucket")
-                # replay self-exclusion (see docstring)
-                .join(
-                    batch_ids.withColumnRenamed("id", "old_id"),
-                    "old_id",
-                    "left_anti",
-                )
-            )
-            cross_cand = (
-                new_buckets.join(idx, on=["band", "bucket"], how="inner")
-                .select(F.col("id").alias("new_id"), "old_id")
-                .dropDuplicates(["new_id", "old_id"])
-            )
-            sigs = spark.read.parquet(os.path.join(path, "sigs"))
-            cross_dups = (
-                cross_cand.join(
-                    base.select(F.col("id").alias("new_id"), F.col("hs").alias("new_hs")),
-                    "new_id",
-                )
-                .join(
-                    sigs.select(F.col("id").alias("old_id"), F.col("hs").alias("old_hs")),
-                    "old_id",
-                )
-                .filter(jaccard(F.col("new_hs"), F.col("old_hs")) >= threshold)
-                .select(F.col("new_id").alias("id"))
-                .distinct()
-            )
-        else:
-            # freshly created (or still-empty) index: no cross candidates
-            cross_dups = base.select("id").limit(0)
+        cross_dups = _cross_index_losers(spark, base, path, meta, threshold)
         # in-batch duplicates: same greedy min-id policy as minhash_dedup
         in_batch = _pairs_from_base(base, threshold).select(
             F.col("b_id").alias("id")
