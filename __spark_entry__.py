@@ -1269,6 +1269,94 @@ def _q_text_pii_scrub(spark, sf):
     return d.select("doc_id", pii_scrub(dirty).alias("clean"))
 
 
+# -- URL curation (crawl-corpus prep; operators/urls.py) ---------------------
+# documents has no URL column, so both engines derive the same messy URL
+# deterministically from doc_id (uppercase schemes/hosts, www, default +
+# non-default ports, tracking params, unsorted query, trailing slash,
+# fragment), then canonicalize independently: Spark via the Column-
+# expression operator, DuckDB via a relational replay of the spec.
+_MESSY_URL_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTP' WHEN doc_id % 3 = 1 THEN 'https' ELSE 'HTTPS' END "
+    "|| '://' || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN 'News.Example' || CAST(doc_id % 7 AS STRING) || '.CO.UK' "
+    "     WHEN doc_id % 4 = 1 THEN 'blog.example' || CAST(doc_id % 7 AS STRING) || '.com' "
+    "     WHEN doc_id % 4 = 2 THEN 'Example' || CAST(doc_id % 7 AS STRING) || '.github.io' "
+    "     ELSE 'shop.example' || CAST(doc_id % 7 AS STRING) || '.com' END || "
+    "CASE WHEN doc_id % 6 = 0 THEN ':443' WHEN doc_id % 6 = 3 THEN ':8080' "
+    "     WHEN doc_id % 6 = 4 THEN ':80' ELSE '' END || "
+    "'/p/' || CAST(doc_id AS STRING) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1' "
+    "     WHEN doc_id % 3 = 1 THEN '?a=1&fbclid=xyz' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN '#sec-2' ELSE '' END"
+)
+
+_URL_TRACKING_RE = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref|ref_src)="
+
+
+def _url_suffix_list_sql() -> str:
+    from etl_cli_spark.operators.urls import TWO_LEVEL_SUFFIXES
+
+    return "[" + ",".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES) + "]"
+
+
+def _url_parts_ctes() -> str:
+    """DuckDB CTE chain raw->s6 deriving scheme/host/port/path/qs/domain
+    parts from the messy URL — shared by both URL oracles."""
+    return (
+        f"WITH raw AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents), "
+        "s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u FROM raw), "
+        "s2 AS (SELECT *, lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, "
+        "  regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1), "
+        "s3 AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport, "
+        "  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM s2), "
+        "s4 AS (SELECT *, "
+        "  regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\\.', '') AS host, "
+        "  regexp_extract(hostport, ':([0-9]+)$', 1) AS port, "
+        "  regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path, "
+        "  regexp_extract(pathq, '\\?(.*)$', 1) AS query FROM s3), "
+        "s5 AS (SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'), "
+        f"    p -> p <> '' AND NOT regexp_matches(p, '{_URL_TRACKING_RE}'))), '&') AS qs, "
+        "  string_split(host, '.') AS hp FROM s4), "
+        "s6 AS (SELECT *, hp[-2] || '.' || hp[-1] AS last2, "
+        "  CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80') "
+        "       AND NOT (scheme = 'https' AND port = '443') THEN ':' || port ELSE '' END AS cport "
+        "  FROM s5), "
+        "s7 AS (SELECT doc_id, url, "
+        "  scheme || '://' || host || cport || path || "
+        "  CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon_url, "
+        f"  CASE WHEN len(hp) >= 3 AND list_contains({_url_suffix_list_sql()}, last2) "
+        "       THEN hp[-3] || '.' || last2 "
+        "       WHEN len(hp) >= 2 THEN last2 ELSE host END AS domain FROM s6) "
+    )
+
+
+def _q_url_canonicalize(spark, sf):
+    from etl_cli_spark.operators.urls import canonicalize_url, registrable_domain
+
+    d = _engine(spark, sf).read("documents")
+    return (
+        d.withColumn("url", F.expr(_MESSY_URL_SQL))
+        .select(
+            "doc_id",
+            "url",
+            canonicalize_url("url").alias("canon_url"),
+            registrable_domain("url").alias("domain"),
+        )
+    )
+
+
+def _q_url_domain_cap(spark, sf):
+    from etl_cli_spark.operators.urls import per_domain_cap
+
+    d = _engine(spark, sf).read("documents").withColumn("url", F.expr(_MESSY_URL_SQL))
+    # salt_buckets exercises the hot-domain tournament; the oracle is the
+    # unsalted relational replay, so salted == unsalted is part of the check
+    capped = per_domain_cap(d, "url", cap=3, salt_buckets=4, domain_col="domain")
+    return capped.select("doc_id", "domain")
+
+
 def _q_pipeline_end_to_end(spark, sf):
     """Capstone: the whole training-data prep pipeline — quality filter
     -> exact dedup -> benchmark decontamination -> deterministic split ->
@@ -2017,11 +2105,14 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_shapes_digest": _q_sql_shapes_digest,
     "agg_digest": _q_agg_digest,
     "join_window_digest": _q_join_window_digest,
-    # flagship extension joins, back in-window (round-4 rebalance
-    # freed the slots)
+    # URL curation (crawl prep): canonicalize + per-domain cap. These
+    # take the last two window slots; asof/interval_join move to 51+
+    # (both stay driver-certified via join_window_digest in-window)
+    "url_canonicalize": _q_url_canonicalize,
+    "url_domain_cap": _q_url_domain_cap,
+    # ---- positions 51+: individual members of the digested families ----
     "asof_join": _q_asof_join,
     "interval_join": _q_interval_join,
-    # ---- positions 51+: individual members of the digested families ----
     # (agg_q1/window/diff/events_window_1h stay driver-certified via
     # join_window_digest inside the window)
     "agg_q1": _q_agg_q1,
@@ -2339,6 +2430,18 @@ def oracle_sql() -> dict[str, str]:
     sql["sql_q21_shape"] = _Q21_SQL
     sql["sql_q8_shape"] = _Q8_SQL
     sql["sql_q13_shape"] = _Q13_SQL
+
+    # URL curation: both engines derive the same messy URL from doc_id;
+    # DuckDB replays the canonicalization spec relationally
+    sql["url_canonicalize"] = (
+        _url_parts_ctes() + "SELECT doc_id, url, canon_url, domain FROM s7"
+    )
+    sql["url_domain_cap"] = (
+        _url_parts_ctes()
+        + ", r AS (SELECT doc_id, domain, row_number() OVER ("
+        "PARTITION BY domain ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn "
+        "FROM s7) SELECT doc_id, domain FROM r WHERE rn <= 3"
+    )
 
     sql["events_window_1h"] = (
         "SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, "
