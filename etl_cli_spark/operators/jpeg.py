@@ -1,26 +1,36 @@
-"""Baseline JPEG (ITU-T T.81 / JFIF) codec — pure stdlib + numpy.
+"""JPEG (ITU-T T.81 / JFIF) codec — pure stdlib + numpy. Baseline
+sequential AND progressive (SOF2).
 
-This closes the last codec gap in the multimodal family (round-3 judge
+This closes the codec gap in the multimodal family (round-3 judge
 "What's missing" #2: "a crawl corpus is mostly JPEG/PNG"; PNG landed in
-round 4, this is JPEG). No image library is available in this
-container, so the decoder is written from the public spec:
+round 4, then baseline JPEG, then progressive). No image library is
+available in this container, so the codec is written from the public
+spec:
 
-- ``decode_jpeg``: full baseline sequential decoder — marker walk
-  (SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS), canonical Huffman decode of the
-  entropy stream (byte-unstuffing, restart markers, DC prediction, AC
-  run-length with ZRL/EOB), dequantize + de-zigzag, float IDCT as one
-  numpy matrix sandwich per block batch, sampling-factor chroma
+- ``decode_jpeg``: full Huffman decoder — marker walk
+  (SOI/APPn/COM/DQT/SOF0/SOF2/DHT/DRI/SOS), canonical Huffman decode of
+  the entropy stream (byte-unstuffing, restart markers, DC prediction,
+  AC run-length with ZRL/EOB), dequantize + de-zigzag, float IDCT as
+  one numpy matrix sandwich per block batch, sampling-factor chroma
   upsample (nearest), BT.601 YCbCr->RGB. Handles grayscale, 4:4:4 and
   4:2:0 three-component scans, arbitrary (non-multiple-of-MCU)
   dimensions via edge-block cropping, and restart intervals.
-- ``encode_jpeg``: baseline encoder used by tests/fixtures — forward
-  DCT, quantize, standard Annex-K example Huffman tables. General
-  (any pixel content), so decode(encode(px)) round-trips within
-  quantization error; fixtures built from uniform-per-block patterns
-  with an all-16 quantization table round-trip EXACTLY (a uniform
-  block has only a DC coefficient, and 16 | 8*(v-128) whenever v is
-  even), which is what lets an independent oracle replay decoded
-  pixels without running either codec.
+  Progressive streams accumulate quantized coefficients across scans —
+  spectral selection, successive approximation (DC/AC first +
+  refinement), cross-block EOB runs per T.81 G.2 — and reconstruct at
+  EOI.
+- ``encode_jpeg`` / ``encode_progressive_jpeg``: encoders used by
+  tests/fixtures — forward DCT, quantize, standard Annex-K example
+  Huffman tables (progressive adds a complete custom AC table, since
+  Annex K lacks EOBn symbols). General (any pixel content), so
+  decode(encode(px)) round-trips within quantization error AND
+  decode(encode_progressive(px)) == decode(encode(px)) bit-exactly
+  (same coefficients, different packaging); fixtures built from
+  uniform-per-block patterns with an all-16 quantization table
+  round-trip EXACTLY (a uniform block has only a DC coefficient, and
+  16 | 8*(v-128) whenever v is even), which is what lets an
+  independent oracle replay decoded pixels without running either
+  codec.
 
 Reference parity: the reference CLI (vahana/etl_cli) has no media
 pipeline at all — this family is part of the training-data extension
@@ -190,13 +200,17 @@ def _extend(v: int, t: int) -> int:
 # Decoder
 
 def decode_jpeg(data: bytes):
-    """Decode a baseline sequential JFIF/JPEG payload.
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2)
+    JFIF/JPEG payload.
 
     Returns ``(width, height, HxWx3 uint8 RGB array)`` (grayscale is
     replicated across channels to honor the pixel contract shared by
-    the PPM/BMP/PNG decoders). Progressive (SOF2), arithmetic-coded,
-    and 12-bit streams raise — baseline covers the overwhelming share
-    of crawl-corpus JPEGs.
+    the PPM/BMP/PNG decoders). Progressive streams accumulate quantized
+    coefficients across every scan (spectral selection + successive
+    approximation, EOB runs, DC/AC refinement per T.81 G.2 — the same
+    per-scan algorithms libjpeg documents) and reconstruct once at EOI.
+    Arithmetic-coded and 12-bit streams raise — Huffman 8-bit covers
+    the overwhelming share of crawl-corpus JPEGs.
     """
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -205,11 +219,15 @@ def decode_jpeg(data: bytes):
     huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     restart_interval = 0
     frame = None  # (w, h, comps) with comps = [(cid, hs, vs, tq)]
+    progressive = False
+    planes = None  # progressive: per-comp quantized zigzag coefficients
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker sync lost at byte {pos}")
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         seg_len = struct.unpack_from(">H", data, pos)[0]
@@ -232,7 +250,7 @@ def decode_jpeg(data: bytes):
                 huffval = list(body[bpos + 17 : bpos + 17 + n])
                 huff[(tc, th)] = _build_decode_lut(bits, huffval)
                 bpos += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (baseline) / SOF2 (progressive)
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -241,8 +259,11 @@ def decode_jpeg(data: bytes):
                 cid, hv, tq_id = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG supported")
+            if marker == 0xC2:
+                progressive = True
+                planes = _alloc_planes(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline and progressive Huffman JPEG supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows the header
@@ -252,16 +273,55 @@ def decode_jpeg(data: bytes):
                 cs, tables = body[1 + 2 * s], body[2 + 2 * s]
                 ci = next(i for i, c in enumerate(frame[2]) if c[0] == cs)
                 scan.append((ci, tables >> 4, tables & 0x0F))
-            pos += seg_len
-            return _decode_scan(data, pos, frame, scan, qt, huff, restart_interval)
+            if not progressive:
+                pos += seg_len
+                return _decode_scan(data, pos, frame, scan, qt, huff, restart_interval)
+            ss, se, ahl = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            pos = _progressive_scan(
+                data, pos + seg_len, frame, scan, planes, huff,
+                restart_interval, ss, se, ahl >> 4, ahl & 0x0F,
+            )
+            continue  # pos already past the entropy data
         pos += seg_len
+    if progressive and frame is not None:
+        deq = [
+            planes[ci] * qt[c[3]][None, None, :]
+            for ci, c in enumerate(frame[2])
+        ]
+        return _reconstruct(frame, deq)
     raise ValueError("no SOS marker found")
+
+
+def _alloc_planes(frame):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+        for (_cid, hs, vs, _tq) in comps
+    ]
+
+
+def _comp_block_grid(frame, ci):
+    """Non-interleaved (ns=1) scans traverse the component's own block
+    grid — ceil(comp samples / 8) per axis, NOT the MCU-padded grid."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _cid, hs, vs, _tq = comps[ci]
+    cw = (w * hs + hmax - 1) // hmax
+    ch = (h * vs + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8  # (block rows, block cols)
 
 
 def _entropy_segments(data: bytes, pos: int):
     """Split the post-SOS byte stream into restart-delimited, unstuffed
     entropy segments (stuffed 0xFF00 -> 0xFF; RSTn are separators; any
-    other marker ends the scan)."""
+    other marker ends the scan). Returns ``(segments, end_pos)`` with
+    ``end_pos`` at the terminating marker's 0xFF — progressive decoding
+    resumes the marker walk there."""
     segs, cur = [], bytearray()
     n = len(data)
     while pos < n:
@@ -281,7 +341,7 @@ def _entropy_segments(data: bytes, pos: int):
         else:  # EOI or next header marker
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, pos
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
@@ -299,7 +359,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
         bw, bh = mcus_x * hs, mcus_y * vs
         planes.append(np.zeros((bh, bw, 64), dtype=np.int64))
 
-    segs = _entropy_segments(data, pos)
+    segs, _end = _entropy_segments(data, pos)
     seg_i = 0
     reader = _BitReader(segs[0])
     pred = [0] * len(comps)
@@ -352,8 +412,16 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                         k += 1
                     planes[ci][my * vs + by, mx * hs + bx] = blk
         mcu += 1
+    return _reconstruct(frame, planes)
 
-    # De-zigzag + IDCT, one vectorized sandwich per component
+
+def _reconstruct(frame, planes):
+    """De-zigzag + IDCT + upsample + color-convert dequantized
+    coefficient planes into the final RGB array (shared by the baseline
+    and progressive paths)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     samples = []
     for ci, (_cid, hs, vs, _tq) in enumerate(comps):
         bh, bw, _ = planes[ci].shape
@@ -378,6 +446,176 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     g = np.rint(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)).clip(0, 255)
     b = np.rint(y + 1.772 * (cb - 128.0)).clip(0, 255)
     return w, h, np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive scan decoding (T.81 G.2; the per-scan algorithms match
+# the public libjpeg structure: DC/AC x first/refinement, EOB runs)
+
+def _progressive_scan(
+    data, pos, frame, scan, planes, huff, restart_interval, ss, se, ah, al
+):
+    """Decode one progressive scan into the accumulated quantized
+    coefficient planes; returns the stream position after the entropy
+    data (at the next marker)."""
+    w, h, comps = frame
+    segs, end = _entropy_segments(data, pos)
+    is_dc = ss == 0
+    # T.81 scan-header constraints: a DC scan covers exactly [0, 0]; an
+    # AC scan covers a band inside [1, 63] of ONE component; refinement
+    # moves one bit at a time. (These also reject a baseline stream
+    # mislabeled SOF2, whose SOS says Ss=0, Se=63.)
+    if is_dc and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not is_dc and (se < ss or se > 63):
+        raise ValueError("invalid progressive spectral band")
+    if ah != 0 and ah != al + 1:
+        raise ValueError("successive approximation must refine one bit (Ah=Al+1)")
+    if not is_dc and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component (T.81)")
+
+    # Unit list: (ci, by, bx) per coded block, in scan order, restart
+    # boundaries every `restart_interval` MCUs/blocks
+    if len(scan) > 1:
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        units = mcus_x * mcus_y
+
+        def blocks_of(mcu):
+            my, mx = divmod(mcu, mcus_x)
+            for (ci, dc_t, ac_t) in scan:
+                hs, vs = comps[ci][1], comps[ci][2]
+                for by in range(vs):
+                    for bx in range(hs):
+                        yield ci, dc_t, ac_t, my * vs + by, mx * hs + bx
+    else:
+        ci0 = scan[0][0]
+        gbh, gbw = _comp_block_grid(frame, ci0)
+        units = gbh * gbw
+
+        def blocks_of(u):
+            by, bx = divmod(u, gbw)
+            yield scan[0][0], scan[0][1], scan[0][2], by, bx
+
+    per_restart = restart_interval if restart_interval else units
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    pred = [0] * len(comps)
+    eobrun = 0
+    for u in range(units):
+        if u and u % per_restart == 0 and seg_i + 1 < len(segs):
+            seg_i += 1
+            reader = _BitReader(segs[seg_i])
+            pred = [0] * len(comps)
+            eobrun = 0
+        for (ci, dc_t, ac_t, by, bx) in blocks_of(u):
+            blk = planes[ci][by, bx]
+            if is_dc:
+                if ah == 0:
+                    dsym, dlen = huff[(0, dc_t)]
+                    p16 = reader.peek16()
+                    t, length = int(dsym[p16]), int(dlen[p16])
+                    if length == 0:
+                        raise ValueError("invalid Huffman code (DC)")
+                    reader.skip(length)
+                    pred[ci] += _extend(reader.receive(t), t)
+                    blk[0] = pred[ci] << al
+                else:
+                    if reader.receive(1):
+                        blk[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first_block(
+                    reader, blk, huff[(1, ac_t)], ss, se, al, eobrun
+                )
+            else:
+                eobrun = _ac_refine_block(
+                    reader, blk, huff[(1, ac_t)], ss, se, al, eobrun
+                )
+    return end
+
+
+def _ac_first_block(reader, blk, table, ss, se, al, eobrun):
+    """First AC scan for one block (T.81 G.2.2): spectral band [ss, se]
+    at successive-approximation level ``al``, with EOB runs spanning
+    blocks. Returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    asym, alen = table
+    k = ss
+    while k <= se:
+        p16 = reader.peek16()
+        rs, length = int(asym[p16]), int(alen[p16])
+        if length == 0:
+            raise ValueError("invalid Huffman code (AC)")
+        reader.skip(length)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.receive(r)
+                return eobrun - 1  # current block consumed one EOB
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of band")
+        blk[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, blk, table, ss, se, al, eobrun):
+    """AC refinement scan for one block (T.81 G.2.3): append one
+    magnitude bit to already-nonzero coefficients, place newly-nonzero
+    ones, honoring EOB runs. Returns the updated EOB run."""
+    asym, alen = table
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            p16 = reader.peek16()
+            rs, length = int(asym[p16]), int(alen[p16])
+            if length == 0:
+                raise ValueError("invalid Huffman code (AC refine)")
+            reader.skip(length)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15 (ZRL): advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan coefficient size must be 1")
+                val = p1 if reader.receive(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.receive(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("refinement placement past end of band")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.receive(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # ---------------------------------------------------------------------------
@@ -474,22 +712,11 @@ def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
     return plane
 
 
-def encode_jpeg(
-    px: np.ndarray,
-    quant: int | np.ndarray = 16,
-    subsample: bool = False,
-    restart_interval: int = 0,
-    grayscale: bool = False,
-    ycbcr_planes=None,
-) -> bytes:
-    """Encode RGB (HxWx3) or grayscale pixels as baseline JFIF.
-
-    ``quant`` is a scalar (flat table) or a 64-entry zigzag-ordered
-    table, applied to all components. ``ycbcr_planes=(Y, Cb, Cr)``
-    bypasses the RGB->YCbCr step so fixtures can pin exact plane
-    values (chroma planes already at subsampled resolution when
-    ``subsample=True``).
-    """
+def _prep_encode(px, quant, subsample, grayscale, ycbcr_planes):
+    """Shared encoder front half: pixels -> per-component MCU-padded
+    quantized zigzag coefficients. Returns
+    ``(w, h, comps, coeffs, dq, mcus_x, mcus_y)`` with
+    ``comps = [(cid, hs, vs)]``."""
     dq = (np.full(64, quant, dtype=np.int64) if np.isscalar(quant)
           else np.asarray(quant, dtype=np.int64))
     if grayscale:
@@ -536,7 +763,28 @@ def encode_jpeg(
                 mode="edge",
             )
         coeffs.append(_quantize_plane(padded[:th, :tw], dq))
+    return w, h, comps, coeffs, dq, mcus_x, mcus_y
 
+
+def encode_jpeg(
+    px: np.ndarray,
+    quant: int | np.ndarray = 16,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    grayscale: bool = False,
+    ycbcr_planes=None,
+) -> bytes:
+    """Encode RGB (HxWx3) or grayscale pixels as baseline JFIF.
+
+    ``quant`` is a scalar (flat table) or a 64-entry zigzag-ordered
+    table, applied to all components. ``ycbcr_planes=(Y, Cb, Cr)``
+    bypasses the RGB->YCbCr step so fixtures can pin exact plane
+    values (chroma planes already at subsampled resolution when
+    ``subsample=True``).
+    """
+    w, h, comps, coeffs, dq, mcus_x, mcus_y = _prep_encode(
+        px, quant, subsample, grayscale, ycbcr_planes
+    )
     lum_dc = _build_codes(*_DC_LUM)
     lum_ac = _build_codes(*_AC_LUM)
     chr_dc = _build_codes(*_DC_CHR)
@@ -596,4 +844,245 @@ def encode_jpeg(
     bw.flush()
     out += bw.buf
     out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixtures + round-trip tests for the progressive
+# decode path). Emits a libjpeg-style scan script: DC first at Al=1,
+# spectral-selection AC first scans, then one-bit refinement scans.
+
+# Custom AC Huffman table for progressive scans: the Annex K tables lack
+# the EOBn (n>=1) run symbols, so build a complete table covering every
+# symbol a progressive AC scan can emit — EOB0..EOB14, ZRL, and
+# (run, size) for run 0..15 / size 1..10 — all at code length 9
+# (176 * 2^-9 < 1 satisfies Kraft; the all-ones 9-bit code is unused).
+_PROG_AC_VALS = (
+    [n << 4 for n in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC = ([0] * 8 + [len(_PROG_AC_VALS)] + [0] * 7, _PROG_AC_VALS)
+
+_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([1], 1, 63, 0, 1),
+    ([2], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+class _EobState:
+    """Cross-block EOB-run state for one AC scan: the run count plus the
+    refinement correction bits buffered behind it (T.81 G.1.2.3)."""
+
+    __slots__ = ("run", "pending")
+
+    def __init__(self):
+        self.run = 0
+        self.pending = []
+
+    def flush(self, bw, ac_codes):
+        if self.run > 0:
+            nbits = self.run.bit_length() - 1
+            c, ln = ac_codes[nbits << 4]
+            bw.write(c, ln)
+            if nbits:
+                bw.write(self.run & ((1 << nbits) - 1), nbits)
+            self.run = 0
+        for b in self.pending:
+            bw.write(b, 1)
+        self.pending = []
+
+
+def _point_transform(v: int, al: int) -> int:
+    """AC successive-approximation point transform: shift toward zero."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _enc_ac_first_block(bw, blk, ss, se, al, ac_codes, st):
+    r = 0
+    for k in range(ss, se + 1):
+        t = _point_transform(int(blk[k]), al)
+        if t == 0:
+            r += 1
+            continue
+        st.flush(bw, ac_codes)
+        while r > 15:
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            r -= 16
+        s, code = _magnitude(t)
+        c, ln = ac_codes[(r << 4) | s]
+        bw.write(c, ln)
+        bw.write(code, s)
+        r = 0
+    if r > 0:
+        st.run += 1
+        if st.run == 0x7FFF:
+            st.flush(bw, ac_codes)
+
+
+def _enc_ac_refine_block(bw, blk, ss, se, al, ac_codes, st):
+    absv = [abs(int(blk[k])) >> al for k in range(64)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eob = k
+    r, br = 0, []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.flush(bw, ac_codes)
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            r -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if t > 1:
+            # history-nonzero coefficient: just its next magnitude bit
+            br.append(t & 1)
+            continue
+        st.flush(bw, ac_codes)
+        c, ln = ac_codes[(r << 4) | 1]
+        bw.write(c, ln)
+        bw.write(0 if int(blk[k]) < 0 else 1, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.run += 1
+        st.pending.extend(br)
+        if st.run == 0x7FFF:
+            st.flush(bw, ac_codes)
+
+
+def encode_progressive_jpeg(
+    px: np.ndarray,
+    quant: int | np.ndarray = 16,
+    subsample: bool = False,
+    grayscale: bool = False,
+    ycbcr_planes=None,
+    restart_interval: int = 0,
+    scans=None,
+) -> bytes:
+    """Encode pixels as progressive JFIF (SOF2). Same pixel/``quant``
+    contract as :func:`encode_jpeg`; the quantized coefficients are
+    identical, only the entropy packaging differs — so
+    ``decode_jpeg(encode_progressive_jpeg(px))`` must equal
+    ``decode_jpeg(encode_jpeg(px))`` bit-for-bit, which is the
+    round-trip test's oracle-free correctness check.
+    """
+    w, h, comps, coeffs, dq, mcus_x, mcus_y = _prep_encode(
+        px, quant, subsample, grayscale, ycbcr_planes
+    )
+    if scans is None:
+        scans = _SCRIPT_GRAY if len(comps) == 1 else _SCRIPT_COLOR
+    frame4 = (w, h, [(cid, hs, vs, 0) for (cid, hs, vs) in comps])
+
+    dc_codes = [_build_codes(*(_DC_LUM if i == 0 else _DC_CHR)) for i in range(2)]
+    ac_codes = _build_codes(*_PROG_AC)
+
+    out = bytearray(b"\xFF\xD8")
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    out += b"\xFF\xE0" + struct.pack(">H", 2 + len(app0)) + app0
+    out += b"\xFF\xDB" + struct.pack(">H", 2 + 65) + bytes([0]) + bytes(
+        int(v) for v in dq
+    )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for (cid, hs, vs) in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    out += b"\xFF\xC2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, th_id, (bits, vals) in (
+        (0, 0, _DC_LUM), (0, 1, _DC_CHR), (1, 0, _PROG_AC),
+    ):
+        if len(comps) == 1 and th_id == 1:
+            continue
+        seg = bytes([(tc << 4) | th_id]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+
+    rst = 0
+    for (scomp, ss, se, ah, al) in scans:
+        sos = bytes([len(scomp)])
+        for ci in scomp:
+            dc_t = 0 if ci == 0 else 1
+            sos += bytes([comps[ci][0], (dc_t << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+
+        # unit traversal mirrors the decoder: MCU-interleaved when the
+        # scan has several components, the component's own block grid
+        # when it has one
+        if len(scomp) > 1:
+            units = mcus_x * mcus_y
+
+            def blocks_of(u):
+                my, mx = divmod(u, mcus_x)
+                for ci in scomp:
+                    _cid, hs, vs = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, my * vs + by, mx * hs + bx
+        else:
+            gbh, gbw = _comp_block_grid(frame4, scomp[0])
+            units = gbh * gbw
+
+            def blocks_of(u):
+                by, bx = divmod(u, gbw)
+                yield scomp[0], by, bx
+
+        bw = _BitWriter()
+        pred = [0] * len(comps)
+        st = _EobState()
+        per_restart = restart_interval if restart_interval else units
+        for u in range(units):
+            if u and u % per_restart == 0:
+                st.flush(bw, ac_codes)
+                bw.flush()
+                out += bw.buf
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                pred = [0] * len(comps)
+            for (ci, by, bx) in blocks_of(u):
+                blk = coeffs[ci][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        v = int(blk[0]) >> al
+                        t, code = _magnitude(v - pred[ci])
+                        c, ln = dc_codes[0 if ci == 0 else 1][t]
+                        bw.write(c, ln)
+                        if t:
+                            bw.write(code, t)
+                        pred[ci] = v
+                    else:
+                        bw.write((int(blk[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    _enc_ac_first_block(bw, blk, ss, se, al, ac_codes, st)
+                else:
+                    _enc_ac_refine_block(bw, blk, ss, se, al, ac_codes, st)
+        st.flush(bw, ac_codes)
+        bw.flush()
+        out += bw.buf
+    out += b"\xFF\xD9"
     return bytes(out)

@@ -3,10 +3,12 @@ metadata.
 
 Image decode is REAL for PPM (P6), uncompressed 24-bpp BMP, 8-bit
 truecolor PNG (stdlib zlib inflate + full five-filter reversal), and
-baseline sequential JPEG (full T.81 decoder in ``operators/jpeg.py``:
-Huffman, dequant, IDCT, 4:2:0 upsample, YCbCr->RGB, restart markers) —
-pure numpy/stdlib, no external image library needed. Formats that
-genuinely need a native codec (progressive JPEG/H.264 video) fall back
+JPEG — both baseline sequential and progressive SOF2 (full T.81
+decoder in ``operators/jpeg.py``: Huffman, spectral selection +
+successive approximation, EOB runs, dequant, IDCT, 4:2:0 upsample,
+YCbCr->RGB, restart markers) — pure numpy/stdlib, no external image
+library needed. Formats that genuinely need a native codec
+(arithmetic-coded JPEG/H.264 video) fall back
 to the clearly marked deterministic stub kernels; swapping a real
 decoder in means replacing ONE pure-python function per modality. Everything
 Spark-side is real and tested either way: the schema contract, the
@@ -182,10 +184,11 @@ def _decode_png(data: bytes):
 
 
 def _decode_pixels(data: bytes):
-    """Pixel array for natively-decodable formats (PPM/BMP/PNG/baseline
-    JPEG), else None — the shared dispatch for decode/resize/feature
-    kernels. Unsupported VARIANTS of a recognized container (palette/
-    interlaced/16-bit PNG, progressive JPEG) return None too, so one
+    """Pixel array for natively-decodable formats (PPM/BMP/PNG/JPEG
+    baseline+progressive), else None — the shared dispatch for decode/
+    resize/feature kernels. Unsupported VARIANTS of a recognized
+    container (palette/interlaced/16-bit PNG, arithmetic JPEG, or any
+    non-conforming stream) return None too, so one
     such payload degrades to the stub kernel instead of killing the
     whole Spark job — the batch-robustness contract the module
     docstring promises. The decoders themselves still raise when
@@ -207,11 +210,11 @@ def _decode_pixels(data: bytes):
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Dispatch on magic bytes: PPM, BMP, PNG, and baseline JPEG decode
-    for real (pure numpy/stdlib — see ``operators/jpeg.py`` for the
-    full T.81 baseline decoder); remaining formats fall back to the
-    deterministic stub. The digest is the sha256[:16] of the decoded
-    top-down row-major RGB pixel bytes."""
+    """Dispatch on magic bytes: PPM, BMP, PNG, and JPEG (baseline +
+    progressive) decode for real (pure numpy/stdlib — see
+    ``operators/jpeg.py`` for the full T.81 decoder); remaining formats
+    fall back to the deterministic stub. The digest is the sha256[:16]
+    of the decoded top-down row-major RGB pixel bytes."""
     if payload is None:
         raise NotImplementedError("real image decode requires an image library")
     data = bytes(payload)
@@ -631,6 +634,10 @@ def jpeg_spec(i: int) -> dict:
 
     mode = i % 3: 0 grayscale, 1 color 4:4:4, 2 color 4:2:0.
     restart_interval = 2 when i % 4 == 3 (exercises RSTn machinery).
+    progressive (SOF2 multi-scan packaging) when i % 5 in (2, 4) —
+    the decoded pixels are identical by construction (same quantized
+    coefficients, different entropy packaging), so the oracle below
+    is unchanged while certifying the progressive decode path too.
     All plane values are UNIFORM per coding block and EVEN, and the
     quantization table is flat 16, so each block is DC-only with
     16 | 8*(v-128): the lossy round-trip is exact by construction and
@@ -656,6 +663,7 @@ def jpeg_spec(i: int) -> dict:
         "w": w,
         "h": h,
         "restart": 2 if i % 4 == 3 else 0,
+        "progressive": i % 5 in (2, 4),
     }
 
 
@@ -675,26 +683,28 @@ def _jpeg_plane(i: int, which: int, bw: int, bh: int):
 
 
 def make_fake_jpeg(spark, n: int = 24) -> DataFrame:
-    """Deterministic synthetic JPEG media table: REAL baseline JFIF
-    payloads (grayscale / 4:4:4 / 4:2:0, some with restart intervals)
-    built from the ``jpeg_spec`` uniform-block patterns, so an
-    independent oracle can replay every decoded pixel."""
-    from etl_cli_spark.operators.jpeg import encode_jpeg
+    """Deterministic synthetic JPEG media table: REAL JFIF payloads —
+    baseline and progressive (SOF2) per ``jpeg_spec``, grayscale /
+    4:4:4 / 4:2:0, some with restart intervals — built from the
+    ``jpeg_spec`` uniform-block patterns, so an independent oracle can
+    replay every decoded pixel."""
+    from etl_cli_spark.operators.jpeg import encode_jpeg, encode_progressive_jpeg
 
     rows = []
     for i in range(n):
         sp = jpeg_spec(i)
+        enc = encode_progressive_jpeg if sp["progressive"] else encode_jpeg
         w, h = sp["w"], sp["h"]
         bw, bh = (w + 7) // 8, (h + 7) // 8
         y = _jpeg_plane(i, 0, bw, bh)[:h, :w]
         if sp["mode"] == 0:
-            payload = encode_jpeg(
+            payload = enc(
                 y, quant=16, grayscale=True, restart_interval=sp["restart"]
             )
         elif sp["mode"] == 1:
             cb = _jpeg_plane(i, 1, bw, bh)[:h, :w]
             cr = _jpeg_plane(i, 2, bw, bh)[:h, :w]
-            payload = encode_jpeg(
+            payload = enc(
                 None, quant=16, ycbcr_planes=(y, cb, cr),
                 restart_interval=sp["restart"],
             )
@@ -702,7 +712,7 @@ def make_fake_jpeg(spark, n: int = 24) -> DataFrame:
             mw, mh = w // 16, h // 16
             cb = _jpeg_plane(i, 1, mw, mh)[: h // 2, : w // 2]
             cr = _jpeg_plane(i, 2, mw, mh)[: h // 2, : w // 2]
-            payload = encode_jpeg(
+            payload = enc(
                 None, quant=16, subsample=True, ycbcr_planes=(y, cb, cr),
                 restart_interval=sp["restart"],
             )

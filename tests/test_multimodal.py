@@ -344,8 +344,43 @@ def test_jpeg_general_content_within_quant_error():
     assert (out_rst == out).all()
 
 
-def test_jpeg_rejects_progressive():
-    """Progressive (SOF2) streams raise a clear NotImplementedError."""
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive packaging carries the same quantized coefficients as
+    baseline, so decode(encode_progressive(px)) must equal
+    decode(encode(px)) bit-for-bit — this exercises every scan type
+    (DC first/refine, AC first/refine, EOB runs, ZRL) on dense random
+    coefficients, plus restart intervals."""
+    import numpy as np
+
+    from etl_cli_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    for kw, shape in [
+        (dict(grayscale=True), (13, 17)),
+        (dict(), (16, 24, 3)),
+        (dict(subsample=True), (19, 21, 3)),
+    ]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        bw_, bh_, base = decode_jpeg(encode_jpeg(px, quant=4, **kw))
+        for ri in (0, 3):
+            pw, ph, prog = decode_jpeg(
+                decode_input := encode_progressive_jpeg(
+                    px, quant=4, restart_interval=ri, **kw
+                )
+            )
+            assert decode_input[:4] != b"\xFF\xD8\xFF\xC0"  # really SOF2-path
+            assert (pw, ph) == (bw_, bh_)
+            assert (prog == base).all()
+
+
+def test_jpeg_rejects_malformed():
+    """A baseline stream relabeled SOF2 is non-conforming (its SOS says
+    Ss=0, Se=63 — a progressive DC scan must have Se=0) and must raise;
+    so must a non-JPEG payload."""
     import numpy as np
     import pytest as _pytest
 
@@ -355,7 +390,7 @@ def test_jpeg_rejects_progressive():
     data = bytearray(encode_jpeg(px, grayscale=True))
     i = bytes(data).find(b"\xFF\xC0")
     data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
-    with _pytest.raises(NotImplementedError, match="baseline"):
+    with _pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(data))
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
