@@ -1430,6 +1430,18 @@ def _q_sketch_distinct_kmv(spark, sf):
     return kmv_distinct(o, "o_custkey", by=["o_orderstatus"], k=256)
 
 
+def _q_sketch_distinct_hll(spark, sf):
+    """HyperLogLog approximate-distinct: parts per return flag, p=8
+    (256 registers). The registers are a deterministic function of the
+    portable md5, and the harmonic sum is carried as an exact
+    power-of-two-scaled integer — the oracle rebuilds the register
+    file and replays the estimate bit-for-bit in DuckDB."""
+    from etl_cli_spark.operators.sketch import hll_distinct
+
+    li = _engine(spark, sf).read("lineitem")
+    return hll_distinct(li, "l_partkey", by=["l_returnflag"], p=8)
+
+
 def _q_search_bm25_indexed(spark, sf):
     """BM25 top-15 through the persisted inverted index (build into a
     scratch dir, partition-pruned probe); the oracle recomputes BM25
@@ -1903,6 +1915,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "multimodal_features": [("media_id", "i"), ("fi", "i"), ("val", "f")],
     # -- sketch family (round-4 digest) --
     "sketch_distinct_kmv": [("o_orderstatus", "s"), ("est_distinct", "f")],
+    "sketch_distinct_hll": [("l_returnflag", "s"), ("est_distinct", "f")],
     "sketch_topk_cms": [("lang", "s"), ("term", "s"), ("est_count", "i")],
     "sketch_quantile_hist": [("o_orderstatus", "s"), ("q", "f"), ("est", "f")],
     # -- hash-sampling family (round-4 digest) --
@@ -2001,7 +2014,10 @@ _MULTIMODAL_FAMILY = [
     "multimodal_decode", "multimodal_audio", "multimodal_jpeg",
     "multimodal_resize", "multimodal_frames", "multimodal_features",
 ]
-_SKETCH_FAMILY = ["sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist"]
+_SKETCH_FAMILY = [
+    "sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist",
+    "sketch_distinct_hll",
+]
 _SAMPLING_FAMILY = [
     "split_deterministic", "hash_sample", "stratified_sample", "quota_sample",
 ]
@@ -2138,6 +2154,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_distinct_kmv": _q_sketch_distinct_kmv,
     "sketch_topk_cms": _q_sketch_topk_cms,
     "sketch_quantile_hist": _q_sketch_quantile_hist,
+    "sketch_distinct_hll": _q_sketch_distinct_hll,
     "multimodal_features": _q_multimodal_features,
     "write_upsert": _q_write_upsert,
     "split_deterministic": _q_split_deterministic,
@@ -2962,6 +2979,30 @@ def oracle_sql() -> dict[str, str]:
         "            / CAST(concat('0x', substring(kth.kh, 1, 15)) AS BIGINT), 4) "
         "  END AS est_distinct "
         "FROM c LEFT JOIN kth USING (o_orderstatus)"
+    )
+
+    # sketch_distinct_hll: rebuild the register file (bucket = low 8
+    # bits of the 60-bit md5 prefix, rho = 53 - bitlength of the top 52
+    # bits) and replay the estimate. The harmonic sum is an exact
+    # 2^53-scaled HUGEINT, so the only float steps — one literal
+    # multiply, one divide — are bit-identical to Spark's.
+    _hll_num = repr((0.7213 / (1 + 1.079 / 256)) * 256 * 256 * float(1 << 53))
+    sql["sketch_distinct_hll"] = (
+        "WITH h AS (SELECT DISTINCT l_returnflag AS g, "
+        "  CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hn "
+        "  FROM lineitem), "
+        "reg AS (SELECT g, hn % 256 AS b, "
+        "  max(53 - length(regexp_replace(bin(hn // 256), '^0+', ''))) AS rho "
+        "  FROM h GROUP BY g, hn % 256), "
+        "agg AS (SELECT g, count(*) AS n, "
+        "  SUM(CAST(2 ** (53 - rho) AS HUGEINT)) AS s FROM reg GROUP BY g), "
+        "e AS (SELECT g, n, "
+        f"  {_hll_num} / CAST(s + (256 - n) * CAST(2 ** 53 AS HUGEINT) AS DOUBLE) AS e_raw "
+        "  FROM agg) "
+        "SELECT g AS l_returnflag, "
+        "CASE WHEN e_raw <= 640.0 AND (256 - n) > 0 "
+        "     THEN round(256.0 * ln(256.0 / (256 - n)), 4) "
+        "     ELSE round(e_raw, 4) END AS est_distinct FROM e"
     )
 
     # dedup_minhash: the oracle is the EXACT 3-shingle Jaccard ground

@@ -509,3 +509,137 @@ def hist_quantile(
     )
     out = hit.select(*grp, "q", est.alias("est"))
     return out.drop(_GRP) if not by else out
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: register-based mergeable distinct count
+# ---------------------------------------------------------------------------
+# The fixed-size companion to KMV: a sketch is at most m = 2^p register
+# rows per group — merge is a per-register max, so per-shard sketches
+# union without re-reading data and without KMV's k-array dedup. Unlike
+# the usual "opaque registers" objection, these registers are a
+# deterministic function of the same portable md5 as everything else:
+# bucket = h % m, rho = one-based leading-zero count of the remaining
+# 60-p bits — an external SQL engine rebuilds the sketch bit-for-bit
+# and replays the estimate (the raw harmonic sum is carried as an
+# EXACT power-of-two-scaled integer, so the only float steps are one
+# literal multiply and one divide, identical across engines).
+
+def _hll_rho(hn, p: int, w: int):
+    """One-based leading-zero rank of the top ``w`` bits above the
+    bucket index: rho = w - bitlength(h >> p) + 1 (an all-zero field is
+    w + 1). bin() has no leading zeros in Spark; the regexp strip makes
+    the same expression exact on engines whose bin() pads."""
+    field = F.shiftright(hn, p)
+    blen = F.length(F.regexp_replace(F.bin(field), "^0+", ""))
+    return (F.lit(w) - blen + F.lit(1)).cast("int")
+
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_sketch(
+    df: DataFrame, col: str, by: Sequence[str] = (), p: int = 8
+) -> DataFrame:
+    """Register rows (by..., __bucket, __rho) + embedded ``__p``: the
+    max one-based leading-zero rank per hash bucket. At most 2^p rows
+    per group leave the map side (the groupBy max combines locally)."""
+    if not 4 <= p <= 16:
+        raise ValueError("hll needs 4 <= p <= 16")
+    m, w = 1 << p, 60 - p
+    grp = list(by) if by else [_GRP]
+    src = df if by else df.withColumn(_GRP, F.lit(1))
+    hn = _hash_num(_portable_hash(col))
+    regs = (
+        src.select(
+            *grp,
+            F.pmod(hn, F.lit(m)).alias("__bucket"),
+            _hll_rho(hn, p, w).alias("__r"),
+        )
+        .groupBy(*grp, "__bucket")
+        .agg(F.max("__r").alias("__rho"))
+        .withColumn("__p", F.lit(int(p)))
+    )
+    return regs.drop(_GRP) if not by else regs
+
+
+def hll_merge(
+    sketches: DataFrame, by: Sequence[str] = (), p: int | None = None
+) -> DataFrame:
+    """Union partial sketches (possibly many register rows per (group,
+    bucket) — one per shard): per-register max, the exact sketch of the
+    unioned data. Mismatched ``p`` fails the job JVM-side."""
+    has_meta = "__p" in sketches.columns
+    if p is None:
+        if not has_meta:
+            raise ValueError("hll_merge: sketches carry no __p metadata; pass p=")
+        (p,) = _read_meta(sketches, ["__p"])
+    if has_meta:
+        sketches = _check_meta(sketches, {"__p": int(p)})
+    grp = list(by) if by else [_GRP]
+    src = sketches if by else sketches.withColumn(_GRP, F.lit(1))
+    out = (
+        src.groupBy(*grp, "__bucket")
+        .agg(F.max("__rho").alias("__rho"))
+        .withColumn("__p", F.lit(int(p)))
+    )
+    return out.drop(_GRP) if not by else out
+
+
+def _hll_estimate_expr(m: int, w: int):
+    """Estimate columns from (n_present, s_present) aggregates. The
+    harmonic sum is exact: sum(2^-rho) scaled by 2^(w+1) is an integer
+    (every term a power of two), absent registers contribute 2^(w+1)
+    each; the float division happens once, on identical integers in
+    any engine."""
+    full = 1 << (w + 1)
+    absent = (F.lit(int(m)) - F.col("__n")).cast("decimal(38,0)") * F.lit(
+        int(full)
+    ).cast("decimal(38,0)")
+    s = (F.col("__s") + absent).cast("double")
+    num = _hll_alpha(m) * m * m * float(full)
+    e_raw = F.lit(num) / s
+    v = F.lit(int(m)) - F.col("__n")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    return F.round(
+        F.when((e_raw <= F.lit(2.5 * m)) & (v > 0), lc).otherwise(e_raw), 4
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame, by: Sequence[str] = (), p: int | None = None
+) -> DataFrame:
+    """Cardinality estimate from a register frame: raw HLL harmonic
+    estimate with the standard small-range linear-counting correction
+    (E <= 2.5m with empty registers). Returns (by..., est_distinct)."""
+    has_meta = "__p" in sketch.columns
+    if p is None:
+        if not has_meta:
+            raise ValueError("hll_estimate: sketch carries no __p metadata; pass p=")
+        (p,) = _read_meta(sketch, ["__p"])
+    if has_meta:
+        sketch = _check_meta(sketch, {"__p": int(p)})
+    m, w = 1 << int(p), 60 - int(p)
+    grp = list(by) if by else [_GRP]
+    src = sketch if by else sketch.withColumn(_GRP, F.lit(1))
+    agg = src.groupBy(*grp).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(w + 1) - F.col("__rho")).cast("decimal(38,0)")
+        ).alias("__s"),
+    )
+    out = agg.select(*grp, _hll_estimate_expr(m, w).alias("est_distinct"))
+    return out.drop(_GRP) if not by else out
+
+
+def hll_distinct(
+    df: DataFrame, col: str, by: Sequence[str] = (), p: int = 8
+) -> DataFrame:
+    """One-shot approximate distinct count of ``col`` per ``by`` group
+    via HLL registers (~1.04/sqrt(2^p) relative error). One map-side-
+    combined shuffle of at most 2^p register rows per group."""
+    return hll_estimate(hll_sketch(df, col, by=by, p=p), by=by, p=p)

@@ -256,3 +256,91 @@ def test_sketch_merge_mixed_geometry_fails(spark):
     )
     with pytest.raises(Exception):
         hist_merge(hmixed).collect()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+def test_hll_accuracy(spark):
+    """Relative error within 4 standard errors (1.04/sqrt(m)) of the
+    true cardinality for a range of cardinalities."""
+    from etl_cli_spark.operators.sketch import hll_distinct
+
+    for n in (300, 3000, 20000):
+        df = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+        est = hll_distinct(df, "v", p=8).first()["est_distinct"]
+        assert abs(est / n - 1.0) < 4 * 1.04 / (256 ** 0.5), (n, est)
+
+
+def test_hll_merge_equals_whole(spark):
+    """Sharded sketches merged == sketch of the union, estimate
+    included — the mergeability contract."""
+    from etl_cli_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("u"), (F.col("id") * 7919) % 2600).alias("v"),
+    )
+    whole = {
+        r["g"]: r["est_distinct"]
+        for r in hll_distinct(df, "v", by=["g"], p=6).collect()
+    }
+    a = hll_sketch(df.filter("v like 'u1%'"), "v", by=["g"], p=6)
+    b = hll_sketch(df.filter("v not like 'u1%'"), "v", by=["g"], p=6)
+    merged = {
+        r["g"]: r["est_distinct"]
+        for r in hll_estimate(
+            hll_merge(a.unionByName(b), by=["g"]), by=["g"]
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    """The estimate is a function of the distinct value set only."""
+    from etl_cli_spark.operators.sketch import hll_distinct
+
+    base = spark.range(1000).select(F.concat(F.lit("d"), F.col("id")).alias("v"))
+    dup = base.unionAll(base).unionAll(base)
+    assert (
+        hll_distinct(base, "v", p=7).first()["est_distinct"]
+        == hll_distinct(dup, "v", p=7).first()["est_distinct"]
+    )
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities take the linear-counting branch and stay
+    accurate (raw HLL would bias high here)."""
+    from etl_cli_spark.operators.sketch import hll_distinct
+
+    df = spark.range(30).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    est = hll_distinct(df, "v", p=8).first()["est_distinct"]
+    assert abs(est - 30) <= 5
+
+
+def test_hll_meta_mismatch_fails(spark):
+    import pytest
+    from etl_cli_spark.operators.sketch import hll_estimate, hll_merge, hll_sketch
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    sk = hll_sketch(df, "v", p=6)
+    with pytest.raises(Exception):
+        hll_estimate(sk, p=8).collect()
+    mixed = sk.unionByName(hll_sketch(df, "v", p=8))
+    with pytest.raises(Exception):
+        hll_merge(mixed).collect()
+
+
+def test_hll_rejects_bad_p(spark):
+    import pytest
+    from etl_cli_spark.operators.sketch import hll_sketch
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError):
+        hll_sketch(df, "v", p=2)
