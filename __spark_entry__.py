@@ -1430,6 +1430,22 @@ def _q_sketch_distinct_kmv(spark, sf):
     return kmv_distinct(o, "o_custkey", by=["o_orderstatus"], k=256)
 
 
+def _q_ts_gap_fill(spark, sf):
+    """Regular-grid resample of events to 1-hour buckets per type with
+    zero-fill counts and forward-filled sums; empty buckets flagged.
+    The oracle replays grid generation, the left join, and the
+    ignore-nulls window in DuckDB."""
+    from etl_cli_spark.operators.timeseries import resample
+
+    ev = _engine(spark, sf).read("events")
+    return resample(
+        ev, "ts", 3600, by=["event_type"],
+        aggs={"n": "count(*)",
+              "sum_value": "cast(round(sum(cast(value as decimal(30,2))), 2) as double)"},
+        fill={"n": "zero", "sum_value": "ffill"},
+    )
+
+
 def _q_sketch_distinct_hll(spark, sf):
     """HyperLogLog approximate-distinct: parts per return flag, p=8
     (256 registers). The registers are a deterministic function of the
@@ -2155,6 +2171,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_topk_cms": _q_sketch_topk_cms,
     "sketch_quantile_hist": _q_sketch_quantile_hist,
     "sketch_distinct_hll": _q_sketch_distinct_hll,
+    "ts_gap_fill": _q_ts_gap_fill,
     "multimodal_features": _q_multimodal_features,
     "write_upsert": _q_write_upsert,
     "split_deterministic": _q_split_deterministic,
@@ -2979,6 +2996,25 @@ def oracle_sql() -> dict[str, str]:
         "            / CAST(concat('0x', substring(kth.kh, 1, 15)) AS BIGINT), 4) "
         "  END AS est_distinct "
         "FROM c LEFT JOIN kth USING (o_orderstatus)"
+    )
+
+    # ts_gap_fill: grid generation, left join, ignore-nulls forward
+    # fill — replayed with generate_series + a window in DuckDB
+    sql["ts_gap_fill"] = (
+        "WITH b AS (SELECT event_type, "
+        "  (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bk, "
+        "  count(*) AS n, "
+        "  CAST(round(sum(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE) AS sv "
+        "  FROM events GROUP BY 1, 2), "
+        "r AS (SELECT event_type, min(bk) AS lo, max(bk) AS hi FROM b GROUP BY 1), "
+        "g AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bk FROM r), "
+        "j AS (SELECT g.event_type, g.bk, b.n, b.sv FROM g "
+        "  LEFT JOIN b ON g.event_type = b.event_type AND g.bk = b.bk) "
+        "SELECT event_type, make_timestamp(bk * 1000000) AS w_start, "
+        "COALESCE(n, 0) AS n, "
+        "last_value(sv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bk "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value, "
+        "n IS NULL AS is_gap FROM j"
     )
 
     # sketch_distinct_hll: rebuild the register file (bucket = low 8

@@ -177,3 +177,21 @@ def _json_extract(src_col: str, out_col: str, path: str) -> Transform:
 @register("repartition")
 def _repartition(n: str, *cols: str) -> Transform:
     return lambda df: df.repartition(int(n), *cols) if cols else df.repartition(int(n))
+
+
+@register("canonicalize_url")
+def _canonicalize_url_t(col: str, out: str | None = None) -> Transform:
+    """``canonicalize_url:url[,out]`` — canonical URL form (see
+    operators/urls.py): case-folded scheme/host, default ports and
+    fragments dropped, tracking params stripped, query sorted."""
+    from etl_cli_spark.operators.urls import canonicalize_url
+
+    return lambda df: df.withColumn(out or col, canonicalize_url(col))
+
+
+@register("url_domain")
+def _url_domain_t(col: str, out: str = "domain") -> Transform:
+    """``url_domain:url[,out]`` — registrable domain (eTLD+1) of a URL."""
+    from etl_cli_spark.operators.urls import registrable_domain
+
+    return lambda df: df.withColumn(out, registrable_domain(col))
