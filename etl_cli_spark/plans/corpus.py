@@ -176,7 +176,23 @@ def _s_dsir(
     return dsir_select(df, tgt, k=k, **kw)
 
 
+def _s_url_canonicalize(
+    df: DataFrame, url_col: str = "url", out: str | None = None, **kw
+) -> DataFrame:
+    from ..operators.urls import canonicalize_url
+
+    return df.withColumn(out or url_col, canonicalize_url(url_col))
+
+
+def _s_domain_cap(df: DataFrame, url_col: str = "url", cap: int = 1000, **kw) -> DataFrame:
+    from ..operators.urls import per_domain_cap
+
+    return per_domain_cap(df, url_col, cap, **kw)
+
+
 STAGES: dict[str, Callable[..., DataFrame]] = {
+    "url_canonicalize": _s_url_canonicalize,
+    "domain_cap": _s_domain_cap,
     "filter": _s_filter,
     "quality_filter": _s_quality_filter,
     "dedup_exact": _s_dedup_exact,

@@ -199,3 +199,34 @@ def test_dsir_stage(engine):
 
     with _pt.raises(ValueError, match="dsir stage needs"):
         run_corpus_pipeline(docs, [{"stage": "dsir", "k": 5}])
+
+
+def test_url_stages(engine):
+    from pyspark.sql import functions as F
+    from etl_cli_spark.operators.urls import per_domain_cap
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline
+
+    docs = engine.read("documents").withColumn(
+        "url",
+        F.expr(
+            "'HTTPS://WWW.site' || CAST(doc_id % 4 AS STRING) "
+            "|| '.example.com/p/' || CAST(doc_id AS STRING) || '?utm_source=x&a=1'"
+        ),
+    )
+    out = run_corpus_pipeline(
+        docs,
+        [
+            {"stage": "url_canonicalize", "url_col": "url"},
+            {"stage": "domain_cap", "url_col": "url", "cap": 5},
+        ],
+    )
+    rows = out.collect()
+    # canonicalized in place: lowercase host, www/utm gone, params kept
+    assert all(r.url.startswith("https://site") for r in rows)
+    assert all(r.url.endswith("?a=1") for r in rows)
+    # all four hosts share example.com -> one domain, capped at 5
+    assert len(rows) == 5
+    direct = per_domain_cap(
+        docs.withColumn("url", F.regexp_replace("url", r"\?utm_source=x", "?")), "url", 5
+    )
+    assert {r.doc_id for r in rows} == {r.doc_id for r in direct.collect()}
