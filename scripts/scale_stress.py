@@ -91,6 +91,34 @@ def ops(spark):
 
         return importance_weights(d, d.filter("lang = 'en' and doc_id % 7 = 0"))
 
+    def _domain_cap(d):
+        from etl_cli_spark.operators.urls import per_domain_cap
+
+        u = d.withColumn(
+            "url",
+            F.expr(
+                "'https://site' || CAST(doc_id % 50 AS STRING) "
+                "|| '.example.com/p/' || CAST(doc_id AS STRING)"
+            ),
+        )
+        return per_domain_cap(u, "url", cap=200, salt_buckets=8)
+
+    def _hll(d):
+        from etl_cli_spark.operators.sketch import hll_distinct
+
+        return hll_distinct(d, "text", by=["lang"], p=12)
+
+    def _resample(d):
+        from etl_cli_spark.operators.timeseries import resample
+
+        t = d.withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 2592000)
+        )
+        return resample(
+            t, "ts", 3600, by=["lang"],
+            aggs={"n": "count(*)"}, fill={"n": "zero"},
+        )
+
     return {
         "minhash_dedup": _minhash,
         "quota_sample(salted)": _quota,
@@ -101,6 +129,9 @@ def ops(spark):
         "paragraph_dedup": _paragraph,
         "token_budget(sharded)": _token_budget,
         "dsir_weights": _dsir,
+        "per_domain_cap(salted)": _domain_cap,
+        "hll_distinct(by lang)": _hll,
+        "resample(1h,zero-fill)": _resample,
     }
 
 
