@@ -1420,6 +1420,37 @@ def _q_pipeline_declarative(spark, sf):
     return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_weighted_sample(spark, sf):
+    """Weighted sampling without replacement (A-ES): 20 docs per lang,
+    inclusion odds proportional to n_chars, derived from the portable
+    content hash — the oracle replays ln(u)/w ranking exactly. Runs
+    the salted hot-group tournament; the oracle is the unsalted
+    replay, so salted == unsalted is part of the check."""
+    from etl_cli_spark.operators.pipeline import weighted_sample
+
+    d = _engine(spark, sf).read("documents")
+    out = weighted_sample(d, 20, "n_chars", by=["lang"], salt_buckets=4)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def _q_events_attribution(spark, sf):
+    """Last-touch attribution for purchase conversions: one window per
+    user, no self-join; conversions with no prior touch keep a NULL
+    credit row. The oracle replays the ignore-nulls frame in DuckDB.
+    NULL credits are coalesced to sentinels for the compare only — a
+    nullable int column round-trips through pandas as float64 (the
+    merger_match_one protocol)."""
+    from etl_cli_spark.operators.events import attribution
+
+    ev = _engine(spark, sf).read("events")
+    out = attribution(ev, "purchase", model="last")
+    return out.select(
+        "event_id", "user_id", "conv_ts",
+        F.coalesce("attributed_event_id", F.lit(-1)).alias("attributed_event_id"),
+        F.coalesce("attributed_type", F.lit("<none>")).alias("attributed_type"),
+    )
+
+
 def _q_sketch_distinct_kmv(spark, sf):
     """KMV approximate-distinct: customers per order status, k=256.
     Deterministic portable-hash sketch — the oracle replays the k-th
@@ -1939,6 +1970,9 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "hash_sample": [("doc_id", "i"), ("lang", "s"), ("n_chars", "i")],
     "stratified_sample": [("doc_id", "i"), ("lang", "s"), ("source", "s")],
     "quota_sample": [("doc_id", "i"), ("lang", "s"), ("source", "s")],
+    "weighted_sample": [("doc_id", "i"), ("lang", "s"), ("n_chars", "i")],
+    "events_attribution": [("event_id", "i"), ("user_id", "i"), ("conv_ts", "t"),
+                           ("attributed_event_id", "i"), ("attributed_type", "s")],
 }
 
 _DSL_FAMILY = [
@@ -1965,6 +1999,7 @@ _JOINWIN_FAMILY = [
     "window_range_hourly", "diff_sets", "events_window_1h",
     "events_funnel", "events_retention", "merger_unwind",
     "merger_left", "merger_match_one", "merger_anti", "merger_inner_mq",
+    "events_attribution",
 ]
 # r03-driver-verified simple write ops displaced past the window by the
 # round-4 manifest/dedup-index/streaming additions; write_upsert (the
@@ -2036,6 +2071,7 @@ _SKETCH_FAMILY = [
 ]
 _SAMPLING_FAMILY = [
     "split_deterministic", "hash_sample", "stratified_sample", "quota_sample",
+    "weighted_sample",
 ]
 
 
@@ -2172,6 +2208,8 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_quantile_hist": _q_sketch_quantile_hist,
     "sketch_distinct_hll": _q_sketch_distinct_hll,
     "ts_gap_fill": _q_ts_gap_fill,
+    "weighted_sample": _q_weighted_sample,
+    "events_attribution": _q_events_attribution,
     "multimodal_features": _q_multimodal_features,
     "write_upsert": _q_write_upsert,
     "split_deterministic": _q_split_deterministic,
@@ -2996,6 +3034,37 @@ def oracle_sql() -> dict[str, str]:
         "            / CAST(concat('0x', substring(kth.kh, 1, 15)) AS BIGINT), 4) "
         "  END AS est_distinct "
         "FROM c LEFT JOIN kth USING (o_orderstatus)"
+    )
+
+    # weighted_sample: the A-ES rank key ln(u)/w replayed at 6 dp with
+    # the id tiebreak (the DSIR-Gumbel portable-float protocol)
+    sql["weighted_sample"] = (
+        "WITH d AS (SELECT doc_id, lang, n_chars, "
+        "  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h "
+        "  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), "
+        "k AS (SELECT *, round(ln((h + 1.0) / 4294967297.0) / CAST(n_chars AS DOUBLE), 6) AS wk "
+        "  FROM d), "
+        "r AS (SELECT doc_id, lang, n_chars, row_number() OVER "
+        "  (PARTITION BY lang ORDER BY wk DESC, doc_id) AS rn FROM k) "
+        "SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20"
+    )
+
+    # events_attribution: the same ignore-nulls prior-touch frame; two
+    # last_value windows share one frame, so the (id, type) pair always
+    # comes from the same touch row
+    sql["events_attribution"] = (
+        "WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events), "
+        "t AS (SELECT event_id, user_id, ts, event_type, "
+        "  last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS) "
+        "    OVER w AS aid, "
+        "  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) "
+        "    OVER w AS at "
+        "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+        "SELECT event_id, user_id, ts AS conv_ts, "
+        "COALESCE(aid, -1) AS attributed_event_id, "
+        "COALESCE(at, '<none>') AS attributed_type "
+        "FROM t WHERE event_type = 'purchase'"
     )
 
     # ts_gap_fill: grid generation, left join, ignore-nulls forward

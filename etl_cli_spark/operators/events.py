@@ -173,3 +173,67 @@ def session_paths(
         .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(top_k)
     )
+
+
+def attribution(
+    df: DataFrame,
+    conversion: str,
+    model: str = "last",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lookback_seconds: int | None = None,
+) -> DataFrame:
+    """Single-touch attribution: for every ``conversion`` event, the
+    non-conversion event of the same user that gets the credit —
+    ``model="last"`` (last touch strictly before the conversion) or
+    ``"first"`` (first touch, optionally within ``lookback_seconds``).
+
+    One window over (user, time): the prior-touch lookup is
+    ``last/first(ignorenulls)`` over a frame ending one row (or the
+    lookback range) before the conversion — the event stream shuffles
+    once on ``user_col`` and never self-joins. Conversions with no
+    prior touch attribute to NULL (visible, not dropped).
+
+    Returns (id_col, user_col, conv_ts, attributed_event_id,
+    attributed_type).
+    """
+    from pyspark.sql.window import Window
+
+    if model not in ("last", "first"):
+        raise ValueError("attribution model must be 'last' or 'first'")
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    touch = F.when(
+        F.col(type_col) != conversion,
+        F.struct(F.col(id_col).alias("i"), F.col(type_col).alias("t")),
+    )
+    if lookback_seconds is None:
+        w = (
+            Window.partitionBy(user_col)
+            .orderBy(epoch, F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        # RANGE frame needs a single numeric sort key; ties inside one
+        # second resolve identically in the oracle (same frame bound)
+        w = (
+            Window.partitionBy(user_col)
+            .orderBy(epoch)
+            .rangeBetween(-int(lookback_seconds), -1)
+        )
+    pick = F.last(touch, ignorenulls=True) if model == "last" else F.first(
+        touch, ignorenulls=True
+    )
+    out = (
+        df.withColumn("__touch", pick.over(w))
+        .filter(F.col(type_col) == conversion)
+        .select(
+            F.col(id_col),
+            F.col(user_col),
+            F.col(ts_col).alias("conv_ts"),
+            F.col("__touch.i").alias("attributed_event_id"),
+            F.col("__touch.t").alias("attributed_type"),
+        )
+    )
+    return out

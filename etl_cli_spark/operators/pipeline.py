@@ -21,6 +21,8 @@ whole-stage codegen and scales with the cluster:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -588,4 +590,60 @@ def paragraph_dedup(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             (F.col("__n_segs") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
         )
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    by: Sequence[str] = (),
+    id_col: str = "doc_id",
+    seed: str = "",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: keep ``k`` rows (per
+    ``by`` group) with inclusion probability proportional to
+    ``weight_col`` — the Efraimidis–Spirakis A-ES scheme: rank by
+    ``ln(u) / w`` (descending) with ``u`` derived from the portable
+    content hash, take the top k. The "randomness" is reproducible AND
+    engine-replayable: rerunning, or re-deriving the sample in another
+    SQL engine, draws the identical row set (the rank key is rounded
+    to 6 dp with the id as the tiebreak — the same portable-float
+    protocol as DSIR's Gumbel top-k).
+
+    Rows with NULL or non-positive weight are excluded. One shuffle on
+    the group columns; ``salt_buckets=S`` runs the rank as the usual
+    two-level tournament for hot groups (top-k per (group, salt)
+    bucket first — a row outside its bucket's top-k cannot be in the
+    group's).
+    """
+    if k < 1:
+        raise ValueError("weighted_sample needs k >= 1")
+    grp = list(by)
+    h = hash_bucket(id_col, seed)
+    u = (h + F.lit(1.0)) / F.lit(float(_HASH_MOD + 1))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    d = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wk", key)
+    )
+    order = [F.col("__wk").desc(), F.col(id_col)]
+    if salt_buckets is not None and salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(*grp, salt).orderBy(*order) if grp else (
+            Window.partitionBy(salt).orderBy(*order)
+        )
+        d = (
+            d.withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+            .drop("__r1")
+        )
+    w = Window.partitionBy(*grp).orderBy(*order) if grp else (
+        Window.partitionBy(F.lit(1)).orderBy(*order)
+    )
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__wk")
     )

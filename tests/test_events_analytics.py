@@ -176,3 +176,53 @@ def test_session_paths_hand_computed(spark):
     assert got["buy > view"] == 1
     trigrams = {r.path: r.n_occurrences for r in session_paths(df, n=3).collect()}
     assert trigrams["view > click > buy"] == 2  # the 2-event session contributes nothing
+
+
+def test_attribution_last_and_first(spark):
+    import datetime as dt
+
+    from etl_cli_spark.operators.events import attribution
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        # user 1: view -> click -> purchase -> click -> purchase
+        (1, base + dt.timedelta(minutes=0), 1, "view", 0.0, ""),
+        (2, base + dt.timedelta(minutes=5), 1, "click", 0.0, ""),
+        (3, base + dt.timedelta(minutes=9), 1, "purchase", 9.0, ""),
+        (4, base + dt.timedelta(minutes=20), 1, "click", 0.0, ""),
+        (5, base + dt.timedelta(minutes=30), 1, "purchase", 5.0, ""),
+        # user 2: purchase with no prior touch
+        (6, base, 2, "purchase", 1.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    last = {r.event_id: r for r in attribution(ev, "purchase", model="last").collect()}
+    assert last[3].attributed_event_id == 2 and last[3].attributed_type == "click"
+    assert last[5].attributed_event_id == 4
+    assert last[6].attributed_event_id is None
+    first = {r.event_id: r for r in attribution(ev, "purchase", model="first").collect()}
+    assert first[3].attributed_event_id == 1 and first[5].attributed_event_id == 1
+
+
+def test_attribution_lookback_window(spark):
+    import datetime as dt
+
+    import pytest
+
+    from etl_cli_spark.operators.events import attribution
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1, "view", 0.0, ""),
+        (2, base + dt.timedelta(hours=3), 1, "click", 0.0, ""),
+        (3, base + dt.timedelta(hours=3, minutes=30), 1, "purchase", 1.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    # 1h lookback: only the click is in range; the view is too old
+    out = attribution(ev, "purchase", model="first", lookback_seconds=3600).collect()
+    assert out[0].attributed_event_id == 2
+    with pytest.raises(ValueError):
+        attribution(ev, "purchase", model="bogus")

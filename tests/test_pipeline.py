@@ -486,3 +486,71 @@ def test_paragraph_dedup_window_words_counts(engine):
         ).alias("seg")
     )
     assert segs.distinct().count() == tot.k
+
+
+def test_weighted_sample_basic(spark):
+    from etl_cli_spark.operators.pipeline import weighted_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    out = weighted_sample(df, 10, "w", by=["g"])
+    counts = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts == {"0": 10, "1": 10, "2": 10}
+
+
+def test_weighted_sample_deterministic_and_salted(spark):
+    from etl_cli_spark.operators.pipeline import weighted_sample
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5 + 1).cast("double").alias("w")
+    )
+    a = sorted(r.doc_id for r in weighted_sample(df, 25, "w").collect())
+    b = sorted(r.doc_id for r in weighted_sample(df, 25, "w").collect())
+    s = sorted(r.doc_id for r in weighted_sample(df, 25, "w", salt_buckets=8).collect())
+    assert a == b == s
+
+
+def test_weighted_sample_bias(spark):
+    """Heavy rows must be picked far more often than light rows: with
+    weights 100 vs 1 on half the corpus each, the sample should be
+    dominated by heavy rows."""
+    from etl_cli_spark.operators.pipeline import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, 100.0).otherwise(1.0).alias("w"),
+    )
+    kept = [r.doc_id for r in weighted_sample(df, 100, "w").collect()]
+    heavy = sum(1 for i in kept if i < 500)
+    assert heavy > 90
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    import pytest
+    from etl_cli_spark.operators.pipeline import weighted_sample
+
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 5, None)
+        .when(F.col("id") < 10, -1.0)
+        .otherwise(1.0)
+        .alias("w"),
+    )
+    kept = {r.doc_id for r in weighted_sample(df, 20, "w").collect()}
+    assert kept == set(range(10, 20))
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, "w")
+
+
+def test_weighted_sample_seed_decorrelates(spark):
+    from etl_cli_spark.operators.pipeline import weighted_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("w")
+    )
+    a = {r.doc_id for r in weighted_sample(df, 50, "w", seed="a").collect()}
+    b = {r.doc_id for r in weighted_sample(df, 50, "w", seed="b").collect()}
+    assert a != b
