@@ -41,6 +41,11 @@ HEADLINE = [
     "semantic_dedup",         # k-means cells + within-cluster cosine prune
     "dsir_select",            # hashed-bigram models + importance rank
     "manifest_time_travel",   # manifest write history + snapshot CDF diff
+    # round-4 second wave
+    "url_canonicalize",       # URL canonicalization Column pipeline
+    "sketch_distinct_hll",    # HLL register build + estimate
+    "ts_gap_fill",            # grid resample + ffill window
+    "weighted_sample",        # A-ES weighted top-k per group
 ]
 
 

@@ -107,6 +107,37 @@ AUDITED: dict[str, str] = {
         "of the hashing trick); the final top-k is "
         "TakeOrderedAndProject, never a global sort."
     ),
+    "url_canonicalize": (
+        "the whole canonicalization (fragment/port/tracking-param/query-"
+        "sort) is ONE codegen projection over the scan — zero exchanges, "
+        "zero UDFs; at 100 TB this runs at scan speed."
+    ),
+    "url_domain_cap": (
+        "domain extraction is a scan-side expression; the cap is a "
+        "window on the domain key with the salted (domain, salt) "
+        "pre-prune bounding any hot domain's final window at S*cap rows."
+    ),
+    "sketch_distinct_hll": (
+        "register build = one groupBy (group, bucket) max with map-side "
+        "combine: at most 2^p rows per group cross the wire however "
+        "large the group; the estimate is a second tiny aggregate."
+    ),
+    "ts_gap_fill": (
+        "one map-combined (key, bucket) aggregate shuffle, a tiny "
+        "per-key extent aggregate, the grid generated distributed "
+        "(sequence+explode — no driver loop), and one per-key window "
+        "for the forward fill; grid size is JVM-guarded."
+    ),
+    "weighted_sample": (
+        "the A-ES rank key is a scan-side expression; selection is the "
+        "two-level salted tournament, so a group with a billion rows "
+        "never serializes onto one task."
+    ),
+    "events_attribution": (
+        "single shuffle on user_id, one ignore-nulls window over the "
+        "prior-touch frame — no self-join of the event stream against "
+        "itself."
+    ),
 }
 
 _KEEP = re.compile(

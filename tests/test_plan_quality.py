@@ -50,6 +50,14 @@ READ_QUERIES = [
     "token_budget_sample",
     "semantic_dedup",
     "dsir_select",
+    "sql_q8_shape",
+    "sql_q13_shape",
+    "url_canonicalize",
+    "url_domain_cap",
+    "sketch_distinct_hll",
+    "ts_gap_fill",
+    "weighted_sample",
+    "events_attribution",
 ]
 
 
