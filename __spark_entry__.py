@@ -1686,6 +1686,41 @@ def _q_stream_interval_join(spark, sf):
     )
 
 
+def _q_multimodal_probe(spark, sf):
+    """Header-only media probe (format/width/height from container
+    headers, zero pixel decode — the cheap routing pass before decode)
+    over PPM/PNG/BMP images, baseline+progressive JPEG, and WAV audio.
+    The oracle replays every answer from the fixture specs. Dimensions
+    are NULL for audio: coalesced to -1 for the compare (the
+    merger_match_one nullable-int protocol)."""
+    from etl_cli_spark.operators.multimodal import (
+        make_fake_audio,
+        make_fake_jpeg,
+        make_fake_media,
+        probe_media,
+    )
+
+    media = (
+        make_fake_media(spark, n=20)
+        .unionByName(
+            make_fake_jpeg(spark, n=12).withColumn(
+                "media_id", F.col("media_id") + 100
+            )
+        )
+        .unionByName(
+            make_fake_audio(spark, n=6).withColumn(
+                "media_id", F.col("media_id") + 200
+            )
+        )
+    )
+    return probe_media(media).select(
+        "media_id",
+        "probe_format",
+        F.coalesce("probe_width", F.lit(-1)).alias("probe_width"),
+        F.coalesce("probe_height", F.lit(-1)).alias("probe_height"),
+    )
+
+
 def _q_multimodal_features(spark, sf):
     # REAL grid-pooled luminance descriptors over the decoded pattern
     # pixels (exact integer cell sums / 765, float32 storage); the
@@ -1960,6 +1995,8 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "multimodal_frames": [("media_id", "i"), ("frame_idx", "i"),
                           ("frame_ts_ms", "i"), ("digest_hex", "s")],
     "multimodal_features": [("media_id", "i"), ("fi", "i"), ("val", "f")],
+    "multimodal_probe": [("media_id", "i"), ("probe_format", "s"),
+                         ("probe_width", "i"), ("probe_height", "i")],
     # -- sketch family (round-4 digest) --
     "sketch_distinct_kmv": [("o_orderstatus", "s"), ("est_distinct", "f")],
     "sketch_distinct_hll": [("l_returnflag", "s"), ("est_distinct", "f")],
@@ -2064,6 +2101,7 @@ def _q_write_digest(spark, sf):
 _MULTIMODAL_FAMILY = [
     "multimodal_decode", "multimodal_audio", "multimodal_jpeg",
     "multimodal_resize", "multimodal_frames", "multimodal_features",
+    "multimodal_probe",
 ]
 _SKETCH_FAMILY = [
     "sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist",
@@ -2211,6 +2249,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": _q_weighted_sample,
     "events_attribution": _q_events_attribution,
     "multimodal_features": _q_multimodal_features,
+    "multimodal_probe": _q_multimodal_probe,
     "write_upsert": _q_write_upsert,
     "split_deterministic": _q_split_deterministic,
     "hash_sample": _q_hash_sample,
@@ -2768,6 +2807,32 @@ def oracle_sql() -> dict[str, str]:
         "CAST(ns AS BIGINT) AS dec_n_samples, "
         "CAST(dur AS BIGINT) AS dec_duration_ms, digest_hex "
         f"FROM (VALUES {', '.join(_avals)}) AS t(media_id, sr, ch, ns, dur, digest_hex)"
+    )
+
+    # multimodal_probe: every (format, width, height) answer replayed
+    # from the fixture specs alone — the probe reads headers, the
+    # oracle never touches a payload byte
+    _pvals = []
+    for i in range(20):
+        _pw, _ph = 8 + i % 5, 6 + i % 4
+        _pvals.append(f"({i}, '{('ppm', 'png', 'bmp')[i % 3]}', {_pw}, {_ph})")
+    for i in range(12):
+        _mode = i % 3
+        if _mode == 0:
+            _pw, _ph = 20 + 4 * (i % 3), 12 + 8 * (i % 2)
+        elif _mode == 1:
+            _pw, _ph = 16 + 8 * (i % 2), 16
+        else:
+            _pw, _ph = 32, 16 + 16 * (i % 2)
+        _pvals.append(f"({100 + i}, 'jpeg', {_pw}, {_ph})")
+    for i in range(6):
+        _pvals.append(f"({200 + i}, 'wav', -1, -1)")
+    sql["multimodal_probe"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, probe_format, "
+        "CAST(probe_width AS INTEGER) AS probe_width, "
+        "CAST(probe_height AS INTEGER) AS probe_height "
+        f"FROM (VALUES {', '.join(_pvals)}) "
+        "AS t(media_id, probe_format, probe_width, probe_height)"
     )
 
     # multimodal_jpeg: the fixture contract (multimodal.jpeg_spec) makes

@@ -741,3 +741,85 @@ def make_fake_media(spark, n: int = 20, kind: str = "image") -> DataFrame:
             (i, kind, bytearray(encoders[fmt](px)), (w, h, 16000, 5000 + 1000 * (i % 3), fmt))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _probe_one(data: bytes):
+    """(format, width, height) from container headers ONLY — no entropy
+    decode, no pixel work. The cheap pre-filter a 100 TB crawl pipeline
+    runs before spending decode cycles (drop tiny images, route by
+    format, partition by resolution class). Returns (None, None, None)
+    for unrecognized payloads. Covers PPM/BMP/PNG/GIF/JPEG (SOF walk)
+    and RIFF/WAV (dimensions NULL, format still identified)."""
+    import struct
+
+    try:
+        if data[:2] == b"P6":
+            parts = data[2:256].split()
+            return "ppm", int(parts[0]), int(parts[1])
+        if data[:2] == b"BM" and len(data) >= 26:
+            w, h = struct.unpack_from("<ii", data, 18)
+            return "bmp", int(w), abs(int(h))
+        if data[:8] == _PNG_SIG and len(data) >= 24:
+            w, h = struct.unpack_from(">II", data, 16)
+            return "png", int(w), int(h)
+        if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+            w, h = struct.unpack_from("<HH", data, 6)
+            return "gif", int(w), int(h)
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            return "wav", None, None
+        if data[:2] == b"\xFF\xD8":
+            pos = 2
+            while pos + 4 <= len(data):
+                if data[pos] != 0xFF:
+                    return "jpeg", None, None
+                marker = data[pos + 1]
+                pos += 2
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    continue
+                if marker == 0xD9 or marker == 0xDA:
+                    break  # EOI / entropy data: no SOF seen
+                seg_len = struct.unpack_from(">H", data, pos)[0]
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    h, w = struct.unpack_from(">HH", data, pos + 3)
+                    return "jpeg", int(w), int(h)
+                pos += seg_len
+            return "jpeg", None, None
+    except (ValueError, IndexError, struct.error):
+        return None, None, None
+    return None, None, None
+
+
+def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Header-only media probe: format / width / height / payload size
+    without decoding a single pixel — Arrow-batched ``mapInPandas``,
+    embarrassingly parallel, orders of magnitude cheaper than
+    :func:`decode_images` (a JPEG probe reads a few hundred header
+    bytes; decode reads and IDCTs every block). Use it to filter and
+    route BEFORE the expensive decode stage."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("probe_format", T.StringType(), True),
+            T.StructField("probe_width", T.IntegerType(), True),
+            T.StructField("probe_height", T.IntegerType(), True),
+            T.StructField("probe_bytes", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            probed = [
+                _probe_one(bytes(p)) if p is not None else (None, None, None)
+                for p in pdf[payload_col]
+            ]
+            yield pdf.assign(
+                probe_format=[p[0] for p in probed],
+                probe_width=[p[1] for p in probed],
+                probe_height=[p[2] for p in probed],
+                probe_bytes=[
+                    len(p) if p is not None else None for p in pdf[payload_col]
+                ],
+            )
+
+    return df.mapInPandas(batches, out_schema)

@@ -456,3 +456,54 @@ def test_unsupported_variants_degrade_to_stub_in_batch(spark):
     assert len(got) == 3  # nothing raised
     assert (got[0].dec_width, got[0].dec_height) == (8, 6)  # real decode
     assert got[1].dec_digest is not None and got[2].dec_digest is not None  # stubs
+
+
+def test_probe_media_headers_only(spark):
+    """probe_media answers format/width/height from container headers
+    for every fixture format; unknown payloads probe to NULLs."""
+    from pyspark.sql import functions as F
+
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        jpeg_spec,
+        make_fake_jpeg,
+        make_fake_media,
+        media_dims,
+        probe_media,
+    )
+
+    media = make_fake_media(spark, n=9).unionByName(
+        make_fake_jpeg(spark, n=4).withColumn("media_id", F.col("media_id") + 100)
+    )
+    rows = {r.media_id: r for r in probe_media(media).collect()}
+    for i in range(9):
+        w, h = media_dims(i)
+        r = rows[i]
+        assert (r.probe_format, r.probe_width, r.probe_height) == (
+            ("ppm", "png", "bmp")[i % 3], w, h,
+        )
+        assert r.probe_bytes == len(bytes(r.payload))
+    for i in range(4):
+        sp = jpeg_spec(i)
+        r = rows[100 + i]
+        assert (r.probe_format, r.probe_width, r.probe_height) == (
+            "jpeg", sp["w"], sp["h"],
+        )
+    junk = spark.createDataFrame(
+        [(0, "image", bytearray(b"garbage"), (None, None, None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    j = probe_media(junk).first()
+    assert j.probe_format is None and j.probe_width is None
+
+
+def test_probe_one_gif_and_wav():
+    import struct
+
+    from etl_cli_spark.operators.multimodal import _probe_one, encode_wav, media_samples
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    assert _probe_one(gif) == ("gif", 320, 200)
+    wav = encode_wav(media_samples(0, 100), sample_rate=8000)
+    assert _probe_one(wav) == ("wav", None, None)
+    assert _probe_one(b"") == (None, None, None)
