@@ -3146,8 +3146,10 @@ def oracle_sql() -> dict[str, str]:
         "  LEFT JOIN b ON g.event_type = b.event_type AND g.bk = b.bk) "
         "SELECT event_type, make_timestamp(bk * 1000000) AS w_start, "
         "COALESCE(n, 0) AS n, "
-        "last_value(sv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bk "
-        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value, "
+        "CASE WHEN n IS NULL THEN "
+        "  last_value(sv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bk "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "ELSE sv END AS sum_value, "
         "n IS NULL AS is_gap FROM j"
     )
 

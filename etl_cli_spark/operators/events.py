@@ -214,17 +214,44 @@ def attribution(
             .orderBy(epoch, F.col(id_col))
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        pick = (
+            F.last(touch, ignorenulls=True)
+            if model == "last"
+            else F.first(touch, ignorenulls=True)
+        )
     else:
-        # RANGE frame needs a single numeric sort key; ties inside one
-        # second resolve identically in the oracle (same frame bound)
+        # RANGE frame allows only one numeric sort key, so same-second
+        # touches have no defined physical order — last()/first() would be
+        # nondeterministic across shuffles. max/min over a struct ordered
+        # as (epoch, id, type) is order-independent: the frame membership
+        # is set by epoch alone, the winner by the full lexicographic key.
         w = (
             Window.partitionBy(user_col)
             .orderBy(epoch)
             .rangeBetween(-int(lookback_seconds), -1)
         )
-    pick = F.last(touch, ignorenulls=True) if model == "last" else F.first(
-        touch, ignorenulls=True
-    )
+        ordered = F.when(
+            F.col(type_col) != conversion,
+            F.struct(
+                epoch.alias("e"),
+                F.col(id_col).alias("i"),
+                F.col(type_col).alias("t"),
+            ),
+        )
+        picked = (F.max if model == "last" else F.min)(ordered).over(w)
+    if lookback_seconds is not None:
+        out = (
+            df.withColumn("__touch", picked)
+            .filter(F.col(type_col) == conversion)
+            .select(
+                F.col(id_col),
+                F.col(user_col),
+                F.col(ts_col).alias("conv_ts"),
+                F.col("__touch.i").alias("attributed_event_id"),
+                F.col("__touch.t").alias("attributed_type"),
+            )
+        )
+        return out
     out = (
         df.withColumn("__touch", pick.over(w))
         .filter(F.col(type_col) == conversion)

@@ -1021,8 +1021,11 @@ def encode_progressive_jpeg(
     if restart_interval:
         out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
 
-    rst = 0
     for (scomp, ss, se, ah, al) in scans:
+        # T.81 E.1.4: the modulo-8 restart-marker counter resets to RST0
+        # at the start of every scan's entropy-coded data, not once per
+        # image — strict decoders (libjpeg) resync on the expected index.
+        rst = 0
         sos = bytes([len(scomp)])
         for ci in scomp:
             dc_t = 0 if ci == 0 else 1

@@ -24,6 +24,7 @@ throughput scales linearly with executors.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -204,7 +205,17 @@ def _decode_pixels(data: bytes):
             from etl_cli_spark.operators.jpeg import decode_jpeg
 
             return decode_jpeg(data)[2]
-    except (ValueError, NotImplementedError):
+    except (
+        ValueError,
+        NotImplementedError,
+        KeyError,       # e.g. DHT table id never defined but referenced by SOS
+        IndexError,     # truncated entropy stream / segment body
+        TypeError,      # SOS before SOF (frame is None), missing tables
+        struct.error,   # segment header shorter than its fixed layout
+    ):
+        # Malformed crawl payloads must degrade to the stub kernel, never
+        # kill the Spark task: the decoders walk untrusted bytes, so any
+        # structural surprise is a "not decodable" verdict, not a crash.
         return None
     return None
 

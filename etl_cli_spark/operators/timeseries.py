@@ -52,7 +52,12 @@ def resample(
       default ``{"n": "count(*)"}``.
     - ``fill``: out_col -> ``"ffill"`` (last non-null earlier bucket),
       ``"zero"``, a constant, or absent (stay null). Empty buckets are
-      flagged ``is_gap = true`` either way.
+      flagged ``is_gap = true`` either way. Fills apply ONLY to gap
+      rows: a bucket that exists but whose aggregate is genuinely NULL
+      (e.g. ``max(v)`` over all-NULL ``v``) keeps its NULL — gap
+      detection rides an internal ``count(*)`` marker, never the user
+      aggregates, so an all-NULL first aggregate cannot misflag a
+      present bucket as a gap.
     - Grid rows run from each key's first to last bucket; keys never
       invent each other's range. ``max_buckets_per_key`` bounds the
       sequence length JVM-side (``assert_true``) so a mis-typed step
@@ -69,10 +74,17 @@ def resample(
         if c not in aggs:
             raise ValueError(f"fill column {c!r} is not an output aggregate")
     grp = list(by)
+    # __present is the gap marker: count(*) is non-NULL for every bucket
+    # that has ANY source row, independent of what the user aggregates
+    # compute (their first agg may be legitimately NULL in a present
+    # bucket, e.g. max over an all-NULL column).
     agged = (
         df.withColumn("__bk", time_bucket(ts_col, step))
         .groupBy(*grp, "__bk")
-        .agg(*[F.expr(e).alias(c) for c, e in aggs.items()])
+        .agg(
+            F.count(F.lit(1)).alias("__present"),
+            *[F.expr(e).alias(c) for c, e in aggs.items()],
+        )
     )
     extent = agged.groupBy(*grp).agg(
         F.min("__bk").alias("__lo"), F.max("__bk").alias("__hi")
@@ -97,7 +109,6 @@ def resample(
         ).alias("__bk"),
     )
     joined = grid.join(agged, [*grp, "__bk"], "left")
-    first_agg = next(iter(aggs))
     out_cols: list[Column] = [F.col(c) for c in grp]
     out_cols.append(F.timestamp_seconds(F.col("__bk")).alias("w_start"))
     w = (
@@ -105,16 +116,16 @@ def resample(
         .orderBy("__bk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    is_gap = F.col(first_agg).isNull()
+    is_gap = F.col("__present").isNull()
     for c in aggs:
         how = fill.get(c)
         col = F.col(c)
         if how == "ffill":
-            col = F.last(col, ignorenulls=True).over(w)
+            col = F.when(is_gap, F.last(col, ignorenulls=True).over(w)).otherwise(col)
         elif how == "zero":
-            col = F.coalesce(col, F.lit(0))
+            col = F.when(is_gap, F.lit(0)).otherwise(col)
         elif how is not None:
-            col = F.coalesce(col, F.lit(how))
+            col = F.when(is_gap, F.lit(how)).otherwise(col)
         out_cols.append(col.alias(c))
     out_cols.append(is_gap.alias("is_gap"))
     return joined.select(*out_cols)

@@ -226,3 +226,27 @@ def test_attribution_lookback_window(spark):
     assert out[0].attributed_event_id == 2
     with pytest.raises(ValueError):
         attribution(ev, "purchase", model="bogus")
+
+
+def test_attribution_lookback_same_second_ties_deterministic(spark):
+    """Several touches inside the SAME epoch second: the RANGE frame
+    admits them all, and the pick must be order-independent (max/min of
+    the (epoch, id, type) struct), never physical row order — shuffling
+    the input rows must not change the answer."""
+    import datetime as dt
+
+    from etl_cli_spark.operators.events import attribution
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    touches = [
+        (eid, base, 1, typ, 0.0, "")
+        for eid, typ in [(4, "view"), (2, "click"), (9, "scroll"), (7, "hover")]
+    ]
+    conv = [(100, base + dt.timedelta(seconds=30), 1, "purchase", 1.0, "")]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for ordering in (touches + conv, list(reversed(touches)) + conv):
+        ev = spark.createDataFrame(ordering, cols).repartition(8)
+        last = attribution(ev, "purchase", model="last", lookback_seconds=60).collect()
+        first = attribution(ev, "purchase", model="first", lookback_seconds=60).collect()
+        assert last[0].attributed_event_id == 9  # max (epoch, id)
+        assert first[0].attributed_event_id == 2  # min (epoch, id)

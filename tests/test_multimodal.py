@@ -458,6 +458,83 @@ def test_unsupported_variants_degrade_to_stub_in_batch(spark):
     assert got[1].dec_digest is not None and got[2].dec_digest is not None  # stubs
 
 
+def test_progressive_restart_counter_resets_per_scan():
+    """T.81 E.1.4: the modulo-8 restart counter restarts at RST0 in
+    every scan's entropy data. Strict external decoders resync on the
+    expected index, so the FIRST restart marker after each SOS must be
+    0xFFD0 — and the round-trip must still match the baseline decode."""
+    import numpy as np
+
+    from etl_cli_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(32, 48), dtype=np.uint8)
+    data = bytes(encode_progressive_jpeg(px, grayscale=True, restart_interval=2))
+
+    firsts, pos, n_scans_with_rst = [], 0, 0
+    while True:
+        sos = data.find(b"\xFF\xDA", pos)
+        if sos < 0:
+            break
+        seg_len = int.from_bytes(data[sos + 2 : sos + 4], "big")
+        start = sos + 2 + seg_len
+        end = data.find(b"\xFF\xDA", start)
+        body = data[start : end if end > 0 else len(data)]
+        i = 0
+        while i < len(body) - 1:  # first unstuffed marker in this scan
+            if body[i] == 0xFF and 0xD0 <= body[i + 1] <= 0xD7:
+                firsts.append(body[i + 1] - 0xD0)
+                n_scans_with_rst += 1
+                break
+            i += 1
+        pos = sos + 2
+    assert n_scans_with_rst >= 2  # multi-scan script actually emits RSTs
+    assert all(f == 0 for f in firsts)  # every scan restarts at RST0
+    assert np.array_equal(
+        decode_jpeg(data)[2],
+        decode_jpeg(bytes(encode_jpeg(px, grayscale=True)))[2],
+    )
+
+
+def test_malformed_jpeg_streams_degrade_not_crash(spark):
+    """Structurally-broken JPEG payloads (the kind a crawl actually
+    yields) must degrade to the stub kernel, not kill the Spark task:
+    a truncated progressive stream (IndexError inside the bit-walk), a
+    DHT that defines the wrong table id (KeyError at SOS), and an SOS
+    appearing before any SOF (TypeError on the missing frame) are all
+    caught by _decode_pixels' structural-surprise net."""
+    import numpy as np
+
+    from etl_cli_spark.operators.jpeg import encode_jpeg, encode_progressive_jpeg
+    from etl_cli_spark.operators.multimodal import MEDIA_SCHEMA, _decode_pixels
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    prog = bytes(encode_progressive_jpeg(px, grayscale=True))
+    truncated = prog[: len(prog) - (len(prog) - prog.find(b"\xFF\xDA")) // 2]
+
+    base = bytearray(encode_jpeg(px, grayscale=True))
+    i = bytes(base).find(b"\xFF\xC4")
+    wrong_dht = bytearray(base)
+    wrong_dht[i + 4] = 0x05  # DHT now defines table id 5; SOS wants id 0
+    sos_first = bytes(base)
+    soi, sof = sos_first.find(b"\xFF\xC0"), sos_first.find(b"\xFF\xDA")
+    no_sof = sos_first[:soi] + sos_first[sof:]  # drop the SOF segment
+
+    bad = [truncated, bytes(wrong_dht), no_sof]
+    for payload in bad:
+        assert _decode_pixels(payload) is None
+    rows = [
+        (i, "image", bytearray(p), (8, 8, None, None, "jpeg"))
+        for i, p in enumerate(bad)
+    ]
+    got = decode_images(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    assert len(got) == 3 and all(r.dec_digest is not None for r in got)
+
+
 def test_probe_media_headers_only(spark):
     """probe_media answers format/width/height from container headers
     for every fixture format; unknown payloads probe to NULLs."""

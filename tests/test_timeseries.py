@@ -56,6 +56,30 @@ def test_resample_no_groups(spark, series):
     assert rows == [(0, 2), (2, 1), (4, 1)]
 
 
+def test_resample_null_agg_in_present_bucket_not_a_gap(spark):
+    """A present bucket whose FIRST user aggregate is legitimately NULL
+    (max over an all-NULL column) must not be flagged is_gap, and fills
+    must not overwrite its genuine NULL — gap detection rides an
+    internal count(*) marker, never the user aggregates."""
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        ("a", base + dt.timedelta(minutes=0), 10.0),
+        ("a", base + dt.timedelta(minutes=1), None),  # present, all-NULL v
+        ("a", base + dt.timedelta(minutes=3), 30.0),  # minute 2 is a real gap
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = resample(
+        df, "ts", 60, by=["k"],
+        aggs={"m": "max(v)", "n": "count(*)"},
+        fill={"m": "ffill", "n": "zero"},
+    )
+    got = {r.w_start.minute: r for r in out.collect()}
+    assert not got[1].is_gap and got[1].n == 1
+    assert got[1].m is None  # genuine NULL survives the ffill directive
+    assert got[2].is_gap and got[2].n == 0
+    assert got[2].m == 10.0  # gap forward-fills the last NON-NULL value
+
+
 def test_resample_grid_guard(spark, series):
     with pytest.raises(Exception, match="max_buckets_per_key"):
         resample(series, "ts", 1, by=["k"], max_buckets_per_key=10).collect()
