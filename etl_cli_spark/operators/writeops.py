@@ -93,11 +93,20 @@ class ParquetTable:
         partition_by: tuple[str, ...] | None = None,
         sort_by: tuple[str, ...] | None = None,
         manifest: bool = False,
+        commit_backend=None,
     ):
         if bucket_by and partition_by:
             raise ValueError("bucket_by and partition_by are mutually exclusive")
         self.spark = spark
         self.path = path
+        # the storage seam for the manifest log: any object with the
+        # commitlog contract (atomic try_commit put-if-absent, strong
+        # read-your-key, possibly-lagging list) — hard links locally,
+        # conditional PUT on S3/GCS. Data files always stay on the
+        # Spark-readable filesystem; only manifests route through this.
+        from etl_cli_spark.operators.commitlog import LocalFSCommitBackend
+
+        self._backend = commit_backend or LocalFSCommitBackend()
         self.max_records_per_file = max_records_per_file
         self._bucket_by = tuple(bucket_by) if bucket_by else None
         self._n_buckets = n_buckets
@@ -120,7 +129,7 @@ class ParquetTable:
         means the table is manifest-committed however it is opened, and
         a table that already holds legacy data without a log stays
         legacy (so ``manifest=True`` can never misread existing data)."""
-        if os.path.isdir(self._log_dir()):
+        if self._backend.log_exists(self._log_dir()):
             return True
         if not self._manifest:
             return False
@@ -131,29 +140,25 @@ class ParquetTable:
 
     def _latest_manifest(self) -> tuple[int, dict] | None:
         """(version, manifest) of the newest committed snapshot. Commits
-        are atomic (hard-link put-if-absent), so any listed file is
-        complete — no torn-read handling needed."""
-        try:
-            names = os.listdir(self._log_dir())
-        except OSError:
-            return None
-        vers = sorted(
-            int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
-        )
+        are atomic (put-if-absent through the backend), so any listed
+        manifest is complete — no torn-read handling needed."""
+        vers = self._backend.list_versions(self._log_dir())
         if not vers:
             return None
         v = vers[-1]
-        with open(os.path.join(self._log_dir(), f"{v:020d}.json")) as f:
-            return v, json.load(f)
+        payload = self._backend.read(self._log_dir(), v)
+        if payload is None:  # vacuumed between list and read
+            return None
+        return v, json.loads(payload)
 
     def _commit(self, make) -> int:
         """Commit the next manifest version. ``make(prev_files,
         prev_schema) -> (files, schema_json)`` computes the new complete
         file set FROM the snapshot being replaced, and is re-invoked on
         a commit race so the loser rebases onto the winner's tip — an
-        optimistic-concurrency loop, the local twin of a conditional PUT
-        against an object store's commit log."""
-        os.makedirs(self._log_dir(), exist_ok=True)
+        optimistic-concurrency loop over the backend's conditional PUT
+        (hard link locally, ``If-None-Match`` on an object store)."""
+        self._backend.ensure(self._log_dir())
         while True:
             latest = self._latest_manifest()
             ver = 0 if latest is None else latest[0] + 1
@@ -170,20 +175,12 @@ class ParquetTable:
                 streams[sid] = int(bid)
             if streams:
                 doc["streams"] = streams
-            tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "w") as f:
-                json.dump(doc, f)
-                f.flush()
-                os.fsync(f.fileno())
-            final = os.path.join(self._log_dir(), f"{ver:020d}.json")
-            try:
-                # put-if-absent: atomic; fails iff a concurrent writer
-                # took this version first
-                os.link(tmp, final)
-            except FileExistsError:
-                os.unlink(tmp)
+            # put-if-absent: atomic; fails iff a concurrent writer took
+            # this version first — then rebase onto the new tip
+            if not self._backend.try_commit(
+                self._log_dir(), ver, json.dumps(doc).encode()
+            ):
                 continue
-            os.unlink(tmp)
             self._pending_stream = None
             return ver
 
@@ -211,12 +208,12 @@ class ParquetTable:
         transaction-unique names. The files are INVISIBLE to readers (no
         manifest references them yet); returns (relative paths, schema
         json from the written footers — None if the write was empty)."""
-        # the _log dir must exist BEFORE any file lands in the live
-        # tree: a crash mid-ingest on a table's FIRST write would
-        # otherwise leave data files with no _log, and _is_manifest()
-        # would misread the table as legacy — serving uncommitted torn
-        # files, exactly what the protocol exists to prevent
-        os.makedirs(self._log_dir(), exist_ok=True)
+        # the _log must exist BEFORE any file lands in the live tree: a
+        # crash mid-ingest on a table's FIRST write would otherwise
+        # leave data files with no _log, and _is_manifest() would
+        # misread the table as legacy — serving uncommitted torn files,
+        # exactly what the protocol exists to prevent
+        self._backend.ensure(self._log_dir())
         staged = f"{self.path}.__staged_{uuid.uuid4().hex[:8]}"
         layout = self._target_layout()
         vcols = self._target_value_layout()
@@ -502,13 +499,7 @@ class ParquetTable:
     def versions(self) -> list[int]:
         """Committed manifest versions still present in the log (oldest
         first). Empty for legacy (non-manifest) tables."""
-        try:
-            names = os.listdir(self._log_dir())
-        except OSError:
-            return []
-        return sorted(
-            int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
-        )
+        return self._backend.list_versions(self._log_dir())
 
     def read_version(self, version: int) -> DataFrame:
         """Snapshot-isolated read AT a committed manifest version (time
@@ -517,17 +508,21 @@ class ParquetTable:
         retained version reads back exactly — the same contract as Delta
         ``VERSION AS OF`` / Iceberg snapshot reads. Raises if the
         version was never committed or has been vacuumed away."""
-        path = os.path.join(self._log_dir(), f"{int(version):020d}.json")
-        if not os.path.exists(path):
+        man = self._manifest_at(version)
+        df = self._read_manifest_files(man["files"], man.get("schema"))
+        return df.drop(_BUCKET) if df is not None and _BUCKET in df.columns else df
+
+    def _manifest_at(self, version: int) -> dict:
+        """The committed manifest document of ``version``; raises the
+        time-travel error if it was never committed or vacuumed away."""
+        payload = self._backend.read(self._log_dir(), int(version))
+        if payload is None:
             have = self.versions()
             raise FileNotFoundError(
                 f"version {version} not in the log for {self.path} "
                 f"(retained: {have or 'none'} — vacuumed or never committed)"
             )
-        with open(path) as f:
-            man = json.load(f)
-        df = self._read_manifest_files(man["files"], man.get("schema"))
-        return df.drop(_BUCKET) if df is not None and _BUCKET in df.columns else df
+        return json.loads(payload)
 
     def snapshot_changes(
         self,
@@ -544,16 +539,46 @@ class ParquetTable:
         whose key exists on both sides classify as ``update_postimage``
         (new image emitted), the rest as ``insert`` / ``delete`` —
         Delta-CDF-style labels. ``commit_version`` carries the target
-        snapshot. Scale: both sides are snapshot scans, but the
-        classifying join runs on the (usually tiny) exceptAll deltas,
-        not on the full table."""
+        snapshot.
+
+        Scale: the diff never scans the full snapshots. Data files are
+        immutable (transaction-unique names, never rewritten in place),
+        so a file listed by BOTH manifests contributes the identical
+        row multiset to both sides of the ``exceptAll`` and cancels:
+        ``(A ⊎ S) −ₘ (B ⊎ S) = A −ₘ B``. The manifests already list
+        each snapshot's complete file set, so both sides are pruned to
+        the manifests' symmetric difference before Spark builds a file
+        index — a CDF between adjacent versions of a 100 TB table
+        scans only the files the intervening commit touched. Both
+        sides read under the union-by-name merged schema, so a diff
+        across a schema-evolution commit sees added columns as null in
+        the older files (Delta-CDF posture)."""
         if to_version is None:
             latest = self._latest_manifest()
             if latest is None:
                 raise FileNotFoundError(self.path)
             to_version = latest[0]
-        old = self.read_version(from_version)
-        new = self.read_version(to_version)
+        man_old = self._manifest_at(from_version)
+        man_new = self._manifest_at(to_version)
+        shared = set(man_old["files"]) & set(man_new["files"])
+        schema = self._merge_schema_json(
+            man_old.get("schema"), man_new.get("schema")
+        )
+        old = self._read_manifest_files(
+            [f for f in man_old["files"] if f not in shared], schema
+        )
+        new = self._read_manifest_files(
+            [f for f in man_new["files"] if f not in shared], schema
+        )
+        if old is None or new is None:
+            raise FileNotFoundError(
+                f"no committed data in versions {from_version}..{to_version} "
+                f"of {self.path}"
+            )
+        if _BUCKET in old.columns:
+            old = old.drop(_BUCKET)
+        if _BUCKET in new.columns:
+            new = new.drop(_BUCKET)
         removed = old.exceptAll(new)
         added = new.exceptAll(old)
         if not pk:
@@ -969,8 +994,7 @@ class ParquetTable:
                 keep = set(vers[-retain_versions:])
                 live: set[str] = set()
                 for v in keep:
-                    with open(os.path.join(self._log_dir(), f"{v:020d}.json")) as f:
-                        live |= set(json.load(f)["files"])
+                    live |= set(self._manifest_at(v)["files"])
                 for root, dirs, files in os.walk(self.path, topdown=True):
                     dirs[:] = [d for d in dirs if d != _LOG]
                     for fn in files:
@@ -982,7 +1006,7 @@ class ParquetTable:
                             removed += 1
                 for v in vers:
                     if v not in keep:
-                        os.remove(os.path.join(self._log_dir(), f"{v:020d}.json"))
+                        self._backend.delete(self._log_dir(), v)
                         removed += 1
                 # drop partition dirs drained by the file sweep
                 for root, dirs, files in os.walk(self.path, topdown=False):
