@@ -1401,6 +1401,42 @@ def _q_pipeline_streaming(spark, sf):
     return ParquetTable(spark, out).read().select("doc_id", "lang")
 
 
+def _q_manifest_changefeed(spark, sf):
+    """Streaming change-feed source over manifest versions (round-5):
+    an upstream manifest table takes three commits (initial load of
+    doc_id % 3 != 2, an upsert stamping lang='xx' on doc_id % 5 == 0,
+    a delete of doc_id % 7 == 0); two ``changefeed_merge`` drains — one
+    after the initial load, one after the later commits — maintain a
+    filtered/projected downstream view incrementally via the
+    file-pruned CDF, with the upstream version riding the downstream
+    manifest commit as the exactly-once watermark. The oracle replays
+    the BATCH semantics (transform over the final upstream state) in
+    DuckDB, so the hash match certifies incremental == batch."""
+    from etl_cli_spark.operators.writeops import ParquetTable, apply_write_op
+    from etl_cli_spark.spec import TargetSpec
+    from etl_cli_spark.streaming.incremental import changefeed_merge
+
+    d = _engine(spark, sf).read("documents").drop("text")
+    tmp = tempfile.mkdtemp(prefix="etl_cdf_")
+    up = ParquetTable(
+        spark, f"{tmp}/up.parquet", bucket_by=("doc_id",), n_buckets=8,
+        manifest=True,
+    )
+    down = ParquetTable(spark, f"{tmp}/down.parquet", manifest=True)
+
+    def transform(df):
+        return df.filter("n_chars > 50").select("doc_id", "lang", "n_chars")
+
+    up.append(d.filter("doc_id % 3 != 2"))  # v0
+    changefeed_merge(spark, up, down, pk=("doc_id",), transform=transform)
+    src = d.filter("doc_id % 5 = 0").withColumn("lang", F.lit("xx"))
+    apply_write_op(src, up, TargetSpec(ds="u", op="upsert", pk=("doc_id",)))  # v1
+    dels = up.read().filter("doc_id % 7 = 0").select("doc_id")
+    apply_write_op(dels, up, TargetSpec(ds="u", op="delete", pk=("doc_id",)))  # v2
+    changefeed_merge(spark, up, down, pk=("doc_id",), transform=transform)
+    return down.read()
+
+
 def _q_pipeline_declarative(spark, sf):
     """The capstone pipeline expressed as CONFIG through the declarative
     runner — must produce exactly the hand-composed plan's answers, so
@@ -2186,6 +2222,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_bm25_indexed": _q_search_bm25_indexed,
     "pipeline_end_to_end": _q_pipeline_end_to_end,
     "pipeline_streaming": _q_pipeline_streaming,
+    "manifest_changefeed": _q_manifest_changefeed,
     # composite certifying the three mergeable sketches in-window
     "sketch_digest": _q_sketch_digest,
     "zorder_roundtrip": _q_zorder_roundtrip,
@@ -3195,6 +3232,19 @@ def oracle_sql() -> dict[str, str]:
     )
     # the incremental index path must reproduce the batch dedup exactly
     sql["dedup_minhash_indexed"] = sql["dedup_minhash"]
+
+    # manifest_changefeed: the incrementally-maintained downstream view
+    # must equal the batch transform over the FINAL upstream state —
+    # initial load (doc_id%3!=2) upserted with lang='xx' on %5==0
+    # (which also inserts the %3==2 & %5==0 keys), minus %7==0 deletes,
+    # then filter n_chars>50 and project
+    sql["manifest_changefeed"] = (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang, "
+        "n_chars FROM documents "
+        "WHERE (doc_id % 3 <> 2 OR doc_id % 5 = 0) "
+        "AND doc_id % 7 <> 0 AND n_chars > 50"
+    )
 
     # pipeline_streaming: the two-drop incremental run must equal the
     # batch semantics — filter, then exact-Jaccard near-dup dedup over

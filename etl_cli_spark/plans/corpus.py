@@ -230,6 +230,40 @@ def run_corpus_pipeline(
     return df
 
 
+def run_corpus_pipeline_changefeed(
+    spark,
+    upstream,
+    stages: Sequence[Mapping[str, Any]],
+    downstream,
+    pk: tuple[str, ...] = ("doc_id",),
+    stream_id: str = "corpus-cdf",
+):
+    """Maintain a downstream corpus table incrementally from an UPSTREAM
+    MANIFEST TABLE's change feed (round-5): each new upstream version's
+    file-pruned ``snapshot_changes`` micro-batch runs the stateless
+    stage list, then MERGEs into ``downstream`` — upserts for
+    insert/update post-images, deletes propagated by ``pk`` — with the
+    upstream version riding the downstream manifest commit as the
+    exactly-once watermark (``streaming.incremental.changefeed_merge``).
+
+    Where :func:`run_corpus_pipeline_streaming` consumes an append-only
+    drop DIRECTORY (new files only, no updates), this consumes a real
+    TABLE that gets upserted/deleted in place — recrawls that replace
+    documents, takedowns that remove them — and keeps the downstream
+    corpus in sync without recomputing it. Stages must be stateless
+    row-wise ops whose filters depend only on columns an update cannot
+    change (the incremental-view contract documented on
+    ``changefeed_merge``); cross-document stages (dedup/sampling) need
+    the persisted-index streaming path instead.
+    """
+    from ..streaming.incremental import changefeed_merge
+
+    return changefeed_merge(
+        spark, upstream, downstream, pk=pk, stream_id=stream_id,
+        transform=lambda df: run_corpus_pipeline(df, stages),
+    )
+
+
 def run_corpus_pipeline_streaming(
     spark,
     source_path: str,

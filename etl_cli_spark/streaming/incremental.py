@@ -113,6 +113,119 @@ def incremental_stream(
     return q
 
 
+@dataclass
+class ChangeFeedStats:
+    versions_applied: int
+    rows_upserted: int
+    rows_deleted: int
+    watermark: int | None
+
+
+def changefeed_merge(
+    spark: SparkSession,
+    upstream: ParquetTable,
+    downstream: ParquetTable,
+    pk: tuple[str, ...] | list[str],
+    stream_id: str = "cdf",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    starting_version: int = 0,
+) -> ChangeFeedStats:
+    """Incremental materialized-view maintenance over a manifest table's
+    change feed — the composition of the file-pruned CDF and the
+    exactly-once streaming MERGE: each upstream manifest version
+    committed since the downstream's recorded watermark becomes one
+    micro-batch of ``snapshot_changes(v-1, v)`` (scanning only the
+    files version v's commit touched, never the full upstream), is
+    optionally passed through ``transform`` (stateless row-wise stages;
+    must preserve ``pk``), and is MERGEd into ``downstream``: inserts
+    and update post-images upsert by ``pk``, deletes delete by ``pk``.
+
+    Exactly-once: the upstream version number IS the batch id — it
+    rides the downstream manifest commit via ``stream_commit_meta``, so
+    a crashed-and-rerun drain sees ``last_stream_batch >= v`` and skips
+    the replayed version. When a version yields both upserts and
+    deletes, the watermark rides the LAST of the two commits; a crash
+    between them replays the version's upsert, which is idempotent by
+    ``pk`` (same post-images), so the at-least-once window never
+    changes downstream content. A version with no net changes (e.g. a
+    competitor's no-op commit) advances the watermark with a
+    metadata-only commit.
+
+    Contract: ``transform`` filters/projections must depend only on
+    columns an update cannot change OR the caller accepts insert-only
+    maintenance semantics; a post-image transformed out of the view is
+    not retracted (standard incremental-view caveat, documented rather
+    than silently wrong). ``downstream`` must be manifest-mode.
+    Upstream versions older than the retention window must already be
+    reflected (start the feed before vacuuming upstream).
+    """
+    from ..operators.writeops import apply_write_op
+    from ..spec import TargetSpec
+
+    if not downstream._is_manifest():
+        raise ValueError("changefeed_merge requires a manifest-mode downstream")
+    pk = tuple(pk)
+    last = downstream.last_stream_batch(stream_id)
+    start = int(starting_version) if last is None else int(last) + 1
+    vers = [v for v in upstream.versions() if v >= start]
+    applied = ups = dels = 0
+    watermark = last
+    retained = set(upstream.versions())
+    for v in sorted(vers):
+        if v - 1 in retained:
+            changes = upstream.snapshot_changes(v - 1, v, pk=pk)
+        else:
+            # v is the oldest retained version (vacuum keeps a suffix of
+            # the log): the whole snapshot is the initial load — there
+            # is no v-1 to diff against
+            changes = upstream.read_version(v).withColumn(
+                "change_type", F.lit("insert")
+            ).withColumn("commit_version", F.lit(int(v)))
+        post = changes.filter(
+            F.col("change_type").isin("insert", "update_postimage")
+        ).drop("change_type", "commit_version")
+        gone = changes.filter(F.col("change_type") == "delete").select(*pk)
+        if transform is not None:
+            post = transform(post)
+        post = post.cache()
+        gone = gone.cache()
+        n_post, n_gone = post.count(), gone.count()
+        committed = False
+        if n_post:
+            if n_gone == 0:
+                downstream.stream_commit_meta(stream_id, v)
+            try:
+                apply_write_op(
+                    post, downstream, TargetSpec(ds="cdf", op="upsert", pk=pk)
+                )
+            finally:
+                downstream._pending_stream = None
+            committed = n_gone == 0
+            ups += n_post
+        if n_gone:
+            # deletes need the full target row shape only for pk cols;
+            # delete op anti-joins the target on pk
+            downstream.stream_commit_meta(stream_id, v)
+            try:
+                apply_write_op(
+                    gone, downstream, TargetSpec(ds="cdf", op="delete", pk=pk)
+                )
+            finally:
+                downstream._pending_stream = None
+            committed = True
+            dels += n_gone
+        if not committed:
+            # no-op version: advance the watermark without new data so
+            # the next drain doesn't rediff it
+            downstream.stream_commit_meta(stream_id, v)
+            downstream._commit(lambda prev, ps: (list(prev), ps))
+        post.unpersist()
+        gone.unpersist()
+        applied += 1
+        watermark = v
+    return ChangeFeedStats(applied, ups, dels, watermark)
+
+
 def streaming_merge(
     spark: SparkSession,
     path: str,

@@ -230,3 +230,45 @@ def test_url_stages(engine):
         docs.withColumn("url", F.regexp_replace("url", r"\?utm_source=x", "?")), "url", 5
     )
     assert {r.doc_id for r in rows} == {r.doc_id for r in direct.collect()}
+
+
+def test_corpus_changefeed_tracks_upserts_and_deletes(spark, engine, tmp_path):
+    """A recrawl (upsert) and a takedown (delete) on the upstream
+    manifest table propagate through run_corpus_pipeline_changefeed:
+    the downstream equals the batch stage run over the final upstream
+    state, and a second drain with no new versions applies nothing."""
+    from etl_cli_spark.operators.writeops import ParquetTable, apply_write_op
+    from etl_cli_spark.plans.corpus import (
+        run_corpus_pipeline,
+        run_corpus_pipeline_changefeed,
+    )
+    from etl_cli_spark.spec import TargetSpec
+
+    docs = engine.read("documents")
+    up = ParquetTable(
+        spark, str(tmp_path / "up.parquet"),
+        bucket_by=("doc_id",), n_buckets=4, manifest=True,
+    )
+    down = ParquetTable(spark, str(tmp_path / "down.parquet"), manifest=True)
+    stages = [
+        {"stage": "filter", "expr": "n_chars > 50"},
+        {"stage": "transform", "exprs": {"lang_uc": "upper(lang)"}},
+    ]
+    up.append(docs.filter("doc_id % 2 = 0"))  # v0
+    run_corpus_pipeline_changefeed(spark, up, stages, down, pk=("doc_id",))
+    # recrawl: new text for a slice (n_chars untouched -> filter-stable)
+    recrawl = docs.filter("doc_id % 10 = 0").withColumn("lang", F.lit("zz"))
+    apply_write_op(recrawl, up, TargetSpec(ds="u", op="upsert", pk=("doc_id",)))
+    # takedown
+    gone = up.read().filter("doc_id % 6 = 0").select("doc_id")
+    apply_write_op(gone, up, TargetSpec(ds="u", op="delete", pk=("doc_id",)))
+    stats = run_corpus_pipeline_changefeed(spark, up, stages, down, pk=("doc_id",))
+    assert stats.versions_applied == 2 and stats.rows_deleted > 0
+
+    batch = run_corpus_pipeline(up.read(), stages)
+    assert sorted(map(tuple, down.read().collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert run_corpus_pipeline_changefeed(
+        spark, up, stages, down, pk=("doc_id",)
+    ).versions_applied == 0
