@@ -1282,6 +1282,7 @@ _MESSY_URL_SQL = (
     "CASE WHEN doc_id % 4 = 0 THEN 'News.Example' || CAST(doc_id % 7 AS STRING) || '.CO.UK' "
     "     WHEN doc_id % 4 = 1 THEN 'blog.example' || CAST(doc_id % 7 AS STRING) || '.com' "
     "     WHEN doc_id % 4 = 2 THEN 'Example' || CAST(doc_id % 7 AS STRING) || '.github.io' "
+    "     WHEN doc_id % 9 = 3 THEN 'Forum.Example' || CAST(doc_id % 7 AS STRING) || '.COM.SG' "
     "     ELSE 'shop.example' || CAST(doc_id % 7 AS STRING) || '.com' END || "
     "CASE WHEN doc_id % 6 = 0 THEN ':443' WHEN doc_id % 6 = 3 THEN ':8080' "
     "     WHEN doc_id % 6 = 4 THEN ':80' ELSE '' END || "
@@ -1299,6 +1300,12 @@ def _url_suffix_list_sql() -> str:
     from etl_cli_spark.operators.urls import TWO_LEVEL_SUFFIXES
 
     return "[" + ",".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES) + "]"
+
+
+def _url_fixture_psl_sql() -> str:
+    from etl_cli_spark.operators.urls import fixture_public_suffixes
+
+    return "[" + ",".join(f"'{s}'" for s in fixture_public_suffixes()) + "]"
 
 
 def _url_parts_ctes() -> str:
@@ -1348,12 +1355,23 @@ def _q_url_canonicalize(spark, sf):
 
 
 def _q_url_domain_cap(spark, sf):
-    from etl_cli_spark.operators.urls import per_domain_cap
+    """Per-domain cap through the TABLE-DRIVEN PSL path (round-5): the
+    suffix table is the few-hundred-entry fixture PSL broadcast-joined
+    for longest-match eTLD+1, so ``forum.example5.com.sg`` caps as
+    ``example5.com.sg`` — a suffix ABSENT from the embedded subset,
+    which would have merged every .com.sg host under one pseudo-domain.
+    The oracle replays the longest-match against the same list."""
+    from etl_cli_spark.operators.urls import fixture_public_suffixes, per_domain_cap
 
     d = _engine(spark, sf).read("documents").withColumn("url", F.expr(_MESSY_URL_SQL))
+    psl = spark.createDataFrame(
+        [(s,) for s in fixture_public_suffixes()], ["suffix"]
+    )
     # salt_buckets exercises the hot-domain tournament; the oracle is the
     # unsalted relational replay, so salted == unsalted is part of the check
-    capped = per_domain_cap(d, "url", cap=3, salt_buckets=4, domain_col="domain")
+    capped = per_domain_cap(
+        d, "url", cap=3, salt_buckets=4, domain_col="domain", suffixes=psl
+    )
     return capped.select("doc_id", "domain")
 
 
@@ -2584,11 +2602,21 @@ def oracle_sql() -> dict[str, str]:
     sql["url_canonicalize"] = (
         _url_parts_ctes() + "SELECT doc_id, url, canon_url, domain FROM s7"
     )
+    # table-driven PSL longest-match: last-3 labels beat last-2, the
+    # winner gains one more label; no match -> prevailing rule (last 2)
+    _psl = _url_fixture_psl_sql()
     sql["url_domain_cap"] = (
         _url_parts_ctes()
-        + ", r AS (SELECT doc_id, domain, row_number() OVER ("
+        + ", cand AS (SELECT doc_id, host, hp, hp[-2] || '.' || hp[-1] AS c2, "
+        "  CASE WHEN len(hp) >= 3 THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1] END AS c3 "
+        "  FROM s6), "
+        "dom AS (SELECT doc_id, "
+        f"  CASE WHEN len(hp) >= 4 AND list_contains({_psl}, c3) THEN hp[-4] || '.' || c3 "
+        f"       WHEN len(hp) >= 3 AND list_contains({_psl}, c2) THEN hp[-3] || '.' || c2 "
+        "       WHEN len(hp) >= 2 THEN c2 ELSE host END AS domain FROM cand), "
+        "r AS (SELECT doc_id, domain, row_number() OVER ("
         "PARTITION BY domain ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn "
-        "FROM s7) SELECT doc_id, domain FROM r WHERE rn <= 3"
+        "FROM dom) SELECT doc_id, domain FROM r WHERE rn <= 3"
     )
 
     sql["events_window_1h"] = (

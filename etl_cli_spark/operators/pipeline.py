@@ -639,9 +639,13 @@ def weighted_sample(
             .filter(F.col("__r1") <= k)
             .drop("__r1")
         )
-    w = Window.partitionBy(*grp).orderBy(*order) if grp else (
-        Window.partitionBy(F.lit(1)).orderBy(*order)
-    )
+    if not grp:
+        # global top-k must NEVER be a partitionBy(lit(1)) window — that
+        # funnels the corpus through one task. orderBy+limit compiles to
+        # TakeOrderedAndProject: per-partition top-k map-side, k rows
+        # per partition to the driver-side merge, no global sort
+        return d.orderBy(*order).limit(k).drop("__wk")
+    w = Window.partitionBy(*grp).orderBy(*order)
     return (
         d.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

@@ -75,6 +75,74 @@ def registrable_domain_of_host(host: Column | str) -> Column:
     ).otherwise(F.when(n >= 2, last2).otherwise(h))
 
 
+def fixture_public_suffixes() -> list[str]:
+    """A deterministic few-hundred-entry subset shaped like the Mozilla
+    public-suffix list (publicsuffix.org): generic second-level labels
+    across the common ccTLDs, the embedded :data:`TWO_LEVEL_SUFFIXES`,
+    and a handful of three-label suffixes. Test/demo fixture for the
+    table-driven :func:`with_registrable_domain` path — a production
+    deployment loads the real PSL file into the same one-column frame.
+    """
+    cc = (
+        "uk au jp br cn mx in kr za nz sg hk tw my ph th vn id il tr "
+        "ru pl cz gr pt ro hu ua ar cl co pe ve uy ec eg ma ng ke gh"
+    ).split()
+    sl = ["com", "co", "org", "net", "gov", "ac", "edu"]
+    out = {f"{s}.{c}" for c in cc for s in sl}
+    out |= set(TWO_LEVEL_SUFFIXES)
+    out |= {
+        "pref.aichi.jp", "city.osaka.jp", "k12.ca.us", "cc.ca.us",
+        "act.edu.au", "nsw.edu.au",
+    }
+    return sorted(out)
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    url_col: str,
+    out_col: str = "domain",
+    suffixes: DataFrame | None = None,
+) -> DataFrame:
+    """Attach the registrable domain (eTLD+1) of ``url_col`` as
+    ``out_col``.
+
+    Without ``suffixes``: the embedded-subset Column expression
+    (:func:`registrable_domain`) — zero joins, scan speed. With
+    ``suffixes`` (a one-column DataFrame of public suffixes, e.g. the
+    real PSL loaded from publicsuffix.org): PSL longest-match semantics
+    via two BROADCAST hash joins — the host's last-2 and last-3 labels
+    probe the suffix table, the longest match wins, and the domain is
+    the match plus one more label. No match falls back to the PSL
+    prevailing rule (TLD = last label, domain = last two). The suffix
+    table is a few thousand rows at most, so both joins broadcast; the
+    corpus never shuffles.
+    """
+    if suffixes is None:
+        return df.withColumn(out_col, registrable_domain(url_col))
+    h = url_host(url_col)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+
+    def last(k: int) -> Column:
+        return F.concat_ws(".", *[F.element_at(parts, -i) for i in range(k, 0, -1)])
+
+    sfx = suffixes.select(F.col(suffixes.columns[0]).alias("__sfx")).distinct()
+    joined = df
+    for k in (2, 3):
+        mk = sfx.select(F.col("__sfx").alias(f"__psl{k}"))
+        joined = joined.join(
+            F.broadcast(mk),
+            F.when(n >= k, last(k)).otherwise(F.lit(None)) == F.col(f"__psl{k}"),
+            "left",
+        )
+    dom = (
+        F.when(F.col("__psl3").isNotNull() & (n >= 4), last(4))
+        .when(F.col("__psl2").isNotNull() & (n >= 3), last(3))
+        .otherwise(F.when(n >= 2, last(2)).otherwise(h))
+    )
+    return joined.withColumn(out_col, dom).drop("__psl2", "__psl3")
+
+
 def canonicalize_url(col: Column | str) -> Column:
     """Canonical form of a URL so byte-different fetches of the same
     resource compare equal:
@@ -131,6 +199,7 @@ def per_domain_cap(
     id_col: str = "doc_id",
     domain_col: str = "__domain",
     salt_buckets: int | None = None,
+    suffixes: DataFrame | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per registrable domain, chosen by
     content-free deterministic hash (md5 of the id) so the kept set is
@@ -144,11 +213,15 @@ def per_domain_cap(
     ``S * cap`` survivors per domain instead of the domain's full row
     count on one task).
 
-    The output keeps the input schema plus ``domain_col``.
+    The output keeps the input schema plus ``domain_col``. Pass
+    ``suffixes`` (a one-column public-suffix DataFrame) for PSL
+    longest-match domains via broadcast join instead of the embedded
+    suffix subset — real-world eTLD+1s like ``*.com.sg`` then cap as
+    their own quota units instead of merging under one pseudo-domain.
     """
     if cap < 1:
         raise ValueError("per_domain_cap needs cap >= 1")
-    d = df.withColumn(domain_col, registrable_domain(url_col))
+    d = with_registrable_domain(df, url_col, out_col=domain_col, suffixes=suffixes)
     rk = F.md5(F.col(id_col).cast("string"))
     if salt_buckets is not None and salt_buckets > 1:
         salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))

@@ -118,3 +118,59 @@ def test_per_domain_cap_deterministic(spark, url_docs):
 def test_per_domain_cap_rejects_bad_cap(spark, url_docs):
     with pytest.raises(ValueError):
         per_domain_cap(url_docs, "url", cap=0)
+
+
+def test_with_registrable_domain_psl_table(spark):
+    """Table-driven PSL longest-match (round-5): a suffix absent from
+    the embedded subset (com.sg) becomes its own eTLD+1; a 3-label
+    suffix (pref.aichi.jp) beats its 2-label prefix; unknown TLDs fall
+    back to the prevailing last-2 rule — all via broadcast joins."""
+    from etl_cli_spark.operators.urls import (
+        fixture_public_suffixes,
+        with_registrable_domain,
+    )
+
+    psl = spark.createDataFrame([(s,) for s in fixture_public_suffixes()], ["suffix"])
+    rows = [
+        (1, "https://forum.example.com.sg/x"),
+        (2, "http://www.Example.CO.UK/y"),
+        (3, "https://a.b.site.pref.aichi.jp/z"),
+        (4, "https://deep.sub.example.com/q"),
+        (5, "https://example.unknowntld/r"),
+        (6, "https://host/s"),  # single-label host stays itself
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = with_registrable_domain(df, "url", suffixes=psl)
+    got = {r.doc_id: r.domain for r in out.collect()}
+    assert got == {
+        1: "example.com.sg",
+        2: "example.co.uk",
+        3: "site.pref.aichi.jp",
+        4: "example.com",
+        5: "example.unknowntld",
+        6: "host",
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE prints initial+final plan sections; both must broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+    # embedded-expression path unchanged when no table is given
+    no_tab = with_registrable_domain(df, "url")
+    assert {r.doc_id: r.domain for r in no_tab.collect()}[1] == "com.sg"
+
+
+def test_per_domain_cap_with_psl_table(spark):
+    """com.sg hosts cap per REGISTRABLE domain with the table, instead
+    of merging under the 'com.sg' pseudo-domain the embedded subset
+    would produce."""
+    from etl_cli_spark.operators.urls import fixture_public_suffixes, per_domain_cap
+
+    psl = spark.createDataFrame([(s,) for s in fixture_public_suffixes()], ["suffix"])
+    rows = [(i, f"https://site{i % 2}.com.sg/p/{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    capped = per_domain_cap(df, "url", cap=3, suffixes=psl, domain_col="domain")
+    counts = {r.domain: r["count"] for r in capped.groupBy("domain").count().collect()}
+    assert counts == {"site0.com.sg": 3, "site1.com.sg": 3}
+    merged = per_domain_cap(df, "url", cap=3, domain_col="domain")
+    assert merged.count() == 3  # embedded subset: one pseudo-domain
