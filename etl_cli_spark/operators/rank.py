@@ -472,24 +472,31 @@ def importance_weights(
     # scored is narrow (id, weight), so it checkpoints eagerly and the
     # persisted frame is released before returning (no cache leak)
     raw_grams = _doc_gram_buckets(raw, text_col, id_col, n, m_buckets)
+    joined = None
     if eager:
         raw_grams = raw_grams.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         tgt_grams = _doc_gram_buckets(target, text_col, id_col, n, m_buckets)
         raw_model = raw_grams.groupBy("bucket").agg(F.sum("c").alias("qc"))
         tgt_model = tgt_grams.groupBy("bucket").agg(F.sum("c").alias("pc"))
-        # add-1 smoothed log prob difference per bucket; totals are scalars
-        q_tot = raw_model.agg(F.sum("qc")).collect()[0][0] or 0
-        p_tot = tgt_model.agg(F.sum("pc")).collect()[0][0] or 0
-        model = (
-            raw_model.join(tgt_model, "bucket", "full")
-            .select(
-                "bucket",
-                (
-                    F.log((F.coalesce("pc", F.lit(0)) + 1.0) / F.lit(float(p_tot + m_buckets)))
-                    - F.log((F.coalesce("qc", F.lit(0)) + 1.0) / F.lit(float(q_tot + m_buckets)))
-                ).alias("llr"),
-            )
+        # both totals come out of the joined model frame in ONE driver
+        # job (not one collect per model): the frame is m buckets —
+        # corpus-independent and small — so persisting it costs nothing
+        # and the target corpus tokenizes once instead of twice
+        joined = raw_model.join(tgt_model, "bucket", "full")
+        if eager:
+            joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
+        tots = joined.agg(
+            F.sum("qc").alias("q"), F.sum("pc").alias("p")
+        ).collect()[0]
+        q_tot, p_tot = tots["q"] or 0, tots["p"] or 0
+        # add-1 smoothed log prob difference per bucket
+        model = joined.select(
+            "bucket",
+            (
+                F.log((F.coalesce("pc", F.lit(0)) + 1.0) / F.lit(float(p_tot + m_buckets)))
+                - F.log((F.coalesce("qc", F.lit(0)) + 1.0) / F.lit(float(q_tot + m_buckets)))
+            ).alias("llr"),
         )
         scored = (
             raw_grams.join(F.broadcast(model), "bucket")
@@ -504,6 +511,8 @@ def importance_weights(
     finally:
         if eager:
             raw_grams.unpersist()
+            if joined is not None:
+                joined.unpersist()
     # docs with no n-grams (too short) get weight 0 — neutral
     return raw.join(scored, id_col, "left").withColumn(
         "log_weight", F.coalesce("log_weight", F.lit(0.0))

@@ -975,7 +975,18 @@ class ParquetTable:
         window, expressed in versions rather than hours. Returns how
         many entries were removed. Requires no in-flight writers (an
         uncommitted ingest looks exactly like garbage — the same caveat
-        Delta's VACUUM documents)."""
+        Delta's VACUUM documents).
+
+        Concurrent-reader contract (Delta's posture): a reader that has
+        RESOLVED a manifest inside the retention window keeps working —
+        its files survive any vacuum, because the live set unions every
+        retained version. A reader holding a manifest OLDER than the
+        window races the sweep: its files may vanish mid-scan. Size
+        ``retain_versions`` so the slowest reader/ETL finishes within
+        the window, exactly as Delta sizes its retention hours; the
+        time-travel error on a vacuumed version (``read_version``) is
+        the visible edge of this contract, never a silent wrong
+        answer."""
         if retain_versions < 1:
             raise ValueError("retain_versions must be >= 1")
         base_dir, name = os.path.split(self.path)
