@@ -2880,7 +2880,7 @@ def oracle_sql() -> dict[str, str]:
     _pvals = []
     for i in range(20):
         _pw, _ph = 8 + i % 5, 6 + i % 4
-        _pvals.append(f"({i}, '{('ppm', 'png', 'bmp')[i % 3]}', {_pw}, {_ph})")
+        _pvals.append(f"({i}, '{('ppm', 'png', 'bmp', 'gif')[i % 4]}', {_pw}, {_ph})")
     for i in range(12):
         _mode = i % 3
         if _mode == 0:

@@ -184,6 +184,142 @@ def _decode_png(data: bytes):
     return w, h, out.reshape(h, w, 3)
 
 
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+# interlaced GIF row order: (start, step) per pass (GIF89a spec App. E)
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW over an already-concatenated entropy stream:
+    LSB-first variable-width codes, CLEAR resets the table, code width
+    grows when the next free slot reaches 2^width (cap 12 bits).
+    Returns exactly ``n_pixels`` palette indices; raises ValueError on
+    truncation or a code the table cannot know yet."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    nxt = eoi + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = pos = 0
+    while len(out) < n_pixels:
+        while bits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            nxt, width, prev = eoi + 1, min_code_size + 1, None
+            continue
+        if code == eoi:
+            break
+        if code < nxt and code < len(table) and table[code]:
+            entry = table[code]
+        elif code == nxt and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range (next={nxt})")
+        out.extend(entry)
+        if prev is not None and nxt < 4096:
+            table.append(prev + [entry[0]])
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF image data ran out before the pixel count")
+    return out[:n_pixels]
+
+
+def _decode_gif(data: bytes):
+    """Real GIF decoder (pure stdlib/numpy, from the public GIF89a
+    spec): logical screen descriptor, global/local color table, the
+    LZW-compressed table-based image data, and the 4-pass interlace
+    row order. Decodes the FIRST image descriptor (an animation's
+    later frames are deltas against compositing state — a corpus
+    pipeline wants the poster frame); a frame smaller than the screen
+    composes onto a background-color canvas. Transparency (GCE flag)
+    maps the index to its palette color — the digest contract is RGB.
+    Returns (width, height, HxWx3 uint8 array)."""
+    import numpy as np
+
+    if data[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF (bad signature)")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    packed, bg = data[10], data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + n * 3 > len(data):
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+        if pos + 10 > len(data):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, iw, ih = struct.unpack_from("<HHHH", data, pos)
+        packed2 = data[pos + 8]
+        pos += 9
+        pal = gct
+        if packed2 & 0x80:
+            n = 2 << (packed2 & 0x07)
+            if pos + n * 3 > len(data):
+                raise ValueError("truncated GIF local color table")
+            pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image has neither global nor local color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos]:
+            n = data[pos]
+            lzw += data[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        idx = np.array(
+            _gif_lzw_decode(bytes(lzw), min_code, iw * ih), dtype=np.int64
+        )
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("GIF pixel index outside the color table")
+        frame = pal[idx].reshape(ih, iw, 3)
+        if packed2 & 0x40:  # de-interlace: rows arrive in 4-pass order
+            out_rows = np.empty_like(frame)
+            src = 0
+            for start, step in _GIF_PASSES:
+                for y in range(start, ih, step):
+                    out_rows[y] = frame[src]
+                    src += 1
+            frame = out_rows
+        if (left, top, iw, ih) == (0, 0, sw, sh):
+            return sw, sh, np.ascontiguousarray(frame)
+        canvas = np.tile(pal[min(bg, len(pal) - 1)], (sh, sw, 1)).astype(np.uint8)
+        canvas[top : top + ih, left : left + iw] = frame
+        return sw, sh, canvas
+    raise ValueError("GIF has no image descriptor")
+
+
 def _decode_pixels(data: bytes):
     """Pixel array for natively-decodable formats (PPM/BMP/PNG/JPEG
     baseline+progressive), else None — the shared dispatch for decode/
@@ -201,6 +337,8 @@ def _decode_pixels(data: bytes):
             return _decode_bmp(data)[2]
         if data[:8] == _PNG_SIG:
             return _decode_png(data)[2]
+        if data[:6] in _GIF_SIGS:
+            return _decode_gif(data)[2]
         if data[:2] == b"\xFF\xD8":
             from etl_cli_spark.operators.jpeg import decode_jpeg
 
@@ -639,6 +777,86 @@ def encode_png(px) -> bytes:
     )
 
 
+def encode_gif(px, interlace: bool = False) -> bytes:
+    """Minimal GIF89a encoder for fixtures: builds a palette from the
+    image's unique colors (≤256 or ValueError), REAL LZW compression
+    (dictionary build, width growth with the one-code encoder lag the
+    spec's decoder timing implies), optional 4-pass interlace. Exists
+    so the decoder's dictionary/interlace paths are exercised by
+    payloads whose expected pixels an oracle recomputes from the
+    pattern alone."""
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF fixture needs <=256 colors, got {len(colors)}")
+    depth = max(1, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    idx = inverse.reshape(h, w)
+    if interlace:
+        order = [y for start, step in _GIF_PASSES for y in range(start, h, step)]
+        idx = idx[order]
+    indices = idx.reshape(-1).tolist()
+
+    min_code = max(2, depth)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    acc = bits = 0
+    body = bytearray()
+
+    def emit(code: int, w_: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += w_
+        while bits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear, width)
+    d: dict[tuple[int, int], int] = {}
+    nxt = eoi + 1
+    prefix = indices[0]
+    for k in indices[1:]:
+        if (prefix, k) in d:
+            prefix = d[(prefix, k)]
+            continue
+        emit(prefix, width)
+        d[(prefix, k)] = nxt
+        nxt += 1
+        # encoder grows one entry later than the decoder's ==2^width
+        # rule: the decoder's table additions lag the encoder's by one
+        # code (it learns entry N while reading code N+1)
+        if nxt == (1 << width) + 1 and width < 12:
+            width += 1
+        if nxt == 4096 + 1:
+            emit(clear, width)
+            d.clear()
+            nxt, width = eoi + 1, min_code + 1
+        prefix = k
+    emit(prefix, width)
+    emit(eoi, width)
+    if bits:
+        body.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])  # GCT flag+size, bg=0, aspect
+    out += pal.tobytes()
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    out += bytes([min_code])
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
 def jpeg_spec(i: int) -> dict:
     """Deterministic spec for synthetic JPEG row ``i`` — shared contract
     between the fixture encoder below and any independent oracle.
@@ -739,17 +957,23 @@ def media_dims(i: int) -> tuple[int, int]:
 
 def make_fake_media(spark, n: int = 20, kind: str = "image") -> DataFrame:
     """Deterministic synthetic media table: REAL image payloads cycling
-    PPM / PNG / BMP with a pixel pattern an oracle can recompute
-    independently of the encoders/decoders (the oracle digests the
-    PATTERN, so it certifies all three decoders format-blind)."""
+    PPM / PNG / BMP / GIF (GIF rows alternate interlaced and
+    progressive-scan order) with a pixel pattern an oracle can
+    recompute independently of the encoders/decoders (the oracle
+    digests the PATTERN, so it certifies all four decoders
+    format-blind)."""
     encoders = {"ppm": encode_ppm, "png": encode_png, "bmp": encode_bmp}
     rows = []
     for i in range(n):
         w, h = media_dims(i)
         px = media_pixels(i, w, h)
-        fmt = ("ppm", "png", "bmp")[i % 3]
+        fmt = ("ppm", "png", "bmp", "gif")[i % 4]
+        payload = (
+            encode_gif(px, interlace=(i % 8 == 7)) if fmt == "gif"
+            else encoders[fmt](px)
+        )
         rows.append(
-            (i, kind, bytearray(encoders[fmt](px)), (w, h, 16000, 5000 + 1000 * (i % 3), fmt))
+            (i, kind, bytearray(payload), (w, h, 16000, 5000 + 1000 * (i % 3), fmt))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

@@ -248,7 +248,7 @@ def test_decode_png_roundtrip_all_filters():
 
 
 def test_decode_png_in_media_pipeline(spark):
-    """make_fake_media now cycles ppm/png/bmp; every row must decode to
+    """make_fake_media cycles ppm/png/bmp/gif; every row must decode to
     the pattern digest regardless of format."""
     import hashlib
 
@@ -258,9 +258,9 @@ def test_decode_png_in_media_pipeline(spark):
         media_pixels,
     )
 
-    media = make_fake_media(spark, n=9)
+    media = make_fake_media(spark, n=12)
     fmts = {r.media_id: r.meta.format for r in media.collect()}
-    assert sorted(set(fmts.values())) == ["bmp", "png", "ppm"]
+    assert sorted(set(fmts.values())) == ["bmp", "gif", "png", "ppm"]
     for r in decode_images(media).collect():
         w, h = media_dims(r.media_id)
         assert (r.dec_width, r.dec_height) == (w, h)
@@ -557,7 +557,7 @@ def test_probe_media_headers_only(spark):
         w, h = media_dims(i)
         r = rows[i]
         assert (r.probe_format, r.probe_width, r.probe_height) == (
-            ("ppm", "png", "bmp")[i % 3], w, h,
+            ("ppm", "png", "bmp", "gif")[i % 4], w, h,
         )
         assert r.probe_bytes == len(bytes(r.payload))
     for i in range(4):
@@ -584,3 +584,81 @@ def test_probe_one_gif_and_wav():
     wav = encode_wav(media_samples(0, 100), sample_rate=8000)
     assert _probe_one(wav) == ("wav", None, None)
     assert _probe_one(b"") == (None, None, None)
+
+
+# -- GIF (round-5: real LZW decode, pure stdlib/numpy) -----------------------
+
+
+def test_gif_roundtrip_palette_and_interlace():
+    """encode_gif -> _decode_gif is exact across palette sizes (2..256
+    colors -> min code sizes 2..8), interlaced and sequential, odd
+    dimensions, and payloads long enough to grow the code width."""
+    import numpy as np
+
+    from etl_cli_spark.operators.multimodal import _decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    for ncol in (2, 5, 17, 250):
+        base = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        px = base[rng.integers(0, ncol, size=(13, 29))]
+        for il in (False, True):
+            w, h, out = _decode_gif(encode_gif(px, interlace=il))
+            assert (w, h) == (29, 13)
+            assert np.array_equal(out, px)
+
+
+def test_gif_dictionary_reset_at_4096():
+    """A payload whose LZW dictionary fills forces the encoder's CLEAR
+    + reset; the decoder must resynchronize mid-stream."""
+    import numpy as np
+
+    from etl_cli_spark.operators.multimodal import _decode_gif, encode_gif
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    px = base[rng.integers(0, 256, size=(150, 200))]
+    assert np.array_equal(_decode_gif(encode_gif(px))[2], px)
+
+
+def test_gif_subframe_composes_on_background():
+    """An image descriptor smaller than the logical screen composes onto
+    a background-color canvas (the poster-frame contract)."""
+    import struct
+
+    import numpy as np
+
+    from etl_cli_spark.operators.multimodal import _decode_gif, encode_gif
+
+    inner = np.full((2, 3, 3), 7, dtype=np.uint8)
+    data = bytearray(encode_gif(inner))
+    struct.pack_into("<HH", data, 6, 5, 4)      # screen 5x4, frame 3x2
+    # GCT here is 2 entries (1-bit depth) -> descriptor's 0x2C at 13+6;
+    # left/top are the two u16s right after it
+    desc = 13 + 2 * 3
+    assert data[desc] == 0x2C
+    struct.pack_into("<HH", data, desc + 1, 1, 1)  # left=1, top=1
+    w, h, out = _decode_gif(bytes(data))
+    assert (w, h) == (5, 4)
+    assert np.array_equal(out[1:3, 1:4], inner)
+    assert (out[0] == out[0, 0]).all()  # background-filled border
+
+
+def test_gif_rejects_malformed():
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_cli_spark.operators.multimodal import (
+        _decode_gif,
+        _decode_pixels,
+        encode_gif,
+    )
+
+    with _pytest.raises(ValueError, match="signature"):
+        _decode_gif(b"GIF00a" + b"\x00" * 20)
+    good = encode_gif(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    with _pytest.raises(ValueError, match="truncated|ran out|image descriptor"):
+        _decode_gif(good[:20])
+    assert _decode_pixels(good[:20]) is None  # batch contract: degrade
+    with _pytest.raises(ValueError):
+        encode_gif(np.arange(2048 * 3, dtype=np.int32).reshape(-1, 2, 3) % 256 * 0 +
+                   np.arange(2048 * 3).reshape(-1, 2, 3) % 257)  # >256 colors
