@@ -46,6 +46,9 @@ HEADLINE = [
     "sketch_distinct_hll",    # HLL register build + estimate
     "ts_gap_fill",            # grid resample + ffill window
     "weighted_sample",        # A-ES weighted top-k per group
+    # round-5 additions
+    "manifest_changefeed",    # CDF-driven incremental view maintenance
+    "url_domain_cap",         # PSL broadcast join + salted domain cap
 ]
 
 

@@ -113,9 +113,11 @@ AUDITED: dict[str, str] = {
         "zero UDFs; at 100 TB this runs at scan speed."
     ),
     "url_domain_cap": (
-        "domain extraction is a scan-side expression; the cap is a "
-        "window on the domain key with the salted (domain, salt) "
-        "pre-prune bounding any hot domain's final window at S*cap rows."
+        "domain extraction probes the broadcast public-suffix table "
+        "(two BroadcastHashJoins, corpus never shuffles for the "
+        "lookup); the cap is a window on the domain key with the salted "
+        "(domain, salt) pre-prune bounding any hot domain's final "
+        "window at S*cap rows."
     ),
     "sketch_distinct_hll": (
         "register build = one groupBy (group, bucket) max with map-side "
