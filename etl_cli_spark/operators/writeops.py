@@ -77,10 +77,13 @@ class ParquetTable:
     correctly. Stale files are invisible until :meth:`vacuum` removes
     them. The on-disk file layout (pk-hash buckets, value partitions,
     zorder clustering) is unchanged — the manifest only governs
-    visibility. Scale note: a manifest lists the full file set (O(files)
-    per commit, like an Iceberg manifest list); at extreme file counts
-    you would add delta logs + checkpoint compaction a la Delta — the
-    read/commit contract here is the same one those formats present.
+    visibility. Scale note (r5): the log uses Delta's log + checkpoint
+    shape — between checkpoints a version stores only its add/remove
+    delta (commit size O(changed files), never O(table files)); every
+    ``checkpoint_interval``-th version stores the complete list, so a
+    reader replays at most interval-1 tiny deltas from the nearest
+    checkpoint, and ``vacuum`` materializes a checkpoint sidecar for
+    the retention floor before dropping the chain below it.
     """
 
     def __init__(
@@ -94,6 +97,7 @@ class ParquetTable:
         sort_by: tuple[str, ...] | None = None,
         manifest: bool = False,
         commit_backend=None,
+        checkpoint_interval: int = 10,
     ):
         if bucket_by and partition_by:
             raise ValueError("bucket_by and partition_by are mutually exclusive")
@@ -107,6 +111,10 @@ class ParquetTable:
         from etl_cli_spark.operators.commitlog import LocalFSCommitBackend
 
         self._backend = commit_backend or LocalFSCommitBackend()
+        # every Nth version is a full-file-list checkpoint; the versions
+        # between carry add/remove deltas (Delta's log + checkpoint
+        # shape), so commit size is O(changed files), not O(table files)
+        self._checkpoint_interval = max(1, int(checkpoint_interval))
         self.max_records_per_file = max_records_per_file
         self._bucket_by = tuple(bucket_by) if bucket_by else None
         self._n_buckets = n_buckets
@@ -139,17 +147,79 @@ class ParquetTable:
         return True
 
     def _latest_manifest(self) -> tuple[int, dict] | None:
-        """(version, manifest) of the newest committed snapshot. Commits
-        are atomic (put-if-absent through the backend), so any listed
-        manifest is complete — no torn-read handling needed."""
+        """(version, RESOLVED manifest) of the newest committed
+        snapshot — ``doc["files"]`` is always the materialized complete
+        file list, whether the stored doc was a checkpoint or a delta.
+        Commits are atomic (put-if-absent through the backend), so any
+        listed manifest is complete — no torn-read handling needed."""
         vers = self._backend.list_versions(self._log_dir())
         if not vers:
             return None
         v = vers[-1]
-        payload = self._backend.read(self._log_dir(), v)
-        if payload is None:  # vacuumed between list and read
+        try:
+            return v, self._manifest_at(v)
+        except FileNotFoundError:  # vacuumed between list and read
             return None
-        return v, json.loads(payload)
+
+    def _raw_manifest_at(self, version: int) -> dict:
+        payload = self._backend.read(self._log_dir(), int(version))
+        if payload is None:
+            have = self.versions()
+            raise FileNotFoundError(
+                f"version {version} not in the log for {self.path} "
+                f"(retained: {have or 'none'} — vacuumed or never committed)"
+            )
+        return json.loads(payload)
+
+    @staticmethod
+    def _ckpt_name(version: int) -> str:
+        return f"{int(version):020d}.checkpoint.json"
+
+    def _resolve_base(self, version: int) -> list[str] | None:
+        """Full file list of ``version`` if it is self-resolvable: the
+        stored doc is a checkpoint (has ``files``) or a vacuum wrote a
+        checkpoint sidecar for it. None when it is a bare delta."""
+        doc = self._raw_manifest_at(version)
+        if "files" in doc:
+            return list(doc["files"])
+        side = self._backend.read_name(self._log_dir(), self._ckpt_name(version))
+        if side is not None:
+            return list(json.loads(side)["files"])
+        return None
+
+    def _manifest_at(self, version: int) -> dict:
+        """The manifest document of ``version`` with ``files`` RESOLVED:
+        walk back to the nearest self-resolvable version (checkpoint doc
+        or vacuum-written checkpoint sidecar), then replay the add /
+        remove deltas forward with set semantics. O(checkpoint_interval)
+        tiny JSON reads — never proportional to the table's file count.
+        Raises the time-travel error if the version was never committed
+        or its resolution chain was vacuumed away."""
+        version = int(version)
+        doc = self._raw_manifest_at(version)
+        chain = [doc]
+        base = self._resolve_base(version)
+        v = version
+        while base is None:
+            v -= 1
+            if v < 0:
+                raise FileNotFoundError(
+                    f"version {version} of {self.path} has a broken "
+                    "resolution chain (base checkpoint vacuumed?)"
+                )
+            base = self._resolve_base(v)
+            if base is None:
+                chain.append(self._raw_manifest_at(v))
+        files = set(base)
+        for d in reversed(chain):
+            if "files" in d:
+                files = set(d["files"])
+            else:
+                files -= set(d.get("remove", ()))
+                files |= set(d.get("add", ()))
+        out = dict(doc)
+        out["files"] = sorted(files)
+        return out
 
     def _commit(self, make) -> int:
         """Commit the next manifest version. ``make(prev_files,
@@ -157,7 +227,14 @@ class ParquetTable:
         file set FROM the snapshot being replaced, and is re-invoked on
         a commit race so the loser rebases onto the winner's tip — an
         optimistic-concurrency loop over the backend's conditional PUT
-        (hard link locally, ``If-None-Match`` on an object store)."""
+        (hard link locally, ``If-None-Match`` on an object store).
+
+        Every ``checkpoint_interval``-th version stores the complete
+        file list (a checkpoint); the versions between store only the
+        add/remove delta against the previous snapshot, so a commit on
+        a million-file table writes O(changed files) of log, and a
+        reader replays at most interval-1 deltas from the nearest
+        checkpoint (Delta's log + checkpoint compaction shape)."""
         self._backend.ensure(self._log_dir())
         while True:
             latest = self._latest_manifest()
@@ -165,7 +242,13 @@ class ParquetTable:
             prev_files = [] if latest is None else latest[1]["files"]
             prev_schema = None if latest is None else latest[1].get("schema")
             files, schema = make(prev_files, prev_schema)
-            doc = {"version": ver, "files": sorted(files), "schema": schema}
+            doc = {"version": ver, "schema": schema}
+            if ver % self._checkpoint_interval == 0:
+                doc["files"] = sorted(files)
+            else:
+                prev_set, new_set = set(prev_files), set(files)
+                doc["add"] = sorted(new_set - prev_set)
+                doc["remove"] = sorted(prev_set - new_set)
             # stream watermarks ride IN the manifest so "data visible"
             # and "batch recorded" are one atomic commit (the foundation
             # of the exactly-once streaming merge sink)
@@ -511,18 +594,6 @@ class ParquetTable:
         man = self._manifest_at(version)
         df = self._read_manifest_files(man["files"], man.get("schema"))
         return df.drop(_BUCKET) if df is not None and _BUCKET in df.columns else df
-
-    def _manifest_at(self, version: int) -> dict:
-        """The committed manifest document of ``version``; raises the
-        time-travel error if it was never committed or vacuumed away."""
-        payload = self._backend.read(self._log_dir(), int(version))
-        if payload is None:
-            have = self.versions()
-            raise FileNotFoundError(
-                f"version {version} not in the log for {self.path} "
-                f"(retained: {have or 'none'} — vacuumed or never committed)"
-            )
-        return json.loads(payload)
 
     def snapshot_changes(
         self,
@@ -1003,9 +1074,23 @@ class ParquetTable:
             vers = self.versions()
             if vers:
                 keep = set(vers[-retain_versions:])
+                oldest_kept = min(keep)
                 live: set[str] = set()
+                resolved: dict[int, list[str]] = {}
                 for v in keep:
-                    live |= set(self._manifest_at(v)["files"])
+                    resolved[v] = self._manifest_at(v)["files"]
+                    live |= set(resolved[v])
+                # the oldest kept version must stay resolvable after the
+                # versions below it vanish: if it is a bare delta, write
+                # its materialized file list as a checkpoint sidecar
+                # FIRST (put-if-absent: a concurrent vacuum's identical
+                # sidecar is fine), only then drop the chain below
+                if self._resolve_base(oldest_kept) is None:
+                    self._backend.try_put(
+                        self._log_dir(),
+                        self._ckpt_name(oldest_kept),
+                        json.dumps({"files": resolved[oldest_kept]}).encode(),
+                    )
                 for root, dirs, files in os.walk(self.path, topdown=True):
                     dirs[:] = [d for d in dirs if d != _LOG]
                     for fn in files:
@@ -1018,6 +1103,9 @@ class ParquetTable:
                 for v in vers:
                     if v not in keep:
                         self._backend.delete(self._log_dir(), v)
+                        self._backend.delete_name(
+                            self._log_dir(), self._ckpt_name(v)
+                        )
                         removed += 1
                 # drop partition dirs drained by the file sweep
                 for root, dirs, files in os.walk(self.path, topdown=False):

@@ -503,11 +503,7 @@ def test_snapshot_changes_scans_only_changed_files(spark, orders, tmp_path):
     )
     apply_write_op(src, t, TargetSpec(ds="t", op="upsert", pk=("o_orderkey",)))  # v1
 
-    man = {}
-    log = os.path.join(t.path, _LOG)
-    for v in (0, 1):
-        with open(os.path.join(log, f"{v:020d}.json")) as f:
-            man[v] = set(json.load(f)["files"])
+    man = {v: set(t._manifest_at(v)["files"]) for v in (0, 1)}
     shared = man[0] & man[1]
     symdiff = (man[0] | man[1]) - shared
     assert shared, "untouched buckets must be reused across versions"
@@ -670,3 +666,82 @@ def test_vacuum_spares_concurrent_reader_on_retained_version(spark, orders, tmp_
     # outside the window: loud, typed failure — never a partial scan
     with pytest.raises(FileNotFoundError, match="vacuumed or never committed"):
         t.read_version(0)
+
+
+# -- delta commits + checkpoint compaction (round-5) --------------------------
+
+
+def test_delta_commits_and_checkpoint_cadence(spark, orders, tmp_path):
+    """Between checkpoints the stored docs carry only add/remove deltas
+    (commit size O(changed files), never O(table files)); every Nth
+    version stores the full list; resolution replays deltas from the
+    nearest checkpoint and every historical version reads exactly."""
+    t = ParquetTable(
+        spark, str(tmp_path / "dl.parquet"), manifest=True, checkpoint_interval=4
+    )
+    slices = [orders.filter(f"o_orderkey % 10 = {i}") for i in range(10)]
+    for s in slices:
+        t.append(s)
+    for v in range(10):
+        raw = t._raw_manifest_at(v)
+        if v % 4 == 0:
+            assert "files" in raw and "add" not in raw
+        else:
+            assert "files" not in raw and "add" in raw and "remove" in raw
+            assert raw["remove"] == []  # appends never drop files
+            # the delta lists ONLY this commit's files
+            assert len(raw["add"]) < len(t._manifest_at(v)["files"])
+    expected = 0
+    for v in range(10):
+        expected += slices[v].count()
+        assert t.read_version(v).count() == expected
+    # CDF across a delta-spanning range still prunes and classifies
+    ch = t.snapshot_changes(3, 7, pk=("o_orderkey",))
+    got = sum(slices[v].count() for v in range(4, 8))
+    assert ch.count() == got
+    assert ch.select("change_type").distinct().collect()[0][0] == "insert"
+
+
+def test_vacuum_writes_checkpoint_sidecar_for_delta_floor(spark, orders, tmp_path):
+    """When the oldest RETAINED version is a bare delta, vacuum must
+    materialize its file list as a checkpoint sidecar before dropping
+    the chain below — retained versions stay exactly readable."""
+    t = ParquetTable(
+        spark, str(tmp_path / "ds.parquet"), manifest=True, checkpoint_interval=100
+    )
+    for i in range(6):
+        t.append(orders.filter(f"o_orderkey % 6 = {i}"))
+    n_v4 = t.read_version(4).count()
+    n_v5 = t.read_version(5).count()
+    t.vacuum(retain_versions=2)  # keeps v4 (a bare delta!) + v5
+    assert t.versions() == [4, 5]
+    assert t.read_version(4).count() == n_v4
+    assert t.read_version(5).count() == n_v5
+    assert t._resolve_base(4) is not None  # the sidecar exists
+    with pytest.raises(FileNotFoundError):
+        t.read_version(3)
+    # and the table keeps committing deltas on top of the sidecar floor
+    t.append(orders.limit(7))
+    assert t.read().count() == n_v5 + 7
+
+
+def test_delta_log_on_fake_object_store_with_races(spark, orders, tmp_path):
+    """Injected lost-PUTs on a delta-committing table: the phantom
+    competitor re-stamps the previous tip's DELTA doc, which must
+    resolve as a no-op under the resolver's set semantics — content
+    stays exact through the rebase loop."""
+    from etl_cli_spark.operators.commitlog import FakeObjectStoreCommitBackend
+
+    be = FakeObjectStoreCommitBackend(list_lag=1, inject_races=3)
+    t = ParquetTable(
+        spark, str(tmp_path / "df.parquet"), manifest=True,
+        commit_backend=be, checkpoint_interval=3,
+    )
+    a = orders.filter("o_orderkey < 40")
+    b = orders.filter("o_orderkey >= 40 AND o_orderkey < 70")
+    t.append(a)
+    t.append(b)
+    assert be.lost_races >= 2
+    for _ in range(5):
+        t.versions()  # drain the bounded listing lag
+    assert _rows(t.read()) == _rows(a.unionByName(b))

@@ -272,12 +272,7 @@ def test_compact_partitions_only_crowded_dirs(spark, engine, tmp_path):
                                   for d in crowded_pre)
     after = files_by_dir()
     # crowded dirs now hold fewer LIVE files per the new manifest
-    latest_files = set()
-    import json as _json
-
-    log = os.path.join(t.path, "_log")
-    v = max(int(n[:-5]) for n in os.listdir(log) if n.endswith(".json"))
-    latest_files = set(_json.load(open(os.path.join(log, f"{v:020d}.json")))["files"])
+    latest_files = set(t._latest_manifest()[1]["files"])
     for d in crowded_pre:
         live = [f for f in latest_files if os.path.dirname(f) == d]
         assert len(live) < len(pre[d])
