@@ -1455,6 +1455,33 @@ def _q_manifest_changefeed(spark, sf):
     return down.read()
 
 
+def _q_manifest_stats_prune(spark, sf):
+    """Manifest-level data skipping (round-5): commits record per-file
+    column [min, max] from the parquet footers; ``read_where`` prunes
+    the manifest file list with them before Spark ever builds a file
+    index, then applies the full predicate to the surviving rows. The
+    table is written as four key-range-disjoint files, so the range
+    conjunct provably scans one of four — the oracle is the plain
+    filter over the full data, certifying pruning as a pure
+    access-path change."""
+    from etl_cli_spark.operators.writeops import ParquetTable
+
+    orders = _engine(spark, sf).read("orders")
+    hi = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    step = (hi + 3) // 4
+    tmp = tempfile.mkdtemp(prefix="etl_skip_")
+    t = ParquetTable(spark, f"{tmp}/t.parquet", manifest=True)
+    for lo in range(0, hi, step):
+        t.append(orders.filter(
+            f"o_orderkey >= {lo} AND o_orderkey < {lo + step}"
+        ))
+    lo, up = step // 2, step + step // 2
+    out = t.read_where(
+        [f"o_orderkey__gte={lo}", f"o_orderkey__lt={up}", "o_orderstatus=F"]
+    )
+    return out.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
 def _q_pipeline_declarative(spark, sf):
     """The capstone pipeline expressed as CONFIG through the declarative
     runner — must produce exactly the hand-composed plan's answers, so
@@ -2241,6 +2268,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_end_to_end": _q_pipeline_end_to_end,
     "pipeline_streaming": _q_pipeline_streaming,
     "manifest_changefeed": _q_manifest_changefeed,
+    "manifest_stats_prune": _q_manifest_stats_prune,
     # composite certifying the three mergeable sketches in-window
     "sketch_digest": _q_sketch_digest,
     "zorder_roundtrip": _q_zorder_roundtrip,
@@ -2602,6 +2630,16 @@ def oracle_sql() -> dict[str, str]:
     sql["url_canonicalize"] = (
         _url_parts_ctes() + "SELECT doc_id, url, canon_url, domain FROM s7"
     )
+    # manifest_stats_prune: file skipping is an access path — the
+    # oracle is the plain predicate over the full table, with the same
+    # derived range bounds
+    sql["manifest_stats_prune"] = (
+        "WITH p AS (SELECT ((max(o_orderkey) + 1) + 3) // 4 AS step FROM orders) "
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus "
+        "FROM orders, p WHERE o_orderkey >= p.step // 2 "
+        "AND o_orderkey < p.step + p.step // 2 AND o_orderstatus = 'F'"
+    )
+
     # table-driven PSL longest-match: last-3 labels beat last-2, the
     # winner gains one more label; no match -> prevailing rule (last 2)
     _psl = _url_fixture_psl_sql()

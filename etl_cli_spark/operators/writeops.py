@@ -175,26 +175,28 @@ class ParquetTable:
     def _ckpt_name(version: int) -> str:
         return f"{int(version):020d}.checkpoint.json"
 
-    def _resolve_base(self, version: int) -> list[str] | None:
-        """Full file list of ``version`` if it is self-resolvable: the
+    def _resolve_base(self, version: int) -> tuple[list[str], dict] | None:
+        """(files, stats) of ``version`` if it is self-resolvable: the
         stored doc is a checkpoint (has ``files``) or a vacuum wrote a
         checkpoint sidecar for it. None when it is a bare delta."""
         doc = self._raw_manifest_at(version)
         if "files" in doc:
-            return list(doc["files"])
+            return list(doc["files"]), dict(doc.get("stats", {}))
         side = self._backend.read_name(self._log_dir(), self._ckpt_name(version))
         if side is not None:
-            return list(json.loads(side)["files"])
+            sdoc = json.loads(side)
+            return list(sdoc["files"]), dict(sdoc.get("stats", {}))
         return None
 
     def _manifest_at(self, version: int) -> dict:
-        """The manifest document of ``version`` with ``files`` RESOLVED:
-        walk back to the nearest self-resolvable version (checkpoint doc
-        or vacuum-written checkpoint sidecar), then replay the add /
-        remove deltas forward with set semantics. O(checkpoint_interval)
-        tiny JSON reads — never proportional to the table's file count.
-        Raises the time-travel error if the version was never committed
-        or its resolution chain was vacuumed away."""
+        """The manifest document of ``version`` with ``files`` (and the
+        per-file column ``stats``) RESOLVED: walk back to the nearest
+        self-resolvable version (checkpoint doc or vacuum-written
+        checkpoint sidecar), then replay the add / remove deltas forward
+        with set semantics. O(checkpoint_interval) tiny JSON reads —
+        never proportional to the table's file count. Raises the
+        time-travel error if the version was never committed or its
+        resolution chain was vacuumed away."""
         version = int(version)
         doc = self._raw_manifest_at(version)
         chain = [doc]
@@ -210,15 +212,73 @@ class ParquetTable:
             base = self._resolve_base(v)
             if base is None:
                 chain.append(self._raw_manifest_at(v))
-        files = set(base)
+        files, stats = set(base[0]), dict(base[1])
         for d in reversed(chain):
             if "files" in d:
                 files = set(d["files"])
+                stats = dict(d.get("stats", {}))
             else:
-                files -= set(d.get("remove", ()))
+                for f in d.get("remove", ()):
+                    files.discard(f)
+                    stats.pop(f, None)
                 files |= set(d.get("add", ()))
+                stats.update(d.get("stats", {}))
         out = dict(doc)
         out["files"] = sorted(files)
+        out["stats"] = {f: stats[f] for f in files if f in stats}
+        return out
+
+    # columns with parquet min/max stats worth carrying in the manifest
+    _MAX_STATS_COLUMNS = 16
+
+    def _collect_file_stats(self, rels) -> dict[str, dict[str, list]]:
+        """Per-file column [min, max] from the parquet FOOTERS of the
+        just-ingested files (pyarrow metadata read — no data pages).
+        Numeric and string leaf columns only; a column with any
+        stats-less row group (or an unsupported type) is omitted for
+        that file, which the pruner treats as "must scan". Failures
+        never block a commit — stats are an optimization, not
+        correctness."""
+        try:
+            import pyarrow.parquet as pq
+        except Exception:  # pragma: no cover - pyarrow is baked in
+            return {}
+        out: dict[str, dict[str, list]] = {}
+        for rel in rels:
+            try:
+                md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            except Exception:
+                continue
+            cols: dict[str, list | None] = {}
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if "." in name or name.startswith("_"):
+                        continue  # nested leaves / internal columns
+                    if name in cols and cols[name] is None:
+                        continue  # already poisoned for this file
+                    st = col.statistics
+                    has = st is not None and st.has_min_max
+                    mn = st.min if has else None
+                    mx = st.max if has else None
+                    if not (
+                        isinstance(mn, (int, float, str))
+                        and isinstance(mx, (int, float, str))
+                        and not isinstance(mn, bool)
+                        and not isinstance(mx, bool)
+                    ):
+                        cols[name] = None  # unsupported type or no stats
+                        continue
+                    prev = cols.get(name)
+                    cols[name] = (
+                        [mn, mx] if prev is None
+                        else [min(prev[0], mn), max(prev[1], mx)]
+                    )
+            keep = {k: v for k, v in cols.items() if v is not None}
+            if keep:
+                out[rel] = dict(sorted(keep.items())[: self._MAX_STATS_COLUMNS])
         return out
 
     def _commit(self, make) -> int:
@@ -243,12 +303,25 @@ class ParquetTable:
             prev_schema = None if latest is None else latest[1].get("schema")
             files, schema = make(prev_files, prev_schema)
             doc = {"version": ver, "schema": schema}
+            prev_set, new_set = set(prev_files), set(files)
+            added = sorted(new_set - prev_set)
+            # footer min/max for the files THIS commit introduces; stats
+            # for carried-over files ride the resolution chain
+            new_stats = self._collect_file_stats(added)
             if ver % self._checkpoint_interval == 0:
                 doc["files"] = sorted(files)
+                prev_stats = {} if latest is None else latest[1].get("stats", {})
+                merged = {
+                    f: prev_stats[f] for f in files if f in prev_stats
+                }
+                merged.update(new_stats)
+                if merged:
+                    doc["stats"] = merged
             else:
-                prev_set, new_set = set(prev_files), set(files)
-                doc["add"] = sorted(new_set - prev_set)
+                doc["add"] = added
                 doc["remove"] = sorted(prev_set - new_set)
+                if new_stats:
+                    doc["stats"] = new_stats
             # stream watermarks ride IN the manifest so "data visible"
             # and "batch recorded" are one atomic commit (the foundation
             # of the exactly-once streaming merge sink)
@@ -577,6 +650,100 @@ class ParquetTable:
             return None
         df = self.spark.read.parquet(self.path)
         return df.drop(_BUCKET) if _BUCKET in df.columns else df
+
+    # -- stats-based file skipping ----------------------------------------
+    _SKIP_OPS = ("eq", "gt", "gte", "lt", "lte", "in")
+
+    @staticmethod
+    def _file_may_match(stats: dict, path: str, op: str, val) -> bool:
+        """Can a row of a file with these column [min, max] stats satisfy
+        the conjunct? False ONLY when the stats PROVE no row can (nulls
+        are rejected by every comparison predicate anyway, and parquet
+        min/max exclude nulls, so interval logic is null-safe). Missing
+        stats, type mismatches, and unsupported ops all answer True —
+        pruning is a necessary-condition filter, never the row filter."""
+        mm = stats.get(path)
+        if mm is None:
+            return True
+        mn, mx = mm
+        vals = list(val) if op == "in" else [val]
+        for v in vals:
+            if isinstance(v, bool) or v is None:
+                return True
+            if isinstance(mn, (int, float)) != isinstance(v, (int, float)):
+                return True  # type mismatch: never prune on it
+            if isinstance(mn, str) != isinstance(v, str):
+                return True
+        if op == "eq":
+            return mn <= val <= mx
+        if op == "gt":
+            return mx > val
+        if op == "gte":
+            return mx >= val
+        if op == "lt":
+            return mn < val
+        if op == "lte":
+            return mn <= val
+        if op == "in":
+            return any(mn <= v <= mx for v in vals)
+        return True
+
+    def read_where(self, query) -> DataFrame | None:
+        """Snapshot read with manifest-level FILE SKIPPING: the per-file
+        column [min, max] stats each commit recorded from its parquet
+        footers prune the manifest file list for the skippable
+        conjuncts (``eq/gt/gte/lt/lte/in`` on numeric or string
+        columns), then the FULL compiled predicate filters the rows —
+        pruning is an access-path change, never an answer change (the
+        same contract as the persisted index probes).
+
+        ``query`` is the engine's DSL (``"col__gte=5"`` strings, or a
+        mapping). At 100 TB this is what turns a point/range query on a
+        sorted or naturally-clustered column into a scan of the few
+        files whose ranges intersect — Delta/Iceberg data skipping,
+        driven by the same manifest the commit protocol already writes.
+        Non-manifest tables fall back to a plain filtered read."""
+        from ..dsl import coerce_value, split_key
+
+        q = compile_query(query)
+
+        def apply_rows(df):
+            return q.apply(df) if df is not None else None
+
+        if not self._is_manifest():
+            return apply_rows(self.read())
+        latest = self._latest_manifest()
+        if latest is None:
+            return None
+        doc = latest[1]
+        stats = doc.get("stats", {})
+        conjuncts: list[tuple[str, str, object]] = []
+        items = query.items() if hasattr(query, "items") else [
+            tuple(s.split("=", 1)) for s in ([query] if isinstance(query, str) else query)
+        ]
+        for k, v in items:
+            if k.startswith("_"):
+                continue
+            path, op = split_key(k)
+            if op not in self._SKIP_OPS or "." in path:
+                continue
+            if op == "in":
+                vv = [coerce_value(x) for x in str(v).split(",")]
+            else:
+                vv = coerce_value(v)
+            conjuncts.append((path, op, vv))
+        files = [
+            f
+            for f in doc["files"]
+            if all(
+                self._file_may_match(stats.get(f, {}), p, op, v)
+                for p, op, v in conjuncts
+            )
+        ]
+        df = self._read_manifest_files(files, doc.get("schema"))
+        if df is not None and _BUCKET in df.columns:
+            df = df.drop(_BUCKET)
+        return apply_rows(df)
 
     # -- time travel -----------------------------------------------------
     def versions(self) -> list[int]:
@@ -1086,10 +1253,16 @@ class ParquetTable:
                 # FIRST (put-if-absent: a concurrent vacuum's identical
                 # sidecar is fine), only then drop the chain below
                 if self._resolve_base(oldest_kept) is None:
+                    floor_doc = self._manifest_at(oldest_kept)
                     self._backend.try_put(
                         self._log_dir(),
                         self._ckpt_name(oldest_kept),
-                        json.dumps({"files": resolved[oldest_kept]}).encode(),
+                        json.dumps(
+                            {
+                                "files": resolved[oldest_kept],
+                                "stats": floor_doc.get("stats", {}),
+                            }
+                        ).encode(),
                     )
                 for root, dirs, files in os.walk(self.path, topdown=True):
                     dirs[:] = [d for d in dirs if d != _LOG]

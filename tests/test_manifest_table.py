@@ -745,3 +745,62 @@ def test_delta_log_on_fake_object_store_with_races(spark, orders, tmp_path):
     for _ in range(5):
         t.versions()  # drain the bounded listing lag
     assert _rows(t.read()) == _rows(a.unionByName(b))
+
+
+# -- manifest stats + file skipping (round-5) ---------------------------------
+
+
+def test_read_where_prunes_files_by_stats(spark, orders, tmp_path):
+    """Key-range-disjoint files + a range predicate: read_where must
+    scan ONLY the intersecting file (manifest min/max data skipping)
+    and still return exactly the filtered rows; ops the stats cannot
+    prove (ne / regex) keep every file."""
+    t = ParquetTable(spark, str(tmp_path / "sk.parquet"), manifest=True)
+    for lo in range(0, 1600, 400):
+        t.append(orders.filter(f"o_orderkey >= {lo} AND o_orderkey < {lo + 400}"))
+    doc = t._latest_manifest()[1]
+    assert len(doc["stats"]) == len(doc["files"]) == 4
+
+    pruned = t.read_where(["o_orderkey__gte=100", "o_orderkey__lt=300"])
+    assert len(set(pruned.inputFiles())) == 1
+    assert _rows(pruned) == _rows(
+        t.read().filter("o_orderkey >= 100 AND o_orderkey < 300")
+    )
+    # string eq prunes nothing here (every file spans all statuses) but
+    # the answer is exact; the in-op prunes to two files
+    st = t.read_where({"o_orderstatus": "F", "o_orderkey__lt": 400})
+    assert _rows(st) == _rows(t.read().filter("o_orderstatus='F' AND o_orderkey<400"))
+    two = t.read_where(["o_orderkey__in=100,500"])
+    assert len(set(two.inputFiles())) == 2
+    assert two.count() == 2
+    # a non-skippable op keeps all files and still filters correctly
+    ne = t.read_where(["o_orderstatus__ne=F"])
+    assert len(set(ne.inputFiles())) == 4
+    from etl_cli_spark.dsl import compile_query
+
+    assert _rows(ne) == _rows(compile_query(["o_orderstatus__ne=F"]).apply(t.read()))
+
+
+def test_stats_survive_deltas_checkpoints_and_vacuum_floor(spark, orders, tmp_path):
+    """Stats ride the delta chain (delta docs carry only THEIR files'
+    stats), land merged in checkpoints, and survive into the vacuum
+    floor sidecar — pruning still works after the chain below is gone."""
+    t = ParquetTable(
+        spark, str(tmp_path / "skv.parquet"), manifest=True, checkpoint_interval=100
+    )
+    for lo in range(0, 1200, 400):
+        t.append(orders.filter(f"o_orderkey >= {lo} AND o_orderkey < {lo + 400}"))
+    raw1 = t._raw_manifest_at(1)
+    assert "files" not in raw1 and set(raw1["stats"]) == set(raw1["add"])
+    t.vacuum(retain_versions=2)  # floor v1 becomes a sidecar w/ stats
+    assert t.versions() == [1, 2]
+    pruned = t.read_where(["o_orderkey__gte=900"])
+    assert len(set(pruned.inputFiles())) == 1
+    assert pruned.count() == t.read().filter("o_orderkey >= 900").count()
+
+
+def test_read_where_legacy_table_falls_back(spark, orders, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "lg.parquet"))
+    t.append(orders)
+    out = t.read_where(["o_orderkey__lt=50"])
+    assert out.count() == orders.filter("o_orderkey < 50").count()
