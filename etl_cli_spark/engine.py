@@ -180,6 +180,32 @@ class Engine:
         result."""
         ds = parse_ds(uri)
         q = compile_query(query)
+        if (
+            ds.backend == "parquet"
+            and query
+            and not options
+            and q.url is None
+            and q.predicates
+        ):
+            import os as _os
+
+            path = resolve_path(ds, self.root)
+            if _os.path.isdir(_os.path.join(path, "_log")):
+                t = ParquetTable(self.spark, path)
+                # manifest stats file skipping applies the same compiled
+                # query after pruning the file list with the footer
+                # min/max each commit recorded — free for every DSL
+                # query. Hash-BUCKETED tables skip this route: their
+                # per-file key ranges span the whole domain (hash
+                # scatter), so the dedicated bucket point-prune below
+                # is the effective access path there.
+                if t.layout is None:
+                    out = t.read_where(query)
+                    if out is None:
+                        raise FileNotFoundError(
+                            f"{path}: manifest log present but no committed version"
+                        )
+                    return out
         df = read_dataset(self.spark, ds, self.root, options=options, url=q.url)
         if ds.backend == "parquet" and "__etl_bucket" in df.columns:
             df = _bucket_point_prune(df, resolve_path(ds, self.root), query)

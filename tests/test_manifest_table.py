@@ -804,3 +804,28 @@ def test_read_where_legacy_table_falls_back(spark, orders, tmp_path):
     t.append(orders)
     out = t.read_where(["o_orderkey__lt=50"])
     assert out.count() == orders.filter("o_orderkey < 50").count()
+
+
+def test_engine_dsl_query_file_skips_on_manifest_dataset(spark, engine, orders, tmp_path):
+    """engine.read with a DSL range query on a (non-bucketed) manifest
+    dataset routes through the stats-skipping read automatically — same
+    rows as the plain filtered read, fewer files scanned; bucketed
+    manifest datasets keep the dedicated bucket point-prune path."""
+    import os as _os
+
+    from etl_cli_spark.engine import Engine
+
+    root = str(tmp_path)
+    t = ParquetTable(spark, _os.path.join(root, "ok.parquet"), manifest=True)
+    for lo in range(0, 1600, 400):
+        t.append(orders.filter(f"o_orderkey >= {lo} AND o_orderkey < {lo + 400}"))
+    eng = Engine(spark, root)
+    out = eng.read("ok", ["o_orderkey__gte=100", "o_orderkey__lt=300", "_sort=o_orderkey"])
+    assert len(set(out.inputFiles())) == 1
+    exp = orders.filter("o_orderkey >= 100 AND o_orderkey < 300")
+    assert [r.o_orderkey for r in out.collect()] == sorted(
+        r.o_orderkey for r in exp.collect()
+    )
+    # unqueried read and non-predicate queries take the plain path
+    assert eng.read("ok").count() == orders.filter("o_orderkey < 1600").count()
+    assert eng.read("ok", ["_limit=5"]).count() == 5
