@@ -1718,12 +1718,23 @@ def _q_multimodal_audio(spark, sf):
 
 
 def _q_multimodal_frames(spark, sf):
-    # REAL frame sampling from BMP reels: the sampled frame is decoded
-    # and its pixel digest must match the oracle's independent pattern
-    # recomputation
-    from etl_cli_spark.operators.multimodal import make_fake_video, sample_frames
+    # REAL frame sampling from BMP reels AND animated GIFs (round-5:
+    # full GIF compositing with per-frame GCE delays): the sampled
+    # frame is decoded and its pixel digest must match the oracle's
+    # independent pattern recomputation — both containers share the
+    # frame-f-of-video-i = pattern(i*1000+f) protocol, so the oracle
+    # never touches either container format
+    from etl_cli_spark.operators.multimodal import (
+        make_fake_gif_video,
+        make_fake_video,
+        sample_frames,
+    )
 
-    video = make_fake_video(spark, n=12, fps=4)
+    video = make_fake_video(spark, n=12, fps=4).unionByName(
+        make_fake_gif_video(spark, n=6, frame_ms=250).withColumn(
+            "media_id", F.col("media_id") + 500
+        )
+    )
     return sample_frames(video, every_ms=1000).select(
         "media_id", "frame_idx", "frame_ts_ms",
         F.hex("frame_digest").alias("digest_hex"),
@@ -2869,9 +2880,12 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # multimodal_frames: recompute each sampled frame's pattern pixels
-    # in pure python (frame f of video i is pattern i*1000+f) and digest
+    # in pure python (frame f of video i is pattern i*1000+f) and
+    # digest — BMP reels at ids 0..11, animated GIFs at 500..505 (same
+    # protocol, same 250 ms frame step, neither container involved)
     _fvals = []
-    for i in range(12):
+    for mid in list(range(12)) + [500 + j for j in range(6)]:
+        i = mid if mid < 500 else mid - 500
         w, h = 8 + i % 5, 6 + i % 4
         dur, n_frames = 2000 + 500 * (i % 3), (2000 + 500 * (i % 3)) * 4 // 1000
         for s, ts in enumerate(range(0, dur, 1000)):
@@ -2882,7 +2896,7 @@ def oracle_sql() -> dict[str, str]:
                     for c in range(3):
                         buf.append((3 * x + 7 * y + 11 * (i * 1000 + fi) + 13 * c) % 256)
             dg = _hl.sha256(bytes(buf)).hexdigest()[:32].upper()
-            _fvals.append(f"({i}, {s}, {ts}, '{dg}')")
+            _fvals.append(f"({mid}, {s}, {ts}, '{dg}')")
     sql["multimodal_frames"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, "
         "CAST(fi AS INTEGER) AS frame_idx, CAST(ts AS BIGINT) AS frame_ts_ms, "

@@ -237,16 +237,16 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]
     return out[:n_pixels]
 
 
-def _decode_gif(data: bytes):
-    """Real GIF decoder (pure stdlib/numpy, from the public GIF89a
-    spec): logical screen descriptor, global/local color table, the
-    LZW-compressed table-based image data, and the 4-pass interlace
-    row order. Decodes the FIRST image descriptor (an animation's
-    later frames are deltas against compositing state — a corpus
-    pipeline wants the poster frame); a frame smaller than the screen
-    composes onto a background-color canvas. Transparency (GCE flag)
-    maps the index to its palette color — the digest contract is RGB.
-    Returns (width, height, HxWx3 uint8 array)."""
+def _decode_gif_frames(data: bytes, max_frames: int | None = None):
+    """Real animated-GIF decoder (pure stdlib/numpy, from the public
+    GIF89a spec): logical screen descriptor, global/local color
+    tables, Graphics Control Extensions (delay, disposal,
+    transparency), LZW image data, 4-pass interlace, and full
+    compositing — each image descriptor draws onto the persistent
+    canvas (transparent pixels leave it untouched), then its disposal
+    runs: 0/1 leave, 2 restores the drawn region to background, 3
+    restores the previous canvas. Returns (screen_w, screen_h,
+    [(delay_ms, HxWx3 uint8 canvas copy)])."""
     import numpy as np
 
     if data[:6] not in _GIF_SIGS:
@@ -263,16 +263,32 @@ def _decode_gif(data: bytes):
             raise ValueError("truncated GIF global color table")
         gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    bg_rgb = (
+        gct[min(bg, len(gct) - 1)] if gct is not None
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.tile(bg_rgb, (sh, sw, 1)).astype(np.uint8)
+    frames: list[tuple[int, object]] = []
+    delay_ms, disposal, tidx = 0, 0, None  # pending GCE state
     while pos < len(data):
         b = data[pos]
         pos += 1
         if b == 0x3B:  # trailer
             break
-        if b == 0x21:  # extension: label + sub-blocks
+        if b == 0x21:  # extension
+            label = data[pos] if pos < len(data) else 0
             pos += 1
+            blocks = bytearray()
             while pos < len(data) and data[pos]:
-                pos += 1 + data[pos]
+                n = data[pos]
+                blocks += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
             pos += 1
+            if label == 0xF9 and len(blocks) >= 4:  # Graphics Control
+                gpacked = blocks[0]
+                delay_ms = struct.unpack_from("<H", blocks, 1)[0] * 10
+                disposal = (gpacked >> 2) & 0x7
+                tidx = blocks[3] if gpacked & 0x01 else None
             continue
         if b != 0x2C:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
@@ -300,24 +316,50 @@ def _decode_gif(data: bytes):
         pos += 1
         idx = np.array(
             _gif_lzw_decode(bytes(lzw), min_code, iw * ih), dtype=np.int64
-        )
+        ).reshape(ih, iw)
         if idx.max(initial=0) >= len(pal):
             raise ValueError("GIF pixel index outside the color table")
-        frame = pal[idx].reshape(ih, iw, 3)
         if packed2 & 0x40:  # de-interlace: rows arrive in 4-pass order
-            out_rows = np.empty_like(frame)
+            out_rows = np.empty_like(idx)
             src = 0
             for start, step in _GIF_PASSES:
                 for y in range(start, ih, step):
-                    out_rows[y] = frame[src]
+                    out_rows[y] = idx[src]
                     src += 1
-            frame = out_rows
-        if (left, top, iw, ih) == (0, 0, sw, sh):
-            return sw, sh, np.ascontiguousarray(frame)
-        canvas = np.tile(pal[min(bg, len(pal) - 1)], (sh, sw, 1)).astype(np.uint8)
-        canvas[top : top + ih, left : left + iw] = frame
-        return sw, sh, canvas
-    raise ValueError("GIF has no image descriptor")
+            idx = out_rows
+        if top + ih > sh or left + iw > sw:
+            raise ValueError("GIF frame exceeds the logical screen")
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + ih, left : left + iw]
+        rgb = pal[idx]
+        if tidx is not None:
+            opaque = idx != tidx
+            region[opaque] = rgb[opaque]
+        else:
+            region[:, :] = rgb
+        frames.append((delay_ms, canvas.copy()))
+        if disposal == 2:  # restore drawn region to background
+            canvas[top : top + ih, left : left + iw] = bg_rgb
+        elif disposal == 3 and before is not None:
+            canvas = before
+        delay_ms, disposal, tidx = 0, 0, None
+        if max_frames is not None and len(frames) >= max_frames:
+            return sw, sh, frames
+    if not frames:
+        raise ValueError("GIF has no image descriptor")
+    return sw, sh, frames
+
+
+def _decode_gif(data: bytes):
+    """Poster-frame GIF decode: the animation's FIRST composed canvas
+    (subframes compose onto a background-color screen; transparency
+    honored) — a corpus pipeline wants the poster frame, and
+    :func:`_decode_gif_frames` serves the full animation. Returns
+    (width, height, HxWx3 uint8 array)."""
+    import numpy as np
+
+    sw, sh, frames = _decode_gif_frames(data, max_frames=1)
+    return sw, sh, np.ascontiguousarray(frames[0][1])
 
 
 def _decode_pixels(data: bytes):
@@ -480,13 +522,14 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling: one row per sampled frame.
 
     REAL for BMP-reel payloads (concatenated BMP frames, the codec-free
-    container `make_fake_video` emits): the reel is split by each
-    frame's declared size, the sampled frame is DECODED and the digest
-    is sha256[:16] of its pixel bytes — frame timing comes from the
-    metadata fps. Codec formats (H.264 etc.) keep the deterministic
-    stub digest; a real I-frame decoder drops into the same per-batch
-    contract. Row-explosion shape (1 video -> N frames) is identical on
-    both paths."""
+    container `make_fake_video` emits) and for ANIMATED GIF (round-5:
+    full compositing — subframe deltas, transparency, disposal — with
+    frame timing from each frame's own Graphics Control delay): the
+    sampled frame is DECODED and the digest is sha256[:16] of its
+    composed pixel bytes. Codec formats (H.264 etc.) keep the
+    deterministic stub digest; a real I-frame decoder drops into the
+    same per-batch contract. Row-explosion shape (1 video -> N frames)
+    is identical on all paths."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -510,6 +553,26 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                         fi = min(int(ts / frame_ms) if frame_ms else 0, len(frames) - 1)
                         px = _decode_bmp(frames[fi])[2]
                         digest = hashlib.sha256(px.tobytes()).digest()[:16]
+                        rows.append((r["media_id"], i, ts, digest))
+                elif payload[:6] in _GIF_SIGS:  # real path: animated GIF
+                    _w, _h, gframes = _decode_gif_frames(payload)
+                    # frame timing from each frame's own GCE delay
+                    # (0-delay frames default to 100 ms, the de-facto
+                    # browser convention); metadata duration wins when
+                    # present, else the delays sum
+                    starts, acc = [], 0
+                    for delay, _px in gframes:
+                        starts.append(acc)
+                        acc += delay if delay > 0 else 100
+                    total = int(dur) if dur else acc
+                    for i, ts in enumerate(range(0, total, every_ms)):
+                        fi = 0
+                        for j, s in enumerate(starts):
+                            if s <= ts:
+                                fi = j
+                        digest = hashlib.sha256(
+                            gframes[fi][1].tobytes()
+                        ).digest()[:16]
                         rows.append((r["media_id"], i, ts, digest))
                 else:  # stub path for codec formats
                     for i, ts in enumerate(range(0, int(dur), every_ms)):
@@ -671,6 +734,23 @@ def make_fake_video(spark, n: int = 12, fps: int = 4) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def make_fake_gif_video(spark, n: int = 6, frame_ms: int = 250) -> DataFrame:
+    """Deterministic synthetic ANIMATED-GIF video table: frame f of
+    video i is the full-frame pattern ``media_pixels(i*1000+f)`` at
+    that video's dims with a ``frame_ms`` GCE delay — the same
+    pattern/timing protocol as the BMP reels, so the same oracle
+    recomputes any sampled frame's pixels with neither codec involved."""
+    rows = []
+    for i in range(n):
+        w, h = media_dims(i)
+        dur = 2000 + 500 * (i % 3)
+        n_frames = dur // frame_ms
+        frames = [media_pixels(i * 1000 + f, w, h) for f in range(n_frames)]
+        payload = encode_gif_animation(frames, [frame_ms] * n_frames)
+        rows.append((i, "video", bytearray(payload), (w, h, None, dur, "gif")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def make_fake_audio(spark, n: int = 20) -> DataFrame:
     """Deterministic synthetic audio table: REAL PCM16 WAV payloads whose
     sample pattern an oracle recomputes independently."""
@@ -777,32 +857,10 @@ def encode_png(px) -> bytes:
     )
 
 
-def encode_gif(px, interlace: bool = False) -> bytes:
-    """Minimal GIF89a encoder for fixtures: builds a palette from the
-    image's unique colors (≤256 or ValueError), REAL LZW compression
-    (dictionary build, width growth with the one-code encoder lag the
-    spec's decoder timing implies), optional 4-pass interlace. Exists
-    so the decoder's dictionary/interlace paths are exercised by
-    payloads whose expected pixels an oracle recomputes from the
-    pattern alone."""
-    import numpy as np
-
-    arr = np.asarray(px, dtype=np.uint8)
-    h, w = arr.shape[:2]
-    flat = arr.reshape(-1, 3)
-    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if len(colors) > 256:
-        raise ValueError(f"GIF fixture needs <=256 colors, got {len(colors)}")
-    depth = max(1, int(len(colors) - 1).bit_length())
-    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
-    pal[: len(colors)] = colors
-    idx = inverse.reshape(h, w)
-    if interlace:
-        order = [y for start, step in _GIF_PASSES for y in range(start, h, step)]
-        idx = idx[order]
-    indices = idx.reshape(-1).tolist()
-
-    min_code = max(2, depth)
+def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
+    """REAL GIF LZW: dictionary build, width growth with the one-code
+    encoder lag the spec's decoder timing implies (the decoder learns
+    entry N while reading code N+1), CLEAR + reset at 4096 entries."""
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     width = min_code + 1
     acc = bits = 0
@@ -828,9 +886,6 @@ def encode_gif(px, interlace: bool = False) -> bytes:
         emit(prefix, width)
         d[(prefix, k)] = nxt
         nxt += 1
-        # encoder grows one entry later than the decoder's ==2^width
-        # rule: the decoder's table additions lag the encoder's by one
-        # code (it learns entry N while reading code N+1)
         if nxt == (1 << width) + 1 and width < 12:
             width += 1
         if nxt == 4096 + 1:
@@ -842,7 +897,52 @@ def encode_gif(px, interlace: bool = False) -> bytes:
     emit(eoi, width)
     if bits:
         body.append(acc & 0xFF)
+    return bytes(body)
 
+
+def _gif_palette(arrs):
+    """(palette array padded to a power of two, per-frame index arrays,
+    depth) from the union of colors across frames (≤256 or ValueError)."""
+    import numpy as np
+
+    flat = np.concatenate([a.reshape(-1, 3) for a in arrs])
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF fixture needs <=256 colors, got {len(colors)}")
+    depth = max(1, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    idxs, pos = [], 0
+    for a in arrs:
+        n = a.shape[0] * a.shape[1]
+        idxs.append(inverse[pos : pos + n].reshape(a.shape[:2]))
+        pos += n
+    return pal, idxs, depth
+
+
+def _gif_sub_blocks(body: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return bytes(out) + b"\x00"
+
+
+def encode_gif(px, interlace: bool = False) -> bytes:
+    """Minimal single-image GIF89a encoder for fixtures: palette from
+    the image's unique colors, real LZW compression, optional 4-pass
+    interlace — so the decoder's dictionary/interlace paths are
+    exercised by payloads whose expected pixels an oracle recomputes
+    from the pattern alone."""
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    pal, (idx,), depth = _gif_palette([arr])
+    if interlace:
+        order = [y for start, step in _GIF_PASSES for y in range(start, h, step)]
+        idx = idx[order]
+    min_code = max(2, depth)
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
     out += bytes([0x80 | (depth - 1), 0, 0])  # GCT flag+size, bg=0, aspect
@@ -850,10 +950,62 @@ def encode_gif(px, interlace: bool = False) -> bytes:
     out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
     out += bytes([0x40 if interlace else 0x00])
     out += bytes([min_code])
-    for i in range(0, len(body), 255):
-        chunk = body[i : i + 255]
-        out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3B"
+    out += _gif_sub_blocks(_gif_lzw_encode(idx.reshape(-1).tolist(), min_code))
+    out += b"\x3B"
+    return bytes(out)
+
+
+def encode_gif_animation(
+    frames,
+    delays_ms,
+    offsets=None,
+    screen=None,
+    disposals=None,
+    transparent_color=None,
+    background=None,
+) -> bytes:
+    """GIF89a animation encoder for fixtures: one GLOBAL palette from
+    the union of all frames' colors, a Graphics Control Extension
+    (delay, disposal, optional transparency) before every image
+    descriptor, and per-frame left/top offsets for subframe deltas —
+    everything the animated-decode path must composite."""
+    import numpy as np
+
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    offsets = list(offsets or [(0, 0)] * len(arrs))
+    disposals = list(disposals or [1] * len(arrs))
+    pal, idxs, depth = _gif_palette(arrs)
+    if screen is None:
+        sw = max(left + a.shape[1] for a, (left, _t) in zip(arrs, offsets))
+        sh = max(top + a.shape[0] for a, (_l, top) in zip(arrs, offsets))
+    else:
+        sw, sh = screen
+    def _pal_index(color):
+        hit = np.where((pal == np.asarray(color, dtype=np.uint8)).all(axis=1))[0]
+        return int(hit[0]) if len(hit) else None
+
+    tidx = None if transparent_color is None else _pal_index(transparent_color)
+    bgi = 0 if background is None else (_pal_index(background) or 0)
+    min_code = max(2, depth)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (depth - 1), bgi, 0])
+    out += pal.tobytes()
+    for arr, idx, (left, top), delay, disp in zip(
+        arrs, idxs, offsets, delays_ms, disposals
+    ):
+        packed = (int(disp) & 0x7) << 2
+        t = 0
+        if tidx is not None:
+            packed |= 0x01
+            t = tidx
+        out += b"\x21\xF9\x04" + bytes([packed])
+        out += struct.pack("<H", max(0, int(delay) // 10)) + bytes([t, 0])
+        h, w = arr.shape[:2]
+        out += b"\x2C" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        out += bytes([min_code])
+        out += _gif_sub_blocks(_gif_lzw_encode(idx.reshape(-1).tolist(), min_code))
+    out += b"\x3B"
     return bytes(out)
 
 

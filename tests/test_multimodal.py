@@ -662,3 +662,101 @@ def test_gif_rejects_malformed():
     with _pytest.raises(ValueError):
         encode_gif(np.arange(2048 * 3, dtype=np.int32).reshape(-1, 2, 3) % 256 * 0 +
                    np.arange(2048 * 3).reshape(-1, 2, 3) % 257)  # >256 colors
+
+
+def test_gif_animation_compositing_disposal_and_transparency():
+    """Animated decode composites like a browser: a transparent subframe
+    delta draws only its opaque pixels over the persistent canvas;
+    disposal=2 restores the drawn region to background before the next
+    frame; disposal=3 restores the previous canvas."""
+    import numpy as np
+
+    from etl_cli_spark.operators.multimodal import (
+        _decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    W, H = 6, 4
+    bgc = np.array([10, 10, 10], dtype=np.uint8)
+    red = np.array([200, 0, 0], dtype=np.uint8)
+    green = np.array([0, 200, 0], dtype=np.uint8)
+    key = np.array([1, 2, 3], dtype=np.uint8)  # transparent marker color
+
+    base = np.tile(bgc, (H, W, 1))
+    # frame 2: a 2x2 red patch at (1,1) inside a transparent delta
+    delta = np.tile(key, (2, 2, 1)).astype(np.uint8)
+    delta[0, 0] = red
+    delta[1, 1] = red
+    # frame 3: full green frame with disposal=3 (restore previous)
+    full_green = np.tile(green, (H, W, 1)).astype(np.uint8)
+    # frame 4: transparent no-op delta — must show the RESTORED canvas
+    noop = np.tile(key, (1, 1, 1)).astype(np.uint8)
+
+    data = encode_gif_animation(
+        [base, delta, full_green, noop],
+        delays_ms=[100, 200, 300, 400],
+        offsets=[(0, 0), (1, 1), (0, 0), (0, 0)],
+        screen=(W, H),
+        disposals=[1, 1, 3, 1],
+        transparent_color=tuple(key),
+    )
+    sw, sh, frames = _decode_gif_frames(data)
+    assert (sw, sh) == (W, H)
+    assert [d for d, _ in frames] == [100, 200, 300, 400]
+    f1, f2, f3, f4 = [f for _, f in frames]
+    assert (f1 == bgc).all()
+    # delta drew ONLY its opaque pixels
+    assert (f2[1, 1] == red).all() and (f2[2, 2] == red).all()
+    assert (f2[1, 2] == bgc).all() and (f2[0, 0] == bgc).all()
+    assert (f3 == green).all()
+    assert np.array_equal(f4, f2)  # disposal=3 restored the pre-green canvas
+
+
+def test_gif_disposal_2_restores_background():
+    import numpy as np
+
+    from etl_cli_spark.operators.multimodal import (
+        _decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    bgc = np.array([7, 7, 7], dtype=np.uint8)
+    blue = np.tile(np.array([0, 0, 250], dtype=np.uint8), (2, 2, 1))
+    base = np.tile(bgc, (4, 4, 1)).astype(np.uint8)
+    noop = np.tile(np.array([9, 9, 9], dtype=np.uint8), (1, 1, 1))
+    data = encode_gif_animation(
+        [base, blue, noop],
+        delays_ms=[100, 100, 100],
+        offsets=[(0, 0), (2, 2), (0, 0)],
+        screen=(4, 4),
+        disposals=[1, 2, 1],  # blue patch disposed to background
+        background=tuple(bgc),
+    )
+    _w, _h, frames = _decode_gif_frames(data)
+    f2, f3 = frames[1][1], frames[2][1]
+    assert (f2[2:, 2:] == [0, 0, 250]).all()
+    assert (f3[2:, 2:] == bgc).all()  # wiped back to background
+
+
+def test_sample_frames_animated_gif(spark):
+    """sample_frames over animated GIFs: digests equal sha256 of the
+    independently-recomputed pattern frames, timing from GCE delays."""
+    import hashlib as _hl
+
+    from etl_cli_spark.operators.multimodal import (
+        make_fake_gif_video,
+        media_dims,
+        media_pixels,
+        sample_frames,
+    )
+
+    video = make_fake_gif_video(spark, n=4, frame_ms=250)
+    rows = {(r.media_id, r.frame_idx): r for r in
+            sample_frames(video, every_ms=1000).collect()}
+    for i in range(4):
+        w, h = media_dims(i)
+        dur = 2000 + 500 * (i % 3)
+        for s, ts in enumerate(range(0, dur, 1000)):
+            fi = min(ts // 250, dur // 250 - 1)
+            want = _hl.sha256(media_pixels(i * 1000 + fi, w, h).tobytes()).digest()[:16]
+            assert bytes(rows[(i, s)].frame_digest) == want
