@@ -829,3 +829,23 @@ def test_engine_dsl_query_file_skips_on_manifest_dataset(spark, engine, orders, 
     # unqueried read and non-predicate queries take the plain path
     assert eng.read("ok").count() == orders.filter("o_orderkey < 1600").count()
     assert eng.read("ok", ["_limit=5"]).count() == 5
+
+
+def test_zorder_layout_composes_with_stats_skipping(spark, orders, tmp_path):
+    """Z-ordered files cover compact rectangles in (custkey, orderkey)
+    space, so the manifest footer stats are tight on BOTH columns and
+    read_where prunes a range query on EITHER — the zorder writer and
+    the stats pruner compose into multi-dimensional data skipping."""
+    from etl_cli_spark.operators.zorder import zorder_frame
+
+    t = ParquetTable(spark, str(tmp_path / "z.parquet"), manifest=True)
+    t.append(zorder_frame(orders, ["o_custkey", "o_orderkey"], num_partitions=8))
+    n_files = len(t._latest_manifest()[1]["files"])
+    assert n_files >= 4
+
+    for col, lo_frac in (("o_custkey", 0.1), ("o_orderkey", 0.1)):
+        hi = orders.agg(F.max(col)).first()[0]
+        lo, up = int(hi * lo_frac), int(hi * lo_frac) + max(1, int(hi * 0.08))
+        out = t.read_where([f"{col}__gte={lo}", f"{col}__lt={up}"])
+        assert len(set(out.inputFiles())) < n_files, col
+        assert out.count() == orders.filter(f"{col} >= {lo} AND {col} < {up}").count()
