@@ -119,8 +119,16 @@ def ops(spark):
             aggs={"n": "count(*)"}, fill={"n": "zero"},
         )
 
+    def _weighted(d):
+        from etl_cli_spark.operators.pipeline import weighted_sample
+
+        w = d.withColumn("w", (F.col("n_chars") + 1).cast("double"))
+        # ungrouped global top-k: must stay TakeOrderedAndProject
+        return weighted_sample(w, 100, "w")
+
     return {
         "minhash_dedup": _minhash,
+        "weighted_sample(global)": _weighted,
         "quota_sample(salted)": _quota,
         "bloom_decontaminate": _bloom,
         "cms_sketch(terms by lang)": _cms,
@@ -156,6 +164,30 @@ def main() -> None:
         tn = time.time() - t0
         rows.append((name, t1, tn, tn / t1))
         print(f"{name:28s} 1x={t1:6.1f}s  {factor}x={tn:6.1f}s  ratio={tn/t1:4.1f}")
+    # manifest stats skipping: a FIXED-selectivity range read should
+    # cost ~the same however many range-disjoint files the table has —
+    # the pruner drops the rest before Spark builds a file index
+    from etl_cli_spark.operators.writeops import ParquetTable
+
+    tmp = one.rsplit("/", 1)[0]
+    times = {}
+    for tag, df, copies in (("1x", d1, 1), (f"{factor}x", dn, factor)):
+        t = ParquetTable(spark, f"{tmp}/skip_{tag}.parquet", manifest=True)
+        n1 = d1.count()
+        for i in range(copies * 4):
+            lo, hi_ = i * n1 // 4, (i + 1) * n1 // 4
+            t.append(df.filter(f"doc_id >= {lo} AND doc_id < {hi_}"))
+        t0 = time.time()
+        got = t.read_where(["doc_id__gte=10", f"doc_id__lt={n1 // 4}"]).count()
+        times[tag] = time.time() - t0
+        assert got > 0
+    r = times[f"{factor}x"] / times["1x"]
+    rows.append(("stats_pruned_read(fixed range)", times["1x"], times[f"{factor}x"], r))
+    print(
+        f"{'stats_pruned_read':28s} 1x={times['1x']:6.1f}s  "
+        f"{factor}x={times[f'{factor}x']:6.1f}s  ratio={r:4.1f}"
+    )
+
     print("\n| op | 1x | %dx | ratio |" % factor)
     print("|---|---|---|---|")
     for name, t1, tn, r in rows:
