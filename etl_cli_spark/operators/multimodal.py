@@ -110,6 +110,12 @@ def _decode_bmp(data: bytes):
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# allocation-bomb guard for all pixel decoders: a corrupt header
+# claiming more pixels than this fails with ValueError before any
+# buffer is allocated (64 MPx ~ 192 MB of RGB — far above any
+# plausible crawl image, far below an executor OOM)
+_MAX_PIXELS = 64_000_000
+
 
 def _decode_png(data: bytes):
     """Real PNG decoder for the 8-bit truecolor (color type 2)
@@ -150,8 +156,18 @@ def _decode_png(data: bytes):
             f"only 8-bit truecolor non-interlaced PNG supported "
             f"(depth={bit_depth}, color={color_type}, interlace={interlace})"
         )
+    if w is None or h is None or w * h > _MAX_PIXELS:
+        # a corrupt header claiming absurd dimensions must fail BEFORE
+        # any allocation — an executor OOM from one crawl payload is
+        # exactly the failure the batch contract exists to prevent
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
     stride, bpp = w * 3, 3
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
+    if raw.size < h * (stride + 1):
+        raise ValueError("PNG IDAT shorter than the declared raster")
     rows = raw.reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint16)
@@ -254,6 +270,8 @@ def _decode_gif_frames(data: bytes, max_frames: int | None = None):
     if len(data) < 13:
         raise ValueError("truncated GIF header")
     sw, sh = struct.unpack_from("<HH", data, 6)
+    if sw * sh > _MAX_PIXELS or sw == 0 or sh == 0:
+        raise ValueError(f"implausible GIF screen {sw}x{sh}")
     packed, bg = data[10], data[11]
     pos = 13
     gct = None
@@ -297,6 +315,11 @@ def _decode_gif_frames(data: bytes, max_frames: int | None = None):
         left, top, iw, ih = struct.unpack_from("<HHHH", data, pos)
         packed2 = data[pos + 8]
         pos += 9
+        # bounds BEFORE the LZW decode: a corrupt descriptor must not
+        # size the pixel-index decode beyond the (already-guarded)
+        # logical screen
+        if iw == 0 or ih == 0 or top + ih > sh or left + iw > sw:
+            raise ValueError("GIF frame exceeds the logical screen")
         pal = gct
         if packed2 & 0x80:
             n = 2 << (packed2 & 0x07)
@@ -327,8 +350,6 @@ def _decode_gif_frames(data: bytes, max_frames: int | None = None):
                     out_rows[y] = idx[src]
                     src += 1
             idx = out_rows
-        if top + ih > sh or left + iw > sw:
-            raise ValueError("GIF frame exceeds the logical screen")
         before = canvas.copy() if disposal == 3 else None
         region = canvas[top : top + ih, left : left + iw]
         rgb = pal[idx]

@@ -760,3 +760,54 @@ def test_sample_frames_animated_gif(spark):
             fi = min(ts // 250, dur // 250 - 1)
             want = _hl.sha256(media_pixels(i * 1000 + fi, w, h).tobytes()).digest()[:16]
             assert bytes(rows[(i, s)].frame_digest) == want
+
+
+def test_allocation_bomb_headers_fail_before_alloc():
+    """A corrupt header claiming absurd dimensions (PNG 50k x 50k, GIF
+    65535 x 65535) must raise ValueError BEFORE any pixel buffer is
+    allocated — one crawl payload must not OOM an executor; and a valid
+    PNG header with garbage IDAT surfaces as ValueError, not
+    zlib.error."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from etl_cli_spark.operators.multimodal import (
+        _PNG_SIG,
+        _decode_gif,
+        _decode_pixels,
+        _decode_png,
+    )
+
+    def chunk(ctype, payload):
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+    bomb_png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 50_000, 50_000, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="implausible PNG"):
+        _decode_png(bomb_png)
+
+    bad_idat = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"not deflate data at all")
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        _decode_png(bad_idat)
+
+    bomb_gif = (
+        b"GIF89a" + struct.pack("<HH", 65535, 65535) + bytes([0x00, 0, 0]) + b"\x3B"
+    )
+    with _pytest.raises(ValueError, match="implausible GIF"):
+        _decode_gif(bomb_gif)
+
+    # and through the batch dispatch: all three degrade to None
+    for p in (bomb_png, bad_idat, bomb_gif):
+        assert _decode_pixels(p) is None

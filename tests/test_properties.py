@@ -222,3 +222,88 @@ def test_hist_quantile_bin_width_bound_property(spark, vals, q):
     est = hist_quantile(sk, [q], 0.0, 100.0, bins=20).collect()[0].est
     exact = sorted(vals)[max(0, math.ceil(q * len(vals)) - 1)]
     assert abs(est - exact) <= 5.0 + 1e-9  # one bin width
+
+
+# -- round-5: codec robustness properties (no Spark jobs — fast) -------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    ncol=st.integers(min_value=1, max_value=256),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(w, h, ncol, interlace, seed):
+    """encode_gif -> _decode_gif is the identity for ANY palette size,
+    dimensions, and interlace flag."""
+    import numpy as np
+
+    from etl_cli_spark.operators.multimodal import _decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, ncol, size=(h, w))]
+    W, H, out = _decode_gif(encode_gif(px, interlace=interlace))
+    assert (W, H) == (w, h)
+    assert np.array_equal(out, px)
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=5),
+    w=st.integers(min_value=2, max_value=12),
+    h=st.integers(min_value=2, max_value=12),
+    disposal=st.sampled_from([0, 1]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_animation_full_frames_property(n_frames, w, h, disposal, seed):
+    """Full-frame animations decode to exactly the encoded frames under
+    draw-over disposal, with the encoded delays."""
+    import numpy as np
+
+    from etl_cli_spark.operators.multimodal import (
+        _decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 16, size=(h, w))] for _ in range(n_frames)]
+    delays = [int(d) * 10 for d in rng.integers(1, 50, size=n_frames)]
+    data = encode_gif_animation(frames, delays, disposals=[disposal] * n_frames)
+    _w, _h, got = _decode_gif_frames(data)
+    assert len(got) == n_frames
+    for (d, canvas), f, want_d in zip(got, frames, delays):
+        assert d == want_d
+        assert np.array_equal(canvas, f)
+
+
+@given(payload=st.binary(min_size=0, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_random_bytes_never_crash_decode_or_probe(payload):
+    """The batch contract, fuzzed: arbitrary bytes through the pixel
+    dispatch return an array or None (never raise), and the header
+    probe returns a 3-tuple (never raises) — one garbage crawl payload
+    must not be able to kill a Spark task."""
+    from etl_cli_spark.operators.multimodal import _decode_pixels, _probe_one
+
+    _decode_pixels(payload)
+    fmt, w, h = _probe_one(payload)
+    assert fmt is None or isinstance(fmt, str)
+
+
+@given(
+    magic=st.sampled_from([b"GIF89a", b"GIF87a", b"\x89PNG\r\n\x1a\n", b"BM", b"P6", b"\xFF\xD8"]),
+    tail=st.binary(min_size=0, max_size=300),
+)
+@settings(max_examples=150, deadline=None)
+def test_magic_prefixed_garbage_never_crashes(magic, tail):
+    """Garbage that LOOKS like a known container (right magic, wrong
+    body) exercises the deep parse paths — still never a crash."""
+    from etl_cli_spark.operators.multimodal import _decode_pixels, _probe_one
+
+    payload = magic + tail
+    _decode_pixels(payload)
+    _probe_one(payload)
