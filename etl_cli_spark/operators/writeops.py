@@ -281,13 +281,19 @@ class ParquetTable:
                 out[rel] = dict(sorted(keep.items())[: self._MAX_STATS_COLUMNS])
         return out
 
-    def _commit(self, make) -> int:
+    def _commit(self, make, data_change: bool = True) -> int:
         """Commit the next manifest version. ``make(prev_files,
         prev_schema) -> (files, schema_json)`` computes the new complete
         file set FROM the snapshot being replaced, and is re-invoked on
         a commit race so the loser rebases onto the winner's tip — an
         optimistic-concurrency loop over the backend's conditional PUT
         (hard link locally, ``If-None-Match`` on an object store).
+
+        ``data_change=False`` marks a commit that rewrites files WITHOUT
+        changing the row multiset (compaction, zorder) — Delta's
+        ``dataChange`` flag. Change-feed consumers skip diffing such
+        versions entirely instead of scanning the rewritten files to
+        discover zero changes.
 
         Every ``checkpoint_interval``-th version stores the complete
         file list (a checkpoint); the versions between store only the
@@ -303,6 +309,8 @@ class ParquetTable:
             prev_schema = None if latest is None else latest[1].get("schema")
             files, schema = make(prev_files, prev_schema)
             doc = {"version": ver, "schema": schema}
+            if not data_change:
+                doc["dataChange"] = False
             prev_set, new_set = set(prev_files), set(files)
             added = sorted(new_set - prev_set)
             # footer min/max for the files THIS commit introduces; stats
@@ -688,7 +696,7 @@ class ParquetTable:
             return any(mn <= v <= mx for v in vals)
         return True
 
-    def read_where(self, query) -> DataFrame | None:
+    def read_where(self, query, version: int | None = None) -> DataFrame | None:
         """Snapshot read with manifest-level FILE SKIPPING: the per-file
         column [min, max] stats each commit recorded from its parquet
         footers prune the manifest file list for the skippable
@@ -702,7 +710,10 @@ class ParquetTable:
         sorted or naturally-clustered column into a scan of the few
         files whose ranges intersect — Delta/Iceberg data skipping,
         driven by the same manifest the commit protocol already writes.
-        Non-manifest tables fall back to a plain filtered read."""
+        Non-manifest tables fall back to a plain filtered read.
+        ``version`` composes skipping with time travel: the stats of
+        THAT retained snapshot prune its file list (every manifest —
+        full, delta, or sidecar — carries its stats)."""
         from ..dsl import coerce_value, split_key
 
         q = compile_query(query)
@@ -712,10 +723,13 @@ class ParquetTable:
 
         if not self._is_manifest():
             return apply_rows(self.read())
-        latest = self._latest_manifest()
-        if latest is None:
-            return None
-        doc = latest[1]
+        if version is not None:
+            doc = self._manifest_at(version)
+        else:
+            latest = self._latest_manifest()
+            if latest is None:
+                return None
+            doc = latest[1]
         stats = doc.get("stats", {})
         conjuncts: list[tuple[str, str, object]] = []
         items = query.items() if hasattr(query, "items") else [
@@ -1142,7 +1156,7 @@ class ParquetTable:
                 )
             return [f for f in prev if f not in gone] + new_files, ps
 
-        self._commit(make)
+        self._commit(make, data_change=False)
         self._touch()
         return crowded
 
@@ -1188,7 +1202,9 @@ class ParquetTable:
             schema = self.spark.read.parquet(staged).schema.json()
             files = self._ingest_staged(staged)
             self._dump_meta(zmeta)
-            self._commit(lambda prev, ps: (files, schema))
+            # a zorder rewrite reorders rows across files but never
+            # changes the row multiset — change-feed consumers skip it
+            self._commit(lambda prev, ps: (files, schema), data_change=False)
             self._touch()
             return
         staged = f"{self.path}.__staged_{uuid.uuid4().hex[:8]}"

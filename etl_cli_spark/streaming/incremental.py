@@ -149,7 +149,9 @@ def changefeed_merge(
     ``pk`` (same post-images), so the at-least-once window never
     changes downstream content. A version with no net changes (e.g. a
     competitor's no-op commit) advances the watermark with a
-    metadata-only commit.
+    metadata-only commit, and a ``dataChange=false`` version
+    (compaction / zorder — files rewritten, rows identical) is skipped
+    WITHOUT scanning the rewritten files at all.
 
     Contract: ``transform`` filters/projections must depend only on
     columns an update cannot change OR the caller accepts insert-only
@@ -172,6 +174,16 @@ def changefeed_merge(
     watermark = last
     retained = set(upstream.versions())
     for v in sorted(vers):
+        if upstream._raw_manifest_at(v).get("dataChange", True) is False:
+            # compaction / zorder commit: files rewritten, row multiset
+            # unchanged (Delta's dataChange=false) — advance the
+            # watermark WITHOUT scanning the rewritten files to
+            # discover zero changes
+            downstream.stream_commit_meta(stream_id, v)
+            downstream._commit(lambda prev, ps: (list(prev), ps))
+            applied += 1
+            watermark = v
+            continue
         if v - 1 in retained:
             changes = upstream.snapshot_changes(v - 1, v, pk=pk)
         else:

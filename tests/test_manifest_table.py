@@ -614,11 +614,11 @@ def test_compact_partitions_aborts_on_conflict(spark, orders, tmp_path):
 
     orig_commit = t._commit
 
-    def racing_commit(make):
+    def racing_commit(make, **kw):
         # a concurrent writer replaces the whole table first
         other = ParquetTable(spark, t.path, manifest=True)
         other.overwrite(orders.limit(7))
-        return orig_commit(make)
+        return orig_commit(make, **kw)
 
     t._commit = racing_commit
     with pytest.raises(RuntimeError, match="concurrent modification"):
@@ -849,3 +849,59 @@ def test_zorder_layout_composes_with_stats_skipping(spark, orders, tmp_path):
         out = t.read_where([f"{col}__gte={lo}", f"{col}__lt={up}"])
         assert len(set(out.inputFiles())) < n_files, col
         assert out.count() == orders.filter(f"{col} >= {lo} AND {col} < {up}").count()
+
+
+def test_changefeed_skips_datachange_false_versions(spark, engine, orders, tmp_path):
+    """A compaction commit (dataChange=false: files rewritten, rows
+    identical) advances the change-feed watermark WITHOUT the drain
+    ever diffing the rewritten files — snapshot_changes must not even
+    be called for that version (Delta's CDF-skips-OPTIMIZE posture)."""
+    from etl_cli_spark.streaming.incremental import changefeed_merge
+
+    up = ParquetTable(spark, str(tmp_path / "upc.parquet"), manifest=True)
+    down = ParquetTable(spark, str(tmp_path / "dnc.parquet"), manifest=True)
+    for i in range(5):
+        up.append(orders.filter(f"o_orderkey % 5 = {i}"))  # v0..v4: small files
+    changefeed_merge(spark, up, down, pk=("o_orderkey",))
+    n_before = down.read().count()
+
+    compacted = up.compact_partitions(min_files=2)
+    assert compacted  # v5 committed
+    v5 = up.versions()[-1]
+    assert up._raw_manifest_at(v5).get("dataChange") is False
+
+    real = up.snapshot_changes
+
+    def trap(*a, **kw):  # the skip must never reach the differ
+        raise AssertionError("snapshot_changes called for a dataChange=false version")
+
+    up.snapshot_changes = trap
+    try:
+        s = changefeed_merge(spark, up, down, pk=("o_orderkey",))
+    finally:
+        up.snapshot_changes = real
+    assert s.versions_applied == 1 and s.rows_upserted == 0 and s.rows_deleted == 0
+    assert down.last_stream_batch("cdf") == v5
+    assert down.read().count() == n_before
+    # a real change AFTER the compaction still flows
+    up.append(orders.filter("o_orderkey >= 1400").withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000)))
+    s2 = changefeed_merge(spark, up, down, pk=("o_orderkey",))
+    assert s2.rows_upserted > 0
+    assert down.read().count() == n_before + s2.rows_upserted
+
+
+def test_read_where_composes_with_time_travel(spark, orders, tmp_path):
+    """read_where(version=v) prunes with THAT snapshot's stats and
+    returns that snapshot's rows — skipping and time travel compose."""
+    t = ParquetTable(spark, str(tmp_path / "tv.parquet"), manifest=True)
+    for lo in range(0, 1200, 400):
+        t.append(orders.filter(f"o_orderkey >= {lo} AND o_orderkey < {lo + 400}"))
+    old = t.read_where(["o_orderkey__gte=100", "o_orderkey__lt=300"], version=0)
+    assert len(set(old.inputFiles())) == 1
+    assert old.count() == orders.filter("o_orderkey >= 100 AND o_orderkey < 300").count()
+    # a range only present from v2 is EMPTY at v0 (zero files scanned)
+    v0_hi = t.read_where(["o_orderkey__gte=900"], version=0)
+    assert v0_hi.count() == 0
+    assert t.read_where(["o_orderkey__gte=900"], version=2).count() == \
+        orders.filter("o_orderkey >= 900 AND o_orderkey < 1200").count()
