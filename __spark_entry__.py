@@ -280,6 +280,88 @@ def _ivf_cells_ctes(dim: int, k: int, iters: int) -> tuple[list[str], str]:
     return ctes, prev
 
 
+def _pq_search_sql(dim: int, m: int, ksub: int, iters: int,
+                   shortlist: int, k: int) -> str:
+    """DuckDB replay of the WHOLE PQ pipeline (similarity.pq_train /
+    pq_encode / pq_topk_rescored): per-subspace deterministic k-means
+    (the _kmeans_lite protocol — lowest-id sample init, 6 dp rounded
+    distances with lowest-code tie-break, 9 dp centroids), code
+    assignment for every vector, the per-query ADC lookup table, the
+    left-fold ADC sum, the (adc, id)-ordered shortlist, and the exact
+    cosine rescore of only the shortlist."""
+    dsub = dim // m
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048)",
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+    ]
+    d2 = lambda a, b: _d2_sql(a, b, dsub)
+    for j in range(1, m + 1):
+        lo, hi = (j - 1) * dsub + 1, j * dsub
+        ctes.append(
+            f"samp{j} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM samp)"
+        )
+        ctes.append(
+            f"c{j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+            f"sv AS cv FROM (SELECT vec_id, sv FROM samp{j} "
+            f"ORDER BY vec_id LIMIT {ksub}))"
+        )
+        prev = f"c{j}_0"
+        for t in range(1, iters + 1):
+            ctes.append(
+                f"a{j}_{t} AS (SELECT s.vec_id, s.sv, c.cid, row_number() OVER ("
+                f"PARTITION BY s.vec_id ORDER BY round({d2('s.sv', 'c.cv')}, 6), c.cid) AS rn "
+                f"FROM samp{j} s CROSS JOIN {prev} c)"
+            )
+            ctes.append(
+                f"m{j}_{t} AS (SELECT cid, g.d, round(avg(sv[g.d]), 9) AS val "
+                f"FROM (SELECT sv, cid FROM a{j}_{t} WHERE rn = 1) a, "
+                f"LATERAL (SELECT unnest(generate_series(1, {dsub})) AS d) g "
+                f"GROUP BY cid, g.d)"
+            )
+            ctes.append(
+                f"n{j}_{t} AS (SELECT cid, list(val ORDER BY d) AS cv "
+                f"FROM m{j}_{t} GROUP BY cid)"
+            )
+            ctes.append(
+                f"c{j}_{t} AS (SELECT c.cid, list_transform(COALESCE(n.cv, c.cv), "
+                f"x -> round(x, 9)) AS cv FROM {prev} c LEFT JOIN n{j}_{t} n USING (cid))"
+            )
+            prev = f"c{j}_{t}"
+        ctes.append(
+            f"enc{j} AS (SELECT vec_id, cid AS code FROM ("
+            f"SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id "
+            f"ORDER BY round({d2('t.sv', 'c.cv')}, 6), c.cid) AS rn "
+            f"FROM (SELECT vec_id, v[{lo}:{hi}] AS sv FROM e) t "
+            f"CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            # the query subvector must be a plain column here: DuckDB
+            # forbids subqueries inside lambda expressions
+            f"lut{j} AS (SELECT c.cid, round({d2('c.cv', 'qs.sq')}, 6) AS d "
+            f"FROM {prev} c CROSS JOIN (SELECT qv[{lo}:{hi}] AS sq FROM q) qs)"
+        )
+    dist = " + ".join(f"l{j}.d" for j in range(1, m + 1))
+    ctes.append(
+        "adc AS (SELECT e1.vec_id, " + dist + " AS dist "
+        "FROM enc1 e1 "
+        + " ".join(f"JOIN enc{j} e{j} USING (vec_id)" for j in range(2, m + 1))
+        + " JOIN lut1 l1 ON e1.code = l1.cid "
+        + " ".join(f"JOIN lut{j} l{j} ON e{j}.code = l{j}.cid" for j in range(2, m + 1))
+        + ")"
+    )
+    ctes.append(
+        f"short AS (SELECT vec_id FROM adc ORDER BY round(dist, 6), vec_id "
+        f"LIMIT {shortlist})"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT e.vec_id, round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6) AS score "
+        "FROM e JOIN short USING (vec_id) WHERE e.vec_id <> 0 "
+        f"ORDER BY score DESC, vec_id LIMIT {k}"
+    )
+
+
 def _scratch_orders(spark, sf):
     from etl_cli_spark.operators.writeops import ParquetTable
 
@@ -1095,6 +1177,25 @@ def _q_similarity_topk(spark, sf):
     emb = _engine(spark, sf).read("embeddings")
     q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
     return cosine_topk(emb, q, k=10, exclude_ids=[0])
+
+
+def _q_similarity_pq(spark, sf):
+    """Product-quantization search (round-5): train m=8 per-subspace
+    codebooks (deterministic k-means, 4 iterations), encode every
+    vector to 8 codes, shortlist 100 candidates by ADC (a per-query
+    LUT summed over the codes — pure JVM element_at lookups, the
+    compressed-domain pass that reads bytes instead of embeddings at
+    scale), then exact-cosine rescore ONLY the shortlist. The oracle
+    replays training, encoding, ADC, the shortlist, and the rescore
+    end-to-end in DuckDB."""
+    from etl_cli_spark.operators.similarity import pq_topk_rescored, pq_train
+
+    emb = _engine(spark, sf).read("embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    books = pq_train(emb, m=8, nbits=4, iters=4)
+    return pq_topk_rescored(
+        emb, books, q, k=10, shortlist=100, exclude_ids=[0]
+    )
 
 
 def _q_similarity_ann(spark, sf):
@@ -2255,6 +2356,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk": _q_similarity_topk,
     "similarity_ann": _q_similarity_ann,
     "similarity_ivf": _q_similarity_ivf,
+    "similarity_pq": _q_similarity_pq,
     "embedding_neardup": _q_embedding_neardup,
     "semantic_dedup": _q_semantic_dedup,
     # composite certifying all five multimodal decode paths in-window
@@ -3666,6 +3768,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT vec_id, round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS score "
         "FROM cells WHERE cid IN (SELECT cid FROM probes) "
         "ORDER BY score DESC, vec_id LIMIT 10"
+    )
+
+    # similarity_pq: the whole PQ pipeline replayed (8 per-subspace
+    # k-means chains, code assignment, ADC LUT + left-fold sum,
+    # shortlist, exact rescore) — see _pq_search_sql
+    sql["similarity_pq"] = _pq_search_sql(
+        dim=64, m=8, ksub=16, iters=4, shortlist=100, k=10
     )
 
     # semantic_dedup: same k-means/cell replay, then within-cluster

@@ -49,6 +49,7 @@ HEADLINE = [
     # round-5 additions
     "manifest_changefeed",    # CDF-driven incremental view maintenance
     "url_domain_cap",         # PSL broadcast join + salted domain cap
+    "similarity_pq",          # PQ codes + ADC shortlist + exact rescore
 ]
 
 

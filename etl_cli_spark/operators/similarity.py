@@ -712,3 +712,175 @@ def semantic_dedup(
     finally:
         base.unpersist()
     return with_cells.join(drops, on=id_col, how="left_anti")
+
+
+# -- product quantization (round-5) ------------------------------------------
+#
+# PQ is the canonical 100 TB embedding-search compression: each vector
+# becomes m small codes (one per subvector, each the id of the nearest
+# codebook centroid), and a query scores candidates by Asymmetric
+# Distance Computation — a per-query lookup table of the query
+# subvector's distance to every codebook entry, summed over the m
+# codes. A 64-dim float64 vector (512 B) becomes m=4 bytes; the scan
+# reads codes, never raw vectors. (Jégou et al., "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011 — public method.)
+#
+# Everything rides the repo's portable-float protocol (lowest-id
+# sample, rounded-distance argmin with lowest-code tie-break, 9 dp
+# centroids — the _kmeans_lite contract), so the DuckDB oracle replays
+# training, encoding, and ADC scoring bit-for-bit.
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> list[list[list[float]]]:
+    """Train m per-subspace codebooks of 2^nbits centroids each on the
+    lowest-``sample_size``-id vectors (the bounded, oracle-replayable
+    driver collect — build time only, never the query path). Returns
+    ``codebooks[m][2^nbits][dim/m]``."""
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    sample = [[float(v) for v in r[1]] for r in rows]
+    if not sample:
+        raise ValueError("pq_train needs a non-empty sample")
+    dim = len(sample[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = [v[j * dsub : (j + 1) * dsub] for v in sample]
+        cent = _kmeans_lite(sub, 1 << nbits, iters=iters)
+        books.append([list(map(float, c)) for c in cent])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Attach ``out_col`` = the m nearest-codebook-entry ids (PQ code).
+    One Arrow-batched pass, no shuffle; codebooks are closure-captured
+    (broadcast-sized). Same rounded-distance + lowest-id-tie protocol
+    as ``_assign_cells``."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType()), False)]
+    )
+
+    def encode(iters_):
+        for pdf in iters_:
+            if len(pdf) == 0:
+                pdf = pdf.copy()
+                pdf[out_col] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j, cb in enumerate(books):
+                blk = x[:, j * dsub : (j + 1) * dsub]
+                d = ((blk[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2).round(6)
+                codes[:, j] = d.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(list(codes.tolist()), index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(encode, out_schema)
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k by PQ Asymmetric Distance: the per-query LUT
+    (query subvector vs every codebook entry, rounded 6 dp) is a tiny
+    literal array in the plan; scoring is m JVM-side ``element_at``
+    lookups summed per row — whole-stage codegen, zero UDFs on the
+    query path, and the scan needs only the code column. Pass
+    ``code_col`` to score a pre-encoded frame (the persisted-index
+    shape); otherwise the frame is encoded on the fly. Ranks ascending
+    distance with the id tie-break; TakeOrderedAndProject at small k."""
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = np.asarray(query_vec, dtype=np.float64)
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != m*dsub {m * dsub}")
+    lut = [
+        [
+            float(round(float(((q[j * dsub : (j + 1) * dsub] - np.asarray(c)) ** 2).sum()), 6))
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    if code_col is None:
+        df = pq_encode(df, codebooks, vec_col=vec_col, out_col="__pq")
+        code_col = "__pq"
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[j]]), F.col(code_col).getItem(j) + 1
+        )
+        dist = term if dist is None else dist + term
+    return (
+        df.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_topk_rescored(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """The production PQ shape: ADC over the compressed codes shortlists
+    ``shortlist`` candidates (the cheap pass — at scale it reads m
+    bytes per vector, never the raw embeddings), then ONLY those rows
+    rescore with the exact cosine — one broadcast semi-join against a
+    shortlist of ids, the same pattern as the IVF probe. Returns
+    (id_col, score) exact-cosine-ranked top-k of the shortlist."""
+    cand = pq_topk(
+        df, codebooks, query_vec, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select(id_col)
+    hits = df.join(F.broadcast(cand), on=id_col, how="left_semi")
+    if exclude_ids:
+        hits = hits.filter(~F.col(id_col).isin(exclude_ids))
+    return (
+        hits.select(
+            F.col(id_col),
+            F.round(
+                cosine_to_const(_as_double(F.col(vec_col)), query_vec), 6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

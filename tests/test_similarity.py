@@ -272,3 +272,70 @@ def test_semantic_dedup_deterministic_and_keeps_cell(engine):
     assert "__cell" in k1.columns
     # impossible threshold keeps everything
     assert semantic_dedup(emb, n_clusters=8, threshold=1.1).count() == emb.count()
+
+
+# -- product quantization (round-5) -------------------------------------------
+
+
+def test_pq_encode_shapes_and_determinism(emb):
+    from etl_cli_spark.operators.similarity import pq_encode, pq_train
+
+    books = pq_train(emb, m=8, nbits=4, iters=4)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    enc = pq_encode(emb, books)
+    rows = enc.select("vec_id", "pq_code").orderBy("vec_id").limit(5).collect()
+    assert all(len(r.pq_code) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.pq_code)
+    again = pq_encode(emb, books).select("vec_id", "pq_code").orderBy("vec_id").limit(5).collect()
+    assert [r.pq_code for r in rows] == [r.pq_code for r in again]
+
+
+def test_pq_rescored_recall_vs_exact(emb):
+    """ADC shortlist + exact rescore recovers most of the true top-10 —
+    and the rescored scores are EXACT cosine, so every returned hit that
+    is in the true top-10 carries the true score."""
+    from etl_cli_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk_rescored,
+        pq_train,
+    )
+
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    exact = {r.vec_id: r.score for r in cosine_topk(emb, q, k=10, exclude_ids=[0]).collect()}
+    books = pq_train(emb, m=8, nbits=4, iters=4)
+    got = {r.vec_id: r.score for r in
+           pq_topk_rescored(emb, books, q, k=10, shortlist=100, exclude_ids=[0]).collect()}
+    hits = set(exact) & set(got)
+    assert len(hits) >= 6  # worst-case synthetic embeddings
+    for v in hits:
+        assert got[v] == exact[v]
+
+
+def test_pq_scoring_is_jvm_side_on_encoded_frame(emb, tmp_path):
+    """The persisted-index shape: once codes are materialized, the ADC
+    query path is pure JVM (LUT literals + element_at) — no Python
+    worker in the plan, and the scan reads only (id, code)."""
+    from etl_cli_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    books = pq_train(emb, m=8, nbits=4, iters=4)
+    path = str(tmp_path / "pq.parquet")
+    pq_encode(emb, books).select("vec_id", "pq_code").write.parquet(path)
+    codes = emb.sparkSession.read.parquet(path)
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    top = pq_topk(codes, books, q, k=5, code_col="pq_code")
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert top.count() == 5
+
+
+def test_pq_rejects_bad_dims(emb):
+    import pytest as _pt
+
+    from etl_cli_spark.operators.similarity import pq_topk, pq_train
+
+    with _pt.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=7)
+    books = pq_train(emb, m=8, nbits=2, iters=2)
+    with _pt.raises(ValueError, match="query dim"):
+        pq_topk(emb, books, [0.0] * 10, k=3)
