@@ -280,10 +280,75 @@ def _ivf_cells_ctes(dim: int, k: int, iters: int) -> tuple[list[str], str]:
     return ctes, prev
 
 
+def _pq_subspace_ctes(j: int, dsub: int, ksub: int, iters: int,
+                      lo: int, hi: int, enc_src: str) -> list[str]:
+    """CTEs for ONE PQ subspace: the deterministic k-means chain on the
+    sample's sub-slice, code assignment for every row of ``enc_src``
+    (an expression yielding (vec_id, full-vector v)), and the query
+    LUT. Shared by the flat-PQ and IVF-PQ oracles."""
+    d2 = lambda a, b: _d2_sql(a, b, dsub)
+    ctes = [
+        f"samp{j} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM samp)",
+        f"c{j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+        f"sv AS cv FROM (SELECT vec_id, sv FROM samp{j} "
+        f"ORDER BY vec_id LIMIT {ksub}))",
+    ]
+    prev = f"c{j}_0"
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"a{j}_{t} AS (SELECT s.vec_id, s.sv, c.cid, row_number() OVER ("
+            f"PARTITION BY s.vec_id ORDER BY round({d2('s.sv', 'c.cv')}, 6), c.cid) AS rn "
+            f"FROM samp{j} s CROSS JOIN {prev} c)"
+        )
+        ctes.append(
+            f"m{j}_{t} AS (SELECT cid, g.d, round(avg(sv[g.d]), 9) AS val "
+            f"FROM (SELECT sv, cid FROM a{j}_{t} WHERE rn = 1) a, "
+            f"LATERAL (SELECT unnest(generate_series(1, {dsub})) AS d) g "
+            f"GROUP BY cid, g.d)"
+        )
+        ctes.append(
+            f"n{j}_{t} AS (SELECT cid, list(val ORDER BY d) AS cv "
+            f"FROM m{j}_{t} GROUP BY cid)"
+        )
+        ctes.append(
+            f"c{j}_{t} AS (SELECT c.cid, list_transform(COALESCE(n.cv, c.cv), "
+            f"x -> round(x, 9)) AS cv FROM {prev} c LEFT JOIN n{j}_{t} n USING (cid))"
+        )
+        prev = f"c{j}_{t}"
+    ctes.append(
+        f"enc{j} AS (SELECT vec_id, cid AS code FROM ("
+        f"SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id "
+        f"ORDER BY round({d2('t.sv', 'c.cv')}, 6), c.cid) AS rn "
+        f"FROM (SELECT vec_id, v[{lo}:{hi}] AS sv FROM {enc_src}) t "
+        f"CROSS JOIN {prev} c) WHERE rn = 1)"
+    )
+    ctes.append(
+        # the query subvector must be a plain column here: DuckDB
+        # forbids subqueries inside lambda expressions
+        f"lut{j} AS (SELECT c.cid, round({d2('c.cv', 'qs.sq')}, 6) AS d "
+        f"FROM {prev} c CROSS JOIN (SELECT qv[{lo}:{hi}] AS sq FROM q) qs)"
+    )
+    return ctes
+
+
+def _pq_adc_tail_ctes(m: int, shortlist: int) -> list[str]:
+    dist = " + ".join(f"l{j}.d" for j in range(1, m + 1))
+    return [
+        "adc AS (SELECT e1.vec_id, " + dist + " AS dist "
+        "FROM enc1 e1 "
+        + " ".join(f"JOIN enc{j} e{j} USING (vec_id)" for j in range(2, m + 1))
+        + " JOIN lut1 l1 ON e1.code = l1.cid "
+        + " ".join(f"JOIN lut{j} l{j} ON e{j}.code = l{j}.cid" for j in range(2, m + 1))
+        + ")",
+        f"short AS (SELECT vec_id FROM adc ORDER BY round(dist, 6), vec_id "
+        f"LIMIT {shortlist})",
+    ]
+
+
 def _pq_search_sql(dim: int, m: int, ksub: int, iters: int,
                    shortlist: int, k: int) -> str:
-    """DuckDB replay of the WHOLE PQ pipeline (similarity.pq_train /
-    pq_encode / pq_topk_rescored): per-subspace deterministic k-means
+    """DuckDB replay of the WHOLE flat-PQ pipeline (similarity.pq_train
+    / pq_encode / pq_topk_rescored): per-subspace deterministic k-means
     (the _kmeans_lite protocol — lowest-id sample init, 6 dp rounded
     distances with lowest-code tie-break, 9 dp centroids), code
     assignment for every vector, the per-query ADC lookup table, the
@@ -295,69 +360,61 @@ def _pq_search_sql(dim: int, m: int, ksub: int, iters: int,
         "samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048)",
         "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
     ]
-    d2 = lambda a, b: _d2_sql(a, b, dsub)
     for j in range(1, m + 1):
         lo, hi = (j - 1) * dsub + 1, j * dsub
-        ctes.append(
-            f"samp{j} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM samp)"
-        )
-        ctes.append(
-            f"c{j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
-            f"sv AS cv FROM (SELECT vec_id, sv FROM samp{j} "
-            f"ORDER BY vec_id LIMIT {ksub}))"
-        )
-        prev = f"c{j}_0"
-        for t in range(1, iters + 1):
-            ctes.append(
-                f"a{j}_{t} AS (SELECT s.vec_id, s.sv, c.cid, row_number() OVER ("
-                f"PARTITION BY s.vec_id ORDER BY round({d2('s.sv', 'c.cv')}, 6), c.cid) AS rn "
-                f"FROM samp{j} s CROSS JOIN {prev} c)"
-            )
-            ctes.append(
-                f"m{j}_{t} AS (SELECT cid, g.d, round(avg(sv[g.d]), 9) AS val "
-                f"FROM (SELECT sv, cid FROM a{j}_{t} WHERE rn = 1) a, "
-                f"LATERAL (SELECT unnest(generate_series(1, {dsub})) AS d) g "
-                f"GROUP BY cid, g.d)"
-            )
-            ctes.append(
-                f"n{j}_{t} AS (SELECT cid, list(val ORDER BY d) AS cv "
-                f"FROM m{j}_{t} GROUP BY cid)"
-            )
-            ctes.append(
-                f"c{j}_{t} AS (SELECT c.cid, list_transform(COALESCE(n.cv, c.cv), "
-                f"x -> round(x, 9)) AS cv FROM {prev} c LEFT JOIN n{j}_{t} n USING (cid))"
-            )
-            prev = f"c{j}_{t}"
-        ctes.append(
-            f"enc{j} AS (SELECT vec_id, cid AS code FROM ("
-            f"SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id "
-            f"ORDER BY round({d2('t.sv', 'c.cv')}, 6), c.cid) AS rn "
-            f"FROM (SELECT vec_id, v[{lo}:{hi}] AS sv FROM e) t "
-            f"CROSS JOIN {prev} c) WHERE rn = 1)"
-        )
-        ctes.append(
-            # the query subvector must be a plain column here: DuckDB
-            # forbids subqueries inside lambda expressions
-            f"lut{j} AS (SELECT c.cid, round({d2('c.cv', 'qs.sq')}, 6) AS d "
-            f"FROM {prev} c CROSS JOIN (SELECT qv[{lo}:{hi}] AS sq FROM q) qs)"
-        )
-    dist = " + ".join(f"l{j}.d" for j in range(1, m + 1))
-    ctes.append(
-        "adc AS (SELECT e1.vec_id, " + dist + " AS dist "
-        "FROM enc1 e1 "
-        + " ".join(f"JOIN enc{j} e{j} USING (vec_id)" for j in range(2, m + 1))
-        + " JOIN lut1 l1 ON e1.code = l1.cid "
-        + " ".join(f"JOIN lut{j} l{j} ON e{j}.code = l{j}.cid" for j in range(2, m + 1))
-        + ")"
-    )
-    ctes.append(
-        f"short AS (SELECT vec_id FROM adc ORDER BY round(dist, 6), vec_id "
-        f"LIMIT {shortlist})"
-    )
+        ctes += _pq_subspace_ctes(j, dsub, ksub, iters, lo, hi, "e")
+    ctes += _pq_adc_tail_ctes(m, shortlist)
     return (
         "WITH " + ", ".join(ctes) + " "
         "SELECT e.vec_id, round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6) AS score "
         "FROM e JOIN short USING (vec_id) WHERE e.vec_id <> 0 "
+        f"ORDER BY score DESC, vec_id LIMIT {k}"
+    )
+
+
+def _ivfpq_search_sql(dim: int, n_cells: int, cell_iters: int, n_probe: int,
+                      m: int, ksub: int, pq_iters: int,
+                      shortlist: int, k: int) -> str:
+    """DuckDB replay of the PERSISTED IVF-PQ probe
+    (similarity.build_ivfpq_index / ivfpq_topk_indexed): the coarse
+    k-means cell assignment and probe selection (the similarity_ivf
+    replay), PQ codebooks trained on the same lowest-id sample, code
+    assignment restricted to rows in the probed cells (exactly the
+    partition-pruned candidate set the index reads), ADC shortlist,
+    exact-cosine rescore.
+
+    The multiply-referenced base CTEs (e / samp / cells — and cand
+    below) are marked MATERIALIZED: DuckDB 1.0 inlines CTEs, and
+    ``cand`` embeds the whole coarse k-means chain, so 8 enc{j}
+    references + the rescore would otherwise re-run that chain ten
+    times (the un-hinted form took >15 min; hinted, seconds)."""
+    dsub = dim // m
+    ctes, cent_prev = _ivf_cells_ctes(dim, n_cells, cell_iters)
+    ctes = list(ctes)  # defines e, samp, cells(vec_id, v, cid)
+    _mat = {"e", "samp", "cells"}
+    ctes = [
+        c.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+        if (name := c.split(" ", 1)[0]) in _mat else c
+        for c in ctes
+    ]
+    ctes.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    d2full = lambda a, b: _d2_sql(a, b, dim)
+    ctes.append(
+        f"probes AS (SELECT c.cid FROM {cent_prev} c, q "
+        f"ORDER BY round({d2full('c.cv', 'qv')}, 6), c.cid LIMIT {n_probe})"
+    )
+    ctes.append(
+        "cand AS MATERIALIZED (SELECT vec_id, v FROM cells "
+        "WHERE cid IN (SELECT cid FROM probes))"
+    )
+    for j in range(1, m + 1):
+        lo, hi = (j - 1) * dsub + 1, j * dsub
+        ctes += _pq_subspace_ctes(j, dsub, ksub, pq_iters, lo, hi, "cand")
+    ctes += _pq_adc_tail_ctes(m, shortlist)
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT c.vec_id, round(list_cosine_similarity(c.v, (SELECT qv FROM q)), 6) AS score "
+        "FROM cand c JOIN short USING (vec_id) WHERE c.vec_id <> 0 "
         f"ORDER BY score DESC, vec_id LIMIT {k}"
     )
 
@@ -1195,6 +1252,27 @@ def _q_similarity_pq(spark, sf):
     books = pq_train(emb, m=8, nbits=4, iters=4)
     return pq_topk_rescored(
         emb, books, q, k=10, shortlist=100, exclude_ids=[0]
+    )
+
+
+def _q_similarity_ivfpq(spark, sf):
+    """Persisted IVF-PQ probe (round-5): coarse cells partition-prune
+    the read, PQ codes shortlist in the compressed domain, the
+    shortlist exact-rescoress — three successively tinier data volumes
+    (the FAISS IVFPQ layout, non-residual variant). The oracle replays
+    the coarse k-means, probe selection, per-subspace PQ training,
+    candidate encoding, ADC, and rescore end-to-end in DuckDB."""
+    from etl_cli_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+    )
+
+    emb = _engine(spark, sf).read("embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    path = tempfile.mkdtemp(prefix="etl_ivfpq_") + "/idx"
+    build_ivfpq_index(emb, path, n_centroids=16, m=8, nbits=4, pq_iters=4)
+    return ivfpq_topk_indexed(
+        spark, path, q, k=10, n_probe=4, shortlist=100, exclude_ids=[0]
     )
 
 
@@ -2357,6 +2435,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann": _q_similarity_ann,
     "similarity_ivf": _q_similarity_ivf,
     "similarity_pq": _q_similarity_pq,
+    "similarity_ivfpq": _q_similarity_ivfpq,
     "embedding_neardup": _q_embedding_neardup,
     "semantic_dedup": _q_semantic_dedup,
     # composite certifying all five multimodal decode paths in-window
@@ -3775,6 +3854,13 @@ def oracle_sql() -> dict[str, str]:
     # shortlist, exact rescore) — see _pq_search_sql
     sql["similarity_pq"] = _pq_search_sql(
         dim=64, m=8, ksub=16, iters=4, shortlist=100, k=10
+    )
+
+    # similarity_ivfpq: coarse cells + probes + PQ-on-candidates, all
+    # replayed — see _ivfpq_search_sql
+    sql["similarity_ivfpq"] = _ivfpq_search_sql(
+        dim=64, n_cells=16, cell_iters=8, n_probe=4,
+        m=8, ksub=16, pq_iters=4, shortlist=100, k=10,
     )
 
     # semantic_dedup: same k-means/cell replay, then within-cluster

@@ -50,6 +50,7 @@ HEADLINE = [
     "manifest_changefeed",    # CDF-driven incremental view maintenance
     "url_domain_cap",         # PSL broadcast join + salted domain cap
     "similarity_pq",          # PQ codes + ADC shortlist + exact rescore
+    "similarity_ivfpq",       # coarse-cell prune + ADC shortlist + rescore
 ]
 
 

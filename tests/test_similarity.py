@@ -339,3 +339,58 @@ def test_pq_rejects_bad_dims(emb):
     books = pq_train(emb, m=8, nbits=2, iters=2)
     with _pt.raises(ValueError, match="query dim"):
         pq_topk(emb, books, [0.0] * 10, k=3)
+
+
+def test_ivfpq_index_probe_prunes_and_recalls(spark, emb, tmp_path):
+    """The composed index (FAISS IVFPQ layout, non-residual variant):
+    the probe must partition-prune to the probed cells, shortlist in
+    the compressed domain JVM-side, and its rescored top-k should
+    recover most of the exact top-k."""
+    from etl_cli_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine_topk,
+        ivfpq_topk_indexed,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, n_centroids=8, m=8, nbits=4, pq_iters=4)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    got = ivfpq_topk_indexed(spark, path, qvec, k=10, n_probe=4,
+                             shortlist=100, exclude_ids=[0])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # partition-pruned scan of the probed cells, not a full read
+    assert "PartitionFilters" in plan and "__cell" in plan
+    # ADC + rescore stay JVM-side once codes are materialized
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+    approx = {r.vec_id for r in got.collect()}
+    exact = {r.vec_id for r in
+             cosine_topk(emb, qvec, k=10, exclude_ids=[0]).collect()}
+    assert len(approx) == 10
+    assert len(approx & exact) >= 6
+
+
+def test_ivfpq_scores_exact_for_returned_ids(spark, emb, tmp_path):
+    """Whatever ids the compressed shortlist surfaces, their returned
+    scores are EXACT cosines (the rescore reads the stored vectors) —
+    approximation only affects membership, never the reported score."""
+    from etl_cli_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine,
+        ivfpq_topk_indexed,
+    )
+
+    path = str(tmp_path / "ivfpq_s")
+    build_ivfpq_index(emb, path, n_centroids=8, m=8, nbits=4)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    rows = ivfpq_topk_indexed(spark, path, qvec, k=5, n_probe=8).collect()
+    by_id = {r.vec_id: r.score for r in rows}
+    check = (
+        emb.filter(F.col("vec_id").isin(list(by_id)))
+        .select("vec_id",
+                F.round(cosine(F.col("embedding").cast("array<double>"),
+                               F.array(*[F.lit(x) for x in qvec])), 6)
+                .alias("s"))
+        .collect()
+    )
+    for r in check:
+        assert abs(by_id[r.vec_id] - r.s) < 1e-9
