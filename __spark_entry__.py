@@ -419,6 +419,79 @@ def _ivfpq_search_sql(dim: int, n_cells: int, cell_iters: int, n_probe: int,
     )
 
 
+def _bpe_ctes(n_merges: int, min_pair_count: int = 2) -> tuple[list[str], str]:
+    """CTE chain replaying bpe_train's deterministic protocol round by
+    round: word counts (text.tokens segmentation), char symbolization,
+    then per round the weighted pair count, the (count desc, pair asc)
+    argmax gated on min_pair_count, and the left-to-right
+    non-overlapping merge fold (list_reduce over single-element-array
+    cells — DuckDB's no-init reduce needs the accumulator to share the
+    element type). Every w{t} is MATERIALIZED: the chain is linear but
+    each round references its predecessor twice (pair count + rewrite),
+    so inlining would double work per level. Returns (ctes,
+    final_words_cte); the chain also defines b1..b{n} (each round's
+    winning pair, empty after early stop — LEFT JOIN keeps later
+    rounds as no-ops, matching the Spark loop's break)."""
+    ctes = [
+        "wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM ("
+        "SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word "
+        "FROM documents) WHERE word <> '' GROUP BY word)",
+        "w0 AS MATERIALIZED (SELECT word, cnt, string_split(word, '') AS syms FROM wc)",
+    ]
+    prev = "w0"
+    for t in range(1, n_merges + 1):
+        ctes.append(
+            f"p{t} AS (SELECT z[1] AS l, z[2] AS r, sum(cnt) AS c FROM ("
+            f"SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z "
+            f"FROM {prev} WHERE len(syms) >= 2) GROUP BY l, r)"
+        )
+        ctes.append(
+            f"b{t} AS (SELECT l, r, c FROM p{t} WHERE c >= {min_pair_count} "
+            f"ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT word, cnt, "
+            "CASE WHEN b.l IS NULL THEN syms ELSE "
+            "list_reduce(list_transform(syms, s -> [s]), "
+            "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r "
+            "THEN list_append(acc[1:len(acc)-1], b.l || b.r) "
+            "ELSE list_append(acc, x[1]) END) END AS syms "
+            f"FROM {prev} LEFT JOIN b{t} b ON true)"
+        )
+        prev = f"w{t}"
+    return ctes, prev
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    ctes, _ = _bpe_ctes(n_merges)
+    parts = " UNION ALL ".join(
+        f'SELECT CAST({t} AS INT) AS rank, l AS "left", r AS "right", '
+        f"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + parts
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    ctes, wn = _bpe_ctes(n_merges)
+    ctes += [
+        "d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws "
+        "FROM documents)",
+        "pw AS (SELECT doc_id, g.i AS pos, ws[g.i] AS word FROM d, "
+        "LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g "
+        "WHERE ws[g.i] <> '')",
+        f"enc AS (SELECT p.doc_id, p.pos, w.syms FROM pw p JOIN {wn} w USING (word))",
+        "ag AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS pieces "
+        "FROM enc GROUP BY doc_id)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT d.doc_id, coalesce(array_to_string(a.pieces, ' '), '') AS toks, "
+        "CAST(coalesce(len(a.pieces), 0) AS INT) AS n_tokens "
+        "FROM d LEFT JOIN ag a USING (doc_id)"
+    )
+
+
 def _scratch_orders(spark, sf):
     from etl_cli_spark.operators.writeops import ParquetTable
 
@@ -1777,6 +1850,34 @@ def _q_tokenize_documents(spark, sf):
     )
 
 
+def _q_bpe_train(spark, sf):
+    """Distributed BPE tokenizer training (operators/bpe.py): one
+    corpus pass builds the word-frequency table, then 30 merge rounds
+    each run on the vocabulary-sized table only (pair counts from a
+    slice+zip explode, 1-row argmax collect, JVM aggregate() fold).
+    The oracle replays every round bit-for-bit in DuckDB."""
+    from etl_cli_spark.operators.bpe import bpe_train
+
+    d = _engine(spark, sf).read("documents")
+    return bpe_train(d, n_merges=30)
+
+
+def _q_bpe_encode(spark, sf):
+    """Corpus tokenization with the trained merges: the corpus joins
+    the word->pieces table (hash join, vocabulary-sized build side);
+    merge folds only ever touch the distinct-word table. Pieces are
+    emitted as a space-joined string (representation-stable across
+    engines, same convention as tokenize_documents)."""
+    from etl_cli_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = _engine(spark, sf).read("documents")
+    merges = bpe_train(d, n_merges=30)
+    out = bpe_encode(d, merges)
+    return out.select(
+        "doc_id", F.concat_ws(" ", "pieces").alias("toks"), "n_tokens"
+    )
+
+
 def _q_sketch_quantile_hist(spark, sf):
     """Mergeable histogram quantiles of order totals per status: exact
     integer bin counts + deterministic rank interpolation, so DuckDB
@@ -2456,6 +2557,8 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_vocab": _q_rank_vocab,
     "rank_scores": _q_rank_scores,
     "tokenize_documents": _q_tokenize_documents,
+    "bpe_train": _q_bpe_train,
+    "bpe_encode": _q_bpe_encode,
     "search_bm25_indexed": _q_search_bm25_indexed,
     "pipeline_end_to_end": _q_pipeline_end_to_end,
     "pipeline_streaming": _q_pipeline_streaming,
@@ -3588,6 +3691,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, array_to_string(list(tid ORDER BY pos), ',') AS token_ids_csv "
         "FROM ids GROUP BY doc_id"
     )
+
+    # bpe_train / bpe_encode: full round-by-round replay of the merge
+    # protocol — see _bpe_ctes
+    sql["bpe_train"] = _bpe_train_sql(30)
+    sql["bpe_encode"] = _bpe_encode_sql(30)
 
     # sketch_quantile_hist: identical bin arithmetic (floor((v-lo)/(hi-lo)
     # *bins), clamped), cumulative ranks, and interpolation formula

@@ -51,6 +51,7 @@ HEADLINE = [
     "url_domain_cap",         # PSL broadcast join + salted domain cap
     "similarity_pq",          # PQ codes + ADC shortlist + exact rescore
     "similarity_ivfpq",       # coarse-cell prune + ADC shortlist + rescore
+    "bpe_train",              # distributed BPE merge learning (30 rounds)
 ]
 
 

@@ -1,0 +1,202 @@
+"""Byte-pair-encoding tokenizer training and encoding, distributed.
+
+The scalable shape (how production BPE trainers actually run — Sennrich
+et al. 2016, "Neural Machine Translation of Rare Words with Subword
+Units", public method): ONE corpus-scale pass builds the word-frequency
+table (the same explode -> groupBy skeleton as ``rank.vocab``), and
+every merge round after that touches only that vocabulary-sized table:
+pair counts come from a slice+zip explode weighted by word count, the
+winning pair is a 1-row driver collect with a deterministic tie-break
+(count desc, then pair lexicographic), and the merge applies as a
+JVM-side left-to-right ``aggregate()`` fold — no Python UDF anywhere.
+
+100 TB posture: the corpus is scanned exactly once (word counting —
+map-side combine absorbs Zipf-hot words before the shuffle); each of
+the merge rounds shuffles a table proportional to DISTINCT WORDS, not
+documents, and the per-round driver traffic is one row (the argmax
+pair), the same iterative-driver-loop shape as ``graph.pagerank``.
+Encoding joins the corpus against the trained word->pieces table
+(vocabulary-sized, hash join on the word), so re-tokenizing 100 TB is
+one scan + one join; only out-of-vocabulary words ever re-run merge
+folds, and those run over the distinct-OOV table, not the corpus.
+
+Tokenization (pre-BPE word segmentation) matches ``operators.text
+.tokens`` — lowercased whitespace split — so the family lines up with
+vocab/TF-IDF/token_count and the DuckDB oracles can re-tokenize
+identically.
+
+The reference engine (vahana/etl_cli) has no tokenizer training; this
+extends the SURVEY north-star LLM-pipeline family beyond
+``text.token_count``'s BPE-ish regex estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# split a word into single characters: a split point everywhere except
+# the start, and only where a character follows (the bare (?!^) also
+# matches at end-of-string and yields a trailing "" element)
+_CHAR_SPLIT = r"(?!^)(?=.)"
+
+
+def _char_syms(col: Column) -> Column:
+    return F.split(col, _CHAR_SPLIT)
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) — the one corpus-scale pass. Map-side combine means
+    Zipf-skewed hot words are absorbed before the shuffle."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _pair_counts(syms_df: DataFrame) -> DataFrame:
+    """(left, right, pair_count) over the current symbolization,
+    weighted by word count. slice+zip is narrow; only (pair, count)
+    rows shuffle — proportional to distinct words, never documents."""
+    t = syms_df.select(
+        "cnt",
+        F.slice("syms", 1, F.size("syms") - 1).alias("ls"),
+        F.slice("syms", 2, F.size("syms") - 1).alias("rs"),
+    )
+    return (
+        t.filter(F.size("ls") > 0)
+        .select("cnt", F.explode(F.arrays_zip("ls", "rs")).alias("z"))
+        .select("cnt", F.col("z.ls").alias("left"), F.col("z.rs").alias("right"))
+        .groupBy("left", "right")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Replace every left-to-right non-overlapping (left, right)
+    adjacency with the merged symbol — a pure JVM aggregate() fold."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 30,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the merge
+    table (rank, left, right, merged, pair_count) ordered by rank —
+    the artifact a tokenizer ships. Stops early when no pair reaches
+    ``min_pair_count`` (merging a once-seen adjacency buys nothing).
+
+    Deterministic protocol (the oracle replays it bit-for-bit): word
+    segmentation = ``text.tokens`` (lowercased whitespace split); each
+    round's winner = max pair_count, ties broken by (left, right)
+    ascending; merges apply left-to-right non-overlapping.
+    """
+    spark = docs.sparkSession
+    words = _word_counts(docs, text_col)
+    syms_df = words.select(
+        "word", "cnt", _char_syms(F.col("word")).alias("syms")
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts(syms_df)
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].pair_count < min_pair_count:
+            break
+        left, right, cnt = top[0].left, top[0].right, int(top[0].pair_count)
+        merges.append((rank, left, right, left + right, cnt))
+        # localCheckpoint: truncate the per-round fold lineage so round
+        # t's plan doesn't nest t folds (vocab-sized table, cheap)
+        syms_df = syms_df.withColumn(
+            "syms", _apply_merge(F.col("syms"), left, right)
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def _merge_list(merges) -> list[tuple[str, str]]:
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("rank").collect()  # bounded by n_merges
+        return [(r.left, r.right) for r in rows]
+    return [(l, r) for l, r, *_ in merges] if merges and len(merges[0]) > 2 else list(merges)
+
+
+def bpe_word_pieces(
+    words: DataFrame, merges, checkpoint_every: int = 8
+) -> DataFrame:
+    """Apply a trained merge list to a (word, ...) table -> adds
+    ``pieces array<string>``. Runs over DISTINCT words (vocabulary-
+    sized), never the corpus; lineage is truncated every
+    ``checkpoint_every`` folds so plans stay shallow."""
+    out = words.withColumn("pieces", _char_syms(F.col("word")))
+    for i, (left, right) in enumerate(_merge_list(merges), 1):
+        out = out.withColumn("pieces", _apply_merge(F.col("pieces"), left, right))
+        if i % checkpoint_every == 0:
+            out = out.localCheckpoint()
+    return out
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Tokenize the corpus with a trained merge table: (id, pieces
+    array<string>, n_tokens). The corpus joins the word->pieces table
+    on the word (hash join, vocabulary-sized build side); merge folds
+    only ever run on the distinct-word table. Documents with no words
+    keep an empty pieces array (left join back to the corpus).
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    pieces = bpe_word_pieces(words, merges).select("word", "pieces")
+    pos = (
+        docs.select(
+            F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
+        )
+        .filter(F.col("word") != "")
+        .join(pieces, "word")
+    )
+    per_doc = pos.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                lambda s: s.pieces,
+            )
+        ).alias(out_col)
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.expr("CAST(array() AS array<string>)")).alias(out_col),
+        )
+        .withColumn("n_tokens", F.size(out_col))
+    )

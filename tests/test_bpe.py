@@ -1,0 +1,110 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cli_spark.operators.bpe import (
+    _apply_merge,
+    bpe_encode,
+    bpe_train,
+    bpe_word_pieces,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(engine):
+    return engine.read("documents")
+
+
+def test_merge_fold_left_to_right_non_overlapping(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "b"],), (["a", "b", "a", "b"],), (["x"],), ([],)],
+        "syms array<string>",
+    )
+    got = [r.m for r in df.select(_apply_merge(F.col("syms"), "a", "a").alias("m")).collect()]
+    assert got[0] == ["aa", "a", "b"]  # aaa -> (aa)(a), not overlapping
+    assert got[1] == ["a", "b", "a", "b"]
+    assert got[2] == ["x"] and got[3] == []
+    got2 = [r.m for r in df.select(_apply_merge(F.col("syms"), "a", "b").alias("m")).collect()]
+    assert got2[1] == ["ab", "ab"]
+
+
+def test_train_is_deterministic_and_ranked(docs):
+    m1 = bpe_train(docs, n_merges=8).collect()
+    m2 = bpe_train(docs, n_merges=8).collect()
+    assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
+    assert [r.rank for r in m1] == list(range(1, len(m1) + 1))
+    # counts are non-increasing only per-symbol-pair availability, but
+    # every merged symbol must be left||right
+    assert all(r.merged == r.left + r.right for r in m1)
+
+
+def test_train_early_stop_on_min_pair_count(docs):
+    m = bpe_train(docs, n_merges=50, min_pair_count=10**9)
+    assert m.count() == 0
+
+
+def test_encode_reassembles_words_exactly(spark, docs):
+    """Merges never cross word boundaries: concatenating a doc's pieces
+    must equal concatenating its whitespace tokens."""
+    merges = bpe_train(docs, n_merges=12)
+    enc = bpe_encode(docs, merges)
+    joined = enc.select(
+        "doc_id", F.concat_ws("", "pieces").alias("glued")
+    )
+    ref = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+            ),
+        ).alias("glued"),
+    )
+    diff = (
+        joined.alias("a")
+        .join(ref.alias("b"), "doc_id")
+        .filter(F.col("a.glued") != F.col("b.glued"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_encode_compresses_vs_chars(docs):
+    """Each merge can only shrink or keep the token count; with real
+    merges the corpus token count must drop below the char count."""
+    merges = bpe_train(docs, n_merges=12)
+    enc = bpe_encode(docs, merges)
+    n_pieces = enc.agg(F.sum("n_tokens")).first()[0]
+    n_chars = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter("w != ''")
+        .agg(F.sum(F.length("w")))
+        .first()[0]
+    )
+    assert n_pieces < n_chars
+
+
+def test_encode_keeps_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "aa ab aa ab"), (2, ""), (3, "   ")], "doc_id int, text string"
+    )
+    merges = bpe_train(df, n_merges=2)
+    rows = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    assert rows[2].pieces == [] and rows[2].n_tokens == 0
+    assert rows[3].pieces == [] and rows[3].n_tokens == 0
+    assert rows[1].n_tokens > 0
+
+
+def test_encode_plan_is_jvm_side(docs):
+    merges = bpe_train(docs, n_merges=4)
+    enc = bpe_encode(docs, merges)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+
+
+def test_word_pieces_accepts_plain_pairs(spark):
+    words = spark.createDataFrame([("abab",), ("ab",)], "word string")
+    out = {r.word: r.pieces for r in bpe_word_pieces(words, [("a", "b")]).collect()}
+    assert out["abab"] == ["ab", "ab"]
+    assert out["ab"] == ["ab"]
