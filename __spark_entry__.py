@@ -462,6 +462,70 @@ def _bpe_ctes(n_merges: int, min_pair_count: int = 2) -> tuple[list[str], str]:
     return ctes, prev
 
 
+def _classifier_sql(m: int, iters: int, lr: float, lr0: float) -> str:
+    """DuckDB replay of the WHOLE classifier pipeline
+    (classifier.train_linear_classifier + score_with_classifier):
+    portable md5 feature hashing, L1-normalized counts, then per
+    iteration the margin sums (round 6), rational-sigmoid residuals
+    (round 9), per-bucket gradients (round 9), and the lr/lr_intercept
+    weight updates (round 9); finally every document scored with the
+    learned weights. f / y / w{t} / r{t} are MATERIALIZED — each is
+    referenced more than once per iteration and DuckDB 1.0 inlines
+    CTEs."""
+    p_of = lambda mg: f"(0.5 + 0.5 * {mg} / (1 + abs({mg})))"
+    ctes = [
+        r"toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t "
+        "FROM documents)",
+        "y AS MATERIALIZED (SELECT doc_id, CASE WHEN "
+        "len(list_filter(t, x -> x = 'fast')) > len(list_filter(t, x -> x = 'slow')) "
+        "THEN 1.0 ELSE 0.0 END AS y FROM toks)",
+        f"tc AS (SELECT doc_id, (CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {m}) "
+        "AS bucket, count(*) AS c FROM (SELECT doc_id, unnest(t) AS term FROM toks) "
+        "WHERE term <> '' GROUP BY doc_id, bucket)",
+        "tot AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id)",
+        "f AS MATERIALIZED (SELECT tc.doc_id, bucket, CAST(c AS DOUBLE) / n AS x "
+        "FROM tc JOIN tot USING (doc_id))",
+        "nd AS (SELECT count(*) AS n FROM documents)",
+        "w0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0 AS w FROM f)",
+        "b0 AS (SELECT 0.0 AS b)",
+    ]
+    for t in range(1, iters + 1):
+        pv = t - 1
+        ctes.append(
+            f"s{t} AS (SELECT doc_id, sum(x * w) AS s FROM f JOIN w{pv} USING (bucket) "
+            "GROUP BY doc_id)"
+        )
+        ctes.append(
+            f"r{t} AS MATERIALIZED (SELECT q.doc_id, "
+            f"round({p_of('q.mg')} - q.y, 9) AS resid FROM ("
+            f"SELECT y.doc_id, y.y, round(coalesce(s.s, 0) + (SELECT b FROM b{pv}), 6) AS mg "
+            f"FROM y LEFT JOIN s{t} s USING (doc_id)) q)"
+        )
+        ctes.append(
+            f"g{t} AS (SELECT bucket, round(sum(x * resid) / (SELECT n FROM nd), 9) AS g "
+            f"FROM f JOIN r{t} USING (doc_id) GROUP BY bucket)"
+        )
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT w.bucket, round(w.w - {lr!r} * coalesce(g.g, 0), 9) "
+            f"AS w FROM w{pv} w LEFT JOIN g{t} g USING (bucket))"
+        )
+        ctes.append(
+            f"b{t} AS (SELECT round((SELECT b FROM b{pv}) - {lr0!r} * "
+            f"(SELECT round(sum(resid) / (SELECT n FROM nd), 9) FROM r{t}), 9) AS b)"
+        )
+    ctes.append(
+        f"sc AS (SELECT doc_id, sum(x * w) AS s FROM f JOIN w{iters} USING (bucket) "
+        "GROUP BY doc_id)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT q.doc_id, CAST(q.y AS INT) AS y, "
+        f"round({p_of('q.mg')}, 6) AS score FROM ("
+        f"SELECT y.doc_id, y.y, round(coalesce(s.s, 0) + (SELECT b FROM b{iters}), 6) AS mg "
+        "FROM y LEFT JOIN sc s USING (doc_id)) q"
+    )
+
+
 def _bpe_train_sql(n_merges: int) -> str:
     ctes, _ = _bpe_ctes(n_merges)
     parts = " UNION ALL ".join(
@@ -1878,6 +1942,30 @@ def _q_bpe_encode(spark, sf):
     )
 
 
+def _q_quality_classifier(spark, sf):
+    """Hashed-feature linear quality classifier (operators/classifier
+    .py — the fastText/CCNet-style seed filter): deterministic
+    full-batch GD with a rational surrogate sigmoid, so DuckDB replays
+    ALL ten training iterations (feature hashing, margins, residuals,
+    gradients, weight updates) and the final scoring bit-for-bit. The
+    label is text-derived (count('fast') > count('slow')) — linearly
+    learnable in the L1-normalized count feature space."""
+    from etl_cli_spark.operators.classifier import (
+        score_with_classifier,
+        train_linear_classifier,
+    )
+    from etl_cli_spark.operators.text import tokens as _toks
+
+    d = _engine(spark, sf).read("documents")
+    cnt = lambda w: F.size(F.filter(_toks("text"), lambda x: x == F.lit(w)))
+    label = cnt("fast") > cnt("slow")
+    model = train_linear_classifier(
+        d, label, m_buckets=256, iters=10, lr=400.0, lr_intercept=1.0
+    )
+    out = score_with_classifier(d, model)
+    return out.select("doc_id", label.cast("int").alias("y"), "score")
+
+
 def _q_sketch_quantile_hist(spark, sf):
     """Mergeable histogram quantiles of order totals per status: exact
     integer bin counts + deterministic rank interpolation, so DuckDB
@@ -2559,6 +2647,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_documents": _q_tokenize_documents,
     "bpe_train": _q_bpe_train,
     "bpe_encode": _q_bpe_encode,
+    "quality_classifier": _q_quality_classifier,
     "search_bm25_indexed": _q_search_bm25_indexed,
     "pipeline_end_to_end": _q_pipeline_end_to_end,
     "pipeline_streaming": _q_pipeline_streaming,
@@ -3696,6 +3785,10 @@ def oracle_sql() -> dict[str, str]:
     # protocol — see _bpe_ctes
     sql["bpe_train"] = _bpe_train_sql(30)
     sql["bpe_encode"] = _bpe_encode_sql(30)
+
+    # quality_classifier: all 10 GD iterations + scoring replayed —
+    # see _classifier_sql
+    sql["quality_classifier"] = _classifier_sql(256, 10, 400.0, 1.0)
 
     # sketch_quantile_hist: identical bin arithmetic (floor((v-lo)/(hi-lo)
     # *bins), clamped), cumulative ranks, and interpolation formula
