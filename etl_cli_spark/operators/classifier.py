@@ -117,18 +117,27 @@ def train_linear_classifier(
                     F.round(_surrogate_p(F.col("mg")) - F.col("y"), 9).alias("resid"),
                 )
             )
+            # one action per iteration: feature gradients UNION the
+            # intercept gradient as sentinel bucket -1 (same arithmetic
+            # as two separate aggregates, half the Spark jobs); resid is
+            # persisted so the two branches share one computation
+            resid = resid.persist()
             grads = (
                 feats.join(resid, id_col)
                 .groupBy("bucket")
                 .agg(F.round(F.sum(F.col("x") * F.col("resid")) / n_docs, 9).alias("g"))
-                .collect()  # ≤ m_buckets rows — the model, not the corpus
+                .unionAll(
+                    resid.agg(F.round(F.sum("resid") / n_docs, 9).alias("g"))
+                    .select(F.lit(-1).alias("bucket"), "g")
+                )
+                .collect()  # ≤ m_buckets + 1 rows — the model, not the corpus
             )
-            g0 = resid.agg(
-                F.round(F.sum("resid") / n_docs, 9).alias("g")
-            ).first().g
+            resid.unpersist()
             for r in grads:
-                w[int(r.bucket)] = round(w[int(r.bucket)] - lr * float(r.g), 9)
-            b0 = round(b0 - lr_intercept * float(g0 or 0.0), 9)
+                if r.bucket == -1:
+                    b0 = round(b0 - lr_intercept * float(r.g or 0.0), 9)
+                else:
+                    w[int(r.bucket)] = round(w[int(r.bucket)] - lr * float(r.g), 9)
         return spark.createDataFrame(
             [(-1, b0)] + sorted(w.items()), "bucket int, w double"
         )
