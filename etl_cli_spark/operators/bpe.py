@@ -181,7 +181,10 @@ def bpe_encode(
             F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
         )
         .filter(F.col("word") != "")
-        .join(pieces, "word")
+        # explicit: the vocabulary-sized side broadcasts; without the
+        # hint Spark's file-size estimate can pick the exploded CORPUS
+        # as the build side (plan-audit finding, round 5)
+        .join(F.broadcast(pieces), "word")
     )
     per_doc = pos.groupBy(id_col).agg(
         F.flatten(

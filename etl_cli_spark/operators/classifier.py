@@ -42,7 +42,13 @@ def hashed_features(
     m_buckets: int = 256,
 ) -> DataFrame:
     """(id, bucket, x) — L1-normalized hashed term counts per document:
-    x_b = count_b / n_tokens. One scan; only (id, bucket, count) move."""
+    x_b = count_b / n_tokens. One scan; only (id, bucket, count) move.
+    The per-doc total is a window over doc_id, NOT a join against a
+    per-doc aggregate — the aggregate is corpus-sized (one row per
+    doc), and Spark's size estimate happily broadcasts it (plan-audit
+    finding, round 5); the window is one narrow co-partitioned pass."""
+    from pyspark.sql import Window
+
     toks = (
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .filter(F.col("term") != "")
@@ -50,9 +56,9 @@ def hashed_features(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    tot = toks.groupBy(id_col).agg(F.sum("c").alias("n"))
-    return toks.join(tot, id_col).select(
-        id_col, "bucket", (F.col("c").cast("double") / F.col("n")).alias("x")
+    n = F.sum("c").over(Window.partitionBy(id_col))
+    return toks.select(
+        id_col, "bucket", (F.col("c").cast("double") / n).alias("x")
     )
 
 

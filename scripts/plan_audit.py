@@ -140,6 +140,28 @@ AUDITED: dict[str, str] = {
         "prior-touch frame — no self-join of the event stream against "
         "itself."
     ),
+    "similarity_ivfpq": (
+        "the persisted IVF-PQ probe: partition-pruned scan of the n_probe "
+        "coarse cells (PartitionFilters on __cell), JVM-side ADC over the "
+        "stored codes, broadcast left-semi of the shortlist ids, exact "
+        "rescore via TakeOrderedAndProject — three successively tinier "
+        "volumes; the full-corpus embedding column is never shuffled."
+    ),
+    "bpe_encode": (
+        "the trained word->pieces table (vocabulary-sized) broadcasts into "
+        "the corpus posexplode join; re-aggregation shuffles (doc, pos, "
+        "pieces) only; merge folds run in the upstream distinct-word branch "
+        "— the corpus is never folded. (The plan shown is the encode path; "
+        "training is the bounded iterative driver loop audited in "
+        "COVERAGE.md.)"
+    ),
+    "quality_classifier": (
+        "the scoring pass: one corpus scan to hashed features, broadcast "
+        "hash join against the m-row model, one aggregate back to "
+        "(doc, score) — the corpus never shuffles on anything wider than "
+        "(doc, bucket) ints. Training iterations (upstream of this plan) "
+        "each collect exactly the model, never the corpus."
+    ),
 }
 
 _KEEP = re.compile(

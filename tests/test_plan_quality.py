@@ -58,6 +58,9 @@ READ_QUERIES = [
     "ts_gap_fill",
     "weighted_sample",
     "events_attribution",
+    # round-5 operators
+    "bpe_encode",
+    "quality_classifier",
 ]
 
 
@@ -139,3 +142,24 @@ def test_dsir_model_broadcasts(spark, engine):
         d, d.filter("lang = 'en'"), eager=False
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bpe_encode_broadcasts_the_pieces_side(spark):
+    """The word->pieces join must build on the vocabulary-sized pieces
+    table; without the explicit hint Spark's file-size estimate can
+    pick the exploded CORPUS as the build side (round-5 audit find)."""
+    df = entry.queries()["bpe_encode"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [word" in plan and "BuildRight" in plan
+
+
+def test_classifier_features_use_window_not_total_join(spark):
+    """L1 normalization must come from a window over doc_id, not a join
+    against a per-doc aggregate (corpus-sized — Spark happily broadcast
+    it before the round-5 fix)."""
+    from etl_cli_spark.operators.classifier import hashed_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = hashed_features(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert plan.count("BroadcastExchange") == 0
