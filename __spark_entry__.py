@@ -1315,6 +1315,31 @@ def _q_dedup_minhash(spark, sf):
     return minhash_dedup(d, threshold=0.8).select("doc_id", "lang")
 
 
+def _q_fuzzy_join(spark, sf):
+    """Cross-corpus similarity join (dedup.minhash_fuzzy_join): which
+    docs of the even-id half near-match docs of the odd-id half — the
+    crawl-vs-previous-crawl linkage shape. The oracle is the EXACT
+    3-shingle Jaccard over all cross pairs (no MinHash), so LSH recall
+    must be 1.0 on the fixture, same standard as dedup_minhash."""
+    from etl_cli_spark.operators.dedup import minhash_fuzzy_join
+
+    d = _engine(spark, sf).read("documents")
+    return minhash_fuzzy_join(
+        d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1"), threshold=0.8
+    )
+
+
+def _q_leakage_split(spark, sf):
+    """Cluster-aware train/val/test split (pipeline.leakage_safe_split):
+    the split hash runs over the near-dup CLUSTER label, so no near-dup
+    pair can straddle train/val. Oracle replays exact-Jaccard pairs,
+    recursive connected components, and the md5 split assignment."""
+    from etl_cli_spark.operators.pipeline import leakage_safe_split
+
+    d = _engine(spark, sf).read("documents")
+    return leakage_safe_split(d, threshold=0.8).select("doc_id", "split")
+
+
 def _q_dedup_minhash_cc(spark, sf):
     from etl_cli_spark.operators.dedup import minhash_dedup_cc
 
@@ -2616,6 +2641,8 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": _q_text_pii_scrub,
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash": _q_dedup_minhash,
+    "fuzzy_join": _q_fuzzy_join,
+    "leakage_split": _q_leakage_split,
     "dedup_minhash_cc": _q_dedup_minhash_cc,
     "dedup_minhash_indexed": _q_dedup_minhash_indexed,
     "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -3686,6 +3713,21 @@ def oracle_sql() -> dict[str, str]:
     # the incremental index path must reproduce the batch dedup exactly
     sql["dedup_minhash_indexed"] = sql["dedup_minhash"]
 
+    # fuzzy_join: exact cross-pair Jaccard ground truth (even x odd
+    # halves), values included — the LSH join must reproduce it
+    sql["fuzzy_join"] = (
+        r"WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t "
+        "             FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)), "
+        "         i -> array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS s FROM tok) "
+        "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+        "      / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard "
+        "FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 "
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+        "      / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8"
+    )
+
     # manifest_changefeed: the incrementally-maintained downstream view
     # must equal the batch transform over the FINAL upstream state —
     # initial load (doc_id%3!=2) upserted with lang='xx' on %5==0
@@ -3735,6 +3777,30 @@ def oracle_sql() -> dict[str, str]:
         "comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node) "
         "SELECT d.doc_id, d.lang FROM documents d "
         "ANTI JOIN (SELECT node AS doc_id FROM comp WHERE node <> cluster) l USING (doc_id)"
+    )
+
+    # leakage_split: exact pairs -> recursive CC -> cluster-label md5
+    # split assignment, bit-identical to deterministic_split on __grp
+    _GH = "CAST(('0x' || substr(md5(grp),1,8)) AS BIGINT)"
+    sql["leakage_split"] = (
+        r"WITH RECURSIVE "
+        r"tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t "
+        "        FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)), "
+        "         i -> array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS s FROM tok), "
+        "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+        "                / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8), "
+        "edges AS (SELECT a_id AS s, b_id AS d FROM pairs "
+        "          UNION SELECT b_id, a_id FROM pairs), "
+        "reach(node, r) AS (SELECT s, s FROM edges "
+        "                   UNION SELECT rc.node, e.d FROM reach rc JOIN edges e ON e.s = rc.r), "
+        "comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node), "
+        "g AS (SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS VARCHAR) AS grp "
+        "      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node) "
+        f"SELECT doc_id, CASE WHEN {_GH} < 3865470566 THEN 'train' "
+        f"                    WHEN {_GH} < 4080218931 THEN 'val' "
+        "                     ELSE 'test' END AS split FROM g"
     )
 
     # http_bulk_source: the HTTP hop must be lossless — the oracle reads

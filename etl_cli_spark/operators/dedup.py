@@ -895,3 +895,69 @@ def append_to_dedup_index(
     kept = dedup_against_index(df, path, threshold=threshold)
     append_dedup_signatures(df, path)
     return kept
+
+
+# --------------------------------------------------------------------------
+# cross-corpus fuzzy join (entity resolution / crawl-vs-crawl linkage)
+# --------------------------------------------------------------------------
+
+def minhash_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    left_text: str = "text",
+    right_text: str = "text",
+    n_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    impl: str = "auto",
+    cache: bool = True,
+) -> DataFrame:
+    """Similarity join BETWEEN two corpora: (left_id, right_id, jaccard)
+    for every cross pair with exact shingle-Jaccard >= threshold among
+    LSH candidates — the entity-resolution / "which docs in this crawl
+    already exist in last month's crawl" shape. The reference engine
+    joins only on equality (merger mkeys); this is the fuzzy analogue.
+
+    Plan shape (mirrors minhash_lsh_pairs, but the bucket join is
+    left-vs-right instead of a self-join): each side gets ONE narrow
+    signature pass (shared deterministic hash family, so equal shingles
+    collide across tables); candidates come from the (band, bucket)
+    equi-join — the only corpus-wide exchange, and it moves (id, band,
+    bucket) ints; exact Jaccard runs on candidate pairs only, with the
+    hash arrays re-attached after pair dedup. No threshold-less
+    cross join exists at any size.
+    """
+    base_l = _minhash_base(left, left_id, left_text, n_shingle, num_hashes, bands, impl)
+    base_r = _minhash_base(right, right_id, right_text, n_shingle, num_hashes, bands, impl)
+    if cache:
+        from pyspark import StorageLevel
+
+        base_l = base_l.persist(StorageLevel.MEMORY_AND_DISK)
+        base_r = base_r.persist(StorageLevel.MEMORY_AND_DISK)
+    bl = base_l.select("id", F.posexplode("bh").alias("band", "bucket"))
+    br = base_r.select(
+        F.col("id").alias("r_id"), F.posexplode("bh").alias("band", "bucket")
+    )
+    cand = (
+        bl.join(br, on=["band", "bucket"], how="inner")
+        .select(F.col("id").alias("l_id"), "r_id")
+        .dropDuplicates(["l_id", "r_id"])
+    )
+    return (
+        cand.join(
+            base_l.select(F.col("id").alias("l_id"), F.col("hs").alias("l_hs")), "l_id"
+        )
+        .join(
+            base_r.select(F.col("id").alias("r_id"), F.col("hs").alias("r_hs")), "r_id"
+        )
+        .withColumn("jaccard", jaccard(F.col("l_hs"), F.col("r_hs")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("l_id").alias("left_id"),
+            F.col("r_id").alias("right_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

@@ -651,3 +651,46 @@ def weighted_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn", "__wk")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    seed: str = "",
+    out_col: str = "split",
+    **lsh_kw,
+) -> DataFrame:
+    """Train/val/test split that can NEVER leak through near-duplicates:
+    the split hash is taken over the near-dup CLUSTER label, so every
+    member of a connected near-dup component lands in the same split.
+    (Splitting on doc ids alone puts one crawl copy in train and its
+    near-identical twin in val — the benchmark-contamination failure
+    the decontaminate family exists to catch; this prevents the
+    intra-corpus variant by construction.)
+
+    ``clusters`` is a (node, cluster) frame from
+    dedup.connected_components — pass a precomputed one to reuse the
+    dedup pass the pipeline already ran; by default it is derived here
+    with minhash LSH (``lsh_kw`` forwarded). Docs absent from the
+    cluster frame are singletons and hash on their own id.
+
+    Scale: one left join against the cluster labels (tiny relative to
+    the corpus — AQE broadcasts them) on top of deterministic_split's
+    narrow per-row expression.
+    """
+    if clusters is None:
+        from .dedup import connected_components, minhash_lsh_pairs
+
+        clusters = connected_components(
+            minhash_lsh_pairs(df, id_col=id_col, text_col=text_col, **lsh_kw)
+        )
+    labeled = df.join(
+        clusters.select(F.col("node").alias(id_col), "cluster"), id_col, "left"
+    ).withColumn("__grp", F.coalesce(F.col("cluster"), F.col(id_col)))
+    return (
+        deterministic_split(labeled, "__grp", weights, seed, out_col)
+        .drop("__grp", "cluster")
+    )

@@ -190,6 +190,33 @@ def _s_domain_cap(df: DataFrame, url_col: str = "url", cap: int = 1000, **kw) ->
     return per_domain_cap(df, url_col, cap, **kw)
 
 
+def _s_classifier_filter(
+    df: DataFrame,
+    seed_expr: str,
+    min_score: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Train the hashed-feature linear classifier against a SQL-defined
+    seed label and keep docs scoring >= min_score. Like the dsir stage,
+    training runs Spark jobs AT COMPOSITION TIME (the bounded iterative
+    driver loop); the returned frame — scoring + filter — stays lazy."""
+    from ..operators.classifier import score_with_classifier, train_linear_classifier
+
+    model = train_linear_classifier(
+        df, F.expr(seed_expr), text_col=text_col, id_col=id_col, **kw
+    )
+    scored = score_with_classifier(df, model, text_col=text_col, id_col=id_col)
+    return scored.filter(F.col("score") >= min_score)
+
+
+def _s_leakage_split(df: DataFrame, **kw) -> DataFrame:
+    from ..operators.pipeline import leakage_safe_split
+
+    return leakage_safe_split(df, **kw)
+
+
 STAGES: dict[str, Callable[..., DataFrame]] = {
     "url_canonicalize": _s_url_canonicalize,
     "domain_cap": _s_domain_cap,
@@ -202,6 +229,8 @@ STAGES: dict[str, Callable[..., DataFrame]] = {
     "semantic_dedup": _s_semantic_dedup,
     "decontaminate": _s_decontaminate,
     "split": _s_split,
+    "leakage_split": _s_leakage_split,
+    "classifier_filter": _s_classifier_filter,
     "sample": _s_sample,
     "quota": _s_quota,
     "token_budget": _s_token_budget,

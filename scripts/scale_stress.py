@@ -126,6 +126,23 @@ def ops(spark):
         # ungrouped global top-k: must stay TakeOrderedAndProject
         return weighted_sample(w, 100, "w")
 
+    def _bpe(d):
+        from etl_cli_spark.operators.bpe import bpe_train
+
+        return bpe_train(d, n_merges=10)
+
+    def _classifier(d):
+        from etl_cli_spark.operators.classifier import (
+            score_with_classifier,
+            train_linear_classifier,
+        )
+
+        cnt = lambda w: F.size(F.filter(tokens("text"), lambda x: x == F.lit(w)))
+        model = train_linear_classifier(
+            d, cnt("fast") > cnt("slow"), iters=4, lr=400.0
+        )
+        return score_with_classifier(d, model)
+
     return {
         "minhash_dedup": _minhash,
         "weighted_sample(global)": _weighted,
@@ -140,6 +157,8 @@ def ops(spark):
         "per_domain_cap(salted)": _domain_cap,
         "hll_distinct(by lang)": _hll,
         "resample(1h,zero-fill)": _resample,
+        "bpe_train(10 merges)": _bpe,
+        "classifier(4 iters)": _classifier,
     }
 
 

@@ -272,3 +272,32 @@ def test_corpus_changefeed_tracks_upserts_and_deletes(spark, engine, tmp_path):
     assert run_corpus_pipeline_changefeed(
         spark, up, stages, down, pk=("doc_id",)
     ).versions_applied == 0
+
+
+def test_classifier_filter_stage(engine):
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline
+
+    docs = engine.read("documents")
+    seed = (
+        "size(filter(split(lower(trim(text)), '\\\\s+'), x -> x = 'fast')) > "
+        "size(filter(split(lower(trim(text)), '\\\\s+'), x -> x = 'slow'))"
+    )
+    out = run_corpus_pipeline(
+        docs,
+        [{"stage": "classifier_filter", "seed_expr": seed,
+          "min_score": 0.5, "iters": 6, "lr": 400.0}],
+    )
+    rows = out.collect()
+    assert 0 < len(rows) < docs.count()  # a real filter, not pass-all/none
+    assert all(r.score >= 0.5 for r in rows)
+
+
+def test_leakage_split_stage(engine):
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline
+
+    docs = engine.read("documents")
+    out = run_corpus_pipeline(
+        docs, [{"stage": "leakage_split", "threshold": 0.8}]
+    )
+    assert out.filter("split not in ('train','val','test')").count() == 0
+    assert out.count() == docs.count()

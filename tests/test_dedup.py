@@ -348,3 +348,61 @@ def test_append_composes_from_parts(spark, engine, tmp_path):
     append_dedup_signatures(b, i2)
     assert {r.doc_id for r in k1a.collect()} == {r.doc_id for r in k2a.collect()}
     assert {r.doc_id for r in k1b.collect()} == {r.doc_id for r in k2b.collect()}
+
+
+def test_fuzzy_join_finds_cross_pairs_only(spark):
+    from etl_cli_spark.operators.dedup import minhash_fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated text about spark shuffles and joins here")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "the quick brown fox jumps over the lazy cat today"),
+         (12, "another unrelated document about parquet footers entirely")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in minhash_fuzzy_join(left, right, threshold=0.5).collect()
+    }
+    assert (1, 10) in got and got[(1, 10)] == 1.0
+    assert (1, 11) in got and got[(1, 11)] < 1.0
+    assert all(l == 1 for l, _ in got)  # doc 2 matches nothing
+    assert (1, 12) not in got
+
+
+def test_fuzzy_join_plan_has_no_cartesian(spark, engine):
+    from etl_cli_spark.operators.dedup import minhash_fuzzy_join
+
+    d = engine.read("documents")
+    out = minhash_fuzzy_join(
+        d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1"), threshold=0.8
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan and "Join Cross" not in plan
+
+
+def test_fuzzy_join_agrees_with_self_pairs(spark, engine):
+    """Splitting a corpus in two and fuzzy-joining the halves must find
+    exactly the self-join pairs that straddle the halves."""
+    from etl_cli_spark.operators.dedup import minhash_fuzzy_join, minhash_lsh_pairs
+
+    d = engine.read("documents")
+    cross = {
+        (r.left_id, r.right_id)
+        for r in minhash_fuzzy_join(
+            d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1"), threshold=0.8
+        ).collect()
+    }
+    full = minhash_lsh_pairs(d, threshold=0.8).collect()
+    expect = set()
+    for r in full:
+        a, b = r.a_id, r.b_id
+        if a % 2 == 0 and b % 2 == 1:
+            expect.add((a, b))
+        elif a % 2 == 1 and b % 2 == 0:
+            expect.add((b, a))
+    assert cross == expect

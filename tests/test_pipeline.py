@@ -577,3 +577,45 @@ def test_weighted_sample_ungrouped_plan_has_no_single_task_window(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in salted.collect()
     )
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, engine):
+    from etl_cli_spark.operators.dedup import connected_components, minhash_lsh_pairs
+    from etl_cli_spark.operators.pipeline import leakage_safe_split
+
+    d = engine.read("documents")
+    clusters = connected_components(minhash_lsh_pairs(d, threshold=0.8))
+    out = leakage_safe_split(d, clusters=clusters)
+    labeled = out.join(
+        clusters.selectExpr("node as doc_id", "cluster"), "doc_id"
+    )
+    # every cluster maps to exactly one split
+    per = labeled.groupBy("cluster").agg(
+        F.countDistinct("split").alias("k")
+    ).collect()
+    assert per and all(r.k == 1 for r in per)
+
+
+def test_leakage_safe_split_is_deterministic_and_total(spark, engine):
+    from etl_cli_spark.operators.pipeline import leakage_safe_split
+
+    d = engine.read("documents")
+    a = {r.doc_id: r.split for r in leakage_safe_split(d, threshold=0.8).collect()}
+    b = {r.doc_id: r.split for r in leakage_safe_split(d, threshold=0.8).collect()}
+    assert a == b
+    assert len(a) == d.count()
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_leakage_safe_split_differs_from_naive_for_split_pairs(spark):
+    """A near-dup pair whose ids hash to different splits must be
+    reunited by the cluster-aware split."""
+    from etl_cli_spark.operators.pipeline import deterministic_split, leakage_safe_split
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text) for i in range(40)]  # all one near-dup cluster
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    naive = {r.split for r in deterministic_split(df).collect()}
+    safe = {r.split for r in leakage_safe_split(df, threshold=0.8).collect()}
+    assert len(naive) > 1      # naive split scatters the cluster
+    assert len(safe) == 1      # cluster-aware split keeps it together
