@@ -307,3 +307,80 @@ def test_magic_prefixed_garbage_never_crashes(magic, tail):
     payload = magic + tail
     _decode_pixels(payload)
     _probe_one(payload)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=2, max_size=12,
+    ),
+    n_merges=st.integers(min_value=1, max_value=6),
+)
+@SETTINGS
+def test_bpe_matches_pure_python_reference(spark, words, n_merges):
+    """bpe_train against an independent pure-Python BPE with the same
+    protocol (count desc, (left,right) asc tie-break, left-to-right
+    non-overlapping merge, min_pair_count=2) on arbitrary corpora."""
+    from collections import Counter
+
+    from etl_cli_spark.operators.bpe import bpe_train
+
+    def py_bpe(wordlist, n):
+        freq = Counter(" ".join(wordlist).lower().split())
+        syms = {w: list(w) for w in freq}
+        merges = []
+        for _ in range(n):
+            pc = Counter()
+            for w, cnt in freq.items():
+                s = syms[w]
+                for a, b in zip(s, s[1:]):
+                    pc[(a, b)] += cnt
+            if not pc:
+                break
+            (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if c < 2:
+                break
+            merges.append((l, r))
+            for w in syms:
+                s, out = syms[w], []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return merges
+
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id int, text string")
+    got = [(r.left, r.right) for r in bpe_train(docs, n_merges=n_merges).collect()]
+    assert got == py_bpe(words, n_merges)
+
+
+@given(
+    a=st.lists(st.text(alphabet="xyz", min_size=1, max_size=3), min_size=3, max_size=8),
+    b=st.lists(st.text(alphabet="xyz", min_size=1, max_size=3), min_size=3, max_size=8),
+)
+@SETTINGS
+def test_fuzzy_join_jaccard_matches_python(spark, a, b):
+    """Any pair the LSH join reports must carry the exact shingle
+    Jaccard a pure-Python recomputation yields."""
+    from etl_cli_spark.operators.dedup import minhash_fuzzy_join
+
+    def sh3(ws):
+        ws = [w.lower() for w in ws]
+        if len(ws) < 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    left = spark.createDataFrame([(1, " ".join(a))], "doc_id long, text string")
+    right = spark.createDataFrame([(2, " ".join(b))], "doc_id long, text string")
+    got = minhash_fuzzy_join(left, right, threshold=0.0).collect()
+    sa, sb = sh3(a), sh3(b)
+    expect = round(len(sa & sb) / max(len(sa | sb), 1), 6)
+    if expect > 0:
+        assert len(got) == 1 and abs(got[0].jaccard - expect) < 1e-6
+    else:
+        assert all(r.jaccard == 0 for r in got)
