@@ -139,7 +139,11 @@ def _merge_list(merges) -> list[tuple[str, str]]:
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("rank").collect()  # bounded by n_merges
         return [(r.left, r.right) for r in rows]
-    return [(l, r) for l, r, *_ in merges] if merges and len(merges[0]) > 2 else list(merges)
+    merges = list(merges)
+    if merges and len(merges[0]) > 2:
+        # bpe_train row tuples: (rank, left, right, merged, pair_count)
+        return [(m[1], m[2]) for m in merges]
+    return merges
 
 
 def bpe_word_pieces(

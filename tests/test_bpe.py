@@ -108,3 +108,22 @@ def test_word_pieces_accepts_plain_pairs(spark):
     out = {r.word: r.pieces for r in bpe_word_pieces(words, [("a", "b")]).collect()}
     assert out["abab"] == ["ab", "ab"]
     assert out["ab"] == ["ab"]
+
+
+def test_word_pieces_accepts_train_row_tuples(spark, docs):
+    """Collected bpe_train rows (rank, left, right, merged, count) must
+    apply identically to a merges DataFrame."""
+    merges_df = bpe_train(docs, n_merges=4)
+    rows = [tuple(r) for r in merges_df.collect()]
+    words = spark.createDataFrame([("merger",), ("stream",)], "word string")
+    via_df = {r.word: r.pieces for r in bpe_word_pieces(words, merges_df).collect()}
+    via_rows = {r.word: r.pieces for r in bpe_word_pieces(words, rows).collect()}
+    assert via_df == via_rows
+
+
+def test_bpe_train_empty_corpus(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id int, text string")
+    m = bpe_train(df, n_merges=5)
+    assert m.count() == 0
+    enc = bpe_encode(df, m)
+    assert all(r.n_tokens == 0 for r in enc.collect())
