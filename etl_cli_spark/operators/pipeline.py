@@ -694,3 +694,84 @@ def leakage_safe_split(
         deterministic_split(labeled, "__grp", weights, seed, out_col)
         .drop("__grp", "cluster")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_shards: int = 16,
+    token_col: str | None = None,
+    columns: list[str] | None = None,
+) -> dict:
+    """Materialize the corpus as deterministic fixed-token-budget
+    training shards: rows land in ``path/shard=K/`` ordered by
+    (pack_id, id) with their pack assignment attached, plus a
+    ``_shards.json`` index (per-shard doc/token/pack counts) so a
+    training loader can plan epochs without listing or scanning data
+    files. Layout is a pure function of (content hash, id, budget) —
+    re-running on the same corpus reproduces byte-identical shard
+    membership, the property checkpoint-resume depends on.
+
+    Scale: shard assignment + pack cumsum is pack_sequences (one
+    shuffle on the shard key, per-shard windows); the write is one
+    hive-partitioned pass; the index is ONE extra aggregate over
+    (shard, tokens) — n_shards rows to the driver, never data. At
+    100 TB, size n_shards to the cluster (thousands), not 16.
+    """
+    import json
+    import os
+
+    packed = pack_sequences(
+        df, id_col=id_col, text_col=text_col, budget=budget,
+        n_shards=n_shards, token_col=token_col,
+    ).select(id_col, "shard", "n_tokens", "pack_id")
+    keep = columns or [c for c in df.columns if c != id_col]
+    out = df.select(id_col, *keep).join(packed, id_col)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pack_id", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(path, "data"))
+    )
+    stats = (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            (F.max("pack_id") + 1).alias("packs"),
+        )
+        .collect()  # n_shards rows
+    )
+    index = {
+        "budget": budget,
+        "n_shards": n_shards,
+        # string keys: the index round-trips through JSON, where int
+        # keys silently become strings
+        "shards": {
+            str(int(r.shard)): {"docs": int(r.docs), "tokens": int(r.tokens),
+                                "packs": int(r.packs)}
+            for r in stats
+        },
+    }
+    with open(os.path.join(path, "_shards.json"), "w") as f:
+        json.dump(index, f, sort_keys=True)
+    return index
+
+
+def read_training_shards(spark, path: str, shards: list[int] | None = None):
+    """Read shard data back, partition-pruned to ``shards`` when given
+    (a loader reading its worker's shard subset touches only those
+    directories). Returns (DataFrame, index dict)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_shards.json")) as f:
+        index = json.load(f)
+    df = spark.read.parquet(os.path.join(path, "data"))
+    if shards is not None:
+        df = df.filter(F.col("shard").isin([int(s) for s in shards]))
+    return df, index

@@ -619,3 +619,50 @@ def test_leakage_safe_split_differs_from_naive_for_split_pairs(spark):
     safe = {r.split for r in leakage_safe_split(df, threshold=0.8).collect()}
     assert len(naive) > 1      # naive split scatters the cluster
     assert len(safe) == 1      # cluster-aware split keeps it together
+
+
+def test_training_shards_roundtrip_and_index(spark, engine, tmp_path):
+    from etl_cli_spark.operators.pipeline import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    d = engine.read("documents")
+    path = str(tmp_path / "shards")
+    idx = write_training_shards(d, path, budget=512, n_shards=4)
+    assert set(idx["shards"]) <= {str(i) for i in range(4)}
+    assert sum(s["docs"] for s in idx["shards"].values()) == d.count()
+    back, idx2 = read_training_shards(spark, path)
+    assert idx2 == idx
+    assert back.count() == d.count()
+    # per-shard token totals in the index match the data
+    got = {
+        str(int(r.shard)): int(r.t)
+        for r in back.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert got == {k: v["tokens"] for k, v in idx["shards"].items()}
+
+
+def test_training_shards_deterministic_membership(spark, engine, tmp_path):
+    from etl_cli_spark.operators.pipeline import write_training_shards
+
+    d = engine.read("documents")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    i1 = write_training_shards(d, p1, budget=256, n_shards=4)
+    i2 = write_training_shards(d.orderBy(F.rand(7)), p2, budget=256, n_shards=4)
+    assert i1 == i2  # membership is content-hash, not row-order
+
+
+def test_training_shards_read_is_partition_pruned(spark, engine, tmp_path):
+    from etl_cli_spark.operators.pipeline import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    d = engine.read("documents")
+    path = str(tmp_path / "pr")
+    write_training_shards(d, path, budget=512, n_shards=4)
+    df, _ = read_training_shards(spark, path, shards=[1])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
+    assert df.select("shard").distinct().collect()[0].shard == 1
