@@ -37,14 +37,21 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-# split a word into single characters: a split point everywhere except
-# the start, and only where a character follows (the bare (?!^) also
-# matches at end-of-string and yields a trailing "" element)
-_CHAR_SPLIT = r"(?!^)(?=.)"
-
-
 def _char_syms(col: Column) -> Column:
-    return F.split(col, _CHAR_SPLIT)
+    """Split a word into single CODE POINTS: substring()/length() on
+    Spark's UTF8String are code-point-aware, so astral-plane characters
+    (emoji) stay whole symbols. A regex split (``(?!^)(?=.)``) would
+    run on the UTF-16 java.lang.String and cut surrogate pairs — and
+    each lone half becomes '?' the moment it converts back to
+    UTF8String, silently corrupting the corpus (pinned by unit test).
+    """
+    return F.when(
+        F.length(col) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.substring(col, i, F.lit(1)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
 def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
@@ -76,18 +83,25 @@ def _pair_counts(syms_df: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(syms: Column, left: str, right: str) -> Column:
+def _apply_merge(syms: Column, left, right) -> Column:
     """Replace every left-to-right non-overlapping (left, right)
-    adjacency with the merged symbol — a pure JVM aggregate() fold."""
-    merged = left + right
+    adjacency with the merged symbol — a pure JVM aggregate() fold.
+    ``left``/``right`` may be Columns (the JVM-side path — required for
+    correctness on astral-plane symbols, whose lone-surrogate halves do
+    not survive a JVM->Python collect) or plain Python strings."""
+    if isinstance(left, str):
+        left = F.lit(left)
+    if isinstance(right, str):
+        right = F.lit(right)
+    merged = F.concat(left, right)
     return F.aggregate(
         syms,
         F.expr("CAST(array() AS array<string>)"),
         lambda acc, x: F.when(
             (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+            & (F.element_at(acc, -1) == left)
+            & (x == right),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
         ).otherwise(F.concat(acc, F.array(x))),
     )
 
@@ -106,7 +120,9 @@ def bpe_train(
     Deterministic protocol (the oracle replays it bit-for-bit): word
     segmentation = ``text.tokens`` (lowercased whitespace split); each
     round's winner = max pair_count, ties broken by (left, right)
-    ascending; merges apply left-to-right non-overlapping.
+    ascending; merges apply left-to-right non-overlapping. Symbols are
+    code points (see _char_syms), so the per-round 1-row collect and
+    the returned artifact are lossless for any Unicode input.
     """
     spark = docs.sparkSession
     words = _word_counts(docs, text_col)
@@ -135,26 +151,25 @@ def bpe_train(
     )
 
 
-def _merge_list(merges) -> list[tuple[str, str]]:
-    if isinstance(merges, DataFrame):
-        rows = merges.orderBy("rank").collect()  # bounded by n_merges
-        return [(r.left, r.right) for r in rows]
-    merges = list(merges)
-    if merges and len(merges[0]) > 2:
-        # bpe_train row tuples: (rank, left, right, merged, pair_count)
-        return [(m[1], m[2]) for m in merges]
-    return merges
-
-
 def bpe_word_pieces(
     words: DataFrame, merges, checkpoint_every: int = 8
 ) -> DataFrame:
-    """Apply a trained merge list to a (word, ...) table -> adds
-    ``pieces array<string>``. Runs over DISTINCT words (vocabulary-
-    sized), never the corpus; lineage is truncated every
-    ``checkpoint_every`` folds so plans stay shallow."""
+    """Apply trained merges to a (word, ...) table -> adds ``pieces
+    array<string>``. Runs over DISTINCT words (vocabulary-sized), never
+    the corpus; lineage is truncated every ``checkpoint_every`` folds so
+    plans stay shallow. ``merges`` is the bpe_train DataFrame or a
+    plain Python sequence of (left, right) pairs / bpe_train row
+    tuples."""
     out = words.withColumn("pieces", _char_syms(F.col("word")))
-    for i, (left, right) in enumerate(_merge_list(merges), 1):
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r.left, r.right) for r in merges.orderBy("rank").collect()
+        ]  # bounded by n_merges; code-point symbols collect losslessly
+    merges = list(merges)
+    if merges and len(merges[0]) > 2:
+        # bpe_train row tuples: (rank, left, right, merged, pair_count)
+        merges = [(m[1], m[2]) for m in merges]
+    for i, (left, right) in enumerate(merges, 1):
         out = out.withColumn("pieces", _apply_merge(F.col("pieces"), left, right))
         if i % checkpoint_every == 0:
             out = out.localCheckpoint()

@@ -127,3 +127,23 @@ def test_bpe_train_empty_corpus(spark):
     assert m.count() == 0
     enc = bpe_encode(df, m)
     assert all(r.n_tokens == 0 for r in enc.collect())
+
+
+def test_bpe_survives_astral_and_bmp_unicode(spark):
+    """Symbols are CODE POINTS: astral chars (emoji) are atomic single
+    symbols, never split into surrogate halves (a regex char split
+    would cut them and UTF8String turns each lone half into '?');
+    encode reassembles every word exactly, emoji included."""
+    df = spark.createDataFrame(
+        [(1, "hello \U0001F600\U0001F600 world \U0001F600\U0001F600"),
+         (2, "café naïve 你好 你好 hello world")],
+        "doc_id int, text string",
+    )
+    merges = bpe_train(df, n_merges=6)
+    enc = bpe_encode(df, merges)
+    rows = {r.doc_id: "".join(r.pieces) for r in enc.collect()}
+    assert rows[1] == "hello" + "\U0001F600" * 2 + "world" + "\U0001F600" * 2
+    assert rows[2] == "cafénaïve你好你好helloworld"
+    # the double-emoji adjacency is mergeable like any pair of symbols
+    pieces1 = next(r.pieces for r in enc.collect() if r.doc_id == 1)
+    assert "\U0001F600\U0001F600" in pieces1 or "\U0001F600" in pieces1
