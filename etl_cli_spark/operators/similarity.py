@@ -977,3 +977,33 @@ def ivfpq_topk_indexed(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def append_to_ivfpq_index(df: DataFrame, path: str) -> None:
+    """Incrementally add vectors to a persisted IVF-PQ index — no
+    k-means rerun, no codebook retrain, no rewrite of existing cells.
+
+    New vectors are assigned to the EXISTING coarse centroids and
+    encoded with the EXISTING codebooks (both from the sidecar), then
+    appended to their cell partitions; untouched cell files are never
+    opened, and probes see old + new vectors immediately. Because cell
+    assignment and PQ encoding are pure functions of (frozen artifacts,
+    vector), the appended rows are bit-identical to what indexing the
+    same vectors at build time would have produced. Centroid/codebook
+    drift is the documented rebuild trigger, same as the IVF index.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, _IVFPQ_META)) as f:
+        meta = json.load(f)
+    assigned = _assign_cells(df, meta["centroids"], meta["vec_col"])
+    encoded = pq_encode(
+        assigned, meta["codebooks"], vec_col=meta["vec_col"], out_col="pq_code"
+    )
+    (
+        encoded.repartition(meta["n_centroids"], F.col("__cell"))
+        .write.mode("append")
+        .partitionBy("__cell")
+        .parquet(os.path.join(path, "vectors"))
+    )

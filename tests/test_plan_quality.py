@@ -61,6 +61,8 @@ READ_QUERIES = [
     # round-5 operators
     "bpe_encode",
     "quality_classifier",
+    "fuzzy_join",
+    "leakage_split",
 ]
 
 

@@ -394,3 +394,43 @@ def test_ivfpq_scores_exact_for_returned_ids(spark, emb, tmp_path):
     )
     for r in check:
         assert abs(by_id[r.vec_id] - r.s) < 1e-9
+
+
+def test_append_to_ivfpq_index(spark, emb, tmp_path):
+    """Appended vectors land in the correct cells with codes
+    bit-identical to encoding under the frozen artifacts, and probes
+    see them immediately."""
+    import json
+
+    from etl_cli_spark.operators.similarity import (
+        _assign_cells,
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+        pq_encode,
+    )
+
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "ivfpq_inc")
+    build_ivfpq_index(half_a, path, n_centroids=8, m=8, nbits=4)
+    append_to_ivfpq_index(half_b, path)
+    idx = spark.read.parquet(f"{path}/vectors")
+    assert idx.count() == emb.count()
+    with open(f"{path}/_ivfpq_meta.json") as f:
+        meta = json.load(f)
+    # frozen-artifact bit-identity for the appended rows
+    direct = pq_encode(
+        _assign_cells(half_b, meta["centroids"], "embedding"),
+        meta["codebooks"], vec_col="embedding", out_col="pq_code",
+    ).select("vec_id", F.col("__cell").cast("int").alias("cell"), "pq_code")
+    stored = idx.filter("vec_id % 2 = 1").select(
+        "vec_id", F.col("__cell").cast("int").alias("cell"), "pq_code"
+    )
+    a = {r.vec_id: (r.cell, list(r.pq_code)) for r in direct.collect()}
+    b = {r.vec_id: (r.cell, list(r.pq_code)) for r in stored.collect()}
+    assert a == b
+    # a probe for an appended (odd) vector finds it as its own top hit
+    q = [float(x) for x in emb.filter("vec_id = 1").first().embedding]
+    top = ivfpq_topk_indexed(spark, path, q, k=3, n_probe=8).collect()
+    assert top[0].vec_id == 1 and top[0].score == 1.0
