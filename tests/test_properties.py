@@ -380,7 +380,10 @@ def test_fuzzy_join_jaccard_matches_python(spark, a, b):
     got = minhash_fuzzy_join(left, right, threshold=0.0).collect()
     sa, sb = sh3(a), sh3(b)
     expect = round(len(sa & sb) / max(len(sa | sb), 1), 6)
-    if expect > 0:
-        assert len(got) == 1 and abs(got[0].jaccard - expect) < 1e-6
-    else:
-        assert all(r.jaccard == 0 for r in got)
+    # every REPORTED pair carries the exact Jaccard (the verify step is
+    # exact); low-similarity pairs may legitimately produce no LSH
+    # candidate, so only identical shingle sets guarantee a report
+    for r in got:
+        assert abs(r.jaccard - expect) < 1e-6
+    if sa == sb:
+        assert len(got) == 1
