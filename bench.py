@@ -52,6 +52,7 @@ HEADLINE = [
     "similarity_pq",          # PQ codes + ADC shortlist + exact rescore
     "similarity_ivfpq",       # coarse-cell prune + ADC shortlist + rescore
     "bpe_train",              # distributed BPE merge learning (30 rounds)
+    "fuzzy_join",             # cross-corpus LSH similarity join
 ]
 
 
