@@ -1329,6 +1329,20 @@ def _q_fuzzy_join(spark, sf):
     )
 
 
+def _q_epoch_shuffle(spark, sf):
+    """Deterministic per-epoch global shuffle (pipeline.epoch_shuffle):
+    content-hash order key seeded by the epoch, range-partitioned +
+    locally sorted — a total order with no single-task global sort (the
+    TeraSort shape). The oracle replays the md5 order keys; the plan's
+    RangePartitioning is asserted in tests/test_pipeline.py."""
+    from etl_cli_spark.operators.pipeline import epoch_shuffle
+
+    d = _engine(spark, sf).read("documents")
+    return epoch_shuffle(d, epoch=1, partitions=8).select(
+        "doc_id", F.col("__ord").alias("ord")
+    )
+
+
 def _q_leakage_split(spark, sf):
     """Cluster-aware train/val/test split (pipeline.leakage_safe_split):
     the split hash runs over the near-dup CLUSTER label, so no near-dup
@@ -2643,6 +2657,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": _q_dedup_minhash,
     "fuzzy_join": _q_fuzzy_join,
     "leakage_split": _q_leakage_split,
+    "epoch_shuffle": _q_epoch_shuffle,
     "dedup_minhash_cc": _q_dedup_minhash_cc,
     "dedup_minhash_indexed": _q_dedup_minhash_indexed,
     "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -3777,6 +3792,13 @@ def oracle_sql() -> dict[str, str]:
         "comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node) "
         "SELECT d.doc_id, d.lang FROM documents d "
         "ANTI JOIN (SELECT node AS doc_id FROM comp WHERE node <> cluster) l USING (doc_id)"
+    )
+
+    # epoch_shuffle: the md5 order keys replayed (order itself is
+    # hash-insensitive in the gate; the keys ARE the order)
+    sql["epoch_shuffle"] = (
+        "SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'epoch1'),1,8)) "
+        "AS BIGINT) AS ord FROM documents"
     )
 
     # leakage_split: exact pairs -> recursive CC -> cluster-label md5

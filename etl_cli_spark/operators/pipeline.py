@@ -775,3 +775,26 @@ def read_training_shards(spark, path: str, shards: list[int] | None = None):
     if shards is not None:
         df = df.filter(F.col("shard").isin([int(s) for s in shards]))
     return df, index
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+    out_col: str = "__ord",
+) -> DataFrame:
+    """Deterministic global shuffle for one training epoch: every row
+    gets a content-hash order key seeded by the epoch, and the frame is
+    range-partitioned + locally sorted on it — a TOTAL order across the
+    output (partition p's keys all precede partition p+1's) with no
+    single-task global sort; this is the TeraSort shape, so 100 TB
+    shuffles with cluster-wide parallelism. Different epochs
+    de-correlate (different seed into the same md5 hash); the same
+    epoch reproduces the same order on any cluster and any input row
+    order — what checkpoint-resume mid-epoch requires.
+    """
+    keyed = df.withColumn(out_col, hash_bucket(id_col, f"epoch{int(epoch)}"))
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return keyed.repartitionByRange(int(n), F.col(out_col), F.col(id_col)) \
+        .sortWithinPartitions(out_col, id_col)

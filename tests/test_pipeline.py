@@ -666,3 +666,31 @@ def test_training_shards_read_is_partition_pruned(spark, engine, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "shard" in plan
     assert df.select("shard").distinct().collect()[0].shard == 1
+
+
+def test_epoch_shuffle_total_order_without_global_sort(spark, engine):
+    from etl_cli_spark.operators.pipeline import epoch_shuffle
+
+    d = engine.read("documents")
+    out = epoch_shuffle(d, epoch=1, partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # range exchange + local sorts, never a single-partition global sort
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+    # the concatenation of partitions in order is globally sorted
+    parts = out.select("__ord").rdd.glom().collect()
+    flat = [v["__ord"] for p in parts for v in p]
+    assert flat == sorted(flat)
+    assert len(flat) == d.count()
+
+
+def test_epoch_shuffle_deterministic_and_epochs_decorrelate(spark, engine):
+    from etl_cli_spark.operators.pipeline import epoch_shuffle
+
+    d = engine.read("documents")
+    o1 = [r.doc_id for r in epoch_shuffle(d, 1, partitions=4).select("doc_id").collect()]
+    o1b = [r.doc_id for r in epoch_shuffle(d.orderBy(F.rand(3)), 1, partitions=4).select("doc_id").collect()]
+    o2 = [r.doc_id for r in epoch_shuffle(d, 2, partitions=4).select("doc_id").collect()]
+    assert o1 == o1b            # input order never matters
+    assert o1 != o2             # epochs produce different orders
+    assert sorted(o1) == sorted(o2)
