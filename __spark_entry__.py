@@ -1329,6 +1329,29 @@ def _q_fuzzy_join(spark, sf):
     )
 
 
+def _q_training_shards(spark, sf):
+    """Training-shard writer round-trip (pipeline.write_training_shards
+    / read_training_shards): the PERSISTED hive layout — shard
+    membership, pack assignment, token counts — read back from disk
+    must equal the relational replay of the md5-shard + exclusive-
+    cumsum protocol (the pack_sequences math, through a write+read)."""
+    from etl_cli_spark.operators.pipeline import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    d = _engine(spark, sf).read("documents")
+    path = tempfile.mkdtemp(prefix="etl_shards_") + "/idx"
+    write_training_shards(d, path, budget=512, n_shards=4)
+    df, _ = read_training_shards(spark, path)
+    return df.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+    )
+
+
 def _q_epoch_shuffle(spark, sf):
     """Deterministic per-epoch global shuffle (pipeline.epoch_shuffle):
     content-hash order key seeded by the epoch, range-partitioned +
@@ -2658,6 +2681,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_join": _q_fuzzy_join,
     "leakage_split": _q_leakage_split,
     "epoch_shuffle": _q_epoch_shuffle,
+    "training_shards": _q_training_shards,
     "dedup_minhash_cc": _q_dedup_minhash_cc,
     "dedup_minhash_indexed": _q_dedup_minhash_indexed,
     "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -3796,6 +3820,17 @@ def oracle_sql() -> dict[str, str]:
 
     # epoch_shuffle: the md5 order keys replayed (order itself is
     # hash-insensitive in the gate; the keys ARE the order)
+    # training_shards: the persisted layout replayed — md5 shard,
+    # exclusive per-shard cumsum, floor-div pack id (budget 512, 4 shards)
+    sql["training_shards"] = (
+        f"WITH t AS (SELECT doc_id, CAST({_H} % 4 AS INT) AS shard, "
+        f"                  CAST({_TOKENS} AS BIGINT) AS n_tokens FROM documents) "
+        "SELECT doc_id, shard, n_tokens, "
+        "  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+        "       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS pack_id "
+        "FROM t"
+    )
+
     sql["epoch_shuffle"] = (
         "SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'epoch1'),1,8)) "
         "AS BIGINT) AS ord FROM documents"
