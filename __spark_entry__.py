@@ -1366,6 +1366,19 @@ def _q_epoch_shuffle(spark, sf):
     )
 
 
+def _q_fuzzy_join_indexed(spark, sf):
+    """Fuzzy join against the PERSISTED dedup index (the incremental
+    crawl-vs-history flavor): index the even half once, probe with the
+    odd half — partition-pruned to the touched __bb partitions. Same
+    exact-Jaccard ground truth as fuzzy_join, roles transposed."""
+    from etl_cli_spark.operators.dedup import build_dedup_index, fuzzy_join_indexed
+
+    d = _engine(spark, sf).read("documents")
+    path = tempfile.mkdtemp(prefix="etl_fidx_") + "/idx"
+    build_dedup_index(d.filter("doc_id % 2 = 0"), path)
+    return fuzzy_join_indexed(d.filter("doc_id % 2 = 1"), path, threshold=0.8)
+
+
 def _q_leakage_split(spark, sf):
     """Cluster-aware train/val/test split (pipeline.leakage_safe_split):
     the split hash runs over the near-dup CLUSTER label, so no near-dup
@@ -2679,6 +2692,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash": _q_dedup_minhash,
     "fuzzy_join": _q_fuzzy_join,
+    "fuzzy_join_indexed": _q_fuzzy_join_indexed,
     "leakage_split": _q_leakage_split,
     "epoch_shuffle": _q_epoch_shuffle,
     "training_shards": _q_training_shards,
@@ -3834,6 +3848,21 @@ def oracle_sql() -> dict[str, str]:
     sql["epoch_shuffle"] = (
         "SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'epoch1'),1,8)) "
         "AS BIGINT) AS ord FROM documents"
+    )
+
+    # fuzzy_join_indexed: identical ground truth with roles transposed
+    # (probe batch = odd ids on the left, indexed corpus on the right)
+    sql["fuzzy_join_indexed"] = (
+        r"WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t "
+        "             FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)), "
+        "         i -> array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS s FROM tok) "
+        "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+        "      / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard "
+        "FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 "
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+        "      / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8"
     )
 
     # leakage_split: exact pairs -> recursive CC -> cluster-label md5

@@ -762,16 +762,23 @@ def _index_populated(path: str) -> bool:
     return any("=" in e or not e.startswith(("_", ".")) for e in os.listdir(b))
 
 
-def _cross_index_losers(spark, base, path, meta, threshold):
-    """Batch ids that near-dup an already-indexed doc: the
-    partition-pruned probe at the heart of :func:`dedup_against_index`,
-    kept separate so its plan (PartitionFilters on ``__bb``) stays
-    inspectable before the caller checkpoints the loser set away."""
+def _index_cross_pairs(spark, base, path, meta, threshold):
+    """(new_id, old_id, jaccard) pairs between a probe batch's signature
+    base and the persisted index — the partition-pruned probe shared by
+    :func:`dedup_against_index` (which only keeps loser ids) and
+    :func:`fuzzy_join_indexed` (which returns the pairs)."""
     import os
 
     if not _index_populated(path):
         # freshly created (or still-empty) index: no cross candidates
-        return base.select("id").limit(0)
+        return (
+            base.select("id").limit(0)
+            .select(
+                F.col("id").alias("new_id"),
+                F.col("id").alias("old_id"),
+                F.lit(0.0).alias("jaccard"),
+            )
+        )
     new_buckets = base.select(
         "id", F.posexplode("bh").alias("band", "bucket")
     ).withColumn(
@@ -802,9 +809,47 @@ def _cross_index_losers(spark, base, path, meta, threshold):
             sigs.select(F.col("id").alias("old_id"), F.col("hs").alias("old_hs")),
             "old_id",
         )
-        .filter(jaccard(F.col("new_hs"), F.col("old_hs")) >= threshold)
+        .withColumn("jaccard", jaccard(F.col("new_hs"), F.col("old_hs")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _cross_index_losers(spark, base, path, meta, threshold):
+    """Batch ids that near-dup an already-indexed doc: the
+    partition-pruned probe at the heart of :func:`dedup_against_index`,
+    kept separate so its plan (PartitionFilters on ``__bb``) stays
+    inspectable before the caller checkpoints the loser set away."""
+    return (
+        _index_cross_pairs(spark, base, path, meta, threshold)
         .select(F.col("new_id").alias("id"))
         .distinct()
+    )
+
+
+def fuzzy_join_indexed(
+    df: DataFrame, path: str, threshold: float = 0.7
+) -> DataFrame:
+    """Fuzzy join a batch AGAINST a persisted dedup index — the
+    incremental flavor of :func:`minhash_fuzzy_join`: "which of this
+    month's documents near-match anything crawled before", without
+    re-signing the historical corpus. Returns (left_id = batch doc,
+    right_id = indexed doc, jaccard). The batch is signed once under
+    the index's FROZEN parameters; the index side is a partition-pruned
+    read of only the ``__bb`` partitions the batch's band hashes touch;
+    exact Jaccard verifies candidates only. Batch ids present in the
+    index are excluded from the right side (self-pair suppression,
+    matching dedup_against_index's replay semantics)."""
+    spark = df.sparkSession
+    meta = _read_dedup_meta(path)
+    base = _base_from_meta(df, meta)
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    return _index_cross_pairs(spark, base, path, meta, threshold).select(
+        F.col("new_id").alias("left_id"),
+        F.col("old_id").alias("right_id"),
+        "jaccard",
     )
 
 

@@ -406,3 +406,28 @@ def test_fuzzy_join_agrees_with_self_pairs(spark, engine):
         elif a % 2 == 1 and b % 2 == 0:
             expect.add((b, a))
     assert cross == expect
+
+
+def test_fuzzy_join_indexed_matches_batch_join(spark, engine, tmp_path):
+    """Probing a persisted index must surface exactly the pairs the
+    two-sided batch fuzzy join finds (roles transposed), with identical
+    exact-Jaccard values, and the probe plan must partition-prune."""
+    from etl_cli_spark.operators.dedup import (
+        build_dedup_index,
+        fuzzy_join_indexed,
+        minhash_fuzzy_join,
+    )
+
+    d = engine.read("documents")
+    even, odd = d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1")
+    path = str(tmp_path / "fidx")
+    build_dedup_index(even, path)
+    got = fuzzy_join_indexed(odd, path, threshold=0.8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bb" in plan
+    a = {(r.left_id, r.right_id): r.jaccard for r in got.collect()}
+    b = {
+        (r.right_id, r.left_id): r.jaccard
+        for r in minhash_fuzzy_join(even, odd, threshold=0.8).collect()
+    }
+    assert a == b and a
