@@ -217,6 +217,16 @@ def _s_leakage_split(df: DataFrame, **kw) -> DataFrame:
     return leakage_safe_split(df, **kw)
 
 
+def _s_dedup_indexed(df: DataFrame, index_path: str, **kw) -> DataFrame:
+    """Drop docs near-duplicating anything in a PERSISTED dedup index —
+    the incremental-crawl stage: each batch dedups against all history
+    without re-signing it. Appending survivors back to the index is the
+    caller's (or the streaming runner's) responsibility."""
+    from ..operators.dedup import dedup_against_index
+
+    return dedup_against_index(df, index_path, **kw)
+
+
 STAGES: dict[str, Callable[..., DataFrame]] = {
     "url_canonicalize": _s_url_canonicalize,
     "domain_cap": _s_domain_cap,
@@ -224,6 +234,7 @@ STAGES: dict[str, Callable[..., DataFrame]] = {
     "quality_filter": _s_quality_filter,
     "dedup_exact": _s_dedup_exact,
     "dedup_minhash": _s_dedup_minhash,
+    "dedup_indexed": _s_dedup_indexed,
     "dedup_canonical": _s_dedup_canonical,
     "paragraph_dedup": _s_paragraph_dedup,
     "semantic_dedup": _s_semantic_dedup,

@@ -301,3 +301,21 @@ def test_leakage_split_stage(engine):
     )
     assert out.filter("split not in ('train','val','test')").count() == 0
     assert out.count() == docs.count()
+
+
+def test_dedup_indexed_stage(engine, tmp_path):
+    from etl_cli_spark.operators.dedup import build_dedup_index, dedup_against_index
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline
+
+    docs = engine.read("documents")
+    path = str(tmp_path / "hist")
+    build_dedup_index(docs.filter("doc_id % 2 = 0"), path)
+    batch = docs.filter("doc_id % 2 = 1")
+    out = run_corpus_pipeline(
+        batch, [{"stage": "dedup_indexed", "index_path": path, "threshold": 0.8}]
+    )
+    direct = dedup_against_index(batch, path, threshold=0.8)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in direct.collect()
+    )
+    assert out.count() < batch.count()  # fixture has cross-half near-dups
