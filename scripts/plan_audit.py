@@ -155,6 +155,18 @@ AUDITED: dict[str, str] = {
         "training is the bounded iterative driver loop audited in "
         "COVERAGE.md.)"
     ),
+    "fuzzy_join": (
+        "cross-corpus LSH linkage: each side one narrow signature pass, "
+        "candidates from the (band, bucket) left-vs-right equi-join — the "
+        "only corpus-wide exchange, moving (id, band, bucket) ints — exact "
+        "Jaccard on candidates with the hash arrays re-attached after pair "
+        "dedup; no threshold-less cross join at any size."
+    ),
+    "epoch_shuffle": (
+        "deterministic per-epoch global training order: content-hash key, "
+        "RangePartitioning exchange + per-partition sorts (the TeraSort "
+        "shape) — a total order with no single-task global sort."
+    ),
     "quality_classifier": (
         "the scoring pass: one corpus scan to hashed features, broadcast "
         "hash join against the m-row model, one aggregate back to "
