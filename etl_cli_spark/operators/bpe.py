@@ -106,11 +106,35 @@ def _apply_merge(syms: Column, left, right) -> Column:
     )
 
 
+def _apply_merge_batch(syms: Column, pairs) -> Column:
+    """Apply several SYMBOL-DISJOINT merges in one left-to-right fold.
+    Disjointness (no symbol or merged string shared across the batch —
+    enforced by the selector in bpe_train) guarantees the combined
+    single pass equals applying each merge fully in sequence: match
+    sites of different patterns can never overlap, and a just-merged
+    output token can never equal another pattern's left symbol."""
+    conds = [(F.lit(l), F.lit(r), F.lit(l + r)) for l, r in pairs]
+
+    def step(acc, x):
+        expr = F.concat(acc, F.array(x))
+        for left, right, merged in reversed(conds):
+            expr = F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == left)
+                & (x == right),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(expr)
+        return expr
+
+    return F.aggregate(syms, F.expr("CAST(array() AS array<string>)"), step)
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 30,
     min_pair_count: int = 2,
+    batch_k: int = 16,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus; returns the merge
     table (rank, left, right, merged, pair_count) ordered by rank —
@@ -121,8 +145,35 @@ def bpe_train(
     segmentation = ``text.tokens`` (lowercased whitespace split); each
     round's winner = max pair_count, ties broken by (left, right)
     ascending; merges apply left-to-right non-overlapping. Symbols are
-    code points (see _char_syms), so the per-round 1-row collect and
-    the returned artifact are lossless for any Unicode input.
+    code points (see _char_syms), so the per-round collect and the
+    returned artifact are lossless for any Unicode input.
+
+    Batched rounds (round-6): a production tokenizer learns 30k-100k
+    merges, and one Spark job + driver round-trip per merge is a
+    wall-clock bottleneck long before it is a data-volume one. Each
+    round therefore collects the top-K pairs (K rows — still
+    metadata-sized) and applies up to ``batch_k`` winners in ONE fold,
+    but only a prefix that is PROVABLY identical to the sequential
+    protocol:
+
+    - the prefix is contiguous in (count desc, left, right) order, so
+      every batched winner was the global argmax at its turn provided
+      nothing its predecessors did could affect the ranking;
+    - all batch members are symbol-disjoint (shared symbols mean the
+      later pair's count changes under the earlier merge — unsafe);
+    - merging (a, b) can only CREATE pairs (x, a+b) / (a+b, y) whose
+      counts are bounded by existing "hazard" pairs (*, a) / (b, *),
+      so a later winner is kept only while its count strictly exceeds
+      every hazard pair's count seen so far (and the collection floor,
+      when the top-K list is truncated — an uncollected hazard can be
+      at most the floor). Strictness also protects the lexicographic
+      tie-break from a tying new pair.
+
+    Any candidate failing a check ends the batch; the next round
+    recomputes counts from the merged state exactly as the sequential
+    protocol would. ``batch_k=1`` degenerates to the classic one-merge
+    -per-round loop. Output is bit-identical for every ``batch_k``
+    (pinned by unit test and the unchanged DuckDB oracle replay).
     """
     spark = docs.sparkSession
     words = _word_counts(docs, text_col)
@@ -130,21 +181,46 @@ def bpe_train(
         "word", "cnt", _char_syms(F.col("word")).alias("syms")
     ).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
+    batch_k = max(1, min(int(batch_k), 32))
+    k_collect = max(64, 4 * batch_k)
+    while len(merges) < n_merges:
         top = (
             _pair_counts(syms_df)
             .orderBy(F.desc("pair_count"), "left", "right")
-            .limit(1)
+            .limit(k_collect)
             .collect()
         )
         if not top or top[0].pair_count < min_pair_count:
             break
-        left, right, cnt = top[0].left, top[0].right, int(top[0].pair_count)
-        merges.append((rank, left, right, left + right, cnt))
+        truncated = len(top) == k_collect
+        floor = int(top[-1].pair_count) if truncated else -1
+        batch: list[tuple[str, str, str, int]] = []
+        used: set[str] = set()
+        hazard_bound = -1
+        for row in top:
+            if len(batch) >= batch_k or len(merges) + len(batch) >= n_merges:
+                break
+            left, right, cnt = row.left, row.right, int(row.pair_count)
+            if cnt < min_pair_count:
+                break
+            merged = left + right
+            if batch:
+                if left in used or right in used or merged in used:
+                    break
+                if cnt <= hazard_bound or (truncated and cnt <= floor):
+                    break
+            batch.append((left, right, merged, cnt))
+            used.update((left, right, merged))
+            for p in top:  # hazard pairs of this merge
+                if p.right == left or p.left == right:
+                    hazard_bound = max(hazard_bound, int(p.pair_count))
+        for left, right, merged, cnt in batch:
+            merges.append((len(merges) + 1, left, right, merged, cnt))
         # localCheckpoint: truncate the per-round fold lineage so round
         # t's plan doesn't nest t folds (vocab-sized table, cheap)
         syms_df = syms_df.withColumn(
-            "syms", _apply_merge(F.col("syms"), left, right)
+            "syms",
+            _apply_merge_batch(F.col("syms"), [(b[0], b[1]) for b in batch]),
         ).localCheckpoint()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"

@@ -129,6 +129,50 @@ def test_bpe_train_empty_corpus(spark):
     assert all(r.n_tokens == 0 for r in enc.collect())
 
 
+def test_batched_equals_sequential_on_corpus(docs):
+    """The round-6 batched protocol (top-K collect, up to batch_k
+    symbol-disjoint hazard-safe merges per fold) must be BIT-IDENTICAL
+    to the classic one-merge-per-round loop on a real corpus, for any
+    batch width."""
+    seq = [tuple(r) for r in bpe_train(docs, n_merges=24, batch_k=1).collect()]
+    for k in (8, 32):
+        got = [tuple(r) for r in bpe_train(docs, n_merges=24, batch_k=k).collect()]
+        assert got == seq, f"batch_k={k} diverged from sequential"
+
+
+def test_batched_hazard_pair_blocks_unsafe_batching(spark):
+    """Adversarial corpus where naive top-k batching is WRONG: merging
+    the round-1 winner (a,b) creates the new pair (x,ab) with count 6,
+    which outranks the disjoint runner-up (c,d) count 5 — the
+    sequential round-2 winner is (x,ab), so (c,d) must NOT ride the
+    first batch. The hazard bound (pair (x,a)=6 ends in the winner's
+    left symbol) is what blocks it."""
+    words = ["ab"] * 4 + ["xab"] * 6 + ["cd"] * 5
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    seq = [tuple(r) for r in bpe_train(df, n_merges=3, batch_k=1).collect()]
+    bat = [tuple(r) for r in bpe_train(df, n_merges=3, batch_k=8).collect()]
+    assert bat == seq
+    # pin the semantics, not just self-consistency: (a,b)=10 wins round
+    # 1, then the CREATED pair (x,ab)=6 beats (c,d)=5 in round 2
+    assert (bat[0][1], bat[0][2], bat[0][4]) == ("a", "b", 10)
+    assert (bat[1][1], bat[1][2], bat[1][4]) == ("x", "ab", 6)
+    assert (bat[2][1], bat[2][2], bat[2][4]) == ("c", "d", 5)
+
+
+def test_batched_disjoint_no_hazard_merges_in_order(spark):
+    """Fully disjoint two-symbol words with no hazard pairs: the batch
+    can take them all in one round and the ranked table still lists
+    them in (count desc) sequential order with state-S counts."""
+    words = ["ab"] * 100 + ["cd"] * 90 + ["ef"] * 80
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    got = [tuple(r) for r in bpe_train(df, n_merges=3, batch_k=8).collect()]
+    assert got == [
+        (1, "a", "b", "ab", 100),
+        (2, "c", "d", "cd", 90),
+        (3, "e", "f", "ef", 80),
+    ]
+
+
 def test_bpe_survives_astral_and_bmp_unicode(spark):
     """Symbols are CODE POINTS: astral chars (emoji) are atomic single
     symbols, never split into surrogate halves (a regex char split
