@@ -212,26 +212,113 @@ def _minhash_base(
     )
 
 
-def _pairs_from_base(base: DataFrame, threshold: float) -> DataFrame:
+def _pairs_from_base(
+    base: DataFrame,
+    threshold: float,
+    max_bucket_size: int | None = None,
+    cache: bool = False,
+) -> DataFrame:
     """Candidate pairs + exact-Jaccard verify over a (id, hs, bh) base.
 
     The bucket join + pair dedup move ONLY (id, band, bucket) — the
     hash arrays rejoin after dedup, so the wide exchange stays narrow.
+
+    ``max_bucket_size`` is the degenerate-bucket guard (round-6 skew
+    hardening): a bucket holding m near-identical documents makes the
+    clique self-join emit m^2/2 candidates — at 30% of a 100 TB corpus
+    that is an ALGORITHMIC blow-up no partitioner can absorb (AQE skew
+    splitting parallelizes the m^2 work; it cannot shrink it). Buckets
+    larger than the cap therefore degrade from clique to STAR: each
+    member is candidate-paired with the bucket's minimum id only —
+    O(m) candidates, and every true near-dup in the bucket still
+    reaches the exact-Jaccard verify through the hub, which is what
+    dedup connectivity (greedy and connected-components alike) needs.
+    Recall for PAIR ENUMERATION inside oversized buckets is reduced by
+    construction (documented trade; oversized LSH buckets are near-
+    degenerate in practice, so hub similarity ~ pairwise similarity).
+    Default None keeps the exact clique semantics the oracles replay.
+    The hot-bucket list is found with one partial-aggregated groupBy
+    (map-side combine absorbs the hot key) and broadcast back — no
+    windowed rank over the hot partition.
     """
     buckets = base.select("id", F.posexplode("bh").alias("band", "bucket"))
-    cand = (
-        buckets.join(
-            buckets.select(F.col("id").alias("b_id"), "band", "bucket"),
-            on=["band", "bucket"],
-            how="inner",
-        )
-        .filter(F.col("id") < F.col("b_id"))
-        .select(F.col("id").alias("a_id"), "b_id")
-        .dropDuplicates(["a_id", "b_id"])  # same pair can share many bands
-    )
     shing = base.select("id", "hs")
+    hub_ids = None
+    if max_bucket_size is not None and max_bucket_size >= 1:
+        hot = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__sz"), F.min("id").alias("__hub"))
+            .filter(F.col("__sz") > max_bucket_size)
+            .select("band", "bucket", "__hub")
+        )
+        tagged = buckets.join(F.broadcast(hot), on=["band", "bucket"], how="left")
+        if cache:
+            # tagged feeds four branches (self-join x2, star, and the
+            # hub list chain); without a persist each branch re-runs
+            # the explode + broadcast probe over the whole corpus
+            from pyspark import StorageLevel
+
+            tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        cold = tagged.filter(F.col("__hub").isNull()).drop("__hub")
+        clique = (
+            cold.join(
+                cold.select(F.col("id").alias("b_id"), "band", "bucket"),
+                on=["band", "bucket"],
+                how="inner",
+            )
+            .filter(F.col("id") < F.col("b_id"))
+            .select(F.col("id").alias("a_id"), "b_id")
+        )
+        star = (
+            tagged.filter(F.col("__hub").isNotNull() & (F.col("id") != F.col("__hub")))
+            .select(F.col("__hub").alias("a_id"), F.col("id").alias("b_id"))
+        )
+        cand = clique.unionByName(star).dropDuplicates(["a_id", "b_id"])
+        # derive from tagged (persisted) rather than hot, which would
+        # re-run the bucket-size aggregate over the corpus
+        hub_ids = (
+            tagged.filter(F.col("__hub").isNotNull())
+            .select(F.col("__hub").alias("a_id"))
+            .distinct()
+        )
+    else:
+        cand = (
+            buckets.join(
+                buckets.select(F.col("id").alias("b_id"), "band", "bucket"),
+                on=["band", "bucket"],
+                how="inner",
+            )
+            .filter(F.col("id") < F.col("b_id"))
+            .select(F.col("id").alias("a_id"), "b_id")
+            .dropDuplicates(["a_id", "b_id"])  # same pair can share many bands
+        )
+    if hub_ids is None:
+        with_a = cand.join(
+            shing.select(F.col("id").alias("a_id"), F.col("hs").alias("a_hs")), "a_id"
+        )
+    else:
+        # star pairs concentrate a_id on the (few) hubs — a plain
+        # shuffle join on a_id would put every hot bucket's O(m) star
+        # rows on ONE reducer, re-creating the straggler the cap just
+        # removed (measured 2.3x task spread at 2M docs / 30% hot).
+        # Hub shingle arrays are a hub-count-sized table: broadcast
+        # them so hub rows never shuffle on a_id; everything else
+        # joins normally (clique a_ids are bounded by the cap).
+        hub_sh = shing.join(
+            F.broadcast(hub_ids), shing["id"] == hub_ids["a_id"]
+        ).select("a_id", F.col("hs").alias("a_hs"))
+        marked = cand.join(
+            F.broadcast(hub_ids.withColumn("__h", F.lit(1))), "a_id", "left"
+        )
+        a_hub = marked.filter(F.col("__h").isNotNull()).drop("__h").join(
+            F.broadcast(hub_sh), "a_id"
+        )
+        a_rest = marked.filter(F.col("__h").isNull()).drop("__h").join(
+            shing.select(F.col("id").alias("a_id"), F.col("hs").alias("a_hs")), "a_id"
+        )
+        with_a = a_hub.unionByName(a_rest)
     return (
-        cand.join(shing.select(F.col("id").alias("a_id"), F.col("hs").alias("a_hs")), "a_id")
+        with_a
         .join(shing.select(F.col("id").alias("b_id"), F.col("hs").alias("b_hs")), "b_id")
         .withColumn("jaccard", jaccard(F.col("a_hs"), F.col("b_hs")))
         .filter(F.col("jaccard") >= threshold)
@@ -249,6 +336,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     cache: bool = True,
     impl: str = "auto",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a_id < b_id, jaccard >= threshold).
 
@@ -268,13 +356,21 @@ def minhash_lsh_pairs(
     expression fold; 'expr'/'pandas' force a path. Both produce the same
     pairs (impl-agreement test) — signatures differ (different hash
     families) but candidates are exact-Jaccard-verified either way.
+
+    ``max_bucket_size``: degenerate-bucket guard — buckets larger than
+    the cap emit star (hub) candidates instead of the m^2/2 clique; see
+    :func:`_pairs_from_base` for the semantics and the recall trade.
+    Moderate skew needs no cap: the session's AQE skew-join splitting
+    parallelizes an oversized bucket partition (plan-asserted in
+    tests/test_skew.py); the cap is for ADVERSARIAL buckets where the
+    pair COUNT itself is the bomb.
     """
     base = _minhash_base(df, id_col, text_col, n_shingle, num_hashes, bands, impl)
     if cache:
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    return _pairs_from_base(base, threshold)
+    return _pairs_from_base(base, threshold, max_bucket_size=max_bucket_size, cache=cache)
 
 
 def minhash_dedup(
