@@ -145,13 +145,13 @@ def main() -> None:
     from etl_cli_spark.operators.skew import salted_join
     from etl_cli_spark.operators.urls import per_domain_cap
 
-    # moderate fixture for the capped-vs-uncapped CONTRAST pair: 2000
-    # docs in one bucket is small enough that the uncapped clique (2M
-    # pairs, all on one reducer key — too small for AQE's 256MB skew
-    # threshold, exactly the sub-threshold-but-hot regime) actually
-    # finishes, and big enough that its single-task straggler is
-    # unmistakable next to the capped run on the SAME input
-    # built from the BASE table (not a filter over the replicated
+    # moderate fixture for the capped-vs-uncapped CONTRAST pair: 2500
+    # of the base table's 5000 docs in one bucket is small enough that
+    # the uncapped clique (3.1M pairs on 16 reducer keys — far below
+    # AQE's 256MB skew threshold, the sub-threshold-but-hot regime)
+    # actually finishes, and big enough that the quadratic work shows
+    # next to the capped run on the SAME input.
+    # Built from the BASE table (not a filter over the replicated
     # corpus, which would leave all surviving rows in a couple of
     # parquet splits and fake a map-stage imbalance), repartitioned so
     # input splits are balanced — the skew under test is the KEY, not
@@ -163,7 +163,7 @@ def main() -> None:
         .withColumn(
             "text",
             F.when(
-                F.col("doc_id") < 5000,
+                F.col("doc_id") < 2500,
                 F.lit("shared adversarial bucket text body that every hot document repeats verbatim"),
             ).otherwise(F.col("text")),
         )
@@ -207,8 +207,8 @@ def main() -> None:
     # fast-idle peers, which is what 1000 executors would see.
     ops = {
         "minhash_pairs(cap=64)": (_lsh_capped, True, None),
-        "minhash_5k-bucket(UNCAPPED contrast)": (_lsh_mod_uncapped, False, 256),
-        "minhash_5k-bucket(cap=64)": (_lsh_mod_capped, True, 256),
+        "minhash_2.5k-bucket(UNCAPPED contrast)": (_lsh_mod_uncapped, False, 256),
+        "minhash_2.5k-bucket(cap=64)": (_lsh_mod_capped, True, 256),
         "exact_dedup(30% one key)": (_exact_dedup_hot, True, None),
         "domain_cap(salted)": (_domain_cap_salted, True, None),
         "domain_cap(UNSALTED contrast)": (_domain_cap_unsalted, False, None),
