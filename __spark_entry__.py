@@ -1551,11 +1551,20 @@ def _q_semantic_dedup(spark, sf):
     (the oracle-replayable IVF protocol), within-cluster cosine >= 0.4
     drops the higher id of each pair. DuckDB replays the k-means, the
     cell assignment, the pair comparison and the keep policy end to
-    end — nothing about the clustering is taken on faith."""
+    end — nothing about the clustering is taken on faith.
+
+    The within-cluster self-join costs O(sum cell^2), so the cluster
+    count must grow with the corpus (the SemDeDup paper sizes ~100k
+    clusters at web scale): target ~128 vectors/cell, floored at the
+    16 the sf0.01 oracle replays — at sf0.01/sf0.1 (200/2000 vectors)
+    this IS 16, so the driver-gate SQL is unchanged; at sf1+ it keeps
+    cells bounded instead of letting pair work grow quadratically
+    (caught by the round-6 sf1 bench tier: 12.9x wall at 10x data)."""
     from etl_cli_spark.operators.similarity import semantic_dedup
 
     emb = _engine(spark, sf).read("embeddings")
-    out = semantic_dedup(emb, n_clusters=16, threshold=0.4, sample_size=2048)
+    n_clusters = max(16, emb.count() // 128)
+    out = semantic_dedup(emb, n_clusters=n_clusters, threshold=0.4, sample_size=2048)
     return out.select("vec_id", F.col("__cell").alias("cell"), "label")
 
 
