@@ -54,8 +54,13 @@ def main():
 
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written dataset (directory of parts)
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
