@@ -209,17 +209,20 @@ def decode_jpeg(data: bytes):
     coefficients across every scan (spectral selection + successive
     approximation, EOB runs, DC/AC refinement per T.81 G.2 — the same
     per-scan algorithms libjpeg documents) and reconstruct once at EOI.
-    Arithmetic-coded and 12-bit streams raise — Huffman 8-bit covers
-    the overwhelming share of crawl-corpus JPEGs.
+    Arithmetic-coded streams (SOF9 sequential / SOF10 progressive)
+    decode through the QM-coder models in :mod:`.jpeg_arith`; 12-bit
+    and lossless/hierarchical processes raise.
     """
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    cond: dict[tuple[int, int], object] = {}  # DAC conditioning
     restart_interval = 0
     frame = None  # (w, h, comps) with comps = [(cid, hs, vs, tq)]
     progressive = False
+    arithmetic = False
     planes = None  # progressive: per-comp quantized zigzag coefficients
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -250,7 +253,9 @@ def decode_jpeg(data: bytes):
                 huffval = list(body[bpos + 17 : bpos + 17 + n])
                 huff[(tc, th)] = _build_decode_lut(bits, huffval)
                 bpos += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (baseline) / SOF2 (progressive)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive (Huffman);
+            # SOF9 sequential, SOF10 progressive (arithmetic, T.81 D/F/G)
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -259,11 +264,22 @@ def decode_jpeg(data: bytes):
                 cid, hv, tq_id = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
             frame = (w, h, comps)
-            if marker == 0xC2:
+            arithmetic = marker in (0xC9, 0xCA)
+            if marker in (0xC2, 0xCA):
                 progressive = True
                 planes = _alloc_planes(frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline and progressive Huffman JPEG supported")
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            bpos = 0
+            while bpos + 1 < len(body):
+                tc, tb = body[bpos] >> 4, body[bpos] & 0x0F
+                cs = body[bpos + 1]
+                # DC: Cs packs (U << 4) | L; AC: Cs is Kx
+                cond[(tc, tb)] = (cs & 0x0F, cs >> 4) if tc == 0 else cs
+                bpos += 2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/progressive Huffman and arithmetic JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows the header
@@ -275,10 +291,16 @@ def decode_jpeg(data: bytes):
                 scan.append((ci, tables >> 4, tables & 0x0F))
             if not progressive:
                 pos += seg_len
+                if arithmetic:
+                    return _decode_scan_arith(
+                        data, pos, frame, scan, qt, cond, restart_interval
+                    )
                 return _decode_scan(data, pos, frame, scan, qt, huff, restart_interval)
             ss, se, ahl = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
-            pos = _progressive_scan(
-                data, pos + seg_len, frame, scan, planes, huff,
+            scan_fn = _progressive_scan_arith if arithmetic else _progressive_scan
+            pos = scan_fn(
+                data, pos + seg_len, frame, scan, planes,
+                cond if arithmetic else huff,
                 restart_interval, ss, se, ahl >> 4, ahl & 0x0F,
             )
             continue  # pos already past the entropy data
@@ -616,6 +638,145 @@ def _ac_refine_block(reader, blk, table, ss, se, al, eobrun):
             k += 1
         eobrun -= 1
     return eobrun
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic-coded scans (T.81 Annexes D/F/G; QM-coder in jpeg_arith)
+
+
+def _arith_models(scan, cond):
+    """Fresh per-scan statistics models keyed by conditioning-table id
+    (T.81 resets statistics at every scan start and restart)."""
+    from .jpeg_arith import ACModel, DCModel
+
+    dcm, acm = {}, {}
+    for (_ci, dc_t, ac_t) in scan:
+        if dc_t not in dcm:
+            l_c, u_c = cond.get((0, dc_t), (0, 1))
+            dcm[dc_t] = DCModel(l_c, u_c)
+        if ac_t not in acm:
+            acm[ac_t] = ACModel(cond.get((1, ac_t), 5))
+    return dcm, acm
+
+
+def _decode_scan_arith(data, pos, frame, scan, qt, cond, restart_interval):
+    """Sequential arithmetic scan (SOF9): same MCU geometry as the
+    Huffman path, entropy decisions through the QM-coder DC/AC models."""
+    from .jpeg_arith import ArithDecoder
+
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcus = mcus_x * mcus_y
+
+    planes = []
+    for (_cid, hs, vs, _tq) in comps:
+        planes.append(np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64))
+
+    segs, _end = _entropy_segments(data, pos)
+    seg_i = 0
+    dec = ArithDecoder(segs[0])
+    dcm, acm = _arith_models(scan, cond)
+    pred = [0] * len(comps)
+    ctx = [0] * len(comps)
+    per_restart = restart_interval if restart_interval else n_mcus
+
+    for mcu in range(n_mcus):
+        if mcu and mcu % per_restart == 0 and seg_i + 1 < len(segs):
+            seg_i += 1
+            dec = ArithDecoder(segs[seg_i])
+            dcm, acm = _arith_models(scan, cond)
+            pred = [0] * len(comps)
+            ctx = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for (ci, dc_t, ac_t) in scan:
+            hs, vs = comps[ci][1], comps[ci][2]
+            dq = qt[comps[ci][3]]
+            for by in range(vs):
+                for bx in range(hs):
+                    blk = np.zeros(64, dtype=np.int64)
+                    diff, ctx[ci] = dcm[dc_t].decode(dec, ctx[ci])
+                    pred[ci] += diff
+                    blk[0] = pred[ci]
+                    acm[ac_t].decode_block(dec, blk, 1, 63)
+                    planes[ci][my * vs + by, mx * hs + bx] = blk * dq
+    return _reconstruct(frame, planes)
+
+
+def _progressive_scan_arith(
+    data, pos, frame, scan, planes, cond, restart_interval, ss, se, ah, al
+):
+    """One progressive arithmetic scan (SOF10, T.81 G.2 with the
+    arithmetic per-scan procedures) into the accumulated quantized
+    planes; returns the position after the entropy data."""
+    from .jpeg_arith import ArithDecoder, fixed_bin
+
+    w, h, comps = frame
+    segs, end = _entropy_segments(data, pos)
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not is_dc and (se < ss or se > 63):
+        raise ValueError("invalid progressive spectral band")
+    if ah != 0 and ah != al + 1:
+        raise ValueError("successive approximation must refine one bit (Ah=Al+1)")
+    if not is_dc and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component (T.81)")
+
+    if len(scan) > 1:
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        units = mcus_x * mcus_y
+
+        def blocks_of(mcu):
+            my, mx = divmod(mcu, mcus_x)
+            for (ci, dc_t, ac_t) in scan:
+                hs, vs = comps[ci][1], comps[ci][2]
+                for by in range(vs):
+                    for bx in range(hs):
+                        yield ci, dc_t, ac_t, my * vs + by, mx * hs + bx
+    else:
+        ci0 = scan[0][0]
+        gbh, gbw = _comp_block_grid(frame, ci0)
+        units = gbh * gbw
+
+        def blocks_of(u):
+            by, bx = divmod(u, gbw)
+            yield scan[0][0], scan[0][1], scan[0][2], by, bx
+
+    per_restart = restart_interval if restart_interval else units
+    seg_i = 0
+    dec = ArithDecoder(segs[0])
+    dcm, acm = _arith_models(scan, cond)
+    fb = fixed_bin()
+    pred = [0] * len(comps)
+    ctx = [0] * len(comps)
+    for u in range(units):
+        if u and u % per_restart == 0 and seg_i + 1 < len(segs):
+            seg_i += 1
+            dec = ArithDecoder(segs[seg_i])
+            dcm, acm = _arith_models(scan, cond)
+            fb = fixed_bin()
+            pred = [0] * len(comps)
+            ctx = [0] * len(comps)
+        for (ci, dc_t, ac_t, by, bx) in blocks_of(u):
+            blk = planes[ci][by, bx]
+            if is_dc:
+                if ah == 0:
+                    diff, ctx[ci] = dcm[dc_t].decode(dec, ctx[ci])
+                    pred[ci] += diff
+                    blk[0] = pred[ci] << al
+                elif dec.decode(fb, 0):
+                    blk[0] |= 1 << al
+            elif ah == 0:
+                acm[ac_t].decode_block(dec, blk, ss, se, shift=al)
+            else:
+                acm[ac_t].decode_refine_block(dec, blk, ss, se, al)
+    return end
 
 
 # ---------------------------------------------------------------------------
@@ -1087,5 +1248,179 @@ def encode_progressive_jpeg(
         st.flush(bw, ac_codes)
         bw.flush()
         out += bw.buf
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic encoders (SOF9 sequential / SOF10 progressive) — fixture
+# generators and round-trip oracles for the QM-coder decode path: the
+# SAME quantized coefficients entropy-coded arithmetically must decode
+# pixel-identically to the Huffman encodings above.
+
+
+def _arith_headers(sof_marker, w, h, comps, dq, restart_interval):
+    """SOI..DAC..optional DRI header run shared by both arith encoders
+    (conditioning left at the T.81 defaults the decoder assumes, but
+    emitted explicitly so the DAC parse path is always exercised)."""
+    out = bytearray(b"\xFF\xD8")
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    out += b"\xFF\xE0" + struct.pack(">H", 2 + len(app0)) + app0
+    out += b"\xFF\xDB" + struct.pack(">H", 2 + 65) + bytes([0]) + bytes(
+        int(v) for v in dq
+    )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for (cid, hs, vs) in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
+    # DAC: defaults L=0/U=1 (DC), Kx=5 (AC) for every table in use
+    dac = bytearray()
+    for tb in range(2 if len(comps) > 1 else 1):
+        dac += bytes([(0 << 4) | tb, (1 << 4) | 0])  # (U=1, L=0)
+        dac += bytes([(1 << 4) | tb, 5])  # Kx=5
+    out += b"\xFF\xCC" + struct.pack(">H", 2 + len(dac)) + bytes(dac)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    return out
+
+
+def encode_arithmetic_jpeg(
+    px: np.ndarray,
+    quant: int | np.ndarray = 16,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    grayscale: bool = False,
+    ycbcr_planes=None,
+) -> bytes:
+    """Encode pixels as extended-sequential arithmetic JFIF (SOF9).
+    Same pixel/``quant`` contract as :func:`encode_jpeg`."""
+    from .jpeg_arith import ArithEncoder, stuff
+
+    w, h, comps, coeffs, dq, mcus_x, mcus_y = _prep_encode(
+        px, quant, subsample, grayscale, ycbcr_planes
+    )
+    out = _arith_headers(0xC9, w, h, comps, dq, restart_interval)
+    sos = bytes([len(comps)])
+    for i, (cid, _hs, _vs) in enumerate(comps):
+        t = 0 if i == 0 else 1
+        sos += bytes([cid, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+
+    scan = [(ci, 0 if ci == 0 else 1, 0 if ci == 0 else 1)
+            for ci in range(len(comps))]
+    enc = ArithEncoder()
+    dcm, acm = _arith_models(scan, {})
+    pred = [0] * len(comps)
+    ctx = [0] * len(comps)
+    n_mcus = mcus_x * mcus_y
+    rst = 0
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            out += stuff(enc.flush())
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            enc = ArithEncoder()
+            dcm, acm = _arith_models(scan, {})
+            pred = [0] * len(comps)
+            ctx = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for (ci, dc_t, ac_t) in scan:
+            _cid, hs, vs = comps[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    blk = coeffs[ci][my * vs + by, mx * hs + bx]
+                    v = int(blk[0])
+                    ctx[ci] = dcm[dc_t].encode(enc, ctx[ci], v - pred[ci])
+                    pred[ci] = v
+                    acm[ac_t].encode_block(enc, blk, 1, 63)
+    out += stuff(enc.flush())
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def encode_progressive_arith_jpeg(
+    px: np.ndarray,
+    quant: int | np.ndarray = 16,
+    subsample: bool = False,
+    grayscale: bool = False,
+    ycbcr_planes=None,
+    restart_interval: int = 0,
+    scans=None,
+) -> bytes:
+    """Encode pixels as progressive arithmetic JFIF (SOF10). Same scan
+    script contract as :func:`encode_progressive_jpeg` (statistics and
+    the QM coder reset per scan and per restart, T.81 G.1.2/E.1.4)."""
+    from .jpeg_arith import ArithEncoder, fixed_bin, stuff
+
+    w, h, comps, coeffs, dq, mcus_x, mcus_y = _prep_encode(
+        px, quant, subsample, grayscale, ycbcr_planes
+    )
+    if scans is None:
+        scans = _SCRIPT_GRAY if len(comps) == 1 else _SCRIPT_COLOR
+    frame4 = (w, h, [(cid, hs, vs, 0) for (cid, hs, vs) in comps])
+    out = _arith_headers(0xCA, w, h, comps, dq, restart_interval)
+
+    for (scomp, ss, se, ah, al) in scans:
+        rst = 0
+        sos = bytes([len(scomp)])
+        for ci in scomp:
+            t = 0 if ci == 0 else 1
+            sos += bytes([comps[ci][0], (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+
+        if len(scomp) > 1:
+            units = mcus_x * mcus_y
+
+            def blocks_of(u):
+                my, mx = divmod(u, mcus_x)
+                for ci in scomp:
+                    _cid, hs, vs = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, my * vs + by, mx * hs + bx
+        else:
+            gbh, gbw = _comp_block_grid(frame4, scomp[0])
+            units = gbh * gbw
+
+            def blocks_of(u):
+                by, bx = divmod(u, gbw)
+                yield scomp[0], by, bx
+
+        scan_tabs = [(ci, 0 if ci == 0 else 1, 0 if ci == 0 else 1)
+                     for ci in scomp]
+        enc = ArithEncoder()
+        dcm, acm = _arith_models(scan_tabs, {})
+        fb = fixed_bin()
+        pred = [0] * len(comps)
+        ctx = [0] * len(comps)
+        per_restart = restart_interval if restart_interval else units
+        for u in range(units):
+            if u and u % per_restart == 0:
+                out += stuff(enc.flush())
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                enc = ArithEncoder()
+                dcm, acm = _arith_models(scan_tabs, {})
+                fb = fixed_bin()
+                pred = [0] * len(comps)
+                ctx = [0] * len(comps)
+            for (ci, by, bx) in blocks_of(u):
+                blk = coeffs[ci][by, bx]
+                dc_t = ac_t = 0 if ci == 0 else 1
+                if ss == 0:
+                    if ah == 0:
+                        v = int(blk[0]) >> al
+                        ctx[ci] = dcm[dc_t].encode(enc, ctx[ci], v - pred[ci])
+                        pred[ci] = v
+                    else:
+                        enc.encode(fb, 0, (int(blk[0]) >> al) & 1)
+                elif ah == 0:
+                    tv = np.sign(blk) * (np.abs(blk) >> al) if al else blk
+                    acm[ac_t].encode_block(enc, tv, ss, se)
+                else:
+                    acm[ac_t].encode_refine_block(enc, blk, ss, se, al)
+        out += stuff(enc.flush())
     out += b"\xFF\xD9"
     return bytes(out)

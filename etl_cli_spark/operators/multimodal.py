@@ -3,14 +3,14 @@ metadata.
 
 Image decode is REAL for PPM (P6), uncompressed 24-bpp BMP, 8-bit
 truecolor PNG (stdlib zlib inflate + full five-filter reversal), and
-JPEG — both baseline sequential and progressive SOF2 (full T.81
-decoder in ``operators/jpeg.py``: Huffman, spectral selection +
-successive approximation, EOB runs, dequant, IDCT, 4:2:0 upsample,
-YCbCr->RGB, restart markers) — pure numpy/stdlib, no external image
-library needed. Formats that genuinely need a native codec
-(arithmetic-coded JPEG/H.264 video) fall back
-to the clearly marked deterministic stub kernels; swapping a real
-decoder in means replacing ONE pure-python function per modality. Everything
+JPEG — baseline sequential, progressive SOF2, and the arithmetic-coded
+processes SOF9/SOF10 (full T.81 decoder in ``operators/jpeg.py``:
+Huffman + QM-coder entropy layers, spectral selection + successive
+approximation, EOB runs, dequant, IDCT, 4:2:0 upsample, YCbCr->RGB,
+restart markers) — pure numpy/stdlib, no external image library
+needed. Formats that genuinely need a native codec (H.264 video)
+fall back to the clearly marked deterministic stub kernels; swapping a
+real decoder in means replacing ONE pure-python function per modality. Everything
 Spark-side is real and tested either way: the schema contract, the
 Arrow-batched ``mapInPandas`` pipelines, batch shaping, and partition
 sizing.
@@ -385,10 +385,10 @@ def _decode_gif(data: bytes):
 
 def _decode_pixels(data: bytes):
     """Pixel array for natively-decodable formats (PPM/BMP/PNG/JPEG
-    baseline+progressive), else None — the shared dispatch for decode/
-    resize/feature kernels. Unsupported VARIANTS of a recognized
-    container (palette/interlaced/16-bit PNG, arithmetic JPEG, or any
-    non-conforming stream) return None too, so one
+    baseline+progressive+arithmetic), else None — the shared dispatch
+    for decode/resize/feature kernels. Unsupported VARIANTS of a
+    recognized container (palette/interlaced/16-bit PNG, 12-bit or
+    lossless JPEG, or any non-conforming stream) return None too, so one
     such payload degrades to the stub kernel instead of killing the
     whole Spark job — the batch-robustness contract the module
     docstring promises. The decoders themselves still raise when
