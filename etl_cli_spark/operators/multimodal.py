@@ -1040,6 +1040,10 @@ def jpeg_spec(i: int) -> dict:
     the decoded pixels are identical by construction (same quantized
     coefficients, different entropy packaging), so the oracle below
     is unchanged while certifying the progressive decode path too.
+    arithmetic (QM-coder entropy layer, SOF9/SOF10) when i % 7 in
+    (1, 5) — again only the entropy packaging changes, so the same
+    oracle also certifies the arithmetic decode path (crossing both
+    the progressive flag and restart intervals across the 24 rows).
     All plane values are UNIFORM per coding block and EVEN, and the
     quantization table is flat 16, so each block is DC-only with
     16 | 8*(v-128): the lossy round-trip is exact by construction and
@@ -1066,6 +1070,7 @@ def jpeg_spec(i: int) -> dict:
         "h": h,
         "restart": 2 if i % 4 == 3 else 0,
         "progressive": i % 5 in (2, 4),
+        "arithmetic": i % 7 in (1, 5),
     }
 
 
@@ -1086,16 +1091,25 @@ def _jpeg_plane(i: int, which: int, bw: int, bh: int):
 
 def make_fake_jpeg(spark, n: int = 24) -> DataFrame:
     """Deterministic synthetic JPEG media table: REAL JFIF payloads —
-    baseline and progressive (SOF2) per ``jpeg_spec``, grayscale /
-    4:4:4 / 4:2:0, some with restart intervals — built from the
-    ``jpeg_spec`` uniform-block patterns, so an independent oracle can
-    replay every decoded pixel."""
-    from etl_cli_spark.operators.jpeg import encode_jpeg, encode_progressive_jpeg
+    Huffman and arithmetic (QM-coder), baseline and progressive, per
+    ``jpeg_spec``, grayscale / 4:4:4 / 4:2:0, some with restart
+    intervals — built from the ``jpeg_spec`` uniform-block patterns,
+    so an independent oracle can replay every decoded pixel."""
+    from etl_cli_spark.operators.jpeg import (
+        encode_arithmetic_jpeg,
+        encode_jpeg,
+        encode_progressive_arith_jpeg,
+        encode_progressive_jpeg,
+    )
 
     rows = []
     for i in range(n):
         sp = jpeg_spec(i)
-        enc = encode_progressive_jpeg if sp["progressive"] else encode_jpeg
+        if sp["arithmetic"]:
+            enc = (encode_progressive_arith_jpeg if sp["progressive"]
+                   else encode_arithmetic_jpeg)
+        else:
+            enc = encode_progressive_jpeg if sp["progressive"] else encode_jpeg
         w, h = sp["w"], sp["h"]
         bw, bh = (w + 7) // 8, (h + 7) // 8
         y = _jpeg_plane(i, 0, bw, bh)[:h, :w]
