@@ -100,10 +100,14 @@ def main() -> int:
     # before every attempt but OUTSIDE the timed region, so the headline
     # number is the op alone; setup cost is reported aside
     parts = entrymod.bench_parts() if hasattr(entrymod, "bench_parts") else {}
+    # optional subset (comma-separated names) for focused tier runs
+    # (e.g. the sf5 scaling sweep) — the default full list is untouched
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    headline = [q for q in HEADLINE if q in only.split(",")] if only else HEADLINE
     timings: dict[str, float] = {}
     setup_cost: dict[str, float] = {}
     spread: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         samples: list[float] = []
         for _ in range(n_runs):

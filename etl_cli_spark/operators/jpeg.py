@@ -287,7 +287,9 @@ def decode_jpeg(data: bytes):
             scan = []  # (comp_index, dc_table, ac_table)
             for s in range(ns):
                 cs, tables = body[1 + 2 * s], body[2 + 2 * s]
-                ci = next(i for i, c in enumerate(frame[2]) if c[0] == cs)
+                ci = next((i for i, c in enumerate(frame[2]) if c[0] == cs), None)
+                if ci is None:  # corrupt selector must not leak StopIteration
+                    raise ValueError(f"SOS references unknown component {cs}")
                 scan.append((ci, tables >> 4, tables & 0x0F))
             if not progressive:
                 pos += seg_len

@@ -251,6 +251,31 @@ def test_arith_stream_truncation_degrades_in_multimodal_batch(spark):
     assert len(out) == 2  # both rows survived the batch
 
 
+def test_arith_fuzz_mutations_never_escape_the_dispatch():
+    """Random byte corruptions of valid SOF9/SOF10 streams (headers and
+    entropy data alike) must always yield pixels or a clean stub
+    verdict from the batch dispatch — never an uncaught exception or a
+    hang. The QM decoder's zero-padding feed plus the bounded k/
+    magnitude loops make every decode terminate."""
+    from etl_cli_spark.operators.multimodal import _decode_pixels
+
+    rng = random.Random(21)
+    px = _noise((16, 16, 3), seed=4)
+    seeds = [
+        encode_arithmetic_jpeg(px, quant=8),
+        encode_progressive_arith_jpeg(px, quant=8),
+        encode_arithmetic_jpeg(px, quant=8, restart_interval=1),
+    ]
+    for _ in range(150):
+        data = bytearray(rng.choice(seeds))
+        for _ in range(rng.randint(1, 4)):
+            data[rng.randrange(2, len(data))] = rng.randrange(256)
+        out = _decode_pixels(bytes(data))  # None or ndarray, no raise
+        assert out is None or out.shape[-1] == 3
+    for cut in (3, 20, 60, 200):
+        assert _decode_pixels(bytes(seeds[0][:cut])) is None or True
+
+
 def test_arith_decode_through_multimodal_dispatch():
     """The magic-byte dispatcher must route SOF9/SOF10 payloads into
     the real decoder (digest = sha256 of true RGB rows)."""
