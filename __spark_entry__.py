@@ -2233,12 +2233,15 @@ def _q_multimodal_frames(spark, sf):
 
 
 def _q_multimodal_jpeg(spark, sf):
-    # REAL baseline JPEG decode (pure numpy T.81 decoder: Huffman,
-    # dequant, IDCT, 4:2:0 upsample, YCbCr->RGB, restart markers). The
-    # fixtures are uniform-per-block patterns quantized exactly (flat-16
-    # table, even values -> DC-only blocks that round-trip losslessly),
-    # so the oracle replays every decoded pixel in pure python without
-    # running either codec — see multimodal.jpeg_spec for the contract.
+    # REAL JPEG decode (pure numpy T.81 decoder: Huffman AND QM-coder
+    # arithmetic entropy layers — the 24 fixture rows cross baseline/
+    # progressive x Huffman/arithmetic (SOF0/2/9/10) x grayscale/444/
+    # 420 x restart intervals — dequant, IDCT, 4:2:0 upsample,
+    # YCbCr->RGB). The fixtures are uniform-per-block patterns
+    # quantized exactly (flat-16 table, even values -> DC-only blocks
+    # that round-trip losslessly), so the oracle replays every decoded
+    # pixel in pure python without running either codec, blind to the
+    # entropy packaging — see multimodal.jpeg_spec for the contract.
     from etl_cli_spark.operators.multimodal import decode_images, make_fake_jpeg
 
     media = make_fake_jpeg(spark, n=24)
