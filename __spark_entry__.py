@@ -3013,11 +3013,22 @@ def oracle_sql() -> dict[str, str]:
     )
 
     orders_cols = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+    # insert-op oracle replicates the skip_by anti-join EXACTLY (a
+    # shifted key that already exists in the target is skipped) — at
+    # sf0.01 no key collides so the result is unchanged, but at
+    # generated tiers (sf1+: max o_orderkey crosses 1e6) the collision
+    # path is real and the engine's skip semantics stay certified
+    # (round-6 sf1 sweep caught the hardcoded always-inserts version)
     sql["write_insert"] = (
         f"SELECT {orders_cols} FROM orders UNION ALL "
         f"SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
-        f"o_orderpriority FROM orders WHERE o_orderkey < 50"
+        f"o_orderpriority FROM orders WHERE o_orderkey < 50 "
+        f"AND o_orderkey + 1000000 NOT IN (SELECT o_orderkey FROM orders)"
     )
+    # (upsert's +2000000 new-key shift stays collision-free up to
+    # ~sf13 of the generated tiers; unlike insert-skip, an upsert
+    # collision means UPDATE-with-source-row — not expressible as a
+    # static filter, so the shift is sized instead)
     sql["write_upsert"] = (
         "SELECT o_orderkey, o_custkey, "
         "CASE WHEN o_orderkey < 100 THEN 'U' ELSE o_orderstatus END AS o_orderstatus, "
