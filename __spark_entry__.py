@@ -2387,6 +2387,13 @@ def _q_events_retention(spark, sf):
 
 
 def _q_incremental_loop(spark, sf):
+    """Contid convergence loop. The batch size scales with the corpus
+    (~25 passes at any sf, floored at the 400 the sf0.01 gate always
+    used — at sf0.01 ceil(10000/25)=400, so the driver gate is
+    byte-identical) because a FIXED batch_limit makes the pass count
+    linear in data and trips ``max_passes`` at generated tiers — the
+    round-6 sf1 sweep caught exactly that (2500 needed passes vs the
+    100 cap -> converged=False)."""
     from etl_cli_spark.streaming.incremental import incremental_loop
 
     eng = _engine(spark, sf)
@@ -2399,8 +2406,10 @@ def _q_incremental_loop(spark, sf):
     def process(b):
         batches.append(b.count())
 
+    n = source().count()
     stats = incremental_loop(
-        spark, source, process, f"{tmp}/bm.parquet", ["event_id"], batch_limit=400
+        spark, source, process, f"{tmp}/bm.parquet", ["event_id"],
+        batch_limit=max(400, -(-n // 25)),
     )
     return spark.createDataFrame(
         [(stats.passes, stats.processed, stats.converged)], "passes int, processed long, converged boolean"
@@ -3330,9 +3339,11 @@ def oracle_sql() -> dict[str, str]:
     )
     # incremental_loop is deterministic: batch_limit=400 over events ->
     # passes = ceil(n/400), processed = n, converged = true
+    # mirrors the entry's scale-aware batch_limit = max(400, ceil(n/25))
+    # (identical to the old /400.0 form at sf0.01 where n=10000)
     sql["incremental_loop"] = (
-        "SELECT CAST(ceil(count(*) / 400.0) AS INTEGER) AS passes, "
-        "count(*) AS processed, TRUE AS converged FROM events"
+        "SELECT CAST(ceil(count(*) / greatest(400, ceil(count(*) / 25.0))) AS INTEGER) "
+        "AS passes, count(*) AS processed, TRUE AS converged FROM events"
     )
 
     # multimodal_decode: payloads are REAL PPM/BMP images of a pixel
