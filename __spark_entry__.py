@@ -14,6 +14,7 @@ rows-only checks for them.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -2139,9 +2140,12 @@ def _q_http_bulk_source(spark, sf):
 
     from etl_cli_spark.sources.http_bulk import read_http_bulk
 
+    src = f"{sf}/events.parquet"
+    if os.path.isdir(src):  # Spark-written tier (directory of parts)
+        src = f"{src}/*.parquet"
     rows = _dk.sql(
         f"SELECT event_id, user_id, event_type, value "
-        f"FROM '{sf}/events.parquet' ORDER BY event_id"
+        f"FROM '{src}' ORDER BY event_id"
     ).fetchall()
     payload = [
         {"event_id": a, "user_id": b, "event_type": c, "value": d}

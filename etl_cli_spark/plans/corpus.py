@@ -66,6 +66,7 @@ def _s_decontaminate(
     benchmark_filter: str | None = None,
     benchmark: DataFrame | None = None,
     bloom: bool = False,
+    _input: DataFrame | None = None,
     **kw,
 ) -> DataFrame:
     from ..operators.pipeline import bloom_decontaminate, decontaminate
@@ -75,8 +76,14 @@ def _s_decontaminate(
             "decontaminate stage needs 'benchmark' (a DataFrame) or "
             "'benchmark_filter' (a SQL predicate selecting benchmark rows)"
         )
-    bench = benchmark if benchmark is not None else df.filter(benchmark_filter)
-    return (bloom_decontaminate if bloom else decontaminate)(df, bench, **kw)
+    if benchmark is None:
+        # the predicate selects benchmark rows from the PIPELINE INPUT,
+        # not the current stage frame: benchmark membership must not
+        # depend on what upstream quality/dedup stages happened to drop
+        # (caught by the round-6 sf1 sweep — dedup removed replicated
+        # benchmark docs, silently shrinking the benchmark set)
+        benchmark = (_input if _input is not None else df).filter(benchmark_filter)
+    return (bloom_decontaminate if bloom else decontaminate)(df, benchmark, **kw)
 
 
 def _s_split(df: DataFrame, **kw) -> DataFrame:
@@ -266,6 +273,8 @@ def run_corpus_pipeline(
             raise ValueError(
                 f"stage {i}: unknown stage {name!r}; known: {sorted(STAGES)}"
             )
+        if name == "decontaminate":
+            spec.setdefault("_input", docs)  # predicate scope: the input
         df = STAGES[name](df, **spec)
     return df
 
