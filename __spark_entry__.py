@@ -2745,6 +2745,367 @@ def _digest_sql_one(name: str, inner: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# round 6: oracle upgrades for the previously unit-only CLI surface —
+# http source/merger/target (etl.py:35-37,81-86), text backends
+# (etl.py:230-240), DSL __exists/__size/__mod, --mstrict, --mrules,
+# --overwrite, self-update, wildcard fan-out, async + job-status store,
+# --log-ds, settings, --tmap, --batch-size. Each was previously covered
+# by unit tests only; these entries put every one behind the same
+# Spark-vs-DuckDB value-hash gate as the rest of the engine.
+# ---------------------------------------------------------------------------
+
+
+def _tmp_engine(spark, sf, *tables, prefix="etl_root_"):
+    """Engine over a WRITABLE temp root with the named sf tables linked
+    in (the sf dirs are read-only; jobs that write targets / logs /
+    settings need a writable root)."""
+    from etl_cli_spark.engine import Engine
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    for t in tables:
+        os.symlink(os.path.abspath(f"{sf}/{t}.parquet"), f"{tmp}/{t}.parquet")
+    return Engine(spark, tmp), tmp
+
+
+def _sf_rows(sf, table, select, where=""):
+    """Rows straight off the parquet fixture via DuckDB (engine-free
+    side channel for building HTTP payloads)."""
+    import duckdb as _dk
+
+    src = f"{sf}/{table}.parquet"
+    if os.path.isdir(src):  # Spark-written tier (directory of parts)
+        src = f"{src}/*.parquet"
+    return _dk.sql(f"SELECT {select} FROM '{src}' {where}").fetchall()
+
+
+def _serve_json(payload: bytes):
+    """One-route local HTTP JSON server -> (server, url)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class _H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_port}/feed"
+
+
+def _q_http_source_feed(spark, sf):
+    """``--surl`` http pseudo-source (reference etl.py:35-37,119-127):
+    the supplier table served as one JSON document over local HTTP, read
+    through the engine's ``_url`` query item, and aggregated. The oracle
+    aggregates the parquet directly — the feed path must be lossless."""
+    import json as _json
+
+    rows = _sf_rows(sf, "supplier", "s_suppkey, s_nationkey, s_acctbal")
+    payload = _json.dumps(
+        {"data": [{"s_suppkey": a, "s_nationkey": b, "s_acctbal": c} for a, b, c in rows]}
+    ).encode()
+    srv, url = _serve_json(payload)
+    try:
+        df = _engine(spark, sf).read("feed", [f"_url={url}"])
+        return df.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.expr(
+                "cast(round(sum(cast(s_acctbal as decimal(30,2))), 2) as double)"
+            ).alias("sum_bal"),
+            F.min("s_suppkey").alias("min_supp"),
+        )
+    finally:
+        srv.shutdown()
+
+
+def _q_http_merger_url(spark, sf):
+    """``--murl`` URL-backed merger (reference etl.py:35-37): orders
+    inner-merged with a customer feed served over HTTP; per-customer
+    order rollup must equal the parquet join."""
+    import json as _json
+
+    rows = _sf_rows(sf, "customer", "c_custkey, c_name", "WHERE c_custkey < 50")
+    payload = _json.dumps([{"c_custkey": a, "c_name": b} for a, b in rows]).encode()
+    srv, url = _serve_json(payload)
+    try:
+        res = _engine(spark, sf).etl(
+            "orders", merger="feed", murl=url,
+            mkeys="o_custkey:c_custkey", mmd="m2s", mrm=True,
+        )
+        return res.df.groupBy("c_name").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "cast(round(sum(cast(o_totalprice as decimal(30,2))), 2) as double)"
+            ).alias("sum_price"),
+        )
+    finally:
+        srv.shutdown()
+
+
+def _q_http_target_post(spark, sf):
+    """``--turl`` http target (reference etl.py:81-86): the job POSTs its
+    result rows from the EXECUTORS in JSON batches (batch_size=64) to a
+    local collector; the query returns what the collector received — the
+    distributed POST path must deliver exactly the filtered rows, once
+    each."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    got: list[dict] = []
+    lock = threading.Lock()
+
+    class _H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            batch = _json.loads(self.rfile.read(n))
+            with lock:
+                got.extend(batch)
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        _engine(spark, sf).etl(
+            "orders",
+            query=["o_orderstatus=F", "o_totalprice__gte=400000"],
+            target="out", turl=f"http://127.0.0.1:{srv.server_port}/sink",
+            tf=["o_orderkey", "o_custkey", "o_totalprice"],
+            batch_size=64,
+        )
+    finally:
+        srv.shutdown()
+    return spark.createDataFrame(
+        [(r["o_orderkey"], r["o_custkey"], r["o_totalprice"]) for r in got],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+
+
+def _q_backend_roundtrip(spark, sf):
+    """csv / json / orc backends (reference backend dispatch
+    etl.py:230-240): orders is copied into each backend by an engine
+    job, read back through the same registry, and aggregated — all three
+    row sets must equal the parquet truth."""
+    eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_bk_")
+    frames = []
+    for b in ("csv", "json", "orc"):
+        eng.etl(
+            "orders", target=f"{b}/out/orders_{b}", drop=True,
+            tf=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        )
+        back = eng.read(f"{b}/out/orders_{b}")
+        frames.append(
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(
+                    "cast(round(sum(cast(o_totalprice as decimal(30,2))), 2) as double)"
+                ).alias("sum_price"),
+            )
+            .withColumn("backend", F.lit(b))
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out.select("backend", "o_orderstatus", "n", "sum_price")
+
+
+def _q_dsl_exists_size_mod(spark, sf):
+    """``__exists`` / ``__size`` / ``__mod`` DSL operators (dsl.py;
+    reference query grammar) over a dataset with an engineered array
+    column and engineered nulls, certified against explicit SQL."""
+    eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_dslx_")
+    src = eng.read("orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+        F.sequence(F.lit(1), (F.col("o_orderkey") % 6 + 1).cast("int")).alias("arr"),
+    )
+    src.write.parquet(f"{tmp}/arr.parquet")
+    return eng.read(
+        "arr",
+        ["arr__size=4", "o_orderkey__mod=5,2", "prio__exists=1",
+         "_fields=o_orderkey,prio"],
+    )
+
+
+def _q_merger_strict_nullsafe(spark, sf):
+    """``--mstrict`` null-safe key equality (merger.py eqNullSafe): two
+    per-status aggregates with an engineered NULL key row merged strict —
+    the null-key rows must match EACH OTHER, not drop."""
+    eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_strict_")
+    o = eng.read("orders").withColumn(
+        "k",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    o.groupBy("k").agg(F.count(F.lit(1)).alias("n_orders")).write.parquet(
+        f"{tmp}/side_a.parquet"
+    )
+    o.groupBy("k").agg(
+        F.min("o_orderkey").alias("min_key"), F.max("o_orderkey").alias("max_key")
+    ).write.parquet(f"{tmp}/side_b.parquet")
+    res = eng.etl("side_a", merger="side_b", mkeys="k", mmd="m2s", mstrict=True, mrm=True)
+    return res.df.select("k", "n_orders", "min_key", "max_key")
+
+
+def _q_merger_rules_policy(spark, sf):
+    """``--mrules`` custom merge policy (functions/registry.py
+    ``prefer_nonnull``; reference merge_rules): per conflicting column
+    take the first non-null of (merger, source) — engineered nulls on
+    both sides make every branch observable."""
+    res = _engine(spark, sf).etl(
+        "customer",
+        transformers=["with_column:c_name,IF(c_custkey % 3 = 0, NULL, c_name)"],
+        merger="customer",
+        mtr=["with_column:c_name,IF(c_custkey % 4 = 0, NULL, c_name)"],
+        mkeys="c_custkey",
+        mmd="m2s",
+        mrules="prefer_nonnull",
+    )
+    return res.df.select("c_custkey", "c_name")
+
+
+def _q_write_overwrite_fields(spark, sf):
+    """Per-field overwrite policy on update (``--overwrite``;
+    writeops set_cols): only the listed field takes the source value —
+    the source's other modified columns must NOT land."""
+    eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_ovw_")
+    eng.etl("orders", target="t/ord", op="create", pk="o_orderkey")
+    eng.etl(
+        "orders",
+        query=["o_orderkey__lt=500"],
+        transformers=[
+            "with_column:o_totalprice,o_totalprice + 10.0",
+            "with_column:o_orderpriority,'XX'",
+        ],
+        target="t/ord", op="update", pk="o_orderkey",
+        overwrite="o_totalprice",
+    )
+    return eng.read("t/ord").select(
+        "o_orderkey", "o_orderpriority",
+        F.expr(
+            "cast(round(cast(o_totalprice as decimal(30,2)), 2) as double)"
+        ).alias("o_totalprice"),
+    )
+
+
+def _q_write_selfupdate(spark, sf):
+    """Self-referential update (``--st``: source == target,
+    etl.py:88-98): the staged rewrite must not read the files it is
+    replacing; every 'F' row gains a prefixed priority."""
+    eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_selfu_")
+    eng.etl("orders", target="t/ord", op="create", pk="o_orderkey")
+    eng.etl(
+        "t/ord",
+        query=["o_orderstatus=F"],
+        transformers=["with_column:o_orderpriority,concat('S-', o_orderpriority)"],
+        target="t/ord", op="update", pk="o_orderkey",
+    )
+    return eng.read("t/ord").select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+def _q_wildcard_union(spark, sf):
+    """Wildcard fan-out (reference ls_sources etl.py:364-377) in union
+    mode: orders split into two datasets; ``w/ord_*`` unions them back
+    into ONE job whose filter pushes into both scans."""
+    eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_wild_")
+    o = eng.read("orders")
+    o.filter("o_orderkey % 2 = 0").write.parquet(f"{tmp}/w/ord_even.parquet")
+    o.filter("o_orderkey % 2 = 1").write.parquet(f"{tmp}/w/ord_odd.parquet")
+    res = eng.etl("w/ord_*", query=["o_totalprice__gte=100000"], fanout="union")
+    return res.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_key")
+    )
+
+
+def _q_async_job_status(spark, sf):
+    """Async submission + queryable job-status store + poll loop
+    (run_async / metrics.JobLog; reference ``async=1`` + poll_job,
+    base.py:366-392): submit, poll to terminal, then read the job-status
+    dataset back — its counters must equal the oracle's counts."""
+    from etl_cli_spark.spec import make_spec
+
+    eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_async_")
+    uid = eng.run_async(make_spec("orders", query=["o_orderstatus=F"]))
+    eng.job_log.poll(uid, interval=0.1, timeout=300)
+    log = eng.job_log.frame().filter(
+        (F.col("uid") == uid) & (F.col("status") == "succeeded")
+    )
+    return log.select("status", "source", "op", "rows_in", "rows_out")
+
+
+def _q_target_write_log(spark, sf):
+    """Per-target write log (``log_ds``/``log_fields``; engine
+    _write_target_log): the logged projection must be exactly the
+    written rows."""
+    eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_wlog_")
+    eng.etl(
+        "orders", query=["o_orderstatus=P"], target="t/ord_p", op="create",
+        log_ds="logs", log="o_orderkey,o_custkey",
+    )
+    return eng.read("logs/t-ord_p", ["_fields=o_orderkey,o_custkey"])
+
+
+def _q_settings_roundtrip(spark, sf):
+    """Settings store (reference get_etl_setting, base.py:563-566):
+    set -> latest-wins get, history retained in a queryable dataset."""
+    import time as _time
+
+    eng, tmp = _tmp_engine(spark, sf, prefix="etl_set_")
+    eng.set_setting("batch_size", 5000)
+    eng.set_setting("mode", "fast")
+    _time.sleep(0.01)  # distinct set_at for latest-wins
+    eng.set_setting("batch_size", 7500)
+    rows = [
+        ("batch_size", str(eng.get_setting("batch_size"))),
+        ("mode", str(eng.get_setting("mode"))),
+    ]
+    return spark.createDataFrame(rows, "name string, value string")
+
+
+def _q_tmap_conform(spark, sf):
+    """``--tmap`` named schema applied on write (schemas.py conform;
+    reference etl.py:237-238): casts, typed nulls for missing fields,
+    extras dropped, field order fixed."""
+    from etl_cli_spark.schemas import register_schema
+
+    register_schema(
+        "ord_slim_r6", "o_orderkey int, o_totalprice double, o_channel string"
+    )
+    eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_tmap_")
+    eng.etl(
+        "orders", query=["o_orderkey__lt=1000"], target="t/slim",
+        op="create", tmap="ord_slim_r6",
+    )
+    return eng.read("t/slim")
+
+
+def _q_batch_size_files(spark, sf):
+    """``--batch-size`` -> maxRecordsPerFile (writeops ParquetTable): a
+    single-partition write of n rows with batch_size=1000 must produce
+    exactly ceil(n/1000) files."""
+    import glob as _glob
+
+    eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_bsz_")
+    eng.etl("orders", target="t/ordb", op="create", batch_size=1000, workers=1)
+    files = _glob.glob(f"{tmp}/t/ordb.parquet/*.parquet")
+    n = eng.read("t/ordb").count()
+    return spark.createDataFrame([(len(files), n)], "n_files int, n_rows long")
+
+
 _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- positions 1-50: the driver-signed correctness window ----
     # text / dedup / similarity / multimodal (north-star extensions)
@@ -2909,6 +3270,22 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pivot": _q_agg_pivot,
     "agg_count_distinct": _q_agg_count_distinct,
     "agg_percentiles": _q_agg_percentiles,
+    # ---- round 6: oracle upgrades for the previously unit-only surface ----
+    "http_source_feed": _q_http_source_feed,
+    "http_merger_url": _q_http_merger_url,
+    "http_target_post": _q_http_target_post,
+    "backend_roundtrip": _q_backend_roundtrip,
+    "dsl_exists_size_mod": _q_dsl_exists_size_mod,
+    "merger_strict_nullsafe": _q_merger_strict_nullsafe,
+    "merger_rules_policy": _q_merger_rules_policy,
+    "write_overwrite_fields": _q_write_overwrite_fields,
+    "write_selfupdate": _q_write_selfupdate,
+    "wildcard_union": _q_wildcard_union,
+    "async_job_status": _q_async_job_status,
+    "target_write_log": _q_target_write_log,
+    "settings_roundtrip": _q_settings_roundtrip,
+    "tmap_conform": _q_tmap_conform,
+    "batch_size_files": _q_batch_size_files,
 }
 
 
@@ -4340,6 +4717,86 @@ def oracle_sql() -> dict[str, str]:
         "COALESCE(t.n_segs, 0) - COALESCE(a.n_kept, 0) AS n_dropped "
         "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id "
         "LEFT JOIN tot t ON d.doc_id = t.doc_id"
+    )
+
+    # ---- round 6: oracle upgrades for the previously unit-only surface ----
+    _sum2 = "CAST(round(sum(CAST({c} AS DECIMAL(30,2))), 2) AS DOUBLE)"
+    sql["http_source_feed"] = (
+        "SELECT s_nationkey, count(*) AS n_suppliers, "
+        + _sum2.format(c="s_acctbal")
+        + " AS sum_bal, min(s_suppkey) AS min_supp FROM supplier GROUP BY s_nationkey"
+    )
+    sql["http_merger_url"] = (
+        "SELECT c_name, count(*) AS n_orders, "
+        + _sum2.format(c="o_totalprice")
+        + " AS sum_price FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_custkey < 50 GROUP BY c_name"
+    )
+    sql["http_target_post"] = (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_totalprice >= 400000"
+    )
+    sql["backend_roundtrip"] = (
+        "SELECT backend, o_orderstatus, n, sum_price FROM "
+        "(SELECT o_orderstatus, count(*) AS n, "
+        + _sum2.format(c="o_totalprice")
+        + " AS sum_price FROM orders GROUP BY o_orderstatus) a, "
+        "(VALUES ('csv'), ('json'), ('orc')) b(backend)"
+    )
+    sql["dsl_exists_size_mod"] = (
+        "SELECT o_orderkey, o_orderpriority AS prio FROM orders "
+        "WHERE (o_orderkey % 6) + 1 = 4 AND o_orderkey % 5 = 2 "
+        "AND o_orderkey % 97 <> 0 AND o_orderpriority IS NOT NULL"
+    )
+    sql["merger_strict_nullsafe"] = (
+        "WITH o AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL "
+        "ELSE o_orderstatus END AS k, o_orderkey FROM orders), "
+        "a AS (SELECT k, count(*) AS n_orders FROM o GROUP BY k), "
+        "b AS (SELECT k, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key "
+        "FROM o GROUP BY k) "
+        "SELECT a.k, n_orders, min_key, max_key FROM a "
+        "JOIN b ON a.k IS NOT DISTINCT FROM b.k"
+    )
+    sql["merger_rules_policy"] = (
+        "SELECT c_custkey, coalesce("
+        "CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_name END, "
+        "CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END) AS c_name "
+        "FROM customer"
+    )
+    sql["write_overwrite_fields"] = (
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(round(CAST(CASE WHEN o_orderkey < 500 THEN o_totalprice + 10.0 "
+        "ELSE o_totalprice END AS DECIMAL(30,2)), 2) AS DOUBLE) AS o_totalprice "
+        "FROM orders"
+    )
+    sql["write_selfupdate"] = (
+        "SELECT o_orderkey, o_orderstatus, "
+        "CASE WHEN o_orderstatus = 'F' THEN 'S-' || o_orderpriority "
+        "ELSE o_orderpriority END AS o_orderpriority FROM orders"
+    )
+    sql["wildcard_union"] = (
+        "SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS min_key "
+        "FROM orders WHERE o_totalprice >= 100000 GROUP BY o_orderstatus"
+    )
+    sql["async_job_status"] = (
+        "SELECT 'succeeded' AS status, 'orders' AS source, "
+        "CAST(NULL AS VARCHAR) AS op, count(*) AS rows_in, count(*) AS rows_out "
+        "FROM orders WHERE o_orderstatus = 'F'"
+    )
+    sql["target_write_log"] = (
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'P'"
+    )
+    sql["settings_roundtrip"] = (
+        "SELECT * FROM (VALUES ('batch_size', '7500'), ('mode', 'fast')) "
+        "t(name, value)"
+    )
+    sql["tmap_conform"] = (
+        "SELECT CAST(o_orderkey AS INT) AS o_orderkey, o_totalprice, "
+        "CAST(NULL AS VARCHAR) AS o_channel FROM orders WHERE o_orderkey < 1000"
+    )
+    sql["batch_size_files"] = (
+        "SELECT CAST(ceil(count(*) / 1000.0) AS INT) AS n_files, "
+        "count(*) AS n_rows FROM orders"
     )
 
     return sql
