@@ -2213,21 +2213,32 @@ def _q_multimodal_audio(spark, sf):
 
 
 def _q_multimodal_frames(spark, sf):
-    # REAL frame sampling from BMP reels AND animated GIFs (round-5:
-    # full GIF compositing with per-frame GCE delays): the sampled
+    # REAL frame sampling from BMP reels, animated GIFs (round-5: full
+    # GIF compositing with per-frame GCE delays), and MJPEG-AVI
+    # (round-6: RIFF demux + per-frame T.81 JPEG decode): the sampled
     # frame is decoded and its pixel digest must match the oracle's
-    # independent pattern recomputation — both containers share the
-    # frame-f-of-video-i = pattern(i*1000+f) protocol, so the oracle
-    # never touches either container format
+    # independent pattern recomputation — reel/GIF share the
+    # frame-f-of-video-i = pattern(i*1000+f) protocol and AVI the
+    # jpeg_spec uniform-block protocol, so the oracle never touches
+    # any container or codec
     from etl_cli_spark.operators.multimodal import (
+        make_fake_avi_video,
         make_fake_gif_video,
         make_fake_video,
         sample_frames,
     )
 
-    video = make_fake_video(spark, n=12, fps=4).unionByName(
-        make_fake_gif_video(spark, n=6, frame_ms=250).withColumn(
-            "media_id", F.col("media_id") + 500
+    video = (
+        make_fake_video(spark, n=12, fps=4)
+        .unionByName(
+            make_fake_gif_video(spark, n=6, frame_ms=250).withColumn(
+                "media_id", F.col("media_id") + 500
+            )
+        )
+        .unionByName(
+            make_fake_avi_video(spark, n=6, fps=4).withColumn(
+                "media_id", F.col("media_id") + 700
+            )
         )
     )
     return sample_frames(video, every_ms=1000).select(
@@ -2279,12 +2290,14 @@ def _q_stream_interval_join(spark, sf):
 def _q_multimodal_probe(spark, sf):
     """Header-only media probe (format/width/height from container
     headers, zero pixel decode — the cheap routing pass before decode)
-    over PPM/PNG/BMP images, baseline+progressive JPEG, and WAV audio.
+    over PPM/PNG/BMP images, baseline+progressive JPEG, WAV audio, and
+    MJPEG-AVI video (round-6: dims straight from the avih header).
     The oracle replays every answer from the fixture specs. Dimensions
     are NULL for audio: coalesced to -1 for the compare (the
     merger_match_one nullable-int protocol)."""
     from etl_cli_spark.operators.multimodal import (
         make_fake_audio,
+        make_fake_avi_video,
         make_fake_jpeg,
         make_fake_media,
         probe_media,
@@ -2300,6 +2313,11 @@ def _q_multimodal_probe(spark, sf):
         .unionByName(
             make_fake_audio(spark, n=6).withColumn(
                 "media_id", F.col("media_id") + 200
+            )
+        )
+        .unionByName(
+            make_fake_avi_video(spark, n=6).withColumn(
+                "media_id", F.col("media_id") + 300
             )
         )
     )
@@ -3789,7 +3807,10 @@ def oracle_sql() -> dict[str, str]:
     # multimodal_frames: recompute each sampled frame's pattern pixels
     # in pure python (frame f of video i is pattern i*1000+f) and
     # digest — BMP reels at ids 0..11, animated GIFs at 500..505 (same
-    # protocol, same 250 ms frame step, neither container involved)
+    # protocol, same 250 ms frame step), MJPEG-AVIs at 700..705 (the
+    # jpeg_spec uniform-block protocol: gray value per 8x8 block,
+    # replicated to RGB by the grayscale JPEG decode) — no container
+    # or codec involved on the oracle side
     _fvals = []
     for mid in list(range(12)) + [500 + j for j in range(6)]:
         i = mid if mid < 500 else mid - 500
@@ -3804,6 +3825,19 @@ def oracle_sql() -> dict[str, str]:
                         buf.append((3 * x + 7 * y + 11 * (i * 1000 + fi) + 13 * c) % 256)
             dg = _hl.sha256(bytes(buf)).hexdigest()[:32].upper()
             _fvals.append(f"({mid}, {s}, {ts}, '{dg}')")
+    for i in range(6):
+        w, h = 20 + 4 * (i % 3), 12 + 8 * (i % 2)
+        dur, n_frames = 2000 + 500 * (i % 3), (2000 + 500 * (i % 3)) * 4 // 1000
+        for s, ts in enumerate(range(0, dur, 1000)):
+            fi = min(ts // 250, n_frames - 1)
+            k = i * 1000 + fi
+            buf = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    v = ((5 * (x // 8) + 9 * (y // 8) + 11 * k) % 128) * 2
+                    buf += bytes((v, v, v))
+            dg = _hl.sha256(bytes(buf)).hexdigest()[:32].upper()
+            _fvals.append(f"({700 + i}, {s}, {ts}, '{dg}')")
     sql["multimodal_frames"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, "
         "CAST(fi AS INTEGER) AS frame_idx, CAST(ts AS BIGINT) AS frame_ts_ms, "
@@ -3851,6 +3885,8 @@ def oracle_sql() -> dict[str, str]:
         _pvals.append(f"({100 + i}, 'jpeg', {_pw}, {_ph})")
     for i in range(6):
         _pvals.append(f"({200 + i}, 'wav', -1, -1)")
+    for i in range(6):  # MJPEG-AVI: dims replayed from the avih header spec
+        _pvals.append(f"({300 + i}, 'avi', {20 + 4 * (i % 3)}, {12 + 8 * (i % 2)})")
     sql["multimodal_probe"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, probe_format, "
         "CAST(probe_width AS INTEGER) AS probe_width, "

@@ -595,6 +595,41 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                             gframes[fi][1].tobytes()
                         ).digest()[:16]
                         rows.append((r["media_id"], i, ts, digest))
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    # real path: MJPEG-AVI — demux is header arithmetic,
+                    # JPEG decode cost is paid only for SAMPLED frames;
+                    # malformed payloads degrade to the stub digest
+                    # (same batch-robustness contract as _decode_pixels)
+                    from .avi import demux_avi_mjpeg
+
+                    try:
+                        _w, _h, uspf, vframes = demux_avi_mjpeg(payload)
+                        if not vframes:
+                            raise ValueError("AVI with no frame chunks")
+                        frame_ms = (
+                            uspf / 1000.0 if uspf else dur / len(vframes)
+                        )
+                        total = int(dur) if dur else int(frame_ms * len(vframes))
+                        for i, ts in enumerate(range(0, total, every_ms)):
+                            fi = min(
+                                int(ts / frame_ms) if frame_ms else 0,
+                                len(vframes) - 1,
+                            )
+                            px = _decode_pixels(vframes[fi])
+                            digest = (
+                                hashlib.sha256(px.tobytes()).digest()[:16]
+                                if px is not None
+                                else hashlib.sha256(
+                                    vframes[fi] + ts.to_bytes(8, "little")
+                                ).digest()[:16]
+                            )
+                            rows.append((r["media_id"], i, ts, digest))
+                    except (ValueError, IndexError, struct.error):
+                        for i, ts in enumerate(range(0, int(dur), every_ms)):
+                            digest = hashlib.sha256(
+                                payload + ts.to_bytes(8, "little")
+                            ).digest()[:16]
+                            rows.append((r["media_id"], i, ts, digest))
                 else:  # stub path for codec formats
                     for i, ts in enumerate(range(0, int(dur), every_ms)):
                         digest = hashlib.sha256(
@@ -769,6 +804,35 @@ def make_fake_gif_video(spark, n: int = 6, frame_ms: int = 250) -> DataFrame:
         frames = [media_pixels(i * 1000 + f, w, h) for f in range(n_frames)]
         payload = encode_gif_animation(frames, [frame_ms] * n_frames)
         rows.append((i, "video", bytearray(payload), (w, h, None, dur, "gif")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def make_fake_avi_video(spark, n: int = 6, fps: int = 4) -> DataFrame:
+    """Deterministic synthetic MJPEG-AVI video table: frame f of video
+    i is a REAL baseline JPEG of the ``jpeg_spec`` uniform-block
+    pattern ``_jpeg_plane(i*1000+f)`` (flat-16 quant, even values —
+    DC-only blocks, so the lossy round-trip is exact), muxed into a
+    spec-shaped RIFF/AVI container. An oracle replays any sampled
+    frame's pixels from the block formula with neither codec nor
+    container involved."""
+    from .avi import mux_avi_mjpeg
+    from .jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        w, h = 20 + 4 * (i % 3), 12 + 8 * (i % 2)
+        dur = 2000 + 500 * (i % 3)
+        n_frames = dur * fps // 1000
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        frames = [
+            encode_jpeg(
+                _jpeg_plane(i * 1000 + f, 0, bw, bh)[:h, :w],
+                quant=16, grayscale=True,
+            )
+            for f in range(n_frames)
+        ]
+        payload = mux_avi_mjpeg(frames, w, h, fps)
+        rows.append((i, "video", bytearray(payload), (w, h, None, dur, "mjpeg-avi")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -1189,6 +1253,11 @@ def _probe_one(data: bytes):
             return "gif", int(w), int(h)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return "wav", None, None
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            from .avi import probe_avi
+
+            w, h, _uspf, _n = probe_avi(data)
+            return "avi", int(w), int(h)
         if data[:2] == b"\xFF\xD8":
             pos = 2
             while pos + 4 <= len(data):

@@ -30,7 +30,7 @@ def counts() -> tuple[int, int]:
 
 def main() -> None:
     n_q, n_o = counts()
-    line = f"Round-5 state: {n_q} declared queries, {n_o}/{n_q} hash-MATCH"
+    line = f"Round-6 state: {n_q} declared queries, {n_o}/{n_q} hash-MATCH"
     print(line)
     if "--write" in sys.argv:
         path = "/root/repo/COVERAGE.md"
