@@ -16,9 +16,7 @@ import time
 from typing import Any
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 _SCHEMA = T.StructType(
     [
@@ -40,29 +38,35 @@ class Settings:
             self.path
         )
 
+    def _latest(self) -> dict[str, str]:
+        """name -> latest JSON value, read DRIVER-SIDE with pyarrow.
+
+        Settings are metadata (KB-sized at any deployment scale — the
+        reference serves them from a single HTTP GET, base.py:563-566),
+        so a lookup should not cost a Spark job: scan the part files
+        directly and keep the highest ``set_at`` per name. The dataset
+        stays Spark-written parquet, so it remains engine-queryable
+        like any other dataset."""
+        import pyarrow.parquet as pq
+
+        best: dict[str, tuple[float, str]] = {}
+        for fn in sorted(os.listdir(self.path)):
+            if not fn.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(self.path, fn))
+            for n, v, at in zip(*(t.column(c).to_pylist() for c in ("name", "value", "set_at"))):
+                if n not in best or at > best[n][0]:
+                    best[n] = (at, v)
+        return {n: v for n, (_, v) in best.items()}
+
     def get(self, name: str, default: Any = None) -> Any:
         """Latest value for ``name`` (base.py:563-566), or ``default``."""
         if not os.path.exists(self.path):
             return default
-        rows = (
-            self.spark.read.schema(_SCHEMA).parquet(self.path)
-            .filter(F.col("name") == name)
-            .orderBy(F.desc("set_at"))
-            .limit(1)
-            .collect()
-        )
-        return json.loads(rows[0].value) if rows else default
+        raw = self._latest().get(name)
+        return default if raw is None else json.loads(raw)
 
     def all(self) -> dict[str, Any]:
         if not os.path.exists(self.path):
             return {}
-        rows = (
-            self.spark.read.schema(_SCHEMA).parquet(self.path)
-            .withColumn(
-                "rn",
-                F.row_number().over(Window.partitionBy("name").orderBy(F.desc("set_at"))),
-            )
-            .filter("rn = 1")
-            .collect()
-        )
-        return {r.name: json.loads(r.value) for r in rows}
+        return {n: json.loads(v) for n, v in self._latest().items()}

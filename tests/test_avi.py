@@ -144,3 +144,35 @@ def test_sample_frames_corrupt_avi_degrades_to_stub(spark):
             payload + int(r.frame_ts_ms).to_bytes(8, "little")
         ).digest()[:16]
         assert bytes(r.frame_digest) == want
+
+
+def test_avi_fuzz_mutations_never_escape_sample_frames(spark):
+    """Random byte corruptions of a valid MJPEG AVI (container headers
+    and frame payloads alike) must always yield sampled rows — real
+    digests when the tree still parses, stub digests when it doesn't —
+    never an uncaught exception from the Spark task."""
+    import random
+
+    from etl_cli_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rng = random.Random(6)
+    seed_avi = mux_avi_mjpeg(_mk_frames(6, 20, 12), 20, 12, fps=4)
+    payloads = []
+    for _ in range(60):
+        data = bytearray(seed_avi)
+        for _ in range(rng.randint(1, 6)):
+            data[rng.randrange(12, len(data))] = rng.randrange(256)
+        payloads.append(bytes(data))
+    for cut in (13, 40, 90, len(seed_avi) - 3):
+        payloads.append(seed_avi[:cut])
+    df = spark.createDataFrame(
+        [
+            (i, "video", bytearray(p), (20, 12, None, 2000, "mjpeg-avi"))
+            for i, p in enumerate(payloads)
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_frames(df, every_ms=1000).collect()
+    # every (video, sample) slot produced a digest, none crashed
+    assert len(rows) >= 2 * len(payloads) - len(payloads)  # >=1 frame rows each
+    assert all(r.frame_digest is not None for r in rows)
