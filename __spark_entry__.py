@@ -3124,6 +3124,32 @@ def _q_batch_size_files(spark, sf):
     return spark.createDataFrame([(len(files), n)], "n_files int, n_rows long")
 
 
+def _q_catalog_ops(spark, sf):
+    """Catalog surface (reference ls_ns base.py:541-561, drop_ds
+    base.py:506-519, --drop-ns base.py:612-630): create -> list ->
+    refused drop (confirm gate) -> drop_ds -> refused drop_ns (no
+    confirm) -> drop_ns, each step's listing returned as rows."""
+    from etl_cli_spark.catalog import drop_ds, drop_ns, ls_ns
+
+    eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_cat_")
+    o = eng.read("orders", ["_limit=10"])
+    o.write.parquet(f"{tmp}/cat/alpha.parquet")
+    o.write.parquet(f"{tmp}/cat/beta.parquet")
+    rows = [("created", n) for n in ls_ns(tmp, "cat")]
+    refused = drop_ds(tmp, "cat", "alpha", confirm=lambda m: False)
+    rows += [("after_refused_drop" if not refused else "BUG", n)
+             for n in ls_ns(tmp, "cat")]
+    dropped = drop_ds(tmp, "cat", "alpha")
+    rows += [("after_drop_ds" if dropped else "BUG", n) for n in ls_ns(tmp, "cat")]
+    ns_refused = drop_ns(tmp, "cat")  # no confirm callback -> must refuse
+    rows += [("after_refused_drop_ns" if not ns_refused else "BUG", n)
+             for n in ls_ns(tmp, "cat")]
+    ns_dropped = drop_ns(tmp, "cat", confirm=lambda m: True)
+    rows += [("after_drop_ns", "<empty>" if ns_dropped and not ls_ns(tmp, "cat")
+              else "BUG")]
+    return spark.createDataFrame(rows, "step string, name string")
+
+
 _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- positions 1-50: the driver-signed correctness window ----
     # text / dedup / similarity / multimodal (north-star extensions)
@@ -3304,6 +3330,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "settings_roundtrip": _q_settings_roundtrip,
     "tmap_conform": _q_tmap_conform,
     "batch_size_files": _q_batch_size_files,
+    "catalog_ops": _q_catalog_ops,
 }
 
 
@@ -4833,6 +4860,14 @@ def oracle_sql() -> dict[str, str]:
     sql["batch_size_files"] = (
         "SELECT CAST(ceil(count(*) / 1000.0) AS INT) AS n_files, "
         "count(*) AS n_rows FROM orders"
+    )
+    sql["catalog_ops"] = (
+        "SELECT * FROM (VALUES "
+        "('created', 'alpha'), ('created', 'beta'), "
+        "('after_refused_drop', 'alpha'), ('after_refused_drop', 'beta'), "
+        "('after_drop_ds', 'beta'), "
+        "('after_refused_drop_ns', 'beta'), "
+        "('after_drop_ns', '<empty>')) t(step, name)"
     )
 
     return sql
