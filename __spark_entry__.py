@@ -3124,6 +3124,53 @@ def _q_batch_size_files(spark, sf):
     return spark.createDataFrame([(len(files), n)], "n_files int, n_rows long")
 
 
+def _q_preview_info(spark, sf):
+    """Preview + pre-flight info gates (reference show_info
+    base.py:411-479, preview base.py:640-644): the sample row, compiled
+    spec echo, and source_total (with the min(count,_limit) rule
+    underneath) all replayed against SQL."""
+    from etl_cli_spark.spec import make_spec
+
+    eng = _engine(spark, sf)
+    prev = eng.preview(
+        "orders", ["_sort=-o_totalprice,o_orderkey", "_fields=o_orderkey"], n=1
+    )
+    spec = make_spec(
+        "orders", query=["o_orderstatus=F"], target="t/x", op="update",
+        pk="o_orderkey",
+    )
+    inf = eng.info(spec)
+    rows = [
+        ("preview_top_key", str(prev[0]["o_orderkey"])),
+        ("source", inf["source"]),
+        ("op", inf["op"]),
+        ("pk", ",".join(inf["pk"])),
+        ("source_total", str(inf["source_total"])),
+        ("plan_has_scan", str("Scan" in inf["plan"]).lower()),
+    ]
+    return spark.createDataFrame(rows, "k string, v string")
+
+
+def _q_write_dry_run(spark, sf):
+    """``--dry`` gate: an update job run dry must return its would-be
+    result WITHOUT mutating the target — the target re-read must equal
+    the original orders exactly."""
+    eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_dry_")
+    eng.etl("orders", target="t/ord", op="create", pk="o_orderkey")
+    eng.etl(
+        "orders",
+        query=["o_orderkey__lt=500"],
+        transformers=["with_column:o_totalprice,o_totalprice + 99.0"],
+        target="t/ord", op="update", pk="o_orderkey", dry=True,
+    )
+    return eng.read("t/ord").select(
+        "o_orderkey", "o_orderstatus",
+        F.expr(
+            "cast(round(cast(o_totalprice as decimal(30,2)), 2) as double)"
+        ).alias("o_totalprice"),
+    )
+
+
 def _q_catalog_ops(spark, sf):
     """Catalog surface (reference ls_ns base.py:541-561, drop_ds
     base.py:506-519, --drop-ns base.py:612-630): create -> list ->
@@ -3331,6 +3378,8 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tmap_conform": _q_tmap_conform,
     "batch_size_files": _q_batch_size_files,
     "catalog_ops": _q_catalog_ops,
+    "preview_info": _q_preview_info,
+    "write_dry_run": _q_write_dry_run,
 }
 
 
@@ -4868,6 +4917,21 @@ def oracle_sql() -> dict[str, str]:
         "('after_drop_ds', 'beta'), "
         "('after_refused_drop_ns', 'beta'), "
         "('after_drop_ns', '<empty>')) t(step, name)"
+    )
+    sql["preview_info"] = (
+        "SELECT 'preview_top_key' AS k, CAST((SELECT o_orderkey FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) AS VARCHAR) AS v "
+        "UNION ALL SELECT 'source', 'parquet/orders' "
+        "UNION ALL SELECT 'op', 'update' "
+        "UNION ALL SELECT 'pk', 'o_orderkey' "
+        "UNION ALL SELECT 'source_total', CAST((SELECT count(*) FROM orders "
+        "WHERE o_orderstatus = 'F') AS VARCHAR) "
+        "UNION ALL SELECT 'plan_has_scan', 'true'"
+    )
+    sql["write_dry_run"] = (
+        "SELECT o_orderkey, o_orderstatus, "
+        "CAST(round(CAST(o_totalprice AS DECIMAL(30,2)), 2) AS DOUBLE) "
+        "AS o_totalprice FROM orders"
     )
 
     return sql
