@@ -168,6 +168,21 @@ def bpe_train(
       when the top-K list is truncated — an uncollected hazard can be
       at most the floor). Strictness also protects the lexicographic
       tie-break from a tying new pair.
+    - the creation bound above assumes every (x, a+b) / (a+b, y) pair
+      starts from count 0 — true only while the merged string "a+b" is
+      NOT already a symbol (formed in an earlier round via a different
+      split), since a pre-existing (x, a+b) count would ADD to the
+      created occurrences. The batch therefore also ends as soon as
+      any collected pair contains an accepted member's merged token as
+      a symbol (merged tokens must look FRESH in the collected table;
+      when the table is untruncated it is the full pair table, so the
+      check is exact). When the table IS truncated, an unseen
+      pre-existing pair can hold up to ``floor``, and increases can
+      compound across members (a created pair of member i can be a
+      side pair of member j), so the acceptance bound widens to
+      ``hazard_bound + (len(batch)+1) * floor`` — each accepted merge
+      raises any single pair's count by at most its own side-pair
+      maximum, and every unseen term is at most the floor.
 
     Any candidate failing a check ends the batch; the next round
     recomputes counts from the merged state exactly as the sequential
@@ -196,7 +211,9 @@ def bpe_train(
         floor = int(top[-1].pair_count) if truncated else -1
         batch: list[tuple[str, str, str, int]] = []
         used: set[str] = set()
+        minted: set[str] = set()
         hazard_bound = -1
+        stale_merge = False
         for row in top:
             if len(batch) >= batch_k or len(merges) + len(batch) >= n_merges:
                 break
@@ -205,15 +222,29 @@ def bpe_train(
                 break
             merged = left + right
             if batch:
+                if stale_merge:
+                    break
                 if left in used or right in used or merged in used:
                     break
-                if cnt <= hazard_bound or (truncated and cnt <= floor):
+                bound = hazard_bound
+                if truncated:
+                    # unseen pre-existing / side pairs are each <= floor
+                    # and increases compound across members
+                    bound = max(bound, hazard_bound + (len(batch) + 1) * max(floor, 0))
+                    bound = max(bound, floor)
+                if cnt <= bound:
                     break
             batch.append((left, right, merged, cnt))
             used.update((left, right, merged))
+            minted.add(merged)
             for p in top:  # hazard pairs of this merge
                 if p.right == left or p.left == right:
                     hazard_bound = max(hazard_bound, int(p.pair_count))
+                if p.left in minted or p.right in minted:
+                    # a merged token already exists as a symbol: created
+                    # occurrences ADD to its pre-existing pair counts, so
+                    # the creation bound no longer applies — end the batch
+                    stale_merge = True
         for left, right, merged, cnt in batch:
             merges.append((len(merges) + 1, left, right, merged, cnt))
         # localCheckpoint: truncate the per-round fold lineage so round

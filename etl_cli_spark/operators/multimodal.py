@@ -550,7 +550,16 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     composed pixel bytes. Codec formats (H.264 etc.) keep the
     deterministic stub digest; a real I-frame decoder drops into the
     same per-batch contract. Row-explosion shape (1 video -> N frames)
-    is identical on all paths."""
+    is identical on all paths.
+
+    Row-explosion is CLAMPED at ``max_samples`` rows per video: the
+    sample count is otherwise attacker-controlled when metadata
+    duration is absent — a crafted AVI header (dwMicroSecPerFrame up
+    to 0xFFFFFFFF) against many tiny frame chunks would explode one
+    record into millions of rows inside a single Arrow batch. Honest
+    pipeline-supplied durations never hit the cap (10k samples at the
+    1 s default = a 2.7-hour video)."""
+    max_samples = 10_000
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -559,6 +568,7 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             T.StructField("frame_digest", T.BinaryType(), True),
         ]
     )
+    span_cap = max_samples * every_ms  # range(0, total, every_ms) bound
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -570,7 +580,9 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     frames = _split_bmp_reel(payload)
                     # fps from metadata: n_frames over duration
                     frame_ms = dur / len(frames) if frames else 0
-                    for i, ts in enumerate(range(0, int(dur), every_ms)):
+                    for i, ts in enumerate(
+                        range(0, min(int(dur), span_cap), every_ms)
+                    ):
                         fi = min(int(ts / frame_ms) if frame_ms else 0, len(frames) - 1)
                         px = _decode_bmp(frames[fi])[2]
                         digest = hashlib.sha256(px.tobytes()).digest()[:16]
@@ -585,7 +597,7 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     for delay, _px in gframes:
                         starts.append(acc)
                         acc += delay if delay > 0 else 100
-                    total = int(dur) if dur else acc
+                    total = min(int(dur) if dur else acc, span_cap)
                     for i, ts in enumerate(range(0, total, every_ms)):
                         fi = 0
                         for j, s in enumerate(starts):
@@ -609,7 +621,10 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                         frame_ms = (
                             uspf / 1000.0 if uspf else dur / len(vframes)
                         )
-                        total = int(dur) if dur else int(frame_ms * len(vframes))
+                        total = min(
+                            int(dur) if dur else int(frame_ms * len(vframes)),
+                            span_cap,
+                        )
                         for i, ts in enumerate(range(0, total, every_ms)):
                             fi = min(
                                 int(ts / frame_ms) if frame_ms else 0,
@@ -625,13 +640,17 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                             )
                             rows.append((r["media_id"], i, ts, digest))
                     except (ValueError, IndexError, struct.error):
-                        for i, ts in enumerate(range(0, int(dur), every_ms)):
+                        for i, ts in enumerate(
+                            range(0, min(int(dur), span_cap), every_ms)
+                        ):
                             digest = hashlib.sha256(
                                 payload + ts.to_bytes(8, "little")
                             ).digest()[:16]
                             rows.append((r["media_id"], i, ts, digest))
                 else:  # stub path for codec formats
-                    for i, ts in enumerate(range(0, int(dur), every_ms)):
+                    for i, ts in enumerate(
+                        range(0, min(int(dur), span_cap), every_ms)
+                    ):
                         digest = hashlib.sha256(
                             payload + ts.to_bytes(8, "little")
                         ).digest()[:16]

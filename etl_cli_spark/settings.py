@@ -32,32 +32,76 @@ class Settings:
         self.spark = spark
         self.path = os.path.join(root, ns, "settings")
 
+    # one appended part file per set(); past this many, set() compacts
+    # the history into a single latest-per-name file so lookup cost
+    # stays O(1) instead of growing with write history
+    COMPACT_AFTER = 64
+
     def set(self, name: str, value: Any) -> None:
         row = (name, json.dumps(value), time.time())
         self.spark.createDataFrame([row], _SCHEMA).coalesce(1).write.mode("append").parquet(
             self.path
         )
+        if len(self._part_files()) > self.COMPACT_AFTER:
+            self.compact()
 
-    def _latest(self) -> dict[str, str]:
-        """name -> latest JSON value, read DRIVER-SIDE with pyarrow.
+    def compact(self) -> None:
+        """Rewrite the append-only history as one latest-per-name file.
+
+        History is a convenience, not a contract (the reference serves
+        only current values, base.py:563-566); compaction keeps the
+        driver-side lookup proportional to DISTINCT settings, not to
+        the number of ``set`` calls ever made."""
+        rows = [
+            (n, v, at) for n, (at, v) in self._best().items()
+        ]
+        self.spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self.path)
+
+    def _part_files(self) -> list[str]:
+        try:
+            return sorted(
+                fn for fn in os.listdir(self.path) if fn.endswith(".parquet")
+            )
+        except FileNotFoundError:
+            return []
+
+    def _best(self) -> dict[str, tuple[float, str]]:
+        """name -> (set_at, JSON value) of the newest write, read
+        DRIVER-SIDE with pyarrow.
 
         Settings are metadata (KB-sized at any deployment scale — the
         reference serves them from a single HTTP GET, base.py:563-566),
         so a lookup should not cost a Spark job: scan the part files
         directly and keep the highest ``set_at`` per name. The dataset
         stays Spark-written parquet, so it remains engine-queryable
-        like any other dataset."""
+        like any other dataset. Only the three expected columns are
+        read, and a part file with a drifted schema (hand-written, or
+        from an older layout) is skipped rather than raising — the
+        Spark read path would have schema-coerced it the same way."""
+        import pyarrow.lib
         import pyarrow.parquet as pq
 
         best: dict[str, tuple[float, str]] = {}
-        for fn in sorted(os.listdir(self.path)):
-            if not fn.endswith(".parquet"):
-                continue
-            t = pq.read_table(os.path.join(self.path, fn))
-            for n, v, at in zip(*(t.column(c).to_pylist() for c in ("name", "value", "set_at"))):
+        for fn in self._part_files():
+            try:
+                t = pq.read_table(
+                    os.path.join(self.path, fn),
+                    columns=["name", "value", "set_at"],
+                )
+                cols = [t.column(c).to_pylist() for c in ("name", "value", "set_at")]
+            except (KeyError, pyarrow.lib.ArrowInvalid, OSError):
+                continue  # drifted or unreadable part file: not settings rows
+            for n, v, at in zip(*cols):
+                if n is None or at is None:
+                    continue
                 if n not in best or at > best[n][0]:
                     best[n] = (at, v)
-        return {n: v for n, (_, v) in best.items()}
+        return best
+
+    def _latest(self) -> dict[str, str]:
+        return {n: v for n, (_, v) in self._best().items()}
 
     def get(self, name: str, default: Any = None) -> Any:
         """Latest value for ``name`` (base.py:563-566), or ``default``."""

@@ -176,3 +176,26 @@ def test_avi_fuzz_mutations_never_escape_sample_frames(spark):
     # every (video, sample) slot produced a digest, none crashed
     assert len(rows) >= 2 * len(payloads) - len(payloads)  # >=1 frame rows each
     assert all(r.frame_digest is not None for r in rows)
+
+
+def test_sample_frames_clamps_header_driven_explosion(spark):
+    """dwMicroSecPerFrame is attacker-controlled: with metadata
+    duration absent, a crafted header (uspf near 2^32 over many tiny
+    chunks) must NOT explode one record into millions of rows — the
+    per-video sample count is clamped (round-7 ADVICE hardening)."""
+    import struct as _st
+
+    from etl_cli_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    frames = _mk_frames(3, 20, 12)
+    avi = bytearray(mux_avi_mjpeg(frames, 20, 12, fps=4))
+    # avih body starts 12 (RIFF hdr) + 12 (LIST hdrl) + 8 (avih hdr) in
+    # the muxer's fixed layout; overwrite dwMicroSecPerFrame
+    off = avi.index(b"avih") + 8
+    _st.pack_into("<I", avi, off, 0xFFFFFFFF)
+    df = spark.createDataFrame(
+        [(1, "video", bytes(avi), (20, 12, None, None, "mjpeg-avi"))],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_frames(df, every_ms=1000).collect()
+    assert 0 < len(rows) <= 10_000

@@ -191,3 +191,46 @@ def test_bpe_survives_astral_and_bmp_unicode(spark):
     # the double-emoji adjacency is mergeable like any pair of symbols
     pieces1 = next(r.pieces for r in enc.collect() if r.doc_id == 1)
     assert "\U0001F600\U0001F600" in pieces1 or "\U0001F600" in pieces1
+
+
+def test_batched_equals_sequential_truncated_topk(spark):
+    """A corpus with MORE distinct pairs than k_collect forces the
+    truncated-round path (floor > -1), where the round-7 widened bound
+    hazard_bound + (len(batch)+1)*floor governs acceptance: batched
+    output must still be bit-identical to sequential."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghij"
+    words = []
+    for k in range(90):  # > k_collect=64 distinct pairs
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(2, 5)))
+        words.extend([w] * rng.randint(1, 6))
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id int, text string"
+    )
+    seq = [tuple(r) for r in bpe_train(df, n_merges=12, batch_k=1).collect()]
+    for k in (4, 16):
+        got = [tuple(r) for r in bpe_train(df, n_merges=12, batch_k=k).collect()]
+        assert got == seq, f"batch_k={k} diverged on truncated top-K"
+
+
+def test_batched_equals_sequential_tiny_alphabet_fuzz(spark):
+    """Randomized corpora over a 2-letter alphabet maximize symbol
+    collisions (merged tokens recombining, same string reachable via
+    different splits) — the exact territory of the round-7 stale-merge
+    guard. Batched must equal sequential on every corpus."""
+    import random
+
+    rng = random.Random(41)
+    for trial in range(4):
+        words = [
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(20, 60))
+        ]
+        df = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id int, text string"
+        )
+        seq = [tuple(r) for r in bpe_train(df, n_merges=10, batch_k=1).collect()]
+        got = [tuple(r) for r in bpe_train(df, n_merges=10, batch_k=8).collect()]
+        assert got == seq, f"trial {trial} diverged: {got} != {seq}"

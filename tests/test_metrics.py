@@ -240,3 +240,41 @@ def test_job_log_concurrent_records(spark, work_root):
     # status lookups still work over the pyarrow-written files
     st = log.job_status("last")
     assert st["status"] == "succeeded" and st["seq"] == n_threads * per_thread - 1
+
+
+def test_settings_skip_drifted_part_file(spark, work_root, tmp_path):
+    """A part file with a drifted schema (hand-dropped, or an older
+    layout) must be SKIPPED by the driver-side lookup, not raise —
+    the Spark read path would have schema-coerced it the same way
+    (round-7 ADVICE hardening)."""
+    import os
+
+    from etl_cli_spark.settings import Settings
+
+    s = Settings(spark, work_root)
+    s.set("alpha", 1)
+    # drop a parquet file with entirely different columns into the dir
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bad = pa.table({"who": ["x"], "n": [1]})
+    pq.write_table(bad, os.path.join(s.path, "part-drifted.parquet"))
+    # and a non-parquet stray
+    with open(os.path.join(s.path, "junk.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    assert s.get("alpha") == 1
+    assert s.all() == {"alpha": 1}
+
+
+def test_settings_compaction_bounds_part_files(spark, work_root):
+    """set() compacts past COMPACT_AFTER part files so lookup cost is
+    O(distinct settings), not O(write history); latest values survive
+    compaction exactly."""
+    from etl_cli_spark.settings import Settings
+
+    s = Settings(spark, work_root)
+    s.COMPACT_AFTER = 6
+    for i in range(9):
+        s.set(f"k{i % 3}", i)
+    assert len(s._part_files()) <= 7  # compacted at least once
+    assert s.all() == {"k0": 6, "k1": 7, "k2": 8}
