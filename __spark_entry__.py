@@ -2222,8 +2222,10 @@ def _q_multimodal_frames(spark, sf):
     # jpeg_spec uniform-block protocol, so the oracle never touches
     # any container or codec
     from etl_cli_spark.operators.multimodal import (
+        make_fake_avi_h264_video,
         make_fake_avi_video,
         make_fake_gif_video,
+        make_fake_h264_video,
         make_fake_video,
         sample_frames,
     )
@@ -2238,6 +2240,20 @@ def _q_multimodal_frames(spark, sf):
         .unionByName(
             make_fake_avi_video(spark, n=6, fps=4).withColumn(
                 "media_id", F.col("media_id") + 700
+            )
+        )
+        # round-7: H.264 is REAL — raw Annex-B elementary streams (ids
+        # 900+) and H.264-in-AVI with SPS/PPS only in chunk 0 (1000+);
+        # the oracle replays pixels from the h264_mb_targets uniform-MB
+        # formula, blind to codec and container
+        .unionByName(
+            make_fake_h264_video(spark, n=6, fps=4).withColumn(
+                "media_id", F.col("media_id") + 900
+            )
+        )
+        .unionByName(
+            make_fake_avi_h264_video(spark, n=6, fps=4).withColumn(
+                "media_id", F.col("media_id") + 1000
             )
         )
     )
@@ -2297,7 +2313,9 @@ def _q_multimodal_probe(spark, sf):
     merger_match_one nullable-int protocol)."""
     from etl_cli_spark.operators.multimodal import (
         make_fake_audio,
+        make_fake_avi_h264_video,
         make_fake_avi_video,
+        make_fake_h264_video,
         make_fake_jpeg,
         make_fake_media,
         probe_media,
@@ -2318,6 +2336,19 @@ def _q_multimodal_probe(spark, sf):
         .unionByName(
             make_fake_avi_video(spark, n=6).withColumn(
                 "media_id", F.col("media_id") + 300
+            )
+        )
+        # round-7: raw Annex-B probes as h264 with dims from the SPS
+        # alone (400+); H.264-in-AVI probes as avi from the avih header
+        # regardless of the stream codec (500+)
+        .unionByName(
+            make_fake_h264_video(spark, n=6).withColumn(
+                "media_id", F.col("media_id") + 400
+            )
+        )
+        .unionByName(
+            make_fake_avi_h264_video(spark, n=6).withColumn(
+                "media_id", F.col("media_id") + 500
             )
         )
     )
@@ -3914,6 +3945,30 @@ def oracle_sql() -> dict[str, str]:
                     buf += bytes((v, v, v))
             dg = _hl.sha256(bytes(buf)).hexdigest()[:32].upper()
             _fvals.append(f"({700 + i}, {s}, {ts}, '{dg}')")
+    # H.264 (raw Annex-B at 900+, H.264-in-AVI at 1000+): every sampled
+    # frame's pixels replayed from the h264_mb_targets per-macroblock
+    # formula + BT.601 full-range (banker's rounding, matching np.rint)
+    # — neither the codec nor the container is touched here
+    for base in (900, 1000):
+        for i in range(6):
+            w, h = 20 + 4 * (i % 3), 12 + 8 * (i % 2)
+            dur, n_frames = 2000 + 500 * (i % 3), (2000 + 500 * (i % 3)) * 4 // 1000
+            for s, ts in enumerate(range(0, dur, 1000)):
+                fi = min(ts // 250, n_frames - 1)
+                k = i * 1000 + fi
+                buf = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        mbx, mby = x // 16, y // 16
+                        ty = ((5 * mbx + 9 * mby + 11 * k) % 200) + 20
+                        cb = ((3 * mbx + 7 * mby + 13 * k) % 200) + 20
+                        cr = ((4 * mbx + 5 * mby + 17 * k) % 200) + 20
+                        buf.append(min(255, max(0, round(ty + 1.402 * (cr - 128.0)))))
+                        buf.append(min(255, max(0, round(
+                            ty - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)))))
+                        buf.append(min(255, max(0, round(ty + 1.772 * (cb - 128.0)))))
+                dg = _hl.sha256(bytes(buf)).hexdigest()[:32].upper()
+                _fvals.append(f"({base + i}, {s}, {ts}, '{dg}')")
     sql["multimodal_frames"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, "
         "CAST(fi AS INTEGER) AS frame_idx, CAST(ts AS BIGINT) AS frame_ts_ms, "
@@ -3963,6 +4018,10 @@ def oracle_sql() -> dict[str, str]:
         _pvals.append(f"({200 + i}, 'wav', -1, -1)")
     for i in range(6):  # MJPEG-AVI: dims replayed from the avih header spec
         _pvals.append(f"({300 + i}, 'avi', {20 + 4 * (i % 3)}, {12 + 8 * (i % 2)})")
+    for i in range(6):  # raw Annex-B H.264: dims replayed from the SPS spec
+        _pvals.append(f"({400 + i}, 'h264', {20 + 4 * (i % 3)}, {12 + 8 * (i % 2)})")
+    for i in range(6):  # H.264-in-AVI: container wins, dims from avih
+        _pvals.append(f"({500 + i}, 'avi', {20 + 4 * (i % 3)}, {12 + 8 * (i % 2)})")
     sql["multimodal_probe"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, probe_format, "
         "CAST(probe_width AS INTEGER) AS probe_width, "

@@ -1,12 +1,13 @@
 """MJPEG-in-AVI video container: RIFF demux + mux, pure stdlib.
 
 The engine's video frame sampling (multimodal.sample_frames) decodes
-real frames for codec-free containers; true codec video (H.264) needs
-native libraries and stays stubbed. MJPEG sits in between: every frame
-is an independent baseline JPEG, fully decodable with the repo's pure
-T.81 decoder (operators/jpeg.py) — so MJPEG-AVI, a real crawl format
-(old camera footage, surveillance, scientific capture), gets REAL frame
-sampling with zero native dependencies.
+real frames for codec-free containers, for MJPEG (every frame an
+independent baseline JPEG, decodable with the repo's pure T.81 decoder
+in operators/jpeg.py — old camera footage, surveillance, scientific
+capture), and — round-7 — for H.264 Constrained-Baseline I-slice
+streams carried in AVI chunks (operators/h264.py; SPS/PPS state is
+carried from the first chunk, the common muxer convention). All with
+zero native dependencies.
 
 AVI is RIFF (the same chunk walk as WAV in multimodal._decode_wav):
 
@@ -41,14 +42,22 @@ def _list(kind: bytes, body: bytes) -> bytes:
     return _chunk(b"LIST", kind + body)
 
 
-def mux_avi_mjpeg(frames: list[bytes], width: int, height: int, fps: int) -> bytes:
-    """Pack independent JPEG frames into a spec-shaped MJPEG AVI.
+def mux_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int,
+    fourcc: bytes = b"MJPG",
+) -> bytes:
+    """Pack independent codec frames into a spec-shaped AVI.
 
-    Every frame is a keyframe (MJPEG has no inter-frame state), recorded
-    in ``idx1`` with AVIIF_KEYFRAME like real muxers emit.
+    Default stream handler is MJPG (every frame an independent JPEG);
+    ``fourcc=b"H264"`` tags an all-keyframe H.264 stream (one Annex-B
+    access unit per ``00dc`` chunk — the fixture/crawl shape the
+    engine's sampler decodes). Every frame is recorded in ``idx1``
+    with AVIIF_KEYFRAME like real muxers emit.
     """
     if fps <= 0:
         raise ValueError(f"fps must be positive, got {fps}")
+    if len(fourcc) != 4:
+        raise ValueError(f"fourcc must be 4 bytes, got {fourcc!r}")
     uspf = 1_000_000 // fps
     max_bytes = max((len(f) for f in frames), default=0)
     avih = struct.pack(
@@ -66,7 +75,7 @@ def mux_avi_mjpeg(frames: list[bytes], width: int, height: int, fps: int) -> byt
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIII4H",
-        b"vids", b"MJPG",
+        b"vids", fourcc,
         0, 0, 0,            # dwFlags, wPriority, wLanguage
         0,                  # dwInitialFrames
         1, fps,             # dwScale / dwRate = frame period
@@ -78,7 +87,7 @@ def mux_avi_mjpeg(frames: list[bytes], width: int, height: int, fps: int) -> byt
     )
     strf = struct.pack(
         "<IiiHH4sIiiII",
-        40, width, height, 1, 24, b"MJPG",
+        40, width, height, 1, 24, fourcc,
         width * height * 3, 0, 0, 0, 0,
     )
     hdrl = _list(

@@ -1089,41 +1089,62 @@ def _decode_slice(rbsp: bytes, sps: dict, pps: dict):
     return Y, Cb, Cr
 
 
-def decode_h264_frames(data: bytes):
-    """Annex-B byte stream -> (width, height, [RGB frame, ...]).
+def index_h264(data: bytes, sps: dict | None = None, pps: dict | None = None):
+    """Cheap Annex-B index: -> (sps dict, pps dict, [IDR slice RBSP]).
 
-    One RGB frame per IDR I slice. Chroma is upsampled nearest (2x) and
-    converted with the repo's JFIF BT.601 full-range convention (H.264
-    leaves the conversion to VUI, absent in this subset; using the same
-    convention as operators/jpeg.py keeps media digests comparable)."""
-    sps = pps = None
-    frames = []
+    Header arithmetic only — the start-code scan plus SPS/PPS parses;
+    no slice is entropy-decoded. This is the demux half of keyframe
+    sampling: a 100 TB pipeline indexes every payload but pays CAVLC +
+    transform cost only for the frames it actually samples (the same
+    cost split `avi.demux_avi_mjpeg` gives MJPEG).
+
+    ``sps``/``pps`` carry parameter-set state for container chunks
+    that don't repeat them (AVI convention: PS in the first chunk
+    only); in-band parameter sets in ``data`` take precedence."""
+    idrs: list[bytes] = []
     for nal in split_nals(data):
         if not nal:
             continue
         nal_type = nal[0] & 0x1F
-        rbsp = strip_emulation(nal[1:])
         if nal_type == 7:
-            sps = _parse_sps(rbsp)
+            sps = _parse_sps(strip_emulation(nal[1:]))
         elif nal_type == 8:
-            pps = _parse_pps(rbsp)
-        elif nal_type in (5, 1):
-            if nal_type == 1:
-                raise NotImplementedError("h264: non-IDR slice (P/B)")
-            if sps is None or pps is None:
-                raise ValueError("h264: slice before SPS/PPS")
-            y, cb, cr = _decode_slice(rbsp, sps, pps)
-            w, h = sps["width"], sps["height"]
-            cb_full = cb.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64)
-            cr_full = cr.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64)
-            yf = y.astype(np.float64)
-            r_ = np.rint(yf + 1.402 * (cr_full - 128.0)).clip(0, 255)
-            g_ = np.rint(yf - 0.344136 * (cb_full - 128.0) - 0.714136 * (cr_full - 128.0)).clip(0, 255)
-            b_ = np.rint(yf + 1.772 * (cb_full - 128.0)).clip(0, 255)
-            rgb = np.stack([r_, g_, b_], axis=-1).astype(np.uint8)
-            frames.append(np.ascontiguousarray(rgb[:h, :w]))
-    if sps is None or not frames:
-        raise ValueError("h264: no decodable IDR frame")
+            pps = _parse_pps(strip_emulation(nal[1:]))
+        elif nal_type == 5:
+            idrs.append(strip_emulation(nal[1:]))
+        elif nal_type == 1:
+            raise NotImplementedError("h264: non-IDR slice (P/B)")
+    if sps is None or pps is None:
+        raise ValueError("h264: no SPS/PPS in stream")
+    if not idrs:
+        raise ValueError("h264: no IDR slice in stream")
+    return sps, pps, idrs
+
+
+def decode_idr_rgb(sps: dict, pps: dict, rbsp: bytes) -> np.ndarray:
+    """Decode ONE indexed IDR slice RBSP -> cropped HxWx3 RGB uint8.
+
+    Chroma is upsampled nearest (2x) and converted with the repo's
+    JFIF BT.601 full-range convention (H.264 leaves the conversion to
+    VUI, absent in this subset; using the same convention as
+    operators/jpeg.py keeps media digests comparable)."""
+    y, cb, cr = _decode_slice(rbsp, sps, pps)
+    w, h = sps["width"], sps["height"]
+    cb_full = cb.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64)
+    cr_full = cr.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64)
+    yf = y.astype(np.float64)
+    r_ = np.rint(yf + 1.402 * (cr_full - 128.0)).clip(0, 255)
+    g_ = np.rint(yf - 0.344136 * (cb_full - 128.0) - 0.714136 * (cr_full - 128.0)).clip(0, 255)
+    b_ = np.rint(yf + 1.772 * (cb_full - 128.0)).clip(0, 255)
+    rgb = np.stack([r_, g_, b_], axis=-1).astype(np.uint8)
+    return np.ascontiguousarray(rgb[:h, :w])
+
+
+def decode_h264_frames(data: bytes):
+    """Annex-B byte stream -> (width, height, [RGB frame, ...]);
+    one RGB frame per IDR I slice (see :func:`decode_idr_rgb`)."""
+    sps, pps, idrs = index_h264(data)
+    frames = [decode_idr_rgb(sps, pps, rbsp) for rbsp in idrs]
     return sps["width"], sps["height"], frames
 
 

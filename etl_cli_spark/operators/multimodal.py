@@ -8,12 +8,14 @@ processes SOF9/SOF10 (full T.81 decoder in ``operators/jpeg.py``:
 Huffman + QM-coder entropy layers, spectral selection + successive
 approximation, EOB runs, dequant, IDCT, 4:2:0 upsample, YCbCr->RGB,
 restart markers) — pure numpy/stdlib, no external image library
-needed. Formats that genuinely need a native codec (H.264 video)
+needed. Video is REAL for BMP reels, animated GIF, MJPEG-AVI, and —
+round-7 — H.264 Constrained-Baseline I-slice streams (raw Annex-B and
+H.264-in-AVI; ``operators/h264.py``). Payloads no decoder recognizes
 fall back to the clearly marked deterministic stub kernels; swapping a
-real decoder in means replacing ONE pure-python function per modality. Everything
-Spark-side is real and tested either way: the schema contract, the
-Arrow-batched ``mapInPandas`` pipelines, batch shaping, and partition
-sizing.
+native decoder in means replacing ONE pure-python function per
+modality. Everything Spark-side is real and tested either way: the
+schema contract, the Arrow-batched ``mapInPandas`` pipelines, batch
+shaping, and partition sizing.
 
 Scale notes: binary payloads ride in parquet binary columns; frames are
 processed per Arrow batch (``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -521,6 +523,25 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(batches, out_schema)
 
 
+def _is_annexb(data: bytes) -> bool:
+    """H.264 Annex-B elementary stream signature (3- or 4-byte start
+    code)."""
+    return data[:4] == b"\x00\x00\x00\x01" or data[:3] == b"\x00\x00\x01"
+
+
+def _h264_first_frame(chunk: bytes, sps, pps):
+    """First IDR frame of an AVI H.264 chunk as RGB, using carried
+    SPS/PPS when the chunk doesn't repeat them; None when the chunk is
+    not decodable (the caller's stub-digest contract)."""
+    from .h264 import decode_idr_rgb, index_h264
+
+    try:
+        sps, pps, idrs = index_h264(chunk, sps, pps)
+        return decode_idr_rgb(sps, pps, idrs[0])
+    except (ValueError, NotImplementedError, IndexError, struct.error):
+        return None
+
+
 def _split_bmp_reel(data: bytes) -> list[bytes]:
     """Split a BMP reel (concatenated BMP frames — the codec-free video
     container) into frame byte slices by walking each frame's declared
@@ -547,10 +568,15 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     full compositing — subframe deltas, transparency, disposal — with
     frame timing from each frame's own Graphics Control delay): the
     sampled frame is DECODED and the digest is sha256[:16] of its
-    composed pixel bytes. Codec formats (H.264 etc.) keep the
-    deterministic stub digest; a real I-frame decoder drops into the
-    same per-batch contract. Row-explosion shape (1 video -> N frames)
-    is identical on all paths.
+    composed pixel bytes. MJPEG-AVI (round-6) demuxes the RIFF tree
+    and T.81-decodes only SAMPLED frames; H.264 (round-7) is real for
+    Constrained-Baseline I-slice streams — raw Annex-B payloads index
+    NAL boundaries cheaply and CAVLC-decode only SAMPLED IDR frames,
+    and H.264-in-AVI carries SPS/PPS state from the first chunk.
+    Unrecognized codec formats keep the deterministic stub digest; a
+    native decoder drops into the same per-batch contract.
+    Row-explosion shape (1 video -> N frames) is identical on all
+    paths.
 
     Row-explosion is CLAMPED at ``max_samples`` rows per video: the
     sample count is otherwise attacker-controlled when metadata
@@ -608,8 +634,9 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                         ).digest()[:16]
                         rows.append((r["media_id"], i, ts, digest))
                 elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                    # real path: MJPEG-AVI — demux is header arithmetic,
-                    # JPEG decode cost is paid only for SAMPLED frames;
+                    # real path: MJPEG- or H.264-AVI — demux is header
+                    # arithmetic; per-frame decode cost (T.81 JPEG or
+                    # CAVLC I-slice) is paid only for SAMPLED frames;
                     # malformed payloads degrade to the stub digest
                     # (same batch-robustness contract as _decode_pixels)
                     from .avi import demux_avi_mjpeg
@@ -625,12 +652,24 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                             int(dur) if dur else int(frame_ms * len(vframes)),
                             span_cap,
                         )
+                        # H.264 streams carry SPS/PPS in the first chunk
+                        # only (AVI convention): index it once, cheaply
+                        sps = pps = None
+                        if _is_annexb(vframes[0]):
+                            from .h264 import index_h264
+
+                            try:
+                                sps, pps, _ = index_h264(vframes[0])
+                            except (ValueError, NotImplementedError):
+                                sps = pps = None
                         for i, ts in enumerate(range(0, total, every_ms)):
                             fi = min(
                                 int(ts / frame_ms) if frame_ms else 0,
                                 len(vframes) - 1,
                             )
                             px = _decode_pixels(vframes[fi])
+                            if px is None and _is_annexb(vframes[fi]):
+                                px = _h264_first_frame(vframes[fi], sps, pps)
                             digest = (
                                 hashlib.sha256(px.tobytes()).digest()[:16]
                                 if px is not None
@@ -640,6 +679,43 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                             )
                             rows.append((r["media_id"], i, ts, digest))
                     except (ValueError, IndexError, struct.error):
+                        for i, ts in enumerate(
+                            range(0, min(int(dur), span_cap), every_ms)
+                        ):
+                            digest = hashlib.sha256(
+                                payload + ts.to_bytes(8, "little")
+                            ).digest()[:16]
+                            rows.append((r["media_id"], i, ts, digest))
+                elif _is_annexb(payload):
+                    # real path: raw Annex-B H.264 elementary stream —
+                    # the start-code index is a byte scan; CAVLC decode
+                    # runs only for SAMPLED IDR frames; a corrupt frame
+                    # (or stream) degrades to the stub digest
+                    from .h264 import decode_idr_rgb, index_h264
+
+                    try:
+                        sps, pps, idrs = index_h264(payload)
+                        frame_ms = dur / len(idrs)
+                        cache: dict = {}
+                        for i, ts in enumerate(
+                            range(0, min(int(dur), span_cap), every_ms)
+                        ):
+                            fi = min(
+                                int(ts / frame_ms) if frame_ms else 0,
+                                len(idrs) - 1,
+                            )
+                            if fi not in cache:
+                                try:
+                                    cache[fi] = hashlib.sha256(
+                                        decode_idr_rgb(sps, pps, idrs[fi]).tobytes()
+                                    ).digest()[:16]
+                                except (ValueError, NotImplementedError, IndexError):
+                                    cache[fi] = None
+                            digest = cache[fi] or hashlib.sha256(
+                                idrs[fi] + ts.to_bytes(8, "little")
+                            ).digest()[:16]
+                            rows.append((r["media_id"], i, ts, digest))
+                    except (ValueError, NotImplementedError, IndexError, struct.error):
                         for i, ts in enumerate(
                             range(0, min(int(dur), span_cap), every_ms)
                         ):
@@ -852,6 +928,160 @@ def make_fake_avi_video(spark, n: int = 6, fps: int = 4) -> DataFrame:
         ]
         payload = mux_avi_mjpeg(frames, w, h, fps)
         rows.append((i, "video", bytearray(payload), (w, h, None, dur, "mjpeg-avi")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def h264_mb_targets(k: int, mbx: int, mby: int) -> tuple[int, int, int]:
+    """Deterministic (Y, Cb, Cr) target for macroblock (mbx, mby) of
+    synthetic H.264 frame ``k`` — the shared contract between the
+    fixture encoder below and any independent oracle (the
+    ``jpeg_spec`` protocol, H.264 edition):
+
+    - Y  = ((5*mbx + 9*mby + 11*k) % 200) + 20
+    - Cb = ((3*mbx + 7*mby + 13*k) % 200) + 20
+    - Cr = ((4*mbx + 5*mby + 17*k) % 200) + 20
+
+    Every macroblock decodes to EXACTLY these uniform values: the
+    fixture picks quantized levels that invert the decoder's integer
+    dequant/transform chain bit-exactly at qp=28 (luma-DC level 16*r,
+    I_4x4 DC level 4*r, chroma 2x2-Hadamard levels from 8*r), and
+    values stay in [20, 219] so clipping never engages. An oracle
+    replays any decoded pixel as BT.601(Y, Cb, Cr) of the pixel's MB
+    (x//16, y//16) — codec- and container-blind."""
+    return (
+        ((5 * mbx + 9 * mby + 11 * k) % 200) + 20,
+        ((3 * mbx + 7 * mby + 13 * k) % 200) + 20,
+        ((4 * mbx + 5 * mby + 17 * k) % 200) + 20,
+    )
+
+
+def _h264_dc_pred(u, l) -> int:
+    """Uniform-neighbor DC prediction (both / top / left / none)."""
+    if u is not None and l is not None:
+        return (u + l + 1) >> 1
+    if u is not None:
+        return u
+    if l is not None:
+        return l
+    return 128
+
+
+def _h264_chroma_levels(tc: int, uc, lc) -> list[int]:
+    """2x2-Hadamard chroma DC levels hitting uniform target ``tc``
+    given uniform top/left neighbor values (decoder sub-block DC-pred
+    order: both / top / left / both)."""
+    both = _h264_dc_pred(uc, lc)
+    p = [
+        both,
+        uc if uc is not None else (lc if lc is not None else 128),
+        lc if lc is not None else (uc if uc is not None else 128),
+        both,
+    ]
+    h = [8 * (tc - pi) for pi in p]
+    return [
+        (h[0] + h[1] + h[2] + h[3]) // 4,
+        (h[0] - h[1] + h[2] - h[3]) // 4,
+        (h[0] + h[1] - h[2] - h[3]) // 4,
+        (h[0] - h[1] - h[2] + h[3]) // 4,
+    ]
+
+
+# luma 4x4 blkIdx -> (x, y) in 4-sample units (Z-scan); mirrors the
+# codec's table so fixture block preds line up with decode order
+_H264_BLK4 = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+              (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3)]
+
+
+def h264_frame_au(k: int, w: int, h: int, include_ps: bool = True) -> bytes:
+    """One synthetic IDR access unit (Annex-B bytes) whose macroblocks
+    decode EXACTLY to :func:`h264_mb_targets`. MB kinds cycle
+    (mbx + mby + k) % 3 over I_16x16 (DC pred + luma-DC residual),
+    I_4x4 (16 DC-mode blocks with per-block DC residuals), and I_PCM —
+    so CAVLC, both transform paths, raw-sample escape, intra
+    prediction, and SPS cropping are all exercised by every video."""
+    import numpy as np
+
+    from .h264 import encode_h264_iframe
+
+    w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
+    yt: dict = {}
+    cbt: dict = {}
+    crt: dict = {}
+    specs = []
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            ty, tcb, tcr = h264_mb_targets(k, mbx, mby)
+            yt[(mbx, mby)] = ty
+            cbt[(mbx, mby)] = tcb
+            crt[(mbx, mby)] = tcr
+            kind = (mbx + mby + k) % 3
+            u, l = yt.get((mbx, mby - 1)), yt.get((mbx - 1, mby))
+            cdc = (
+                _h264_chroma_levels(tcb, cbt.get((mbx, mby - 1)), cbt.get((mbx - 1, mby))),
+                _h264_chroma_levels(tcr, crt.get((mbx, mby - 1)), crt.get((mbx - 1, mby))),
+            )
+            if kind == 2:
+                specs.append((
+                    "pcm",
+                    np.full((16, 16), ty, dtype=np.uint8),
+                    np.full((8, 8), tcb, dtype=np.uint8),
+                    np.full((8, 8), tcr, dtype=np.uint8),
+                ))
+            elif kind == 0:
+                r = ty - _h264_dc_pred(u, l)
+                specs.append(("i16", 2, 0, [16 * r] + [0] * 15, None, 1, cdc, None))
+            else:
+                lumas = []
+                for blk in range(16):
+                    x4, y4 = _H264_BLK4[blk]
+                    bu = (u if mby > 0 else None) if y4 == 0 else ty
+                    bl = (l if mbx > 0 else None) if x4 == 0 else ty
+                    r = ty - _h264_dc_pred(bu, bl)
+                    lumas.append([4 * r] + [0] * 15)
+                specs.append(("i4", [2] * 16, lumas, 0, 1, cdc, None))
+    return encode_h264_iframe(specs, w_mbs, h_mbs, w, h, qp=28, include_ps=include_ps)
+
+
+def make_fake_h264_video(spark, n: int = 6, fps: int = 4) -> DataFrame:
+    """Deterministic synthetic H.264 video table: frame f of video i
+    is a REAL Constrained-Baseline IDR access unit (CAVLC, I_16x16 /
+    I_4x4 / I_PCM macroblocks) built from the ``h264_mb_targets``
+    uniform-MB pattern with key k = i*1000 + f, concatenated into one
+    Annex-B byte stream (SPS/PPS once at the head, the raw-elementary-
+    stream convention). An oracle replays any sampled frame's pixels
+    from the MB formula with neither codec nor container involved."""
+    rows = []
+    for i in range(n):
+        w, h = 20 + 4 * (i % 3), 12 + 8 * (i % 2)
+        dur = 2000 + 500 * (i % 3)
+        n_frames = dur * fps // 1000
+        payload = b"".join(
+            h264_frame_au(i * 1000 + f, w, h, include_ps=(f == 0))
+            for f in range(n_frames)
+        )
+        rows.append((i, "video", bytearray(payload), (w, h, None, dur, "h264")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def make_fake_avi_h264_video(spark, n: int = 6, fps: int = 4) -> DataFrame:
+    """Deterministic synthetic H.264-in-AVI video table: the same
+    ``h264_mb_targets`` IDR access units as :func:`make_fake_h264_video`
+    but one AU per ``00dc`` chunk in a RIFF/AVI container (fourcc
+    H264), SPS/PPS carried only in the first chunk — the sampler must
+    demux AND carry parameter-set state across chunks."""
+    from .avi import mux_avi_mjpeg
+
+    rows = []
+    for i in range(n):
+        w, h = 20 + 4 * (i % 3), 12 + 8 * (i % 2)
+        dur = 2000 + 500 * (i % 3)
+        n_frames = dur * fps // 1000
+        frames = [
+            h264_frame_au(i * 1000 + f, w, h, include_ps=(f == 0))
+            for f in range(n_frames)
+        ]
+        payload = mux_avi_mjpeg(frames, w, h, fps, fourcc=b"H264")
+        rows.append((i, "video", bytearray(payload), (w, h, None, dur, "h264-avi")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -1277,6 +1507,11 @@ def _probe_one(data: bytes):
 
             w, h, _uspf, _n = probe_avi(data)
             return "avi", int(w), int(h)
+        if _is_annexb(data):
+            from .h264 import probe_h264
+
+            w, h, _n = probe_h264(data)  # SPS parse only, no slice work
+            return "h264", int(w), int(h)
         if data[:2] == b"\xFF\xD8":
             pos = 2
             while pos + 4 <= len(data):
@@ -1295,7 +1530,7 @@ def _probe_one(data: bytes):
                     return "jpeg", int(w), int(h)
                 pos += seg_len
             return "jpeg", None, None
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, NotImplementedError, IndexError, struct.error):
         return None, None, None
     return None, None, None
 
