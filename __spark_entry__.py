@@ -2693,6 +2693,17 @@ _WRITE_FAMILY = [
     "write_upsert", "write_insert", "write_upsert_datepart",
     "write_update_tq", "write_delete", "write_index",
 ]
+# PERMANENT driver-window pin (round-7, VERDICT r6 item 2): one
+# composite exercising the reference's core semantics — DSL filter/
+# project, DSL sort/limit, merger equi-join, rollup aggregation, a
+# window function, and a TPC-H SQL shape — declared FIRST in
+# _QUERY_FUNCS so it can never rotate out of the driver's 50-slot
+# correctness window. The driver gate thus re-certifies the core
+# surface every round, not just the round it was added.
+_CORE_FAMILY = [
+    "dsl_eq_project", "dsl_sort_limit", "merger_left", "agg_rollup",
+    "window_topk_per_group", "sql_q3_shape",
+]
 
 
 def _digest_one_spark(df: DataFrame, name: str) -> DataFrame:
@@ -2759,6 +2770,10 @@ _SAMPLING_FAMILY = [
     "split_deterministic", "hash_sample", "stratified_sample", "quota_sample",
     "weighted_sample",
 ]
+
+
+def _q_core_surface_digest(spark, sf):
+    return _q_family_digest(spark, sf, _CORE_FAMILY)
 
 
 def _q_multimodal_digest(spark, sf):
@@ -3230,6 +3245,9 @@ def _q_catalog_ops(spark, sf):
 
 _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- positions 1-50: the driver-signed correctness window ----
+    # KEEP FIRST: permanent core-surface pin (see _CORE_FAMILY) — new
+    # queries must be added BELOW so this never leaves the window
+    "core_surface_digest": _q_core_surface_digest,
     # text / dedup / similarity / multimodal (north-star extensions)
     "text_stats_by_lang": _q_text_stats_by_lang,
     "text_fingerprint": _q_text_fingerprint,
@@ -4726,6 +4744,11 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["join_window_digest"] = " UNION ALL ".join(
         _digest_sql_one(n, sql[n]) for n in _JOINWIN_FAMILY
+    )
+    # permanent driver-window pin: core dsl/merger/agg/window/sql-shape
+    # semantics re-certified by the driver gate every round
+    sql["core_surface_digest"] = " UNION ALL ".join(
+        _digest_sql_one(n, sql[n]) for n in _CORE_FAMILY
     )
     # the manifest protocol must not change a single row: same oracle
     sql["write_upsert_manifest"] = sql["write_upsert"]
