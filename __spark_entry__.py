@@ -1547,6 +1547,27 @@ def _q_embedding_neardup(spark, sf):
     return embedding_neardup_pairs(emb, threshold=0.4, bands=8)
 
 
+def _parquet_num_rows(path: str):
+    """Exact row count from parquet FOOTER metadata, driver-side —
+    the zero-job way to size data-dependent knobs (Spark answers
+    count(*) from the same footers but pays a job launch). None when
+    the layout isn't plain parquet file(s)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.read_metadata(os.path.join(path, f)).num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.read_metadata(path).num_rows
+    except OSError:
+        return None
+
+
 def _q_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup: deterministic k-means clusters
     (the oracle-replayable IVF protocol), within-cluster cosine >= 0.4
@@ -1560,11 +1581,20 @@ def _q_semantic_dedup(spark, sf):
     16 the sf0.01 oracle replays — at sf0.01/sf0.1 (200/2000 vectors)
     this IS 16, so the driver-gate SQL is unchanged; at sf1+ it keeps
     cells bounded instead of letting pair work grow quadratically
-    (caught by the round-6 sf1 bench tier: 12.9x wall at 10x data)."""
+    (caught by the round-6 sf1 bench tier: 12.9x wall at 10x data).
+
+    r7: the corpus size for cluster sizing comes from parquet FOOTER
+    metadata (a driver-side pyarrow read, ~ms), not a Spark count()
+    action — the count job was the whole +22% sf0.1 regression r6's
+    adaptive sizing introduced. Same number, no job launch; falls back
+    to count() for non-parquet layouts."""
     from etl_cli_spark.operators.similarity import semantic_dedup
 
     emb = _engine(spark, sf).read("embeddings")
-    n_clusters = max(16, emb.count() // 128)
+    n_rows = _parquet_num_rows(f"{sf}/embeddings.parquet")
+    if n_rows is None:
+        n_rows = emb.count()
+    n_clusters = max(16, n_rows // 128)
     out = semantic_dedup(emb, n_clusters=n_clusters, threshold=0.4, sample_size=2048)
     return out.select("vec_id", F.col("__cell").alias("cell"), "label")
 

@@ -675,11 +675,13 @@ def semantic_dedup(
         df, id_col=id_col, vec_col=vec_col,
         n_centroids=n_clusters, sample_size=sample_size,
     )
-    dim = len(df.select(vec_col).first()[0])
     # normalize ONCE and persist (cell, id, unit vector): the self-join's
     # two branches would otherwise each re-run the Arrow assign pass, and
     # per-pair cosine would recompute both norms — unit vectors make the
-    # verify a pure dot (same round-6 protocol embedding_neardup uses)
+    # verify a pure dot (same round-6 protocol embedding_neardup uses).
+    # transform() divides by the norm column directly (r7) — the old
+    # zip_with/array_repeat(dim) form needed a first() action just to
+    # learn the dimension
     base = (
         with_cells.select(
             F.col("__cell"),
@@ -690,9 +692,7 @@ def semantic_dedup(
         .select(
             "__cell",
             "__id",
-            F.zip_with(
-                "__v", F.array_repeat("__n", dim), lambda x, n: x / n
-            ).alias("__u"),
+            F.transform("__v", lambda x: x / F.col("__n")).alias("__u"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

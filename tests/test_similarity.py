@@ -434,3 +434,71 @@ def test_append_to_ivfpq_index(spark, emb, tmp_path):
     q = [float(x) for x in emb.filter("vec_id = 1").first().embedding]
     top = ivfpq_topk_indexed(spark, path, q, k=3, n_probe=8).collect()
     assert top[0].vec_id == 1 and top[0].score == 1.0
+
+
+def test_ann_recall_floors_at_documented_operating_points(spark):
+    """Regression gates for the ANN_EVAL.md production operating
+    points (round-7, VERDICT r6 item 4): the measured recall@10 curves
+    become pytest floors, so an index regression fails CI instead of
+    silently drifting a doc. Same protocol as scripts/ann_eval.py —
+    sf0.1 embeddings (2,000 vectors), first-20-by-vec_id queries,
+    exact cosine ground truth. Floors sit just under the committed
+    measurements: lsh(16,8)=0.985, ivf(16,probe=2)=0.815,
+    pq(8,4,shortlist=100)=0.670, ivfpq(probe=8,shortlist=200)=0.855."""
+    import os
+    import tempfile
+
+    from etl_cli_spark.operators.similarity import (
+        ann_topk_indexed,
+        build_ann_index,
+        build_ivf_index,
+        build_ivfpq_index,
+        cosine_topk,
+        ivf_topk_indexed,
+        ivfpq_topk_indexed,
+        pq_topk_rescored,
+        pq_train,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip("sf0.1 embeddings not present")
+    emb10 = spark.read.parquet(f"{sf}/embeddings.parquet")
+    k = 10
+    queries = [
+        (int(r[0]), [float(v) for v in r[1]])
+        for r in emb10.orderBy("vec_id").limit(20).collect()
+    ]
+    truth = {
+        qid: {int(r[0]) for r in cosine_topk(emb10, q, k=k).collect()}
+        for qid, q in queries
+    }
+
+    def recall(probe_fn):
+        hits = 0
+        for qid, q in queries:
+            got = {int(r[0]) for r in probe_fn(q).collect()}
+            hits += len(got & truth[qid])
+        return hits / (k * len(queries))
+
+    tmp = tempfile.mkdtemp(prefix="ann_gate_")
+
+    build_ann_index(emb10, f"{tmp}/lsh", n_planes=16, bands=8)
+    r = recall(lambda q: ann_topk_indexed(spark, f"{tmp}/lsh", q, k=k))
+    assert r >= 0.95, f"lsh(16 planes, 8 bands) recall@10 regressed: {r:.3f}"
+
+    build_ivf_index(emb10, f"{tmp}/ivf", n_centroids=16)
+    r = recall(lambda q: ivf_topk_indexed(spark, f"{tmp}/ivf", q, k=k, n_probe=2))
+    assert r >= 0.80, f"ivf(16 centroids, n_probe=2) recall@10 regressed: {r:.3f}"
+
+    books = pq_train(emb10, m=8, nbits=4)
+    r = recall(lambda q: pq_topk_rescored(emb10, books, q, k=k, shortlist=100))
+    assert r >= 0.62, f"pq(m=8, nbits=4, shortlist=100) recall@10 regressed: {r:.3f}"
+
+    build_ivfpq_index(emb10, f"{tmp}/ivfpq", n_centroids=16, m=8, nbits=4)
+    r = recall(
+        lambda q: ivfpq_topk_indexed(
+            spark, f"{tmp}/ivfpq", q, k=k, n_probe=8, shortlist=200
+        )
+    )
+    assert r >= 0.82, f"ivfpq(n_probe=8, shortlist=200) recall@10 regressed: {r:.3f}"
