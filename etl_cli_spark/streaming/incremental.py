@@ -129,6 +129,7 @@ def changefeed_merge(
     stream_id: str = "cdf",
     transform: Callable[[DataFrame], DataFrame] | None = None,
     starting_version: int = 0,
+    coalesce: bool = True,
 ) -> ChangeFeedStats:
     """Incremental materialized-view maintenance over a manifest table's
     change feed — the composition of the file-pruned CDF and the
@@ -160,6 +161,18 @@ def changefeed_merge(
     than silently wrong). ``downstream`` must be manifest-mode.
     Upstream versions older than the retention window must already be
     reflected (start the feed before vacuuming upstream).
+
+    ``coalesce`` (round-7, default on): contiguous pending data
+    versions [a..b] drain as ONE ``snapshot_changes(a-1, b)`` MERGE —
+    the net per-pk change set — instead of b-a+1 micro-batches. The
+    downstream end state is identical (MERGE by pk is last-image-wins
+    and no downstream read intervenes within a drain call); the
+    drain's job count stops scaling with upstream commit frequency.
+    Runs break at dataChange=false versions so pure-compaction spans
+    keep the scan-free watermark advance, and at the oldest retained
+    version (initial load has no diff base). ``coalesce=False``
+    replays the r6 per-version protocol; ``versions_applied`` counts
+    upstream versions REFLECTED either way.
     """
     from ..operators.writeops import apply_write_op
     from ..spec import TargetSpec
@@ -169,30 +182,49 @@ def changefeed_merge(
     pk = tuple(pk)
     last = downstream.last_stream_batch(stream_id)
     start = int(starting_version) if last is None else int(last) + 1
-    vers = [v for v in upstream.versions() if v >= start]
+    vers = sorted(v for v in upstream.versions() if v >= start)
     applied = ups = dels = 0
     watermark = last
     retained = set(upstream.versions())
-    for v in sorted(vers):
-        if upstream._raw_manifest_at(v).get("dataChange", True) is False:
-            # compaction / zorder commit: files rewritten, row multiset
+
+    # group pending versions into (a, b, kind) runs; kind 'meta' =
+    # dataChange=false span, 'init' = oldest-retained initial load,
+    # 'diff' = snapshot_changes(a-1, b)
+    runs: list[tuple[int, int, str]] = []
+    for v in vers:
+        is_meta = upstream._raw_manifest_at(v).get("dataChange", True) is False
+        kind = "meta" if is_meta else ("diff" if v - 1 in retained else "init")
+        if (
+            coalesce
+            and runs
+            and v == runs[-1][1] + 1
+            and kind == runs[-1][2]
+            and kind in ("meta", "diff")
+        ):
+            runs[-1] = (runs[-1][0], v, kind)
+        else:
+            runs.append((v, v, kind))
+
+    for a, b, kind in runs:
+        if kind == "meta":
+            # compaction / zorder commits: files rewritten, row multiset
             # unchanged (Delta's dataChange=false) — advance the
             # watermark WITHOUT scanning the rewritten files to
             # discover zero changes
-            downstream.stream_commit_meta(stream_id, v)
+            downstream.stream_commit_meta(stream_id, b)
             downstream._commit(lambda prev, ps: (list(prev), ps))
-            applied += 1
-            watermark = v
+            applied += b - a + 1
+            watermark = b
             continue
-        if v - 1 in retained:
-            changes = upstream.snapshot_changes(v - 1, v, pk=pk)
-        else:
-            # v is the oldest retained version (vacuum keeps a suffix of
+        if kind == "init":
+            # a is the oldest retained version (vacuum keeps a suffix of
             # the log): the whole snapshot is the initial load — there
-            # is no v-1 to diff against
-            changes = upstream.read_version(v).withColumn(
+            # is no a-1 to diff against
+            changes = upstream.read_version(a).withColumn(
                 "change_type", F.lit("insert")
-            ).withColumn("commit_version", F.lit(int(v)))
+            ).withColumn("commit_version", F.lit(int(a)))
+        else:
+            changes = upstream.snapshot_changes(a - 1, b, pk=pk)
         post = changes.filter(
             F.col("change_type").isin("insert", "update_postimage")
         ).drop("change_type", "commit_version")
@@ -205,7 +237,7 @@ def changefeed_merge(
         committed = False
         if n_post:
             if n_gone == 0:
-                downstream.stream_commit_meta(stream_id, v)
+                downstream.stream_commit_meta(stream_id, b)
             try:
                 apply_write_op(
                     post, downstream, TargetSpec(ds="cdf", op="upsert", pk=pk)
@@ -217,7 +249,7 @@ def changefeed_merge(
         if n_gone:
             # deletes need the full target row shape only for pk cols;
             # delete op anti-joins the target on pk
-            downstream.stream_commit_meta(stream_id, v)
+            downstream.stream_commit_meta(stream_id, b)
             try:
                 apply_write_op(
                     gone, downstream, TargetSpec(ds="cdf", op="delete", pk=pk)
@@ -227,14 +259,14 @@ def changefeed_merge(
             committed = True
             dels += n_gone
         if not committed:
-            # no-op version: advance the watermark without new data so
-            # the next drain doesn't rediff it
-            downstream.stream_commit_meta(stream_id, v)
+            # no-op run: advance the watermark without new data so the
+            # next drain doesn't rediff it
+            downstream.stream_commit_meta(stream_id, b)
             downstream._commit(lambda prev, ps: (list(prev), ps))
         post.unpersist()
         gone.unpersist()
-        applied += 1
-        watermark = v
+        applied += b - a + 1
+        watermark = b
     return ChangeFeedStats(applied, ups, dels, watermark)
 
 

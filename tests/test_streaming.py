@@ -428,3 +428,47 @@ def test_changefeed_noop_version_advances_watermark(spark, engine, tmp_path):
     assert s.versions_applied == 1 and s.rows_upserted == 0 and s.rows_deleted == 0
     assert down.last_stream_batch("cdf") == 1
     assert down.read().count() == 50
+
+
+def test_changefeed_coalesced_equals_per_version(spark, engine, tmp_path):
+    """The round-7 coalesced drain (one snapshot_changes(a-1, b) MERGE
+    per contiguous run) must land the downstream in EXACTLY the state
+    the per-version protocol does — including a row inserted then
+    deleted within the run (nets to nothing) and a row updated twice
+    (nets to the final image)."""
+    from etl_cli_spark.operators.writeops import apply_write_op
+    from etl_cli_spark.spec import TargetSpec
+    from etl_cli_spark.streaming.incremental import changefeed_merge
+
+    orders = engine.read("orders").limit(200).cache()
+
+    def build(sub, coalesce):
+        up, down = _cf_tables(spark, engine, tmp_path / sub)
+        up.append(orders.filter("o_orderkey < 100"))          # v0
+        changefeed_merge(spark, up, down, pk=("o_orderkey",), coalesce=coalesce)
+        # v1: insert a new slice + update an old one
+        ins = orders.filter("o_orderkey >= 150").withColumn(
+            "o_orderstatus", F.lit("A")
+        )
+        apply_write_op(ins, up, TargetSpec(ds="u", op="upsert", pk=("o_orderkey",)))
+        # v2: update the same slice again (final image must win)
+        upd = orders.filter("o_orderkey >= 150").withColumn(
+            "o_orderstatus", F.lit("B")
+        )
+        apply_write_op(upd, up, TargetSpec(ds="u", op="upsert", pk=("o_orderkey",)))
+        # v3: delete part of the v1 insert (nets to nothing for those)
+        dels = up.read().filter("o_orderkey >= 180").select("o_orderkey")
+        apply_write_op(dels, up, TargetSpec(ds="u", op="delete", pk=("o_orderkey",)))
+        s = changefeed_merge(spark, up, down, pk=("o_orderkey",), coalesce=coalesce)
+        return down, s
+
+    d_per, s_per = build("per", coalesce=False)
+    d_co, s_co = build("co", coalesce=True)
+    assert s_per.versions_applied == s_co.versions_applied == 3
+    assert s_per.watermark == s_co.watermark == 3
+    assert sorted(map(tuple, d_per.read().collect())) == sorted(
+        map(tuple, d_co.read().collect())
+    )
+    # the coalesced drain committed FEWER downstream versions (one
+    # upsert+delete pair vs one-plus per upstream version)
+    assert len(d_co.versions()) < len(d_per.versions())
