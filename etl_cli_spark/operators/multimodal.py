@@ -966,23 +966,28 @@ def _h264_dc_pred(u, l) -> int:
     return 128
 
 
-def _h264_chroma_levels(tc: int, uc, lc) -> list[int]:
+def _h264_chroma_levels(tc: int, preds: list[int]) -> list[int]:
     """2x2-Hadamard chroma DC levels hitting uniform target ``tc``
-    given uniform top/left neighbor values (decoder sub-block DC-pred
-    order: both / top / left / both)."""
-    both = _h264_dc_pred(uc, lc)
-    p = [
-        both,
-        uc if uc is not None else (lc if lc is not None else 128),
-        lc if lc is not None else (uc if uc is not None else 128),
-        both,
-    ]
-    h = [8 * (tc - pi) for pi in p]
+    given the four per-sub-block prediction values (decoder sub-block
+    order: (0,0), (1,0)x4, (0,1)x4, (1,1)x4)."""
+    h = [8 * (tc - p) for p in preds]
     return [
         (h[0] + h[1] + h[2] + h[3]) // 4,
         (h[0] - h[1] + h[2] - h[3]) // 4,
         (h[0] + h[1] - h[2] - h[3]) // 4,
         (h[0] - h[1] - h[2] + h[3]) // 4,
+    ]
+
+
+def _h264_chroma_dc_preds(uc, lc) -> list[int]:
+    """Decoder chroma DC-mode per-sub-block predictions for uniform
+    top/left neighbors (order: both / top / left / both)."""
+    both = _h264_dc_pred(uc, lc)
+    return [
+        both,
+        uc if uc is not None else (lc if lc is not None else 128),
+        lc if lc is not None else (uc if uc is not None else 128),
+        both,
     ]
 
 
@@ -992,16 +997,10 @@ _H264_BLK4 = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
               (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3)]
 
 
-def h264_frame_au(k: int, w: int, h: int, include_ps: bool = True) -> bytes:
-    """One synthetic IDR access unit (Annex-B bytes) whose macroblocks
-    decode EXACTLY to :func:`h264_mb_targets`. MB kinds cycle
-    (mbx + mby + k) % 3 over I_16x16 (DC pred + luma-DC residual),
-    I_4x4 (16 DC-mode blocks with per-block DC residuals), and I_PCM —
-    so CAVLC, both transform paths, raw-sample escape, intra
-    prediction, and SPS cropping are all exercised by every video."""
+def _h264_frame_specs(k: int, w: int, h: int) -> list:
+    """Per-MB encoder specs whose decode is EXACTLY
+    :func:`h264_mb_targets` (see :func:`h264_frame_au`)."""
     import numpy as np
-
-    from .h264 import encode_h264_iframe
 
     w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
     yt: dict = {}
@@ -1016,10 +1015,24 @@ def h264_frame_au(k: int, w: int, h: int, include_ps: bool = True) -> bytes:
             crt[(mbx, mby)] = tcr
             kind = (mbx + mby + k) % 3
             u, l = yt.get((mbx, mby - 1)), yt.get((mbx - 1, mby))
-            cdc = (
-                _h264_chroma_levels(tcb, cbt.get((mbx, mby - 1)), cbt.get((mbx - 1, mby))),
-                _h264_chroma_levels(tcr, crt.get((mbx, mby - 1)), crt.get((mbx - 1, mby))),
-            )
+            # chroma prediction mode cycles DC / H / V where neighbors
+            # allow; every mode's prediction is uniform (per sub-block
+            # for DC), so the residual solve is exact either way
+            c_cands = [0] + ([1] if mbx > 0 else []) + ([2] if mby > 0 else [])
+            chroma_mode = c_cands[(mbx + 2 * mby + k) % len(c_cands)]
+            cdc = []
+            for tc, uc, lc in (
+                (tcb, cbt.get((mbx, mby - 1)), cbt.get((mbx - 1, mby))),
+                (tcr, crt.get((mbx, mby - 1)), crt.get((mbx - 1, mby))),
+            ):
+                if chroma_mode == 1:  # horizontal: left value everywhere
+                    preds = [lc] * 4
+                elif chroma_mode == 2:  # vertical: top value everywhere
+                    preds = [uc] * 4
+                else:
+                    preds = _h264_chroma_dc_preds(uc, lc)
+                cdc.append(_h264_chroma_levels(tc, preds))
+            cdc = tuple(cdc)
             if kind == 2:
                 specs.append((
                     "pcm",
@@ -1028,18 +1041,64 @@ def h264_frame_au(k: int, w: int, h: int, include_ps: bool = True) -> bytes:
                     np.full((8, 8), tcr, dtype=np.uint8),
                 ))
             elif kind == 0:
-                r = ty - _h264_dc_pred(u, l)
-                specs.append(("i16", 2, 0, [16 * r] + [0] * 15, None, 1, cdc, None))
+                # luma pred mode cycles DC / V / H where neighbors allow
+                cands = [(2, _h264_dc_pred(u, l))]
+                if u is not None:
+                    cands.append((0, u))
+                if l is not None:
+                    cands.append((1, l))
+                mode, pred = cands[(mbx + mby + k) % len(cands)]
+                r = ty - pred
+                specs.append(("i16", mode, chroma_mode, [16 * r] + [0] * 15, None, 1, cdc, None))
             else:
-                lumas = []
+                # I_4x4: every block cycles through ALL prediction modes
+                # its neighbors allow. With a uniform MB the interior
+                # blocks see equal top/left/tl/tr samples, so every
+                # directional formula collapses to that value — the
+                # residual solve stays exact while the decoder's full
+                # mode surface (V/H/DC/DDL/DDR/VR/HD/VL/HU) is exercised
+                modes, lumas = [], []
                 for blk in range(16):
                     x4, y4 = _H264_BLK4[blk]
                     bu = (u if mby > 0 else None) if y4 == 0 else ty
                     bl = (l if mbx > 0 else None) if x4 == 0 else ty
-                    r = ty - _h264_dc_pred(bu, bl)
-                    lumas.append([4 * r] + [0] * 15)
-                specs.append(("i4", [2] * 16, lumas, 0, 1, cdc, None))
-    return encode_h264_iframe(specs, w_mbs, h_mbs, w, h, qp=28, include_ps=include_ps)
+                    interior = x4 > 0 and y4 > 0
+                    cands = [(2, _h264_dc_pred(bu, bl))]
+                    if bu is not None and interior:
+                        cands.append((0, bu))  # V (uniform top row only)
+                    if bl is not None:
+                        cands.append((1, bl))  # H
+                        cands.append((8, bl))  # HU (left samples only)
+                    if interior:
+                        # DDR/VR/HD need top+left+tl — all == ty inside
+                        cands += [(4, ty), (5, ty), (6, ty)]
+                        if x4 < 3:
+                            # DDL/VL also read top-right; inside the MB
+                            # (x4<3) those samples are this MB's == ty
+                            cands += [(3, ty), (7, ty)]
+                    mode, pred = cands[(blk + k) % len(cands)]
+                    modes.append(mode)
+                    lumas.append([4 * (ty - pred)] + [0] * 15)
+                specs.append(("i4", modes, lumas, chroma_mode, 1, cdc, None))
+    return specs
+
+
+def h264_frame_au(k: int, w: int, h: int, include_ps: bool = True) -> bytes:
+    """One synthetic IDR access unit (Annex-B bytes) whose macroblocks
+    decode EXACTLY to :func:`h264_mb_targets`. MB kinds cycle
+    (mbx + mby + k) % 3 over I_16x16, I_4x4, and I_PCM; luma prediction
+    cycles DC/V/H (I_16x16) and the FULL nine-mode Intra_4x4 surface
+    (availability-aware), chroma prediction cycles DC/H/V — so CAVLC,
+    both transform paths, raw-sample escape, every intra predictor, and
+    SPS cropping are all exercised while every macroblock still decodes
+    to the closed-form target an oracle replays codec-blind."""
+    from .h264 import encode_h264_iframe
+
+    w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
+    return encode_h264_iframe(
+        _h264_frame_specs(k, w, h), w_mbs, h_mbs, w, h, qp=28,
+        include_ps=include_ps,
+    )
 
 
 def make_fake_h264_video(spark, n: int = 6, fps: int = 4) -> DataFrame:

@@ -260,3 +260,31 @@ def test_h264_fuzz_mutations_never_escape_sample_frames(spark):
         by_vid[r.media_id] += 1
     # every payload produced its 2 sampled rows (dur 2000 -> ts 0, 1000)
     assert all(by_vid.get(i, 0) == 2 for i in range(len(payloads)))
+
+
+def test_fixture_set_exercises_full_intra_mode_surface():
+    """The standard fixture videos (the exact payloads the oracles
+    replay) must collectively hit every MB kind (I_PCM / I_16x16 /
+    I_4x4), every used I_16x16 luma mode (DC/V/H), every chroma mode
+    (DC/H/V), and ALL NINE Intra_4x4 prediction modes — so a
+    regression in any intra predictor fails the pixel oracles, not
+    just a unit test."""
+    from etl_cli_spark.operators.multimodal import _h264_frame_specs
+
+    kinds, i16_modes, i4_modes, chroma_modes = set(), set(), set(), set()
+    for i in range(6):
+        w, h = 20 + 4 * (i % 3), 12 + 8 * (i % 2)
+        dur = 2000 + 500 * (i % 3)
+        for f in range(dur * 4 // 1000):
+            for spec in _h264_frame_specs(i * 1000 + f, w, h):
+                kinds.add(spec[0])
+                if spec[0] == "i16":
+                    i16_modes.add(spec[1])
+                    chroma_modes.add(spec[2])
+                elif spec[0] == "i4":
+                    i4_modes.update(spec[1])
+                    chroma_modes.add(spec[3])
+    assert kinds == {"pcm", "i16", "i4"}
+    assert i16_modes == {0, 1, 2}, i16_modes
+    assert chroma_modes == {0, 1, 2}, chroma_modes
+    assert i4_modes == set(range(9)), i4_modes
