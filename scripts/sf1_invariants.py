@@ -167,7 +167,17 @@ def main() -> int:
         + (f"; offenders {bad[:3]}" if bad else ""),
     )
 
-    block_ids = [int(r.doc_id) for r in docs.orderBy("doc_id").limit(400).collect()]
+    # recall block: half low-id docs, half members of engine pairs —
+    # the second half guarantees the block covers pair-DENSE regions
+    # (at generated tiers the per-copy text salt moves planted dups
+    # away from the low ids), and ground truth inside the block is
+    # still computed exactly and independently: ANY true pair between
+    # block members must appear in the engine output, whether or not
+    # the engine proposed it
+    low_ids = [int(r.doc_id) for r in docs.orderBy("doc_id").limit(200).collect()]
+    pair_members = sorted({i for p in mh_pairs for i in p})
+    dense = rng.sample(pair_members, min(200, len(pair_members)))
+    block_ids = sorted(set(low_ids) | set(dense))
     btx = texts_for(block_ids)
     bsh = {i: py_shingles(btx[i]) for i in block_ids}
     strong = border = strong_found = border_found = 0
