@@ -2390,6 +2390,17 @@ def _q_multimodal_probe(spark, sf):
     )
 
 
+def _q_audio_features(spark, sf):
+    """Per-frame audio quality features (round-7): energy / zero
+    crossings / peak over 25 ms PCM16 windows — ALL integer
+    arithmetic, so the oracle replays every value bit-for-bit from the
+    fixture's sample formula (the multimodal_audio discipline extended
+    from decode to features)."""
+    from etl_cli_spark.operators.multimodal import audio_features, make_fake_audio
+
+    return audio_features(make_fake_audio(spark, n=12), frame_ms=25)
+
+
 def _q_multimodal_features(spark, sf):
     # REAL grid-pooled luminance descriptors over the decoded pattern
     # pixels (exact integer cell sums / 765, float32 storage); the
@@ -2663,6 +2674,9 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     # -- multimodal family (round-4 digest) --
     "multimodal_decode": [("media_id", "i"), ("dec_width", "i"),
                           ("dec_height", "i"), ("digest_hex", "s")],
+    "audio_features": [("media_id", "i"), ("frame_idx", "i"),
+                       ("n_samples", "i"), ("energy", "i"),
+                       ("zero_crossings", "i"), ("peak", "i")],
     "multimodal_audio": [("media_id", "i"), ("dec_sample_rate", "i"),
                          ("dec_channels", "i"), ("dec_n_samples", "i"),
                          ("dec_duration_ms", "i"), ("digest_hex", "s")],
@@ -2788,7 +2802,7 @@ def _q_write_digest(spark, sf):
 
 
 _MULTIMODAL_FAMILY = [
-    "multimodal_decode", "multimodal_audio", "multimodal_jpeg",
+    "multimodal_decode", "multimodal_audio", "audio_features", "multimodal_jpeg",
     "multimodal_resize", "multimodal_frames", "multimodal_features",
     "multimodal_probe",
 ]
@@ -3383,6 +3397,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg": _q_multimodal_jpeg,
     "multimodal_resize": _q_multimodal_resize,
     "multimodal_frames": _q_multimodal_frames,
+    "audio_features": _q_audio_features,
     "sketch_distinct_kmv": _q_sketch_distinct_kmv,
     "sketch_topk_cms": _q_sketch_topk_cms,
     "sketch_quantile_hist": _q_sketch_quantile_hist,
@@ -4044,6 +4059,37 @@ def oracle_sql() -> dict[str, str]:
         "CAST(ns AS BIGINT) AS dec_n_samples, "
         "CAST(dur AS BIGINT) AS dec_duration_ms, digest_hex "
         f"FROM (VALUES {', '.join(_avals)}) AS t(media_id, sr, ch, ns, dur, digest_hex)"
+    )
+
+    # audio_features (round-7): every per-frame energy / zero-crossing /
+    # peak value replayed bit-for-bit from the sample formula — the
+    # operator is pure integer arithmetic, so the replay is exact, no
+    # rounding protocol needed
+    _afvals = []
+    for i in range(12):
+        sr, n_samp = 8000 + 4000 * (i % 3), 400 + 30 * i
+        s = [((1234 * i + 17 * j) % 65536) - 32768 for j in range(n_samp)]
+        sign, prev = [], 1
+        for v in s:
+            prev = prev if v == 0 else (1 if v > 0 else -1)
+            sign.append(prev)
+        step = sr * 25 // 1000
+        for fi, start in enumerate(range(0, n_samp, step)):
+            fr = s[start : start + step]
+            fs = sign[start : start + step]
+            zc = sum(1 for a, b in zip(fs, fs[1:]) if a != b)
+            energy = sum(v * v for v in fr)
+            peak = max(abs(v) for v in fr)
+            _afvals.append(f"({i}, {fi}, {len(fr)}, {energy}, {zc}, {peak})")
+    sql["audio_features"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(frame_idx AS INTEGER) AS frame_idx, "
+        "CAST(n_samples AS INTEGER) AS n_samples, "
+        "CAST(energy AS BIGINT) AS energy, "
+        "CAST(zc AS INTEGER) AS zero_crossings, "
+        "CAST(peak AS INTEGER) AS peak "
+        f"FROM (VALUES {', '.join(_afvals)}) "
+        "AS t(media_id, frame_idx, n_samples, energy, zc, peak)"
     )
 
     # multimodal_probe: every (format, width, height) answer replayed

@@ -197,7 +197,13 @@ def bpe_train(
     ).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     batch_k = max(1, min(int(batch_k), 32))
-    k_collect = max(64, 4 * batch_k)
+    # deep top-K: the collect is driver-trivial (K narrow rows off an
+    # ordering the shuffle computes anyway), and a deep K keeps rounds
+    # untruncated — the truncated-round acceptance bound adds
+    # (len(batch)+1) * floor (see above), so a large floor from a
+    # shallow K would end batches after one merge and forfeit the
+    # batching win entirely (round-7 regression fix)
+    k_collect = max(1024, 32 * batch_k)
     while len(merges) < n_merges:
         top = (
             _pair_counts(syms_df)

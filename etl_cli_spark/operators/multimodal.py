@@ -846,6 +846,83 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(batches, out_schema)
 
 
+def audio_features(
+    df: DataFrame, frame_ms: int = 25, payload_col: str = "payload"
+) -> DataFrame:
+    """Per-frame audio features over PCM16 payloads: the quality-filter
+    primitives an audio training pipeline runs BEFORE any model —
+    energy for silence / clipping triage, zero-crossings as the classic
+    noisiness-vs-voiced proxy, peak amplitude for gain screening.
+
+    One row per ``frame_ms`` window (mono-mixed by averaging channels
+    with integer floor-toward-zero division — deterministic):
+
+    - ``energy``  — sum of squared samples (exact int64, no float)
+    - ``zero_crossings`` — sign changes between consecutive samples
+      (zeros keep the previous sign, the standard convention)
+    - ``peak``    — max |sample|
+    - ``n_samples`` — frame length (last frame may be short)
+
+    Everything is INTEGER arithmetic, so an oracle replays every value
+    bit-for-bit from the fixture's sample formula — the
+    ``multimodal_audio`` discipline extended from decode to features.
+    Non-WAV payloads yield no rows (same skip contract as the stub
+    kernels); Arrow-batched ``mapInPandas``, embarrassingly parallel."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("energy", T.LongType(), False),
+            T.StructField("zero_crossings", T.IntegerType(), False),
+            T.StructField("peak", T.IntegerType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[payload_col]) if r[payload_col] is not None else b""
+                try:
+                    sr, ch, n, pcm = _decode_wav(data)
+                except (ValueError, NotImplementedError, struct.error, IndexError):
+                    continue
+                s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                if ch > 1:  # mono mix: floor-toward-zero integer mean
+                    s = s[: (len(s) // ch) * ch].reshape(-1, ch)
+                    s = (s.sum(axis=1) / ch).astype(np.int64)
+                step = max(1, sr * frame_ms // 1000)
+                # zero-crossing sign stream: zeros inherit previous sign
+                sign = np.sign(s)
+                prev = 1
+                for j in range(len(sign)):
+                    if sign[j] == 0:
+                        sign[j] = prev
+                    else:
+                        prev = sign[j]
+                for fi, start in enumerate(range(0, len(s), step)):
+                    frame = s[start : start + step]
+                    fsign = sign[start : start + step]
+                    zc = int((fsign[1:] != fsign[:-1]).sum())
+                    rows.append((
+                        int(r["media_id"]), fi, len(frame),
+                        int((frame * frame).sum()), zc,
+                        int(np.abs(frame).max()) if len(frame) else 0,
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_samples", "energy",
+                    "zero_crossings", "peak",
+                ],
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def media_samples(i: int, n: int):
     """Deterministic int16 PCM pattern for synthetic audio row ``i``:
     s[j] = ((1234*i + 17*j) mod 65536) - 32768 — recomputable by an

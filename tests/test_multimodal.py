@@ -811,3 +811,73 @@ def test_allocation_bomb_headers_fail_before_alloc():
     # and through the batch dispatch: all three degrade to None
     for p in (bomb_png, bad_idat, bomb_gif):
         assert _decode_pixels(p) is None
+
+
+def test_audio_features_integer_exact(spark):
+    """Per-frame energy / zero-crossings / peak replay bit-for-bit from
+    the fixture sample formula (all-integer contract, round-7)."""
+    from etl_cli_spark.operators.multimodal import audio_features, make_fake_audio
+
+    got = {
+        (r.media_id, r.frame_idx): (r.n_samples, r.energy, r.zero_crossings, r.peak)
+        for r in audio_features(make_fake_audio(spark, n=6), frame_ms=25).collect()
+    }
+    checked = 0
+    for i in range(6):
+        sr, n_samp = 8000 + 4000 * (i % 3), 400 + 30 * i
+        s = [((1234 * i + 17 * j) % 65536) - 32768 for j in range(n_samp)]
+        sign, prev = [], 1
+        for v in s:
+            prev = prev if v == 0 else (1 if v > 0 else -1)
+            sign.append(prev)
+        step = sr * 25 // 1000
+        for fi, start in enumerate(range(0, n_samp, step)):
+            fr, fs = s[start : start + step], sign[start : start + step]
+            exp = (
+                len(fr),
+                sum(v * v for v in fr),
+                sum(1 for a, b in zip(fs, fs[1:]) if a != b),
+                max(abs(v) for v in fr),
+            )
+            assert got[(i, fi)] == exp, (i, fi, got[(i, fi)], exp)
+            checked += 1
+    assert checked == len(got) and checked > 10
+
+
+def test_audio_features_stereo_mix_zeros_and_skip(spark):
+    """Stereo mixes with floor-toward-zero integer mean; zero samples
+    inherit the previous sign for the crossing count; non-WAV payloads
+    yield no rows (skip contract)."""
+    import struct as _st
+
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        encode_wav,
+    )
+
+    # stereo: channels (-5, +4) mix to int(-0.5) == 0 (toward zero);
+    # (10, 20) -> 15
+    sr = 8000
+    inter = [(-5, 4), (10, 20), (-3, -7), (0, 0), (8, -8)]
+    body = b"".join(_st.pack("<hh", a, b) for a, b in inter)
+    wav = (
+        b"RIFF" + _st.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + _st.pack("<IHHIIHH", 16, 1, 2, sr, sr * 4, 4, 16)
+        + b"data" + _st.pack("<I", len(body)) + body
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav), (None, None, sr, 0, "wav")),
+            (2, "audio", bytearray(b"not audio at all"), (None, None, None, 0, "txt")),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = audio_features(df, frame_ms=1000).collect()
+    assert {r.media_id for r in rows} == {1}
+    (r,) = rows
+    # mixed mono stream: [0, 15, -5, 0, 0]; signs: [+,+,-,-,-] -> 1 crossing
+    assert r.n_samples == 5
+    assert r.energy == 0 + 225 + 25 + 0 + 0
+    assert r.zero_crossings == 1
+    assert r.peak == 15
