@@ -1684,6 +1684,20 @@ def _q_pack_sequences(spark, sf):
     )
 
 
+def _q_strip_repeated_spans(spark, sf):
+    """Cross-document exact-substring (span) dedup, round-7 (Lee et
+    al. 2022): every 8-token window appearing in >= 2 distinct docs is
+    stripped from ALL of them (union of overlapping windows), text
+    rebuilt from surviving tokens. The oracle replays tokenization,
+    window extraction, the distinct-doc threshold, coverage union, and
+    the rebuilt string end-to-end in DuckDB."""
+    from etl_cli_spark.operators.pipeline import strip_repeated_spans
+
+    d = _engine(spark, sf).read("documents")
+    out = strip_repeated_spans(d, n=8, min_docs=2)
+    return out.select("doc_id", F.col("text").alias("stripped_text"), "n_stripped")
+
+
 def _q_decontaminate(spark, sf):
     from etl_cli_spark.operators.pipeline import decontaminate
 
@@ -3326,6 +3340,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": _q_chunk_documents,
     "pack_sequences": _q_pack_sequences,
     "decontaminate": _q_decontaminate,
+    "strip_repeated_spans": _q_strip_repeated_spans,
     "bloom_decontaminate": _q_bloom_decontaminate,
     "token_budget_sample": _q_token_budget_sample,
     "paragraph_dedup": _q_paragraph_dedup,
@@ -4243,6 +4258,29 @@ def oracle_sql() -> dict[str, str]:
         "hits AS (SELECT DISTINCT g.doc_id FROM g "
         "         JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) b USING (gram)) "
         "SELECT d.doc_id, d.lang FROM documents d ANTI JOIN hits USING (doc_id)"
+    )
+
+    # strip_repeated_spans (round-7, Lee et al. 2022 exact-substring
+    # dedup): DuckDB replays tokenization, positioned 8-gram windows,
+    # the >=2-distinct-docs threshold, the union-of-overlapping-windows
+    # coverage test, and the token-rebuilt string end to end
+    sql["strip_repeated_spans"] = (
+        r"WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t "
+        "             FROM documents), "
+        "w AS (SELECT doc_id, CAST(i AS INT) - 1 AS start, "
+        "             array_to_string(t[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS gram "
+        "      FROM tok, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i) s), "
+        "bad AS (SELECT gram FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), "
+        "sp AS (SELECT doc_id, list(DISTINCT start) AS starts "
+        "       FROM w JOIN bad USING (gram) GROUP BY doc_id), "
+        "je AS (SELECT tok.doc_id, t, coalesce(starts, []) AS starts "
+        "       FROM tok LEFT JOIN sp USING (doc_id)), "
+        "kept AS (SELECT doc_id, len(t) AS n_tok, "
+        "  list_transform(list_filter(generate_series(1, len(t)), "
+        "    i -> len(list_filter(starts, st -> i - 1 >= st AND i - 1 < st + 8)) = 0), "
+        "    i -> t[CAST(i AS INT)]) AS ks FROM je) "
+        "SELECT doc_id, array_to_string(ks, ' ') AS stripped_text, "
+        "CAST(n_tok - len(ks) AS INT) AS n_stripped FROM kept"
     )
 
     # bloom_decontaminate: the Bloom filter is relational on both sides —

@@ -284,6 +284,94 @@ def ngrams(col: Column | str, n: int = 8) -> Column:
     return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, start, gh) of every word n-gram window whose gram appears in
+    >= ``min_docs`` DISTINCT documents — the candidate set for
+    cross-document exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", public
+    arXiv method: repeated >=50-token spans are memorization fuel;
+    RefinedWeb strips them rather than dropping whole documents).
+
+    Plan shape: one corpus scan explodes positioned n-gram hashes (the
+    ``decontaminate`` shape plus a position column); a hash groupBy
+    with map-side combine counts distinct docs; a semi-join keeps the
+    repeated windows. Only (id, pos, 64-bit hash) rows ever shuffle —
+    never text — so the cost is ~tokens-per-corpus rows at any scale,
+    and the repeated-gram table is Zipf-small (AQE broadcasts it)."""
+    wins = docs.select(
+        F.col(id_col),
+        F.posexplode(ngrams(text_col, n)).alias("start", "g"),
+    ).select(id_col, "start", F.xxhash64("g").alias("gh"))
+    bad = (
+        wins.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gh")
+    )
+    return wins.join(bad, "gh", "left_semi").select(id_col, "start", "gh")
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove cross-document repeated spans from each document's token
+    stream: every token covered by ANY repeated n-gram window (union of
+    overlapping windows) is dropped, and the text is rebuilt from the
+    surviving tokens (lowercased, single-space joined — the token-level
+    normalization every operator in this family shares). Adds
+    ``n_stripped`` (tokens removed). Documents with no repeated span
+    pass through with the same normalization, so output text is a pure
+    function of the token stream either way.
+
+    This is the span-level complement to document-level near-dup
+    removal: boilerplate (license headers, navigation chrome, quote
+    chains) repeats across otherwise-distinct pages, and dropping the
+    SPAN keeps the unique remainder in the corpus. All Column
+    expressions — the per-token coverage test is an ``exists`` over the
+    doc's own span-start array (spans per doc are few; the quadratic
+    term is span_count x tokens per document, not corpus-sized)."""
+    spans = repeated_spans(docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col)
+    starts = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("start")).alias("__starts")
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        F.zip_with(idx, toks, lambda i, t: F.struct(i.alias("i"), t.alias("t"))),
+        lambda s: ~F.exists(
+            F.col("__starts"),
+            lambda st: (s["i"] >= st) & (s["i"] < st + F.lit(n)),
+        ),
+    )
+    out = (
+        docs.join(starts, id_col, "left")
+        .withColumn("__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>")))
+        .withColumn("__kept", kept)
+        .withColumn(
+            "n_stripped",
+            (F.size(toks) - F.size(F.col("__kept"))).cast("int"),
+        )
+        .withColumn(
+            text_col,
+            F.concat_ws(" ", F.transform(F.col("__kept"), lambda s: s["t"])),
+        )
+        .drop("__starts", "__kept")
+    )
+    return out
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

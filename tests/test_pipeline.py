@@ -694,3 +694,52 @@ def test_epoch_shuffle_deterministic_and_epochs_decorrelate(spark, engine):
     assert o1 == o1b            # input order never matters
     assert o1 != o2             # epochs produce different orders
     assert sorted(o1) == sorted(o2)
+
+
+def test_repeated_spans_and_strip(spark):
+    """Cross-document repeated n-gram spans are found and stripped;
+    unique docs pass through token-normalized; union of overlapping
+    windows is removed once (Lee et al. 2022 span-dedup semantics)."""
+    from etl_cli_spark.operators.pipeline import repeated_spans, strip_repeated_spans
+
+    rows = [
+        (1, "alpha beta gamma delta COMMON ONE TWO THREE FOUR tail one"),
+        (2, "zeta eta COMMON ONE TWO THREE FOUR other words here too"),
+        (3, "totally unrelated text with nothing shared at all okay"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = sorted(
+        (r.doc_id, r.start) for r in repeated_spans(df, n=5, min_docs=2).collect()
+    )
+    assert spans == [(1, 4), (2, 2)]
+    out = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in strip_repeated_spans(df, n=5, min_docs=2).collect()
+    }
+    assert out[1] == ("alpha beta gamma delta tail one", 5)
+    assert out[2] == ("zeta eta other words here too", 5)
+    assert out[3] == ("totally unrelated text with nothing shared at all okay", 0)
+    assert out[4] == ("", 0)
+
+
+def test_strip_repeated_spans_overlapping_union(spark):
+    """Two repeated windows that OVERLAP strip their union, not 2n
+    tokens: docs sharing a 6-token run with n=5 have two overlapping
+    5-gram windows; exactly 6 tokens go."""
+    from etl_cli_spark.operators.pipeline import strip_repeated_spans
+
+    shared = "s1 s2 s3 s4 s5 s6"
+    df = spark.createDataFrame(
+        [
+            (1, f"aa bb {shared} cc"),
+            (2, f"xx {shared} yy zz"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in strip_repeated_spans(df, n=5, min_docs=2).collect()
+    }
+    assert out[1] == ("aa bb cc", 6)
+    assert out[2] == ("xx yy zz", 6)
