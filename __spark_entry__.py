@@ -4279,7 +4279,7 @@ def oracle_sql() -> dict[str, str]:
         "  list_transform(list_filter(generate_series(1, len(t)), "
         "    i -> len(list_filter(starts, st -> i - 1 >= st AND i - 1 < st + 8)) = 0), "
         "    i -> t[CAST(i AS INT)]) AS ks FROM je) "
-        "SELECT doc_id, array_to_string(ks, ' ') AS stripped_text, "
+        "SELECT doc_id, coalesce(array_to_string(ks, ' '), '') AS stripped_text, "
         "CAST(n_tok - len(ks) AS INT) AS n_stripped FROM kept"
     )
 
