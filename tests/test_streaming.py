@@ -472,3 +472,62 @@ def test_changefeed_coalesced_equals_per_version(spark, engine, tmp_path):
     # the coalesced drain committed FEWER downstream versions (one
     # upsert+delete pair vs one-plus per upstream version)
     assert len(d_co.versions()) < len(d_per.versions())
+
+
+def test_changefeed_coalesced_crash_between_upsert_and_delete_replays(
+    spark, engine, tmp_path, monkeypatch
+):
+    """Exactly-once under the coalesced drain: a crash AFTER the run's
+    upsert commit but BEFORE its delete commit must replay the whole
+    run on the next drain (the watermark rides the LAST commit), and
+    the replayed upsert is idempotent by pk — final state equals batch
+    semantics, no version skipped, no row doubled."""
+    import etl_cli_spark.streaming.incremental as inc
+    from etl_cli_spark.operators.writeops import apply_write_op
+    from etl_cli_spark.spec import TargetSpec
+    from etl_cli_spark.streaming.incremental import changefeed_merge
+
+    orders = engine.read("orders").limit(150).cache()
+    up, down = _cf_tables(spark, engine, tmp_path)
+    up.append(orders.filter("o_orderkey < 100"))  # v0
+    changefeed_merge(spark, up, down, pk=("o_orderkey",))
+    # v1: upsert; v2: delete — one coalesced run with BOTH commit kinds
+    upd = orders.filter("o_orderkey < 40").withColumn("o_orderstatus", F.lit("Z"))
+    apply_write_op(upd, up, TargetSpec(ds="u", op="upsert", pk=("o_orderkey",)))
+    dels = up.read().filter("o_orderkey >= 80").select("o_orderkey")
+    apply_write_op(dels, up, TargetSpec(ds="u", op="delete", pk=("o_orderkey",)))
+
+    real_apply = inc.apply_write_op if hasattr(inc, "apply_write_op") else None
+    calls = {"n": 0}
+
+    import etl_cli_spark.operators.writeops as wo
+
+    orig = wo.apply_write_op
+
+    def crashing(df, table, spec, *a, **kw):
+        out = orig(df, table, spec, *a, **kw)
+        calls["n"] += 1
+        if spec.op == "upsert" and calls["n"] == 1:
+            raise RuntimeError("injected crash after upsert commit")
+        return out
+
+    monkeypatch.setattr(
+        "etl_cli_spark.streaming.incremental.apply_write_op", crashing,
+        raising=False,
+    )
+    # the import inside changefeed_merge is function-local, so patch the
+    # source module attribute it resolves
+    monkeypatch.setattr(wo, "apply_write_op", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        changefeed_merge(spark, up, down, pk=("o_orderkey",))
+    monkeypatch.setattr(wo, "apply_write_op", orig)
+
+    s = changefeed_merge(spark, up, down, pk=("o_orderkey",))  # replay
+    assert s.watermark == 2
+    batch = up.read()
+    assert sorted(map(tuple, down.read().collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # idempotence: no doubled pk
+    n = down.read().count()
+    assert n == down.read().select("o_orderkey").distinct().count()
