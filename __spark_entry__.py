@@ -686,6 +686,40 @@ def _q_write_update_tq(spark, sf):
     return out.select(*_ORDER_COLS)
 
 
+def _q_write_skipts_pkdedupe(spark, sf):
+    """Two write-op knobs previously unit-only (round-7):
+    ``skip_timestamp`` — an update must NOT overwrite the target's
+    ``_etl_ts`` column even though it is a shared column — and the
+    engine-enforced pk DEDUPE of the source (reference etl.py:230-235):
+    the source carries every row TWICE, and the final state must be
+    the single-application result (duplicate payloads are identical,
+    so the surviving pick is deterministic and the oracle replays it
+    exactly)."""
+    from etl_cli_spark.operators.writeops import ParquetTable, apply_write_op
+    from etl_cli_spark.spec import TargetSpec
+
+    eng = _engine(spark, sf)
+    orders = eng.read("orders")
+    tmp = tempfile.mkdtemp(prefix="etl_writeop_")
+    t = ParquetTable(
+        spark, f"{tmp}/orders_ts.parquet", bucket_by=("o_orderkey",), n_buckets=32
+    )
+    t.append(orders.withColumn("_etl_ts", (F.col("o_orderkey") * 10).cast("long")))
+    src_once = (
+        orders.filter("o_orderstatus = 'F'")
+        .withColumn("o_orderpriority", F.lit("9-SKIPTS"))
+        .withColumn("_etl_ts", F.lit(-1).cast("long"))
+    )
+    out = apply_write_op(
+        src_once.unionByName(src_once),  # duplicate pk rows: must dedupe
+        t,
+        TargetSpec(
+            ds="t", op="update", pk=("o_orderkey",), skip_timestamp=True
+        ),
+    )
+    return out.select("o_orderkey", "o_orderstatus", "o_orderpriority", "_etl_ts")
+
+
 def _q_write_delete(spark, sf):
     from etl_cli_spark.spec import TargetSpec
     from etl_cli_spark.operators.writeops import apply_write_op
@@ -3437,6 +3471,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "write_upsert_datepart": _q_write_upsert_datepart,
     "write_update_tq": _q_write_update_tq,
     "write_delete": _q_write_delete,
+    "write_skipts_pkdedupe": _q_write_skipts_pkdedupe,
     "dsl_eq_project": _q_dsl_eq_project,
     "dsl_ne": _q_dsl_ne,
     "dsl_range": _q_dsl_range,
@@ -3643,6 +3678,15 @@ def oracle_sql() -> dict[str, str]:
         "FROM orders"
     )
     sql["write_delete"] = f"SELECT {orders_cols} FROM orders WHERE o_orderstatus <> 'F'"
+    # skip_timestamp keeps the target's _etl_ts untouched on matched
+    # rows; the doubled-pk source must apply exactly once
+    sql["write_skipts_pkdedupe"] = (
+        "SELECT o_orderkey, o_orderstatus, "
+        "CASE WHEN o_orderstatus = 'F' THEN '9-SKIPTS' ELSE o_orderpriority END "
+        "AS o_orderpriority, "
+        "CAST(o_orderkey * 10 AS BIGINT) AS _etl_ts "
+        "FROM orders"
+    )
     sql["write_index"] = (
         "SELECT o_orderkey, o_custkey, "
         "CASE WHEN o_orderkey < 20 THEN NULL ELSE o_orderstatus END AS o_orderstatus, "
