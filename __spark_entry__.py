@@ -3054,12 +3054,15 @@ def _q_backend_roundtrip(spark, sf):
     row sets must equal the parquet truth."""
     eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_bk_")
     frames = []
-    for b in ("csv", "json", "orc"):
+    # r7: the memory (temp view) backend joins the matrix — write
+    # registers a temp view, read resolves spark.table(name)
+    for b in ("csv", "json", "orc", "memory"):
+        tgt = f"memory/orders_{b}" if b == "memory" else f"{b}/out/orders_{b}"
         eng.etl(
-            "orders", target=f"{b}/out/orders_{b}", drop=True,
+            "orders", target=tgt, drop=True,
             tf=["o_orderkey", "o_orderstatus", "o_totalprice"],
         )
-        back = eng.read(f"{b}/out/orders_{b}")
+        back = eng.read(tgt)
         frames.append(
             back.groupBy("o_orderstatus")
             .agg(
@@ -5093,7 +5096,7 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT o_orderstatus, count(*) AS n, "
         + _sum2.format(c="o_totalprice")
         + " AS sum_price FROM orders GROUP BY o_orderstatus) a, "
-        "(VALUES ('csv'), ('json'), ('orc')) b(backend)"
+        "(VALUES ('csv'), ('json'), ('orc'), ('memory')) b(backend)"
     )
     sql["dsl_exists_size_mod"] = (
         "SELECT o_orderkey, o_orderpriority AS prio FROM orders "
