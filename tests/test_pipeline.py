@@ -743,3 +743,42 @@ def test_strip_repeated_spans_overlapping_union(spark):
     }
     assert out[1] == ("aa bb cc", 6)
     assert out[2] == ("xx yy zz", 6)
+
+
+def test_strip_repeated_spans_matches_python_reference_fuzz(spark):
+    """Randomized corpora over a tiny vocabulary (maximizing shared
+    n-grams and overlap unions) must match a direct python reference
+    implementation exactly — text, strip counts, and span set."""
+    import random
+
+    from etl_cli_spark.operators.pipeline import strip_repeated_spans
+
+    rng = random.Random(13)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for trial in range(4):
+        n, min_docs = rng.choice([(2, 2), (3, 2), (3, 3)])[0], 2
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+            for i in range(12)
+        ]
+        # python reference
+        toks = {i: (t.strip().lower().split() if t.strip() else [""]) for i, t in docs}
+        wins: dict = {}
+        for i, tk in toks.items():
+            for s in range(len(tk) - n + 1):
+                wins.setdefault(" ".join(tk[s : s + n]), set()).add(i)
+        bad = {g for g, ids in wins.items() if len(ids) >= min_docs}
+        expect = {}
+        for i, tk in toks.items():
+            cover = set()
+            for s in range(len(tk) - n + 1):
+                if " ".join(tk[s : s + n]) in bad:
+                    cover.update(range(s, s + n))
+            kept = [t for j, t in enumerate(tk) if j not in cover]
+            expect[i] = (" ".join(kept), len(tk) - len(kept))
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        got = {
+            r.doc_id: (r.text, r.n_stripped)
+            for r in strip_repeated_spans(df, n=n, min_docs=min_docs).collect()
+        }
+        assert got == expect, (trial, n, got, expect)
