@@ -1620,34 +1620,44 @@ def _probe_one(data: bytes):
     runs before spending decode cycles (drop tiny images, route by
     format, partition by resolution class). Returns (None, None, None)
     for unrecognized payloads. Covers PPM/BMP/PNG/GIF/JPEG (SOF walk)
-    and RIFF/WAV (dimensions NULL, format still identified)."""
+    and RIFF/WAV (dimensions NULL, format still identified).
+
+    Dimension fields are UNTRUSTED header bytes — PNG/AVI carry
+    unsigned 32-bit, PPM free text — so values that overflow the
+    probe's int32 schema or exceed the plausibility cap come back as
+    NULL with the format still identified; a corrupt header must
+    never kill the Arrow batch (round-7 fuzz finding)."""
     import struct
+
+    def dims(fmt, w, h):
+        ok = 0 < w <= _MAX_PIXELS and 0 < h <= _MAX_PIXELS
+        return (fmt, int(w), int(h)) if ok else (fmt, None, None)
 
     try:
         if data[:2] == b"P6":
             parts = data[2:256].split()
-            return "ppm", int(parts[0]), int(parts[1])
+            return dims("ppm", int(parts[0]), int(parts[1]))
         if data[:2] == b"BM" and len(data) >= 26:
             w, h = struct.unpack_from("<ii", data, 18)
-            return "bmp", int(w), abs(int(h))
+            return dims("bmp", int(w), abs(int(h)))
         if data[:8] == _PNG_SIG and len(data) >= 24:
             w, h = struct.unpack_from(">II", data, 16)
-            return "png", int(w), int(h)
+            return dims("png", int(w), int(h))
         if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
             w, h = struct.unpack_from("<HH", data, 6)
-            return "gif", int(w), int(h)
+            return dims("gif", int(w), int(h))
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return "wav", None, None
         if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
             from .avi import probe_avi
 
             w, h, _uspf, _n = probe_avi(data)
-            return "avi", int(w), int(h)
+            return dims("avi", int(w), int(h))
         if _is_annexb(data):
             from .h264 import probe_h264
 
             w, h, _n = probe_h264(data)  # SPS parse only, no slice work
-            return "h264", int(w), int(h)
+            return dims("h264", int(w), int(h))
         if data[:2] == b"\xFF\xD8":
             pos = 2
             while pos + 4 <= len(data):
@@ -1663,7 +1673,7 @@ def _probe_one(data: bytes):
                 if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                     h, w = struct.unpack_from(">HH", data, pos + 3)
-                    return "jpeg", int(w), int(h)
+                    return dims("jpeg", int(w), int(h))
                 pos += seg_len
             return "jpeg", None, None
     except (ValueError, NotImplementedError, IndexError, struct.error):

@@ -881,3 +881,60 @@ def test_audio_features_stereo_mix_zeros_and_skip(spark):
     assert r.energy == 0 + 225 + 25 + 0 + 0
     assert r.zero_crossings == 1
     assert r.peak == 15
+
+
+def test_media_fuzz_all_formats_never_escape_kernels(spark):
+    """One mutation fuzz across EVERY fixture format (PPM/PNG/BMP/GIF/
+    JPEG/WAV/BMP-reel/animated-GIF + pure junk) through decode_images,
+    probe_media, AND extract_features: corrupted payloads must degrade
+    to the stub kernel (or a NULL/None probe), never kill a task —
+    the same batch-robustness protocol the AVI/JPEG-arith/H.264 fuzzes
+    pin per-format (round-7: one harness covers the whole matrix)."""
+    import random
+
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_images,
+        extract_features,
+        make_fake_audio,
+        make_fake_gif_video,
+        make_fake_jpeg,
+        make_fake_media,
+        make_fake_video,
+        probe_media,
+    )
+
+    rng = random.Random(17)
+    seeds = []
+    for maker, n in (
+        (make_fake_media, 8),
+        (make_fake_jpeg, 4),
+        (make_fake_audio, 3),
+        (make_fake_video, 3),
+        (make_fake_gif_video, 3),
+    ):
+        for r in maker(spark, n=n).collect():
+            seeds.append(bytes(r.payload))
+    payloads = []
+    for seed in seeds:
+        data = bytearray(seed)
+        for _ in range(rng.randint(1, 8)):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        payloads.append(bytes(data))
+        payloads.append(seed[: rng.randrange(1, max(2, len(seed)))])
+    payloads.append(b"\x00")
+    payloads.append(b"garbage that is no format at all")
+    df = spark.createDataFrame(
+        [
+            (i, "image", bytearray(p), (8, 6, 8000, 2000, "fuzz"))
+            for i, p in enumerate(payloads)
+        ],
+        MEDIA_SCHEMA,
+    )
+    n = len(payloads)
+    dec = decode_images(df).collect()
+    assert len(dec) == n and all(r.dec_digest is not None for r in dec)
+    pr = probe_media(df).collect()
+    assert len(pr) == n  # probe may be NULL, must never throw
+    feats = extract_features(df, dim=16).collect()
+    assert len(feats) == n and all(len(r.feature) == 16 for r in feats)

@@ -165,3 +165,21 @@ def test_classifier_features_use_window_not_total_join(spark):
     plan = hashed_features(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert plan.count("BroadcastExchange") == 0
+
+
+def test_strip_repeated_spans_shuffles_hashes_not_text(spark, engine):
+    """Span discovery must move (id, pos, 64-bit gram hash) rows, never
+    document text: no join or exchange operator above the scans carries
+    `text`, and no cartesian product appears anywhere (round-7)."""
+    from etl_cli_spark.operators.pipeline import strip_repeated_spans
+
+    d = engine.read("documents")
+    out = strip_repeated_spans(d, n=8, min_docs=2).select("doc_id", "n_stripped")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    # the final starts-array join back to docs legitimately carries
+    # text (it rebuilds it); the DISCOVERY joins (on gh) must not
+    gh_joins = [ln for ln in joins if "gh#" in ln]
+    assert gh_joins and all("text#" not in ln for ln in gh_joins)
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical
