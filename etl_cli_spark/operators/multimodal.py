@@ -818,8 +818,13 @@ def _decode_wav(data: bytes) -> tuple[int, int, int, bytes]:
 def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Decode WAV payloads -> sample_rate/channels/samples/duration/digest
     via Arrow-batched mapInPandas. PCM16 RIFF decodes for REAL (pure
-    numpy/stdlib); compressed formats would need a codec library and
-    raise. Digest is sha256[:16] of the raw PCM byte stream."""
+    numpy/stdlib). Digest is sha256[:16] of the raw PCM byte stream.
+
+    Batch-robustness contract (round-7, matching decode_images): a
+    corrupt or non-PCM payload degrades to NULL decode fields with the
+    deterministic stub digest sha256(payload)[:16] — one bad crawl
+    payload must never kill the task. ``_decode_wav`` itself still
+    raises when called directly (unit-tested error messages)."""
     out_schema = T.StructType(
         df.schema.fields
         + [
@@ -831,15 +836,24 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         ]
     )
 
+    def decode_one(p):
+        data = bytes(p) if p is not None else b""
+        try:
+            sr, ch, n, pcm = _decode_wav(data)
+            return sr, ch, n, n * 1000 // sr, hashlib.sha256(pcm).digest()[:16]
+        except (ValueError, NotImplementedError, IndexError, struct.error,
+                ZeroDivisionError):
+            return None, None, None, None, hashlib.sha256(data).digest()[:16]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_decode_wav(bytes(p)) for p in pdf[payload_col]]
+            decoded = [decode_one(p) for p in pdf[payload_col]]
             pdf = pdf.assign(
                 dec_sample_rate=[d[0] for d in decoded],
                 dec_channels=[d[1] for d in decoded],
                 dec_n_samples=[d[2] for d in decoded],
-                dec_duration_ms=[d[2] * 1000 // d[0] for d in decoded],
-                dec_digest=[hashlib.sha256(d[3]).digest()[:16] for d in decoded],
+                dec_duration_ms=[d[3] for d in decoded],
+                dec_digest=[d[4] for d in decoded],
             )
             yield pdf
 

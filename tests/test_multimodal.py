@@ -938,3 +938,7 @@ def test_media_fuzz_all_formats_never_escape_kernels(spark):
     assert len(pr) == n  # probe may be NULL, must never throw
     feats = extract_features(df, dim=16).collect()
     assert len(feats) == n and all(len(r.feature) == 16 for r in feats)
+    from etl_cli_spark.operators.multimodal import decode_audio
+
+    aud = decode_audio(df).collect()
+    assert len(aud) == n and all(r.dec_digest is not None for r in aud)
