@@ -603,36 +603,62 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                 dur = (r["meta"]["duration_ms"] if r["meta"] is not None else 0) or 0
                 payload = bytes(r["payload"]) if r["payload"] is not None else b""
                 if payload[:2] == b"BM":  # real path: decode sampled frames
-                    frames = _split_bmp_reel(payload)
-                    # fps from metadata: n_frames over duration
-                    frame_ms = dur / len(frames) if frames else 0
-                    for i, ts in enumerate(
-                        range(0, min(int(dur), span_cap), every_ms)
-                    ):
-                        fi = min(int(ts / frame_ms) if frame_ms else 0, len(frames) - 1)
-                        px = _decode_bmp(frames[fi])[2]
-                        digest = hashlib.sha256(px.tobytes()).digest()[:16]
-                        rows.append((r["media_id"], i, ts, digest))
+                    # corrupt reels degrade to the stub digest, never a
+                    # task death (round-7: same contract as AVI/H.264)
+                    try:
+                        vrows = []
+                        frames = _split_bmp_reel(payload)
+                        # fps from metadata: n_frames over duration
+                        frame_ms = dur / len(frames) if frames else 0
+                        for i, ts in enumerate(
+                            range(0, min(int(dur), span_cap), every_ms)
+                        ):
+                            fi = min(int(ts / frame_ms) if frame_ms else 0, len(frames) - 1)
+                            px = _decode_bmp(frames[fi])[2]
+                            digest = hashlib.sha256(px.tobytes()).digest()[:16]
+                            vrows.append((r["media_id"], i, ts, digest))
+                        rows.extend(vrows)
+                    except (ValueError, NotImplementedError, IndexError, struct.error):
+                        for i, ts in enumerate(
+                            range(0, min(int(dur), span_cap), every_ms)
+                        ):
+                            digest = hashlib.sha256(
+                                payload + ts.to_bytes(8, "little")
+                            ).digest()[:16]
+                            rows.append((r["media_id"], i, ts, digest))
                 elif payload[:6] in _GIF_SIGS:  # real path: animated GIF
-                    _w, _h, gframes = _decode_gif_frames(payload)
-                    # frame timing from each frame's own GCE delay
-                    # (0-delay frames default to 100 ms, the de-facto
-                    # browser convention); metadata duration wins when
-                    # present, else the delays sum
-                    starts, acc = [], 0
-                    for delay, _px in gframes:
-                        starts.append(acc)
-                        acc += delay if delay > 0 else 100
-                    total = min(int(dur) if dur else acc, span_cap)
-                    for i, ts in enumerate(range(0, total, every_ms)):
-                        fi = 0
-                        for j, s in enumerate(starts):
-                            if s <= ts:
-                                fi = j
-                        digest = hashlib.sha256(
-                            gframes[fi][1].tobytes()
-                        ).digest()[:16]
-                        rows.append((r["media_id"], i, ts, digest))
+                    try:
+                        vrows = []
+                        _w, _h, gframes = _decode_gif_frames(payload)
+                        if not gframes:
+                            raise ValueError("GIF with no frames")
+                        # frame timing from each frame's own GCE delay
+                        # (0-delay frames default to 100 ms, the de-facto
+                        # browser convention); metadata duration wins when
+                        # present, else the delays sum
+                        starts, acc = [], 0
+                        for delay, _px in gframes:
+                            starts.append(acc)
+                            acc += delay if delay > 0 else 100
+                        total = min(int(dur) if dur else acc, span_cap)
+                        for i, ts in enumerate(range(0, total, every_ms)):
+                            fi = 0
+                            for j, s in enumerate(starts):
+                                if s <= ts:
+                                    fi = j
+                            digest = hashlib.sha256(
+                                gframes[fi][1].tobytes()
+                            ).digest()[:16]
+                            vrows.append((r["media_id"], i, ts, digest))
+                        rows.extend(vrows)
+                    except (ValueError, NotImplementedError, KeyError, IndexError, struct.error):
+                        for i, ts in enumerate(
+                            range(0, min(int(dur), span_cap), every_ms)
+                        ):
+                            digest = hashlib.sha256(
+                                payload + ts.to_bytes(8, "little")
+                            ).digest()[:16]
+                            rows.append((r["media_id"], i, ts, digest))
                 elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
                     # real path: MJPEG- or H.264-AVI — demux is header
                     # arithmetic; per-frame decode cost (T.81 JPEG or

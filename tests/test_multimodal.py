@@ -942,3 +942,44 @@ def test_media_fuzz_all_formats_never_escape_kernels(spark):
 
     aud = decode_audio(df).collect()
     assert len(aud) == n and all(r.dec_digest is not None for r in aud)
+
+
+def test_sample_frames_fuzz_reel_and_gif_degrade(spark):
+    """Mutated/truncated BMP reels and animated GIFs through
+    sample_frames must yield stub-or-real digest rows, never a task
+    death — the AVI/H.264 fuzz protocol now covers the remaining two
+    video containers (round-7)."""
+    import random
+
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        make_fake_gif_video,
+        make_fake_video,
+        sample_frames,
+    )
+
+    rng = random.Random(23)
+    seeds = [bytes(r.payload) for r in make_fake_video(spark, n=2).collect()]
+    seeds += [bytes(r.payload) for r in make_fake_gif_video(spark, n=2).collect()]
+    payloads = []
+    for seed in seeds:
+        for _ in range(12):
+            data = bytearray(seed)
+            for _ in range(rng.randint(1, 6)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+            payloads.append(bytes(data))
+        for cut in (3, 20, len(seed) - 2):
+            payloads.append(seed[:cut])
+    df = spark.createDataFrame(
+        [
+            (i, "video", bytearray(p), (8, 6, None, 2000, "fuzz"))
+            for i, p in enumerate(payloads)
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_frames(df, every_ms=1000).collect()
+    by_vid: dict = {}
+    for r in rows:
+        assert r.frame_digest is not None
+        by_vid[r.media_id] = by_vid.get(r.media_id, 0) + 1
+    assert all(by_vid.get(i, 0) == 2 for i in range(len(payloads)))
