@@ -4327,7 +4327,7 @@ def oracle_sql() -> dict[str, str]:
         "    i -> len(list_filter(starts, st -> i - 1 >= st AND i - 1 < st + 8)) = 0), "
         "    i -> t[CAST(i AS INT)]) AS ks FROM je) "
         "SELECT doc_id, coalesce(array_to_string(ks, ' '), '') AS stripped_text, "
-        "CAST(n_tok - len(ks) AS INT) AS n_stripped FROM kept"
+        "CAST(coalesce(n_tok - len(ks), 0) AS INT) AS n_stripped FROM kept"
     )
 
     # bloom_decontaminate: the Bloom filter is relational on both sides —

@@ -361,7 +361,9 @@ def strip_repeated_spans(
         .withColumn("__kept", kept)
         .withColumn(
             "n_stripped",
-            (F.size(toks) - F.size(F.col("__kept"))).cast("int"),
+            F.coalesce(
+                (F.size(toks) - F.size(F.col("__kept"))).cast("int"), F.lit(0)
+            ),
         )
         .withColumn(
             text_col,

@@ -782,3 +782,18 @@ def test_strip_repeated_spans_matches_python_reference_fuzz(spark):
             for r in strip_repeated_spans(df, n=n, min_docs=min_docs).collect()
         }
         assert got == expect, (trial, n, got, expect)
+
+
+def test_strip_repeated_spans_null_text(spark):
+    """NULL text normalizes to empty output with n_stripped = 0 —
+    never a NULL count or a task error."""
+    from etl_cli_spark.operators.pipeline import strip_repeated_spans
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f"), (3, "a b c d e g")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_stripped)
+           for r in strip_repeated_spans(df, n=5, min_docs=2).collect()}
+    assert out[1] == ("", 0)
+    assert out[2] == ("f", 5) and out[3] == ("g", 5)
