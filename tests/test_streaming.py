@@ -531,3 +531,42 @@ def test_changefeed_coalesced_crash_between_upsert_and_delete_replays(
     # idempotence: no doubled pk
     n = down.read().count()
     assert n == down.read().select("o_orderkey").distinct().count()
+
+
+def test_streaming_media_frame_sampling_equals_batch(spark, tmp_path):
+    """The Arrow-batched media kernels compose with Structured
+    Streaming unchanged: sample_frames over a file stream of video
+    payloads (mixed real formats incl. H.264) produces EXACTLY the
+    batch result — the plumbing a streaming media-ingest pipeline
+    needs (round-7)."""
+    from etl_cli_spark.operators.multimodal import (
+        make_fake_avi_h264_video,
+        make_fake_video,
+        sample_frames,
+    )
+    from etl_cli_spark.streaming.stream import run_to_memory
+
+    vids = make_fake_video(spark, n=3, fps=4).unionByName(
+        make_fake_avi_h264_video(spark, n=3, fps=4).withColumn(
+            "media_id", F.col("media_id") + 100
+        )
+    )
+    path = str(tmp_path / "media")
+    vids.write.parquet(path)
+    batch = sorted(
+        (r.media_id, r.frame_idx, r.frame_ts_ms, bytes(r.frame_digest))
+        for r in sample_frames(spark.read.parquet(path), every_ms=1000).collect()
+    )
+    stream = (
+        spark.readStream.schema(vids.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    run_to_memory(
+        sample_frames(stream, every_ms=1000), "t_media_stream", output_mode="append"
+    )
+    got = sorted(
+        (r.media_id, r.frame_idx, r.frame_ts_ms, bytes(r.frame_digest))
+        for r in spark.table("t_media_stream").collect()
+    )
+    assert got == batch and len(batch) > 0
