@@ -224,6 +224,16 @@ def _s_leakage_split(df: DataFrame, **kw) -> DataFrame:
     return leakage_safe_split(df, **kw)
 
 
+def _s_strip_repeated_spans(df: DataFrame, **kw) -> DataFrame:
+    """Remove cross-document repeated n-gram spans (Lee et al. 2022
+    exact-substring dedup) — typically runs AFTER doc-level dedup and
+    BEFORE quality filtering, so boilerplate doesn't skew the quality
+    statistics of otherwise-unique pages."""
+    from ..operators.pipeline import strip_repeated_spans
+
+    return strip_repeated_spans(df, **kw)
+
+
 def _s_dedup_indexed(df: DataFrame, index_path: str, **kw) -> DataFrame:
     """Drop docs near-duplicating anything in a PERSISTED dedup index —
     the incremental-crawl stage: each batch dedups against all history
@@ -244,6 +254,7 @@ STAGES: dict[str, Callable[..., DataFrame]] = {
     "dedup_indexed": _s_dedup_indexed,
     "dedup_canonical": _s_dedup_canonical,
     "paragraph_dedup": _s_paragraph_dedup,
+    "strip_repeated_spans": _s_strip_repeated_spans,
     "semantic_dedup": _s_semantic_dedup,
     "decontaminate": _s_decontaminate,
     "split": _s_split,

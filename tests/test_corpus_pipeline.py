@@ -319,3 +319,32 @@ def test_dedup_indexed_stage(engine, tmp_path):
         r.doc_id for r in direct.collect()
     )
     assert out.count() < batch.count()  # fixture has cross-half near-dups
+
+
+def test_strip_repeated_spans_stage(spark):
+    """The declarative runner's span-strip stage equals the direct
+    operator call."""
+    from etl_cli_spark.operators.pipeline import strip_repeated_spans
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, "common header line here plus unique body one"),
+            (2, "common header line here plus other words too"),
+            (3, "totally different document body"),
+        ],
+        "doc_id int, text string",
+    )
+    direct = sorted(
+        map(tuple, strip_repeated_spans(df, n=5, min_docs=2).collect())
+    )
+    staged = sorted(
+        map(
+            tuple,
+            run_corpus_pipeline(
+                df, [{"stage": "strip_repeated_spans", "n": 5, "min_docs": 2}]
+            ).collect(),
+        )
+    )
+    assert staged == direct
+    assert any(r[-1] > 0 for r in staged)  # something actually stripped

@@ -938,10 +938,12 @@ def test_media_fuzz_all_formats_never_escape_kernels(spark):
     assert len(pr) == n  # probe may be NULL, must never throw
     feats = extract_features(df, dim=16).collect()
     assert len(feats) == n and all(len(r.feature) == 16 for r in feats)
-    from etl_cli_spark.operators.multimodal import decode_audio
+    from etl_cli_spark.operators.multimodal import decode_audio, resize_images
 
     aud = decode_audio(df).collect()
     assert len(aud) == n and all(r.dec_digest is not None for r in aud)
+    rez = resize_images(df, 4, 4).collect()
+    assert len(rez) == n
 
 
 def test_sample_frames_fuzz_reel_and_gif_degrade(spark):
