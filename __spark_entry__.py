@@ -1732,6 +1732,26 @@ def _q_strip_repeated_spans(spark, sf):
     return out.select("doc_id", F.col("text").alias("stripped_text"), "n_stripped")
 
 
+def _q_strip_spans_indexed(spark, sf):
+    """Incremental span stripping through the PERSISTED gram-count
+    index (round-7): even-id docs are signed into the index once;
+    odd-id docs probe it — a window is stripped when its batch count
+    plus the indexed count reaches 2. The oracle replays the UNION
+    batch semantics restricted to the probing half, so the hash match
+    certifies index == batch (the dedup-index discipline, span
+    edition)."""
+    from etl_cli_spark.operators.pipeline import (
+        build_span_index,
+        strip_against_span_index,
+    )
+
+    d = _engine(spark, sf).read("documents")
+    idx = tempfile.mkdtemp(prefix="etl_spanidx_") + "/idx"
+    build_span_index(d.filter("doc_id % 2 = 0"), idx, n=8)
+    out = strip_against_span_index(d.filter("doc_id % 2 = 1"), idx, min_docs=2)
+    return out.select("doc_id", F.col("text").alias("stripped_text"), "n_stripped")
+
+
 def _q_decontaminate(spark, sf):
     from etl_cli_spark.operators.pipeline import decontaminate
 
@@ -3378,6 +3398,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": _q_pack_sequences,
     "decontaminate": _q_decontaminate,
     "strip_repeated_spans": _q_strip_repeated_spans,
+    "strip_spans_indexed": _q_strip_spans_indexed,
     "bloom_decontaminate": _q_bloom_decontaminate,
     "token_budget_sample": _q_token_budget_sample,
     "paragraph_dedup": _q_paragraph_dedup,
@@ -4322,6 +4343,29 @@ def oracle_sql() -> dict[str, str]:
         "       FROM w JOIN bad USING (gram) GROUP BY doc_id), "
         "je AS (SELECT tok.doc_id, t, coalesce(starts, []) AS starts "
         "       FROM tok LEFT JOIN sp USING (doc_id)), "
+        "kept AS (SELECT doc_id, len(t) AS n_tok, "
+        "  list_transform(list_filter(generate_series(1, len(t)), "
+        "    i -> len(list_filter(starts, st -> i - 1 >= st AND i - 1 < st + 8)) = 0), "
+        "    i -> t[CAST(i AS INT)]) AS ks FROM je) "
+        "SELECT doc_id, coalesce(array_to_string(ks, ' '), '') AS stripped_text, "
+        "CAST(coalesce(n_tok - len(ks), 0) AS INT) AS n_stripped FROM kept"
+    )
+
+    # strip_spans_indexed: the incremental probe must equal the UNION
+    # batch semantics for the probing (odd-id) half — DuckDB replays
+    # windows over ALL docs, the distinct-doc threshold, and the strip,
+    # then keeps odd ids
+    sql["strip_spans_indexed"] = (
+        r"WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t "
+        "             FROM documents), "
+        "w AS (SELECT doc_id, CAST(i AS INT) - 1 AS start, "
+        "             array_to_string(t[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS gram "
+        "      FROM tok, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i) s), "
+        "bad AS (SELECT gram FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), "
+        "sp AS (SELECT doc_id, list(DISTINCT start) AS starts "
+        "       FROM w JOIN bad USING (gram) WHERE doc_id % 2 = 1 GROUP BY doc_id), "
+        "je AS (SELECT tok.doc_id, t, coalesce(starts, []) AS starts "
+        "       FROM tok LEFT JOIN sp USING (doc_id) WHERE tok.doc_id % 2 = 1), "
         "kept AS (SELECT doc_id, len(t) AS n_tok, "
         "  list_transform(list_filter(generate_series(1, len(t)), "
         "    i -> len(list_filter(starts, st -> i - 1 >= st AND i - 1 < st + 8)) = 0), "

@@ -341,6 +341,15 @@ def strip_repeated_spans(
     doc's own span-start array (spans per doc are few; the quadratic
     term is span_count x tokens per document, not corpus-sized)."""
     spans = repeated_spans(docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col)
+    return _strip_spans(docs, spans, n, id_col, text_col)
+
+
+def _strip_spans(
+    docs: DataFrame, spans: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Rebuild each doc's text with every token covered by a span in
+    ``spans`` (an (id, start, ...) frame) removed — the shared strip
+    step of the batch and index-probe variants."""
     starts = spans.groupBy(id_col).agg(
         F.sort_array(F.collect_set("start")).alias("__starts")
     )
@@ -355,7 +364,7 @@ def strip_repeated_spans(
             lambda st: (s["i"] >= st) & (s["i"] < st + F.lit(n)),
         ),
     )
-    out = (
+    return (
         docs.join(starts, id_col, "left")
         .withColumn("__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>")))
         .withColumn("__kept", kept)
@@ -371,7 +380,96 @@ def strip_repeated_spans(
         )
         .drop("__starts", "__kept")
     )
-    return out
+
+
+def _span_windows(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, start, gh) positioned n-gram hash windows — the shared
+    discovery pass."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(ngrams(text_col, n)).alias("start", "g"),
+    ).select(id_col, "start", F.xxhash64("g").alias("gh"))
+
+
+def build_span_index(
+    docs: DataFrame,
+    path: str,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist per-gram distinct-document counts — the incremental-crawl
+    side of repeated-span stripping (the same persisted-index
+    discipline the minhash/ANN/BM25 families follow): sign history
+    once, then each new batch probes counts instead of re-scanning
+    every prior crawl.
+
+    Layout: parquet of (gh, n_docs) delta files plus a meta sidecar
+    pinning ``n``. The index is APPEND-ONLY — probes sum deltas per
+    gram — so updating it never rewrites history. Contract: batches
+    must have DISJOINT document ids (the crawl-batch invariant);
+    distinct-doc counts then add exactly."""
+    import json
+    import os
+
+    wins = _span_windows(docs, n, id_col, text_col)
+    counts = wins.groupBy("gh").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    counts.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_span_meta.json"), "w") as f:
+        json.dump({"n": n, "id_col": id_col, "text_col": text_col}, f)
+
+
+def append_to_span_index(docs: DataFrame, path: str) -> None:
+    """Add a (disjoint) batch's gram counts to the index as delta
+    files — no rewrite, no read of prior deltas."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_span_meta.json")) as f:
+        meta = json.load(f)
+    wins = _span_windows(docs, meta["n"], meta["id_col"], meta["text_col"])
+    wins.groupBy("gh").agg(
+        F.count_distinct(F.col(meta["id_col"])).alias("n_docs")
+    ).write.mode("append").parquet(path)
+
+
+def strip_against_span_index(
+    docs: DataFrame,
+    path: str,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Strip spans from a NEW batch counting repetitions across the
+    batch AND the indexed history: a window is stripped when
+    (its batch distinct-doc count + its indexed count) >= ``min_docs``
+    — exactly the spans :func:`strip_repeated_spans` would find over
+    history ∪ batch for the batch's documents, without re-scanning
+    history (equality pinned by unit test). Appending the batch
+    afterwards is the caller's choice (``append_to_span_index``)."""
+    import json
+    import os
+
+    spark = docs.sparkSession
+    with open(os.path.join(path, "_span_meta.json")) as f:
+        meta = json.load(f)
+    n, id_col, text_col = meta["n"], meta["id_col"], meta["text_col"]
+    wins = _span_windows(docs, n, id_col, text_col)
+    batch_counts = wins.groupBy("gh").agg(
+        F.count_distinct(F.col(id_col)).alias("__bn")
+    )
+    hist = (
+        spark.read.parquet(path)
+        .groupBy("gh")
+        .agg(F.sum("n_docs").alias("__hn"))  # delta files sum per gram
+    )
+    bad = (
+        batch_counts.join(hist, "gh", "left")
+        .filter(F.col("__bn") + F.coalesce(F.col("__hn"), F.lit(0)) >= min_docs)
+        .select("gh")
+    )
+    spans = wins.join(bad, "gh", "left_semi")
+    return _strip_spans(docs, spans, n, id_col, text_col)
 
 
 def decontaminate(

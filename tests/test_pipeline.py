@@ -797,3 +797,58 @@ def test_strip_repeated_spans_null_text(spark):
            for r in strip_repeated_spans(df, n=5, min_docs=2).collect()}
     assert out[1] == ("", 0)
     assert out[2] == ("f", 5) and out[3] == ("g", 5)
+
+
+def test_span_index_probe_equals_batch_union(spark, tmp_path):
+    """Incremental span stripping through the persisted index must
+    equal batch semantics for the probing batch: strip(batch2 vs
+    index(batch1) + batch2-internal counts) == the spans
+    strip_repeated_spans finds over batch1 UNION batch2, restricted to
+    batch2's docs. Append then extends history for a third batch."""
+    from etl_cli_spark.operators.pipeline import (
+        append_to_span_index,
+        build_span_index,
+        strip_against_span_index,
+        strip_repeated_spans,
+    )
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "legal boilerplate footer text here plus page one body"),
+            (2, "some entirely unique first crawl document"),
+        ],
+        "doc_id int, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, "legal boilerplate footer text here plus page ten body"),
+            (11, "batch two repeat alpha beta gamma delta one"),
+            (12, "batch two repeat alpha beta gamma delta two"),
+            (13, "nothing shared with anyone at all"),
+        ],
+        "doc_id int, text string",
+    )
+    idx = str(tmp_path / "span_idx")
+    build_span_index(b1, idx, n=5)
+    got = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in strip_against_span_index(b2, idx, min_docs=2).collect()
+    }
+    # ground truth: batch over the union, restricted to batch2 docs
+    union = b1.unionByName(b2)
+    want = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in strip_repeated_spans(union, n=5, min_docs=2).collect()
+        if r.doc_id >= 10
+    }
+    assert got == want
+    # cross-history span actually stripped (doc 10 shares with doc 1)
+    assert got[10][1] > 0 and got[13][1] == 0
+    # append batch2; a third batch sharing only with batch2 must strip
+    append_to_span_index(b2, idx)
+    b3 = spark.createDataFrame(
+        [(20, "batch two repeat alpha beta gamma delta three")],
+        "doc_id int, text string",
+    )
+    got3 = strip_against_span_index(b3, idx, min_docs=2).collect()[0]
+    assert got3.n_stripped > 0
