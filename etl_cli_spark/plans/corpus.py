@@ -333,6 +333,8 @@ def run_corpus_pipeline_streaming(
     checkpoint: str,
     dedup_index_path: str | None = None,
     threshold: float = 0.7,
+    span_index_path: str | None = None,
+    span_min_docs: int = 2,
 ):
     """The corpus-prep pipeline over an APPEND-ONLY crawl drop directory
     (round-4 judge item #8): each invocation drains exactly the files
@@ -355,14 +357,28 @@ def run_corpus_pipeline_streaming(
     is the simple at-least-once form; for the exactly-once form see
     ``streaming.incremental.streaming_merge``, whose manifest commit
     records the batch watermark atomically with the data.
+
+    ``span_index_path``: optionally strip cross-drop repeated n-gram
+    spans through the persisted gram-count index BEFORE the stage list
+    (pipeline.strip_against_span_index): each drop is stripped against
+    all history plus itself, then its counts append. Same crash-safe
+    ordering and the same at-least-once caveat as the dedup index —
+    plus one more: a replayed drop whose counts already landed sees
+    ITSELF in history and strips more aggressively, so exactly-once
+    sinks should gate on batchId.
     """
     from ..operators.dedup import append_dedup_signatures, dedup_against_index
+    from ..operators.pipeline import append_to_span_index, strip_against_span_index
     from ..operators.writeops import ParquetTable
     from ..streaming.incremental import incremental_stream
 
     out = ParquetTable(spark, out_path)
 
     def process(batch_df: DataFrame) -> None:
+        if span_index_path is not None:
+            batch_df = strip_against_span_index(
+                batch_df, span_index_path, min_docs=span_min_docs
+            )
         df = run_corpus_pipeline(batch_df, stages)
         if dedup_index_path is not None:
             # crash-safe ordering: dedup, COMMIT THE OUTPUT, then index
@@ -377,5 +393,12 @@ def run_corpus_pipeline_streaming(
             append_dedup_signatures(df, dedup_index_path)
         else:
             out.append(df)
+        if span_index_path is not None:
+            # index AFTER the output commit (crash-safe ordering: a
+            # replayed drop is at worst unindexed, never
+            # indexed-but-undelivered). The ORIGINAL batch text is
+            # signed, not the stripped text: counts must reflect what
+            # future drops can collide with in the raw crawl
+            append_to_span_index(batch_df, span_index_path)
 
     return incremental_stream(spark, source_path, schema, process, checkpoint)

@@ -348,3 +348,51 @@ def test_strip_repeated_spans_stage(spark):
     )
     assert staged == direct
     assert any(r[-1] > 0 for r in staged)  # something actually stripped
+
+
+def test_streaming_runner_span_index_strips_across_drops(spark, tmp_path):
+    """Two crawl drops through the streaming runner with a span index:
+    drop 2's boilerplate (shared with drop 1) is stripped even though
+    the two drops never coexist in one micro-batch; drop 1's unique
+    text passes through."""
+    from pyspark.sql import types as T
+
+    from etl_cli_spark.operators.pipeline import build_span_index
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline_streaming
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "drops")
+    out = str(tmp_path / "out.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    span_idx = str(tmp_path / "span_idx")
+    drop1 = spark.createDataFrame(
+        [(1, "standard legal footer boilerplate here plus unique one")],
+        schema,
+    )
+    drop2 = spark.createDataFrame(
+        [
+            (10, "standard legal footer boilerplate here plus unique ten"),
+            (11, "completely original second drop document"),
+        ],
+        schema,
+    )
+    # seed an empty index (build over an empty frame pins n)
+    build_span_index(drop1.limit(0), span_idx, n=5)
+    for drop in (drop1, drop2):
+        drop.write.mode("append").parquet(src)
+        run_corpus_pipeline_streaming(
+            spark, src, schema, [], out, ckpt, span_index_path=span_idx,
+        )
+    rows = {r.doc_id: (r.text, r.n_stripped)
+            for r in spark.read.parquet(out).collect()}
+    assert rows[1][1] == 0                      # drop 1 saw no history
+    # drop 2: shared 5-gram windows start at tokens 0,1,2 (the texts
+    # agree through "...plus unique"), so the union covers tokens 0-6
+    # and only the final differing token survives
+    assert rows[10] == ("ten", 7)
+    assert rows[11][1] == 0
