@@ -53,6 +53,9 @@ HEADLINE = [
     "similarity_ivfpq",       # coarse-cell prune + ADC shortlist + rescore
     "bpe_train",              # distributed BPE merge learning (30 rounds)
     "fuzzy_join",             # cross-corpus LSH similarity join
+    # round-7 additions
+    "strip_repeated_spans",   # positioned n-gram counts + coverage strip
+    "strip_spans_indexed",    # span strip probing the persisted index
 ]
 
 

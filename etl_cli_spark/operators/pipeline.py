@@ -290,6 +290,7 @@ def repeated_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache: bool = True,
 ) -> DataFrame:
     """(id, start, gh) of every word n-gram window whose gram appears in
     >= ``min_docs`` DISTINCT documents — the candidate set for
@@ -299,15 +300,18 @@ def repeated_spans(
     RefinedWeb strips them rather than dropping whole documents).
 
     Plan shape: one corpus scan explodes positioned n-gram hashes (the
-    ``decontaminate`` shape plus a position column); a hash groupBy
-    with map-side combine counts distinct docs; a semi-join keeps the
-    repeated windows. Only (id, pos, 64-bit hash) rows ever shuffle —
-    never text — so the cost is ~tokens-per-corpus rows at any scale,
-    and the repeated-gram table is Zipf-small (AQE broadcasts it)."""
-    wins = docs.select(
-        F.col(id_col),
-        F.posexplode(ngrams(text_col, n)).alias("start", "g"),
-    ).select(id_col, "start", F.xxhash64("g").alias("gh"))
+    ``decontaminate`` shape plus a position column), PERSISTED — the
+    distinct-doc count and the window semi-join would otherwise each
+    re-run the tokenize+explode (the minhash_lsh_pairs base-persist
+    precedent); a hash groupBy with map-side combine counts distinct
+    docs; a semi-join keeps the repeated windows. Only (id, pos,
+    64-bit hash) rows ever shuffle — never text — and the
+    repeated-gram table is Zipf-small (AQE broadcasts it)."""
+    wins = _span_windows(docs, n, id_col, text_col)
+    if cache:
+        from pyspark import StorageLevel
+
+        wins = wins.persist(StorageLevel.MEMORY_AND_DISK)
     bad = (
         wins.groupBy("gh")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
@@ -323,6 +327,7 @@ def strip_repeated_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache: bool = True,
 ) -> DataFrame:
     """Remove cross-document repeated spans from each document's token
     stream: every token covered by ANY repeated n-gram window (union of
@@ -340,7 +345,10 @@ def strip_repeated_spans(
     expressions — the per-token coverage test is an ``exists`` over the
     doc's own span-start array (spans per doc are few; the quadratic
     term is span_count x tokens per document, not corpus-sized)."""
-    spans = repeated_spans(docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col)
+    spans = repeated_spans(
+        docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col,
+        cache=cache,
+    )
     return _strip_spans(docs, spans, n, id_col, text_col)
 
 
@@ -454,7 +462,11 @@ def strip_against_span_index(
     with open(os.path.join(path, "_span_meta.json")) as f:
         meta = json.load(f)
     n, id_col, text_col = meta["n"], meta["id_col"], meta["text_col"]
-    wins = _span_windows(docs, n, id_col, text_col)
+    from pyspark import StorageLevel
+
+    wins = _span_windows(docs, n, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     batch_counts = wins.groupBy("gh").agg(
         F.count_distinct(F.col(id_col)).alias("__bn")
     )
