@@ -1718,6 +1718,31 @@ def _q_pack_sequences(spark, sf):
     )
 
 
+def _q_normalize_unicode(spark, sf):
+    """Unicode NFC normalization (round-7): every document gets a
+    deterministic DENORMALIZED suffix (decomposed accents, the
+    angstrom-sign singleton, stacked combining marks) keyed by
+    doc_id % 4, then normalizes through Python's unicodedata — and the
+    oracle normalizes the same construction through DuckDB's OWN
+    nfc_normalize (utf8proc). Two independent Unicode implementations
+    must agree byte-for-byte."""
+    from etl_cli_spark.operators.text import normalize_unicode
+
+    d = _engine(spark, sf).read("documents").select("doc_id", "text")
+    # explicit escapes: e+combining-acute, the U+212B angstrom-sign
+    # singleton, o+diaeresis+macron (stacked combining), A+ring-above
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("e\u0301"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("\u212b"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("o\u0308\u0304"))
+        .otherwise(F.lit("A\u030a"))
+    )
+    denorm = d.withColumn("text", F.concat(F.col("text"), suffix))
+    return normalize_unicode(denorm).select(
+        "doc_id", F.col("text").alias("norm_text")
+    )
+
+
 def _q_strip_repeated_spans(spark, sf):
     """Cross-document exact-substring (span) dedup, round-7 (Lee et
     al. 2022): every 8-token window appearing in >= 2 distinct docs is
@@ -3399,6 +3424,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": _q_decontaminate,
     "strip_repeated_spans": _q_strip_repeated_spans,
     "strip_spans_indexed": _q_strip_spans_indexed,
+    "normalize_unicode": _q_normalize_unicode,
     "bloom_decontaminate": _q_bloom_decontaminate,
     "token_budget_sample": _q_token_budget_sample,
     "paragraph_dedup": _q_paragraph_dedup,
@@ -4349,6 +4375,17 @@ def oracle_sql() -> dict[str, str]:
         "    i -> t[CAST(i AS INT)]) AS ks FROM je) "
         "SELECT doc_id, coalesce(array_to_string(ks, ' '), '') AS stripped_text, "
         "CAST(coalesce(n_tok - len(ks), 0) AS INT) AS n_stripped FROM kept"
+    )
+
+    # normalize_unicode: DuckDB's utf8proc-based nfc_normalize replays
+    # the normalization of the engine's unicodedata — two independent
+    # Unicode implementations must agree byte-for-byte
+    sql["normalize_unicode"] = (
+        "SELECT doc_id, nfc_normalize(text || CASE CAST(doc_id % 4 AS INT) "
+        "WHEN 0 THEN 'e' || chr(769) "
+        "WHEN 1 THEN chr(8491) "
+        "WHEN 2 THEN 'o' || chr(776) || chr(772) "
+        "ELSE 'A' || chr(778) END) AS norm_text FROM documents"
     )
 
     # strip_spans_indexed: the incremental probe must equal the UNION

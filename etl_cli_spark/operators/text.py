@@ -238,3 +238,38 @@ def with_text_stats(df: DataFrame, text_col: str = "text", prefix: str = "") -> 
         .withColumn(f"{prefix}lang_pred", lang_id(c))
         .withColumn(f"{prefix}fingerprint", fingerprint(c))
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD) — the
+    canonical first step of any crawl pipeline: the same user-visible
+    string arrives both precomposed (é = U+00E9) and decomposed
+    (e + U+0301) in the wild, which silently breaks exact dedup,
+    shingle hashes, and token counts until the corpus agrees on one
+    form (NFC is the web convention; NFKC additionally folds
+    compatibility characters — fullwidth forms, ligatures).
+
+    Spark has no built-in normalizer, so this is an Arrow-batched
+    pandas UDF over ``unicodedata`` (stdlib ICU-equivalent tables) —
+    one of the few justified Python-UDF hot paths, and still one
+    narrow map with no shuffle. The DuckDB oracle runs its OWN
+    independent normalizer (``nfc_normalize``), making this a true
+    cross-implementation differential check. NULLs pass through."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))

@@ -133,3 +133,29 @@ def test_pii_scrub(spark):
     assert "<PHONE>" in got[1] and "555" not in got[1]
     assert got[2] == "server at <IP> is up"
     assert got[3] == "nothing sensitive here"
+
+
+def test_normalize_unicode_forms(spark):
+    """NFC composes decomposed accents and singleton-maps U+212B; NFKC
+    additionally folds compatibility characters (ligatures, fullwidth);
+    NULLs pass through; unknown forms refuse."""
+    import pytest
+
+    from etl_cli_spark.operators.text import normalize_unicode
+
+    rows = [
+        (1, "café"),          # decomposed acute
+        (2, "Ångström"), # angstrom sign + decomposed o-umlaut
+        (3, None),
+        (4, "eﬃcient Ａ"), # ffi ligature + fullwidth A
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    nfc = {r.doc_id: r.text for r in normalize_unicode(df).collect()}
+    assert nfc[1] == "café"
+    assert nfc[2] == "Ångström"
+    assert nfc[3] is None
+    assert nfc[4] == "eﬃcient Ａ"  # NFC keeps compatibility chars
+    nfkc = {r.doc_id: r.text for r in normalize_unicode(df, form="NFKC").collect()}
+    assert nfkc[4] == "efficient A"
+    with pytest.raises(ValueError, match="unknown normalization form"):
+        normalize_unicode(df, form="NFX")
