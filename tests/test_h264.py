@@ -288,3 +288,38 @@ def test_fixture_set_exercises_full_intra_mode_surface():
     assert i16_modes == {0, 1, 2}, i16_modes
     assert chroma_modes == {0, 1, 2}, chroma_modes
     assert i4_modes == set(range(9)), i4_modes
+
+
+def test_decode_high_qp_branch_exact():
+    """qp=40 exercises the dequant branches the standard fixtures
+    (qp=28) never touch: scale_luma_dc's qp>=36 shift path and the
+    chroma_qp mapping table (40 -> 36). At qp=40 the luma-DC level for
+    a uniform residual r is 4r (dcY = 16*level << (qp//6 - 6));
+    chroma carries no residual, so every chroma sample stays at the
+    128 DC prediction — decoded pixels still follow a closed form."""
+    qp = 40
+
+    def dc_pred(u, l):
+        if u is not None and l is not None:
+            return (u + l + 1) >> 1
+        return u if u is not None else (l if l is not None else 128)
+
+    w_mbs, h_mbs, w, h = 2, 2, 32, 32
+    targets = {}
+    specs = []
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            ty = 40 + 30 * (mbx + 2 * mby)
+            targets[(mbx, mby)] = ty
+            u, l = targets.get((mbx, mby - 1)), targets.get((mbx - 1, mby))
+            r = ty - dc_pred(u, l)
+            specs.append(("i16", 2, 0, [4 * r] + [0] * 15, None, 0, None, None))
+    au = encode_h264_iframe(specs, w_mbs, h_mbs, w, h, qp=qp)
+    dw, dh, frames = decode_h264_frames(au)
+    assert (dw, dh) == (w, h)
+    rgb = frames[0]
+    for (mbx, mby), ty in targets.items():
+        block = rgb[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16]
+        # chroma == 128 -> R == G == B == luma exactly (BT.601 identity)
+        exp = np.full((16, 16, 3), ty, dtype=np.uint8)
+        assert np.array_equal(block, exp), (mbx, mby, ty, block[0, 0])
