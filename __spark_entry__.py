@@ -2018,6 +2018,32 @@ def _q_manifest_changefeed(spark, sf):
     return _run_manifest_changefeed(spark, sf, _setup_manifest_changefeed(spark, sf))
 
 
+def _q_manifest_read_asof(spark, sf):
+    """TIMESTAMP AS OF time travel (round-7): three commits (load,
+    upsert stamping status X on low keys, delete of a slice); a
+    wall-clock timestamp captured between the upsert and the delete
+    must read back EXACTLY the post-upsert snapshot. The oracle is the
+    relational replay of that intermediate state — the asof resolution
+    (manifest ts field, largest version <= ts) happens engine-side."""
+    import time as _t
+
+    from etl_cli_spark.operators.writeops import ParquetTable, apply_write_op
+    from etl_cli_spark.spec import TargetSpec
+
+    orders = _engine(spark, sf).read("orders")
+    tmp = tempfile.mkdtemp(prefix="etl_asof_")
+    t = ParquetTable(spark, f"{tmp}/t.parquet", manifest=True)
+    t.append(orders)  # v0
+    src = orders.filter("o_orderkey < 30").withColumn("o_orderstatus", F.lit("X"))
+    apply_write_op(src, t, TargetSpec(ds="t", op="upsert", pk=("o_orderkey",)))  # v1
+    _t.sleep(0.02)
+    ts_mid = _t.time()
+    _t.sleep(0.02)
+    dels = t.read().filter("o_orderkey >= 1400").select("o_orderkey")
+    apply_write_op(dels, t, TargetSpec(ds="t", op="delete", pk=("o_orderkey",)))  # v2
+    return t.read_asof(ts_mid).select(*_ORDER_COLS)
+
+
 def _q_manifest_stats_prune(spark, sf):
     """Manifest-level data skipping (round-5): commits record per-file
     column [min, max] from the parquet footers; ``read_where`` prunes
@@ -3441,6 +3467,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_streaming": _q_pipeline_streaming,
     "manifest_changefeed": _q_manifest_changefeed,
     "manifest_stats_prune": _q_manifest_stats_prune,
+    "manifest_read_asof": _q_manifest_read_asof,
     # composite certifying the three mergeable sketches in-window
     "sketch_digest": _q_sketch_digest,
     "zorder_roundtrip": _q_zorder_roundtrip,
@@ -3846,6 +3873,14 @@ def oracle_sql() -> dict[str, str]:
     # manifest_stats_prune: file skipping is an access path — the
     # oracle is the plain predicate over the full table, with the same
     # derived range bounds
+    # manifest_read_asof: the post-upsert intermediate snapshot (the
+    # delete hasn't happened at the captured timestamp)
+    sql["manifest_read_asof"] = (
+        "SELECT o_orderkey, o_custkey, "
+        "CASE WHEN o_orderkey < 30 THEN 'X' ELSE o_orderstatus END AS o_orderstatus, "
+        "o_totalprice, o_orderdate, o_orderpriority FROM orders"
+    )
+
     sql["manifest_stats_prune"] = (
         "WITH p AS (SELECT ((max(o_orderkey) + 1) + 3) // 4 AS step FROM orders) "
         "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus "

@@ -28,6 +28,7 @@ Delta/Iceberg; the op -> plan mapping is identical.
 from __future__ import annotations
 
 import json
+import time
 import os
 import shutil
 import uuid
@@ -308,7 +309,7 @@ class ParquetTable:
             prev_files = [] if latest is None else latest[1]["files"]
             prev_schema = None if latest is None else latest[1].get("schema")
             files, schema = make(prev_files, prev_schema)
-            doc = {"version": ver, "schema": schema}
+            doc = {"version": ver, "schema": schema, "ts": time.time()}
             if not data_change:
                 doc["dataChange"] = False
             prev_set, new_set = set(prev_files), set(files)
@@ -764,6 +765,29 @@ class ParquetTable:
         """Committed manifest versions still present in the log (oldest
         first). Empty for legacy (non-manifest) tables."""
         return self._backend.list_versions(self._log_dir())
+
+    def version_asof(self, ts: float) -> int:
+        """Largest committed version whose commit timestamp is <= ``ts``
+        (Delta's ``TIMESTAMP AS OF`` resolution). Commits record
+        ``ts`` (epoch seconds) in the manifest; versions from logs
+        predating the field sort as 0.0, so they resolve for any
+        non-negative timestamp. Raises when no version is old enough."""
+        best = None
+        for v in self.versions():
+            if float(self._raw_manifest_at(v).get("ts", 0.0)) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no committed version at or before ts={ts} in {self.path}"
+            )
+        return best
+
+    def read_asof(self, ts: float) -> DataFrame:
+        """Snapshot-isolated read AS OF a wall-clock timestamp — the
+        time-travel flavor humans actually use ("what did the table
+        look like yesterday 09:00"). Resolves via :meth:`version_asof`
+        then delegates to :meth:`read_version`."""
+        return self.read_version(self.version_asof(ts))
 
     def read_version(self, version: int) -> DataFrame:
         """Snapshot-isolated read AT a committed manifest version (time

@@ -224,6 +224,14 @@ def _s_leakage_split(df: DataFrame, **kw) -> DataFrame:
     return leakage_safe_split(df, **kw)
 
 
+def _s_normalize(df: DataFrame, form: str = "NFC", text_col: str = "text", **kw) -> DataFrame:
+    """Unicode-normalize the text column — the canonical FIRST stage:
+    downstream dedup/shingle/token stages assume one composition form."""
+    from ..operators.text import normalize_unicode
+
+    return normalize_unicode(df, text_col=text_col, form=form, **kw)
+
+
 def _s_strip_repeated_spans(df: DataFrame, **kw) -> DataFrame:
     """Remove cross-document repeated n-gram spans (Lee et al. 2022
     exact-substring dedup) — typically runs AFTER doc-level dedup and
@@ -245,6 +253,7 @@ def _s_dedup_indexed(df: DataFrame, index_path: str, **kw) -> DataFrame:
 
 
 STAGES: dict[str, Callable[..., DataFrame]] = {
+    "normalize": _s_normalize,
     "url_canonicalize": _s_url_canonicalize,
     "domain_cap": _s_domain_cap,
     "filter": _s_filter,

@@ -953,3 +953,29 @@ def test_read_where_composes_with_time_travel(spark, orders, tmp_path):
     assert v0_hi.count() == 0
     assert t.read_where(["o_orderkey__gte=900"], version=2).count() == \
         orders.filter("o_orderkey >= 900 AND o_orderkey < 1200").count()
+
+
+def test_read_asof_timestamp(spark, engine, tmp_path):
+    """TIMESTAMP AS OF resolution: a wall-clock ts between commits
+    reads the earlier snapshot; a ts before the first commit raises;
+    the latest ts reads the tip. Legacy manifests without the ts field
+    sort as 0.0 (resolve for any non-negative timestamp)."""
+    import time as _t
+
+    from etl_cli_spark.operators.writeops import ParquetTable
+
+    orders = engine.read("orders").limit(60)
+    t = ParquetTable(spark, str(tmp_path / "t.parquet"), manifest=True)
+    t.append(orders.filter("o_orderkey < 20"))          # v0
+    ts_after_v0 = _t.time()
+    _t.sleep(0.05)
+    t.append(orders.filter("o_orderkey >= 20 AND o_orderkey < 40"))  # v1
+    ts_after_v1 = _t.time()
+    _t.sleep(0.05)
+    t.append(orders.filter("o_orderkey >= 40"))         # v2
+    assert t.version_asof(ts_after_v0) == 0
+    assert t.version_asof(ts_after_v1) == 1
+    assert t.read_asof(ts_after_v1).count() == t.read_version(1).count()
+    assert t.read_asof(_t.time()).count() == t.read().count()
+    with pytest.raises(ValueError, match="no committed version"):
+        t.version_asof(ts_after_v0 - 3600)
