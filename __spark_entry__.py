@@ -7,9 +7,11 @@ Float outputs are made engine-portable by routing sums through DECIMAL
 (exact) and rounding scores to 6 decimals on both sides — see
 ``etl_cli_spark.operators.aggregate.exact_sum``.
 
-Queries without an oracle entry (minhash/simhash/ann/multimodal/
-incremental) are approximate or iterative by nature; the driver records
-rows-only checks for them.
+Every declared query has an ``oracle_sql()`` twin (zero rows-only
+entries since round 6); approximate/iterative families (minhash, ANN,
+k-means, multimodal codecs, BPE, streaming) are made differential via
+deterministic protocols the SQL side replays exactly — see COVERAGE.md
+for the per-operator verification map and the two protocol pins.
 """
 
 from __future__ import annotations
