@@ -361,6 +361,31 @@ def _strip_spans(
     starts = spans.groupBy(id_col).agg(
         F.sort_array(F.collect_set("start")).alias("__starts")
     )
+    # collapse the sorted window starts into disjoint [s, e) intervals
+    # before the per-token test: a fully-boilerplate page has O(tokens)
+    # overlapping windows, and exists-over-starts would make its
+    # reconstruction O(tokens^2); exists-over-merged-intervals is
+    # O(tokens * intervals) with intervals tiny after the merge
+    intervals = F.aggregate(
+        F.col("__starts"),
+        F.expr("CAST(array() AS array<struct<s:int,e:int>>)"),
+        lambda acc, st: F.when(
+            (F.size(acc) > 0) & (st <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    F.greatest(
+                        F.element_at(acc, -1)["e"], st + F.lit(n)
+                    ).alias("e"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                st.alias("s"), (st + F.lit(n)).alias("e")
+            )))
+        ),
+    )
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     idx = F.when(
         F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1)
@@ -368,13 +393,14 @@ def _strip_spans(
     kept = F.filter(
         F.zip_with(idx, toks, lambda i, t: F.struct(i.alias("i"), t.alias("t"))),
         lambda s: ~F.exists(
-            F.col("__starts"),
-            lambda st: (s["i"] >= st) & (s["i"] < st + F.lit(n)),
+            F.col("__iv"),
+            lambda r: (s["i"] >= r["s"]) & (s["i"] < r["e"]),
         ),
     )
     return (
         docs.join(starts, id_col, "left")
         .withColumn("__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>")))
+        .withColumn("__iv", intervals)
         .withColumn("__kept", kept)
         .withColumn(
             "n_stripped",
@@ -386,7 +412,7 @@ def _strip_spans(
             text_col,
             F.concat_ws(" ", F.transform(F.col("__kept"), lambda s: s["t"])),
         )
-        .drop("__starts", "__kept")
+        .drop("__starts", "__iv", "__kept")
     )
 
 
