@@ -2189,6 +2189,21 @@ def _q_search_bm25_indexed(spark, sf):
     return bm25_topk_indexed(spark, path, ["spark", "join", "window"], k=15)
 
 
+def _q_pack_token_ids(spark, sf):
+    """Packed trainer shards (round-7): every doc's top-30-vocab ids +
+    a trailing eos (id 31), concatenated in md5-shard order and cut
+    every 64 tokens — the oracle replays tokenization, sharding, the
+    exclusive cumsum, boundary-straddling slices, and the packed
+    streams themselves."""
+    from etl_cli_spark.operators.pipeline import pack_token_ids
+    from etl_cli_spark.operators.rank import vocab_with_ids
+
+    d = _engine(spark, sf).read("documents")
+    return pack_token_ids(
+        d, vocab_with_ids(d, top_k=30), budget=64, n_shards=4, eos_id=31
+    )
+
+
 def _q_tokenize_documents(spark, sf):
     """Vocab-id tokenization (the tokenized-shards endpoint): top-30
     vocabulary so the unk path is exercised; the oracle rebuilds the
@@ -3476,6 +3491,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_vocab": _q_rank_vocab,
     "rank_scores": _q_rank_scores,
     "tokenize_documents": _q_tokenize_documents,
+    "pack_token_ids": _q_pack_token_ids,
     "bpe_train": _q_bpe_train,
     "bpe_encode": _q_bpe_encode,
     "quality_classifier": _q_quality_classifier,
@@ -4868,6 +4884,38 @@ def oracle_sql() -> dict[str, str]:
         "        FROM tok LEFT JOIN voc v USING (term) WHERE tok.term <> '') "
         "SELECT doc_id, array_to_string(list(tid ORDER BY pos), ',') AS token_ids_csv "
         "FROM ids GROUP BY doc_id"
+    )
+
+    # pack_token_ids: the tokenize replay extended with eos append,
+    # md5 sharding, exclusive per-shard cumsum, and global-position
+    # pack cuts — the packed streams must match token for token
+    sql["pack_token_ids"] = (
+        r"WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr "
+        "           FROM documents), "
+        "tok AS (SELECT doc_id, CAST(i AS INT) AS pos, arr[CAST(i AS INT)] AS term "
+        "        FROM t, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s), "
+        "voc AS (SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS tid "
+        "        FROM tok WHERE term <> '' GROUP BY term QUALIFY tid <= 30), "
+        "ids AS (SELECT tok.doc_id, tok.pos, CAST(coalesce(v.tid, 0) AS INT) AS tid "
+        "        FROM tok LEFT JOIN voc v USING (term) WHERE tok.term <> ''), "
+        # eos-terminated per-doc stream with a per-doc position
+        "seq AS (SELECT doc_id, pos AS p, tid FROM ids "
+        "        UNION ALL "
+        "        SELECT doc_id, 2147483647 AS p, 31 AS tid FROM ids GROUP BY doc_id), "
+        "n AS (SELECT doc_id, count(*) AS nn FROM seq GROUP BY doc_id), "
+        "sh AS (SELECT doc_id, CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "       AS BIGINT) % 4 AS INT) AS shard FROM n), "
+        "ofs AS (SELECT n.doc_id, sh.shard, "
+        "        coalesce(sum(n.nn) OVER (PARTITION BY sh.shard ORDER BY n.doc_id "
+        "          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o "
+        "        FROM n JOIN sh USING (doc_id)), "
+        "g AS (SELECT ofs.shard, ofs.o + row_number() OVER "
+        "        (PARTITION BY seq.doc_id ORDER BY seq.p) - 1 AS gpos, seq.tid "
+        "      FROM seq JOIN ofs ON seq.doc_id = ofs.doc_id) "
+        "SELECT shard, CAST(gpos // 64 AS BIGINT) AS pack_id, "
+        "array_to_string(list(tid ORDER BY gpos), ' ') AS ids, "
+        "CAST(count(*) AS INT) AS n_tokens "
+        "FROM g GROUP BY shard, gpos // 64"
     )
 
     # bpe_train / bpe_encode: full round-by-round replay of the merge

@@ -270,6 +270,96 @@ def pack_sequences(
     )
 
 
+def pack_token_ids(
+    docs: DataFrame,
+    vocab_ids: DataFrame | None = None,
+    budget: int = 2048,
+    n_shards: int = 16,
+    eos_id: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize PACKED token-id sequences — the actual byte payload
+    a trainer reads: every document's vocab ids plus a trailing
+    ``eos_id``, concatenated in deterministic shard order and cut
+    every ``budget`` tokens (documents straddle pack boundaries, the
+    concat-and-chunk convention). :func:`pack_sequences` assigns packs
+    by token COUNTS; this produces the sequences themselves.
+
+    Returns (shard, pack_id, ids — space-joined string for portable
+    comparison, n_tokens). The final pack of each shard is short
+    (padding is the trainer's concern). Docs with no tokens vanish
+    (tokenize semantics) and contribute no eos.
+
+    Scale: tokenization shuffles (id, pos, tid) ints; packing adds one
+    shuffle on the shard key (window cumsum) and one on (shard, pack)
+    (the reassembly groupBy). Parallelism = n_shards for the cumsum —
+    size to the cluster — and pack count for reassembly."""
+    from .rank import tokenize_documents
+
+    tok = tokenize_documents(docs, vocab_ids, text_col=text_col, id_col=id_col)
+    base = (
+        tok.withColumn(
+            "__ids", F.concat("token_ids", F.array(F.lit(int(eos_id))))
+        )
+        .withColumn("__n", F.size("__ids").cast("long"))
+        .withColumn("shard", (hash_bucket(id_col) % n_shards).cast("int"))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = base.withColumn(
+        "__ofs", F.coalesce(F.sum("__n").over(w), F.lit(0).cast("long"))
+    )
+    b = F.lit(int(budget))
+    pieces = F.transform(
+        F.sequence(
+            F.floor(F.col("__ofs") / b),
+            F.floor((F.col("__ofs") + F.col("__n") - 1) / b),
+        ),
+        lambda p: F.struct(
+            p.cast("long").alias("pack_id"),
+            F.greatest(p * b - F.col("__ofs"), F.lit(0).cast("long")).alias("s"),
+            (
+                F.least((p + 1) * b, F.col("__ofs") + F.col("__n"))
+                - F.col("__ofs")
+            ).alias("e"),
+        ),
+    )
+    sliced = (
+        base.select("shard", "__ofs", "__ids", F.explode(pieces).alias("pc"))
+        .select(
+            "shard",
+            F.col("pc.pack_id").alias("pack_id"),
+            (F.col("__ofs") + F.col("pc.s")).alias("__gpos"),
+            F.slice(
+                "__ids",
+                (F.col("pc.s") + 1).cast("int"),
+                (F.col("pc.e") - F.col("pc.s")).cast("int"),
+            ).alias("__piece"),
+        )
+    )
+    return (
+        sliced.groupBy("shard", "pack_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__gpos", "__piece"))),
+                    lambda x: x["__piece"],
+                )
+            ).alias("__pack")
+        )
+        .select(
+            "shard",
+            "pack_id",
+            F.array_join(F.col("__pack"), " ").alias("ids"),
+            F.size("__pack").alias("n_tokens"),
+        )
+    )
+
+
 def ngrams(col: Column | str, n: int = 8) -> Column:
     """Word n-grams (lowercased, whitespace-tokenized) as an array of
     space-joined strings; texts shorter than n words produce none."""

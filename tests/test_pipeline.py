@@ -852,3 +852,41 @@ def test_span_index_probe_equals_batch_union(spark, tmp_path):
     )
     got3 = strip_against_span_index(b3, idx, min_docs=2).collect()[0]
     assert got3.n_stripped > 0
+
+
+def test_pack_token_ids_reference(spark):
+    """Packed id streams equal a direct python reference: per-shard
+    doc order, eos termination, boundary-straddling cuts, short final
+    pack."""
+    import hashlib as _hl
+
+    from etl_cli_spark.operators.pipeline import pack_token_ids
+    from etl_cli_spark.operators.rank import vocab_with_ids
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 7}" for j in range(i + 3))) for i in range(12)],
+        "doc_id int, text string",
+    )
+    vocab = vocab_with_ids(docs, top_k=5)
+    vmap = {r.term: r.tid for r in vocab.collect()}
+    budget, n_shards, eos = 10, 3, 99
+    got = {
+        (r.shard, r.pack_id): (r.ids, r.n_tokens)
+        for r in pack_token_ids(
+            docs, vocab, budget=budget, n_shards=n_shards, eos_id=eos
+        ).collect()
+    }
+    # python reference
+    streams: dict = {k: [] for k in range(n_shards)}
+    for i in range(12):
+        h = _hl.md5(str(i).encode()).hexdigest()
+        shard = int(h[:8], 16) % n_shards
+        toks = [f"w{j % 7}" for j in range(i + 3)]
+        streams[shard].append((i, [vmap.get(t, 0) for t in toks] + [eos]))
+    want = {}
+    for shard, docs_ in streams.items():
+        flat = [tid for _, ids in sorted(docs_) for tid in ids]
+        for p in range((len(flat) + budget - 1) // budget):
+            piece = flat[p * budget : (p + 1) * budget]
+            want[(shard, p)] = (" ".join(map(str, piece)), len(piece))
+    assert got == want
