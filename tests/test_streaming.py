@@ -497,7 +497,6 @@ def test_changefeed_coalesced_crash_between_upsert_and_delete_replays(
     dels = up.read().filter("o_orderkey >= 80").select("o_orderkey")
     apply_write_op(dels, up, TargetSpec(ds="u", op="delete", pk=("o_orderkey",)))
 
-    real_apply = inc.apply_write_op if hasattr(inc, "apply_write_op") else None
     calls = {"n": 0}
 
     import etl_cli_spark.operators.writeops as wo
@@ -511,12 +510,8 @@ def test_changefeed_coalesced_crash_between_upsert_and_delete_replays(
             raise RuntimeError("injected crash after upsert commit")
         return out
 
-    monkeypatch.setattr(
-        "etl_cli_spark.streaming.incremental.apply_write_op", crashing,
-        raising=False,
-    )
-    # the import inside changefeed_merge is function-local, so patch the
-    # source module attribute it resolves
+    # changefeed_merge imports apply_write_op function-locally from
+    # operators.writeops, so patching that module attribute intercepts it
     monkeypatch.setattr(wo, "apply_write_op", crashing)
     with pytest.raises(RuntimeError, match="injected crash"):
         changefeed_merge(spark, up, down, pk=("o_orderkey",))
