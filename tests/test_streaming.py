@@ -482,7 +482,6 @@ def test_changefeed_coalesced_crash_between_upsert_and_delete_replays(
     run on the next drain (the watermark rides the LAST commit), and
     the replayed upsert is idempotent by pk — final state equals batch
     semantics, no version skipped, no row doubled."""
-    import etl_cli_spark.streaming.incremental as inc
     from etl_cli_spark.operators.writeops import apply_write_op
     from etl_cli_spark.spec import TargetSpec
     from etl_cli_spark.streaming.incremental import changefeed_merge
