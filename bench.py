@@ -56,7 +56,23 @@ HEADLINE = [
     # round-7 additions
     "strip_repeated_spans",   # positioned n-gram counts + coverage strip
     "strip_spans_indexed",    # span strip probing the persisted index
+    # round-8 additions
+    "bpe_train_1k",           # 1000 merges via the driver heap trainer
 ]
+
+
+# bench-only queries (no oracle twin needed: bpe_train_1k's protocol is
+# already oracle-pinned at 30 merges and driver==spark is unit-pinned;
+# this row exists to measure the merge-COUNT axis the 30-merge row
+# hides — rounds/sec at production-like merge counts)
+def _bpe_train_1k(spark, sf_dir):
+    from etl_cli_spark.engine import Engine
+    from etl_cli_spark.operators.bpe import bpe_train
+
+    return bpe_train(Engine(spark, sf_dir).read("documents"), n_merges=1000)
+
+
+EXTRA_QUERIES = {"bpe_train_1k": _bpe_train_1k}
 
 
 def main() -> int:
@@ -68,7 +84,7 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     spark = get_spark(app_name="bench")
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries(), **EXTRA_QUERIES)
 
     # warm the JVM, parquet footers, and OS page cache: queries should
     # measure plan execution, not first-touch I/O (engine reader handles

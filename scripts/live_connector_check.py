@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""One-command runbook for the live mongo / es / s3 connector tests.
+
+This sandbox has neither connector jars nor network, so the live
+round-trip tests in ``tests/test_connectors.py`` skip here by design.
+The FIRST environment with Docker + Maven access can certify the
+connector wiring verbatim with:
+
+    python scripts/live_connector_check.py --up      # start stores
+    python scripts/live_connector_check.py --run     # run live tests
+    python scripts/live_connector_check.py --down    # stop stores
+
+``--up`` writes a docker-compose file (mongo + elasticsearch + minio)
+under .connector_check/ and starts it; ``--run`` invokes pytest through
+``spark-submit``-style ``--packages`` resolution (PYSPARK_SUBMIT_ARGS)
+with the env vars the opt-in tests read (ETL_MONGO_URI / ETL_ES_NODES /
+ETL_S3_BUCKET); ``--down`` tears the stack down.  Without Docker or
+network the script exits with a clear message instead of half-running.
+
+Jar coordinates follow README "Connector jar matrix" (Spark 4.x =
+Scala 2.13).  Override via env: ETL_MONGO_PKG / ETL_ES_PKG / ETL_S3_PKG.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import textwrap
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKDIR = os.path.join(ROOT, ".connector_check")
+COMPOSE = os.path.join(WORKDIR, "docker-compose.yml")
+
+MONGO_PKG = os.environ.get(
+    "ETL_MONGO_PKG", "org.mongodb.spark:mongo-spark-connector_2.13:10.4.1"
+)
+ES_PKG = os.environ.get(
+    "ETL_ES_PKG", "org.elasticsearch:elasticsearch-spark-30_2.13:8.15.0"
+)
+S3_PKG = os.environ.get("ETL_S3_PKG", "org.apache.hadoop:hadoop-aws:3.4.1")
+
+COMPOSE_YML = textwrap.dedent(
+    """\
+    # live-store stack for tests/test_connectors.py (see
+    # scripts/live_connector_check.py). All ports bind localhost only.
+    services:
+      mongo:
+        image: mongo:7
+        ports: ["127.0.0.1:27017:27017"]
+      elasticsearch:
+        image: docker.elastic.co/elasticsearch/elasticsearch:8.15.0
+        environment:
+          - discovery.type=single-node
+          - xpack.security.enabled=false
+          - ES_JAVA_OPTS=-Xms512m -Xmx512m
+        ports: ["127.0.0.1:9200:9200"]
+      minio:
+        image: minio/minio:latest
+        command: server /data
+        environment:
+          - MINIO_ROOT_USER=etlci
+          - MINIO_ROOT_PASSWORD=etlci-secret
+        ports: ["127.0.0.1:9000:9000"]
+    """
+)
+
+
+def _compose_cmd() -> list[str]:
+    if shutil.which("docker"):
+        return ["docker", "compose", "-f", COMPOSE]
+    if shutil.which("docker-compose"):
+        return ["docker-compose", "-f", COMPOSE]
+    sys.exit("docker / docker-compose not found — this runbook needs Docker")
+
+
+def up() -> None:
+    os.makedirs(WORKDIR, exist_ok=True)
+    with open(COMPOSE, "w") as f:
+        f.write(COMPOSE_YML)
+    subprocess.check_call(_compose_cmd() + ["up", "-d", "--wait"])
+    print("stores up: mongodb://localhost:27017  http://localhost:9200  "
+          "s3a via http://localhost:9000 (etlci / etlci-secret)")
+    print("next: python scripts/live_connector_check.py --run")
+
+
+def down() -> None:
+    if os.path.exists(COMPOSE):
+        subprocess.check_call(_compose_cmd() + ["down", "-v"])
+
+
+def run() -> None:
+    """Run the three opt-in live tests with jars resolved via --packages.
+
+    PYSPARK_SUBMIT_ARGS makes the pytest-launched local SparkSession go
+    through spark-submit's Maven resolution — the same jars a cluster
+    deployment would pass to spark-submit directly.
+    """
+    env = dict(os.environ)
+    env.setdefault("ETL_MONGO_URI", "mongodb://localhost:27017")
+    env.setdefault("ETL_ES_NODES", "localhost:9200")
+    env.setdefault("ETL_S3_BUCKET", "etl-connector-check")
+    pkgs = ",".join([MONGO_PKG, ES_PKG, S3_PKG])
+    confs = [
+        # point s3a at the minio from --up; harmless if unused
+        "--conf spark.hadoop.fs.s3a.endpoint=http://localhost:9000",
+        "--conf spark.hadoop.fs.s3a.access.key=etlci",
+        "--conf spark.hadoop.fs.s3a.secret.key=etlci-secret",
+        "--conf spark.hadoop.fs.s3a.path.style.access=true",
+        f"--conf spark.mongodb.read.connection.uri={env['ETL_MONGO_URI']}",
+        f"--conf spark.mongodb.write.connection.uri={env['ETL_MONGO_URI']}",
+        f"--conf spark.es.nodes={env['ETL_ES_NODES']}",
+    ]
+    env["PYSPARK_SUBMIT_ARGS"] = (
+        f"--packages {pkgs} " + " ".join(confs) + " pyspark-shell"
+    )
+    # the minio bucket must exist before s3a writes into it
+    _ensure_minio_bucket(env["ETL_S3_BUCKET"])
+    rc = subprocess.call(
+        [sys.executable, "-m", "pytest", "tests/test_connectors.py", "-v",
+         "-k", "live"],
+        cwd=ROOT, env=env,
+    )
+    sys.exit(rc)
+
+
+def _ensure_minio_bucket(bucket: str) -> None:
+    """Create the bucket via minio's S3 API (PUT bucket is unauthenticated
+    rejected — use the mc container instead; best-effort, the test gives
+    a clear S3 error if the bucket is missing)."""
+    try:
+        subprocess.call(
+            ["docker", "run", "--rm", "--network", "host",
+             "--entrypoint", "sh", "minio/mc:latest", "-c",
+             "mc alias set local http://localhost:9000 etlci etlci-secret && "
+             f"mc mb -p local/{bucket}"],
+        )
+    except Exception as exc:  # noqa: BLE001 - best effort, tests re-check
+        print(f"bucket setup skipped ({exc}); create s3://{bucket} manually")
+
+
+if __name__ == "__main__":
+    arg = sys.argv[1] if len(sys.argv) > 1 else "--help"
+    if arg == "--up":
+        up()
+    elif arg == "--run":
+        run()
+    elif arg == "--down":
+        down()
+    else:
+        print(__doc__)

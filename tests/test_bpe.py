@@ -134,9 +134,9 @@ def test_batched_equals_sequential_on_corpus(docs):
     symbol-disjoint hazard-safe merges per fold) must be BIT-IDENTICAL
     to the classic one-merge-per-round loop on a real corpus, for any
     batch width."""
-    seq = [tuple(r) for r in bpe_train(docs, n_merges=24, batch_k=1).collect()]
+    seq = [tuple(r) for r in bpe_train(docs, n_merges=24, batch_k=1, mode="spark").collect()]
     for k in (8, 32):
-        got = [tuple(r) for r in bpe_train(docs, n_merges=24, batch_k=k).collect()]
+        got = [tuple(r) for r in bpe_train(docs, n_merges=24, batch_k=k, mode="spark").collect()]
         assert got == seq, f"batch_k={k} diverged from sequential"
 
 
@@ -149,8 +149,8 @@ def test_batched_hazard_pair_blocks_unsafe_batching(spark):
     left symbol) is what blocks it."""
     words = ["ab"] * 4 + ["xab"] * 6 + ["cd"] * 5
     df = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
-    seq = [tuple(r) for r in bpe_train(df, n_merges=3, batch_k=1).collect()]
-    bat = [tuple(r) for r in bpe_train(df, n_merges=3, batch_k=8).collect()]
+    seq = [tuple(r) for r in bpe_train(df, n_merges=3, batch_k=1, mode="spark").collect()]
+    bat = [tuple(r) for r in bpe_train(df, n_merges=3, batch_k=8, mode="spark").collect()]
     assert bat == seq
     # pin the semantics, not just self-consistency: (a,b)=10 wins round
     # 1, then the CREATED pair (x,ab)=6 beats (c,d)=5 in round 2
@@ -165,7 +165,7 @@ def test_batched_disjoint_no_hazard_merges_in_order(spark):
     them in (count desc) sequential order with state-S counts."""
     words = ["ab"] * 100 + ["cd"] * 90 + ["ef"] * 80
     df = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
-    got = [tuple(r) for r in bpe_train(df, n_merges=3, batch_k=8).collect()]
+    got = [tuple(r) for r in bpe_train(df, n_merges=3, batch_k=8, mode="spark").collect()]
     assert got == [
         (1, "a", "b", "ab", 100),
         (2, "c", "d", "cd", 90),
@@ -209,9 +209,9 @@ def test_batched_equals_sequential_truncated_topk(spark):
     df = spark.createDataFrame(
         [(1, " ".join(words))], "doc_id int, text string"
     )
-    seq = [tuple(r) for r in bpe_train(df, n_merges=12, batch_k=1).collect()]
+    seq = [tuple(r) for r in bpe_train(df, n_merges=12, batch_k=1, mode="spark").collect()]
     for k in (4, 16):
-        got = [tuple(r) for r in bpe_train(df, n_merges=12, batch_k=k).collect()]
+        got = [tuple(r) for r in bpe_train(df, n_merges=12, batch_k=k, mode="spark").collect()]
         assert got == seq, f"batch_k={k} diverged on truncated top-K"
 
 
@@ -231,6 +231,86 @@ def test_batched_equals_sequential_tiny_alphabet_fuzz(spark):
         df = spark.createDataFrame(
             [(1, " ".join(words))], "doc_id int, text string"
         )
-        seq = [tuple(r) for r in bpe_train(df, n_merges=10, batch_k=1).collect()]
-        got = [tuple(r) for r in bpe_train(df, n_merges=10, batch_k=8).collect()]
+        seq = [tuple(r) for r in bpe_train(df, n_merges=10, batch_k=1, mode="spark").collect()]
+        got = [tuple(r) for r in bpe_train(df, n_merges=10, batch_k=8, mode="spark").collect()]
         assert got == seq, f"trial {trial} diverged: {got} != {seq}"
+
+
+# ---------------------------------------------------------------------------
+# round-8 driver-side heap trainer: bit-identity with the distributed path
+# ---------------------------------------------------------------------------
+
+
+def test_driver_equals_spark_on_corpus(docs):
+    """The driver heap trainer (auto mode at this scale) must be
+    BIT-IDENTICAL to the distributed loop on a real corpus — same
+    winners, same ranks, same recorded pair counts."""
+    spk = [tuple(r) for r in bpe_train(docs, n_merges=24, mode="spark").collect()]
+    drv = [tuple(r) for r in bpe_train(docs, n_merges=24, mode="driver").collect()]
+    assert drv == spk
+
+
+def test_driver_equals_spark_on_ties_and_unicode(spark):
+    """Tie-breaking ((left, right) ascending — UTF-8 byte order equals
+    code-point order, so Python and UTF8String comparisons agree) and
+    astral-plane symbols: the two trainers must agree exactly."""
+    df = spark.createDataFrame(
+        [(1, "xy xy cd cd ab ab 你好 你好 \U0001F600\U0001F600 z\U0001F600")],
+        "doc_id int, text string",
+    )
+    spk = [tuple(r) for r in bpe_train(df, n_merges=8, mode="spark").collect()]
+    drv = [tuple(r) for r in bpe_train(df, n_merges=8, mode="driver").collect()]
+    assert drv == spk
+    # ties at count 2 resolve lexicographically ascending on (left, right)
+    assert (drv[0][1], drv[0][2]) == ("a", "b")
+
+
+def test_driver_equals_spark_min_count_stop(spark):
+    """Both paths stop at the same merge when the best pair falls under
+    min_pair_count."""
+    df = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc")], "doc_id int, text string"
+    )
+    spk = [tuple(r) for r in bpe_train(df, n_merges=10, min_pair_count=2, mode="spark").collect()]
+    drv = [tuple(r) for r in bpe_train(df, n_merges=10, min_pair_count=2, mode="driver").collect()]
+    assert drv == spk
+    assert all(t[4] >= 2 for t in drv)
+
+
+def test_driver_equals_spark_fuzz(spark):
+    """Randomized 2-letter corpora (maximal symbol collisions: merged
+    tokens recombining, same string via different splits) — the
+    sequential heap trainer must track the distributed protocol on
+    every corpus, deep into the merge list."""
+    import random
+
+    rng = random.Random(97)
+    for trial in range(4):
+        words = [
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(20, 80))
+        ]
+        df = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id int, text string"
+        )
+        spk = [tuple(r) for r in bpe_train(df, n_merges=14, mode="spark").collect()]
+        drv = [tuple(r) for r in bpe_train(df, n_merges=14, mode="driver").collect()]
+        assert drv == spk, f"trial {trial}: {drv} != {spk}"
+
+
+def test_auto_mode_selects_driver_under_budget(docs):
+    """auto with a generous budget must produce the driver path's
+    output (== spark path by the identity above); auto with budget 0
+    must fall back to the distributed loop. Both bit-identical anyway —
+    this pins that the selector actually switches."""
+    a = [tuple(r) for r in bpe_train(docs, n_merges=6, mode="auto").collect()]
+    b = [tuple(r) for r in bpe_train(docs, n_merges=6, mode="auto",
+                                     driver_budget_words=0).collect()]
+    assert a == b
+
+
+def test_unknown_mode_raises(docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown mode"):
+        bpe_train(docs, n_merges=2, mode="bogus")
