@@ -688,6 +688,12 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                                 sps, pps, _ = index_h264(vframes[0])
                             except (ValueError, NotImplementedError):
                                 sps = pps = None
+                        # buffer per-video and extend only after the loop
+                        # (the BMP/GIF convention): a mid-loop escape to
+                        # the stub fallback must not leave partial rows
+                        # behind — that would emit duplicate
+                        # (media_id, frame_idx) keys
+                        vrows = []
                         for i, ts in enumerate(range(0, total, every_ms)):
                             fi = min(
                                 int(ts / frame_ms) if frame_ms else 0,
@@ -703,7 +709,8 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                                     vframes[fi] + ts.to_bytes(8, "little")
                                 ).digest()[:16]
                             )
-                            rows.append((r["media_id"], i, ts, digest))
+                            vrows.append((r["media_id"], i, ts, digest))
+                        rows.extend(vrows)
                     except (ValueError, IndexError, struct.error):
                         for i, ts in enumerate(
                             range(0, min(int(dur), span_cap), every_ms)
@@ -723,6 +730,9 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                         sps, pps, idrs = index_h264(payload)
                         frame_ms = dur / len(idrs)
                         cache: dict = {}
+                        # buffered like the AVI/BMP/GIF branches: no
+                        # partial rows may survive a fall to the stub
+                        vrows = []
                         for i, ts in enumerate(
                             range(0, min(int(dur), span_cap), every_ms)
                         ):
@@ -740,7 +750,8 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                             digest = cache[fi] or hashlib.sha256(
                                 idrs[fi] + ts.to_bytes(8, "little")
                             ).digest()[:16]
-                            rows.append((r["media_id"], i, ts, digest))
+                            vrows.append((r["media_id"], i, ts, digest))
+                        rows.extend(vrows)
                     except (ValueError, NotImplementedError, IndexError, struct.error):
                         for i, ts in enumerate(
                             range(0, min(int(dur), span_cap), every_ms)
@@ -934,24 +945,39 @@ def audio_features(
                 if ch > 1:  # mono mix: floor-toward-zero integer mean
                     s = s[: (len(s) // ch) * ch].reshape(-1, ch)
                     s = (s.sum(axis=1) / ch).astype(np.int64)
+                if not len(s):
+                    continue
                 step = max(1, sr * frame_ms // 1000)
-                # zero-crossing sign stream: zeros inherit previous sign
+                # zero-crossing sign stream: zeros inherit the previous
+                # sign (initial sign 1). Vectorized forward fill — a
+                # per-sample Python loop here dominated the operator on
+                # real PCM (minutes at 16 kHz = millions of samples per
+                # Arrow batch row; round-7 ADVICE): take each position's
+                # last-nonzero index via maximum.accumulate and gather
                 sign = np.sign(s)
-                prev = 1
-                for j in range(len(sign)):
-                    if sign[j] == 0:
-                        sign[j] = prev
-                    else:
-                        prev = sign[j]
-                for fi, start in enumerate(range(0, len(s), step)):
-                    frame = s[start : start + step]
-                    fsign = sign[start : start + step]
-                    zc = int((fsign[1:] != fsign[:-1]).sum())
-                    rows.append((
-                        int(r["media_id"]), fi, len(frame),
-                        int((frame * frame).sum()), zc,
-                        int(np.abs(frame).max()) if len(frame) else 0,
-                    ))
+                pos = np.where(sign != 0, np.arange(len(sign)), -1)
+                last = np.maximum.accumulate(pos)
+                sign = np.where(last >= 0, sign[np.maximum(last, 0)], 1)
+                # per-frame stats via reduceat over frame starts — no
+                # per-frame Python loop either
+                starts = np.arange(0, len(s), step)
+                n_samp = np.diff(np.append(starts, len(s)))
+                energy = np.add.reduceat(s * s, starts)
+                peak = np.maximum.reduceat(np.abs(s), starts)
+                # crossing at boundary b (between samples b, b+1) counts
+                # for the frame containing BOTH, so frame-final
+                # boundaries (b % step == step-1) are masked out — the
+                # exact set the old fsign[1:] != fsign[:-1] slice saw
+                d = np.zeros(len(s), dtype=np.int64)
+                d[: len(s) - 1] = sign[1:] != sign[:-1]
+                d[np.arange(len(s)) % step == step - 1] = 0
+                zc = np.add.reduceat(d, starts)
+                mid = int(r["media_id"])
+                rows.extend(
+                    (mid, fi, int(n_samp[fi]), int(energy[fi]),
+                     int(zc[fi]), int(peak[fi]))
+                    for fi in range(len(starts))
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[

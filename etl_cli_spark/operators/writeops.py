@@ -771,10 +771,20 @@ class ParquetTable:
         (Delta's ``TIMESTAMP AS OF`` resolution). Commits record
         ``ts`` (epoch seconds) in the manifest; versions from logs
         predating the field sort as 0.0, so they resolve for any
-        non-negative timestamp. Raises when no version is old enough."""
+        non-negative timestamp. Raises when no version is old enough.
+
+        Timestamps are MONOTONIZED before resolution (running max over
+        version order, the same adjustment Delta applies): under
+        wall-clock skew a later version can record an earlier ``ts``
+        (v1=100, v2=200, v3=150), and resolving against raw timestamps
+        would return a snapshot containing changes committed "after"
+        the requested time. With the running max, v3 resolves as 200 and
+        asof(160) correctly returns v1."""
         best = None
+        mono = 0.0
         for v in self.versions():
-            if float(self._raw_manifest_at(v).get("ts", 0.0)) <= ts:
+            mono = max(mono, float(self._raw_manifest_at(v).get("ts", 0.0)))
+            if mono <= ts:
                 best = v
         if best is None:
             raise ValueError(

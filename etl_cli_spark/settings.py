@@ -74,6 +74,12 @@ class Settings:
                 pass
 
     def _write_rows(self, rows, filename: str) -> None:
+        """Write one parquet part ATOMICALLY: to a dot-prefixed temp
+        name first, then ``os.replace`` into place. A crash mid-write
+        would otherwise leave a truncated part under its final name —
+        which ``_best`` silently skips (losing the most recent set())
+        and a later ``compact`` deletes, destroying the evidence. Temp
+        names are dot-prefixed so ``_part_files`` never lists them."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -85,7 +91,9 @@ class Settings:
                 "set_at": pa.array([r[2] for r in rows], pa.float64()),
             }
         )
-        pq.write_table(table, os.path.join(self.path, filename))
+        tmp = os.path.join(self.path, f".{filename}.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(self.path, filename))
 
     def _part_files(self) -> list[str]:
         try:
@@ -119,8 +127,19 @@ class Settings:
                     columns=["name", "value", "set_at"],
                 )
                 cols = [t.column(c).to_pylist() for c in ("name", "value", "set_at")]
-            except (KeyError, pyarrow.lib.ArrowInvalid, OSError):
-                continue  # drifted or unreadable part file: not settings rows
+            except (KeyError, pyarrow.lib.ArrowInvalid, OSError) as exc:
+                # drifted or unreadable part file: not settings rows.
+                # Warn instead of silently skipping — with atomic
+                # _write_rows this should never be a torn write, so an
+                # unreadable part is worth a human look before compact()
+                # removes it
+                import warnings
+
+                warnings.warn(
+                    f"settings: skipping unreadable part {fn}: {exc}",
+                    stacklevel=2,
+                )
+                continue
             for n, v, at in zip(*cols):
                 if n is None or at is None:
                     continue

@@ -979,3 +979,32 @@ def test_read_asof_timestamp(spark, engine, tmp_path):
     assert t.read_asof(_t.time()).count() == t.read().count()
     with pytest.raises(ValueError, match="no committed version"):
         t.version_asof(ts_after_v0 - 3600)
+
+
+def test_version_asof_monotonizes_skewed_timestamps(spark, engine, tmp_path, monkeypatch):
+    """Wall-clock skew: a later version recording an EARLIER commit ts
+    (v0=T, v1=T+1000, v2~T) must not make asof return a
+    future-containing snapshot. Delta monotonizes commit timestamps for
+    TIMESTAMP AS OF (running max over versions); so do we: v2 resolves
+    as T+1000, and asof(T+1) returns v0 — not v2, whose snapshot
+    already contains v1's rows."""
+    import time as _t
+
+    import etl_cli_spark.operators.writeops as wo
+    from etl_cli_spark.operators.writeops import ParquetTable
+
+    orders = engine.read("orders").limit(60)
+    t = ParquetTable(spark, str(tmp_path / "t.parquet"), manifest=True)
+    t.append(orders.filter("o_orderkey < 20"))          # v0: ts = T
+    ts_after_v0 = _t.time()
+    real_time = _t.time
+    monkeypatch.setattr(wo.time, "time", lambda: real_time() + 1000.0)
+    t.append(orders.filter("o_orderkey >= 20 AND o_orderkey < 40"))  # v1: ts = T+1000
+    monkeypatch.setattr(wo.time, "time", real_time)
+    t.append(orders.filter("o_orderkey >= 40"))         # v2: ts ~ T (skewed back)
+    # raw ts of v2 is in the past, but the snapshot contains v1's rows:
+    # monotonization must push v2 past v1's timestamp
+    assert t.version_asof(ts_after_v0 + 1) == 0
+    assert t.read_asof(ts_after_v0 + 1).count() == t.read_version(0).count()
+    # at/after the skew horizon everything resolves to the tip
+    assert t.version_asof(real_time() + 2000) == 2

@@ -278,3 +278,58 @@ def test_settings_compaction_bounds_part_files(spark, work_root):
         s.set(f"k{i % 3}", i)
     assert len(s._part_files()) <= 7  # compacted at least once
     assert s.all() == {"k0": 6, "k1": 7, "k2": 8}
+
+
+def test_settings_write_is_atomic_under_crash(spark, work_root, monkeypatch):
+    """A crash mid-write must never leave a truncated part under its
+    FINAL name (r8, round-7 ADVICE): _write_rows goes to a dot-temp
+    then os.replace()s into place. Simulated crash: pq.write_table
+    writes half the bytes then raises — the store must still return
+    the previous value and list no stray temp or torn part."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_cli_spark.settings import Settings
+
+    s = Settings(spark, work_root)
+    s.set("alpha", 1)
+
+    real_write = pq.write_table
+
+    def torn_write(table, where, *a, **k):
+        with open(where, "wb") as f:
+            f.write(b"PAR1\x00torn")  # plausible prefix, invalid file
+        raise OSError("disk full (injected)")
+
+    monkeypatch.setattr(pq, "write_table", torn_write)
+    try:
+        s.set("alpha", 2)
+    except OSError:
+        pass
+    monkeypatch.setattr(pq, "write_table", real_write)
+    # previous value intact; the torn file never reached a final name
+    assert s.get("alpha") == 1
+    assert all(not fn.startswith(".") for fn in s._part_files())
+    stray = [fn for fn in os.listdir(s.path) if fn.endswith(".tmp")]
+    # torn temp may remain (crash debris) but must be invisible to reads
+    assert s.all() == {"alpha": 1}, f"torn write leaked into reads: {stray}"
+
+
+def test_settings_unreadable_part_warns(spark, work_root):
+    """An unreadable part is skipped WITH a warning (not silently) so a
+    torn or foreign file gets a human look before compact() removes
+    it."""
+    import os
+    import warnings
+
+    from etl_cli_spark.settings import Settings
+
+    s = Settings(spark, work_root)
+    s.set("alpha", 1)
+    with open(os.path.join(s.path, "part-torn.parquet"), "wb") as f:
+        f.write(b"PAR1\x00nope")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert s.get("alpha") == 1
+    assert any("skipping unreadable part" in str(x.message) for x in w)
