@@ -528,24 +528,61 @@ def build_span_index(
         json.dump({"n": n, "id_col": id_col, "text_col": text_col}, f)
 
 
-def append_to_span_index(docs: DataFrame, path: str) -> None:
+def _span_delta_name(stream_id: str, batch_id: int) -> str:
+    return f"delta_{stream_id}_{int(batch_id):020d}"
+
+
+def _span_history(spark, path: str, exclude: str | None = None) -> DataFrame:
+    """All delta rows of the index — flat append files at the root plus
+    batch-scoped subdirectories (recursiveFileLookup; `_`/`.`-prefixed
+    sidecars are hidden from Spark's lister as usual). ``exclude``
+    drops one batch directory from history — a REPLAYED batch whose
+    own delta already landed must not see itself, or it would strip
+    more aggressively than the original run."""
+    hist = spark.read.option("recursiveFileLookup", "true").parquet(path)
+    if exclude is not None:
+        hist = hist.filter(~F.input_file_name().contains(f"/{exclude}/"))
+    return hist
+
+
+def append_to_span_index(
+    docs: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+    stream_id: str = "stream",
+) -> None:
     """Add a (disjoint) batch's gram counts to the index as delta
-    files — no rewrite, no read of prior deltas."""
+    files — no rewrite, no read of prior deltas.
+
+    Exactly-once (round 8): with ``batch_id``, the delta lands in a
+    deterministic per-batch subdirectory written with mode=overwrite —
+    a crashed-and-replayed micro-batch OVERWRITES its own delta instead
+    of appending a second copy, so replay can never double-count a
+    drop's grams (the same idempotence-by-batch-id contract as
+    ``streaming.incremental.streaming_merge``). Without ``batch_id``
+    (manual/batch callers) the classic root-level append is kept."""
     import json
     import os
 
     with open(os.path.join(path, "_span_meta.json")) as f:
         meta = json.load(f)
     wins = _span_windows(docs, meta["n"], meta["id_col"], meta["text_col"])
-    wins.groupBy("gh").agg(
+    counts = wins.groupBy("gh").agg(
         F.count_distinct(F.col(meta["id_col"])).alias("n_docs")
-    ).write.mode("append").parquet(path)
+    )
+    if batch_id is None:
+        counts.write.mode("append").parquet(path)
+    else:
+        counts.write.mode("overwrite").parquet(
+            os.path.join(path, _span_delta_name(stream_id, batch_id))
+        )
 
 
 def strip_against_span_index(
     docs: DataFrame,
     path: str,
     min_docs: int = 2,
+    exclude_batch: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Strip spans from a NEW batch counting repetitions across the
     batch AND the indexed history: a window is stripped when
@@ -553,7 +590,12 @@ def strip_against_span_index(
     — exactly the spans :func:`strip_repeated_spans` would find over
     history ∪ batch for the batch's documents, without re-scanning
     history (equality pinned by unit test). Appending the batch
-    afterwards is the caller's choice (``append_to_span_index``)."""
+    afterwards is the caller's choice (``append_to_span_index``).
+
+    ``exclude_batch=(stream_id, batch_id)``: exclude that batch's own
+    delta from history — a replayed micro-batch whose append already
+    landed would otherwise see ITSELF in history and strip more
+    aggressively than the original run (round-8 exactly-once fix)."""
     import json
     import os
 
@@ -569,8 +611,11 @@ def strip_against_span_index(
     batch_counts = wins.groupBy("gh").agg(
         F.count_distinct(F.col(id_col)).alias("__bn")
     )
+    exclude = (
+        _span_delta_name(*exclude_batch) if exclude_batch is not None else None
+    )
     hist = (
-        spark.read.parquet(path)
+        _span_history(spark, path, exclude)
         .groupBy("gh")
         .agg(F.sum("n_docs").alias("__hn"))  # delta files sum per gram
     )

@@ -370,11 +370,13 @@ def run_corpus_pipeline_streaming(
     ``span_index_path``: optionally strip cross-drop repeated n-gram
     spans through the persisted gram-count index BEFORE the stage list
     (pipeline.strip_against_span_index): each drop is stripped against
-    all history plus itself, then its counts append. Same crash-safe
-    ordering and the same at-least-once caveat as the dedup index —
-    plus one more: a replayed drop whose counts already landed sees
-    ITSELF in history and strips more aggressively, so exactly-once
-    sinks should gate on batchId.
+    all history plus itself, then its counts append. The append is
+    EXACTLY-ONCE (round 8): it is gated on the foreachBatch batchId —
+    each drop's delta lands in a per-batch directory written with
+    overwrite semantics, so a crashed-and-replayed drop overwrites its
+    own counts instead of double-appending them, and the replayed
+    strip EXCLUDES that same delta from history so it sees exactly
+    what the original run saw (crash-replay unit-pinned).
     """
     from ..operators.dedup import append_dedup_signatures, dedup_against_index
     from ..operators.pipeline import append_to_span_index, strip_against_span_index
@@ -382,11 +384,14 @@ def run_corpus_pipeline_streaming(
     from ..streaming.incremental import incremental_stream
 
     out = ParquetTable(spark, out_path)
+    span_stream_id = "corpus_span"
 
-    def process(batch_df: DataFrame) -> None:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        raw_df = batch_df  # pre-strip: what the index must sign
         if span_index_path is not None:
             batch_df = strip_against_span_index(
-                batch_df, span_index_path, min_docs=span_min_docs
+                batch_df, span_index_path, min_docs=span_min_docs,
+                exclude_batch=(span_stream_id, batch_id),
             )
         df = run_corpus_pipeline(batch_df, stages)
         if dedup_index_path is not None:
@@ -406,8 +411,16 @@ def run_corpus_pipeline_streaming(
             # index AFTER the output commit (crash-safe ordering: a
             # replayed drop is at worst unindexed, never
             # indexed-but-undelivered). The ORIGINAL batch text is
-            # signed, not the stripped text: counts must reflect what
-            # future drops can collide with in the raw crawl
-            append_to_span_index(batch_df, span_index_path)
+            # signed, not the stripped text (r8 fix — the strip
+            # REPLACES the text column, and signing the stripped text
+            # silently dropped every removed span from history, so
+            # later drops could no longer collide with it): counts
+            # must reflect what future drops can collide with in the
+            # raw crawl. batchId gating makes a replayed append
+            # overwrite itself — exactly-once for the index
+            append_to_span_index(
+                raw_df, span_index_path,
+                batch_id=batch_id, stream_id=span_stream_id,
+            )
 
     return incremental_stream(spark, source_path, schema, process, checkpoint)

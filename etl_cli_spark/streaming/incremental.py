@@ -101,10 +101,20 @@ def incremental_stream(
     At 100 TB/day this is the right contid: the anti-join bookmark costs
     a shuffle against an ever-growing table; the file-index checkpoint
     is O(new files).
+
+    A ``process`` accepting two arguments receives ``(df, batch_id)`` —
+    the foreachBatch epoch id, the handle an exactly-once sink gates on
+    (see ``streaming_merge`` / ``append_to_span_index``).
     """
+    import inspect
+
+    takes_bid = len(inspect.signature(process).parameters) >= 2
     stream = spark.readStream.schema(schema).parquet(path)
     q = (
-        stream.writeStream.foreachBatch(lambda df, _bid: process(df))
+        stream.writeStream.foreachBatch(
+            (lambda df, bid: process(df, bid)) if takes_bid
+            else (lambda df, _bid: process(df))
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -396,3 +396,115 @@ def test_streaming_runner_span_index_strips_across_drops(spark, tmp_path):
     # and only the final differing token survives
     assert rows[10] == ("ten", 7)
     assert rows[11][1] == 0
+
+
+def test_streaming_runner_signs_raw_text_not_stripped(spark, tmp_path):
+    """The index must sign each drop's RAW text, not its stripped text
+    (r8 fix): drop 2's leading boilerplate is stripped (shared with
+    drop 1), but its raw window "e w x y z" must still land in the
+    index so drop 3 — which shares exactly that span and nothing
+    else — strips it. Signing the stripped text would lose the gram
+    and leave drop 3 untouched."""
+    from pyspark.sql import types as T
+
+    from etl_cli_spark.operators.pipeline import build_span_index
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline_streaming
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "drops")
+    out = str(tmp_path / "out.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    span_idx = str(tmp_path / "span_idx")
+    drops = [
+        (1, "a b c d e q1"),
+        (2, "a b c d e w x y z q2"),   # strips "a b c d e" vs drop 1
+        (3, "e w x y z q3"),           # shares ONLY drop 2's raw window
+    ]
+    build_span_index(
+        spark.createDataFrame([], schema).limit(0), span_idx, n=5
+    )
+    for row in drops:
+        spark.createDataFrame([row], schema).write.mode("append").parquet(src)
+        run_corpus_pipeline_streaming(
+            spark, src, schema, [], out, ckpt, span_index_path=span_idx,
+        )
+    rows = {r.doc_id: (r.text, r.n_stripped)
+            for r in spark.read.parquet(out).collect()}
+    assert rows[1] == ("a b c d e q1", 0)
+    assert rows[2] == ("w x y z q2", 5)
+    # the decisive row: only drop 2's RAW text contains "e w x y z"
+    assert rows[3] == ("q3", 5)
+
+
+def test_span_index_append_is_batch_gated_exactly_once(spark, tmp_path):
+    """Crash-replay contract (r8): re-appending the SAME batch id must
+    overwrite its own delta, not double-count the drop's grams; and a
+    replayed strip excluding its own delta sees exactly the history
+    the original run saw."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_cli_spark.operators.pipeline import (
+        append_to_span_index,
+        build_span_index,
+        strip_against_span_index,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    idx = str(tmp_path / "span_idx")
+    build_span_index(spark.createDataFrame([], schema).limit(0), idx, n=5)
+    b1 = spark.createDataFrame(
+        [(1, "shared legal boilerplate span here plus one")], schema
+    )
+    b2 = spark.createDataFrame(
+        [(10, "shared legal boilerplate span here plus ten")], schema
+    )
+    append_to_span_index(b1, idx, batch_id=0, stream_id="s")
+
+    def hist_counts():
+        return {
+            r.gh: r.n
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(idx)
+            .groupBy("gh")
+            .agg(F.sum("n_docs").alias("n"))
+            .collect()
+        }
+
+    once = hist_counts()
+    # replay batch 0 (crash between append and checkpoint commit)
+    append_to_span_index(b1, idx, batch_id=0, stream_id="s")
+    assert hist_counts() == once, "replayed append double-counted grams"
+
+    # strip of batch 1 BEFORE its append...
+    before = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in strip_against_span_index(b2, idx, min_docs=2).collect()
+    }
+    # ...must equal the replayed strip AFTER its append landed, when the
+    # replay excludes its own delta
+    append_to_span_index(b2, idx, batch_id=1, stream_id="s")
+    replay = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in strip_against_span_index(
+            b2, idx, min_docs=2, exclude_batch=("s", 1)
+        ).collect()
+    }
+    assert replay == before, "replayed strip saw its own delta"
+    # and WITHOUT the exclusion the self-sighting over-strip is real
+    # (the failure mode the gate exists to prevent)
+    with_self = {
+        r.doc_id: r.n_stripped
+        for r in strip_against_span_index(b2, idx, min_docs=2).collect()
+    }
+    assert with_self[10] >= before[10][1]
