@@ -284,14 +284,19 @@ def _ivf_cells_ctes(dim: int, k: int, iters: int) -> tuple[list[str], str]:
 
 
 def _pq_subspace_ctes(j: int, dsub: int, ksub: int, iters: int,
-                      lo: int, hi: int, enc_src: str) -> list[str]:
+                      lo: int, hi: int, enc_src: str,
+                      samp_src: str = "samp",
+                      residual: bool = False) -> list[str]:
     """CTEs for ONE PQ subspace: the deterministic k-means chain on the
     sample's sub-slice, code assignment for every row of ``enc_src``
     (an expression yielding (vec_id, full-vector v)), and the query
-    LUT. Shared by the flat-PQ and IVF-PQ oracles."""
+    LUT. Shared by the flat-PQ and IVF-PQ oracles. ``residual`` (r8):
+    the LUT becomes PER-PROBED-CELL — codes quantize v - centroid[cell],
+    so the query side is the per-cell residual from the ``qres`` CTE
+    (cid, qr) instead of the global ``q``."""
     d2 = lambda a, b: _d2_sql(a, b, dsub)
     ctes = [
-        f"samp{j} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM samp)",
+        f"samp{j} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM {samp_src})",
         f"c{j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
         f"sv AS cv FROM (SELECT vec_id, sv FROM samp{j} "
         f"ORDER BY vec_id LIMIT {ksub}))",
@@ -325,24 +330,51 @@ def _pq_subspace_ctes(j: int, dsub: int, ksub: int, iters: int,
         f"FROM (SELECT vec_id, v[{lo}:{hi}] AS sv FROM {enc_src}) t "
         f"CROSS JOIN {prev} c) WHERE rn = 1)"
     )
-    ctes.append(
-        # the query subvector must be a plain column here: DuckDB
-        # forbids subqueries inside lambda expressions
-        f"lut{j} AS (SELECT c.cid, round({d2('c.cv', 'qs.sq')}, 6) AS d "
-        f"FROM {prev} c CROSS JOIN (SELECT qv[{lo}:{hi}] AS sq FROM q) qs)"
-    )
+    if residual:
+        ctes.append(
+            f"lut{j} AS (SELECT q2.cid AS pcid, c.cid AS code, "
+            f"round({d2('c.cv', 'q2.sq')}, 6) AS d "
+            f"FROM {prev} c CROSS JOIN "
+            f"(SELECT cid, qr[{lo}:{hi}] AS sq FROM qres) q2)"
+        )
+    else:
+        ctes.append(
+            # the query subvector must be a plain column here: DuckDB
+            # forbids subqueries inside lambda expressions
+            f"lut{j} AS (SELECT c.cid, round({d2('c.cv', 'qs.sq')}, 6) AS d "
+            f"FROM {prev} c CROSS JOIN (SELECT qv[{lo}:{hi}] AS sq FROM q) qs)"
+        )
     return ctes
 
 
-def _pq_adc_tail_ctes(m: int, shortlist: int) -> list[str]:
+def _pq_adc_tail_ctes(m: int, shortlist: int, residual: bool = False) -> list[str]:
     dist = " + ".join(f"l{j}.d" for j in range(1, m + 1))
+    if residual:
+        # per-cell LUTs: each code joins the LUT row of ITS row's coarse
+        # cell (cand carries cid for exactly this join)
+        adc = (
+            "adc AS (SELECT e1.vec_id, " + dist + " AS dist "
+            "FROM enc1 e1 "
+            + " ".join(f"JOIN enc{j} e{j} USING (vec_id)" for j in range(2, m + 1))
+            + " JOIN cand rc USING (vec_id)"
+            + " JOIN lut1 l1 ON l1.pcid = rc.cid AND e1.code = l1.code "
+            + " ".join(
+                f"JOIN lut{j} l{j} ON l{j}.pcid = rc.cid AND e{j}.code = l{j}.code"
+                for j in range(2, m + 1)
+            )
+            + ")"
+        )
+    else:
+        adc = (
+            "adc AS (SELECT e1.vec_id, " + dist + " AS dist "
+            "FROM enc1 e1 "
+            + " ".join(f"JOIN enc{j} e{j} USING (vec_id)" for j in range(2, m + 1))
+            + " JOIN lut1 l1 ON e1.code = l1.cid "
+            + " ".join(f"JOIN lut{j} l{j} ON e{j}.code = l{j}.cid" for j in range(2, m + 1))
+            + ")"
+        )
     return [
-        "adc AS (SELECT e1.vec_id, " + dist + " AS dist "
-        "FROM enc1 e1 "
-        + " ".join(f"JOIN enc{j} e{j} USING (vec_id)" for j in range(2, m + 1))
-        + " JOIN lut1 l1 ON e1.code = l1.cid "
-        + " ".join(f"JOIN lut{j} l{j} ON e{j}.code = l{j}.cid" for j in range(2, m + 1))
-        + ")",
+        adc,
         f"short AS (SELECT vec_id FROM adc ORDER BY round(dist, 6), vec_id "
         f"LIMIT {shortlist})",
     ]
@@ -377,7 +409,8 @@ def _pq_search_sql(dim: int, m: int, ksub: int, iters: int,
 
 def _ivfpq_search_sql(dim: int, n_cells: int, cell_iters: int, n_probe: int,
                       m: int, ksub: int, pq_iters: int,
-                      shortlist: int, k: int) -> str:
+                      shortlist: int, k: int,
+                      residual: bool = True) -> str:
     """DuckDB replay of the PERSISTED IVF-PQ probe
     (similarity.build_ivfpq_index / ivfpq_topk_indexed): the coarse
     k-means cell assignment and probe selection (the similarity_ivf
@@ -385,6 +418,13 @@ def _ivfpq_search_sql(dim: int, n_cells: int, cell_iters: int, n_probe: int,
     assignment restricted to rows in the probed cells (exactly the
     partition-pruned candidate set the index reads), ADC shortlist,
     exact-cosine rescore.
+
+    ``residual=True`` (round 8, the engine's new default layout):
+    codebooks train on and codes encode the per-cell residual
+    ``v - centroid[cell]`` — the sample becomes ``rsamp`` (residuals of
+    the lowest-2048 ids), candidates become ``rcand`` (residuals of the
+    probed cells' rows), and the ADC LUT is per probed cell via the
+    query residuals ``qres``.
 
     The multiply-referenced base CTEs (e / samp / cells — and cand
     below) are marked MATERIALIZED: DuckDB 1.0 inlines CTEs, and
@@ -394,7 +434,7 @@ def _ivfpq_search_sql(dim: int, n_cells: int, cell_iters: int, n_probe: int,
     dsub = dim // m
     ctes, cent_prev = _ivf_cells_ctes(dim, n_cells, cell_iters)
     ctes = list(ctes)  # defines e, samp, cells(vec_id, v, cid)
-    _mat = {"e", "samp", "cells"}
+    _mat = {"e", "samp", "cells", cent_prev}
     ctes = [
         c.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
         if (name := c.split(" ", 1)[0]) in _mat else c
@@ -407,13 +447,37 @@ def _ivfpq_search_sql(dim: int, n_cells: int, cell_iters: int, n_probe: int,
         f"ORDER BY round({d2full('c.cv', 'qv')}, 6), c.cid LIMIT {n_probe})"
     )
     ctes.append(
-        "cand AS MATERIALIZED (SELECT vec_id, v FROM cells "
+        "cand AS MATERIALIZED (SELECT vec_id, v, cid FROM cells "
         "WHERE cid IN (SELECT cid FROM probes))"
     )
+    sub = lambda a, b: (
+        f"list_transform(generate_series(1, {dim}), i -> {a}[i] - {b}[i])"
+    )
+    if residual:
+        ctes.append(
+            "rsamp AS MATERIALIZED (SELECT s.vec_id, "
+            + sub("s.v", "ct.cv")
+            + f" AS v FROM cells s JOIN {cent_prev} ct USING (cid) "
+            "ORDER BY s.vec_id LIMIT 2048)"
+        )
+        ctes.append(
+            "rcand AS MATERIALIZED (SELECT c.vec_id, c.cid, "
+            + sub("c.v", "ct.cv")
+            + f" AS v FROM cand c JOIN {cent_prev} ct USING (cid))"
+        )
+        ctes.append(
+            "qres AS (SELECT p.cid, "
+            + sub("q.qv", "ct.cv")
+            + f" AS qr FROM probes p JOIN {cent_prev} ct USING (cid) CROSS JOIN q)"
+        )
+    enc_src, samp_src = ("rcand", "rsamp") if residual else ("cand", "samp")
     for j in range(1, m + 1):
         lo, hi = (j - 1) * dsub + 1, j * dsub
-        ctes += _pq_subspace_ctes(j, dsub, ksub, pq_iters, lo, hi, "cand")
-    ctes += _pq_adc_tail_ctes(m, shortlist)
+        ctes += _pq_subspace_ctes(
+            j, dsub, ksub, pq_iters, lo, hi, enc_src,
+            samp_src=samp_src, residual=residual,
+        )
+    ctes += _pq_adc_tail_ctes(m, shortlist, residual=residual)
     return (
         "WITH " + ", ".join(ctes) + " "
         "SELECT c.vec_id, round(list_cosine_similarity(c.v, (SELECT qv FROM q)), 6) AS score "
@@ -1532,12 +1596,15 @@ def _q_similarity_pq(spark, sf):
 
 
 def _q_similarity_ivfpq(spark, sf):
-    """Persisted IVF-PQ probe (round-5): coarse cells partition-prune
-    the read, PQ codes shortlist in the compressed domain, the
-    shortlist exact-rescoress — three successively tinier data volumes
-    (the FAISS IVFPQ layout, non-residual variant). The oracle replays
-    the coarse k-means, probe selection, per-subspace PQ training,
-    candidate encoding, ADC, and rescore end-to-end in DuckDB."""
+    """Persisted IVF-PQ probe (round-5; residual since round-8): coarse
+    cells partition-prune the read, PQ codes shortlist in the
+    compressed domain, the shortlist exact-rescores — three
+    successively tinier data volumes (the FAISS IVFPQ layout: codes
+    quantize the per-cell residual v - centroid[cell]). The oracle
+    replays the coarse k-means, probe selection, residual computation,
+    per-subspace PQ training on the residual sample, candidate
+    encoding, the per-cell ADC LUTs, and the rescore end-to-end in
+    DuckDB."""
     from etl_cli_spark.operators.similarity import (
         build_ivfpq_index,
         ivfpq_topk_indexed,

@@ -449,14 +449,20 @@ def _strip_spans(
     ``spans`` (an (id, start, ...) frame) removed — the shared strip
     step of the batch and index-probe variants.
 
-    The per-token coverage test is exists-over-starts: O(tokens x
-    spans) per document, worst-case O(tokens^2) on a fully-boilerplate
-    page — bounded by document length, JVM-side, and measured FASTER
-    at realistic span densities than both alternatives tried in
-    round 7 (interval-merge fold: heavier codegen than it saves;
-    hash array_except over indices: the per-token element_at lambda
-    re-evaluates the split, going truly quadratic). Revisit only with
-    a measured span-heavy corpus."""
+    The per-token coverage test is exists-over-starts: nominally
+    O(tokens x spans) per document, but ``F.exists`` SHORT-CIRCUITS on
+    the first covering span, so covered tokens exit in a few steps and
+    only uncovered tokens scan the full starts array — bounded by
+    document length, JVM-side. Round-8 closed the question with a
+    boilerplate-SATURATED fixture (scripts/span_stress.py: 93% of every
+    5-10k-token doc covered, ~7.2k spans/doc): exists-over-starts runs
+    2.1 s / 20 docs and 74.9 s / 300 docs (per-doc bounded, corpus axis
+    linear), while the interval-merge fold is ~200x WORSE there
+    (474 s / 20 docs — merging 7.2k starts costs 7.2k interpreted
+    aggregate() steps per doc before the first token is tested), and
+    round-7 already measured it slower at realistic densities too.
+    Decision: exists-over-starts unconditionally; the fold stays in the
+    stress script as the measured-and-rejected alternative."""
     starts = spans.groupBy(id_col).agg(
         F.sort_array(F.collect_set("start")).alias("__starts")
     )

@@ -739,15 +739,36 @@ def pq_train(
     vec_col: str = "embedding",
     sample_size: int = 2048,
     iters: int = 8,
+    centroids=None,
+    cell_col: str = "__cell",
 ) -> list[list[list[float]]]:
     """Train m per-subspace codebooks of 2^nbits centroids each on the
     lowest-``sample_size``-id vectors (the bounded, oracle-replayable
     driver collect — build time only, never the query path). Returns
-    ``codebooks[m][2^nbits][dim/m]``."""
-    rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
-    )
-    sample = [[float(v) for v in r[1]] for r in rows]
+    ``codebooks[m][2^nbits][dim/m]``.
+
+    With ``centroids`` (and ``cell_col`` on ``df``), trains on the
+    coarse-cell RESIDUALS ``v - centroid[cell]`` instead of the raw
+    vectors — the FAISS IVFPQ layout (round 8): residuals have far less
+    variance than raw vectors, so the same 2^nbits-entry codebooks
+    quantize them much more tightly and ADC recall rises at the same
+    byte budget."""
+    if centroids is not None:
+        rows = (
+            df.select(id_col, vec_col, cell_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        )
+        cent = [list(map(float, c)) for c in centroids]
+        sample = [
+            [float(v) - c for v, c in zip(r[1], cent[int(r[2])])] for r in rows
+        ]
+    else:
+        rows = (
+            df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+        )
+        sample = [[float(v) for v in r[1]] for r in rows]
     if not sample:
         raise ValueError("pq_train needs a non-empty sample")
     dim = len(sample[0])
@@ -767,17 +788,26 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    centroids=None,
+    cell_col: str = "__cell",
 ) -> DataFrame:
     """Attach ``out_col`` = the m nearest-codebook-entry ids (PQ code).
     One Arrow-batched pass, no shuffle; codebooks are closure-captured
     (broadcast-sized). Same rounded-distance + lowest-id-tie protocol
-    as ``_assign_cells``."""
+    as ``_assign_cells``. With ``centroids``, encodes the coarse-cell
+    RESIDUAL ``v - centroid[cell_col]`` (the FAISS IVFPQ layout) — the
+    codebooks must then come from residual-mode :func:`pq_train`."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    cent_arr = (
+        np.asarray([list(map(float, c)) for c in centroids], dtype=np.float64)
+        if centroids is not None
+        else None
+    )
     m = len(books)
     dsub = books[0].shape[1]
     out_schema = T.StructType(
@@ -793,6 +823,8 @@ def pq_encode(
                 yield pdf
                 continue
             x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if cent_arr is not None:
+                x = x - cent_arr[pdf[cell_col].to_numpy(dtype=np.int64)]
             codes = np.empty((len(x), m), dtype=np.int32)
             for j, cb in enumerate(books):
                 blk = x[:, j * dsub : (j + 1) * dsub]
@@ -899,26 +931,45 @@ def build_ivfpq_index(
     nbits: int = 4,
     pq_iters: int = 4,
     sample_size: int = 2048,
+    residual: bool = True,
 ) -> None:
     """Persist an IVF-PQ index (the canonical production ANN layout —
-    FAISS's IVFPQ, in its simpler non-residual variant: PQ codebooks
-    trained on the raw vectors, not per-cell residuals — documented
-    trade-off: one global codebook, slightly coarser codes): vectors +
-    their PQ codes parquet-partitioned by coarse cell, coarse centroids
-    and codebooks in a sidecar. A probe then (1) partition-prunes to
-    n_probe cells, (2) shortlists in the compressed domain (ADC over m
-    small codes), (3) exact-rescoring only the shortlist rows — three
-    successively tinier data volumes, which is the whole point at
-    100 TB of embeddings."""
+    FAISS's IVFPQ): vectors + their PQ codes parquet-partitioned by
+    coarse cell, coarse centroids and codebooks in a sidecar. A probe
+    then (1) partition-prunes to n_probe cells, (2) shortlists in the
+    compressed domain (ADC over m small codes), (3) exact-rescores only
+    the shortlist rows — three successively tinier data volumes, which
+    is the whole point at 100 TB of embeddings.
+
+    ``residual=True`` (round 8, the FAISS default): codebooks are
+    trained on and codes encode the per-cell residual
+    ``v - centroid[cell]`` — residual variance is a fraction of raw
+    variance, so the same code budget quantizes far more tightly and
+    ADC recall at cheap operating points rises (measured in
+    ANN_EVAL.md: ivfpq(4,100) 0.765 -> >=0.9 recall@10 on the eval
+    corpus). ``residual=False`` keeps the round-5 one-global-codebook
+    layout; probes read the flag from the sidecar, so both index
+    generations stay probeable."""
     import json
     import os
 
     indexed, cent = ivf_index(df, id_col, vec_col, n_centroids, sample_size)
-    books = pq_train(
-        df, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col,
-        sample_size=sample_size, iters=pq_iters,
-    )
-    encoded = pq_encode(indexed, books, vec_col=vec_col, out_col="pq_code")
+    if residual:
+        books = pq_train(
+            indexed, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col,
+            sample_size=sample_size, iters=pq_iters,
+            centroids=cent, cell_col="__cell",
+        )
+        encoded = pq_encode(
+            indexed, books, vec_col=vec_col, out_col="pq_code",
+            centroids=cent, cell_col="__cell",
+        )
+    else:
+        books = pq_train(
+            df, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col,
+            sample_size=sample_size, iters=pq_iters,
+        )
+        encoded = pq_encode(indexed, books, vec_col=vec_col, out_col="pq_code")
     (
         encoded.repartition(n_centroids, F.col("__cell"))
         .write.mode("overwrite")
@@ -929,9 +980,66 @@ def build_ivfpq_index(
         json.dump(
             {"centroids": cent, "codebooks": books, "id_col": id_col,
              "vec_col": vec_col, "n_centroids": n_centroids, "m": m,
-             "nbits": nbits},
+             "nbits": nbits, "residual": residual},
             f,
         )
+
+
+def _residual_adc_shortlist(
+    cand: DataFrame,
+    meta: dict,
+    query_vec: list[float],
+    probes: list[int],
+    shortlist: int,
+    id_col: str,
+) -> DataFrame:
+    """ADC shortlist over residual codes: the lookup table depends on
+    the row's coarse cell (code j approximates ``v - centroid[cell]``,
+    so the query side must be ``q - centroid[cell]`` too). One LUT per
+    probed cell — n_probe tiny literal arrays in the plan, selected
+    per row by a CASE over ``__cell``; still whole-stage codegen, zero
+    UDFs, and the scan reads only (id, cell, code)."""
+    import numpy as np
+
+    books = meta["codebooks"]
+    m = len(books)
+    dsub = len(books[0][0])
+    q = np.asarray(query_vec, dtype=np.float64)
+    luts = {}
+    for c in probes:
+        qr = q - np.asarray(meta["centroids"][c], dtype=np.float64)
+        luts[c] = [
+            [
+                float(round(float(((qr[j * dsub : (j + 1) * dsub] - np.asarray(e)) ** 2).sum()), 6))
+                for e in books[j]
+            ]
+            for j in range(m)
+        ]
+
+    def cell_dist(c: int):
+        d = None
+        for j in range(m):
+            term = F.element_at(
+                F.array(*[F.lit(v) for v in luts[c][j]]),
+                F.col("pq_code").getItem(j) + 1,
+            )
+            d = term if d is None else d + term
+        return d
+
+    dist = None
+    for c in probes:
+        branch = cell_dist(c)
+        dist = (
+            F.when(F.col("__cell") == c, branch)
+            if dist is None
+            else dist.when(F.col("__cell") == c, branch)
+        )
+    return (
+        cand.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .select(id_col)
+    )
 
 
 def ivfpq_topk_indexed(
@@ -945,7 +1053,8 @@ def ivfpq_topk_indexed(
 ) -> DataFrame:
     """Probe a persisted IVF-PQ index: partition-pruned read of the
     n_probe nearest cells, ADC shortlist over their codes (JVM LUT
-    lookups), exact-cosine rescore of the shortlist rows only."""
+    lookups — per-cell LUTs when the index is residual-encoded),
+    exact-cosine rescore of the shortlist rows only."""
     import json
     import os
 
@@ -960,10 +1069,15 @@ def ivfpq_topk_indexed(
     cand = spark.read.parquet(os.path.join(path, "vectors")).filter(
         F.col("__cell").isin(probes)
     )
-    short = pq_topk(
-        cand, meta["codebooks"], query_vec, k=shortlist,
-        id_col=id_col, code_col="pq_code",
-    ).select(id_col)
+    if meta.get("residual"):
+        short = _residual_adc_shortlist(
+            cand, meta, query_vec, probes, shortlist, id_col
+        )
+    else:
+        short = pq_topk(
+            cand, meta["codebooks"], query_vec, k=shortlist,
+            id_col=id_col, code_col="pq_code",
+        ).select(id_col)
     hits = cand.join(F.broadcast(short), on=id_col, how="left_semi")
     if exclude_ids:
         hits = hits.filter(~F.col(id_col).isin(exclude_ids))
@@ -999,7 +1113,9 @@ def append_to_ivfpq_index(df: DataFrame, path: str) -> None:
         meta = json.load(f)
     assigned = _assign_cells(df, meta["centroids"], meta["vec_col"])
     encoded = pq_encode(
-        assigned, meta["codebooks"], vec_col=meta["vec_col"], out_col="pq_code"
+        assigned, meta["codebooks"], vec_col=meta["vec_col"], out_col="pq_code",
+        centroids=meta["centroids"] if meta.get("residual") else None,
+        cell_col="__cell",
     )
     (
         encoded.repartition(meta["n_centroids"], F.col("__cell"))

@@ -105,17 +105,30 @@ def main() -> None:
             lambda q, s=shortlist: float(min(s, n)),
         )
 
-    # IVF-PQ: partition-pruned cells -> ADC shortlist -> exact rescore
-    ivfpq_path = f"{tmp}/ivfpq"
-    build_ivfpq_index(emb, ivfpq_path, n_centroids=16, m=8, nbits=4)
-    for n_probe, shortlist in ((2, 50), (4, 100), (8, 200)):
-        evaluate(
-            f"ivfpq(n_probe={n_probe}, shortlist={shortlist})",
-            lambda q, np_=n_probe, s=shortlist: ivfpq_topk_indexed(
-                spark, ivfpq_path, q, k=k, n_probe=np_, shortlist=s
-            ),
-            lambda q, np_=n_probe, s=shortlist: float(min(s, n)),
-        )
+    # IVF-PQ: partition-pruned cells -> ADC shortlist -> exact rescore.
+    # raw = the round-5 one-global-codebook layout; residual = the
+    # round-8 FAISS layout (codes quantize v - centroid[cell]); resid8
+    # = residual with nbits=8 codebooks (1 byte/code, the FAISS
+    # default). Exact-scored fraction = shortlist/N for all of them —
+    # n_probe only widens the CODE scan (bytes, not vectors)
+    variants = [
+        ("raw", dict(nbits=4, residual=False), ((2, 50), (4, 100), (8, 200))),
+        ("residual", dict(nbits=4, residual=True),
+         ((2, 50), (4, 100), (8, 100), (8, 200))),
+        ("resid8", dict(nbits=8, residual=True),
+         ((4, 100), (8, 100), (8, 200))),
+    ]
+    for vname, kw, points in variants:
+        ivfpq_path = f"{tmp}/ivfpq_{vname}"
+        build_ivfpq_index(emb, ivfpq_path, n_centroids=16, m=8, **kw)
+        for n_probe, shortlist in points:
+            evaluate(
+                f"ivfpq_{vname}(n_probe={n_probe}, shortlist={shortlist})",
+                lambda q, p=ivfpq_path, np_=n_probe, s=shortlist: ivfpq_topk_indexed(
+                    spark, p, q, k=k, n_probe=np_, shortlist=s
+                ),
+                lambda q, np_=n_probe, s=shortlist: float(min(s, n)),
+            )
 
     print(f"\n| index | recall@{k} | exact-scored fraction | ms/query |")
     print("|---|---|---|---|")

@@ -419,10 +419,13 @@ def test_append_to_ivfpq_index(spark, emb, tmp_path):
     assert idx.count() == emb.count()
     with open(f"{path}/_ivfpq_meta.json") as f:
         meta = json.load(f)
-    # frozen-artifact bit-identity for the appended rows
+    # frozen-artifact bit-identity for the appended rows (residual
+    # indexes encode v - centroid[cell] — same artifacts, same codes)
     direct = pq_encode(
         _assign_cells(half_b, meta["centroids"], "embedding"),
         meta["codebooks"], vec_col="embedding", out_col="pq_code",
+        centroids=meta["centroids"] if meta.get("residual") else None,
+        cell_col="__cell",
     ).select("vec_id", F.col("__cell").cast("int").alias("cell"), "pq_code")
     stored = idx.filter("vec_id % 2 = 1").select(
         "vec_id", F.col("__cell").cast("int").alias("cell"), "pq_code"
@@ -444,7 +447,11 @@ def test_ann_recall_floors_at_documented_operating_points(spark):
     sf0.1 embeddings (2,000 vectors), first-20-by-vec_id queries,
     exact cosine ground truth. Floors sit just under the committed
     measurements: lsh(16,8)=0.985, ivf(16,probe=2)=0.815,
-    pq(8,4,shortlist=100)=0.670, ivfpq(probe=8,shortlist=200)=0.855."""
+    pq(8,4,shortlist=100)=0.670, and the round-8 RESIDUAL IVF-PQ
+    points — ivfpq(probe=8,shortlist=200)=0.915 and the two cheap
+    (<=5% exact-scored) operating points the round-7 verdict flagged:
+    nbits=4 (probe=8,shortlist=100)=0.845 and nbits=8
+    (probe=8,shortlist=100)=0.920."""
     import os
     import tempfile
 
@@ -495,10 +502,30 @@ def test_ann_recall_floors_at_documented_operating_points(spark):
     r = recall(lambda q: pq_topk_rescored(emb10, books, q, k=k, shortlist=100))
     assert r >= 0.62, f"pq(m=8, nbits=4, shortlist=100) recall@10 regressed: {r:.3f}"
 
+    # residual IVF-PQ (the round-8 default layout)
     build_ivfpq_index(emb10, f"{tmp}/ivfpq", n_centroids=16, m=8, nbits=4)
     r = recall(
         lambda q: ivfpq_topk_indexed(
             spark, f"{tmp}/ivfpq", q, k=k, n_probe=8, shortlist=200
         )
     )
-    assert r >= 0.82, f"ivfpq(n_probe=8, shortlist=200) recall@10 regressed: {r:.3f}"
+    assert r >= 0.88, f"ivfpq(n_probe=8, shortlist=200) recall@10 regressed: {r:.3f}"
+    # the cheap operating point the round-7 verdict flagged: >=0.8
+    # recall at <=5% exact-scored (shortlist 100 of 2,000). n_probe
+    # widens only the byte-sized CODE scan, not the exact-rescore set
+    r = recall(
+        lambda q: ivfpq_topk_indexed(
+            spark, f"{tmp}/ivfpq", q, k=k, n_probe=8, shortlist=100
+        )
+    )
+    assert r >= 0.80, f"ivfpq(n_probe=8, shortlist=100) recall@10 regressed: {r:.3f}"
+
+    # nbits=8 residual (FAISS's default code width): 1-byte codes,
+    # recall at the same <=5% budget
+    build_ivfpq_index(emb10, f"{tmp}/ivfpq8", n_centroids=16, m=8, nbits=8)
+    r = recall(
+        lambda q: ivfpq_topk_indexed(
+            spark, f"{tmp}/ivfpq8", q, k=k, n_probe=8, shortlist=100
+        )
+    )
+    assert r >= 0.85, f"ivfpq8(n_probe=8, shortlist=100) recall@10 regressed: {r:.3f}"
