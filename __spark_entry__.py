@@ -3474,19 +3474,57 @@ def _q_target_write_log(spark, sf):
 
 def _q_settings_roundtrip(spark, sf):
     """Settings store (reference get_etl_setting, base.py:563-566):
-    set -> latest-wins get, history retained in a queryable dataset."""
+    set -> latest-wins get, history retained in a queryable dataset.
+
+    Round 8 (data-dependent, the last protocol pin upgraded): one
+    setting per region named ``cap_<region>``, its value the region's
+    nation count computed THROUGH the engine; the alphabetically-first
+    region's setting is then overwritten with count+1000, so the
+    latest-wins rule decides a value the oracle recomputes from the
+    input tables (names, counts, and which one was overwritten)."""
     import time as _time
 
-    eng, tmp = _tmp_engine(spark, sf, prefix="etl_set_")
-    eng.set_setting("batch_size", 5000)
-    eng.set_setting("mode", "fast")
+    eng, tmp = _tmp_engine(spark, sf, "region", "nation", prefix="etl_set_")
+    r, n = eng.read("region"), eng.read("nation")
+    counts = {
+        row.nm: int(row.c)
+        for row in n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.lower("r_name").alias("nm"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for nm in sorted(counts):
+        eng.set_setting(f"cap_{nm}", counts[nm])
+    victim = sorted(counts)[0]
     _time.sleep(0.01)  # distinct set_at for latest-wins
-    eng.set_setting("batch_size", 7500)
+    eng.set_setting(f"cap_{victim}", counts[victim] + 1000)
     rows = [
-        ("batch_size", str(eng.get_setting("batch_size"))),
-        ("mode", str(eng.get_setting("mode"))),
+        (f"cap_{nm}", str(eng.get_setting(f"cap_{nm}"))) for nm in sorted(counts)
     ]
     return spark.createDataFrame(rows, "name string, value string")
+
+
+def _q_today_macro(spark, sf):
+    """``%TODAY%`` macro in dataset names (uri.py; reference
+    base.py:27-30 — the reference's version is documented-broken, this
+    one works): an engine job WRITES a dated snapshot through the macro
+    (``snap/orders_%TODAY%``), a second engine read resolves the SAME
+    macro to read it back, and the result aggregates. The oracle
+    recomputes the aggregate from the input table — the macro path must
+    be lossless and both expansions must land on the same dataset."""
+    eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_today_")
+    eng.etl(
+        "orders", query=["o_orderstatus=F"],
+        target="snap/orders_%TODAY%", op="create",
+    )
+    back = eng.read("snap/orders_%TODAY%")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "cast(round(sum(cast(o_totalprice as decimal(30,2))), 2) as double)"
+        ).alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+    )
 
 
 def _q_tmap_conform(spark, sf):
@@ -3814,6 +3852,8 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catalog_ops": _q_catalog_ops,
     "preview_info": _q_preview_info,
     "write_dry_run": _q_write_dry_run,
+    # round 8: %TODAY% macro write->read round-trip (was unit-only)
+    "today_macro": _q_today_macro,
 }
 
 
@@ -5502,9 +5542,24 @@ def oracle_sql() -> dict[str, str]:
     sql["target_write_log"] = (
         "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'P'"
     )
+    # settings_roundtrip (round 8, data-dependent): names, counts, and
+    # the latest-wins overwrite target all recomputed from the tables
     sql["settings_roundtrip"] = (
-        "SELECT * FROM (VALUES ('batch_size', '7500'), ('mode', 'fast')) "
-        "t(name, value)"
+        "WITH c AS (SELECT lower(r_name) AS nm, count(*) AS c "
+        "           FROM nation n JOIN region r "
+        "           ON n.n_regionkey = r.r_regionkey GROUP BY 1), "
+        "v AS (SELECT min(nm) AS f FROM c) "
+        "SELECT 'cap_' || nm AS name, "
+        "CAST(c + CASE WHEN nm = (SELECT f FROM v) THEN 1000 ELSE 0 END "
+        "     AS VARCHAR) AS value FROM c"
+    )
+    # today_macro: the dated-snapshot write->read round-trip must be
+    # lossless, so the oracle aggregates the source directly
+    sql["today_macro"] = (
+        "SELECT o_orderpriority, count(*) AS n_orders, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) "
+        "AS sum_price, min(o_orderkey) AS min_key "
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"
     )
     sql["tmap_conform"] = (
         "SELECT CAST(o_orderkey AS INT) AS o_orderkey, o_totalprice, "
