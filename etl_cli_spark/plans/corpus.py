@@ -344,6 +344,7 @@ def run_corpus_pipeline_streaming(
     threshold: float = 0.7,
     span_index_path: str | None = None,
     span_min_docs: int = 2,
+    exactly_once: bool = False,
 ):
     """The corpus-prep pipeline over an APPEND-ONLY crawl drop directory
     (round-4 judge item #8): each invocation drains exactly the files
@@ -361,11 +362,16 @@ def run_corpus_pipeline_streaming(
     drop ids are crawl-monotone — the same contract the dedup index
     documents. Exactly-once: availableNow + the checkpoint give each
     file to exactly one batch across restarts; a crash INSIDE a batch
-    can replay it, so a production sink should commit per batchId
-    (foreachBatch's documented idempotence contract) — the append here
-    is the simple at-least-once form; for the exactly-once form see
-    ``streaming.incremental.streaming_merge``, whose manifest commit
-    records the batch watermark atomically with the data.
+    can replay it. ``exactly_once=True`` (round 8) closes that window
+    for the OUTPUT too: the table becomes manifest-mode and each
+    batch's append commits with the ``(stream_id, batch_id)`` watermark
+    riding the same atomic put-if-absent (the ``streaming_merge``
+    recipe), so a replayed batch sees ``last_stream_batch >= batch_id``
+    and skips the output append — duplicate output rows are impossible,
+    while index appends still run on replay (span: idempotent
+    overwrite; dedup signatures: self-excluded duplicates, harmless).
+    The default keeps the plain-parquet append (at-least-once output)
+    for sinks that want rename-swap tables.
 
     ``span_index_path``: optionally strip cross-drop repeated n-gram
     spans through the persisted gram-count index BEFORE the stage list
@@ -383,8 +389,28 @@ def run_corpus_pipeline_streaming(
     from ..operators.writeops import ParquetTable
     from ..streaming.incremental import incremental_stream
 
-    out = ParquetTable(spark, out_path)
+    out = ParquetTable(spark, out_path, manifest=exactly_once)
     span_stream_id = "corpus_span"
+    out_stream_id = "corpus_out"
+
+    def commit_output(kept: DataFrame, batch_id: int) -> None:
+        """Append the batch's survivors. exactly_once: the batch
+        watermark rides the append's atomic manifest commit, and a
+        replayed batch (already visible in a committed manifest) skips
+        — the streaming_merge idempotent-sink recipe."""
+        if not exactly_once:
+            out.append(kept)
+            return
+        last = out.last_stream_batch(out_stream_id)
+        if last is not None and batch_id <= last:
+            return
+        out.stream_commit_meta(out_stream_id, batch_id)
+        try:
+            out.append(kept)
+        finally:
+            # an empty append commits nothing: the armed watermark must
+            # not ride a later unrelated commit
+            out._pending_stream = None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         raw_df = batch_df  # pre-strip: what the index must sign
@@ -397,16 +423,17 @@ def run_corpus_pipeline_streaming(
         if dedup_index_path is not None:
             # crash-safe ordering: dedup, COMMIT THE OUTPUT, then index
             # the batch. A crash between the two replays the batch
-            # unindexed (duplicate output rows — at-least-once), never
-            # indexed-but-undelivered; and if the index write DID land
-            # before a replay, dedup_against_index's self-exclusion
-            # keeps the survivor set identical instead of self-dedup-ing
-            # the replayed batch to empty.
+            # unindexed (with exactly_once=False, duplicate output rows
+            # — at-least-once), never indexed-but-undelivered; and if
+            # the index write DID land before a replay,
+            # dedup_against_index's self-exclusion keeps the survivor
+            # set identical instead of self-dedup-ing the replayed
+            # batch to empty.
             kept = dedup_against_index(df, dedup_index_path, threshold=threshold)
-            out.append(kept)
+            commit_output(kept, batch_id)
             append_dedup_signatures(df, dedup_index_path)
         else:
-            out.append(df)
+            commit_output(df, batch_id)
         if span_index_path is not None:
             # index AFTER the output commit (crash-safe ordering: a
             # replayed drop is at worst unindexed, never

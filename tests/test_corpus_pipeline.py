@@ -508,3 +508,50 @@ def test_span_index_append_is_batch_gated_exactly_once(spark, tmp_path):
         for r in strip_against_span_index(b2, idx, min_docs=2).collect()
     }
     assert with_self[10] >= before[10][1]
+
+
+def test_streaming_runner_exactly_once_output(spark, tmp_path):
+    """exactly_once=True: the output append commits with the batch
+    watermark riding the same atomic manifest commit, so REPLAYED
+    batches (here: the whole stream re-read under a lost/fresh
+    checkpoint — every file re-delivered as batch 0) never duplicate
+    output rows. The default plain-parquet mode duplicates in the same
+    scenario — that contrast is the contract."""
+    from pyspark.sql import types as T
+
+    from etl_cli_spark.operators.writeops import ParquetTable
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline_streaming
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [(i, f"document number {i} body text") for i in range(6)]
+    src = str(tmp_path / "drops")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    # exactly-once mode: second pass with a FRESH checkpoint re-delivers
+    # every file; the manifest watermark makes the replay a no-op
+    out_eo = str(tmp_path / "out_eo.parquet")
+    run_corpus_pipeline_streaming(
+        spark, src, schema, [], out_eo, str(tmp_path / "ck1"),
+        exactly_once=True,
+    )
+    run_corpus_pipeline_streaming(
+        spark, src, schema, [], out_eo, str(tmp_path / "ck1_lost"),
+        exactly_once=True,
+    )
+    got = ParquetTable(spark, out_eo).read()
+    assert got.count() == len(rows)
+    assert {r.doc_id for r in got.collect()} == {r[0] for r in rows}
+
+    # default mode under the same lost-checkpoint replay: duplicates —
+    # the at-least-once behavior exactly_once exists to remove
+    out_alo = str(tmp_path / "out_alo.parquet")
+    run_corpus_pipeline_streaming(
+        spark, src, schema, [], out_alo, str(tmp_path / "ck2"))
+    run_corpus_pipeline_streaming(
+        spark, src, schema, [], out_alo, str(tmp_path / "ck2_lost"))
+    assert spark.read.parquet(out_alo).count() == 2 * len(rows)

@@ -529,3 +529,26 @@ def test_ann_recall_floors_at_documented_operating_points(spark):
         )
     )
     assert r >= 0.85, f"ivfpq8(n_probe=8, shortlist=100) recall@10 regressed: {r:.3f}"
+
+
+def test_ivfpq_probe_plan_partition_prunes(spark, emb, tmp_path):
+    """The residual probe's scale contract, plan-asserted: BOTH scans
+    (the code scan feeding the ADC shortlist and the vector scan
+    feeding the rescore) carry PartitionFilters on __cell — the read
+    is n_probe cells, never the corpus — and the one-row LUT broadcast
+    join is a BroadcastNestedLoopJoin, never a CartesianProduct."""
+    from etl_cli_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+    )
+
+    path = str(tmp_path / "ivfpq_plan")
+    build_ivfpq_index(emb, path, n_centroids=8, m=8, nbits=4)
+    q = [float(x) for x in emb.first().embedding]
+    df = ivfpq_topk_indexed(spark, path, q, k=5, n_probe=2, shortlist=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert len(pf) >= 2, f"expected 2 pruned scans, got: {pf}"
+    assert all("__cell" in ln and " IN (" in ln for ln in pf), pf
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row LUT frame
