@@ -3495,11 +3495,17 @@ def _q_settings_roundtrip(spark, sf):
     }
     for nm in sorted(counts):
         eng.set_setting(f"cap_{nm}", counts[nm])
+        # a STRING-valued setting per region too, so the set->get path
+        # stays certified for non-numeric values (review finding r8)
+        eng.set_setting(f"label_{nm}", nm.upper())
     victim = sorted(counts)[0]
     _time.sleep(0.01)  # distinct set_at for latest-wins
     eng.set_setting(f"cap_{victim}", counts[victim] + 1000)
     rows = [
         (f"cap_{nm}", str(eng.get_setting(f"cap_{nm}"))) for nm in sorted(counts)
+    ] + [
+        (f"label_{nm}", str(eng.get_setting(f"label_{nm}")))
+        for nm in sorted(counts)
     ]
     return spark.createDataFrame(rows, "name string, value string")
 
@@ -3512,11 +3518,20 @@ def _q_today_macro(spark, sf):
     macro to read it back, and the result aggregates. The oracle
     recomputes the aggregate from the input table — the macro path must
     be lossless and both expansions must land on the same dataset."""
+    from etl_cli_spark.uri import _today
+
     eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_today_")
-    eng.etl(
-        "orders", query=["o_orderstatus=F"],
-        target="snap/orders_%TODAY%", op="create",
-    )
+    # UTC-midnight guard: if the day rolls between the write and the
+    # read, the two macro expansions name different datasets — rewrite
+    # under the new day (at most once; the race window is microseconds)
+    for _ in range(2):
+        day = _today()
+        eng.etl(
+            "orders", query=["o_orderstatus=F"],
+            target="snap/orders_%TODAY%", op="create",
+        )
+        if _today() == day:
+            break
     back = eng.read("snap/orders_%TODAY%")
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -3624,18 +3639,22 @@ def _q_catalog_ops(spark, sf):
     names = sorted(
         r[0] for r in _sf_rows(sf, "region", "DISTINCT lower(r_name)")
     )
-    o = eng.read("orders")
+    # one persisted pass over orders feeds all the partition writes
+    o = eng.read("orders").persist()
     for i, name in enumerate(names):
         o.filter(F.col("o_orderkey") % len(names) == i).write.parquet(
             f"{tmp}/cat/{name}.parquet"
         )
+    o.unpersist()
+    # count each dataset ONCE through a real read-back; the transcript
+    # steps reuse the counts (drops never change a survivor's contents)
+    n_rows = {
+        n: spark.read.parquet(f"{tmp}/cat/{n}.parquet").count()
+        for n in ls_ns(tmp, "cat")
+    }
 
     def listing(step):
-        out = []
-        for n in ls_ns(tmp, "cat"):
-            c = spark.read.parquet(f"{tmp}/cat/{n}.parquet").count()
-            out.append((step, n, c))
-        return out
+        return [(step, n, n_rows[n]) for n in ls_ns(tmp, "cat")]
 
     rows = listing("created")
     victim = names[0]
@@ -5551,7 +5570,8 @@ def oracle_sql() -> dict[str, str]:
         "v AS (SELECT min(nm) AS f FROM c) "
         "SELECT 'cap_' || nm AS name, "
         "CAST(c + CASE WHEN nm = (SELECT f FROM v) THEN 1000 ELSE 0 END "
-        "     AS VARCHAR) AS value FROM c"
+        "     AS VARCHAR) AS value FROM c "
+        "UNION ALL SELECT 'label_' || nm, upper(nm) FROM c"
     )
     # today_macro: the dated-snapshot write->read round-trip must be
     # lossless, so the oracle aggregates the source directly

@@ -295,15 +295,24 @@ def bpe_train(
     words = _word_counts(docs, text_col)
     if mode not in ("auto", "driver", "spark"):
         raise ValueError(f"bpe_train: unknown mode {mode!r}")
+    rows = None
     if mode == "auto":
-        # the groupBy must complete anyway for either path; the capped
-        # count only bounds what the driver would have to hold
-        n_distinct = words.limit(driver_budget_words + 1).count()
-        mode = "driver" if n_distinct <= driver_budget_words else "spark"
+        # probe and harvest in ONE action: collect at most budget+1
+        # rows — if the vocabulary fits, these ARE the training input
+        # (no second corpus-scale aggregation; review finding r8), and
+        # if it doesn't, we fall to the distributed loop having spent
+        # the one pass the loop's first round needed anyway
+        rows = words.limit(driver_budget_words + 1).collect()
+        if len(rows) <= driver_budget_words:
+            mode = "driver"
+        else:
+            mode, rows = "spark", None
     if mode == "driver":
+        if rows is None:
+            rows = words.collect()
         # whole words collect losslessly (valid UTF-8); Python str
         # iteration yields code points, matching _char_syms exactly
-        vocab = [(list(r.word), int(r.cnt)) for r in words.collect()]
+        vocab = [(list(r.word), int(r.cnt)) for r in rows]
         merges = _train_merges_local(vocab, int(n_merges), int(min_pair_count))
         return spark.createDataFrame(
             merges,

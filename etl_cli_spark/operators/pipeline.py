@@ -565,8 +565,12 @@ def append_to_span_index(
     a crashed-and-replayed micro-batch OVERWRITES its own delta instead
     of appending a second copy, so replay can never double-count a
     drop's grams (the same idempotence-by-batch-id contract as
-    ``streaming.incremental.streaming_merge``). Without ``batch_id``
-    (manual/batch callers) the classic root-level append is kept."""
+    ``streaming.incremental.streaming_merge``). Batch ids are only
+    meaningful within one checkpoint lineage: a ``batch_id`` BELOW the
+    stream's largest existing delta raises (a deleted-and-recreated
+    checkpoint would otherwise re-sign history next to the old deltas
+    and double every count). Without ``batch_id`` (manual/batch
+    callers) the classic root-level append is kept."""
     import json
     import os
 
@@ -578,10 +582,24 @@ def append_to_span_index(
     )
     if batch_id is None:
         counts.write.mode("append").parquet(path)
-    else:
-        counts.write.mode("overwrite").parquet(
-            os.path.join(path, _span_delta_name(stream_id, batch_id))
+        return
+    prefix = f"delta_{stream_id}_"
+    existing = [
+        int(d[len(prefix):])
+        for d in os.listdir(path)
+        if d.startswith(prefix) and d[len(prefix):].isdigit()
+    ]
+    if existing and int(batch_id) < max(existing):
+        raise RuntimeError(
+            f"span index {path!r}, stream {stream_id!r}: batch "
+            f"{batch_id} is below the largest indexed batch "
+            f"{max(existing)} — the stream's checkpoint was reset. "
+            "Re-signing history would double-count grams; use a new "
+            "checkpoint dir (fresh stream id) or rebuild the index."
         )
+    counts.write.mode("overwrite").parquet(
+        os.path.join(path, _span_delta_name(stream_id, batch_id))
+    )
 
 
 def strip_against_span_index(

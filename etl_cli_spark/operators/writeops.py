@@ -770,8 +770,10 @@ class ParquetTable:
         """Largest committed version whose commit timestamp is <= ``ts``
         (Delta's ``TIMESTAMP AS OF`` resolution). Commits record
         ``ts`` (epoch seconds) in the manifest; versions from logs
-        predating the field sort as 0.0, so they resolve for any
-        non-negative timestamp. Raises when no version is old enough.
+        predating the field contribute 0.0 (so a leading legacy prefix
+        resolves for any non-negative timestamp; a legacy version AFTER
+        a ts-bearing one inherits that running max — see below). Raises
+        when no version is old enough.
 
         Timestamps are MONOTONIZED before resolution (running max over
         version order, the same adjustment Delta applies): under

@@ -366,12 +366,25 @@ def run_corpus_pipeline_streaming(
     for the OUTPUT too: the table becomes manifest-mode and each
     batch's append commits with the ``(stream_id, batch_id)`` watermark
     riding the same atomic put-if-absent (the ``streaming_merge``
-    recipe), so a replayed batch sees ``last_stream_batch >= batch_id``
+    recipe), so a replayed batch sees ``last_stream_batch == batch_id``
     and skips the output append — duplicate output rows are impossible,
     while index appends still run on replay (span: idempotent
     overwrite; dedup signatures: self-excluded duplicates, harmless).
     The default keeps the plain-parquet append (at-least-once output)
     for sinks that want rename-swap tables.
+
+    Scope of the guarantee — the Delta ``txnAppId`` caveat applies:
+    batch ids are meaningful only within ONE checkpoint lineage, so the
+    watermark stream id is derived from the checkpoint path. Resuming
+    the same checkpoint (the normal restart) is exactly-once; pointing
+    a NEW checkpoint at the same output is a NEW stream id, so the
+    re-delivered files append again (at-least-once — duplicated, never
+    silently lost). Deleting and recreating the checkpoint at the SAME
+    path is detected when possible (a batch id below the recorded
+    watermark raises instead of silently skipping data a prior lineage
+    never saw); the one undetectable case (reset lands on exactly the
+    watermark batch id) is the same undetectable case Delta documents
+    for reused txnAppIds.
 
     ``span_index_path``: optionally strip cross-drop repeated n-gram
     spans through the persisted gram-count index BEFORE the stage list
@@ -382,16 +395,34 @@ def run_corpus_pipeline_streaming(
     overwrite semantics, so a crashed-and-replayed drop overwrites its
     own counts instead of double-appending them, and the replayed
     strip EXCLUDES that same delta from history so it sees exactly
-    what the original run saw (crash-replay unit-pinned).
+    what the original run saw (crash-replay unit-pinned). Same
+    lineage scoping as the output: a same-path checkpoint reset is
+    detected and refused (backwards batch id), and re-pointing a NEW
+    checkpoint at the same span index re-signs the re-delivered drops
+    — that violates the index's disjoint-document contract exactly
+    like feeding a drop twice in batch mode would; resume the original
+    checkpoint or rebuild the index.
     """
     from ..operators.dedup import append_dedup_signatures, dedup_against_index
     from ..operators.pipeline import append_to_span_index, strip_against_span_index
     from ..operators.writeops import ParquetTable
     from ..streaming.incremental import incremental_stream
 
+    import hashlib
+    import os
+
     out = ParquetTable(spark, out_path, manifest=exactly_once)
-    span_stream_id = "corpus_span"
-    out_stream_id = "corpus_out"
+    # stream ids scoped to the checkpoint LINEAGE (the Delta txnAppId
+    # pattern): batch ids restart at 0 under a new checkpoint, so a
+    # lineage-global id would make a fresh checkpoint's batch 0 look
+    # like a replay of the old batch 0 and silently drop whatever new
+    # files it carries. A new checkpoint = a new stream id = the
+    # re-delivered history appends again (duplicates, never loss).
+    ckpt_tag = hashlib.sha256(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:12]
+    span_stream_id = f"corpus_span_{ckpt_tag}"
+    out_stream_id = f"corpus_out_{ckpt_tag}"
 
     def commit_output(kept: DataFrame, batch_id: int) -> None:
         """Append the batch's survivors. exactly_once: the batch
@@ -402,14 +433,28 @@ def run_corpus_pipeline_streaming(
             out.append(kept)
             return
         last = out.last_stream_batch(out_stream_id)
-        if last is not None and batch_id <= last:
-            return
+        if last is not None and batch_id < last:
+            # impossible within one checkpoint lineage (ids are
+            # monotonic; a crash replay re-delivers the SAME id): the
+            # checkpoint was deleted and recreated at the same path.
+            # Skipping would silently drop data a prior lineage never
+            # saw — refuse loudly instead.
+            raise RuntimeError(
+                f"stream {out_stream_id!r}: batch {batch_id} is below the "
+                f"committed watermark {last} — the checkpoint at "
+                f"{checkpoint!r} was reset. Use a NEW checkpoint dir "
+                "(fresh stream id) or a fresh output table."
+            )
+        if last is not None and batch_id == last:
+            return  # crash replay of the committed batch — idempotent skip
         out.stream_commit_meta(out_stream_id, batch_id)
         try:
             out.append(kept)
         finally:
-            # an empty append commits nothing: the armed watermark must
-            # not ride a later unrelated commit
+            # defensive: append() always commits (an empty batch commits
+            # an empty version carrying the watermark — desirable, the
+            # stream still advances), but if it ever RAISES instead, the
+            # armed watermark must not ride a later unrelated commit
             out._pending_stream = None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

@@ -509,14 +509,33 @@ def test_span_index_append_is_batch_gated_exactly_once(spark, tmp_path):
     }
     assert with_self[10] >= before[10][1]
 
+    # lineage guard: a batch id BELOW the stream's largest indexed
+    # delta means the checkpoint was reset — re-signing history would
+    # double-count grams, so the append must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="checkpoint was reset"):
+        append_to_span_index(b1, idx, batch_id=0, stream_id="s")
+    # equal (crash replay) and forward batch ids still append fine
+    append_to_span_index(b2, idx, batch_id=1, stream_id="s")
+    append_to_span_index(b2, idx, batch_id=2, stream_id="s")
+
 
 def test_streaming_runner_exactly_once_output(spark, tmp_path):
-    """exactly_once=True: the output append commits with the batch
-    watermark riding the same atomic manifest commit, so REPLAYED
-    batches (here: the whole stream re-read under a lost/fresh
-    checkpoint — every file re-delivered as batch 0) never duplicate
-    output rows. The default plain-parquet mode duplicates in the same
-    scenario — that contrast is the contract."""
+    """exactly_once=True semantics, lineage-scoped (the Delta txnAppId
+    pattern — stream ids derive from the checkpoint path):
+
+    1. resuming the SAME checkpoint is a no-op (no duplicates);
+    2. a NEW checkpoint is a new lineage: re-delivered history appends
+       again (duplicates) but NEW files are never silently lost — the
+       failure a lineage-global watermark would have (fresh batch ids
+       restart at 0 and would look like replays);
+    3. deleting and recreating the checkpoint at the SAME path is
+       detected (backwards batch id) and refused loudly.
+    """
+    import shutil
+
+    import pytest as _pytest
     from pyspark.sql import types as T
 
     from etl_cli_spark.operators.writeops import ParquetTable
@@ -528,30 +547,51 @@ def test_streaming_runner_exactly_once_output(spark, tmp_path):
             T.StructField("text", T.StringType()),
         ]
     )
-    rows = [(i, f"document number {i} body text") for i in range(6)]
+    rows_a = [(i, f"document number {i} body text") for i in range(6)]
     src = str(tmp_path / "drops")
-    spark.createDataFrame(rows, schema).write.parquet(src)
+    out = str(tmp_path / "out_eo.parquet")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    spark.createDataFrame(rows_a, schema).write.mode("append").parquet(src)
 
-    # exactly-once mode: second pass with a FRESH checkpoint re-delivers
-    # every file; the manifest watermark makes the replay a no-op
-    out_eo = str(tmp_path / "out_eo.parquet")
     run_corpus_pipeline_streaming(
-        spark, src, schema, [], out_eo, str(tmp_path / "ck1"),
-        exactly_once=True,
-    )
+        spark, src, schema, [], out, ck1, exactly_once=True)
+    # (1) same-checkpoint resume: nothing pending, nothing duplicated
     run_corpus_pipeline_streaming(
-        spark, src, schema, [], out_eo, str(tmp_path / "ck1_lost"),
-        exactly_once=True,
-    )
-    got = ParquetTable(spark, out_eo).read()
-    assert got.count() == len(rows)
-    assert {r.doc_id for r in got.collect()} == {r[0] for r in rows}
+        spark, src, schema, [], out, ck1, exactly_once=True)
+    assert ParquetTable(spark, out).read().count() == len(rows_a)
 
-    # default mode under the same lost-checkpoint replay: duplicates —
-    # the at-least-once behavior exactly_once exists to remove
+    # (2) new checkpoint + a NEW drop: history duplicates (documented
+    # at-least-once across lineages) but the new rows ARE present —
+    # never silently lost
+    rows_b = [(100 + i, f"late drop doc {i}") for i in range(3)]
+    spark.createDataFrame(rows_b, schema).write.mode("append").parquet(src)
+    run_corpus_pipeline_streaming(
+        spark, src, schema, [], out, ck2, exactly_once=True)
+    got = ParquetTable(spark, out).read()
+    assert got.count() == 2 * len(rows_a) + len(rows_b)
+    assert {r[0] for r in rows_b} <= {r.doc_id for r in got.collect()}
+
+    # (3) same-path checkpoint reset with multi-batch history: refused
+    out3 = str(tmp_path / "out3.parquet")
+    ck3 = str(tmp_path / "ck3")
+    src3 = str(tmp_path / "drops3")
+    spark.createDataFrame(rows_a[:3], schema).write.mode("append").parquet(src3)
+    run_corpus_pipeline_streaming(
+        spark, src3, schema, [], out3, ck3, exactly_once=True)   # batch 0
+    spark.createDataFrame(rows_a[3:], schema).write.mode("append").parquet(src3)
+    run_corpus_pipeline_streaming(
+        spark, src3, schema, [], out3, ck3, exactly_once=True)   # batch 1
+    shutil.rmtree(ck3)
+    spark.createDataFrame(rows_b, schema).write.mode("append").parquet(src3)
+    with _pytest.raises(Exception, match="checkpoint.*reset|below the committed"):
+        run_corpus_pipeline_streaming(
+            spark, src3, schema, [], out3, ck3, exactly_once=True)
+
+    # default (plain parquet) mode under a new checkpoint: duplicates,
+    # same as before — the at-least-once baseline
     out_alo = str(tmp_path / "out_alo.parquet")
     run_corpus_pipeline_streaming(
-        spark, src, schema, [], out_alo, str(tmp_path / "ck2"))
+        spark, src, schema, [], out_alo, str(tmp_path / "ck4"))
     run_corpus_pipeline_streaming(
-        spark, src, schema, [], out_alo, str(tmp_path / "ck2_lost"))
-    assert spark.read.parquet(out_alo).count() == 2 * len(rows)
+        spark, src, schema, [], out_alo, str(tmp_path / "ck4_lost"))
+    assert spark.read.parquet(out_alo).count() == 2 * (len(rows_a) + len(rows_b))
