@@ -847,13 +847,17 @@ def pq_topk(
     code_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k by PQ Asymmetric Distance: the per-query LUT
-    (query subvector vs every codebook entry, rounded 6 dp) is a tiny
-    literal array in the plan; scoring is m JVM-side ``element_at``
-    lookups summed per row — whole-stage codegen, zero UDFs on the
-    query path, and the scan needs only the code column. Pass
-    ``code_col`` to score a pre-encoded frame (the persisted-index
-    shape); otherwise the frame is encoded on the fly. Ranks ascending
-    distance with the id tie-break; TakeOrderedAndProject at small k."""
+    (query subvector vs every codebook entry, rounded 6 dp) rides a
+    one-row broadcast frame cross-joined to the codes (classic PySpark
+    builds array LITERALS element-by-element over py4j, so at nbits=8
+    the literal form costs seconds of driver time per query — same
+    finding as the residual probe); scoring is m JVM-side
+    ``element_at`` lookups summed per row — whole-stage codegen, zero
+    UDFs on the query path, and the scan needs only the code column.
+    Pass ``code_col`` to score a pre-encoded frame (the
+    persisted-index shape); otherwise the frame is encoded on the fly.
+    Ranks ascending distance with the id tie-break;
+    TakeOrderedAndProject at small k."""
     import numpy as np
 
     m = len(codebooks)
@@ -871,14 +875,18 @@ def pq_topk(
     if code_col is None:
         df = pq_encode(df, codebooks, vec_col=vec_col, out_col="__pq")
         code_col = "__pq"
+    lut_df = df.sparkSession.createDataFrame(
+        [tuple(lut)], ", ".join(f"__lut{j} array<double>" for j in range(m))
+    )
     dist = None
     for j in range(m):
-        # single array Literal per subspace (not CreateArray of ksub
-        # literal nodes) — keeps plan build flat in ksub
-        term = F.element_at(F.lit(lut[j]), F.col(code_col).getItem(j) + 1)
+        term = F.element_at(
+            F.col(f"__lut{j}"), F.col(code_col).getItem(j) + 1
+        )
         dist = term if dist is None else dist + term
     return (
-        df.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        df.crossJoin(F.broadcast(lut_df))
+        .select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
