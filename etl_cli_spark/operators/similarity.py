@@ -837,6 +837,35 @@ def pq_encode(
     return df.mapInPandas(encode, out_schema)
 
 
+def _with_lut_arrays(
+    df: DataFrame, luts: list[list[float]], extra: dict | None = None
+) -> DataFrame:
+    """Attach per-query ADC lookup tables as ``__lut{j}`` array columns
+    (plus ``extra`` name->int-list columns), choosing the cheaper
+    shipping mode by payload size: classic PySpark builds array
+    LITERALS element-by-element over py4j (~0.4 ms/element of pure
+    driver time — seconds at nbits=8), while a one-row broadcast frame
+    costs one serialization call plus a fixed ~0.3 s
+    BroadcastNestedLoopJoin; the crossover sits around a thousand
+    elements (same-session A/B, round 8)."""
+    extra = extra or {}
+    total = sum(len(v) for v in luts) + sum(len(v) for v in extra.values())
+    if total <= 1024:
+        out = df
+        for name, vals in extra.items():
+            out = out.withColumn(name, F.lit(vals))
+        for j, vals in enumerate(luts):
+            out = out.withColumn(f"__lut{j}", F.lit(vals))
+        return out
+    cols = list(extra.keys()) + [f"__lut{j}" for j in range(len(luts))]
+    types = ["array<int>"] * len(extra) + ["array<double>"] * len(luts)
+    lut_df = df.sparkSession.createDataFrame(
+        [tuple(list(extra.values()) + luts)],
+        ", ".join(f"{c} {t}" for c, t in zip(cols, types)),
+    )
+    return df.crossJoin(F.broadcast(lut_df))
+
+
 def pq_topk(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -847,11 +876,10 @@ def pq_topk(
     code_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k by PQ Asymmetric Distance: the per-query LUT
-    (query subvector vs every codebook entry, rounded 6 dp) rides a
-    one-row broadcast frame cross-joined to the codes (classic PySpark
-    builds array LITERALS element-by-element over py4j, so at nbits=8
-    the literal form costs seconds of driver time per query — same
-    finding as the residual probe); scoring is m JVM-side
+    (query subvector vs every codebook entry, rounded 6 dp) ships via
+    :func:`_with_lut_arrays` (size-adaptive: tiny LUTs inline as plan
+    literals, big ones ride a one-row broadcast frame — py4j literal
+    construction costs seconds at nbits=8); scoring is m JVM-side
     ``element_at`` lookups summed per row — whole-stage codegen, zero
     UDFs on the query path, and the scan needs only the code column.
     Pass ``code_col`` to score a pre-encoded frame (the
@@ -875,9 +903,7 @@ def pq_topk(
     if code_col is None:
         df = pq_encode(df, codebooks, vec_col=vec_col, out_col="__pq")
         code_col = "__pq"
-    lut_df = df.sparkSession.createDataFrame(
-        [tuple(lut)], ", ".join(f"__lut{j} array<double>" for j in range(m))
-    )
+    scored = _with_lut_arrays(df, lut)
     dist = None
     for j in range(m):
         term = F.element_at(
@@ -885,8 +911,7 @@ def pq_topk(
         )
         dist = term if dist is None else dist + term
     return (
-        df.crossJoin(F.broadcast(lut_df))
-        .select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        scored.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -1006,14 +1031,14 @@ def _residual_adc_shortlist(
     so the query side must be ``q - centroid[cell]`` too).
 
     The m per-subspace LUTs (each n_probe*ksub doubles, flattened so
-    entry ``rank(cell)*ksub + code`` is the distance) ride a ONE-ROW
-    broadcast frame cross-joined to the candidates, NOT plan literals:
-    classic PySpark builds array literals element-by-element over py4j,
-    so at nbits=8 (8 x 8 x 256 doubles) the literal forms spent ~6-8 s
-    of DRIVER time per query just constructing the plan (A/B'd:
-    WHEN-chain 7.9 s, flat F.lit arrays 6.7 s, one-row broadcast ~1 s;
-    values identical). Scoring stays m JVM element_at lookups per row —
-    whole-stage codegen, zero UDFs — and the broadcast is KB-sized."""
+    entry ``rank(cell)*ksub + code`` is the distance) ship via
+    :func:`_with_lut_arrays` — at nbits=8 (8 x 8 x 256 doubles) the
+    plan-literal forms spent ~6-8 s of DRIVER time per query just
+    constructing the plan (A/B'd: WHEN-chain 7.9 s, flat F.lit arrays
+    6.7 s, one-row broadcast ~1 s; values identical), so big payloads
+    ride the one-row broadcast frame. Scoring stays m JVM element_at
+    lookups per row — whole-stage codegen, zero UDFs — and the
+    broadcast is KB-sized."""
     import numpy as np
 
     books = meta["codebooks"]
@@ -1029,11 +1054,8 @@ def _residual_adc_shortlist(
                 float(round(float(((qr[j * dsub : (j + 1) * dsub] - np.asarray(e)) ** 2).sum()), 6))
                 for e in books[j]
             )
-    spark = cand.sparkSession
-    lut_df = spark.createDataFrame(
-        [tuple([[int(c) for c in probes]] + flat)],
-        ", ".join(["__probes array<int>"]
-                  + [f"__lut{j} array<double>" for j in range(m)]),
+    scored = _with_lut_arrays(
+        cand, flat, extra={"__probes": [int(c) for c in probes]}
     )
     # 1-based rank of the row's cell among the probed cells; cand is
     # pre-filtered to probed cells, so the position is never 0
@@ -1046,8 +1068,7 @@ def _residual_adc_shortlist(
         )
         dist = term if dist is None else dist + term
     return (
-        cand.crossJoin(F.broadcast(lut_df))
-        .select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        scored.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(shortlist)
         .select(id_col)

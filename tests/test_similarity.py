@@ -545,10 +545,21 @@ def test_ivfpq_probe_plan_partition_prunes(spark, emb, tmp_path):
     path = str(tmp_path / "ivfpq_plan")
     build_ivfpq_index(emb, path, n_centroids=8, m=8, nbits=4)
     q = [float(x) for x in emb.first().embedding]
+    # small LUT payload (2 cells x 16 codes x 8 subspaces = 256): the
+    # adaptive shipper inlines plan literals — no join at all
     df = ivfpq_topk_indexed(spark, path, q, k=5, n_probe=2, shortlist=20)
     plan = df._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert len(pf) >= 2, f"expected 2 pruned scans, got: {pf}"
     assert all("__cell" in ln and " IN (" in ln for ln in pf), pf
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # literals, no join
+    # big LUT payload (8 x 16 x 8 = 1024+ crosses the threshold): the
+    # one-row broadcast frame joins via BNLJ — still no cartesian, and
+    # pruning still reaches both scans
+    df = ivfpq_topk_indexed(spark, path, q, k=5, n_probe=8, shortlist=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert len(pf) >= 2 and all("__cell" in ln for ln in pf), pf
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row LUT frame
