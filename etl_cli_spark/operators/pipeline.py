@@ -583,23 +583,102 @@ def append_to_span_index(
     if batch_id is None:
         counts.write.mode("append").parquet(path)
         return
-    prefix = f"delta_{stream_id}_"
-    existing = [
-        int(d[len(prefix):])
-        for d in os.listdir(path)
-        if d.startswith(prefix) and d[len(prefix):].isdigit()
-    ]
-    if existing and int(batch_id) < max(existing):
+    hi = _span_stream_watermark(path, stream_id)
+    if hi is not None and int(batch_id) < hi:
         raise RuntimeError(
             f"span index {path!r}, stream {stream_id!r}: batch "
             f"{batch_id} is below the largest indexed batch "
-            f"{max(existing)} — the stream's checkpoint was reset. "
+            f"{hi} — the stream's checkpoint was reset. "
             "Re-signing history would double-count grams; use a new "
             "checkpoint dir (fresh stream id) or rebuild the index."
         )
     counts.write.mode("overwrite").parquet(
         os.path.join(path, _span_delta_name(stream_id, batch_id))
     )
+
+
+def _span_stream_watermark(path: str, stream_id: str) -> int | None:
+    """Largest batch id known for ``stream_id``: the max over live
+    delta directories and the ``_span_watermarks.json`` sidecar that
+    :func:`compact_span_index` leaves behind (compaction folds the
+    delta dirs away; the lineage-reset guard must survive it)."""
+    import json
+    import os
+
+    hi = None
+    prefix = f"delta_{stream_id}_"
+    for d in os.listdir(path):
+        if d.startswith(prefix) and d[len(prefix):].isdigit():
+            b = int(d[len(prefix):])
+            hi = b if hi is None else max(hi, b)
+    wm = os.path.join(path, "_span_watermarks.json")
+    if os.path.exists(wm):
+        with open(wm) as f:
+            v = json.load(f).get(str(stream_id))
+        if v is not None:
+            hi = int(v) if hi is None else max(hi, int(v))
+    return hi
+
+
+def compact_span_index(spark, path: str) -> None:
+    """Fold the index's delta files (root appends + per-batch stream
+    directories) into ONE base delta of summed per-gram counts — probe
+    cost stays proportional to DISTINCT grams instead of growing with
+    the number of drops ever appended. Stream lineage survives: each
+    stream's high-water batch id is recorded in
+    ``_span_watermarks.json`` before the delta dirs are removed, so the
+    checkpoint-reset guard keeps refusing backwards batch ids after
+    compaction.
+
+    OFFLINE maintenance (the ``vacuum`` contract): run it between
+    stream invocations, not concurrently with probes or appends — the
+    summed base lands before the old deltas are removed, and a reader
+    overlapping that window would double-count."""
+    import json
+    import os
+    import shutil
+
+    # harvest stream watermarks from the live delta dirs
+    wm_path = os.path.join(path, "_span_watermarks.json")
+    marks: dict[str, int] = {}
+    if os.path.exists(wm_path):
+        with open(wm_path) as f:
+            marks = {k: int(v) for k, v in json.load(f).items()}
+    delta_dirs = []
+    for d in os.listdir(path):
+        if d.startswith("delta_") and "_" in d[6:]:
+            stream, _, bid = d[6:].rpartition("_")
+            if bid.isdigit():
+                delta_dirs.append(d)
+                marks[stream] = max(marks.get(stream, -1), int(bid))
+    has_parts = any(
+        fn.endswith(".parquet")
+        for root, _dirs, files in os.walk(path)
+        for fn in files
+    )
+    if not has_parts:
+        return  # empty index (meta sidecar only): nothing to fold
+    base = _span_history(spark, path).groupBy("gh").agg(
+        F.sum("n_docs").alias("n_docs")
+    )
+    tmp = os.path.join(path, ".compact_tmp")
+    base.write.mode("overwrite").parquet(tmp)
+    # persist lineage BEFORE removing the dirs it was derived from
+    with open(wm_path + ".tmp", "w") as f:
+        json.dump(marks, f)
+    os.replace(wm_path + ".tmp", wm_path)
+    for fn in os.listdir(path):
+        p = os.path.join(path, fn)
+        if fn.endswith(".parquet") and os.path.isfile(p):
+            os.remove(p)  # old root-level append parts
+        elif fn in delta_dirs:
+            shutil.rmtree(p)
+    for i, fn in enumerate(sorted(os.listdir(tmp))):
+        if fn.endswith(".parquet"):
+            os.replace(
+                os.path.join(tmp, fn), os.path.join(path, f"base-{i:05d}.parquet")
+            )
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def strip_against_span_index(

@@ -890,3 +890,68 @@ def test_pack_token_ids_reference(spark):
             piece = flat[p * budget : (p + 1) * budget]
             want[(shard, p)] = (" ".join(map(str, piece)), len(piece))
     assert got == want
+
+
+def test_compact_span_index_preserves_probes_and_lineage(spark, tmp_path):
+    """Compaction folds root appends + per-batch stream deltas into one
+    summed base: probe results (strip output) are IDENTICAL before and
+    after, delta directories are gone, and the checkpoint-reset guard
+    still refuses backwards batch ids via the watermark sidecar."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_cli_spark.operators.pipeline import (
+        append_to_span_index,
+        build_span_index,
+        compact_span_index,
+        strip_against_span_index,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "span_idx")
+    build_span_index(
+        mk([(1, "shared legal boilerplate span here plus one")]), idx, n=5
+    )
+    append_to_span_index(
+        mk([(10, "shared legal boilerplate span here plus ten")]), idx,
+        batch_id=0, stream_id="s",
+    )
+    append_to_span_index(
+        mk([(20, "another common footer block appears here twice over")]),
+        idx, batch_id=3, stream_id="s",
+    )
+    probe = mk([(99, "shared legal boilerplate span here plus probe")])
+    before = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in strip_against_span_index(probe, idx, min_docs=2).collect()
+    }
+    compact_span_index(spark, idx)
+    after = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in strip_against_span_index(probe, idx, min_docs=2).collect()
+    }
+    assert after == before and before[99][1] > 0
+    # all per-batch dirs folded away; base files at the root
+    assert not [d for d in os.listdir(idx) if d.startswith("delta_")]
+    # lineage survives the fold: batch 1 < watermark 3 still refused
+    with _pytest.raises(RuntimeError, match="checkpoint was reset"):
+        append_to_span_index(
+            mk([(30, "x y z w v u t")]), idx, batch_id=1, stream_id="s"
+        )
+    # forward batches append normally and probes keep summing
+    append_to_span_index(
+        mk([(40, "shared legal boilerplate span here plus forty")]), idx,
+        batch_id=4, stream_id="s",
+    )
+    again = {
+        r.doc_id: r.n_stripped
+        for r in strip_against_span_index(probe, idx, min_docs=2).collect()
+    }
+    assert again[99] >= before[99][1]
+    # idempotent: compacting twice is safe
+    compact_span_index(spark, idx)
+    assert {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in strip_against_span_index(probe, idx, min_docs=2).collect()
+    }[99] == (after[99][0], again[99])
