@@ -3518,21 +3518,26 @@ def _q_today_macro(spark, sf):
     macro to read it back, and the result aggregates. The oracle
     recomputes the aggregate from the input table — the macro path must
     be lossless and both expansions must land on the same dataset."""
-    from etl_cli_spark.uri import _today
-
     eng, tmp = _tmp_engine(spark, sf, "orders", prefix="etl_today_")
-    # UTC-midnight guard: if the day rolls between the write and the
-    # read, the two macro expansions name different datasets — rewrite
-    # under the new day (at most once; the race window is microseconds)
+    # UTC-midnight guard: if the day rolls between the macro write and
+    # the macro read they name different datasets — retry the whole
+    # write+read cycle once under the new day. drop=True makes the
+    # retried create overwrite (op='create' otherwise appends, which
+    # would double a snapshot that DID land before the roll).
+    back = None
     for _ in range(2):
-        day = _today()
         eng.etl(
             "orders", query=["o_orderstatus=F"],
-            target="snap/orders_%TODAY%", op="create",
+            target="snap/orders_%TODAY%", op="create", drop=True,
         )
-        if _today() == day:
+        try:
+            # read() resolves the macro NOW and binds the dataset path;
+            # later lazy execution reads that bound path
+            back = eng.read("snap/orders_%TODAY%")
             break
-    back = eng.read("snap/orders_%TODAY%")
+        except Exception:
+            continue  # day rolled between write and read: rewrite
+    assert back is not None
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.expr(
@@ -3646,15 +3651,16 @@ def _q_catalog_ops(spark, sf):
             f"{tmp}/cat/{name}.parquet"
         )
     o.unpersist()
-    # count each dataset ONCE through a real read-back; the transcript
-    # steps reuse the counts (drops never change a survivor's contents)
-    n_rows = {
-        n: spark.read.parquet(f"{tmp}/cat/{n}.parquet").count()
-        for n in ls_ns(tmp, "cat")
-    }
 
     def listing(step):
-        return [(step, n, n_rows[n]) for n in ls_ns(tmp, "cat")]
+        # every step RE-READS each survivor and re-counts it: the
+        # transcript certifies not just the name listing but that a
+        # drop never touched a SIBLING dataset's contents (a cached
+        # count would let that regression class through)
+        return [
+            (step, n, spark.read.parquet(f"{tmp}/cat/{n}.parquet").count())
+            for n in ls_ns(tmp, "cat")
+        ]
 
     rows = listing("created")
     victim = names[0]

@@ -583,26 +583,14 @@ def append_to_span_index(
     if batch_id is None:
         counts.write.mode("append").parquet(path)
         return
-    hi = _span_stream_watermark(path, stream_id)
-    if hi is not None and int(batch_id) < hi:
-        raise RuntimeError(
-            f"span index {path!r}, stream {stream_id!r}: batch "
-            f"{batch_id} is below the largest indexed batch "
-            f"{hi} — the stream's checkpoint was reset. "
-            "Re-signing history would double-count grams; use a new "
-            "checkpoint dir (fresh stream id) or rebuild the index."
-        )
+    _guard_span_batch(path, stream_id, batch_id)
     counts.write.mode("overwrite").parquet(
         os.path.join(path, _span_delta_name(stream_id, batch_id))
     )
 
 
-def _span_stream_watermark(path: str, stream_id: str) -> int | None:
-    """Largest batch id known for ``stream_id``: the max over live
-    delta directories and the ``_span_watermarks.json`` sidecar that
-    :func:`compact_span_index` leaves behind (compaction folds the
-    delta dirs away; the lineage-reset guard must survive it)."""
-    import json
+def _span_live_max(path: str, stream_id: str) -> int | None:
+    """Largest batch id among LIVE (un-compacted) delta directories."""
     import os
 
     hi = None
@@ -611,13 +599,83 @@ def _span_stream_watermark(path: str, stream_id: str) -> int | None:
         if d.startswith(prefix) and d[len(prefix):].isdigit():
             b = int(d[len(prefix):])
             hi = b if hi is None else max(hi, b)
-    wm = os.path.join(path, "_span_watermarks.json")
-    if os.path.exists(wm):
-        with open(wm) as f:
-            v = json.load(f).get(str(stream_id))
-        if v is not None:
-            hi = int(v) if hi is None else max(hi, int(v))
     return hi
+
+
+def _span_compacted_mark(path: str, stream_id: str) -> int | None:
+    """Largest batch id FOLDED into the base by compaction (the
+    ``_span_watermarks.json`` sidecar). A folded batch's delta can
+    neither be overwritten (replay) nor excluded (strip) any more, so
+    callers must refuse ids at or below this mark."""
+    import json
+    import os
+
+    wm = os.path.join(path, "_span_watermarks.json")
+    if not os.path.exists(wm):
+        return None
+    with open(wm) as f:
+        v = json.load(f).get(str(stream_id))
+    return None if v is None else int(v)
+
+
+def _guard_span_batch(path: str, stream_id: str, batch_id: int) -> None:
+    """Refuse batch ids the index can no longer handle idempotently:
+    at-or-below the compacted mark (the delta was folded into the base
+    — a replay would double-count and a strip would self-sight) or
+    below the live max (checkpoint reset)."""
+    _recover_span_compaction(path)
+    cm = _span_compacted_mark(path, stream_id)
+    if cm is not None and int(batch_id) <= cm:
+        raise RuntimeError(
+            f"span index {path!r}, stream {stream_id!r}: batch "
+            f"{batch_id} was already folded into the compacted base "
+            f"(mark {cm}). A replayed-after-compaction batch cannot be "
+            "applied idempotently — compact only between FULLY "
+            "committed stream invocations, and rebuild the index to "
+            "recover from this state."
+        )
+    lm = _span_live_max(path, stream_id)
+    if lm is not None and int(batch_id) < lm:
+        raise RuntimeError(
+            f"span index {path!r}, stream {stream_id!r}: batch "
+            f"{batch_id} is below the largest indexed batch "
+            f"{lm} — the stream's checkpoint was reset. "
+            "Re-signing history would double-count grams; use a new "
+            "checkpoint dir (fresh stream id) or rebuild the index."
+        )
+
+
+_SPAN_COMPACT_MARKER = "_span_compact_pending.json"
+
+
+def _recover_span_compaction(path: str) -> None:
+    """Finish a compaction that crashed mid-swap. The marker (written
+    AFTER the summed base exists, BEFORE any visible file changes) is
+    the commit point and records the exact moves + deletions, so replay
+    is idempotent: move any base files still in the hidden tmp dir,
+    delete any listed old files still present, drop the marker."""
+    import json
+    import os
+    import shutil
+
+    marker = os.path.join(path, _SPAN_COMPACT_MARKER)
+    if not os.path.exists(marker):
+        return
+    with open(marker) as f:
+        plan = json.load(f)
+    tmp = os.path.join(path, plan["tmp"])
+    for src, dst in plan["moves"]:
+        s = os.path.join(tmp, src)
+        if os.path.exists(s):
+            os.replace(s, os.path.join(path, dst))
+    for rel in plan["to_delete"]:
+        p = os.path.join(path, rel)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.remove(marker)
 
 
 def compact_span_index(spark, path: str) -> None:
@@ -625,60 +683,67 @@ def compact_span_index(spark, path: str) -> None:
     directories) into ONE base delta of summed per-gram counts — probe
     cost stays proportional to DISTINCT grams instead of growing with
     the number of drops ever appended. Stream lineage survives: each
-    stream's high-water batch id is recorded in
-    ``_span_watermarks.json`` before the delta dirs are removed, so the
-    checkpoint-reset guard keeps refusing backwards batch ids after
-    compaction.
+    stream's high-water batch id lands in ``_span_watermarks.json``,
+    and appends/strips refuse ids at or below it (a folded delta can't
+    be replayed or excluded any more — see ``_guard_span_batch``).
 
-    OFFLINE maintenance (the ``vacuum`` contract): run it between
-    stream invocations, not concurrently with probes or appends — the
-    summed base lands before the old deltas are removed, and a reader
-    overlapping that window would double-count."""
+    Crash-safe via a write-ahead marker: the summed base is written to
+    a hidden tmp dir, then the marker (recording the exact moves and
+    deletions) commits the swap; a crash at ANY point either leaves the
+    old state fully intact (marker absent — hidden tmp is invisible to
+    readers) or is finished idempotently by the next strip/append/
+    compact (``_recover_span_compaction``). OFFLINE maintenance (the
+    ``vacuum`` contract): run it between stream invocations, not
+    concurrently with probes or appends."""
     import json
     import os
     import shutil
+    import uuid
 
-    # harvest stream watermarks from the live delta dirs
+    _recover_span_compaction(path)
     wm_path = os.path.join(path, "_span_watermarks.json")
     marks: dict[str, int] = {}
     if os.path.exists(wm_path):
         with open(wm_path) as f:
             marks = {k: int(v) for k, v in json.load(f).items()}
     delta_dirs = []
+    old_parts = []
     for d in os.listdir(path):
-        if d.startswith("delta_") and "_" in d[6:]:
+        p = os.path.join(path, d)
+        if d.startswith("delta_") and "_" in d[6:] and os.path.isdir(p):
             stream, _, bid = d[6:].rpartition("_")
             if bid.isdigit():
                 delta_dirs.append(d)
                 marks[stream] = max(marks.get(stream, -1), int(bid))
-    has_parts = any(
-        fn.endswith(".parquet")
-        for root, _dirs, files in os.walk(path)
-        for fn in files
-    )
-    if not has_parts:
+        elif d.endswith(".parquet") and os.path.isfile(p):
+            old_parts.append(d)
+    if not delta_dirs and not old_parts:
         return  # empty index (meta sidecar only): nothing to fold
     base = _span_history(spark, path).groupBy("gh").agg(
         F.sum("n_docs").alias("n_docs")
     )
-    tmp = os.path.join(path, ".compact_tmp")
+    tmp_name = ".compact_tmp"
+    tmp = os.path.join(path, tmp_name)
     base.write.mode("overwrite").parquet(tmp)
-    # persist lineage BEFORE removing the dirs it was derived from
+    nonce = uuid.uuid4().hex[:8]
+    moves = [
+        (fn, f"base-{nonce}-{i:05d}.parquet")
+        for i, fn in enumerate(sorted(os.listdir(tmp)))
+        if fn.endswith(".parquet")
+    ]
+    # lineage rides the same commit: marks are written pre-marker (they
+    # only record live maxima, so they are correct even if the swap
+    # never commits)
     with open(wm_path + ".tmp", "w") as f:
         json.dump(marks, f)
     os.replace(wm_path + ".tmp", wm_path)
-    for fn in os.listdir(path):
-        p = os.path.join(path, fn)
-        if fn.endswith(".parquet") and os.path.isfile(p):
-            os.remove(p)  # old root-level append parts
-        elif fn in delta_dirs:
-            shutil.rmtree(p)
-    for i, fn in enumerate(sorted(os.listdir(tmp))):
-        if fn.endswith(".parquet"):
-            os.replace(
-                os.path.join(tmp, fn), os.path.join(path, f"base-{i:05d}.parquet")
-            )
-    shutil.rmtree(tmp, ignore_errors=True)
+    plan = {"tmp": tmp_name, "moves": moves,
+            "to_delete": old_parts + delta_dirs}
+    marker = os.path.join(path, _SPAN_COMPACT_MARKER)
+    with open(marker + ".tmp", "w") as f:
+        json.dump(plan, f)
+    os.replace(marker + ".tmp", marker)  # commit point
+    _recover_span_compaction(path)  # finish the recorded swap
 
 
 def strip_against_span_index(
@@ -698,11 +763,19 @@ def strip_against_span_index(
     ``exclude_batch=(stream_id, batch_id)``: exclude that batch's own
     delta from history — a replayed micro-batch whose append already
     landed would otherwise see ITSELF in history and strip more
-    aggressively than the original run (round-8 exactly-once fix)."""
+    aggressively than the original run (round-8 exactly-once fix).
+    Refuses a batch id at or below the stream's compacted mark: the
+    folded delta can no longer be excluded, so the replay would
+    self-sight no matter what — failing HERE (before the output
+    commits) beats committing wrongly-stripped text."""
     import json
     import os
 
     spark = docs.sparkSession
+    if exclude_batch is not None:
+        _guard_span_batch(path, exclude_batch[0], exclude_batch[1])
+    else:
+        _recover_span_compaction(path)
     with open(os.path.join(path, "_span_meta.json")) as f:
         meta = json.load(f)
     n, id_col, text_col = meta["n"], meta["id_col"], meta["text_col"]

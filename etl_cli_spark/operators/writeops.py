@@ -360,6 +360,13 @@ class ParquetTable:
             raise ValueError("stream watermarks need a manifest table")
         self._pending_stream = (str(stream_id), int(batch_id))
 
+    def stream_commit_abort(self) -> None:
+        """Disarm a watermark armed by :meth:`stream_commit_meta` that
+        has not ridden a commit (e.g. the write op raised). Callers
+        should pair arm/commit in try/finally with this — an armed
+        watermark must never ride a later unrelated commit."""
+        self._pending_stream = None
+
     def last_stream_batch(self, stream_id: str) -> int | None:
         latest = self._latest_manifest()
         if latest is None:

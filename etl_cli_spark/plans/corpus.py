@@ -412,6 +412,16 @@ def run_corpus_pipeline_streaming(
     import os
 
     out = ParquetTable(spark, out_path, manifest=exactly_once)
+    if exactly_once and not out._is_manifest():
+        # the table exists with legacy (rename-swap) data: the watermark
+        # mechanism can't attach to it — fail fast with the cause
+        # instead of an opaque mid-stream ValueError from foreachBatch
+        raise ValueError(
+            f"exactly_once=True needs a manifest-mode output, but "
+            f"{out_path!r} already holds non-manifest data (written by "
+            "a previous at-least-once run?). Use a fresh output path, "
+            "or keep exactly_once=False for this table."
+        )
     # stream ids scoped to the checkpoint LINEAGE (the Delta txnAppId
     # pattern): batch ids restart at 0 under a new checkpoint, so a
     # lineage-global id would make a fresh checkpoint's batch 0 look
@@ -455,7 +465,7 @@ def run_corpus_pipeline_streaming(
             # an empty version carrying the watermark — desirable, the
             # stream still advances), but if it ever RAISES instead, the
             # armed watermark must not ride a later unrelated commit
-            out._pending_stream = None
+            out.stream_commit_abort()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         raw_df = batch_df  # pre-strip: what the index must sign

@@ -253,7 +253,7 @@ def changefeed_merge(
                     post, downstream, TargetSpec(ds="cdf", op="upsert", pk=pk)
                 )
             finally:
-                downstream._pending_stream = None
+                downstream.stream_commit_abort()
             committed = n_gone == 0
             ups += n_post
         if n_gone:
@@ -265,7 +265,7 @@ def changefeed_merge(
                     gone, downstream, TargetSpec(ds="cdf", op="delete", pk=pk)
                 )
             finally:
-                downstream._pending_stream = None
+                downstream.stream_commit_abort()
             committed = True
             dels += n_gone
         if not committed:
@@ -326,7 +326,7 @@ def streaming_merge(
         finally:
             # a no-commit batch (empty delta) must not leave the armed
             # watermark to ride a later unrelated commit
-            table._pending_stream = None
+            table.stream_commit_abort()
 
     stream = spark.readStream.schema(schema).parquet(path)
     q = (

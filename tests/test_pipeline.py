@@ -934,11 +934,22 @@ def test_compact_span_index_preserves_probes_and_lineage(spark, tmp_path):
     assert after == before and before[99][1] > 0
     # all per-batch dirs folded away; base files at the root
     assert not [d for d in os.listdir(idx) if d.startswith("delta_")]
-    # lineage survives the fold: batch 1 < watermark 3 still refused
-    with _pytest.raises(RuntimeError, match="checkpoint was reset"):
+    # lineage survives the fold: anything at or below the compacted
+    # mark is refused — including an exact replay of a folded batch,
+    # which can no longer be applied idempotently (its delta is gone)
+    with _pytest.raises(RuntimeError, match="folded into the compacted base"):
         append_to_span_index(
             mk([(30, "x y z w v u t")]), idx, batch_id=1, stream_id="s"
         )
+    with _pytest.raises(RuntimeError, match="folded into the compacted base"):
+        append_to_span_index(
+            mk([(20, "another common footer block appears here twice over")]),
+            idx, batch_id=3, stream_id="s",
+        )
+    # ...and the replayed STRIP refuses too, before any output commits
+    with _pytest.raises(RuntimeError, match="folded into the compacted base"):
+        strip_against_span_index(probe, idx, min_docs=2,
+                                 exclude_batch=("s", 3))
     # forward batches append normally and probes keep summing
     append_to_span_index(
         mk([(40, "shared legal boilerplate span here plus forty")]), idx,
@@ -955,3 +966,65 @@ def test_compact_span_index_preserves_probes_and_lineage(spark, tmp_path):
         r.doc_id: (r.text, r.n_stripped)
         for r in strip_against_span_index(probe, idx, min_docs=2).collect()
     }[99] == (after[99][0], again[99])
+
+
+def test_span_compaction_crash_recovery(spark, tmp_path, monkeypatch):
+    """Compaction is write-ahead crash-safe: a crash right AFTER the
+    marker commit (base summed in the hidden tmp, no visible change
+    yet) leaves probes reading the OLD state correctly... actually the
+    marker IS the commit point — the next index operation finishes the
+    recorded swap idempotently and probes see exactly the compacted
+    counts; a crash BEFORE the marker leaves the old state fully
+    intact (hidden tmp is invisible to readers)."""
+    import json
+    import os
+
+    import etl_cli_spark.operators.pipeline as pl
+    from etl_cli_spark.operators.pipeline import (
+        append_to_span_index,
+        build_span_index,
+        compact_span_index,
+        strip_against_span_index,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "span_idx")
+    build_span_index(
+        mk([(1, "shared legal boilerplate span here plus one")]), idx, n=5
+    )
+    append_to_span_index(
+        mk([(10, "shared legal boilerplate span here plus ten")]), idx,
+        batch_id=0, stream_id="s",
+    )
+    probe = mk([(99, "shared legal boilerplate span here plus probe")])
+    want = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in strip_against_span_index(probe, idx, min_docs=2).collect()
+    }
+
+    # simulate a crash at the commit point: run compaction but make the
+    # post-marker recovery a no-op ONCE, leaving marker + tmp on disk
+    real_recover = pl._recover_span_compaction
+    calls = {"n": 0}
+
+    def crashy(path):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # the pre-flight call runs; the finish "crashes"
+            return
+        real_recover(path)
+
+    monkeypatch.setattr(pl, "_recover_span_compaction", crashy)
+    compact_span_index(spark, idx)
+    monkeypatch.setattr(pl, "_recover_span_compaction", real_recover)
+    assert os.path.exists(os.path.join(idx, pl._SPAN_COMPACT_MARKER))
+    with open(os.path.join(idx, pl._SPAN_COMPACT_MARKER)) as f:
+        assert json.load(f)["moves"], "marker must record the swap"
+
+    # the next probe finishes the swap and returns the exact counts
+    got = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in strip_against_span_index(probe, idx, min_docs=2).collect()
+    }
+    assert got == want
+    assert not os.path.exists(os.path.join(idx, pl._SPAN_COMPACT_MARKER))
+    assert not [d for d in os.listdir(idx) if d.startswith("delta_")]
