@@ -534,8 +534,25 @@ def build_span_index(
         json.dump({"n": n, "id_col": id_col, "text_col": text_col}, f)
 
 
+def _check_span_stream_id(stream_id: str) -> str:
+    """Stream ids become path components that are later matched against
+    ``F.input_file_name()`` output, which is URI-ENCODED — a space, %,
+    or non-ASCII character in the id would make the replayed-batch
+    self-exclusion silently miss its own delta and over-strip. Restrict
+    to the charset that round-trips identically."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_-]+", stream_id or ""):
+        raise ValueError(
+            f"span-index stream_id {stream_id!r} must match "
+            "[A-Za-z0-9_-]+ (it becomes a path component compared "
+            "against URI-encoded input_file_name output)"
+        )
+    return stream_id
+
+
 def _span_delta_name(stream_id: str, batch_id: int) -> str:
-    return f"delta_{stream_id}_{int(batch_id):020d}"
+    return f"delta_{_check_span_stream_id(stream_id)}_{int(batch_id):020d}"
 
 
 def _span_history(spark, path: str, exclude: str | None = None) -> DataFrame:
@@ -623,6 +640,7 @@ def _guard_span_batch(path: str, stream_id: str, batch_id: int) -> None:
     at-or-below the compacted mark (the delta was folded into the base
     — a replay would double-count and a strip would self-sight) or
     below the live max (checkpoint reset)."""
+    _check_span_stream_id(stream_id)
     _recover_span_compaction(path)
     cm = _span_compacted_mark(path, stream_id)
     if cm is not None and int(batch_id) <= cm:
@@ -674,6 +692,11 @@ def _recover_span_compaction(path: str) -> None:
             shutil.rmtree(p, ignore_errors=True)
         elif os.path.exists(p):
             os.remove(p)
+    if "marks" in plan:  # lineage marks commit WITH the fold (round 9)
+        wm = os.path.join(path, "_span_watermarks.json")
+        with open(wm + ".tmp", "w") as f:
+            json.dump(plan["marks"], f)
+        os.replace(wm + ".tmp", wm)
     shutil.rmtree(tmp, ignore_errors=True)
     os.remove(marker)
 
@@ -731,14 +754,13 @@ def compact_span_index(spark, path: str) -> None:
         for i, fn in enumerate(sorted(os.listdir(tmp)))
         if fn.endswith(".parquet")
     ]
-    # lineage rides the same commit: marks are written pre-marker (they
-    # only record live maxima, so they are correct even if the swap
-    # never commits)
-    with open(wm_path + ".tmp", "w") as f:
-        json.dump(marks, f)
-    os.replace(wm_path + ".tmp", wm_path)
+    # lineage rides the same commit: marks travel INSIDE the marker plan
+    # and are applied by _recover_span_compaction at the commit point.
+    # Writing them any earlier opens a crash window where still-live
+    # batch ids are recorded as folded, and a legitimate replay of the
+    # tip batch (allowed by the live-max check) is falsely refused.
     plan = {"tmp": tmp_name, "moves": moves,
-            "to_delete": old_parts + delta_dirs}
+            "to_delete": old_parts + delta_dirs, "marks": marks}
     marker = os.path.join(path, _SPAN_COMPACT_MARKER)
     with open(marker + ".tmp", "w") as f:
         json.dump(plan, f)
