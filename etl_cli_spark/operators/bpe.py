@@ -219,7 +219,8 @@ def bpe_train(
     min_pair_count: int = 2,
     batch_k: int = 16,
     mode: str = "auto",
-    driver_budget_words: int = 5_000_000,
+    driver_budget_words: int = 2_000_000,
+    driver_budget_chars: int = 20_000_000,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus; returns the merge
     table (rank, left, right, merged, pair_count) ordered by rank —
@@ -290,6 +291,19 @@ def bpe_train(
     distributed path keeps its own certification). Both paths implement
     the same deterministic protocol and are pinned bit-identical by
     unit test on ties, astral-plane symbols, and min-count stops.
+
+    Driver-memory budget (round-9 ADVICE fix): the trainer's working
+    set is dominated by the per-character structures (symbol lists,
+    pair-count dict, pair->word occurrence index) at roughly 100-200
+    bytes per corpus-vocabulary CHARACTER, not per word — so auto mode
+    gates on BOTH ``driver_budget_words`` (rows collected, bounded by a
+    single-action ``limit(budget+1)`` probe) and
+    ``driver_budget_chars`` (sum of collected word lengths, checked
+    BEFORE the per-code-point expansion allocates anything). Defaults
+    (2M words / 20M chars) keep peak trainer RSS in low single-digit
+    GB; ``mode="driver"`` skips both gates and requires the caller to
+    provision driver memory accordingly (measured: see SCALE.md's
+    bpe_train_32k row).
     """
     spark = docs.sparkSession
     words = _word_counts(docs, text_col)
@@ -303,7 +317,9 @@ def bpe_train(
         # if it doesn't, we fall to the distributed loop having spent
         # the one pass the loop's first round needed anyway
         rows = words.limit(driver_budget_words + 1).collect()
-        if len(rows) <= driver_budget_words:
+        if len(rows) <= driver_budget_words and (
+            sum(len(r.word) for r in rows) <= driver_budget_chars
+        ):
             mode = "driver"
         else:
             mode, rows = "spark", None

@@ -102,13 +102,24 @@ def incremental_stream(
     a shuffle against an ever-growing table; the file-index checkpoint
     is O(new files).
 
-    A ``process`` accepting two arguments receives ``(df, batch_id)`` —
-    the foreachBatch epoch id, the handle an exactly-once sink gates on
-    (see ``streaming_merge`` / ``append_to_span_index``).
+    A ``process`` that can accept two positional arguments receives
+    ``(df, batch_id)`` — the foreachBatch epoch id, the handle an
+    exactly-once sink gates on (see ``streaming_merge`` /
+    ``append_to_span_index``). ``*args`` callbacks count as
+    batch-id-capable (silently downgrading one to at-least-once would
+    defeat the sink's idempotence gate), and a non-introspectable
+    callable raises rather than being guessed single-arg.
     """
     import inspect
 
-    takes_bid = len(inspect.signature(process).parameters) >= 2
+    params = inspect.signature(process).parameters.values()
+    takes_bid = any(
+        p.kind is inspect.Parameter.VAR_POSITIONAL for p in params
+    ) or sum(
+        p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                   inspect.Parameter.POSITIONAL_OR_KEYWORD)
+        for p in params
+    ) >= 2
     stream = spark.readStream.schema(schema).parquet(path)
     q = (
         stream.writeStream.foreachBatch(

@@ -309,6 +309,31 @@ def test_auto_mode_selects_driver_under_budget(docs):
     assert a == b
 
 
+def test_auto_mode_char_budget_gates_driver_path(docs, monkeypatch):
+    """The round-9 byte-budget gate: auto mode must fall back to the
+    distributed loop when the vocabulary's total CHARACTERS exceed
+    driver_budget_chars, even if the word count fits — the trainer's
+    working set is ~285 B per vocab char (scripts/bpe_32k_stress.py),
+    not per word. Output stays bit-identical either way; pin which path
+    ran by instrumenting the driver trainer."""
+    import etl_cli_spark.operators.bpe as bpemod
+
+    calls = {"driver": 0}
+    real = bpemod._train_merges_local
+
+    def spy(*a, **kw):
+        calls["driver"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(bpemod, "_train_merges_local", spy)
+    a = [tuple(r) for r in bpe_train(docs, n_merges=6, mode="auto",
+                                     driver_budget_chars=1).collect()]
+    assert calls["driver"] == 0, "char budget must force the spark path"
+    b = [tuple(r) for r in bpe_train(docs, n_merges=6, mode="auto").collect()]
+    assert calls["driver"] == 1, "under both budgets -> driver path"
+    assert a == b
+
+
 def test_unknown_mode_raises(docs):
     import pytest as _pytest
 

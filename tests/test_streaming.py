@@ -169,6 +169,60 @@ def test_incremental_stream_processes_only_new_files(spark, engine, tmp_path):
     assert sum(seen) == ev.count() and all(n == 0 for n in seen[before:])
 
 
+def test_incremental_stream_batch_id_introspection(spark, engine, tmp_path):
+    """Batch-id dispatch (round-9 ADVICE fix): a two-arg callback AND a
+    ``*args`` callback both receive ``(df, batch_id)`` — a VAR_POSITIONAL
+    signature must not be silently downgraded to at-least-once — and a
+    non-introspectable callable raises instead of being guessed."""
+    import functools
+
+    import pytest as _pytest
+
+    from etl_cli_spark.streaming.incremental import incremental_stream
+
+    src = str(tmp_path / "incoming")
+    ev = engine.read("events", ["_fields=event_id", "_limit=50"])
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    got_two: list[tuple] = []
+    incremental_stream(
+        spark, src, schema,
+        lambda df, bid: got_two.append((df.count(), bid)),
+        str(tmp_path / "ck_two"),
+    )
+    assert got_two and all(bid is not None for _, bid in got_two)
+
+    got_var: list[tuple] = []
+
+    def star(*args):
+        got_var.append((args[0].count(), args[1]))
+
+    incremental_stream(spark, src, schema, star, str(tmp_path / "ck_var"))
+    assert got_var and all(bid is not None for _, bid in got_var)
+
+    # functools.partial with one remaining positional -> single-arg
+    # path, no batch id passed
+    got_one: list[int] = []
+
+    incremental_stream(
+        spark, src, schema,
+        functools.partial(lambda sink, df: sink.append(df.count()), got_one),
+        str(tmp_path / "ck_one"),
+    )
+    assert got_one == [50]
+
+    class NoSig:
+        __signature__ = "bogus"  # inspect.signature -> TypeError
+
+        def __call__(self, df):  # pragma: no cover - never reached
+            raise AssertionError
+
+    with _pytest.raises((TypeError, ValueError)):
+        incremental_stream(spark, src, schema, NoSig(),
+                           str(tmp_path / "ck_bad"))
+
+
 def test_streaming_merge_upserts_cdc_drops(spark, engine, tmp_path):
     """Exactly-once streaming MERGE: CDC drops upsert into a manifest
     table; two incremental drains equal one batch apply, and the stream

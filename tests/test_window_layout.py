@@ -144,3 +144,66 @@ def test_every_digest_has_an_oracle():
     for n in entry.queries():
         if n.endswith("_digest"):
             assert n in sql, f"digest {n} missing oracle SQL"
+
+
+# Queries certified INDIVIDUALLY (in-window or by the judge's
+# out-of-window replay), not through a family digest.  Round-9 guard
+# (r8 verdict item 8): a NEW query must land either in a family spec
+# or in this list — otherwise coverage accounting (COVERAGE.md, the
+# per-round digest re-certification argument) silently lags the code.
+STANDALONE = {
+    # manifest / commit-log
+    "write_upsert_manifest", "manifest_time_travel", "manifest_changefeed",
+    "manifest_stats_prune", "manifest_read_asof", "zorder_roundtrip",
+    # sources / orchestration / streaming-analog
+    "http_bulk_source", "http_source_feed", "http_merger_url",
+    "http_target_post", "backend_roundtrip", "incremental_loop",
+    "stream_interval_join", "wildcard_union", "async_job_status",
+    "target_write_log", "settings_roundtrip", "tmap_conform",
+    "batch_size_files", "catalog_ops", "preview_info", "today_macro",
+    "profile_orders",
+    # write-op edge contracts outside write_digest
+    "write_skipts_pkdedupe", "write_overwrite_fields", "write_selfupdate",
+    "write_dry_run",
+    # DSL edge contract outside dsl_digest
+    "dsl_exists_size_mod",
+    # events / graph / timeseries
+    "graph_pagerank", "events_sessionize", "events_top_paths",
+    "events_sessionize_hot", "ts_gap_fill", "window_running_sum",
+    # URL curation
+    "url_canonicalize", "url_domain_cap",
+    # LLM-pipeline ops certified individually
+    "dedup_exact", "token_budget_sample", "leakage_split", "epoch_shuffle",
+    "training_shards", "chunk_documents", "pack_sequences",
+    "pack_token_ids", "decontaminate", "bloom_decontaminate",
+    "strip_repeated_spans", "strip_spans_indexed", "paragraph_dedup",
+    "dsir_select", "rank_vocab", "rank_scores", "tokenize_documents",
+    "search_bm25_indexed", "bpe_train", "bpe_encode",
+    "quality_classifier", "pipeline_end_to_end", "pipeline_streaming",
+    "pipeline_declarative",
+}
+
+
+def test_every_query_is_family_member_or_standalone():
+    """Exhaustive partition of queries(): digest rows + family members +
+    the explicit STANDALONE list, nothing unaccounted and nothing
+    declared that no longer exists."""
+    names = set(entry.queries())
+    digests = {n for n in names if n.endswith("_digest")}
+    members = set()
+    for spec_name in dir(entry):
+        if spec_name.endswith("_FAMILY") and spec_name.startswith("_"):
+            members.update(getattr(entry, spec_name))
+    unaccounted = names - digests - members - STANDALONE
+    assert not unaccounted, (
+        "new queries not covered by any family digest and not declared "
+        f"standalone: {sorted(unaccounted)} — add each to a *_FAMILY "
+        "spec (preferred: digest re-certification every round) or to "
+        "STANDALONE here, and update COVERAGE.md"
+    )
+    stale = STANDALONE - names
+    assert not stale, f"STANDALONE lists queries that no longer exist: {sorted(stale)}"
+    overlap = STANDALONE & members
+    assert not overlap, (
+        f"queries both in a family and STANDALONE: {sorted(overlap)}"
+    )
