@@ -220,7 +220,7 @@ def bpe_train(
     batch_k: int = 16,
     mode: str = "auto",
     driver_budget_words: int = 2_000_000,
-    driver_budget_chars: int = 20_000_000,
+    driver_budget_chars: int = 12_000_000,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus; returns the merge
     table (rank, left, right, merged, pair_count) ordered by rank —
@@ -294,16 +294,18 @@ def bpe_train(
 
     Driver-memory budget (round-9 ADVICE fix): the trainer's working
     set is dominated by the per-character structures (symbol lists,
-    pair-count dict, pair->word occurrence index) at roughly 100-200
-    bytes per corpus-vocabulary CHARACTER, not per word — so auto mode
-    gates on BOTH ``driver_budget_words`` (rows collected, bounded by a
-    single-action ``limit(budget+1)`` probe) and
-    ``driver_budget_chars`` (sum of collected word lengths, checked
-    BEFORE the per-code-point expansion allocates anything). Defaults
-    (2M words / 20M chars) keep peak trainer RSS in low single-digit
-    GB; ``mode="driver"`` skips both gates and requires the caller to
-    provision driver memory accordingly (measured: see SCALE.md's
-    bpe_train_32k row).
+    pair-count dict, pair->word occurrence index), MEASURED at 280-350
+    bytes per corpus-vocabulary CHARACTER, not per word
+    (scripts/bpe_32k_stress.py: 32,768 real merges over a 1.9M-char
+    vocab = 57 s wall / 0.63 GB peak driver RSS; 4.5M chars = 285 s /
+    1.58 GB). Auto mode therefore gates on BOTH ``driver_budget_words``
+    (rows collected, bounded by a single-action ``limit(budget+1)``
+    probe) and ``driver_budget_chars`` (sum of collected word lengths,
+    checked BEFORE the per-code-point expansion allocates anything).
+    Defaults (2M words / 12M chars) bound peak trainer RSS at ~4 GB by
+    the measured 346 B/char; ``mode="driver"`` skips both gates and
+    requires the caller to provision driver memory accordingly (see
+    SCALE.md's bpe_train_32k rows).
     """
     spark = docs.sparkSession
     words = _word_counts(docs, text_col)

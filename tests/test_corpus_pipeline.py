@@ -595,3 +595,120 @@ def test_streaming_runner_exactly_once_output(spark, tmp_path):
     run_corpus_pipeline_streaming(
         spark, src, schema, [], out_alo, str(tmp_path / "ck4_lost"))
     assert spark.read.parquet(out_alo).count() == 2 * (len(rows_a) + len(rows_b))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_streaming_runner_crash_replay_property(spark, tmp_path, monkeypatch, seed):
+    """Round-9 end-to-end crash-replay property (VERDICT r8 item 6):
+    every batch of a 3-drop exactly-once run is killed ONCE at a
+    seeded-random point inside the foreachBatch body — before the
+    output commit, between the commit and the span-index append, or
+    after all work but before the streaming checkpoint commit — and
+    then replayed by re-invoking the runner on the same checkpoint.
+    The final corpus content, manifest version count, exactly-once
+    watermark, and span-index per-gram history must all equal a
+    never-crashed run over the same drops. (r8 pinned append
+    idempotence and strip self-exclusion separately; this drives the
+    whole runner through the streaming machinery.)"""
+    import hashlib
+    import os
+    import random
+
+    from pyspark.sql import types as T
+
+    import etl_cli_spark.operators.pipeline as pl
+    from etl_cli_spark.operators.pipeline import build_span_index
+    from etl_cli_spark.operators.writeops import ParquetTable
+    from etl_cli_spark.plans.corpus import run_corpus_pipeline_streaming
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    # shared boilerplate so the span index actually strips across drops,
+    # plus a stage so the composed pipeline participates
+    drops = [
+        [(1, "standard legal footer boilerplate text plus unique one"),
+         (2, "fully original first drop document body q2")],
+        [(10, "standard legal footer boilerplate text plus unique ten"),
+         (-1, "filtered out by the stage list")],
+        [(20, "standard legal footer boilerplate text plus unique twenty"),
+         (21, "fully original first drop document body q21")],
+    ]
+    stages = [{"stage": "filter", "expr": "doc_id >= 0"}]
+
+    real_strip = pl.strip_against_span_index
+    real_append = pl.append_to_span_index
+    arm = {"point": None}
+
+    def strip_w(*a, **kw):
+        if arm["point"] == "pre_commit":
+            arm["point"] = None
+            raise RuntimeError("injected crash pre-commit")
+        return real_strip(*a, **kw)
+
+    def append_w(*a, **kw):
+        if arm["point"] == "post_commit":
+            arm["point"] = None
+            raise RuntimeError("injected crash post-commit")
+        r = real_append(*a, **kw)
+        if arm["point"] == "post_all":
+            arm["point"] = None
+            raise RuntimeError("injected crash post-all")
+        return r
+
+    monkeypatch.setattr(pl, "strip_against_span_index", strip_w)
+    monkeypatch.setattr(pl, "append_to_span_index", append_w)
+
+    # every crash point exercised exactly once, order seeded-random
+    points = ["pre_commit", "post_commit", "post_all"]
+    random.Random(seed).shuffle(points)
+
+    def run(tag, crash_points):
+        src = str(tmp_path / f"drops_{tag}")
+        out = str(tmp_path / f"out_{tag}.parquet")
+        ck = str(tmp_path / f"ck_{tag}")
+        idx = str(tmp_path / f"span_{tag}")
+        build_span_index(spark.createDataFrame([], schema), idx, n=5)
+        for i, rows in enumerate(drops):
+            spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+            if crash_points is not None:
+                arm["point"] = crash_points[i]
+                with pytest.raises(Exception, match="injected crash"):
+                    run_corpus_pipeline_streaming(
+                        spark, src, schema, stages, out, ck,
+                        span_index_path=idx, exactly_once=True,
+                    )
+                assert arm["point"] is None, "crash point never fired"
+            # (re-)run to completion — replays the killed batch
+            run_corpus_pipeline_streaming(
+                spark, src, schema, stages, out, ck,
+                span_index_path=idx, exactly_once=True,
+            )
+        t = ParquetTable(spark, out)
+        ck_tag = hashlib.sha256(os.path.abspath(ck).encode()).hexdigest()[:12]
+        content = sorted(
+            (r.doc_id, r.text, r.n_stripped) for r in t.read().collect()
+        )
+        grams = {
+            (r.gh, r.n)
+            for r in pl._span_history(spark, idx)
+            .groupBy("gh").agg(F.sum("n_docs").alias("n")).collect()
+        }
+        return {
+            "content": content,
+            "versions": len(t.versions()),
+            "watermark": t.last_stream_batch(f"corpus_out_{ck_tag}"),
+            "grams": grams,
+        }
+
+    clean = run("clean", None)
+    crashed = run("crashed", points)
+    assert crashed == clean, f"crash-replay diverged (points={points})"
+    # sanity on the scenario itself: stripping DID happen and the stage
+    # dropped the negative doc
+    ids = {c[0] for c in clean["content"]}
+    assert -1 not in ids and {1, 2, 10, 20, 21} <= ids
+    assert any(c[2] > 0 for c in clean["content"]), "no spans stripped?"
