@@ -1861,6 +1861,35 @@ def _q_strip_spans_indexed(spark, sf):
     return _run_strip_spans_indexed(spark, sf, _setup_strip_spans_indexed(spark, sf))
 
 
+def _q_strip_spans_compacted(spark, sf):
+    """Span-index COMPACTION certified by oracle (round 9): the even
+    half is signed as a base build plus two per-batch stream deltas,
+    the index is compacted (deltas folded into one summed base behind
+    the write-ahead marker, lineage marks committed WITH the fold), and
+    the odd half probes the folded base. The oracle is the identical
+    UNION replay strip_spans_indexed uses — a hash match proves the
+    fold preserved every per-gram distinct-doc count exactly (probe
+    results are invariant under compaction)."""
+    from etl_cli_spark.operators.pipeline import (
+        append_to_span_index,
+        build_span_index,
+        compact_span_index,
+    )
+
+    d = _engine(spark, sf).read("documents")
+    idx = tempfile.mkdtemp(prefix="etl_spancmp_") + "/idx"
+    # three disjoint even-id batches: a base build + two stream deltas
+    build_span_index(d.filter("doc_id % 6 = 0"), idx, n=8)
+    append_to_span_index(
+        d.filter("doc_id % 6 = 2"), idx, batch_id=0, stream_id="even"
+    )
+    append_to_span_index(
+        d.filter("doc_id % 6 = 4"), idx, batch_id=1, stream_id="even"
+    )
+    compact_span_index(spark, idx)
+    return _run_strip_spans_indexed(spark, sf, idx)
+
+
 def _q_decontaminate(spark, sf):
     from etl_cli_spark.operators.pipeline import decontaminate
 
@@ -3886,6 +3915,8 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "write_dry_run": _q_write_dry_run,
     # round 8: %TODAY% macro write->read round-trip (was unit-only)
     "today_macro": _q_today_macro,
+    # round 9: span-index COMPACTION certified by oracle (was unit-only)
+    "strip_spans_compacted": _q_strip_spans_compacted,
 }
 
 
@@ -4730,6 +4761,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, coalesce(array_to_string(ks, ' '), '') AS stripped_text, "
         "CAST(coalesce(n_tok - len(ks), 0) AS INT) AS n_stripped FROM kept"
     )
+
+    # strip_spans_compacted: compaction must be invisible to probes —
+    # the folded base's per-gram counts equal the delta sums, so the
+    # oracle is the SAME union replay (round 9)
+    sql["strip_spans_compacted"] = sql["strip_spans_indexed"]
 
     # bloom_decontaminate: the Bloom filter is relational on both sides —
     # bit position i of gram g is uint32(md5(g || '#bloom<i>')) % 65536,

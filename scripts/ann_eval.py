@@ -7,11 +7,16 @@ the probe budget shrinks, per family and operating point. Output: a
 markdown table (committed as ANN_EVAL.md) of
 (index, params, recall@10, exact-scored fraction).
 
-    python scripts/ann_eval.py [sf_dir] [n_queries] [k]
+    python scripts/ann_eval.py [sf_dir] [n_queries] [k] [n_centroids]
 
 Candidate fraction = rows that get EXACT cosine scoring per query
 (the expensive part at scale): LSH = bucket-union size, IVF = probed
 cell rows, PQ/IVF-PQ = the ADC shortlist. All indexes build in /tmp.
+
+``n_centroids`` follows the sqrt-N rule per tier (16 at sf0.1's 2k
+vectors; ~64+ at sf1's 20k) — pass it explicitly for the sf1 tier so
+cells keep ~sqrt(N) occupancy and n_probe stays comparable across
+tiers as a FRACTION of cells probed.
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    n_cent = int(sys.argv[4]) if len(sys.argv) > 4 else 16
 
     from etl_cli_spark.session import get_spark
     from etl_cli_spark.operators.similarity import (
@@ -87,10 +93,13 @@ def main() -> None:
 
     # IVF: one index, growing probe budget
     ivf_path = f"{tmp}/ivf"
-    build_ivf_index(emb, ivf_path, n_centroids=16)
-    for n_probe in (1, 2, 4, 8):
+    build_ivf_index(emb, ivf_path, n_centroids=n_cent)
+    probe_sweep = tuple(
+        sorted({max(1, n_cent * f // 16) for f in (1, 2, 4, 8)})
+    )  # same FRACTION of cells probed as the sf0.1 protocol
+    for n_probe in probe_sweep:
         evaluate(
-            f"ivf(n_centroids=16, n_probe={n_probe})",
+            f"ivf(n_centroids={n_cent}, n_probe={n_probe})",
             lambda q, np_=n_probe: ivf_topk_indexed(spark, ivf_path, q, k=k, n_probe=np_),
             lambda q, np_=n_probe: ivf_topk_indexed(spark, ivf_path, q, k=1 << 30, n_probe=np_).count(),
         )
@@ -120,8 +129,15 @@ def main() -> None:
     ]
     for vname, kw, points in variants:
         ivfpq_path = f"{tmp}/ivfpq_{vname}"
-        build_ivfpq_index(emb, ivfpq_path, n_centroids=16, m=8, **kw)
+        build_ivfpq_index(emb, ivfpq_path, n_centroids=n_cent, m=8, **kw)
+        points = list(points)
+        if n > 5000:
+            # bigger tiers: add the 1% and 5% FRACTIONAL budgets the
+            # sf0.1 protocol's absolute shortlists correspond to, so
+            # recall-at-equal-budget is comparable across tiers
+            points += [(8, int(0.01 * n)), (8, int(0.05 * n))]
         for n_probe, shortlist in points:
+            n_probe = max(1, n_cent * n_probe // 16)
             evaluate(
                 f"ivfpq_{vname}(n_probe={n_probe}, shortlist={shortlist})",
                 lambda q, p=ivfpq_path, np_=n_probe, s=shortlist: ivfpq_topk_indexed(

@@ -176,7 +176,8 @@ STANDALONE = {
     "dedup_exact", "token_budget_sample", "leakage_split", "epoch_shuffle",
     "training_shards", "chunk_documents", "pack_sequences",
     "pack_token_ids", "decontaminate", "bloom_decontaminate",
-    "strip_repeated_spans", "strip_spans_indexed", "paragraph_dedup",
+    "strip_repeated_spans", "strip_spans_indexed", "strip_spans_compacted",
+    "paragraph_dedup",
     "dsir_select", "rank_vocab", "rank_scores", "tokenize_documents",
     "search_bm25_indexed", "bpe_train", "bpe_encode",
     "quality_classifier", "pipeline_end_to_end", "pipeline_streaming",
