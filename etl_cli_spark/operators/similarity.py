@@ -961,7 +961,7 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     m: int = 8,
-    nbits: int = 4,
+    nbits: int = 8,
     pq_iters: int = 4,
     sample_size: int = 2048,
     residual: bool = True,
@@ -973,6 +973,14 @@ def build_ivfpq_index(
     compressed domain (ADC over m small codes), (3) exact-rescores only
     the shortlist rows — three successively tinier data volumes, which
     is the whole point at 100 TB of embeddings.
+
+    ``nbits=8`` default (round 9, decided from the sf1 ANN_EVAL tier):
+    at 10x corpus the shortlist is a smaller FRACTION of the data, so
+    quantization error binds — 1-byte codebooks recall 0.870 vs 0.530
+    for nbits=4 at the same 0.5% exact-scored budget (0.950 vs 0.840 at
+    1%), while the probe-side cost delta shrank from ~40% at sf0.1 to
+    ~10% at sf1 (the LUT build is per-query-fixed, the scan scales).
+    nbits=4 stays available where the 2x code-size saving matters.
 
     ``residual=True`` (round 8, the FAISS default): codebooks are
     trained on and codes encode the per-cell residual
@@ -1009,11 +1017,14 @@ def build_ivfpq_index(
         .partitionBy("__cell")
         .parquet(os.path.join(path, "vectors"))
     )
+    # parquet-footer count of what probes will see: feeds the probe's
+    # scale-aware default shortlist (~1% of the corpus, round 9)
+    n_vec = df.sparkSession.read.parquet(os.path.join(path, "vectors")).count()
     with open(os.path.join(path, _IVFPQ_META), "w") as f:
         json.dump(
             {"centroids": cent, "codebooks": books, "id_col": id_col,
              "vec_col": vec_col, "n_centroids": n_centroids, "m": m,
-             "nbits": nbits, "residual": residual},
+             "nbits": nbits, "residual": residual, "n_vectors": n_vec},
             f,
         )
 
@@ -1075,24 +1086,45 @@ def _residual_adc_shortlist(
     )
 
 
+def _resolve_ivfpq_defaults(
+    meta: dict, n_probe: int | None, shortlist: int | None
+) -> tuple[int, int]:
+    """Scale-aware probe defaults (round 9, set from the sf1 ANN_EVAL
+    tier): recall saturates in n_probe once ~1/4 of the coarse cells
+    are probed (probing more only widens the byte-sized code scan) and
+    is then BOUND by the shortlist as a fraction of the corpus — 1% of
+    vectors recalls 0.95 at nbits=8 on both tiers. So
+    ``n_probe=None`` -> max(1, n_centroids // 4) and
+    ``shortlist=None`` -> max(100, 1% of the indexed vector count)
+    (the ``n_vectors`` sidecar stat; legacy sidecars without it fall
+    back to 100). Explicit values always win."""
+    if n_probe is None:
+        n_probe = max(1, int(meta.get("n_centroids", 4)) // 4)
+    if shortlist is None:
+        shortlist = max(100, int(0.01 * meta.get("n_vectors", 0)))
+    return int(n_probe), int(shortlist)
+
+
 def ivfpq_topk_indexed(
     spark,
     path: str,
     query_vec: list[float],
     k: int = 10,
-    n_probe: int = 4,
-    shortlist: int = 100,
+    n_probe: int | None = None,
+    shortlist: int | None = None,
     exclude_ids: list | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF-PQ index: partition-pruned read of the
     n_probe nearest cells, ADC shortlist over their codes (JVM LUT
     lookups — per-cell LUTs when the index is residual-encoded),
-    exact-cosine rescore of the shortlist rows only."""
+    exact-cosine rescore of the shortlist rows only. ``n_probe`` /
+    ``shortlist`` default scale-aware (see _resolve_ivfpq_defaults)."""
     import json
     import os
 
     with open(os.path.join(path, _IVFPQ_META)) as f:
         meta = json.load(f)
+    n_probe, shortlist = _resolve_ivfpq_defaults(meta, n_probe, shortlist)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     dists = [
         (round(sum((c - q) ** 2 for c, q in zip(cent, query_vec)), 6), i)
@@ -1156,3 +1188,14 @@ def append_to_ivfpq_index(df: DataFrame, path: str) -> None:
         .partitionBy("__cell")
         .parquet(os.path.join(path, "vectors"))
     )
+    # keep the probe's scale-aware default shortlist honest: refresh
+    # the vector-count stat from the written footers (atomic replace;
+    # a stale count only under-sizes a DEFAULT shortlist, never an
+    # explicit one)
+    meta["n_vectors"] = (
+        df.sparkSession.read.parquet(os.path.join(path, "vectors")).count()
+    )
+    tmp = os.path.join(path, _IVFPQ_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _IVFPQ_META))

@@ -530,6 +530,41 @@ def test_ann_recall_floors_at_documented_operating_points(spark):
     )
     assert r >= 0.85, f"ivfpq8(n_probe=8, shortlist=100) recall@10 regressed: {r:.3f}"
 
+    # round-9 DEFAULT operating point (nbits=8 build, scale-aware probe:
+    # n_probe=16//4=4, shortlist=max(100, 1% of 2000)=100) — measured
+    # 0.865 at sf0.1 and 0.870 at the harder sf1 clone-excluded tier;
+    # floor just under
+    build_ivfpq_index(emb10, f"{tmp}/ivfpq_def", n_centroids=16)
+    r = recall(lambda q: ivfpq_topk_indexed(spark, f"{tmp}/ivfpq_def", q, k=k))
+    assert r >= 0.82, f"all-defaults ivfpq recall@10 regressed: {r:.3f}"
+
+
+def test_ivfpq_default_operating_point_pins(spark, emb, tmp_path):
+    """The round-9 evidence-based defaults are pinned: builds write
+    nbits=8 residual codes plus the n_vectors stat, and probe defaults
+    resolve to n_probe=n_centroids/4, shortlist=max(100, 1% of
+    n_vectors) — explicit values always win."""
+    import json
+    import os
+
+    from etl_cli_spark.operators.similarity import (
+        _IVFPQ_META,
+        _resolve_ivfpq_defaults,
+        build_ivfpq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(emb, path, n_centroids=8)
+    meta = json.load(open(os.path.join(path, _IVFPQ_META)))
+    assert meta["nbits"] == 8 and meta["residual"] is True
+    assert meta["n_vectors"] == emb.count()
+    assert _resolve_ivfpq_defaults(meta, None, None) == (2, 100)
+    big = dict(meta, n_centroids=1024, n_vectors=1_000_000)
+    assert _resolve_ivfpq_defaults(big, None, None) == (256, 10_000)
+    assert _resolve_ivfpq_defaults(big, 7, 33) == (7, 33)
+    legacy = {k: v for k, v in meta.items() if k != "n_vectors"}
+    assert _resolve_ivfpq_defaults(legacy, None, None) == (2, 100)
+
 
 def test_ivfpq_probe_plan_partition_prunes(spark, emb, tmp_path):
     """The residual probe's scale contract, plan-asserted: BOTH scans
