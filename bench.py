@@ -165,6 +165,12 @@ def main() -> int:
                 df = run_fn(spark, sf_dir, state) if name in parts else fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
             except Exception as e:  # keep benching; surface the failure
+                if len(samples) >= n_runs:
+                    # a transient failure on a NOISE-RETRY attempt must
+                    # not discard an already-complete median
+                    print(f"bench: {name} retry failed, keeping "
+                          f"{len(samples)}-run median: {e}", file=sys.stderr)
+                    break
                 print(f"bench: {name} FAILED: {e}", file=sys.stderr)
                 failed = True
                 break
