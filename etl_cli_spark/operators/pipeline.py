@@ -362,16 +362,30 @@ def pack_token_ids(
 
 def ngrams(col: Column | str, n: int = 8) -> Column:
     """Word n-grams (lowercased, whitespace-tokenized) as an array of
-    space-joined strings; texts shorter than n words produce none."""
+    space-joined strings; texts shorter than n words produce none.
+
+    The token array is ``let``-bound before the per-position transform:
+    HOF lambda bodies re-evaluate embedded non-lambda-var subexpressions
+    PER ELEMENT, so the unbound form re-split the whole text once per
+    gram position — O(words^2) per document (measured 5-11x slower on
+    sf0.1 documents; round-9 fix)."""
+    from .text import let
+
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
-    count = F.size(toks) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), count), lambda i: F.array_join(F.slice(toks, i, n), " ")
-    )
-    # guard: sequence(1, 0) yields a DESCENDING [1,0] in Spark, and
-    # slice(toks, 0, n) then errors — short texts must short-circuit
-    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+    def grams(toks: Column) -> Column:
+        count = F.size(toks) - F.lit(n - 1)
+        # guard: sequence(1, 0) yields a DESCENDING [1,0] in Spark, and
+        # slice(toks, 0, n) then errors — short texts must short-circuit
+        return F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(F.split(F.lower(F.trim(c)), r"\s+"), grams)
 
 
 def repeated_spans(

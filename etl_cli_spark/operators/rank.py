@@ -424,14 +424,21 @@ def _doc_gram_buckets(
     docs: DataFrame, text_col: str, id_col: str, n: int, m_buckets: int
 ) -> DataFrame:
     """(id, bucket, c) — hashed word-n-gram bucket counts per document.
-    Explode is narrow; the groupBy shuffles (id, bucket) int pairs only."""
-    toks = tokens(text_col)
-    grams = F.when(F.size(toks) < n, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    Explode is narrow; the groupBy shuffles (id, bucket) int pairs only.
+    The token array is ``let``-bound so the per-position lambda reads a
+    bound variable instead of re-splitting the text per gram (the same
+    O(words^2) HOF re-evaluation trap ngrams() had; round-9 fix)."""
+    from .text import let
+
+    def _grams(toks: Column) -> Column:
+        return F.when(F.size(toks) < n, F.array()).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
         )
-    )
+
+    grams = let(tokens(text_col), _grams)
     return (
         docs.select(F.col(id_col), F.explode(grams).alias("__g"))
         .select(F.col(id_col), _gram_bucket(F.col("__g"), m_buckets).alias("bucket"))

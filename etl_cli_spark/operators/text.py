@@ -115,15 +115,20 @@ def lang_id(col: Column | str) -> Column:
     column contract.
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
-    best_lang, best_score = F.lit("und"), F.lit(0)
-    for lang, words in LANG_STOPWORDS.items():
-        stop = F.array(*[F.lit(w) for w in words])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+
+    def vote(toks: Column) -> Column:
+        # toks is let-bound: each language's filter reads the bound
+        # variable instead of re-tokenizing the text (round-9 fix)
+        best_lang, best_score = F.lit("und"), F.lit(0)
+        for lang, words in LANG_STOPWORDS.items():
+            stop = F.array(*[F.lit(w) for w in words])
+            score = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+            is_better = score > best_score
+            best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(is_better, score).otherwise(best_score)
+        return best_lang
+
+    return let(tokens(c), vote)
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -172,14 +177,23 @@ def winnow(col: Column | str, window: int = 8, k: int = 4) -> Column:
 
 def all_ngrams(col: Column | str, n: int) -> Column:
     """ALL word n-grams (non-distinct — frequency matters for repetition
-    signals; `dedup.shingles` is the distinct variant)."""
+    signals; `dedup.shingles` is the distinct variant). The token array
+    is ``let``-bound: an unbound reference inside the per-position
+    lambda re-splits the text per gram — O(words^2) per document
+    (round-9 fix, same as pipeline.ngrams)."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(F.trim(c)), _WS)
-    count = F.size(toks) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )
-    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+    def _grams(toks: Column) -> Column:
+        count = F.size(toks) - F.lit(n - 1)
+        return F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(F.split(F.lower(F.trim(c)), _WS), _grams)
 
 
 def repetition_stats(
