@@ -46,6 +46,42 @@ _META = "_etl_bucket_meta.json"
 _LOG = "_log"
 
 
+def _multiset_diff(old: DataFrame, new: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(added, removed) multiset differences in ONE wide shuffle.
+
+    ``new.exceptAll(old)`` + ``old.exceptAll(new)`` each rewrite to
+    their own groupBy-over-all-columns aggregation over the same union
+    (Catalyst's RewriteExceptAll), and the two subtrees differ by tag
+    order so ReuseExchange cannot dedupe them — the full-width data
+    shuffles TWICE. Tagging sides and aggregating once yields both
+    directions from a single exchange (which downstream references DO
+    reuse); per-row multiplicity is restored with an explode, matching
+    exceptAll's multiset semantics exactly (same null-safe,
+    NaN-normalized grouping equality — exceptAll itself is this very
+    aggregation under the hood). Round-9 CDF-diff optimization."""
+    cols = old.columns
+    tagged = old.select(
+        *cols, F.lit(1).alias("__o"), F.lit(0).alias("__n")
+    ).unionByName(new.select(*cols, F.lit(0).alias("__o"), F.lit(1).alias("__n")))
+    counts = tagged.groupBy(*cols).agg(
+        F.sum("__o").alias("__oc"), F.sum("__n").alias("__nc")
+    )
+
+    def side(bigger: str, smaller: str) -> DataFrame:
+        return (
+            counts.filter(F.col(bigger) > F.col(smaller))
+            .withColumn(
+                "__k",
+                F.explode(
+                    F.sequence(F.lit(1), (F.col(bigger) - F.col(smaller)).cast("int"))
+                ),
+            )
+            .select(*cols)
+        )
+
+    return side("__nc", "__oc"), side("__oc", "__nc")
+
+
 def bucket_expr(cols: tuple[str, ...] | list[str], n_buckets: int) -> Column:
     """Deterministic pk-hash bucket id — same value for the same key on
     any cluster size, so source keys locate their target buckets."""
@@ -874,8 +910,7 @@ class ParquetTable:
             old = old.drop(_BUCKET)
         if _BUCKET in new.columns:
             new = new.drop(_BUCKET)
-        removed = old.exceptAll(new)
-        added = new.exceptAll(old)
+        added, removed = _multiset_diff(old, new)
         if not pk:
             out = added.withColumn("change_type", F.lit("insert")).unionByName(
                 removed.withColumn("change_type", F.lit("delete"))
