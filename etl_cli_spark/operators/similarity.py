@@ -1018,8 +1018,15 @@ def build_ivfpq_index(
         .parquet(os.path.join(path, "vectors"))
     )
     # parquet-footer count of what probes will see: feeds the probe's
-    # scale-aware default shortlist (~1% of the corpus, round 9)
-    n_vec = df.sparkSession.read.parquet(os.path.join(path, "vectors")).count()
+    # scale-aware default shortlist (~1% of the corpus, round 9). Footer
+    # metadata, not a Spark count() job — the count job was measurable
+    # against the whole build (same lesson as r7's semantic_dedup
+    # cluster sizing).
+    n_vec = _parquet_dir_num_rows(os.path.join(path, "vectors"))
+    if n_vec is None:  # non-local FS or unreadable footers: one job
+        n_vec = df.sparkSession.read.parquet(
+            os.path.join(path, "vectors")
+        ).count()
     with open(os.path.join(path, _IVFPQ_META), "w") as f:
         json.dump(
             {"centroids": cent, "codebooks": books, "id_col": id_col,
@@ -1027,6 +1034,28 @@ def build_ivfpq_index(
              "nbits": nbits, "residual": residual, "n_vectors": n_vec},
             f,
         )
+
+
+def _parquet_dir_num_rows(path: str) -> int | None:
+    """Total rows under a (possibly hive-partitioned) parquet dir from
+    FOOTER metadata — a driver-side pyarrow read, no Spark job. Returns
+    None when any file's footer can't be read (caller falls back to a
+    count job)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return None
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(root, fn)).num_rows
+    except OSError:
+        return None
+    return total
 
 
 def _residual_adc_shortlist(
@@ -1192,8 +1221,11 @@ def append_to_ivfpq_index(df: DataFrame, path: str) -> None:
     # the vector-count stat from the written footers (atomic replace;
     # a stale count only under-sizes a DEFAULT shortlist, never an
     # explicit one)
+    n_vec = _parquet_dir_num_rows(os.path.join(path, "vectors"))
     meta["n_vectors"] = (
-        df.sparkSession.read.parquet(os.path.join(path, "vectors")).count()
+        n_vec
+        if n_vec is not None
+        else df.sparkSession.read.parquet(os.path.join(path, "vectors")).count()
     )
     tmp = os.path.join(path, _IVFPQ_META + ".tmp")
     with open(tmp, "w") as f:
