@@ -73,7 +73,10 @@ def _multiset_diff(old: DataFrame, new: DataFrame) -> tuple[DataFrame, DataFrame
             .withColumn(
                 "__k",
                 F.explode(
-                    F.sequence(F.lit(1), (F.col(bigger) - F.col(smaller)).cast("int"))
+                    F.sequence(
+                        F.lit(1).cast("long"),
+                        F.col(bigger) - F.col(smaller),  # long: sum() output
+                    )
                 ),
             )
             .select(*cols)
