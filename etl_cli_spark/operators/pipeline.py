@@ -1085,27 +1085,34 @@ def paragraph_dedup(
     segment text shuffles once for reassembly.
     """
     if window_words:
-        segs = F.transform(
-            # group the word array into W-word windows, rejoin with spaces
-            F.array_compact(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.greatest(
-                            (F.size(F.split(F.col(text_col), r"\s+")) - 1)
-                            / F.lit(int(window_words)),
+        from .text import let
+
+        W = int(window_words)
+
+        def _windows(toks: Column) -> Column:
+            # group the word array into W-word windows, rejoin with
+            # spaces; ``toks`` is a bound lambda variable, so each
+            # window slices the already-split array instead of
+            # re-splitting the whole text per window (O(words), not
+            # O(words^2/W) per document — round-10 fix, same class as
+            # the round-9 ngrams/lang_id let-binding)
+            return F.transform(
+                F.array_compact(
+                    F.transform(
+                        F.sequence(
                             F.lit(0),
-                        ).cast("int"),
-                    ),
-                    lambda i: F.slice(
-                        F.split(F.col(text_col), r"\s+"),
-                        i * int(window_words) + 1,
-                        int(window_words),
-                    ),
-                )
-            ),
-            lambda a: F.array_join(a, " "),
-        )
+                            F.greatest(
+                                (F.size(toks) - 1) / F.lit(W),
+                                F.lit(0),
+                            ).cast("int"),
+                        ),
+                        lambda i: F.slice(toks, i * W + 1, W),
+                    )
+                ),
+                lambda a: F.array_join(a, " "),
+            )
+
+        segs = let(F.split(F.col(text_col), r"\s+"), _windows)
     else:
         segs = F.split(F.col(text_col), sep)
     exploded = (
