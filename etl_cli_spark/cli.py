@@ -122,6 +122,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "distincts, min/max, lengths")
     p.add_argument("--count-only", action="store_true", help="print source count and exit")
     p.add_argument("--job-log", action="store_true", help="record run in the logs/job dataset")
+    p.add_argument("--msg", help="job comment recorded in the job log (base.py:131)")
     p.add_argument("--job-poll", metavar="UID", help="print a job-log record ('last' supported)")
     p.add_argument("--master", default=None, help="spark master (default local[*])")
     return p
@@ -224,7 +225,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         partition_by=args.partition_by, sort_by=args.sort_by,
         manifest=args.manifest,
         log_ds=args.log_ds, log=args.log_fields,
-        workers=args.workers, batch_size=args.batch_size,
+        workers=args.workers, batch_size=args.batch_size, msg=args.msg,
     )
 
     if args.info:

@@ -338,7 +338,7 @@ class Engine:
                 status="running", source=spec.source.ds,
                 target=spec.target.ds if spec.target else None,
                 op=spec.target.op if spec.target else None,
-                rows_in=None, rows_out=None,
+                rows_in=None, rows_out=None, msg=spec.msg,
             )
         )
 
@@ -355,6 +355,7 @@ class Engine:
                         target=spec.target.ds if spec.target else None,
                         op=spec.target.op if spec.target else None,
                         rows_in=observed_value(obs, "rows_in"), rows_out=rows_out,
+                        msg=spec.msg,
                     )
                 )
             except Exception as e:  # terminal failure record, never raises
@@ -366,6 +367,7 @@ class Engine:
                         target=spec.target.ds if spec.target else None,
                         op=spec.target.op if spec.target else None,
                         rows_in=None, rows_out=None, error=str(e)[:500],
+                        msg=spec.msg,
                     )
                 )
 
@@ -403,7 +405,7 @@ class Engine:
                     source=spec.source.ds,
                     target=spec.target.ds if spec.target else None,
                     op=spec.target.op if spec.target else None,
-                    rows_in=None, rows_out=None, error=str(e)[:500],
+                    rows_in=None, rows_out=None, error=str(e)[:500], msg=spec.msg,
                 )
             )
             raise
@@ -414,7 +416,7 @@ class Engine:
                 source=spec.source.ds,
                 target=spec.target.ds if spec.target else None,
                 op=spec.target.op if spec.target else None,
-                rows_in=rows_in, rows_out=rows_out,
+                rows_in=rows_in, rows_out=rows_out, msg=spec.msg,
             )
         )
         res.metrics["job_uid"] = uid

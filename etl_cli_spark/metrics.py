@@ -41,6 +41,7 @@ LOG_SCHEMA = T.StructType(
         T.StructField("rows_per_sec", T.DoubleType()),
         T.StructField("error", T.StringType()),
         T.StructField("contid", T.StringType()),     # job-chain id (--contid)
+        T.StructField("msg", T.StringType()),        # job comment (--msg, base.py:131)
     ]
 )
 
@@ -59,6 +60,7 @@ class JobRecord:
     rows_out: int | None
     error: str | None = None
     contid: str | None = None
+    msg: str | None = None
 
 
 _RECORD_LOCK = __import__("threading").Lock()
@@ -86,6 +88,7 @@ def _arrow_log_schema():
                 ("rows_per_sec", pa.float64()),
                 ("error", pa.string()),
                 ("contid", pa.string()),
+                ("msg", pa.string()),
             ]
         )
     return _ARROW_LOG_SCHEMA
@@ -120,7 +123,7 @@ class JobLog:
         cols = [
             [rec.uid], [rec.seq], [started], [rec.duration_sec], [rec.status],
             [rec.source], [rec.target], [rec.op], [rec.rows_in], [rec.rows_out],
-            [rps], [rec.error], [rec.contid],
+            [rps], [rec.error], [rec.contid], [rec.msg],
         ]
         table = pa.table(dict(zip(_arrow_log_schema().names, cols)), schema=_arrow_log_schema())
         fname = f"part-{rec.seq:012d}-{uuid.uuid4().hex}.parquet"

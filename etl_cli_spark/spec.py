@@ -104,6 +104,9 @@ class JobSpec:
     # pathological tiny files on a distributed filesystem)
     batch_size: int | None = None
     fail_on_error: bool = True
+    # free-form job comment recorded in the job log (the reference's
+    # --msg "job comment for tracking", base.py:131)
+    msg: str | None = None
     extra: Mapping[str, Any] = field(default_factory=dict)
 
     def with_overrides(self, **kw: Any) -> "JobSpec":
@@ -152,6 +155,7 @@ def make_spec(
     workers: int | None = None,
     batch_size: int | None = None,
     fail_on_error: bool | None = None,
+    msg: str | None = None,
 ) -> JobSpec:
     """CLI-flag-shaped convenience constructor (names mirror etl.py flags).
 
@@ -225,4 +229,5 @@ def make_spec(
         workers=workers,
         batch_size=batch_size,
         fail_on_error=fail_on_error,
+        msg=msg if msg is not None else env("msg"),
     )

@@ -333,3 +333,38 @@ def test_settings_unreadable_part_warns(spark, work_root):
         warnings.simplefilter("always")
         assert s.get("alpha") == 1
     assert any("skipping unreadable part" in str(x.message) for x in w)
+
+
+def test_job_msg_recorded_and_polled(spark, work_root):
+    """--msg (reference base.py:131 "job comment for tracking") lands in
+    the job-log record and comes back through job_status / poll; jobs
+    without a msg record null; async jobs carry it on every record
+    (running AND terminal); SPARK_ETL__MSG env default applies."""
+    eng = Engine(spark, work_root, job_log=True)
+    res = eng.etl("orders", query=["_limit=3"], target="out/msg1",
+                  op="create", msg="backfill run #42")
+    st = eng.job_log.job_status(res.metrics["job_uid"])
+    assert st["msg"] == "backfill run #42"
+
+    res2 = eng.etl("orders", query=["_limit=3"], target="out/msg2", op="create")
+    assert eng.job_log.job_status(res2.metrics["job_uid"])["msg"] is None
+
+    from etl_cli_spark.spec import make_spec
+
+    uid = eng.run_async(make_spec("orders", query=["_limit=2"], msg="async note"))
+    st = eng.job_log.poll(uid, interval=0.1, timeout=120)
+    assert st["status"] == "succeeded" and st["msg"] == "async note"
+    frame = eng.job_log.frame()
+    from pyspark.sql import functions as F
+
+    msgs = [r.msg for r in frame.filter(F.col("uid") == uid).collect()]
+    assert msgs and all(m == "async note" for m in msgs)
+
+    import os
+
+    os.environ["SPARK_ETL__MSG"] = "env default"
+    try:
+        assert make_spec("orders").msg == "env default"
+        assert make_spec("orders", msg="explicit wins").msg == "explicit wins"
+    finally:
+        del os.environ["SPARK_ETL__MSG"]
