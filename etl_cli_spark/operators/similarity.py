@@ -1039,8 +1039,13 @@ def build_ivfpq_index(
 def _parquet_dir_num_rows(path: str) -> int | None:
     """Total rows under a (possibly hive-partitioned) parquet dir from
     FOOTER metadata — a driver-side pyarrow read, no Spark job. Returns
-    None when any file's footer can't be read (caller falls back to a
-    count job)."""
+    None when NO parquet file was seen (e.g. a non-local path os.walk
+    can't traverse) or when any footer can't be read, so the caller's
+    count-job fallback actually runs — returning 0 here would persist
+    n_vectors=0 and silently floor the scale-aware shortlist at its
+    100-row minimum (r9 advice). pyarrow raises its own exception types
+    (ArrowInvalid for corrupt footers), not just OSError, so the except
+    is broad."""
     import os
 
     try:
@@ -1048,14 +1053,16 @@ def _parquet_dir_num_rows(path: str) -> int | None:
     except ImportError:  # pragma: no cover - pyarrow ships with pyspark
         return None
     total = 0
+    seen = False
     try:
         for root, _dirs, files in os.walk(path):
             for fn in files:
                 if fn.endswith(".parquet"):
                     total += pq.read_metadata(os.path.join(root, fn)).num_rows
-    except OSError:
+                    seen = True
+    except Exception:
         return None
-    return total
+    return total if seen else None
 
 
 def _residual_adc_shortlist(

@@ -58,20 +58,32 @@ def _multiset_diff(old: DataFrame, new: DataFrame) -> tuple[DataFrame, DataFrame
     reuse); per-row multiplicity is restored with an explode, matching
     exceptAll's multiset semantics exactly (same null-safe,
     NaN-normalized grouping equality — exceptAll itself is this very
-    aggregation under the hood). Round-9 CDF-diff optimization."""
+    aggregation under the hood). Round-9 CDF-diff optimization.
+
+    Unlike raw ``exceptAll`` (positional column matching), ``new`` is
+    aligned to ``old``'s columns BY NAME (``new.select(*old.columns)``)
+    — every caller here compares snapshots of the same table, where
+    by-name is the correct semantics and tolerates projection order
+    drift. Helper columns are suffixed until absent from the input
+    schema, so user columns named ``__o``/``__oc``/... can't collide
+    into a duplicate/ambiguous-column AnalysisException (r9 advice)."""
     cols = old.columns
+    sfx = ""
+    while any(f"__{b}{sfx}" in cols for b in ("o", "n", "oc", "nc", "k")):
+        sfx += "_"
+    c_o, c_n, c_oc, c_nc, c_k = (f"__{b}{sfx}" for b in ("o", "n", "oc", "nc", "k"))
     tagged = old.select(
-        *cols, F.lit(1).alias("__o"), F.lit(0).alias("__n")
-    ).unionByName(new.select(*cols, F.lit(0).alias("__o"), F.lit(1).alias("__n")))
+        *cols, F.lit(1).alias(c_o), F.lit(0).alias(c_n)
+    ).unionByName(new.select(*cols, F.lit(0).alias(c_o), F.lit(1).alias(c_n)))
     counts = tagged.groupBy(*cols).agg(
-        F.sum("__o").alias("__oc"), F.sum("__n").alias("__nc")
+        F.sum(c_o).alias(c_oc), F.sum(c_n).alias(c_nc)
     )
 
     def side(bigger: str, smaller: str) -> DataFrame:
         return (
             counts.filter(F.col(bigger) > F.col(smaller))
             .withColumn(
-                "__k",
+                c_k,
                 F.explode(
                     F.sequence(
                         F.lit(1).cast("long"),
@@ -82,7 +94,7 @@ def _multiset_diff(old: DataFrame, new: DataFrame) -> tuple[DataFrame, DataFrame
             .select(*cols)
         )
 
-    return side("__nc", "__oc"), side("__oc", "__nc")
+    return side(c_nc, c_oc), side(c_oc, c_nc)
 
 
 def bucket_expr(cols: tuple[str, ...] | list[str], n_buckets: int) -> Column:

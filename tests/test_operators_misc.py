@@ -329,3 +329,21 @@ def test_profile_cli_describe(tmp_path, capsys):
     lines = [_json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
     assert {r["column"] for r in lines} == {"r_regionkey", "r_name"}
     assert all(r["n_rows"] == 5 for r in lines)
+
+
+def test_multiset_diff_reserved_name_collision(spark):
+    """r9 advice: _multiset_diff's helper columns must not collide with
+    real input columns named __o/__n/__oc/__nc/__k — and the diff must
+    keep exceptAll's multiset (per-occurrence) semantics over them."""
+    from etl_cli_spark.operators.writeops import _multiset_diff
+
+    rows = [(1, "a"), (1, "a"), (2, "b")]
+    old = spark.createDataFrame(rows, ["__oc", "__k"])
+    new = spark.createDataFrame([(1, "a"), (3, "c"), (3, "c")], ["__oc", "__k"])
+    added, removed = _multiset_diff(old, new)
+    assert sorted(map(tuple, added.collect())) == [(3, "c"), (3, "c")]
+    assert sorted(map(tuple, removed.collect())) == [(1, "a"), (2, "b")]
+    # by-name alignment: new's projection order drift must not matter
+    added2, removed2 = _multiset_diff(old, new.select("__k", "__oc"))
+    assert sorted(map(tuple, added2.collect())) == [(3, "c"), (3, "c")]
+    assert sorted(map(tuple, removed2.collect())) == [(1, "a"), (2, "b")]

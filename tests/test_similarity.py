@@ -598,3 +598,31 @@ def test_ivfpq_probe_plan_partition_prunes(spark, emb, tmp_path):
     assert len(pf) >= 2 and all("__cell" in ln for ln in pf), pf
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row LUT frame
+
+
+def test_parquet_dir_num_rows_fallback_contract(tmp_path):
+    """r9 advice: the footer counter must return None (not 0) when no
+    parquet file exists, and None on corrupt footers (pyarrow raises
+    ArrowInvalid, not OSError) — so the caller's count-job fallback
+    runs instead of persisting n_vectors=0 and flooring the
+    scale-aware shortlist."""
+    from etl_cli_spark.operators.similarity import _parquet_dir_num_rows
+
+    # empty / nonexistent dir -> None
+    assert _parquet_dir_num_rows(str(tmp_path / "nope")) is None
+    (tmp_path / "empty").mkdir()
+    assert _parquet_dir_num_rows(str(tmp_path / "empty")) is None
+
+    # real footers -> summed rows (hive-partitioned layout)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "vectors" / "p=1"
+    d.mkdir(parents=True)
+    pq.write_table(pa.table({"x": [1, 2, 3]}), str(d / "a.parquet"))
+    pq.write_table(pa.table({"x": [4]}), str(d / "b.parquet"))
+    assert _parquet_dir_num_rows(str(tmp_path / "vectors")) == 4
+
+    # corrupt footer -> None (caller falls back), never an exception
+    (d / "c.parquet").write_bytes(b"not a parquet file")
+    assert _parquet_dir_num_rows(str(tmp_path / "vectors")) is None
