@@ -756,8 +756,20 @@ def compact_span_index(spark, path: str) -> None:
             old_parts.append(d)
     if not delta_dirs and not old_parts:
         return  # empty index (meta sidecar only): nothing to fold
-    base = _span_history(spark, path).groupBy("gh").agg(
-        F.sum("n_docs").alias("n_docs")
+    # fold EXACTLY the files captured in the listing above — never
+    # re-scan the directory. A delta landing between the listing and
+    # the history read (a concurrent append slipping into compaction's
+    # window) would otherwise be summed into the base but missing from
+    # to_delete: folded AND still live, double-counting every one of
+    # its grams forever (round-10 interleaving test). Reading the
+    # listed set keeps the race benign — a late delta is neither
+    # folded nor deleted, just stays live for the next compaction.
+    srcs = [os.path.join(path, d) for d in old_parts + delta_dirs]
+    base = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(*srcs)
+        .groupBy("gh")
+        .agg(F.sum("n_docs").alias("n_docs"))
     )
     tmp_name = ".compact_tmp"
     tmp = os.path.join(path, tmp_name)
