@@ -564,6 +564,13 @@ def test_ivfpq_default_operating_point_pins(spark, emb, tmp_path):
     assert _resolve_ivfpq_defaults(big, 7, 33) == (7, 33)
     legacy = {k: v for k, v in meta.items() if k != "n_vectors"}
     assert _resolve_ivfpq_defaults(legacy, None, None) == (2, 100)
+    # the sf5 tier (100k vectors, 128 cells, clone-excluded; ANN_EVAL
+    # round 10) re-confirmed both rules across two orders of magnitude:
+    # the resolved point (32, 1000) measured recall@10 = 0.950 there —
+    # identical to sf1's 0.950 at the same 1% budget — and n_probe=64
+    # bought nothing over 32 (0.350 == 0.350 at shortlist=100)
+    sf5 = dict(meta, n_centroids=128, n_vectors=100_000)
+    assert _resolve_ivfpq_defaults(sf5, None, None) == (32, 1000)
 
 
 def test_ivfpq_probe_plan_partition_prunes(spark, emb, tmp_path):
