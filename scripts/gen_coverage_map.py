@@ -1,0 +1,106 @@
+"""Generate COVERAGE.md's query -> certification map from the enforced
+window layout (r9 'next round' #7: the per-operator accounting was
+hand-maintained prose and could drift from the layout the tests pin).
+
+The single source of truth is `__spark_entry__` (declared query order +
+the `_*_FAMILY` digest specs) and `tests/test_window_layout.py`'s
+STANDALONE list — the same objects `test_every_query_is_family_member_
+or_standalone` proves exhaustive. This script renders them as a
+markdown table between the BEGIN/END markers in COVERAGE.md;
+`tests/test_coverage_map.py` regenerates the block and fails if the
+committed doc drifted.
+
+    python scripts/gen_coverage_map.py          # rewrite COVERAGE.md in place
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+BEGIN = "<!-- BEGIN GENERATED: query-certification-map (scripts/gen_coverage_map.py) -->"
+END = "<!-- END GENERATED: query-certification-map -->"
+
+WINDOW = 50
+
+
+def build_block() -> str:
+    import __spark_entry__ as entry
+    from test_window_layout import STANDALONE
+
+    names = list(entry.queries())
+    member_of: dict[str, str] = {}
+    # exact digest->family mapping, mirrored from test_window_layout
+    # (its test_digest_members_are_declared_and_speced asserts this set
+    # equals the declared digests, so the mirror can't silently lag)
+    families = {
+        "core_surface_digest": entry._CORE_FAMILY,
+        "dsl_digest": entry._DSL_FAMILY,
+        "sql_shapes_digest": entry._SQL_FAMILY,
+        "agg_digest": entry._AGG_FAMILY,
+        "join_window_digest": entry._JOINWIN_FAMILY,
+        "merger_digest": entry._MERGER_FAMILY,
+        "write_digest": entry._WRITE_FAMILY,
+        "sketch_digest": entry._SKETCH_FAMILY,
+        "multimodal_digest": entry._MULTIMODAL_FAMILY,
+        "sampling_digest": entry._SAMPLING_FAMILY,
+        "text_digest": entry._TEXT_FAMILY,
+        "dedup_digest": entry._DEDUP_FAMILY,
+        "similarity_digest": entry._SIMILARITY_FAMILY,
+    }
+    for digest, members in families.items():
+        for m in members:
+            member_of[m] = digest
+
+    lines = [
+        BEGIN,
+        "",
+        f"_{len(names)} declared queries; window = first {WINDOW} slots the",
+        "driver certifies per round. Generated — edit the layout (in",
+        "`__spark_entry__.py` / `tests/test_window_layout.py`) and rerun",
+        "`python scripts/gen_coverage_map.py`; `tests/test_coverage_map.py`",
+        "fails when this block drifts from the enforced layout._",
+        "",
+        "| # | query | certification | driver window |",
+        "|---|---|---|---|",
+    ]
+    for i, q in enumerate(names, start=1):
+        if q in families:
+            cert = f"family digest ({len(families[q])} members re-certified per hash-match)"
+        elif q in member_of:
+            cert = f"member of `{member_of[q]}`"
+        elif q in STANDALONE:
+            cert = "standalone oracle"
+        else:  # unreachable while the layout test passes
+            cert = "UNACCOUNTED"
+        win = f"slot {i}" if i <= WINDOW else "judge replay (51+)"
+        if q in member_of and i > WINDOW:
+            win += f"; digest in window"
+        lines.append(f"| {i} | `{q}` | {cert} | {win} |")
+    lines += ["", END]
+    return "\n".join(lines)
+
+
+def main() -> int:
+    path = os.path.join(REPO, "COVERAGE.md")
+    with open(path) as f:
+        doc = f.read()
+    block = build_block()
+    if BEGIN in doc:
+        pre, _, rest = doc.partition(BEGIN)
+        _, _, post = rest.partition(END)
+        doc = pre + block + post
+    else:
+        doc = doc.rstrip() + "\n\n## Query certification map (generated)\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(doc)
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
