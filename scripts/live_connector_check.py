@@ -150,3 +150,12 @@ if __name__ == "__main__":
         down()
     else:
         print(__doc__)
+
+# Round-10 environment attempt (2026-08-15): the verdict's standing ask
+# is to run this runbook the first round an environment allows it. This
+# round's box has a docker CLIENT (28.2.2) but no reachable daemon
+# ("Cannot connect to the Docker daemon at unix:///var/run/docker.sock")
+# and no DNS ("getent hosts repo1.maven.org" -> exit 2), so neither the
+# compose stack nor the --packages jar resolution can execute. The
+# wiring remains gated behind the tested no-jar error contract; the
+# three opt-in live tests stay skipped.
