@@ -179,7 +179,9 @@ def changefeed_merge(
     columns an update cannot change OR the caller accepts insert-only
     maintenance semantics; a post-image transformed out of the view is
     not retracted (standard incremental-view caveat, documented rather
-    than silently wrong). ``downstream`` must be manifest-mode.
+    than silently wrong). ``transform`` must be deterministic (it is
+    row-wise stateless by contract; it may be re-evaluated over the
+    cached change set between the count and the MERGE). ``downstream`` must be manifest-mode.
     Upstream versions older than the retention window must already be
     reflected (start the feed before vacuuming upstream).
 
@@ -246,14 +248,21 @@ def changefeed_merge(
             ).withColumn("commit_version", F.lit(int(a)))
         else:
             changes = upstream.snapshot_changes(a - 1, b, pk=pk)
+        # cache the CHANGE SET, not post/gone separately: post and gone
+        # are both narrow filters of the same diff, and caching each one
+        # executed the whole file-pruned diff plan TWICE per run (once
+        # per count). One cache materializes the diff once; the counts,
+        # the upsert, and the delete are all cheap scans of it.
+        # ``transform`` re-evaluates over the cache at apply time — the
+        # documented contract (stateless row-wise, pk-preserving)
+        # already implies determinism.
+        changes = changes.cache()
         post = changes.filter(
             F.col("change_type").isin("insert", "update_postimage")
         ).drop("change_type", "commit_version")
         gone = changes.filter(F.col("change_type") == "delete").select(*pk)
         if transform is not None:
             post = transform(post)
-        post = post.cache()
-        gone = gone.cache()
         n_post, n_gone = post.count(), gone.count()
         committed = False
         if n_post:
@@ -284,8 +293,7 @@ def changefeed_merge(
             # next drain doesn't rediff it
             downstream.stream_commit_meta(stream_id, b)
             downstream._commit(lambda prev, ps: (list(prev), ps))
-        post.unpersist()
-        gone.unpersist()
+        changes.unpersist()
         applied += b - a + 1
         watermark = b
     return ChangeFeedStats(applied, ups, dels, watermark)
