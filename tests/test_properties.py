@@ -387,3 +387,47 @@ def test_fuzzy_join_jaccard_matches_python(spark, a, b):
         assert abs(r.jaccard - expect) < 1e-6
     if sa == sb:
         assert len(got) == 1
+
+
+# a cell is None / NaN / a small int-valued float — the three equality
+# regimes the diff's grouping must treat exactly like exceptAll's
+# (null == null, NaN == NaN, plain value equality)
+_diff_cell = st.one_of(
+    st.none(),
+    st.just(float("nan")),
+    st.integers(min_value=0, max_value=3).map(float),
+)
+
+
+@given(
+    old_rows=st.lists(st.tuples(_diff_cell, _diff_cell), max_size=12),
+    new_rows=st.lists(st.tuples(_diff_cell, _diff_cell), max_size=12),
+)
+@SETTINGS
+def test_multiset_diff_matches_exceptall_property(spark, old_rows, new_rows):
+    """_multiset_diff's docstring claims exact exceptAll multiset
+    semantics from ONE shuffle — same null-safe, NaN-normalized
+    grouping equality, per-occurrence multiplicity. Pin it against
+    exceptAll itself on random multisets over the three equality
+    regimes (None / NaN / value), including duplicate rows on both
+    sides so multiplicity arithmetic (explode of count differences) is
+    exercised, not just set membership."""
+    from etl_cli_spark.operators.writeops import _multiset_diff
+
+    schema = "x double, y double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+
+    def key(rows):
+        # NaN-normalized, null-distinct multiset fingerprint
+        out = []
+        for r in rows:
+            out.append(tuple(
+                "NULL" if v is None else ("NaN" if v != v else repr(v))
+                for v in r
+            ))
+        return sorted(out)
+
+    added, removed = _multiset_diff(old, new)
+    assert key(added.collect()) == key(new.exceptAll(old).collect())
+    assert key(removed.collect()) == key(old.exceptAll(new).collect())
