@@ -173,6 +173,26 @@ def main() -> int:
     )
     shutil.rmtree(wtmp, ignore_errors=True)
 
+    # calibration bracketing (round-10): the same fixed pure-CPU job runs
+    # BEFORE the queries (here) and AFTER them (calibration_sec). A
+    # session-scale finding behind the chronic "bimodal" rows: this
+    # box's PARALLEL throughput degrades under sustained load (same-day
+    # probes: 0.049s early -> 0.167s after hours of heavy Spark, with
+    # single-core Python timings flat and load ~0) — and the driver runs
+    # bench late, after the correctness sweep. One post-run sample can't
+    # distinguish "box was slow all run" from "box decayed mid-run";
+    # the pre/post pair bounds which rows could be affected.
+    def _calibrate() -> float:
+        best = -1.0
+        for _ in range(3):
+            c0 = time.perf_counter()
+            spark.range(50_000_000).selectExpr("sum(id * 3 + 1) AS s").collect()
+            cdt = time.perf_counter() - c0
+            best = cdt if best < 0 else min(best, cdt)
+        return best
+
+    cal_pre = _calibrate()
+
     # median-of-N per query (r5 judge #3): best-of-2 let one slow outlier
     # masquerade as a 5x regression (dedup_exact, r5) because there was no
     # second opinion to vote it down; the median of 3 is robust to a
@@ -281,12 +301,7 @@ def main() -> int:
     # by re-running on a quiet box. Compare calibration_sec across
     # rounds: the engine didn't change, so if calibration moved, the box
     # did, not the code.
-    cal_best = -1.0
-    for _ in range(3):
-        c0 = time.perf_counter()
-        spark.range(50_000_000).selectExpr("sum(id * 3 + 1) AS s").collect()
-        cdt = time.perf_counter() - c0
-        cal_best = cdt if cal_best < 0 else min(cal_best, cdt)
+    cal_best = _calibrate()
     try:
         load = round(os.getloadavg()[0], 2)
     except OSError:  # pragma: no cover
@@ -314,6 +329,9 @@ def main() -> int:
         "runs": n_runs,
         "stat": "median",
         "calibration_sec": round(cal_best, 3),
+        # same job measured BEFORE any query ran — with calibration_sec
+        # it brackets the run; divergence marks mid-run box decay
+        "calibration_pre_sec": round(cal_pre, 3),
         "load_1m": load,
     }))
     return 0
