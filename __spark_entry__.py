@@ -241,14 +241,21 @@ def _d2_sql(a: str, b: str, dim: int) -> str:
     )
 
 
-def _ivf_cells_ctes(dim: int, k: int, iters: int) -> tuple[list[str], str]:
-    """CTE chain replaying the deterministic driver-side k-means
+def _ivf_cells_ctes(
+    dim: int, k: int, iters: int, src: str = "samp"
+) -> tuple[list[str], str]:
+    """CTE chain replaying the deterministic k-means
     (similarity._kmeans_lite protocol: lowest-id sample init, distances
     rounded to 6 dp before argmin with lowest-cid tie-break, centroids
     rounded to 9 dp per iteration) plus the final cell assignment —
     shared by the similarity_ivf and semantic_dedup oracles. Returns
     (ctes, final_centroid_cte_name); the chain defines ``e`` (vec_id,
-    v) and ``cells`` (vec_id, v, cid)."""
+    v) and ``cells`` (vec_id, v, cid).
+
+    ``src`` picks the frame the Lloyd iterations run over: ``samp``
+    (the lowest-2048 driver sample — the _kmeans_lite replay) or ``e``
+    (the FULL corpus — the kmeans_refine replay; init is unchanged
+    since the lowest-k of the sample IS the lowest-k of the corpus)."""
     d2 = lambda a, b: _d2_sql(a, b, dim)
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -261,7 +268,7 @@ def _ivf_cells_ctes(dim: int, k: int, iters: int) -> tuple[list[str], str]:
         ctes.append(
             f"a{t} AS (SELECT s.vec_id, s.v, c.cid, row_number() OVER ("
             f"PARTITION BY s.vec_id ORDER BY round({d2('s.v', 'c.cv')}, 6), c.cid) AS rn "
-            f"FROM samp s CROSS JOIN {prev} c)"
+            f"FROM {src} s CROSS JOIN {prev} c)"
         )
         ctes.append(
             f"m{t} AS (SELECT cid, g.d, round(avg(v[g.d]), 9) AS val "
@@ -1675,6 +1682,28 @@ def _parquet_num_rows(path: str):
         return None
 
 
+def _q_kmeans_refine(spark, sf):
+    """Distributed Lloyd's k-means refined over the FULL corpus
+    (similarity.kmeans_refine) — the _kmeans_lite protocol at corpus
+    scale (web-scale SemDeDup needs ~100k clusters, which a 2048-row
+    driver sample cannot even fill; per iteration the driver sees
+    exactly n_centroids x dim doubles, never the corpus). The oracle
+    replays the SAME deterministic chain (lowest-id init, 6 dp rounded
+    distances with lowest-cell tie-break, 9 dp centroid rounding,
+    empty-cell carry-forward) with the Lloyd iterations running over
+    ALL vectors instead of the sample — so the hash match certifies the
+    distributed implementation (Arrow assignment pass + map-side-
+    combined per-(cell,dim) means) end to end, not the driver trainer
+    it mirrors."""
+    from etl_cli_spark.operators.similarity import kmeans_refine
+
+    emb = _engine(spark, sf).read("embeddings")
+    cells, _cent = kmeans_refine(emb, n_centroids=16, iters=4)
+    return cells.select(
+        "vec_id", F.col("__cell").cast("int").alias("cid")
+    )
+
+
 def _q_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup: deterministic k-means clusters
     (the oracle-replayable IVF protocol), within-cluster cosine >= 0.4
@@ -2993,6 +3022,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "similarity_ivfpq": [("vec_id", "i"), ("score", "f")],
     "embedding_neardup": [("a_id", "i"), ("b_id", "i"), ("cosine", "f")],
     "semantic_dedup": [("vec_id", "i"), ("cell", "i"), ("label", "i")],
+    "kmeans_refine": [("vec_id", "i"), ("cid", "i")],
 }
 
 _DSL_FAMILY = [
@@ -3144,6 +3174,7 @@ _DEDUP_FAMILY = [
 _SIMILARITY_FAMILY = [
     "similarity_topk", "similarity_ann", "similarity_ivf", "similarity_pq",
     "similarity_ivfpq", "embedding_neardup", "semantic_dedup",
+    "kmeans_refine",
 ]
 
 
@@ -3808,6 +3839,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivfpq": _q_similarity_ivfpq,
     "embedding_neardup": _q_embedding_neardup,
     "semantic_dedup": _q_semantic_dedup,
+    "kmeans_refine": _q_kmeans_refine,
     # merger-option family (in-window via merger_digest)
     "merger_direction": _q_merger_direction,
     "merger_merge_as": _q_merger_merge_as,
@@ -5508,6 +5540,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c.vec_id, CAST(c.cid AS INTEGER) AS cell, em.label "
         "FROM cells c JOIN embeddings em USING (vec_id) "
         "WHERE c.vec_id NOT IN (SELECT d FROM drops)"
+    )
+
+    # kmeans_refine: the SAME deterministic Lloyd chain, but iterated
+    # over ALL vectors (src="e") instead of the 2048 sample — replaying
+    # the distributed trainer (init is identical: lowest-k of the
+    # sample IS the lowest-k of the corpus). 4 iterations keep the
+    # unrolled CTE chain cheap and distinct from the IVF family's 8.
+    _rctes, _ = _ivf_cells_ctes(_DIM, _K, 4, src="e")
+    sql["kmeans_refine"] = (
+        "WITH " + ", ".join(_rctes) + " "
+        "SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM cells"
     )
 
     # token_budget_sample: greedy prefix by running token sum in

@@ -306,6 +306,60 @@ def ivf_index(
     return _assign_cells(df, cent, vec_col), [list(map(float, c)) for c in cent]
 
 
+def kmeans_refine(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Distributed Lloyd's k-means over the FULL corpus — the
+    ``_kmeans_lite`` protocol at corpus scale.
+
+    ``_kmeans_lite`` trains on a bounded driver-side sample, which is
+    right for IVF coarse cells but not for web-scale SemDeDup-style
+    clustering (Abbas et al. 2023 use ~100k clusters over billions of
+    vectors — a 2048-row sample cannot even fill that many cells, let
+    alone place them). Here every iteration is one Arrow-batched
+    assignment pass (no shuffle; centroids closure-captured) plus one
+    per-(cell, dim) mean whose map-side partial aggregation reduces the
+    shuffle AND the driver collect to exactly ``n_centroids × dim``
+    doubles — the model, never the corpus. Spark job count is
+    ``iters + 1`` (one mean per iteration, one init collect), so the
+    driver loop stays O(model), the standard distributed-k-means shape.
+
+    Protocol (bit-replayable cross-engine, byte-compatible with
+    ``_kmeans_lite`` when the corpus fits its sample): init = the
+    ``n_centroids`` lowest-``id_col`` vectors; squared distances
+    rounded to 6 dp before argmin with ties to the lowest cell id
+    (``_assign_cells``); per-iteration means rounded to 9 dp; empty
+    cells keep their previous centroid (then re-round — idempotent).
+    Returns ``(df + __cell from the FINAL centroids, centroids)``.
+    """
+    init_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    if not init_rows:
+        raise ValueError("kmeans_refine: empty input")
+    cent: list[list[float]] = [[float(x) for x in r[1]] for r in init_rows]
+    dim = len(cent[0])
+    for _ in range(iters):
+        assigned = _assign_cells(df.select(id_col, vec_col), cent, vec_col)
+        # one row per cell, dim avg columns: partial aggregation combines
+        # map-side, so the exchange carries <= n_centroids rows per task
+        mean_row = assigned.groupBy("__cell").agg(
+            *[
+                F.avg(F.element_at(F.col(vec_col), d + 1).cast("double")).alias(str(d))
+                for d in range(dim)
+            ]
+        ).collect()
+        new = [list(c) for c in cent]
+        for r in mean_row:
+            new[r["__cell"]] = [r[str(d)] for d in range(dim)]
+        cent = [[round(float(v), 9) for v in c] for c in new]
+    return _assign_cells(df, cent, vec_col), cent
+
+
 def _assign_cells(df: DataFrame, centroids, vec_col: str) -> DataFrame:
     """Attach ``__cell`` = nearest-centroid id. One Arrow-batched pass,
     no shuffle; centroids are closure-captured (broadcast-sized)."""

@@ -633,3 +633,52 @@ def test_parquet_dir_num_rows_fallback_contract(tmp_path):
     # corrupt footer -> None (caller falls back), never an exception
     (d / "c.parquet").write_bytes(b"not a parquet file")
     assert _parquet_dir_num_rows(str(tmp_path / "vectors")) is None
+
+
+def test_kmeans_refine_matches_driver_protocol_bitwise(spark):
+    """kmeans_refine is the _kmeans_lite protocol at corpus scale: when
+    the corpus fits the driver sample, the distributed refinement must
+    reproduce the driver trainer BIT-FOR-BIT — same init (lowest-id
+    rows), same rounded-distance argmin with lowest-cell tie-break,
+    same 9 dp centroid rounding, same empty-cell carry-forward. Values
+    are dyadic (i/8) so means are exact in binary and the comparison
+    is free of round-boundary luck."""
+    from etl_cli_spark.operators.similarity import (
+        _assign_cells,
+        _kmeans_lite,
+        kmeans_refine,
+    )
+
+    rows = [
+        (i, [((i * 7 + d * 3) % 16) / 8.0 for d in range(6)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cent_lite = _kmeans_lite([v for _, v in rows], 5, iters=3)
+    cells, cent = kmeans_refine(df, n_centroids=5, iters=3)
+
+    assert [[round(float(x), 9) for x in c] for c in cent_lite] == cent
+
+    got = {r["vec_id"]: r["__cell"] for r in cells.collect()}
+    want = {
+        r["vec_id"]: r["__cell"]
+        for r in _assign_cells(df, cent_lite, "embedding").collect()
+    }
+    assert got == want and len(got) == 40
+
+
+def test_kmeans_refine_empty_cell_keeps_previous_centroid(spark):
+    """With k larger than the number of distinct point locations, some
+    cells win no members; their centroids must carry forward (and stay
+    9 dp-rounded) instead of going NaN/zero — _kmeans_lite semantics."""
+    from etl_cli_spark.operators.similarity import _kmeans_lite, kmeans_refine
+
+    # two tight clusters, k=4: at most 2 cells ever win members
+    rows = [(i, [0.0, 0.0] if i % 2 == 0 else [8.0, 8.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cells, cent = kmeans_refine(df, n_centroids=4, iters=2)
+    lite = _kmeans_lite([v for _, v in rows], 4, iters=2)
+    assert [[round(float(x), 9) for x in c] for c in lite] == cent
+    assert all(all(v == v for v in c) for c in cent)  # no NaN
+    assert cells.count() == 12
