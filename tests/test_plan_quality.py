@@ -63,6 +63,8 @@ READ_QUERIES = [
     "quality_classifier",
     "fuzzy_join",
     "leakage_split",
+    # round-10 operators
+    "kmeans_refine",
 ]
 
 
