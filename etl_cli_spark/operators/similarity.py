@@ -702,6 +702,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     threshold: float = 0.97,
     sample_size: int = 2048,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -725,10 +726,23 @@ def semantic_dedup(
     """
     from pyspark import StorageLevel
 
-    with_cells, _cent = ivf_index(
-        df, id_col=id_col, vec_col=vec_col,
-        n_centroids=n_clusters, sample_size=sample_size,
-    )
+    # refine_iters > 0 (round-10): place the cells with kmeans_refine —
+    # the same deterministic protocol Lloyd-iterated over the FULL
+    # corpus instead of the driver sample. At web scale (the paper's
+    # ~100k clusters) the sample path cannot even fill the cells;
+    # refinement also tightens them, which only helps the recall of
+    # the within-cluster prune. The kept-set policy is unchanged and
+    # the default (0) keeps the oracle-replayed sample protocol.
+    if refine_iters:
+        with_cells, _cent = kmeans_refine(
+            df, n_centroids=n_clusters, iters=refine_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        with_cells, _cent = ivf_index(
+            df, id_col=id_col, vec_col=vec_col,
+            n_centroids=n_clusters, sample_size=sample_size,
+        )
     # normalize ONCE and persist (cell, id, unit vector): the self-join's
     # two branches would otherwise each re-run the Arrow assign pass, and
     # per-pair cosine would recompute both norms — unit vectors make the

@@ -682,3 +682,40 @@ def test_kmeans_refine_empty_cell_keeps_previous_centroid(spark):
     assert [[round(float(x), 9) for x in c] for c in lite] == cent
     assert all(all(v == v for v in c) for c in cent)  # no NaN
     assert cells.count() == 12
+
+
+def test_semantic_dedup_refined_cells_keep_independent_set(spark):
+    """semantic_dedup(refine_iters=N) swaps the cell placement to the
+    full-corpus kmeans_refine; the kept set must still be a
+    within-cluster independent set under the threshold, and the
+    refined cells must equal kmeans_refine's own assignment."""
+    from etl_cli_spark.operators.similarity import (
+        cosine,
+        kmeans_refine,
+        semantic_dedup,
+    )
+
+    rows = [
+        (i, [((i * 5 + d * 7) % 12) / 8.0 + (i % 3) for d in range(4)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semantic_dedup(df, n_clusters=4, threshold=0.98, refine_iters=3)
+
+    cells_ref, _ = kmeans_refine(df, n_centroids=4, iters=3)
+    want = {r["vec_id"]: r["__cell"] for r in cells_ref.collect()}
+    got = {r["vec_id"]: r["__cell"] for r in kept.collect()}
+    assert all(want[i] == c for i, c in got.items())
+
+    # no kept pair within a cell at/above the threshold
+    a = kept.selectExpr("vec_id AS a_id", "embedding AS av", "__cell")
+    b = kept.selectExpr("vec_id AS b_id", "embedding AS bv", "__cell")
+    from pyspark.sql import functions as F
+    viol = (
+        a.join(b, on="__cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(cosine(F.col("av"), F.col("bv")), 6) >= 0.98)
+        .count()
+    )
+    assert viol == 0
+    assert 0 < kept.count() <= 30
