@@ -58,6 +58,8 @@ HEADLINE = [
     "strip_spans_indexed",    # span strip probing the persisted index
     # round-8 additions
     "bpe_train_1k",           # 1000 merges via the driver heap trainer
+    # round-10 additions
+    "kmeans_refine",          # distributed full-corpus Lloyd (4 iters + final assign)
 ]
 
 
