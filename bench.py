@@ -137,9 +137,18 @@ def _load_anchors(repo_dir: str, sf: float) -> tuple[str, dict[str, float]]:
                 used.append(fname)
         except (OSError, ValueError):
             continue
-    anchors = {
-        q: sorted(ts)[len(ts) // 2] for q, ts in per_query.items()
-    }
+    def _median(ts: list[float]) -> float:
+        # even counts use the CENTRAL-PAIR MEAN, not the upper member:
+        # with exactly 2 prior artifacts sorted(ts)[len//2] anchored to
+        # the SLOWER of the two, loosening the outlier trigger precisely
+        # when history is thinnest (first two rounds at a new sf tier)
+        s = sorted(ts)
+        n = len(s)
+        if n % 2:
+            return s[n // 2]
+        return (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    anchors = {q: _median(ts) for q, ts in per_query.items()}
     return ",".join(used), anchors
 
 

@@ -159,3 +159,10 @@ if __name__ == "__main__":
 # compose stack nor the --packages jar resolution can execute. The
 # wiring remains gated behind the tested no-jar error contract; the
 # three opt-in live tests stay skipped.
+# Round-11 environment attempt (2026-08-16): re-checked per the standing
+# ask. Same box state as round 10: docker client 28.2.2 present, daemon
+# absent ("docker ps" -> "Cannot connect to the Docker daemon at
+# unix:///var/run/docker.sock"), and no DNS (python
+# socket.gethostbyname("registry-1.docker.io") -> gaierror -2 "Name or
+# service not known"), so neither the compose stack nor --packages jar
+# resolution can run. Still environment-blocked; no code change needed.

@@ -63,6 +63,21 @@ def test_load_anchors_only_newest_three_and_sf_gate(tmp_path):
     assert bench._load_anchors(str(tmp_path), 0.01) == ("", {})
 
 
+def test_load_anchors_even_count_uses_central_pair_mean(tmp_path):
+    # VERDICT r10 "what's wrong #2": with exactly 2 prior artifacts the
+    # old sorted(ts)[len//2] anchored to the SLOWER member, loosening
+    # the 2.5x outlier trigger when history is thinnest. Even counts
+    # must anchor to the central-pair mean.
+    _write(tmp_path, "BENCH_r08.json", {"sf": 0.1, "queries": {"q": 1.0}})
+    _write(tmp_path, "BENCH_r09.json", {"sf": 0.1, "queries": {"q": 3.0}})
+    _, anchors = bench._load_anchors(str(tmp_path), 0.1)
+    assert anchors == {"q": 2.0}
+    # a row present in only ONE artifact (odd count) anchors to that value
+    _write(tmp_path, "BENCH_r09.json", {"sf": 0.1, "queries": {"q": 3.0, "r": 5.0}})
+    _, anchors2 = bench._load_anchors(str(tmp_path), 0.1)
+    assert anchors2 == {"q": 2.0, "r": 5.0}
+
+
 def test_load_anchors_ignores_failed_rows_and_garbage(tmp_path):
     _write(
         tmp_path,

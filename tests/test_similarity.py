@@ -684,6 +684,78 @@ def test_kmeans_refine_empty_cell_keeps_previous_centroid(spark):
     assert cells.count() == 12
 
 
+def test_semantic_dedup_arrow_pairs_bitwise_equals_column(spark):
+    """pair_strategy='arrow' (per-cell index-order outer-product kernel
+    + Spark-side round-6 filter) must produce the EXACT kept set of the
+    column zip_with arm — including near-threshold pairs, which is why
+    the kernel emits raw dots and leaves the HALF_UP rounding to Spark."""
+    from etl_cli_spark.operators.similarity import semantic_dedup
+
+    # clusters of near-duplicates plus loners; threshold crossings on
+    # both sides ensure the margin pre-filter is actually exercised
+    rows = []
+    for i in range(60):
+        g = i % 5
+        base_v = [((g * 13 + d * 7) % 32) / 8.0 + 1.0 for d in range(8)]
+        v = [x + ((i * 31 + d) % 7) * 0.01 for d, x in enumerate(base_v)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for thr in (0.9995, 0.97):
+        kept_c = semantic_dedup(df, n_clusters=4, threshold=thr)
+        kept_a = semantic_dedup(df, n_clusters=4, threshold=thr, pair_strategy="arrow")
+        got_c = sorted((r["vec_id"], r["__cell"]) for r in kept_c.collect())
+        got_a = sorted((r["vec_id"], r["__cell"]) for r in kept_a.collect())
+        assert got_c == got_a and 0 < len(got_a) < 60
+
+    import pytest
+
+    with pytest.raises(ValueError, match="pair_strategy"):
+        semantic_dedup(df, n_clusters=4, pair_strategy="gpu")
+
+
+def test_kmeans_refine_long_mean_bitwise_equals_wide(spark):
+    """The long-format mean (posexplode → groupBy(__cell,__pos).avg) is
+    the production-width plan (dim > codegen maxFields); it must be
+    bit-identical to the wide plan AND to _kmeans_lite on dyadic values
+    (means exact in binary — no round-boundary luck)."""
+    from etl_cli_spark.operators.similarity import _kmeans_lite, kmeans_refine
+
+    rows = [
+        (i, [((i * 7 + d * 3) % 16) / 8.0 for d in range(6)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lite = _kmeans_lite([v for _, v in rows], 5, iters=3)
+    cells_w, cent_w = kmeans_refine(df, n_centroids=5, iters=3, mean_strategy="wide")
+    cells_l, cent_l = kmeans_refine(df, n_centroids=5, iters=3, mean_strategy="long")
+    assert cent_w == cent_l == [[round(float(x), 9) for x in c] for c in lite]
+    got_w = {r["vec_id"]: r["__cell"] for r in cells_w.collect()}
+    got_l = {r["vec_id"]: r["__cell"] for r in cells_l.collect()}
+    assert got_w == got_l and len(got_l) == 40
+
+
+def test_kmeans_refine_auto_routes_wide_dims_to_long(spark):
+    """auto = wide only while the per-dim aggregate stays inside
+    whole-stage codegen (dim <= 96); past it the long plan runs and the
+    result still matches _kmeans_lite bitwise (dyadic values)."""
+    from etl_cli_spark.operators.similarity import _kmeans_lite, kmeans_refine
+
+    dim = 120  # > 96: auto must take the long path
+    rows = [
+        (i, [((i * 11 + d * 5) % 8) / 4.0 for d in range(dim)])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lite = _kmeans_lite([v for _, v in rows], 4, iters=2)
+    cells, cent = kmeans_refine(df, n_centroids=4, iters=2)  # auto
+    assert cent == [[round(float(x), 9) for x in c] for c in lite]
+    assert cells.count() == 24
+    import pytest
+
+    with pytest.raises(ValueError, match="mean_strategy"):
+        kmeans_refine(df, n_centroids=4, iters=1, mean_strategy="bogus")
+
+
 def test_semantic_dedup_refined_cells_keep_independent_set(spark):
     """semantic_dedup(refine_iters=N) swaps the cell placement to the
     full-corpus kmeans_refine; the kept set must still be a
