@@ -875,7 +875,9 @@ def semantic_dedup(
     return with_cells.join(drops, on=id_col, how="left_anti")
 
 
-def _cell_pair_candidates(base: DataFrame, margin: float) -> DataFrame:
+def _cell_pair_candidates(
+    base: DataFrame, margin: float, block_bytes: int = 256 << 20
+) -> DataFrame:
     """Arrow arm of semantic_dedup's within-cell verify: per ``__cell``
     group, accumulate the pairwise dot matrix as per-dimension outer
     products in INDEX ORDER — entry (i, j) performs exactly the IEEE
@@ -906,7 +908,7 @@ def _cell_pair_candidates(base: DataFrame, margin: float) -> DataFrame:
         ids = pdf["__id"].to_numpy()
         u = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__u"]])
         dim = u.shape[1]
-        blk = max(1, (256 << 20) // max(1, n * 8))
+        blk = max(1, block_bytes // max(1, n * 8))
         buf = np.empty((min(blk, n), n), dtype=np.float64)
         tmp = np.empty_like(buf)
         out_ids, out_dots = [], []

@@ -96,9 +96,12 @@ AUDITED: dict[str, str] = {
     ),
     "semantic_dedup": (
         "SemDeDup: cells assigned in one Arrow pass (centroids closure-"
-        "captured, no shuffle), then the within-cluster self-join is the "
-        "only exchange — O(sum cluster^2) pair work instead of O(N^2); "
-        "cosine is a pure Column fold inside codegen."
+        "captured, no shuffle); the within-cluster verify (r11) is one "
+        "groupBy(__cell) applyInPandas kernel — the ONLY exchange — "
+        "computing each cell's pairwise dots as index-order outer "
+        "products (bit-identical to the Column fold, no per-pair "
+        "allocation); the round-6 threshold filter stays in Spark "
+        "columns. O(sum cluster^2) pair work instead of O(N^2)."
     ),
     "dsir_select": (
         "both hashed-bigram model fits are single narrow groupBys "

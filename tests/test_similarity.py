@@ -713,6 +713,38 @@ def test_semantic_dedup_arrow_pairs_bitwise_equals_column(spark):
         semantic_dedup(df, n_clusters=4, pair_strategy="gpu")
 
 
+def test_cell_pair_kernel_multiblock_equals_single_block(spark):
+    """The arrow kernel row-blocks hot cells; the strict-upper-triangle
+    mask uses GLOBAL indices (cols > rows + s) — force tiny blocks and
+    prove the emitted candidate multiset is exactly the single-block
+    one (same pairs, same raw dots), so no pair is dropped or doubled
+    at a block seam."""
+    from pyspark.sql import functions as F
+
+    from etl_cli_spark.operators.similarity import (
+        _as_double,
+        _cell_pair_candidates,
+        norm,
+    )
+
+    rows = [(i, i % 3, [((i * 7 + d) % 5) / 2.0 + 0.5 for d in range(4)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, cell int, embedding array<double>")
+    base = (
+        df.select(
+            F.col("cell").alias("__cell"),
+            F.col("vec_id").alias("__id"),
+            _as_double(F.col("embedding")).alias("__v"),
+        )
+        .withColumn("__n", norm(F.col("__v")))
+        .select("__cell", "__id", F.transform("__v", lambda x: x / F.col("__n")).alias("__u"))
+    )
+    # margin low enough that MANY pairs qualify (stress the seam logic)
+    one = sorted(map(tuple, _cell_pair_candidates(base, 0.5).collect()))
+    # block_bytes=96 -> blk = 96 // (n*8) = 1 row per block at n=10
+    multi = sorted(map(tuple, _cell_pair_candidates(base, 0.5, block_bytes=96).collect()))
+    assert one == multi and len(one) > 20
+
+
 def test_kmeans_refine_long_mean_bitwise_equals_wide(spark):
     """The long-format mean (posexplode → groupBy(__cell,__pos).avg) is
     the production-width plan (dim > codegen maxFields); it must be
