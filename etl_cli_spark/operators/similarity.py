@@ -399,17 +399,25 @@ def kmeans_refine(
         else:
             # long format: explode (cell, pos, val) then a narrow 2-key
             # aggregate — no wide codegen, map-side combine bounds the
-            # exchange at K × dim rows per task, collect = the model
-            mean_row = (
+            # exchange at K × dim rows per task. The driver transfer is
+            # K × dim scalars either way, but here it's K*dim ROWS, so
+            # fetch via Arrow (columnar, no per-Row objects) and fill
+            # vectorized — the same float64 bits collect() would carry
+            mpdf = (
                 assigned.select(
                     "__cell", F.posexplode(F.col(vec_col)).alias("__pos", "__val")
                 )
                 .groupBy("__cell", "__pos")
                 .agg(F.avg(F.col("__val").cast("double")).alias("__avg"))
-                .collect()
+                .toPandas()
             )
-            for r in mean_row:
-                new[r["__cell"]][r["__pos"]] = r["__avg"]
+            import numpy as np
+
+            arr = np.asarray(new, dtype=np.float64)
+            arr[mpdf["__cell"].to_numpy(), mpdf["__pos"].to_numpy()] = mpdf[
+                "__avg"
+            ].to_numpy()
+            new = arr.tolist()
         cent = [[round(float(v), 9) for v in c] for c in new]
     return _assign_cells(df, cent, vec_col), cent
 
