@@ -1735,6 +1735,23 @@ def _q_semantic_dedup(spark, sf):
     return out.select("vec_id", F.col("__cell").alias("cell"), "label")
 
 
+def _q_semantic_dedup_refined(spark, sf):
+    """semantic_dedup(refine_iters=4): the SemDeDup prune over cells
+    placed by the distributed FULL-CORPUS Lloyd trainer
+    (similarity.kmeans_refine) instead of the driver-sample k-means —
+    the round-10 composition, oracle-certified end-to-end here
+    (round 11; it had been unit-only). The DuckDB twin chains the
+    kmeans_refine replay (same CTE generator, src='e', 4 iterations)
+    into the same within-cluster cosine prune the semantic_dedup
+    oracle uses — nothing about the full-corpus clustering OR the
+    keep-lowest-id policy is taken on faith."""
+    from etl_cli_spark.operators.similarity import semantic_dedup
+
+    emb = _engine(spark, sf).read("embeddings")
+    out = semantic_dedup(emb, n_clusters=16, threshold=0.4, refine_iters=4)
+    return out.select("vec_id", F.col("__cell").alias("cell"), "label")
+
+
 def _q_token_budget_sample(spark, sf):
     """Mixture sampling by token budget (en=3000, de=1500, rest 800
     tokens): greedy prefix in (content-hash, id) order, kept iff the
@@ -3023,6 +3040,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "embedding_neardup": [("a_id", "i"), ("b_id", "i"), ("cosine", "f")],
     "semantic_dedup": [("vec_id", "i"), ("cell", "i"), ("label", "i")],
     "kmeans_refine": [("vec_id", "i"), ("cid", "i")],
+    "semantic_dedup_refined": [("vec_id", "i"), ("cell", "i"), ("label", "i")],
 }
 
 _DSL_FAMILY = [
@@ -3174,7 +3192,7 @@ _DEDUP_FAMILY = [
 _SIMILARITY_FAMILY = [
     "similarity_topk", "similarity_ann", "similarity_ivf", "similarity_pq",
     "similarity_ivfpq", "embedding_neardup", "semantic_dedup",
-    "kmeans_refine",
+    "kmeans_refine", "semantic_dedup_refined",
 ]
 
 
@@ -3840,6 +3858,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": _q_embedding_neardup,
     "semantic_dedup": _q_semantic_dedup,
     "kmeans_refine": _q_kmeans_refine,
+    "semantic_dedup_refined": _q_semantic_dedup_refined,
     # merger-option family (in-window via merger_digest)
     "merger_direction": _q_merger_direction,
     "merger_merge_as": _q_merger_merge_as,
@@ -5551,6 +5570,23 @@ def oracle_sql() -> dict[str, str]:
     sql["kmeans_refine"] = (
         "WITH " + ", ".join(_rctes) + " "
         "SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM cells"
+    )
+
+    # semantic_dedup_refined: the kmeans_refine replay (full-corpus
+    # Lloyd, 4 iterations) chained into the SAME within-cluster cosine
+    # prune as the semantic_dedup oracle — certifies the refine_iters
+    # composition end-to-end
+    _srctes = list(_ivf_cells_ctes(_DIM, _K, 4, src="e")[0])
+    _srctes.append(
+        "drops AS (SELECT DISTINCT b.vec_id AS d FROM cells a JOIN cells b "
+        "ON a.cid = b.cid AND a.vec_id < b.vec_id "
+        "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)"
+    )
+    sql["semantic_dedup_refined"] = (
+        "WITH " + ", ".join(_srctes) + " "
+        "SELECT c.vec_id, CAST(c.cid AS INTEGER) AS cell, em.label "
+        "FROM cells c JOIN embeddings em USING (vec_id) "
+        "WHERE c.vec_id NOT IN (SELECT d FROM drops)"
     )
 
     # token_budget_sample: greedy prefix by running token sum in
