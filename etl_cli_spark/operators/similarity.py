@@ -808,6 +808,15 @@ def semantic_dedup(
     4.6-13.2 s — 1.24x at median with ~4x tighter spread, kept sets
     identical — so ``'arrow'`` is the default; ``'column'`` remains as
     the pure-Column reference arm (bit-equality pinned by unit test).
+
+    Memory contract of the arrow arm: ``applyInPandas`` materializes
+    one whole cell per task (n x dim x 8 B of vectors; the pair matrix
+    itself is row-blocked to ~256 MB), so cells must stay bounded —
+    which is the SemDeDup sizing rule anyway (n_clusters ~ N/128 keeps
+    mean cells ~128 rows). For an ADVERSARIAL corpus that defeats the
+    clustering (one degenerate mega-cell), fall back to
+    ``pair_strategy='column'``, whose streamed self-join never holds a
+    cell in memory — same kept set, same O(cell^2) pair count.
     """
     from pyspark import StorageLevel
 
