@@ -93,16 +93,14 @@ def central_spread(samples: list[float]) -> float:
     return max(s) / max(min(s), 1e-9)
 
 
-def _load_anchors(repo_dir: str, sf: float) -> tuple[str, dict[str, float]]:
-    """Per-query anchors from recent bench artifacts at the SAME sf.
+def _read_artifacts(repo_dir: str, sf: float) -> list[tuple[str, dict[str, float]]]:
+    """Per-query timings from the newest same-sf bench artifacts,
+    ordered OLDEST -> NEWEST (so drift detection reads left-to-right).
 
-    Returns (source_description, {query: anchor_sec}); ("", {}) when no
-    comparable artifact exists. sf0.1 anchors are the per-query MEDIAN
-    over the 3 newest BENCH_r{N}.json rounds — one box-noise-polluted
-    round (r9's sql_q3_shape published 3.03s, true 0.76s) must not
-    become the anchor and hide a future slow mode. The sf1/sf5 tiers
-    anchor to their BENCH_SF{n}.json siblings. Cross-sf anchoring would
-    flag every row, so an artifact whose sf differs is skipped.
+    sf0.1 reads the 3 newest BENCH_r{N}.json rounds; sf1/sf5 read their
+    BENCH_SF{n}.json siblings. An artifact whose sf differs is skipped
+    (cross-sf anchoring would flag every row); failed (-1) and zero
+    rows are dropped.
     """
     candidates: list[str] = []
     if abs(sf - 1.0) < 1e-9:
@@ -115,9 +113,8 @@ def _load_anchors(repo_dir: str, sf: float) -> tuple[str, dict[str, float]]:
             m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
             if m:
                 rounds.append((int(m.group(1)), f))
-        candidates = [f for _, f in sorted(rounds, reverse=True)[:3]]
-    per_query: dict[str, list[float]] = {}
-    used: list[str] = []
+        candidates = [f for _, f in sorted(rounds)[-3:]]
+    out: list[tuple[str, dict[str, float]]] = []
     for fname in candidates:
         path = os.path.join(repo_dir, fname)
         try:
@@ -127,16 +124,34 @@ def _load_anchors(repo_dir: str, sf: float) -> tuple[str, dict[str, float]]:
             inner = data.get("parsed", data)
             if abs(float(inner.get("sf", sf)) - sf) > 1e-9:
                 continue
-            qs = inner.get("queries", {})
-            got = False
-            for q, t in qs.items():
-                if isinstance(t, (int, float)) and t > 0:
-                    per_query.setdefault(q, []).append(float(t))
-                    got = True
-            if got:
-                used.append(fname)
+            qs = {
+                q: float(t)
+                for q, t in inner.get("queries", {}).items()
+                if isinstance(t, (int, float)) and t > 0
+            }
+            if qs:
+                out.append((fname, qs))
         except (OSError, ValueError):
             continue
+    return out
+
+
+def _load_anchors(repo_dir: str, sf: float) -> tuple[str, dict[str, float]]:
+    """Per-query anchors from recent bench artifacts at the SAME sf.
+
+    Returns (source_description, {query: anchor_sec}); ("", {}) when no
+    comparable artifact exists. sf0.1 anchors are the per-query MEDIAN
+    over the 3 newest BENCH_r{N}.json rounds — one box-noise-polluted
+    round (r9's sql_q3_shape published 3.03s, true 0.76s) must not
+    become the anchor and hide a future slow mode. The sf1/sf5 tiers
+    anchor to their BENCH_SF{n}.json siblings.
+    """
+    per_query: dict[str, list[float]] = {}
+    used: list[str] = []
+    for fname, qs in _read_artifacts(repo_dir, sf):
+        for q, t in qs.items():
+            per_query.setdefault(q, []).append(t)
+        used.append(fname)
     def _median(ts: list[float]) -> float:
         # even counts use the CENTRAL-PAIR MEAN, not the upper member:
         # with exactly 2 prior artifacts sorted(ts)[len//2] anchored to
@@ -150,6 +165,43 @@ def _load_anchors(repo_dir: str, sf: float) -> tuple[str, dict[str, float]]:
 
     anchors = {q: _median(ts) for q, ts in per_query.items()}
     return ",".join(used), anchors
+
+
+def _load_history(repo_dir: str, sf: float) -> dict[str, list[float]]:
+    """{query: [sec, ...]} oldest -> newest over the same artifacts the
+    anchor reads — input for ``monotone_drift``."""
+    hist: dict[str, list[float]] = {}
+    for _, qs in _read_artifacts(repo_dir, sf):
+        for q, t in qs.items():
+            hist.setdefault(q, []).append(t)
+    return hist
+
+
+def monotone_drift(
+    history: dict[str, list[float]],
+    current: dict[str, float],
+    step: float = 1.10,
+) -> dict[str, float]:
+    """Rows whose value rose >=``step`` per round across 3 consecutive
+    rounds, the current run included as the newest point.
+
+    The median-of-3 anchor is structurally blind to exactly this shape
+    (VERDICT r11 next-round #2): a +10-25%/round slow mode keeps each
+    round within the 2.5x outlier trigger while the row compounds —
+    strip_repeated_spans drifted 1.32 -> 1.56 -> 1.76 s over r9-r11
+    with zero flags. Returns {query: newest/oldest ratio over the
+    worst strictly-rising 3-round window}.
+    """
+    flags: dict[str, float] = {}
+    for q, med in current.items():
+        if not isinstance(med, (int, float)) or med <= 0:
+            continue
+        seq = list(history.get(q, [])) + [float(med)]
+        for i in range(len(seq) - 2):
+            a, b, c = seq[i : i + 3]
+            if b >= a * step and c >= b * step:
+                flags[q] = round(max(flags.get(q, 0.0), c / a), 2)
+    return flags
 
 
 def main() -> int:
@@ -302,6 +354,9 @@ def main() -> int:
         if a_ratio > 2.5:
             anchor_outlier[name] = round(a_ratio, 2)
 
+    drift = monotone_drift(
+        _load_history(os.path.dirname(os.path.abspath(__file__)), sf), timings
+    )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     stable = round(
         sum(t for q, t in timings.items() if t >= 0 and q not in spread), 3
@@ -331,6 +386,10 @@ def main() -> int:
         # even after retries — a cross-round outlier (likely a bimodal
         # row stuck at its slow mode); ratio vs the anchor
         "anchor_outlier": anchor_outlier,
+        # strictly-rising >=10%/round over 3 consecutive rounds (current
+        # run included) — the slow-drift shape the median anchor hides;
+        # ratio is newest/oldest over the worst rising window
+        "monotone_drift": drift,
         "anchor_source": anchor_src,
         # rows that errored (recorded -1.0 and excluded from totals) —
         # published so the common-set denominator is visible cross-round

@@ -87,3 +87,37 @@ def test_load_anchors_ignores_failed_rows_and_garbage(tmp_path):
     (tmp_path / "BENCH_r08.json").write_text("{not json")
     _, anchors = bench._load_anchors(str(tmp_path), 0.1)
     assert anchors == {"good": 1.5}
+
+
+def test_monotone_drift_flags_slow_creep_the_anchor_misses(tmp_path):
+    # VERDICT r11 next-round #2: strip_repeated_spans rose
+    # 1.32 -> 1.56 -> 1.76 over r9-r11 (+18%, +12%) with zero flags —
+    # each step passed the 2.5x anchor trigger. With the current run
+    # continuing the climb, the row must flag.
+    for n, v in [(9, 1.321), (10, 1.563), (11, 1.758)]:
+        _write(tmp_path, f"BENCH_r{n:02d}.json",
+               {"sf": 0.1, "queries": {"spans": v, "flat": 0.5}})
+    hist = bench._load_history(str(tmp_path), 0.1)
+    assert hist["spans"] == [1.321, 1.563, 1.758]  # oldest -> newest
+    flags = bench.monotone_drift(hist, {"spans": 1.95, "flat": 0.5})
+    assert "spans" in flags and flags["spans"] >= 1.3
+    assert "flat" not in flags
+    # the drift can also live entirely in HISTORY (current run flat):
+    # the r9->r11 window itself is strictly rising >=10%/step
+    flags2 = bench.monotone_drift(hist, {"spans": 1.70})
+    assert "spans" in flags2
+
+
+def test_monotone_drift_needs_three_rising_points():
+    # one recovery round breaks the window — bpe_train's
+    # 4.08 -> 3.34 -> 4.11 (r9-r11) shape must NOT flag
+    hist = {"bpe": [4.075, 3.343, 4.109]}
+    assert bench.monotone_drift(hist, {"bpe": 4.2}) == {}
+    # sub-threshold steps (+9%) never flag even when monotone
+    hist3 = {"q": [1.0, 1.09]}
+    assert bench.monotone_drift(hist3, {"q": 1.18}) == {}
+    # thin history (< 2 prior rounds) can't form a window
+    assert bench.monotone_drift({"q": [1.0]}, {"q": 2.0}) == {}
+    assert bench.monotone_drift({}, {"q": 2.0}) == {}
+    # failed rows (-1) are ignored
+    assert bench.monotone_drift({"q": [1.0, 1.2]}, {"q": -1.0}) == {}
