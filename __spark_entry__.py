@@ -242,7 +242,7 @@ def _d2_sql(a: str, b: str, dim: int) -> str:
 
 
 def _ivf_cells_ctes(
-    dim: int, k: int, iters: int, src: str = "samp"
+    dim: int, k: int, iters: int, src: str = "samp", mean: str = "avg"
 ) -> tuple[list[str], str]:
     """CTE chain replaying the deterministic k-means
     (similarity._kmeans_lite protocol: lowest-id sample init, distances
@@ -255,7 +255,16 @@ def _ivf_cells_ctes(
     ``src`` picks the frame the Lloyd iterations run over: ``samp``
     (the lowest-2048 driver sample — the _kmeans_lite replay) or ``e``
     (the FULL corpus — the kmeans_refine replay; init is unchanged
-    since the lowest-k of the sample IS the lowest-k of the corpus)."""
+    since the lowest-k of the sample IS the lowest-k of the corpus).
+
+    ``mean``: ``avg`` = DuckDB's native avg (order-dependent naive
+    sum, matching Spark's default map-side-combined mean up to the
+    9-dp rounding); ``exact`` = the fixed-id-order Neumaier fold
+    (``list(... ORDER BY vec_id)`` + ``list_reduce``) replaying
+    ``kmeans_refine(mean_strategy='exact')`` BIT-exactly — DuckDB's
+    first-element-as-accumulator convention equals Spark's
+    zero-accumulator fold because the zero step contributes exactly
+    0.0 compensation on the first element."""
     d2 = lambda a, b: _d2_sql(a, b, dim)
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -270,11 +279,27 @@ def _ivf_cells_ctes(
             f"PARTITION BY s.vec_id ORDER BY round({d2('s.v', 'c.cv')}, 6), c.cid) AS rn "
             f"FROM {src} s CROSS JOIN {prev} c)"
         )
-        ctes.append(
-            f"m{t} AS (SELECT cid, g.d, round(avg(v[g.d]), 9) AS val "
-            f"FROM (SELECT v, cid FROM a{t} WHERE rn = 1) a, "
-            f"LATERAL (SELECT unnest(generate_series(1, {dim})) AS d) g GROUP BY cid, g.d)"
-        )
+        if mean == "exact":
+            neum = (
+                "list_reduce(list({'s': v[g.d], 'c': CAST(0 AS DOUBLE)} "
+                "ORDER BY vec_id), (a, x) -> "
+                "{'s': a.s + x.s, 'c': a.c + CASE WHEN abs(a.s) >= abs(x.s) "
+                "THEN (a.s - (a.s + x.s)) + x.s "
+                "ELSE (x.s - (a.s + x.s)) + a.s END})"
+            )
+            ctes.append(
+                f"m{t} AS (SELECT cid, d, round((st.s + st.c) / n, 9) AS val FROM ("
+                f"SELECT cid, g.d AS d, count(*) AS n, {neum} AS st "
+                f"FROM (SELECT vec_id, v, cid FROM a{t} WHERE rn = 1) a, "
+                f"LATERAL (SELECT unnest(generate_series(1, {dim})) AS d) g "
+                f"GROUP BY cid, g.d))"
+            )
+        else:
+            ctes.append(
+                f"m{t} AS (SELECT cid, g.d, round(avg(v[g.d]), 9) AS val "
+                f"FROM (SELECT v, cid FROM a{t} WHERE rn = 1) a, "
+                f"LATERAL (SELECT unnest(generate_series(1, {dim})) AS d) g GROUP BY cid, g.d)"
+            )
         ctes.append(f"n{t} AS (SELECT cid, list(val ORDER BY d) AS cv FROM m{t} GROUP BY cid)")
         ctes.append(
             f"c{t} AS (SELECT c.cid, list_transform(COALESCE(n.cv, c.cv), "
@@ -1704,6 +1729,25 @@ def _q_kmeans_refine(spark, sf):
     )
 
 
+def _q_kmeans_refine_exact(spark, sf):
+    """kmeans_refine(mean_strategy='exact'): the full-corpus Lloyd
+    trainer with the fixed-id-order Neumaier-compensated per-cell mean
+    (round-12; VERDICT r11 #5). The default strategies' naive means are
+    order-dependent — probabilistically exact cross-engine under the
+    9-dp rounding; 'exact' makes the centroid chain a pure function of
+    the data. The oracle replays the SAME compensated fold with
+    ``list(... ORDER BY vec_id)`` + ``list_reduce`` inside the Lloyd
+    CTE chain, so the hash match certifies bit-exact (not
+    probabilistic) cross-engine agreement of the whole trainer."""
+    from etl_cli_spark.operators.similarity import kmeans_refine
+
+    emb = _engine(spark, sf).read("embeddings")
+    cells, _cent = kmeans_refine(
+        emb, n_centroids=16, iters=2, mean_strategy="exact"
+    )
+    return cells.select("vec_id", F.col("__cell").cast("int").alias("cid"))
+
+
 def _q_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup: deterministic k-means clusters
     (the oracle-replayable IVF protocol), within-cluster cosine >= 0.4
@@ -3040,6 +3084,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "embedding_neardup": [("a_id", "i"), ("b_id", "i"), ("cosine", "f")],
     "semantic_dedup": [("vec_id", "i"), ("cell", "i"), ("label", "i")],
     "kmeans_refine": [("vec_id", "i"), ("cid", "i")],
+    "kmeans_refine_exact": [("vec_id", "i"), ("cid", "i")],
     "semantic_dedup_refined": [("vec_id", "i"), ("cell", "i"), ("label", "i")],
 }
 
@@ -3192,7 +3237,7 @@ _DEDUP_FAMILY = [
 _SIMILARITY_FAMILY = [
     "similarity_topk", "similarity_ann", "similarity_ivf", "similarity_pq",
     "similarity_ivfpq", "embedding_neardup", "semantic_dedup",
-    "kmeans_refine", "semantic_dedup_refined",
+    "kmeans_refine", "kmeans_refine_exact", "semantic_dedup_refined",
 ]
 
 
@@ -3858,6 +3903,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": _q_embedding_neardup,
     "semantic_dedup": _q_semantic_dedup,
     "kmeans_refine": _q_kmeans_refine,
+    "kmeans_refine_exact": _q_kmeans_refine_exact,
     "semantic_dedup_refined": _q_semantic_dedup_refined,
     # merger-option family (in-window via merger_digest)
     "merger_direction": _q_merger_direction,
@@ -5569,6 +5615,15 @@ def oracle_sql() -> dict[str, str]:
     _rctes, _ = _ivf_cells_ctes(_DIM, _K, 4, src="e")
     sql["kmeans_refine"] = (
         "WITH " + ", ".join(_rctes) + " "
+        "SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM cells"
+    )
+
+    # kmeans_refine_exact: the same chain with the fixed-id-order
+    # Neumaier mean (2 iterations — distinct from kmeans_refine's 4);
+    # the match is bit-exact by construction, not 9-dp-probable
+    _xctes, _ = _ivf_cells_ctes(_DIM, _K, 2, src="e", mean="exact")
+    sql["kmeans_refine_exact"] = (
+        "WITH " + ", ".join(_xctes) + " "
         "SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM cells"
     )
 

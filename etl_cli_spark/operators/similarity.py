@@ -306,6 +306,27 @@ def ivf_index(
     return _assign_cells(df, cent, vec_col), [list(map(float, c)) for c in cent]
 
 
+def _neumaier_mean(xs) -> Column:
+    """Mean of ``xs`` (sorted array of struct(i=id, v=value)) by
+    Neumaier-compensated left fold in array order — a pure JVM
+    ``aggregate()`` expression, no UDF. Bit-replayable by any engine
+    folding the same order (DuckDB: ``list(... ORDER BY id)`` +
+    ``list_reduce``; the first-element-as-accumulator convention is
+    equivalent because the zero-accumulator step adds exactly 0.0
+    compensation on the first element)."""
+    zero = F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("c"))
+
+    def step(acc, x):
+        t = acc["s"] + x["v"]
+        comp = acc["c"] + F.when(
+            F.abs(acc["s"]) >= F.abs(x["v"]), (acc["s"] - t) + x["v"]
+        ).otherwise((x["v"] - t) + acc["s"])
+        return F.struct(t.alias("s"), comp.alias("c"))
+
+    total = F.aggregate(xs, zero, step, lambda a: a["s"] + a["c"])
+    return total / F.size(xs)
+
+
 def kmeans_refine(
     df: DataFrame,
     n_centroids: int = 16,
@@ -337,24 +358,31 @@ def kmeans_refine(
     cells keep their previous centroid (then re-round — idempotent).
     Returns ``(df + __cell from the FINAL centroids, centroids)``.
 
-    Residual replay risk (documented, accepted): the per-cell mean is a
-    naive double-precision ``avg`` in every engine (Spark partial+final
-    merge, numpy pairwise mean, DuckDB avg), so summation ORDER differs
-    across engines and runs. The 9-dp rounding absorbs the resulting
-    ulp drift in every observed case, but for very large cell
-    populations a true mean sitting within ~0.5e-9 of a rounding
-    boundary can land on either side — the cross-engine hash match is
-    overwhelmingly probable, not mathematically guaranteed. Making it
-    exact would need fixed-order compensated summation in all three
-    engines; not worth the hot-path cost for a training operator whose
-    centroids are estimates by construction.
+    Replay-order risk — ELIMINATED BY OPT-IN (round-12; "documented
+    risk" through r11): with the default strategies the per-cell mean
+    is a naive double-precision ``avg`` in every engine (Spark
+    partial+final merge, numpy pairwise mean, DuckDB avg), so summation
+    ORDER differs across engines and runs; the 9-dp rounding absorbs
+    the ulp drift in every observed case, but a true mean within
+    ~0.5e-9 of a rounding boundary CAN land on either side (the unit
+    test manufactures such a cell). ``mean_strategy='exact'`` closes
+    it: per (cell, dim), values fold in FIXED ``id_col`` order with
+    Neumaier-compensated summation (``sort_array(collect_list(struct(
+    id, val)))`` → JVM ``aggregate()`` fold — no UDF), so the mean is a
+    pure function of the data, bit-identical across partitionings,
+    engines, and runs; the DuckDB oracle replays the same fold with
+    ``list(... ORDER BY id)`` + ``list_reduce``. Cost: the fold cannot
+    map-side combine (combining would reorder), so the exchange
+    carries corpus × dim rows instead of the combined K × dim — an
+    opt-in for when bit-exact replay matters more than shuffle volume.
 
     ``mean_strategy``: ``'wide'`` = one ``avg(element_at(vec, d))``
     aggregate column per dimension (K rows × dim cols collected);
     ``'long'`` = ``posexplode(vec)`` → ``groupBy(__cell, __pos).avg``
     (K × dim rows collected). Both are map-side-combined and collect
-    exactly the model. ``'auto'`` (default) picks wide only while the
-    aggregate stays inside whole-stage codegen
+    exactly the model. ``'exact'`` = the long shape with the
+    fixed-order compensated fold above. ``'auto'`` (default) picks
+    wide only while the aggregate stays inside whole-stage codegen
     (``spark.sql.codegen.maxFields`` defaults to 100 generated fields;
     past that the wide agg silently falls back to interpreted row-based
     aggregation) — at production embedding widths (768–4096) auto
@@ -374,7 +402,7 @@ def kmeans_refine(
     )
     if not init_rows:
         raise ValueError("kmeans_refine: empty input")
-    if mean_strategy not in ("auto", "wide", "long"):
+    if mean_strategy not in ("auto", "wide", "long", "exact"):
         raise ValueError(f"kmeans_refine: unknown mean_strategy {mean_strategy!r}")
     cent: list[list[float]] = [[float(x) for x in r[1]] for r in init_rows]
     dim = len(cent[0])
@@ -403,12 +431,31 @@ def kmeans_refine(
             # K × dim scalars either way, but here it's K*dim ROWS, so
             # fetch via Arrow (columnar, no per-Row objects) and fill
             # vectorized — the same float64 bits collect() would carry
-            mpdf = (
-                assigned.select(
-                    "__cell", F.posexplode(F.col(vec_col)).alias("__pos", "__val")
+            long = assigned.select(
+                "__cell",
+                F.col(id_col).alias("__oid"),
+                F.posexplode(F.col(vec_col)).alias("__pos", "__val"),
+            )
+            if mean_strategy == "exact":
+                # fixed-order (by id) Neumaier fold: order-independent
+                # of partitioning, bit-replayable cross-engine; the
+                # sort_array makes collect_list's nondeterministic
+                # build order irrelevant (ids are the sort key)
+                mean_col = _neumaier_mean(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__oid").alias("i"),
+                                F.col("__val").cast("double").alias("v"),
+                            )
+                        )
+                    )
                 )
-                .groupBy("__cell", "__pos")
-                .agg(F.avg(F.col("__val").cast("double")).alias("__avg"))
+            else:
+                mean_col = F.avg(F.col("__val").cast("double"))
+            mpdf = (
+                long.groupBy("__cell", "__pos")
+                .agg(mean_col.alias("__avg"))
                 .toPandas()
             )
             import numpy as np
@@ -902,8 +949,12 @@ def _cell_pair_candidates(
     bit-identical to the column arm — and emit ``(__b_id, __dot)`` for
     strict-upper-triangle pairs with raw dot >= ``margin`` (a superset
     of the final round-6 threshold; the decisive filter stays in Spark
-    columns). Row-blocked so the (block, n) buffer stays ~256 MB even
-    on hot cells; no per-pair allocation anywhere."""
+    columns). Row-blocked so the TWO (block, n) buffers (accumulator +
+    outer-product scratch) together stay ~``block_bytes`` (~256 MB)
+    even on hot cells; no per-pair allocation anywhere. Pairs whose
+    ids are EQUAL are excluded even when they are distinct rows, so a
+    duplicated ``id_col`` value cannot drop itself — the column arm's
+    ``__a_id < __b_id`` never compares equal ids (r11 advice)."""
     import numpy as np
     import pandas as pd
 
@@ -925,7 +976,8 @@ def _cell_pair_candidates(
         ids = pdf["__id"].to_numpy()
         u = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__u"]])
         dim = u.shape[1]
-        blk = max(1, block_bytes // max(1, n * 8))
+        # two live (blk, n) float64 buffers -> each gets half the budget
+        blk = max(1, (block_bytes // 2) // max(1, n * 8))
         buf = np.empty((min(blk, n), n), dtype=np.float64)
         tmp = np.empty_like(buf)
         out_ids, out_dots = [], []
@@ -938,7 +990,10 @@ def _cell_pair_candidates(
                 np.multiply.outer(u[s:e, d], u[:, d], out=prod)
                 acc += prod
             rows, cols = np.nonzero(acc >= margin)
-            keep = cols > (rows + s)  # strict upper triangle, global index
+            # strict upper triangle by global index AND distinct ids:
+            # duplicate id values are distinct rows here but invisible
+            # to the column arm's __a_id < __b_id
+            keep = (cols > (rows + s)) & (ids[cols] != ids[rows + s])
             rows, cols = rows[keep], cols[keep]
             if len(rows):
                 out_ids.append(ids[cols])

@@ -713,6 +713,32 @@ def test_semantic_dedup_arrow_pairs_bitwise_equals_column(spark):
         semantic_dedup(df, n_clusters=4, pair_strategy="gpu")
 
 
+def test_semantic_dedup_arrow_equals_column_on_duplicate_ids(spark):
+    """r11 advice: a duplicated id_col value used to self-compare in
+    the arrow kernel (two distinct rows, same id, dot ~1.0 -> the id
+    dropped itself) while the column arm's __a_id < __b_id never
+    compares equal ids. The kernel now excludes equal-id pairs, so the
+    kept sets must match even on non-unique keys."""
+    from etl_cli_spark.operators.similarity import semantic_dedup
+
+    rows = []
+    for i in range(24):
+        g = i // 2  # every id value appears TWICE ...
+        v = [((g % 6) * 11 + d * 3) % 17 / 4.0 + 1.0 for d in range(6)]
+        # ... on two NEAR-IDENTICAL rows (cosine ~1.0 > any threshold),
+        # so the self-pair qualifies and the old kernel dropped the id;
+        # ids g and g+6 share a base vector -> real cross-id near-dups
+        v = [x + (i % 2) * 0.001 * (d + 1) for d, x in enumerate(v)]
+        rows.append((g, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for thr in (0.9995, 0.95):
+        kept_c = semantic_dedup(df, n_clusters=2, threshold=thr)
+        kept_a = semantic_dedup(df, n_clusters=2, threshold=thr, pair_strategy="arrow")
+        got_c = sorted((r["vec_id"], r["__cell"]) for r in kept_c.collect())
+        got_a = sorted((r["vec_id"], r["__cell"]) for r in kept_a.collect())
+        assert got_c == got_a and len(got_a) > 0
+
+
 def test_cell_pair_kernel_multiblock_equals_single_block(spark):
     """The arrow kernel row-blocks hot cells; the strict-upper-triangle
     mask uses GLOBAL indices (cols > rows + s) — force tiny blocks and
@@ -740,7 +766,8 @@ def test_cell_pair_kernel_multiblock_equals_single_block(spark):
     )
     # margin low enough that MANY pairs qualify (stress the seam logic)
     one = sorted(map(tuple, _cell_pair_candidates(base, 0.5).collect()))
-    # block_bytes=96 -> blk = 96 // (n*8) = 1 row per block at n=10
+    # block_bytes=96 -> blk = (96//2) // (n*8) = 1 row per block at n=10
+    # (half the budget per buffer: accumulator + outer-product scratch)
     multi = sorted(map(tuple, _cell_pair_candidates(base, 0.5, block_bytes=96).collect()))
     assert one == multi and len(one) > 20
 
@@ -786,6 +813,47 @@ def test_kmeans_refine_auto_routes_wide_dims_to_long(spark):
 
     with pytest.raises(ValueError, match="mean_strategy"):
         kmeans_refine(df, n_centroids=4, iters=1, mean_strategy="bogus")
+
+
+def test_kmeans_refine_exact_mean_is_order_independent(spark):
+    """VERDICT r11 next-round #5: manufacture a cell whose mean is
+    order-SENSITIVE under naive summation (catastrophic cancellation:
+    [1e16, 1, 1, -1e16] sums to 0 left-to-right — both 1s vanish into
+    1e16's ulp — but to 2 when the small values add first), show the
+    DEFAULT mean strategy CAN disagree with itself across physical row
+    orders, and show mean_strategy='exact' (fixed id-order Neumaier
+    fold) cannot: bit-identical across orders and partitionings, equal
+    to the Python fixed-order compensated replay."""
+    from etl_cli_spark.operators.similarity import kmeans_refine
+
+    # one cell (n_centroids=1), dim=1; init = lowest-id vector
+    rows = [(0, [1e16]), (1, [1.0]), (2, [1.0]), (3, [-1e16])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    asc = df.orderBy("vec_id").coalesce(1)          # fold order 1e16,1,1,-1e16
+    perm = df.orderBy((F.col("vec_id") + 2) % 4).coalesce(1)  # 1,1,-1e16(?),...
+
+    # default (wide at dim=1): left-to-right fold order = physical row
+    # order, so the two orders produce DIFFERENT centroids
+    _, cent_a = kmeans_refine(asc, n_centroids=1, iters=1, mean_strategy="wide")
+    _, cent_p = kmeans_refine(perm, n_centroids=1, iters=1, mean_strategy="wide")
+    assert cent_a != cent_p, "fixture no longer exercises order sensitivity"
+
+    # exact: fixed id-order Neumaier — identical bits regardless of
+    # physical order or partitioning
+    outs = []
+    for frame in (asc, perm, df.repartition(3)):
+        _, cent = kmeans_refine(frame, n_centroids=1, iters=1, mean_strategy="exact")
+        outs.append(cent)
+    assert outs[0] == outs[1] == outs[2]
+
+    # Python replay of the same fixed-order compensated fold
+    vals = [1e16, 1.0, 1.0, -1e16]  # id order
+    s = c = 0.0
+    for v in vals:
+        t = s + v
+        c += (s - t) + v if abs(s) >= abs(v) else (v - t) + s
+        s = t
+    assert outs[0] == [[round((s + c) / len(vals), 9)]] == [[0.5]]
 
 
 def test_semantic_dedup_refined_cells_keep_independent_set(spark):
