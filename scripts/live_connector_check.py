@@ -166,3 +166,10 @@ if __name__ == "__main__":
 # socket.gethostbyname("registry-1.docker.io") -> gaierror -2 "Name or
 # service not known"), so neither the compose stack nor --packages jar
 # resolution can run. Still environment-blocked; no code change needed.
+# Round-12 environment attempt (2026-08-16): re-checked per the standing
+# ask. Unchanged: docker client present at /usr/local/bin/docker, daemon
+# absent ("docker info" -> cannot connect to the daemon socket), and no
+# DNS (python socket.getaddrinfo("pypi.org", 443) -> gaierror -2 "Name
+# or service not known"). Compose stack and --packages jar resolution
+# both impossible; the jar-gated seam + error contract stay the tested
+# surface and the three opt-in live tests stay skipped.
