@@ -815,7 +815,8 @@ def semantic_dedup(
     threshold: float = 0.97,
     sample_size: int = 2048,
     refine_iters: int = 0,
-    pair_strategy: str = "arrow",
+    pair_strategy: str = "auto",
+    max_arrow_cell_rows: int = 32768,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -861,13 +862,25 @@ def semantic_dedup(
     itself is row-blocked to ~256 MB), so cells must stay bounded —
     which is the SemDeDup sizing rule anyway (n_clusters ~ N/128 keeps
     mean cells ~128 rows). For an ADVERSARIAL corpus that defeats the
-    clustering (one degenerate mega-cell), fall back to
-    ``pair_strategy='column'``, whose streamed self-join never holds a
-    cell in memory — same kept set, same O(cell^2) pair count.
+    clustering (one degenerate mega-cell), the column arm's streamed
+    self-join never holds a cell in memory — same kept set, same
+    O(cell^2) pair count.
+
+    ``pair_strategy='auto'`` (default, round-12) closes that failure
+    mode without giving up the kernel: one bounded count over the
+    persisted (cell, id, unit-vector) frame finds cells larger than
+    ``max_arrow_cell_rows`` (driver traffic <= n_clusters rows; the
+    mega-cell list itself is in practice a handful), routes those
+    through the streamed column arm and everything else through the
+    arrow kernel, and unions the candidates. Safe because the two arms
+    produce BIT-IDENTICAL raw dots (pinned by unit test), so the split
+    point cannot change the kept set. ``max_arrow_cell_rows`` bounds
+    the per-task vector block (32768 rows x dim 768 x 8 B ~ 200 MB;
+    size it to the executor task budget for wider embeddings).
     """
     from pyspark import StorageLevel
 
-    if pair_strategy not in ("column", "arrow"):
+    if pair_strategy not in ("auto", "column", "arrow"):
         raise ValueError(f"semantic_dedup: unknown pair_strategy {pair_strategy!r}")
 
     # refine_iters > 0 (round-10): place the cells with kmeans_refine —
@@ -908,20 +921,39 @@ def semantic_dedup(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    def _column_pairs(frame: DataFrame) -> DataFrame:
+        a = frame.select("__cell", F.col("__id").alias("__a_id"), F.col("__u").alias("__a_u"))
+        b = frame.select("__cell", F.col("__id").alias("__b_id"), F.col("__u").alias("__b_u"))
+        return (
+            a.join(b, on="__cell")
+            .filter(F.col("__a_id") < F.col("__b_id"))
+            .select(
+                F.col("__b_id"),
+                dot(F.col("__a_u"), F.col("__b_u")).alias("__dot"),
+            )
+        )
+
+    margin = float(threshold) - 1e-6
     try:
         if pair_strategy == "arrow":
-            cand = _cell_pair_candidates(base, float(threshold) - 1e-6)
-        else:
-            a = base.select("__cell", F.col("__id").alias("__a_id"), F.col("__u").alias("__a_u"))
-            b = base.select("__cell", F.col("__id").alias("__b_id"), F.col("__u").alias("__b_u"))
-            cand = (
-                a.join(b, on="__cell")
-                .filter(F.col("__a_id") < F.col("__b_id"))
-                .select(
-                    F.col("__b_id"),
-                    dot(F.col("__a_u"), F.col("__b_u")).alias("__dot"),
+            cand = _cell_pair_candidates(base, margin)
+        elif pair_strategy == "column":
+            cand = _column_pairs(base)
+        else:  # auto: arrow kernel, mega-cells streamed through column
+            big = [
+                r["__cell"]
+                for r in base.groupBy("__cell")
+                .count()
+                .filter(F.col("count") > max_arrow_cell_rows)
+                .collect()  # bounded: <= n_clusters rows, usually none
+            ]
+            if big:
+                is_big = F.col("__cell").isin(big)
+                cand = _cell_pair_candidates(base.filter(~is_big), margin).unionByName(
+                    _column_pairs(base.filter(is_big))
                 )
-            )
+            else:
+                cand = _cell_pair_candidates(base, margin)
         drops = (
             # the decisive round-6 HALF_UP threshold runs in Spark columns
             # for BOTH strategies — the arrow kernel only pre-filters to a

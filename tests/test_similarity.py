@@ -713,6 +713,36 @@ def test_semantic_dedup_arrow_pairs_bitwise_equals_column(spark):
         semantic_dedup(df, n_clusters=4, pair_strategy="gpu")
 
 
+def test_semantic_dedup_auto_routes_mega_cells_same_kept_set(spark):
+    """pair_strategy='auto' (round-12 default): cells above
+    max_arrow_cell_rows stream through the column self-join, the rest
+    take the arrow kernel. The arms are bit-identical, so ANY split
+    point must produce the same kept set as pure-arrow and pure-column
+    — including a threshold that forces a real split."""
+    from etl_cli_spark.operators.similarity import semantic_dedup
+
+    rows = []
+    for i in range(60):
+        g = i % 5
+        base_v = [((g * 13 + d * 7) % 32) / 8.0 + 1.0 for d in range(8)]
+        v = [x + ((i * 31 + d) % 7) * 0.01 for d, x in enumerate(base_v)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def kept(**kw):
+        out = semantic_dedup(df, n_clusters=4, threshold=0.97, **kw)
+        return sorted((r["vec_id"], r["__cell"]) for r in out.collect())
+
+    pure_a = kept(pair_strategy="arrow")
+    pure_c = kept(pair_strategy="column")
+    # max_arrow_cell_rows=1 forces EVERY cell through the column arm;
+    # a mid value (60 rows over 4 cells -> ~15/cell) forces a mixed split
+    assert kept(pair_strategy="auto", max_arrow_cell_rows=1) == pure_a == pure_c
+    assert kept(pair_strategy="auto", max_arrow_cell_rows=14) == pure_a
+    assert kept(pair_strategy="auto") == pure_a  # no big cells: pure arrow
+    assert 0 < len(pure_a) < 60
+
+
 def test_semantic_dedup_arrow_equals_column_on_duplicate_ids(spark):
     """r11 advice: a duplicated id_col value used to self-compare in
     the arrow kernel (two distinct rows, same id, dot ~1.0 -> the id
