@@ -867,16 +867,21 @@ def semantic_dedup(
     O(cell^2) pair count.
 
     ``pair_strategy='auto'`` (default, round-12) closes that failure
-    mode without giving up the kernel: one bounded count over the
-    persisted (cell, id, unit-vector) frame finds cells larger than
-    ``max_arrow_cell_rows`` (driver traffic <= n_clusters rows; the
-    mega-cell list itself is in practice a handful), routes those
-    through the streamed column arm and everything else through the
-    arrow kernel, and unions the candidates. Safe because the two arms
-    produce BIT-IDENTICAL raw dots (pinned by unit test), so the split
-    point cannot change the kept set. ``max_arrow_cell_rows`` bounds
-    the per-task vector block (32768 rows x dim 768 x 8 B ~ 200 MB;
-    size it to the executor task budget for wider embeddings).
+    mode without giving up the kernel AND without an extra sizing job:
+    the kernel itself refuses any cell larger than
+    ``max_arrow_cell_rows``, emitting a sentinel row (null id, cell id
+    in the dot slot) instead of grinding it — a free ``len(pdf)``
+    check riding the action that computes all bounded cells' pairs.
+    The bounded sentinel collect (<= n_clusters rows) then routes just
+    the refused cells through the streamed column arm and unions the
+    candidates. Safe because the two arms produce BIT-IDENTICAL raw
+    dots (pinned by unit test), so the split point cannot change the
+    kept set; measured at the production regime, a sample-placed
+    mega-cell (84k rows at dim 768) would otherwise cost ~87 TB of
+    pair-matrix memory traffic in a single Arrow task (SCALE.md).
+    ``max_arrow_cell_rows`` bounds the per-task vector block
+    (32768 rows x dim 768 x 8 B ~ 200 MB; size it to the executor
+    task budget for wider embeddings).
     """
     from pyspark import StorageLevel
 
@@ -934,26 +939,30 @@ def semantic_dedup(
         )
 
     margin = float(threshold) - 1e-6
+    aux: list[DataFrame] = []  # released once drops has materialized
     try:
         if pair_strategy == "arrow":
             cand = _cell_pair_candidates(base, margin)
         elif pair_strategy == "column":
             cand = _column_pairs(base)
         else:  # auto: arrow kernel, mega-cells streamed through column
+            raw = _cell_pair_candidates(
+                base, margin, big_cell_rows=max_arrow_cell_rows
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            aux.append(raw)
+            # sentinel rows (null id, cell id in the dot slot) mark the
+            # cells the kernel refused; this collect is the action that
+            # computes every bounded cell's pairs, and it returns at
+            # most n_clusters sentinel rows
             big = [
-                r["__cell"]
-                for r in base.groupBy("__cell")
-                .count()
-                .filter(F.col("count") > max_arrow_cell_rows)
-                .collect()  # bounded: <= n_clusters rows, usually none
+                int(r["__dot"])
+                for r in raw.filter(F.col("__b_id").isNull()).collect()
             ]
+            cand = raw.filter(F.col("__b_id").isNotNull())
             if big:
-                is_big = F.col("__cell").isin(big)
-                cand = _cell_pair_candidates(base.filter(~is_big), margin).unionByName(
-                    _column_pairs(base.filter(is_big))
+                cand = cand.unionByName(
+                    _column_pairs(base.filter(F.col("__cell").isin(big)))
                 )
-            else:
-                cand = _cell_pair_candidates(base, margin)
         drops = (
             # the decisive round-6 HALF_UP threshold runs in Spark columns
             # for BOTH strategies — the arrow kernel only pre-filters to a
@@ -968,11 +977,16 @@ def semantic_dedup(
         )
     finally:
         base.unpersist()
+        for f in aux:
+            f.unpersist()
     return with_cells.join(drops, on=id_col, how="left_anti")
 
 
 def _cell_pair_candidates(
-    base: DataFrame, margin: float, block_bytes: int = 256 << 20
+    base: DataFrame,
+    margin: float,
+    block_bytes: int = 256 << 20,
+    big_cell_rows: int | None = None,
 ) -> DataFrame:
     """Arrow arm of semantic_dedup's within-cell verify: per ``__cell``
     group, accumulate the pairwise dot matrix as per-dimension outer
@@ -986,7 +1000,14 @@ def _cell_pair_candidates(
     even on hot cells; no per-pair allocation anywhere. Pairs whose
     ids are EQUAL are excluded even when they are distinct rows, so a
     duplicated ``id_col`` value cannot drop itself — the column arm's
-    ``__a_id < __b_id`` never compares equal ids (r11 advice)."""
+    ``__a_id < __b_id`` never compares equal ids (r11 advice).
+
+    ``big_cell_rows`` (the 'auto' guard): a cell with more rows is NOT
+    computed — the kernel emits one sentinel row (``__b_id`` null,
+    ``__dot`` = the cell id as double, exact for ids < 2^53) so the
+    caller can route it through the streamed column arm. The check is
+    a free ``len(pdf)``; ``None`` (pure 'arrow') keeps the unguarded
+    behavior."""
     import numpy as np
     import pandas as pd
 
@@ -1004,6 +1025,11 @@ def _cell_pair_candidates(
         )
         if n < 2:
             return empty
+        if big_cell_rows is not None and n > big_cell_rows:
+            # refuse the mega-cell: sentinel (null id, cell id as dot)
+            return pd.DataFrame(
+                {"__b_id": [None], "__dot": [float(pdf["__cell"].iloc[0])]}
+            )
         pdf = pdf.sort_values("__id")
         ids = pdf["__id"].to_numpy()
         u = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__u"]])
