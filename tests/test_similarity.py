@@ -682,6 +682,10 @@ def test_kmeans_refine_empty_cell_keeps_previous_centroid(spark):
     assert [[round(float(x), 9) for x in c] for c in lite] == cent
     assert all(all(v == v for v in c) for c in cent)  # no NaN
     assert cells.count() == 12
+    # the exact (fixed-order compensated) mean shares the carry-forward
+    # path: on dyadic values its centroids are bit-equal to the default
+    _, cent_x = kmeans_refine(df, n_centroids=4, iters=2, mean_strategy="exact")
+    assert cent_x == cent
 
 
 def test_semantic_dedup_arrow_pairs_bitwise_equals_column(spark):
