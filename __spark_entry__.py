@@ -2019,6 +2019,39 @@ def _q_text_pii_scrub(spark, sf):
     return d.select("doc_id", pii_scrub(dirty).alias("clean"))
 
 
+def _q_html_extract(spark, sf):
+    """HTML boilerplate removal (text.html_to_text / html_title —
+    round-12; the CCNet/RefinedWeb-style extraction step that precedes
+    quality/dedup in web-corpus pipelines). The fixture corpus is plain
+    text, so both engines wrap each document in the SAME deterministic
+    HTML (title carrying the doc id and an entity, style/script/comment
+    blocks, block tags, an entity-laden trailer) and extract
+    independently: Spark through the Column operator's regexp chain,
+    DuckDB through the identical chain in RE2 — patterns are written in
+    the Java∩RE2 subset (inline (?is), lazy quantifiers, no
+    backreferences), so the hash match certifies the extraction
+    itself."""
+    from etl_cli_spark.operators.text import html_title, html_to_text
+
+    d = _engine(spark, sf).read("documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            " &amp; friends</title><style>p{color:red}</style></head>"
+            "<body><!-- nav --><script type=\"text/javascript\">var x = 1 < 2;"
+            "</script><h1>Heading</h1><p>"
+        ),
+        F.col("text"),
+        F.lit("</p><p>A &lt;b&gt; &quot;Q&quot; &#39;s&nbsp;end</p></body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        html_title(html).alias("title"),
+        html_to_text(html).alias("body"),
+    )
+
+
 # -- URL curation (crawl-corpus prep; operators/urls.py) ---------------------
 # documents has no URL column, so both engines derive the same messy URL
 # deterministically from doc_id (uppercase schemes/hosts, www, default +
@@ -3065,6 +3098,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
                      ("quality", "f"), ("lang_pred", "s")],
     "text_repetition": [("doc_id", "i"), ("top2gram_frac", "f"), ("n_2grams", "i")],
     "text_pii_scrub": [("doc_id", "i"), ("clean", "s")],
+    "html_extract": [("doc_id", "i"), ("title", "s"), ("body", "s")],
     "normalize_unicode": [("doc_id", "i"), ("norm_text", "s")],
     # -- dedup / fuzzy-join family (round-8 digest) --
     "dedup_minhash": [("doc_id", "i"), ("lang", "s")],
@@ -3228,6 +3262,7 @@ _MERGER_FAMILY = [
 _TEXT_FAMILY = [
     "text_stats_by_lang", "text_fingerprint", "text_quality",
     "text_repetition", "text_pii_scrub", "normalize_unicode",
+    "html_extract",
 ]
 _DEDUP_FAMILY = [
     "dedup_minhash", "dedup_minhash_cc", "dedup_minhash_indexed",
@@ -3884,6 +3919,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": _q_text_quality,
     "text_repetition": _q_text_repetition,
     "text_pii_scrub": _q_text_pii_scrub,
+    "html_extract": _q_html_extract,
     "normalize_unicode": _q_normalize_unicode,
     # dedup / fuzzy-join family (in-window via dedup_digest)
     "dedup_minhash": _q_dedup_minhash,
@@ -4960,6 +4996,51 @@ def oracle_sql() -> dict[str, str]:
     for _pat, _tag in _PII_PATTERNS:
         _expr = f"regexp_replace({_expr}, '{_pat}', '{_tag}', 'g')"
     sql["text_pii_scrub"] = f"SELECT doc_id, {_expr} AS clean FROM documents"
+
+    # html_extract: identical regex chain in RE2 (Java∩RE2 subset —
+    # see operators/text.py html_to_text); entity decode order matters
+    # (&amp; last) and is shared via _HTML_ENTITIES
+    from etl_cli_spark.operators.text import _HTML_BLOCK_TAGS, _HTML_ENTITIES
+
+    _html = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "' &amp; friends</title><style>p{color:red}</style></head>"
+        "<body><!-- nav --><script type=\"text/javascript\">var x = 1 < 2;"
+        "</script><h1>Heading</h1><p>' || text || "
+        "'</p><p>A &lt;b&gt; &quot;Q&quot; &#39;s&nbsp;end</p></body></html>'"
+    )
+
+    def _sql_html_decode(expr: str) -> str:
+        for _ent, _rep in _HTML_ENTITIES:
+            _r = _rep.replace("'", "''")
+            expr = f"replace({expr}, '{_ent}', '{_r}')"
+        return expr
+
+    _body = _html
+    for _pat, _rep in [
+        (r"(?is)<script[^>]*>.*?</script>", "' '"),
+        (r"(?is)<style[^>]*>.*?</style>", "' '"),
+        (r"(?s)<!--.*?-->", "' '"),
+        (r"(?is)<head[^>]*>.*?</head>", "' '"),
+        (_HTML_BLOCK_TAGS, "chr(10)"),
+        (r"(?s)<[^>]+>", "' '"),
+    ]:
+        _body = f"regexp_replace({_body}, '{_pat}', {_rep}, 'g')"
+    _body = _sql_html_decode(_body)
+    for _pat, _rep in [
+        (r"[ \t\r]+", "' '"),
+        (r" ?\n ?", "chr(10)"),
+        (r"\n\n+", "chr(10) || chr(10)"),
+        (r"^\s+|\s+$", "''"),
+    ]:
+        _body = f"regexp_replace({_body}, '{_pat}', {_rep}, 'g')"
+    _title = _sql_html_decode(
+        f"regexp_extract({_html}, '(?is)<title[^>]*>(.*?)</title>', 1)"
+    )
+    _title = f"regexp_replace({_title}, '^\\s+|\\s+$', '', 'g')"
+    sql["html_extract"] = (
+        f"SELECT doc_id, {_title} AS title, {_body} AS body FROM documents"
+    )
 
     # pipeline_end_to_end: the composed stages, each reusing its
     # already-verified oracle formulation (filter -> dedup window ->

@@ -239,6 +239,54 @@ def pii_scrub(col: Column | str) -> Column:
     return c
 
 
+# HTML boilerplate removal (round-12): the extraction step every
+# web-corpus pipeline runs before quality/dedup (CCNet, RefinedWeb —
+# public methods strip markup/script/style and keep block structure).
+# Pure JVM regexp chains — codegen, no UDF — written in the regex
+# subset BOTH Java (Spark) and RE2 (DuckDB) accept: inline (?is)
+# flags, lazy quantifiers, NO backreferences (RE2 lacks them, hence
+# separate script/style patterns). The DuckDB oracle replays the
+# identical chain, so extraction is hash-certified cross-engine.
+_HTML_BLOCK_TAGS = r"(?i)</?(p|br|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)[^>]*>"
+# decode order matters: &amp; LAST so '&amp;lt;' -> '&lt;' (one level)
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+]
+
+
+def _html_decode(c: Column) -> Column:
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return c
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Visible text of an HTML document: script/style/comment/head
+    blocks dropped, block-level tags become newlines (paragraph structure
+    survives for ``paragraph_dedup``), remaining tags stripped,
+    standard entities decoded, whitespace normalized."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<head[^>]*>.*?</head>", " ")
+    c = F.regexp_replace(c, _HTML_BLOCK_TAGS, "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    c = _html_decode(c)
+    c = F.regexp_replace(c, r"[ \t\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n\n+", "\n\n")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def html_title(col: Column | str) -> Column:
+    """<title> contents, entity-decoded and trimmed ('' if absent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    return F.regexp_replace(_html_decode(t), r"^\s+|\s+$", "")
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
     """Convenience: attach the standard per-document stat columns."""
     c = F.col(text_col)

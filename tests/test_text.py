@@ -159,3 +159,33 @@ def test_normalize_unicode_forms(spark):
     assert nfkc[4] == "efficient A"
     with pytest.raises(ValueError, match="unknown normalization form"):
         normalize_unicode(df, form="NFX")
+
+
+def test_html_to_text_strips_boilerplate_keeps_paragraphs(spark):
+    from etl_cli_spark.operators.text import html_title, html_to_text
+
+    html = (
+        '<html><head><title> My &amp; Title </title><style>p{}</style>'
+        '<script>ignored()</script></head><body><!-- comment -->'
+        '<SCRIPT src="x">var a = "<p>not a tag</p>";</SCRIPT>'
+        '<h1>Head</h1><p>one</p><p>two &lt;x&gt; &quot;q&quot; &#39;s&nbsp;!</p>'
+        '<div>three</div></body></html>'
+    )
+    df = spark.createDataFrame([(html,), ("no markup at all",), ("<p></p>",)], "h string")
+    rows = df.select(
+        html_title("h").alias("t"), html_to_text("h").alias("b")
+    ).collect()
+    assert rows[0]["t"] == "My & Title"
+    # head (incl. its script/style/title) gone; body scripts/comments
+    # gone even with markup inside strings; block tags -> paragraph breaks
+    assert rows[0]["b"] == 'Head\n\none\n\ntwo <x> "q" \'s !\n\nthree'
+    assert rows[1]["t"] == "" and rows[1]["b"] == "no markup at all"
+    assert rows[2]["b"] == ""
+
+
+def test_html_entity_decode_single_level(spark):
+    # '&amp;lt;' must decode to '&lt;' (one level), never to '<'
+    from etl_cli_spark.operators.text import html_to_text
+
+    df = spark.createDataFrame([("<p>a &amp;lt; b</p>",)], "h string")
+    assert df.select(html_to_text("h").alias("b")).collect()[0]["b"] == "a &lt; b"
