@@ -2052,6 +2052,34 @@ def _q_html_extract(spark, sf):
     )
 
 
+def _q_html_links(spark, sf):
+    """Anchor-href harvest (text.html_links — round-12): the crawl
+    frontier / link-graph feed upstream of url_canonicalize and
+    graph_pagerank. Both engines wrap each document in the same
+    deterministic HTML (two double-quoted anchors whose URLs derive
+    from doc_id — one with an uppercase HREF and leading attributes,
+    one entity-carrying — plus a single-quoted anchor that is OUT of
+    the documented scope and must NOT match) and extract independently
+    with the identical Java∩RE2 pattern; position + value are both
+    hashed, so anchor ORDER is certified too."""
+    from etl_cli_spark.operators.text import html_links
+
+    d = _engine(spark, sf).read("documents")
+    html = F.concat(
+        F.lit('<p>intro</p><a class="n" HREF="https://site'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">x</a><a href=\'https://skip.example.net/s\'>n</a>'
+              '<a href="https://ref.example.org/d?id='),
+        F.col("doc_id").cast("string"),
+        F.lit('&amp;b=2">y</a>'),
+    )
+    return d.select(
+        "doc_id", F.posexplode(html_links(html)).alias("pos0", "href")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "href")
+
+
 # -- URL curation (crawl-corpus prep; operators/urls.py) ---------------------
 # documents has no URL column, so both engines derive the same messy URL
 # deterministically from doc_id (uppercase schemes/hosts, www, default +
@@ -3099,6 +3127,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "text_repetition": [("doc_id", "i"), ("top2gram_frac", "f"), ("n_2grams", "i")],
     "text_pii_scrub": [("doc_id", "i"), ("clean", "s")],
     "html_extract": [("doc_id", "i"), ("title", "s"), ("body", "s")],
+    "html_links": [("doc_id", "i"), ("pos", "i"), ("href", "s")],
     "normalize_unicode": [("doc_id", "i"), ("norm_text", "s")],
     # -- dedup / fuzzy-join family (round-8 digest) --
     "dedup_minhash": [("doc_id", "i"), ("lang", "s")],
@@ -3262,7 +3291,7 @@ _MERGER_FAMILY = [
 _TEXT_FAMILY = [
     "text_stats_by_lang", "text_fingerprint", "text_quality",
     "text_repetition", "text_pii_scrub", "normalize_unicode",
-    "html_extract",
+    "html_extract", "html_links",
 ]
 _DEDUP_FAMILY = [
     "dedup_minhash", "dedup_minhash_cc", "dedup_minhash_indexed",
@@ -3920,6 +3949,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": _q_text_repetition,
     "text_pii_scrub": _q_text_pii_scrub,
     "html_extract": _q_html_extract,
+    "html_links": _q_html_links,
     "normalize_unicode": _q_normalize_unicode,
     # dedup / fuzzy-join family (in-window via dedup_digest)
     "dedup_minhash": _q_dedup_minhash,
@@ -5040,6 +5070,24 @@ def oracle_sql() -> dict[str, str]:
     _title = f"regexp_replace({_title}, '^\\s+|\\s+$', '', 'g')"
     sql["html_extract"] = (
         f"SELECT doc_id, {_title} AS title, {_body} AS body FROM documents"
+    )
+
+    # html_links: identical Java∩RE2 pattern; generate_subscripts is
+    # 1-based, matching the Spark side's pos0 + 1
+    from etl_cli_spark.operators.text import _HREF_PATTERN
+
+    _lhtml = (
+        "'<p>intro</p><a class=\"n\" HREF=\"https://site' || "
+        "CAST(doc_id % 50 AS VARCHAR) || '.example.com/p/' || "
+        "CAST(doc_id AS VARCHAR) || "
+        "'\">x</a><a href=''https://skip.example.net/s''>n</a>"
+        "<a href=\"https://ref.example.org/d?id=' || "
+        "CAST(doc_id AS VARCHAR) || '&amp;b=2\">y</a>'"
+    )
+    sql["html_links"] = (
+        "SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS href "
+        f"FROM (SELECT doc_id, regexp_extract_all({_lhtml}, "
+        f"'{_HREF_PATTERN}', 1) AS l FROM documents)"
     )
 
     # pipeline_end_to_end: the composed stages, each reusing its

@@ -280,6 +280,23 @@ def html_to_text(col: Column | str) -> Column:
     return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
+# double-quoted href only: the Java∩RE2 subset has no backreferences,
+# so one pattern cannot match both quote styles without alternation
+# blow-up; double quotes are the overwhelming convention in real HTML,
+# and single-quoted hrefs simply don't match (documented scope)
+_HREF_PATTERN = r'(?is)<a[^>]*?\bhref\s*=\s*"([^"]*)"'
+
+
+def html_links(col: Column | str) -> Column:
+    """href targets of ``<a>`` anchors, in document order — the crawl
+    frontier / link-graph feed (compose with ``urls.canonicalize`` and
+    ``graph.pagerank`` for the full crawl-graph story). Values are raw
+    attribute text (entities NOT decoded — a crawl frontier wants the
+    literal URL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_HREF_PATTERN), 1)
+
+
 def html_title(col: Column | str) -> Column:
     """<title> contents, entity-decoded and trimmed ('' if absent)."""
     c = F.col(col) if isinstance(col, str) else col

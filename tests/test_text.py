@@ -189,3 +189,19 @@ def test_html_entity_decode_single_level(spark):
 
     df = spark.createDataFrame([("<p>a &amp;lt; b</p>",)], "h string")
     assert df.select(html_to_text("h").alias("b")).collect()[0]["b"] == "a &lt; b"
+
+
+def test_html_links_order_and_scope(spark):
+    from etl_cli_spark.operators.text import html_links
+
+    html = (
+        '<a href="https://a.example/1">1</a> text '
+        "<a href='https://single.example/skip'>s</a>"  # single-quoted: out of scope
+        '<A class="x" data-y="z" HREF = "https://b.example/2?q=1&amp;r=2">2</A>'
+        '<a name="anchor-no-href">none</a>'
+    )
+    df = spark.createDataFrame([(html,), ("plain text",)], "h string")
+    got = [r["l"] for r in df.select(html_links("h").alias("l")).collect()]
+    # document order, raw attribute text (entities NOT decoded)
+    assert got[0] == ["https://a.example/1", "https://b.example/2?q=1&amp;r=2"]
+    assert got[1] == []
