@@ -431,3 +431,28 @@ def test_multiset_diff_matches_exceptall_property(spark, old_rows, new_rows):
     added, removed = _multiset_diff(old, new)
     assert key(added.collect()) == key(new.exceptAll(old).collect())
     assert key(removed.collect()) == key(old.exceptAll(new).collect())
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+                min_size=1, max_size=8),
+        min_size=1, max_size=6,
+    )
+)
+@SETTINGS
+def test_html_to_text_inverts_simple_markup(spark, words):
+    """Wrapping markup-free words in paragraphs/anchors and extracting
+    must recover exactly the whitespace-normalized words — html_to_text
+    is a left inverse of simple HTML construction on tag-free text."""
+    from etl_cli_spark.operators.text import html_to_text
+
+    plain = " ".join(words)
+    html = "<html><body>" + "".join(
+        f"<p><a href=\"https://x.example/{i}\">{w}</a></p>" for i, w in enumerate(words)
+    ) + "</body></html>"
+    df = spark.createDataFrame([(html,), (plain,)], "h string")
+    got = [r["b"] for r in df.select(html_to_text("h").alias("b")).collect()]
+    assert got[0] == "\n\n".join(words)  # one paragraph per word
+    # markup-free text passes through modulo whitespace normalization
+    assert got[1] == " ".join(plain.split())
