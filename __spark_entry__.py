@@ -2080,6 +2080,28 @@ def _q_html_links(spark, sf):
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "href")
 
 
+def _q_split_sentences(spark, sf):
+    """Sentence segmentation (text.split_sentences — round-12): the
+    sentence-aware feed for chunk/pack_sequences. The fixture corpus
+    has no punctuation, so both engines build the same sentence-y text
+    from each document (three substrings terminated by '.', '!', '?',
+    runs of punctuation, and an unterminated tail) and segment
+    independently with the identical boundary pattern; position +
+    segment are both hashed, so ORDER is certified."""
+    from etl_cli_spark.operators.text import split_sentences
+
+    d = _engine(spark, sf).read("documents")
+    built = F.concat(
+        F.lit("Alpha "), F.substring("text", 1, 37), F.lit(". Beta "),
+        F.substring("text", 38, 29), F.lit("!! Gamma "),
+        F.substring("text", 67, 23), F.lit("?  tail "),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id", F.posexplode(split_sentences(built)).alias("pos0", "sentence")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sentence")
+
+
 # -- URL curation (crawl-corpus prep; operators/urls.py) ---------------------
 # documents has no URL column, so both engines derive the same messy URL
 # deterministically from doc_id (uppercase schemes/hosts, www, default +
@@ -3128,6 +3150,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "text_pii_scrub": [("doc_id", "i"), ("clean", "s")],
     "html_extract": [("doc_id", "i"), ("title", "s"), ("body", "s")],
     "html_links": [("doc_id", "i"), ("pos", "i"), ("href", "s")],
+    "split_sentences": [("doc_id", "i"), ("pos", "i"), ("sentence", "s")],
     "normalize_unicode": [("doc_id", "i"), ("norm_text", "s")],
     # -- dedup / fuzzy-join family (round-8 digest) --
     "dedup_minhash": [("doc_id", "i"), ("lang", "s")],
@@ -3291,7 +3314,7 @@ _MERGER_FAMILY = [
 _TEXT_FAMILY = [
     "text_stats_by_lang", "text_fingerprint", "text_quality",
     "text_repetition", "text_pii_scrub", "normalize_unicode",
-    "html_extract", "html_links",
+    "html_extract", "html_links", "split_sentences",
 ]
 _DEDUP_FAMILY = [
     "dedup_minhash", "dedup_minhash_cc", "dedup_minhash_indexed",
@@ -3950,6 +3973,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": _q_text_pii_scrub,
     "html_extract": _q_html_extract,
     "html_links": _q_html_links,
+    "split_sentences": _q_split_sentences,
     "normalize_unicode": _q_normalize_unicode,
     # dedup / fuzzy-join family (in-window via dedup_digest)
     "dedup_minhash": _q_dedup_minhash,
@@ -5088,6 +5112,26 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS href "
         f"FROM (SELECT doc_id, regexp_extract_all({_lhtml}, "
         f"'{_HREF_PATTERN}', 1) AS l FROM documents)"
+    )
+
+    # split_sentences: identical boundary pattern; RE2 replacement
+    # syntax is \1 where Java's is $1, and the sentinel is chr(1)
+    from etl_cli_spark.operators.text import _SENTENCE_BOUNDARY
+
+    _sbuilt = (
+        "'Alpha ' || substr(text, 1, 37) || '. Beta ' || "
+        "substr(text, 38, 29) || '!! Gamma ' || substr(text, 67, 23) || "
+        "'?  tail ' || CAST(doc_id AS VARCHAR)"
+    )
+    _ssegs = (
+        "list_filter(list_transform(string_split("
+        f"regexp_replace({_sbuilt}, '{_SENTENCE_BOUNDARY}', "
+        "'\\1' || chr(1), 'g'), chr(1)), x -> trim(x)), x -> x <> '')"
+    )
+    sql["split_sentences"] = (
+        "SELECT doc_id, generate_subscripts(l, 1) AS pos, "
+        "unnest(l) AS sentence "
+        f"FROM (SELECT doc_id, {_ssegs} AS l FROM documents)"
     )
 
     # pipeline_end_to_end: the composed stages, each reusing its

@@ -304,6 +304,27 @@ def html_title(col: Column | str) -> Column:
     return F.regexp_replace(_html_decode(t), r"^\s+|\s+$", "")
 
 
+# sentence boundary: a run of terminal punctuation followed by
+# whitespace. The Java∩RE2 subset has NO lookaround, so segmentation
+# is substitution-based: keep the punctuation, replace the following
+# whitespace with a \x01 sentinel, split on the sentinel. \x01 cannot
+# appear in text that survived normalize_unicode/quality filtering;
+# oracle fixtures construct their inputs and guarantee it.
+_SENTENCE_BOUNDARY = r"([.!?]+)[ \t\r\n]+"
+
+
+def split_sentences(col: Column | str) -> Column:
+    """Sentence segments in document order (terminal punctuation kept,
+    per-segment whitespace trimmed, empty segments dropped) — the
+    sentence-aware feed for ``pipeline.chunk`` / ``pack_sequences``.
+    Pure Column ops; the DuckDB twin replays the identical pattern
+    with its own replacement syntax (``\\1`` vs Java's ``$1``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    marked = F.regexp_replace(c, _SENTENCE_BOUNDARY, "$1\x01")
+    segs = F.transform(F.split(marked, "\x01"), lambda x: F.trim(x))
+    return F.filter(segs, lambda x: x != F.lit(""))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
     """Convenience: attach the standard per-document stat columns."""
     c = F.col(text_col)

@@ -205,3 +205,22 @@ def test_html_links_order_and_scope(spark):
     # document order, raw attribute text (entities NOT decoded)
     assert got[0] == ["https://a.example/1", "https://b.example/2?q=1&amp;r=2"]
     assert got[1] == []
+
+
+def test_split_sentences_boundaries_and_tail(spark):
+    from etl_cli_spark.operators.text import split_sentences
+
+    df = spark.createDataFrame(
+        [("One two. Three!  Four?! Five six... and a tail",),
+         ("no terminal punctuation",),
+         ("",)],
+        "t string",
+    )
+    got = [r["s"] for r in df.select(split_sentences("t").alias("s")).collect()]
+    assert got[0] == ["One two.", "Three!", "Four?!", "Five six...", "and a tail"]
+    assert got[1] == ["no terminal punctuation"]
+    assert got[2] == []
+    # dots NOT followed by whitespace (decimals, versions) never split
+    df2 = spark.createDataFrame([("pi is 3.14 and v1.2.3 ships. done",)], "t string")
+    got2 = df2.select(split_sentences("t").alias("s")).collect()[0]["s"]
+    assert got2 == ["pi is 3.14 and v1.2.3 ships.", "done"]
