@@ -2102,6 +2102,29 @@ def _q_split_sentences(spark, sf):
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sentence")
 
 
+def _q_chunk_sentences(spark, sf):
+    """Sentence-aligned chunking (pipeline.chunk_sentences — round-12):
+    split_sentences composed with a per-document window cumsum — chunk
+    id = floor(exclusive running token sum / max_tokens), so chunks
+    never start mid-sentence. Both engines build the same sentence-y
+    text as the split_sentences oracle and replay the whole chain
+    (segmentation, whitespace token counts, window cumsum, ordered
+    rejoin) independently; max_tokens=8 forces multiple chunks per
+    document."""
+    from etl_cli_spark.operators.pipeline import chunk_sentences
+
+    d = _engine(spark, sf).read("documents")
+    built = F.concat(
+        F.lit("Alpha "), F.substring("text", 1, 37), F.lit(". Beta "),
+        F.substring("text", 38, 29), F.lit("!! Gamma "),
+        F.substring("text", 67, 23), F.lit("?  tail "),
+        F.col("doc_id").cast("string"),
+    )
+    return chunk_sentences(
+        d.select("doc_id", built.alias("text")), max_tokens=8
+    ).select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+
+
 # -- URL curation (crawl-corpus prep; operators/urls.py) ---------------------
 # documents has no URL column, so both engines derive the same messy URL
 # deterministically from doc_id (uppercase schemes/hosts, www, default +
@@ -3151,6 +3174,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "html_extract": [("doc_id", "i"), ("title", "s"), ("body", "s")],
     "html_links": [("doc_id", "i"), ("pos", "i"), ("href", "s")],
     "split_sentences": [("doc_id", "i"), ("pos", "i"), ("sentence", "s")],
+    "chunk_sentences": [("doc_id", "i"), ("chunk_id", "i"), ("chunk_text", "s"), ("n_tokens", "i")],
     "normalize_unicode": [("doc_id", "i"), ("norm_text", "s")],
     # -- dedup / fuzzy-join family (round-8 digest) --
     "dedup_minhash": [("doc_id", "i"), ("lang", "s")],
@@ -3974,6 +3998,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": _q_html_extract,
     "html_links": _q_html_links,
     "split_sentences": _q_split_sentences,
+    "chunk_sentences": _q_chunk_sentences,
     "normalize_unicode": _q_normalize_unicode,
     # dedup / fuzzy-join family (in-window via dedup_digest)
     "dedup_minhash": _q_dedup_minhash,
@@ -5132,6 +5157,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, generate_subscripts(l, 1) AS pos, "
         "unnest(l) AS sentence "
         f"FROM (SELECT doc_id, {_ssegs} AS l FROM documents)"
+    )
+
+    # chunk_sentences: the full chain — segmentation, whitespace token
+    # counts (the _TOKENS protocol on each sentence), exclusive window
+    # cumsum, floor-division chunk ids, ordered rejoin
+    _stoks = "len(string_split_regex(lower(trim(sent)), '\\s+'))"
+    sql["chunk_sentences"] = (
+        "WITH s AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, "
+        f"unnest(l) AS sent FROM (SELECT doc_id, {_ssegs} AS l FROM documents)), "
+        f"t AS (SELECT doc_id, pos, sent, {_stoks} AS toks FROM s), "
+        "c AS (SELECT doc_id, pos, sent, toks, CAST(floor((sum(toks) OVER ("
+        "PARTITION BY doc_id ORDER BY pos) - toks) / 8.0) AS INT) AS chunk_id "
+        "FROM t) "
+        "SELECT doc_id, chunk_id, string_agg(sent, ' ' ORDER BY pos) AS chunk_text, "
+        "sum(toks) AS n_tokens FROM c GROUP BY doc_id, chunk_id"
     )
 
     # pipeline_end_to_end: the composed stages, each reusing its

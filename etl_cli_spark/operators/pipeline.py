@@ -234,6 +234,58 @@ def chunk_documents(
     )
 
 
+def chunk_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 128,
+) -> DataFrame:
+    """Sentence-ALIGNED chunking (round-12): split on sentence
+    boundaries (``text.split_sentences``), then group consecutive
+    sentences into chunks of ~``max_tokens`` whitespace tokens —
+    chunk id = floor(exclusive running token sum / max_tokens), so a
+    chunk never starts mid-sentence and carries at most one
+    budget-straddling sentence (the deterministic window-cumsum rule;
+    a greedy reset would need iteration and buys little). This is the
+    chunker real LLM pipelines want over ``chunk_documents``' blind
+    character windows: no mid-sentence cuts in training windows.
+
+    Plan: posexplode per document (narrow), one window cumsum
+    partitioned BY DOCUMENT (bounded state — never a global sort),
+    one hash aggregate to rejoin chunk text via ``array_join(
+    array_agg ordered by position)``. All codegen, no UDF; scales by
+    documents exactly like chunk_documents.
+    """
+    from .text import split_sentences
+
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    sents = df.select(
+        F.col(id_col),
+        F.posexplode(split_sentences(F.col(text_col))).alias("__pos", "__sent"),
+    ).withColumn("__toks", token_count(F.col("__sent")))
+    cum_excl = (
+        F.coalesce(F.sum("__toks").over(w) - F.col("__toks"), F.lit(0))
+    )
+    chunks = sents.withColumn(
+        "chunk_id", F.floor(cum_excl / F.lit(max_tokens)).cast("int")
+    )
+    return (
+        chunks.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__sent")))
+                    ),
+                    lambda s: s["__sent"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.sum("__toks").alias("n_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1360,3 +1360,27 @@ def test_span_stale_reader_across_compaction_fails_loud_or_right(
         for r in strip_against_span_index(probe, idx, min_docs=2).collect()
     }
     assert fresh == want
+
+
+def test_chunk_sentences_never_splits_mid_sentence(spark):
+    """Sentence-aligned chunking: every chunk is a space-join of
+    consecutive whole sentences; chunk ids follow the exclusive-cumsum
+    floor rule, so a chunk carries at most one budget-straddling
+    sentence and small sentences coalesce."""
+    from etl_cli_spark.operators.pipeline import chunk_sentences
+
+    text = "one two three. four five. six seven eight nine! ten? eleven twelve."
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_sentences(df, max_tokens=5).collect()
+    )
+    # cumsum-exclusive/5: [0,3,5,9,10] -> chunk ids [0,0,1,1,2]
+    assert rows == [
+        (0, "one two three. four five.", 5),
+        (1, "six seven eight nine! ten?", 5),
+        (2, "eleven twelve.", 2),
+    ]
+    # reassembling chunks in id order recovers every sentence in order
+    joined = " ".join(t for _, t, _ in rows)
+    assert joined == text

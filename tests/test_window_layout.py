@@ -174,7 +174,7 @@ STANDALONE = {
     "url_canonicalize", "url_domain_cap",
     # LLM-pipeline ops certified individually
     "dedup_exact", "token_budget_sample", "leakage_split", "epoch_shuffle",
-    "training_shards", "chunk_documents", "pack_sequences",
+    "training_shards", "chunk_documents", "chunk_sentences", "pack_sequences",
     "pack_token_ids", "decontaminate", "bloom_decontaminate",
     "strip_repeated_spans", "strip_spans_indexed", "strip_spans_compacted",
     "paragraph_dedup",
