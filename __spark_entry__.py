@@ -264,8 +264,29 @@ def _ivf_cells_ctes(
     ``kmeans_refine(mean_strategy='exact')`` BIT-exactly — DuckDB's
     first-element-as-accumulator convention equals Spark's
     zero-accumulator fold because the zero step contributes exactly
-    0.0 compensation on the first element."""
+    0.0 compensation on the first element. In exact mode (round-13
+    advice fix) BOTH remaining rounding-implementation channels are
+    closed by shared primitives: means and centroids quantize with
+    ``floor(x*1e9 + 0.5)/1e9`` (never DuckDB ``round`` vs Python
+    ``round``, whose half-away vs half-even rules diverge on real
+    doubles), and squared distances are a sequential left fold
+    (``list_reduce``, matching the driver's per-dimension index-order
+    accumulation — numpy's pairwise ``.sum`` is NOT replayable)
+    quantized by the same rule at 6 dp."""
     d2 = lambda a, b: _d2_sql(a, b, dim)
+    if mean == "exact":
+        # sequential left fold over the per-dimension squares (first
+        # element as accumulator == the driver's 0.0-seeded fold:
+        # 0.0 + x1 is bitwise x1) + the shared floor quantizer
+        d2 = lambda a, b: (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
+        )
+        _rd6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+        _rd9 = lambda e: f"floor(({e}) * 1000000000.0 + 0.5) / 1000000000.0"
+    else:
+        _rd6 = lambda e: f"round({e}, 6)"
+        _rd9 = lambda e: f"round({e}, 9)"
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         "samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048)",
@@ -276,7 +297,7 @@ def _ivf_cells_ctes(
     for t in range(1, iters + 1):
         ctes.append(
             f"a{t} AS (SELECT s.vec_id, s.v, c.cid, row_number() OVER ("
-            f"PARTITION BY s.vec_id ORDER BY round({d2('s.v', 'c.cv')}, 6), c.cid) AS rn "
+            f"PARTITION BY s.vec_id ORDER BY {_rd6(d2('s.v', 'c.cv'))}, c.cid) AS rn "
             f"FROM {src} s CROSS JOIN {prev} c)"
         )
         if mean == "exact":
@@ -288,7 +309,7 @@ def _ivf_cells_ctes(
                 "ELSE (x.s - (a.s + x.s)) + a.s END})"
             )
             ctes.append(
-                f"m{t} AS (SELECT cid, d, round((st.s + st.c) / n, 9) AS val FROM ("
+                f"m{t} AS (SELECT cid, d, {_rd9('(st.s + st.c) / n')} AS val FROM ("
                 f"SELECT cid, g.d AS d, count(*) AS n, {neum} AS st "
                 f"FROM (SELECT vec_id, v, cid FROM a{t} WHERE rn = 1) a, "
                 f"LATERAL (SELECT unnest(generate_series(1, {dim})) AS d) g "
@@ -303,12 +324,12 @@ def _ivf_cells_ctes(
         ctes.append(f"n{t} AS (SELECT cid, list(val ORDER BY d) AS cv FROM m{t} GROUP BY cid)")
         ctes.append(
             f"c{t} AS (SELECT c.cid, list_transform(COALESCE(n.cv, c.cv), "
-            f"x -> round(x, 9)) AS cv FROM {prev} c LEFT JOIN n{t} n USING (cid))"
+            f"x -> {_rd9('x')}) AS cv FROM {prev} c LEFT JOIN n{t} n USING (cid))"
         )
         prev = f"c{t}"
     ctes.append(
         f"fin AS (SELECT t.vec_id, t.v, c.cid, row_number() OVER ("
-        f"PARTITION BY t.vec_id ORDER BY round({d2('t.v', 'c.cv')}, 6), c.cid) AS rn "
+        f"PARTITION BY t.vec_id ORDER BY {_rd6(d2('t.v', 'c.cv'))}, c.cid) AS rn "
         f"FROM e t CROSS JOIN {prev} c)"
     )
     ctes.append("cells AS (SELECT vec_id, v, cid FROM fin WHERE rn = 1)")
@@ -1737,7 +1758,13 @@ def _q_kmeans_refine_exact(spark, sf):
     9-dp rounding; 'exact' makes the centroid chain a pure function of
     the data. The oracle replays the SAME compensated fold with
     ``list(... ORDER BY vec_id)`` + ``list_reduce`` inside the Lloyd
-    CTE chain, so the hash match certifies bit-exact (not
+    CTE chain. Round-13 (advice fix) removed the last two
+    rounding-IMPLEMENTATION channels: both engines now quantize means
+    and distances with the shared ``floor(x*10^s + 0.5)/10^s``
+    primitive rule (Python round is half-even, DuckDB round is
+    half-away — they diverge on real doubles) and fold distances
+    sequentially per dimension (numpy's pairwise sum is not
+    replayable), so the hash match certifies bit-exact (not
     probabilistic) cross-engine agreement of the whole trainer."""
     from etl_cli_spark.operators.similarity import kmeans_refine
 
@@ -5161,17 +5188,22 @@ def oracle_sql() -> dict[str, str]:
 
     # chunk_sentences: the full chain — segmentation, whitespace token
     # counts (the _TOKENS protocol on each sentence), exclusive window
-    # cumsum, floor-division chunk ids, ordered rejoin
+    # cumsum, floor-division chunk cuts, ordered rejoin, then the
+    # round-13 dense renumber (raw floor ids gap when one sentence
+    # exceeds the budget; consumers enumerate chunks by dense index)
     _stoks = "len(string_split_regex(lower(trim(sent)), '\\s+'))"
     sql["chunk_sentences"] = (
         "WITH s AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, "
         f"unnest(l) AS sent FROM (SELECT doc_id, {_ssegs} AS l FROM documents)), "
         f"t AS (SELECT doc_id, pos, sent, {_stoks} AS toks FROM s), "
         "c AS (SELECT doc_id, pos, sent, toks, CAST(floor((sum(toks) OVER ("
-        "PARTITION BY doc_id ORDER BY pos) - toks) / 8.0) AS INT) AS chunk_id "
-        "FROM t) "
-        "SELECT doc_id, chunk_id, string_agg(sent, ' ' ORDER BY pos) AS chunk_text, "
-        "sum(toks) AS n_tokens FROM c GROUP BY doc_id, chunk_id"
+        "PARTITION BY doc_id ORDER BY pos) - toks) / 8.0) AS INT) AS raw_chunk "
+        "FROM t), "
+        "a AS (SELECT doc_id, raw_chunk, "
+        "string_agg(sent, ' ' ORDER BY pos) AS chunk_text, "
+        "sum(toks) AS n_tokens FROM c GROUP BY doc_id, raw_chunk) "
+        "SELECT doc_id, CAST(dense_rank() OVER (PARTITION BY doc_id "
+        "ORDER BY raw_chunk) - 1 AS INT) AS chunk_id, chunk_text, n_tokens FROM a"
     )
 
     # pipeline_end_to_end: the composed stages, each reusing its
@@ -5833,7 +5865,10 @@ def oracle_sql() -> dict[str, str]:
 
     # kmeans_refine_exact: the same chain with the fixed-id-order
     # Neumaier mean (2 iterations — distinct from kmeans_refine's 4);
-    # the match is bit-exact by construction, not 9-dp-probable
+    # the match is bit-exact by construction, not 9-dp-probable —
+    # r13: means/distances quantize via the shared floor rule and
+    # distances fold sequentially, so no round()-implementation or
+    # summation-order channel remains (see _ivf_cells_ctes docstring)
     _xctes, _ = _ivf_cells_ctes(_DIM, _K, 2, src="e", mean="exact")
     sql["kmeans_refine_exact"] = (
         "WITH " + ", ".join(_xctes) + " "

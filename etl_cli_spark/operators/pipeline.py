@@ -243,17 +243,26 @@ def chunk_sentences(
     """Sentence-ALIGNED chunking (round-12): split on sentence
     boundaries (``text.split_sentences``), then group consecutive
     sentences into chunks of ~``max_tokens`` whitespace tokens —
-    chunk id = floor(exclusive running token sum / max_tokens), so a
-    chunk never starts mid-sentence and carries at most one
-    budget-straddling sentence (the deterministic window-cumsum rule;
-    a greedy reset would need iteration and buys little). This is the
-    chunker real LLM pipelines want over ``chunk_documents``' blind
-    character windows: no mid-sentence cuts in training windows.
+    chunks are cut at floor(exclusive running token sum / max_tokens)
+    boundaries, so a chunk never starts mid-sentence and carries at
+    most one budget-straddling sentence (the deterministic
+    window-cumsum rule; a greedy reset would need iteration and buys
+    little). This is the chunker real LLM pipelines want over
+    ``chunk_documents``' blind character windows: no mid-sentence cuts
+    in training windows.
+
+    ``chunk_id`` is DENSE per document (0..n_chunks-1, round-13 advice
+    fix): the raw cumsum floor jumps whenever a single sentence exceeds
+    ``max_tokens`` (ids 0 then 2), so a final dense_rank over the
+    already-aggregated per-chunk rows renumbers them — consumers can
+    enumerate chunks by index.
 
     Plan: posexplode per document (narrow), one window cumsum
     partitioned BY DOCUMENT (bounded state — never a global sort),
     one hash aggregate to rejoin chunk text via ``array_join(
-    array_agg ordered by position)``. All codegen, no UDF; scales by
+    array_agg ordered by position)``, one dense_rank window over the
+    per-chunk rows (orders of magnitude fewer rows than sentences,
+    still partitioned by document). All codegen, no UDF; scales by
     documents exactly like chunk_documents.
     """
     from .text import split_sentences
@@ -267,10 +276,10 @@ def chunk_sentences(
         F.coalesce(F.sum("__toks").over(w) - F.col("__toks"), F.lit(0))
     )
     chunks = sents.withColumn(
-        "chunk_id", F.floor(cum_excl / F.lit(max_tokens)).cast("int")
+        "__raw_chunk", F.floor(cum_excl / F.lit(max_tokens)).cast("int")
     )
-    return (
-        chunks.groupBy(id_col, "chunk_id")
+    agged = (
+        chunks.groupBy(id_col, "__raw_chunk")
         .agg(
             F.array_join(
                 F.transform(
@@ -283,6 +292,13 @@ def chunk_sentences(
             ).alias("chunk_text"),
             F.sum("__toks").alias("n_tokens"),
         )
+    )
+    wd = Window.partitionBy(id_col).orderBy("__raw_chunk")
+    return agged.select(
+        id_col,
+        (F.dense_rank().over(wd) - 1).cast("int").alias("chunk_id"),
+        "chunk_text",
+        "n_tokens",
     )
 
 

@@ -306,6 +306,24 @@ def ivf_index(
     return _assign_cells(df, cent, vec_col), [list(map(float, c)) for c in cent]
 
 
+def _quantize(v: float, scale: float) -> float:
+    """Shared cross-engine quantizer for the ``mean_strategy='exact'``
+    protocol: ``floor(v * scale + 0.5) / scale`` — three primitive IEEE
+    binary64 ops with bit-specified results, so Python, numpy, the JVM,
+    and DuckDB all compute the SAME double from the same input double.
+    This replaces ``round(v, 9)`` in the exact arm (round-13 advice
+    fix): Python's ``round`` is correctly-rounded half-even on the
+    DECIMAL value while DuckDB's ``round`` is multiply-based half-away
+    — on identical doubles they demonstrably diverge (e.g.
+    0.7645514175 -> 0.764551417 vs 0.764551418), so 'bit-exact'
+    required one shared rule, not two engines' round() builtins.
+    (Ties quantize toward +inf for negatives; the direction is
+    irrelevant — only that both engines share it.)"""
+    import math
+
+    return math.floor(v * scale + 0.5) / scale
+
+
 def _neumaier_mean(xs) -> Column:
     """Mean of ``xs`` (sorted array of struct(i=id, v=value)) by
     Neumaier-compensated left fold in array order — a pure JVM
@@ -371,10 +389,22 @@ def kmeans_refine(
     id, val)))`` → JVM ``aggregate()`` fold — no UDF), so the mean is a
     pure function of the data, bit-identical across partitionings,
     engines, and runs; the DuckDB oracle replays the same fold with
-    ``list(... ORDER BY id)`` + ``list_reduce``. Cost: the fold cannot
-    map-side combine (combining would reorder), so the exchange
-    carries corpus × dim rows instead of the combined K × dim — an
-    opt-in for when bit-exact replay matters more than shuffle volume.
+    ``list(... ORDER BY id)`` + ``list_reduce``. Round-13 closed the
+    two residual implementation channels the r12 advice found: (a) the
+    9-dp centroid rounding now uses the shared ``_quantize`` rule
+    (``floor(v*1e9 + 0.5)/1e9`` — primitive IEEE ops, identical in
+    every engine) instead of Python ``round`` vs DuckDB ``round``,
+    whose half-even vs half-away implementations diverge on real
+    doubles; and (b) assignment distances accumulate as a sequential
+    per-dimension left fold quantized by the same rule at 6 dp
+    (``_assign_cells(exact=True)``) instead of numpy's pairwise sum +
+    half-even round. Every step of the exact arm is therefore a
+    composition of bit-specified IEEE primitives — 'bit-exact by
+    construction' with no rounding-implementation caveat. Cost: the
+    fold cannot map-side combine (combining would reorder), so the
+    exchange carries corpus × dim rows instead of the combined
+    K × dim — an opt-in for when bit-exact replay matters more than
+    shuffle volume.
 
     ``mean_strategy``: ``'wide'`` = one ``avg(element_at(vec, d))``
     aggregate column per dimension (K rows × dim cols collected);
@@ -409,8 +439,9 @@ def kmeans_refine(
     # 96 ≈ spark.sql.codegen.maxFields (100) minus the grouping key's
     # slots: past it the wide agg drops out of whole-stage codegen
     wide = mean_strategy == "wide" or (mean_strategy == "auto" and dim <= 96)
+    exact = mean_strategy == "exact"
     for _ in range(iters):
-        assigned = _assign_cells(df.select(id_col, vec_col), cent, vec_col)
+        assigned = _assign_cells(df.select(id_col, vec_col), cent, vec_col, exact=exact)
         new = [list(c) for c in cent]
         if wide:
             # one row per cell, dim avg columns: partial aggregation
@@ -465,13 +496,29 @@ def kmeans_refine(
                 "__avg"
             ].to_numpy()
             new = arr.tolist()
-        cent = [[round(float(v), 9) for v in c] for c in new]
-    return _assign_cells(df, cent, vec_col), cent
+        if exact:
+            # shared floor-based quantizer (see _quantize): one rule,
+            # both engines — never two round() implementations
+            cent = [[_quantize(float(v), 1e9) for v in c] for c in new]
+        else:
+            cent = [[round(float(v), 9) for v in c] for c in new]
+    return _assign_cells(df, cent, vec_col, exact=exact), cent
 
 
-def _assign_cells(df: DataFrame, centroids, vec_col: str) -> DataFrame:
+def _assign_cells(
+    df: DataFrame, centroids, vec_col: str, exact: bool = False
+) -> DataFrame:
     """Attach ``__cell`` = nearest-centroid id. One Arrow-batched pass,
-    no shuffle; centroids are closure-captured (broadcast-sized)."""
+    no shuffle; centroids are closure-captured (broadcast-sized).
+
+    ``exact`` (the ``kmeans_refine(mean_strategy='exact')`` protocol,
+    round-13): squared distances accumulate per-dimension in INDEX
+    ORDER starting from 0.0 (a left fold — numpy's default ``.sum`` is
+    pairwise, which an engine replaying a sequential fold cannot
+    bit-match) and quantize with the shared ``floor(d*1e6 + 0.5)/1e6``
+    rule instead of numpy's half-even ``round(6)``. Every op is a
+    bit-specified IEEE primitive, so the assignment is a pure function
+    of (vectors, centroids) reproducible on any engine."""
     import numpy as np
     import pandas as pd
 
@@ -502,7 +549,15 @@ def _assign_cells(df: DataFrame, centroids, vec_col: str) -> DataFrame:
             step = max(1, (64 << 20) // max(1, len(cent_b) * cent_b.shape[1] * 8))
             for s in range(0, len(x), step):
                 blk = x[s : s + step]
-                d = ((blk[:, None, :] - cent_b[None, :, :]) ** 2).sum(axis=2).round(6)
+                if exact:
+                    # sequential per-dimension left fold + shared
+                    # quantizer: bit-replayable (see docstring)
+                    d = np.zeros((len(blk), len(cent_b)), dtype=np.float64)
+                    for dd in range(cent_b.shape[1]):
+                        d += (blk[:, dd, None] - cent_b[None, :, dd]) ** 2
+                    d = np.floor(d * 1e6 + 0.5) / 1e6
+                else:
+                    d = ((blk[:, None, :] - cent_b[None, :, :]) ** 2).sum(axis=2).round(6)
                 cells[s : s + step] = d.argmin(axis=1)
             pdf = pdf.copy()
             pdf["__cell"] = pd.Series(cells, index=pdf.index, dtype="int32")
@@ -869,9 +924,10 @@ def semantic_dedup(
     ``pair_strategy='auto'`` (default, round-12) closes that failure
     mode without giving up the kernel AND without an extra sizing job:
     the kernel itself refuses any cell larger than
-    ``max_arrow_cell_rows``, emitting a sentinel row (null id, cell id
-    in the dot slot) instead of grinding it — a free ``len(pdf)``
-    check riding the action that computes all bounded cells' pairs.
+    ``max_arrow_cell_rows``, emitting a sentinel row (``__is_cell``
+    flag true, cell id in the dot slot) instead of grinding it — a
+    free ``len(pdf)`` check riding the action that computes all
+    bounded cells' pairs.
     The bounded sentinel collect (<= n_clusters rows) then routes just
     the refused cells through the streamed column arm and unions the
     candidates. Safe because the two arms produce BIT-IDENTICAL raw
@@ -942,7 +998,7 @@ def semantic_dedup(
     aux: list[DataFrame] = []  # released once drops has materialized
     try:
         if pair_strategy == "arrow":
-            cand = _cell_pair_candidates(base, margin)
+            cand = _cell_pair_candidates(base, margin).drop("__is_cell")
         elif pair_strategy == "column":
             cand = _column_pairs(base)
         else:  # auto: arrow kernel, mega-cells streamed through column
@@ -950,15 +1006,17 @@ def semantic_dedup(
                 base, margin, big_cell_rows=max_arrow_cell_rows
             ).persist(StorageLevel.MEMORY_AND_DISK)
             aux.append(raw)
-            # sentinel rows (null id, cell id in the dot slot) mark the
+            # sentinel rows (``__is_cell`` true, cell id in the dot
+            # slot — a dedicated flag, so a genuine pair row whose
+            # b-side id is null can never be mistaken for one) mark the
             # cells the kernel refused; this collect is the action that
             # computes every bounded cell's pairs, and it returns at
             # most n_clusters sentinel rows
             big = [
                 int(r["__dot"])
-                for r in raw.filter(F.col("__b_id").isNull()).collect()
+                for r in raw.filter(F.col("__is_cell")).collect()
             ]
-            cand = raw.filter(F.col("__b_id").isNotNull())
+            cand = raw.filter(~F.col("__is_cell")).drop("__is_cell")
             if big:
                 cand = cand.unionByName(
                     _column_pairs(base.filter(F.col("__cell").isin(big)))
@@ -1003,10 +1061,14 @@ def _cell_pair_candidates(
     ``__a_id < __b_id`` never compares equal ids (r11 advice).
 
     ``big_cell_rows`` (the 'auto' guard): a cell with more rows is NOT
-    computed — the kernel emits one sentinel row (``__b_id`` null,
+    computed — the kernel emits one sentinel row (``__is_cell`` true,
     ``__dot`` = the cell id as double, exact for ids < 2^53) so the
-    caller can route it through the streamed column arm. The check is
-    a free ``len(pdf)``; ``None`` (pure 'arrow') keeps the unguarded
+    caller can route it through the streamed column arm. ``__is_cell``
+    is a DEDICATED flag (round-13 advice fix): the old null-``__b_id``
+    convention collided with genuine pair rows whose b-side id is null
+    when ``id_col`` contains nulls, silently dropping the pair and
+    misrouting a dot product as a cell id. The check is a free
+    ``len(pdf)``; ``None`` (pure 'arrow') keeps the unguarded
     behavior."""
     import numpy as np
     import pandas as pd
@@ -1015,20 +1077,32 @@ def _cell_pair_candidates(
 
     id_type = base.schema["__id"].dataType
     out_schema = T.StructType(
-        [T.StructField("__b_id", id_type), T.StructField("__dot", T.DoubleType())]
+        [
+            T.StructField("__b_id", id_type),
+            T.StructField("__dot", T.DoubleType()),
+            T.StructField("__is_cell", T.BooleanType()),
+        ]
     )
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         empty = pd.DataFrame(
-            {"__b_id": pdf["__id"][:0], "__dot": pd.Series([], dtype="float64")}
+            {
+                "__b_id": pdf["__id"][:0],
+                "__dot": pd.Series([], dtype="float64"),
+                "__is_cell": pd.Series([], dtype="bool"),
+            }
         )
         if n < 2:
             return empty
         if big_cell_rows is not None and n > big_cell_rows:
-            # refuse the mega-cell: sentinel (null id, cell id as dot)
+            # refuse the mega-cell: sentinel (flag set, cell id as dot)
             return pd.DataFrame(
-                {"__b_id": [None], "__dot": [float(pdf["__cell"].iloc[0])]}
+                {
+                    "__b_id": [None],
+                    "__dot": [float(pdf["__cell"].iloc[0])],
+                    "__is_cell": [True],
+                }
             )
         pdf = pdf.sort_values("__id")
         ids = pdf["__id"].to_numpy()
@@ -1058,8 +1132,13 @@ def _cell_pair_candidates(
                 out_dots.append(acc[rows, cols].copy())
         if not out_ids:
             return empty
+        ids_out = np.concatenate(out_ids)
         return pd.DataFrame(
-            {"__b_id": np.concatenate(out_ids), "__dot": np.concatenate(out_dots)}
+            {
+                "__b_id": ids_out,
+                "__dot": np.concatenate(out_dots),
+                "__is_cell": np.zeros(len(ids_out), dtype=bool),
+            }
         )
 
     return base.groupBy("__cell").applyInPandas(cell_pairs, out_schema)

@@ -247,7 +247,12 @@ def pii_scrub(col: Column | str) -> Column:
 # flags, lazy quantifiers, NO backreferences (RE2 lacks them, hence
 # separate script/style patterns). The DuckDB oracle replays the
 # identical chain, so extraction is hash-certified cross-engine.
-_HTML_BLOCK_TAGS = r"(?i)</?(p|br|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)[^>]*>"
+# \b anchors the tag name (supported by both Java and RE2): without it
+# the alternation matched by PREFIX — <pre>/<param>/<picture>/<progress>
+# (via p), <link> (via li), <track> (via tr) became paragraph breaks
+# instead of being stripped to a space, distorting the paragraph
+# structure fed to paragraph_dedup/chunking (round-13 advice fix)
+_HTML_BLOCK_TAGS = r"(?i)</?(p|br|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)\b[^>]*>"
 # decode order matters: &amp; LAST so '&amp;lt;' -> '&lt;' (one level)
 _HTML_ENTITIES = [
     ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),

@@ -1384,3 +1384,26 @@ def test_chunk_sentences_never_splits_mid_sentence(spark):
     # reassembling chunks in id order recovers every sentence in order
     joined = " ".join(t for _, t, _ in rows)
     assert joined == text
+
+
+def test_chunk_sentences_ids_are_dense_when_a_sentence_overflows(spark):
+    """Round-13 advice fix: a single sentence exceeding max_tokens made
+    the raw cumsum-floor ids jump (0 then 2); chunk_id is now densely
+    renumbered per document so consumers can enumerate by index."""
+    from etl_cli_spark.operators.pipeline import chunk_sentences
+
+    text = "a b c d e f g h i j. x y."
+    df = spark.createDataFrame(
+        [(1, text), (2, "s t. u v.")], "doc_id int, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in chunk_sentences(df, max_tokens=5).collect()
+    )
+    # doc 1 raw ids were [0, 2] (10-token sentence straddles two
+    # budgets); dense ids are [0, 1]. doc 2 coalesces into one chunk.
+    assert rows == [
+        (1, 0, "a b c d e f g h i j."),
+        (1, 1, "x y."),
+        (2, 0, "s t. u v."),
+    ]

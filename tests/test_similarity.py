@@ -747,6 +747,43 @@ def test_semantic_dedup_auto_routes_mega_cells_same_kept_set(spark):
     assert 0 < len(pure_a) < 60
 
 
+def test_auto_sentinel_is_a_flag_not_a_null_id(spark):
+    """Round-13 advice fix: 'refused cell' is marked by a dedicated
+    ``__is_cell`` flag, not by a null ``__b_id`` — so null values in
+    ``id_col`` can no longer masquerade as sentinels (which misrouted
+    a dot product as a cell id and dropped the real near-dup pair)."""
+    from pyspark.sql import functions as F
+
+    from etl_cli_spark.operators.similarity import (
+        _as_double,
+        _cell_pair_candidates,
+        norm,
+    )
+
+    # one cell, 3 rows, one with a NULL id; all vectors near-identical
+    rows = [(0, [1.0, 1.0]), (None, [1.0, 1.0001]), (7, [1.0, 0.9999])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = (
+        df.select(
+            F.lit(3).alias("__cell"),
+            F.col("vec_id").alias("__id"),
+            _as_double(F.col("embedding")).alias("__v"),
+        )
+        .withColumn("__n", norm(F.col("__v")))
+        .select("__cell", "__id", F.transform("__v", lambda x: x / F.col("__n")).alias("__u"))
+    )
+    got = _cell_pair_candidates(base, 0.9).collect()
+    # genuine pair rows may carry a null b-side id, but never the flag
+    assert all(r["__is_cell"] is False for r in got)
+    assert any(r["__b_id"] is None for r in got)  # the null-id pair survives
+    # with the guard active and a 1-row cap, the SAME cell becomes a
+    # sentinel: flag true, cell id in the dot slot, regardless of nulls
+    sent = _cell_pair_candidates(base, 0.9, big_cell_rows=2).collect()
+    assert [(r["__b_id"], r["__dot"], r["__is_cell"]) for r in sent] == [
+        (None, 3.0, True)
+    ]
+
+
 def test_semantic_dedup_arrow_equals_column_on_duplicate_ids(spark):
     """r11 advice: a duplicated id_col value used to self-compare in
     the arrow kernel (two distinct rows, same id, dot ~1.0 -> the id
@@ -799,11 +836,17 @@ def test_cell_pair_kernel_multiblock_equals_single_block(spark):
         .select("__cell", "__id", F.transform("__v", lambda x: x / F.col("__n")).alias("__u"))
     )
     # margin low enough that MANY pairs qualify (stress the seam logic)
-    one = sorted(map(tuple, _cell_pair_candidates(base, 0.5).collect()))
+    def pairs(**kw):
+        out = _cell_pair_candidates(base, 0.5, **kw)
+        assert out.columns == ["__b_id", "__dot", "__is_cell"]
+        return sorted((r["__b_id"], r["__dot"], r["__is_cell"]) for r in out.collect())
+
+    one = pairs()
     # block_bytes=96 -> blk = (96//2) // (n*8) = 1 row per block at n=10
     # (half the budget per buffer: accumulator + outer-product scratch)
-    multi = sorted(map(tuple, _cell_pair_candidates(base, 0.5, block_bytes=96).collect()))
+    multi = pairs(block_bytes=96)
     assert one == multi and len(one) > 20
+    assert not any(flag for _, _, flag in one)  # no guard -> no sentinels
 
 
 def test_kmeans_refine_long_mean_bitwise_equals_wide(spark):
@@ -880,14 +923,49 @@ def test_kmeans_refine_exact_mean_is_order_independent(spark):
         outs.append(cent)
     assert outs[0] == outs[1] == outs[2]
 
-    # Python replay of the same fixed-order compensated fold
+    # Python replay of the same fixed-order compensated fold (with the
+    # shared floor quantizer the exact arm uses — see _quantize)
+    from etl_cli_spark.operators.similarity import _quantize
+
     vals = [1e16, 1.0, 1.0, -1e16]  # id order
     s = c = 0.0
     for v in vals:
         t = s + v
         c += (s - t) + v if abs(s) >= abs(v) else (v - t) + s
         s = t
-    assert outs[0] == [[round((s + c) / len(vals), 9)]] == [[0.5]]
+    assert outs[0] == [[_quantize((s + c) / len(vals), 1e9)]] == [[0.5]]
+
+
+def test_quantize_is_one_shared_rule_not_two_round_impls():
+    """Round-13 advice fix: Python round(x, 9) (half-even on the
+    decimal value) and DuckDB round(x, 9) (multiply-based half-away)
+    diverge on real doubles — 0.7645514175 is the advisor's reproduced
+    case. The exact arm's _quantize is floor(x*1e9 + 0.5)/1e9: three
+    bit-specified IEEE primitives, so DuckDB's replay of the SAME
+    expression is bit-identical by construction."""
+    import duckdb
+
+    from etl_cli_spark.operators.similarity import _quantize
+
+    cases = [0.7645514175, -0.7645514175, 0.5, -0.5, 1e16 / 4, 0.0,
+             0.1234567894999999, 8.0, 1.0000000005]
+    got = [_quantize(v, 1e9) for v in cases]
+    rows = duckdb.sql(
+        "SELECT floor(v * 1000000000.0 + 0.5) / 1000000000.0 FROM ("
+        + " UNION ALL ".join(f"SELECT CAST({v!r} AS DOUBLE) AS v" for v in cases)
+        + ")"
+    ).fetchall()
+    # exact bit equality against DuckDB's evaluation of the shared rule
+    assert [r[0] for r in rows] == got
+    # the motivating divergence: the two engines' round() builtins
+    # disagree on this value, so 'use round in both' was never bit-exact
+    duck_round = duckdb.sql(
+        "SELECT round(CAST(0.7645514175 AS DOUBLE), 9)"
+    ).fetchone()[0]
+    assert duck_round != round(0.7645514175, 9)
+    # idempotence: re-quantizing a quantized value is a no-op (the
+    # carry-forward empty-cell path re-quantizes previous centroids)
+    assert all(_quantize(g, 1e9) == g for g in got)
 
 
 def test_semantic_dedup_refined_cells_keep_independent_set(spark):

@@ -183,6 +183,26 @@ def test_html_to_text_strips_boilerplate_keeps_paragraphs(spark):
     assert rows[2]["b"] == ""
 
 
+def test_html_block_tag_names_are_anchored(spark):
+    """Round-13 advice fix: <pre>/<param>/<picture>/<progress> (prefix
+    'p'), <link> (prefix 'li'), <track> (prefix 'tr') are NOT block
+    tags — they must strip to a space, not become paragraph breaks."""
+    from etl_cli_spark.operators.text import html_to_text
+
+    df = spark.createDataFrame(
+        [
+            ("<pre>x</pre><param a=b>y<link rel=s><track kind=c>z",),
+            ("<p>a</p><progress>b</progress><picture>c</picture>",),
+        ],
+        "h string",
+    )
+    rows = df.select(html_to_text("h").alias("b")).collect()
+    # no paragraph breaks from the non-block tags — just space-stripped
+    assert rows[0]["b"] == "x y z"
+    # real <p> still breaks; progress/picture don't
+    assert rows[1]["b"] == "a\nb c"
+
+
 def test_html_entity_decode_single_level(spark):
     # '&amp;lt;' must decode to '&lt;' (one level), never to '<'
     from etl_cli_spark.operators.text import html_to_text
