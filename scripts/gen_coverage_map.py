@@ -3,12 +3,12 @@ window layout (r9 'next round' #7: the per-operator accounting was
 hand-maintained prose and could drift from the layout the tests pin).
 
 The single source of truth is `__spark_entry__` (declared query order +
-the `_*_FAMILY` digest specs) and `tests/test_window_layout.py`'s
-STANDALONE list — the same objects `test_every_query_is_family_member_
-or_standalone` proves exhaustive. This script renders them as a
-markdown table between the BEGIN/END markers in COVERAGE.md;
-`tests/test_coverage_map.py` regenerates the block and fails if the
-committed doc drifted.
+the `_FAMILIES` digest registry) — the same objects
+`test_driver_signs_every_declared_query` proves exhaustive (round 13:
+every query is in-window or a digest member; the STANDALONE escape
+hatch is gone). This script renders them as a markdown table between
+the BEGIN/END markers in COVERAGE.md; `tests/test_coverage_map.py`
+regenerates the block and fails if the committed doc drifted.
 
     python scripts/gen_coverage_map.py          # rewrite COVERAGE.md in place
 """
@@ -30,28 +30,13 @@ WINDOW = 50
 
 def build_block() -> str:
     import __spark_entry__ as entry
-    from test_window_layout import STANDALONE
 
     names = list(entry.queries())
     member_of: dict[str, str] = {}
-    # exact digest->family mapping, mirrored from test_window_layout
-    # (its test_digest_members_are_declared_and_speced asserts this set
-    # equals the declared digests, so the mirror can't silently lag)
-    families = {
-        "core_surface_digest": entry._CORE_FAMILY,
-        "dsl_digest": entry._DSL_FAMILY,
-        "sql_shapes_digest": entry._SQL_FAMILY,
-        "agg_digest": entry._AGG_FAMILY,
-        "join_window_digest": entry._JOINWIN_FAMILY,
-        "merger_digest": entry._MERGER_FAMILY,
-        "write_digest": entry._WRITE_FAMILY,
-        "sketch_digest": entry._SKETCH_FAMILY,
-        "multimodal_digest": entry._MULTIMODAL_FAMILY,
-        "sampling_digest": entry._SAMPLING_FAMILY,
-        "text_digest": entry._TEXT_FAMILY,
-        "dedup_digest": entry._DEDUP_FAMILY,
-        "similarity_digest": entry._SIMILARITY_FAMILY,
-    }
+    # the digest->family registry IS the layout's single source of
+    # truth (round 13): test_families_registry_matches_declared_digests
+    # asserts it equals the declared digests
+    families = entry._FAMILIES
     for digest, members in families.items():
         for m in members:
             member_of[m] = digest
@@ -73,8 +58,8 @@ def build_block() -> str:
             cert = f"family digest ({len(families[q])} members re-certified per hash-match)"
         elif q in member_of:
             cert = f"member of `{member_of[q]}`"
-        elif q in STANDALONE:
-            cert = "standalone oracle"
+        elif i <= WINDOW:
+            cert = "standalone oracle (in-window)"
         else:  # unreachable while the layout test passes
             cert = "UNACCOUNTED"
         win = f"slot {i}" if i <= WINDOW else "judge replay (51+)"

@@ -4,7 +4,7 @@ r9 'next round' #7: the per-operator accounting in COVERAGE.md was
 hand-maintained prose that could drift from the layout
 `test_window_layout.py` pins. The map is now GENERATED
 (`scripts/gen_coverage_map.py`) from `__spark_entry__`'s declared
-queries + family specs and the STANDALONE list; this test regenerates
+queries + the _FAMILIES digest registry; this test regenerates
 the block and fails when the committed doc lags — the fix is rerunning
 the generator, never hand-editing the block.
 """

@@ -6,7 +6,7 @@ when the window accretes instead of being designed: five new in-window
 queries silently displaced the whole write/sketch/manifest block past
 slot 50 and those families lost driver certification for a round.
 
-These tests pin the round-8 designed layout:
+These tests pin the round-13 designed layout:
 
 - slot 1 is the permanent core-surface pin;
 - EVERY family digest lives inside the window (so a hash-match on the
@@ -15,7 +15,11 @@ These tests pin the round-8 designed layout:
   the window forces the author to name the casualty here — no silent
   displacement;
 - every digest member is declared at positions 51+ (individually
-  judge-verifiable) and carries a canonicalization spec.
+  judge-verifiable) and carries a canonicalization spec;
+- round 13 (VERDICT r12 item 1): EVERY declared query is either
+  in-window or a member of an in-window digest family — the driver
+  re-signs the whole declared surface every round, with no standalone
+  escape hatch for out-of-window queries.
 
 No SparkSession needed: pure layout assertions.
 """
@@ -26,7 +30,7 @@ import __spark_entry__ as entry
 
 WINDOW = 50
 
-# The designed window (round 8).  Editing this list is the deliberate
+# The designed window (round 13).  Editing this list is the deliberate
 # act the round-7 verdict asked for: to add a query inside the window,
 # replace a named slot and say why in the commit.
 EXPECTED_WINDOW = [
@@ -64,7 +68,9 @@ EXPECTED_WINDOW = [
     "similarity_digest",
     "multimodal_digest",
     "sampling_digest",
-    # pipeline ops with no family digest
+    # pipeline ops certified individually in-window (round 13 folded
+    # the span pair into spans_digest and the bpe pair into bpe_digest,
+    # freeing the two slots the jobops/ingest digests occupy)
     "token_budget_sample",
     "leakage_split",
     "epoch_shuffle",
@@ -74,19 +80,20 @@ EXPECTED_WINDOW = [
     "pack_token_ids",
     "decontaminate",
     "bloom_decontaminate",
-    "strip_repeated_spans",
-    "strip_spans_indexed",
+    "spans_digest",
     "paragraph_dedup",
     "dsir_select",
     "rank_vocab",
     "rank_scores",
     "tokenize_documents",
     "search_bm25_indexed",
-    "bpe_train",
-    "bpe_encode",
+    "bpe_digest",
     "quality_classifier",
     "pipeline_end_to_end",
     "pipeline_streaming",
+    # round-13 families for the formerly driver-unsigned singles
+    "jobops_digest",
+    "ingest_digest",
 ]
 
 
@@ -108,32 +115,25 @@ def test_every_family_digest_is_inside_the_window():
     assert not missing, f"family digests outside the driver window: {missing}"
 
 
+def test_families_registry_matches_declared_digests():
+    """_FAMILIES is the single source of truth tying each digest to its
+    member list (Spark digest functions, oracle digest build, and these
+    layout checks all read it)."""
+    names = set(entry.queries())
+    declared_digests = {n for n in names if n.endswith("_digest")}
+    assert declared_digests == set(entry._FAMILIES), (
+        "new digest without a _FAMILIES entry (or vice versa): "
+        f"{declared_digests ^ set(entry._FAMILIES)}"
+    )
+
+
 def test_digest_members_are_declared_and_speced():
     """Each digest member must (a) stay declared in queries() so the
     judge can replay it individually, and (b) carry a canonicalization
     spec so the composite hash is well-defined."""
     names = set(entry.queries())
-    families = {
-        "core_surface_digest": entry._CORE_FAMILY,
-        "dsl_digest": entry._DSL_FAMILY,
-        "sql_shapes_digest": entry._SQL_FAMILY,
-        "agg_digest": entry._AGG_FAMILY,
-        "join_window_digest": entry._JOINWIN_FAMILY,
-        "merger_digest": entry._MERGER_FAMILY,
-        "write_digest": entry._WRITE_FAMILY,
-        "sketch_digest": entry._SKETCH_FAMILY,
-        "multimodal_digest": entry._MULTIMODAL_FAMILY,
-        "sampling_digest": entry._SAMPLING_FAMILY,
-        "text_digest": entry._TEXT_FAMILY,
-        "dedup_digest": entry._DEDUP_FAMILY,
-        "similarity_digest": entry._SIMILARITY_FAMILY,
-    }
-    declared_digests = {n for n in names if n.endswith("_digest")}
-    assert declared_digests == set(families), (
-        "new digest without a family entry here (or vice versa): "
-        f"{declared_digests ^ set(families)}"
-    )
-    for dig, members in families.items():
+    for dig, members in entry._FAMILIES.items():
+        assert members, f"{dig} has an empty family"
         for m in members:
             assert m in names, f"{dig} member {m} not declared in queries()"
             assert m in entry._DIGEST_SPECS, f"{dig} member {m} has no spec"
@@ -146,65 +146,40 @@ def test_every_digest_has_an_oracle():
             assert n in sql, f"digest {n} missing oracle SQL"
 
 
-# Queries certified INDIVIDUALLY (in-window or by the judge's
-# out-of-window replay), not through a family digest.  Round-9 guard
-# (r8 verdict item 8): a NEW query must land either in a family spec
-# or in this list — otherwise coverage accounting (COVERAGE.md, the
-# per-round digest re-certification argument) silently lags the code.
-STANDALONE = {
-    # manifest / commit-log
-    "write_upsert_manifest", "manifest_time_travel", "manifest_changefeed",
-    "manifest_stats_prune", "manifest_read_asof", "zorder_roundtrip",
-    # sources / orchestration / streaming-analog
-    "http_bulk_source", "http_source_feed", "http_merger_url",
-    "http_target_post", "backend_roundtrip", "incremental_loop",
-    "stream_interval_join", "wildcard_union", "async_job_status",
-    "target_write_log", "settings_roundtrip", "tmap_conform",
-    "batch_size_files", "catalog_ops", "preview_info", "today_macro",
-    "profile_orders",
-    # write-op edge contracts outside write_digest
-    "write_skipts_pkdedupe", "write_overwrite_fields", "write_selfupdate",
-    "write_dry_run",
-    # DSL edge contract outside dsl_digest
-    "dsl_exists_size_mod",
-    # events / graph / timeseries
-    "graph_pagerank", "events_sessionize", "events_top_paths",
-    "events_sessionize_hot", "ts_gap_fill", "window_running_sum",
-    # URL curation
-    "url_canonicalize", "url_domain_cap",
-    # LLM-pipeline ops certified individually
-    "dedup_exact", "token_budget_sample", "leakage_split", "epoch_shuffle",
-    "training_shards", "chunk_documents", "chunk_sentences", "pack_sequences",
-    "pack_token_ids", "decontaminate", "bloom_decontaminate",
-    "strip_repeated_spans", "strip_spans_indexed", "strip_spans_compacted",
-    "paragraph_dedup",
-    "dsir_select", "rank_vocab", "rank_scores", "tokenize_documents",
-    "search_bm25_indexed", "bpe_train", "bpe_encode",
-    "quality_classifier", "pipeline_end_to_end", "pipeline_streaming",
-    "pipeline_declarative",
-}
-
-
-def test_every_query_is_family_member_or_standalone():
-    """Exhaustive partition of queries(): digest rows + family members +
-    the explicit STANDALONE list, nothing unaccounted and nothing
-    declared that no longer exists."""
-    names = set(entry.queries())
-    digests = {n for n in names if n.endswith("_digest")}
+def test_driver_signs_every_declared_query():
+    """Round-13 invariant (VERDICT r12 item 1): window ∪ digest-members
+    == queries().  Every declared query is either one of the 50
+    driver-recorded entries or a member of a family whose digest is
+    in-window — so a green CORRECTNESS row exists for ALL of them every
+    round, not just for whoever re-runs the full oracle gate.  There is
+    deliberately no standalone escape hatch: a new out-of-window query
+    that joins no family fails here."""
+    names = list(entry.queries())
+    window = set(names[:WINDOW])
     members = set()
-    for spec_name in dir(entry):
-        if spec_name.endswith("_FAMILY") and spec_name.startswith("_"):
-            members.update(getattr(entry, spec_name))
-    unaccounted = names - digests - members - STANDALONE
-    assert not unaccounted, (
-        "new queries not covered by any family digest and not declared "
-        f"standalone: {sorted(unaccounted)} — add each to a *_FAMILY "
-        "spec (preferred: digest re-certification every round) or to "
-        "STANDALONE here, and update COVERAGE.md"
+    for ms in entry._FAMILIES.values():
+        members.update(ms)
+    unsigned = set(names) - window - members
+    assert not unsigned, (
+        "queries with NO driver-signed green row (not in-window, not in "
+        f"any digest family): {sorted(unsigned)} — add each to a family "
+        "in _FAMILIES (with a _DIGEST_SPECS entry) or name the window "
+        "slot it replaces"
     )
-    stale = STANDALONE - names
-    assert not stale, f"STANDALONE lists queries that no longer exist: {sorted(stale)}"
-    overlap = STANDALONE & members
-    assert not overlap, (
-        f"queries both in a family and STANDALONE: {sorted(overlap)}"
-    )
+    stale = members - set(names)
+    assert not stale, f"family members that no longer exist: {sorted(stale)}"
+
+
+def test_no_query_is_double_counted_across_families():
+    """A member belongs to at most one family besides the permanent
+    core pin (whose re-certification overlap is the point)."""
+    seen: dict[str, str] = {}
+    dupes = []
+    for dig, ms in entry._FAMILIES.items():
+        if dig == "core_surface_digest":
+            continue  # deliberate overlap: the permanent core pin
+        for m in ms:
+            if m in seen:
+                dupes.append((m, seen[m], dig))
+            seen[m] = dig
+    assert not dupes, f"members in two families: {dupes}"
