@@ -121,3 +121,38 @@ def test_monotone_drift_needs_three_rising_points():
     assert bench.monotone_drift({}, {"q": 2.0}) == {}
     # failed rows (-1) are ignored
     assert bench.monotone_drift({"q": [1.0, 1.2]}, {"q": -1.0}) == {}
+
+
+def test_prior_drift_flags_read_newest_same_sf_artifact(tmp_path):
+    """Round-13 mechanical drift response, step 1: rows the PREVIOUS
+    round's monotone_drift flagged are read back so the next run gives
+    them the full retry budget and publishes their sample band."""
+    _write(tmp_path, "BENCH_r11.json",
+           {"sf": 0.1, "queries": {"q": 1.0},
+            "monotone_drift": {"old_flag": 1.4}})
+    _write(tmp_path, "BENCH_r12.json",
+           {"parsed": {"sf": 0.1, "queries": {"q": 1.0},
+                       "monotone_drift": {"spans": 1.33}}})
+    # only the NEWEST artifact's flags count (r11's old_flag is stale)
+    assert bench._prior_drift_flags(str(tmp_path), 0.1) == {"spans"}
+
+
+def test_prior_drift_flags_tolerate_absence_and_garbage(tmp_path):
+    # no artifacts at all
+    assert bench._prior_drift_flags(str(tmp_path), 0.1) == set()
+    # newest artifact has no monotone_drift field (pre-r12 shape)
+    _write(tmp_path, "BENCH_r10.json", {"sf": 0.1, "queries": {"q": 1.0}})
+    assert bench._prior_drift_flags(str(tmp_path), 0.1) == set()
+    # null field
+    _write(tmp_path, "BENCH_r11.json",
+           {"sf": 0.1, "queries": {"q": 1.0}, "monotone_drift": None})
+    assert bench._prior_drift_flags(str(tmp_path), 0.1) == set()
+
+
+def test_anchor_retry_is_strictly_tighter_than_flag():
+    """r12's agg_q1 published +61% with zero in-run retries: the retry
+    trigger equaled the 2.5x flag threshold, so every mover between
+    1.5x and 2.5x sailed through unsampled. The retry trigger must sit
+    strictly below the flag threshold and catch the 1.61x case."""
+    assert bench.ANCHOR_RETRY_RATIO < bench.ANCHOR_FLAG_RATIO
+    assert bench.ANCHOR_RETRY_RATIO <= 1.61 <= bench.ANCHOR_FLAG_RATIO
