@@ -2812,6 +2812,45 @@ def _q_stream_interval_join(spark, sf):
     )
 
 
+def _q_multimodal_phash(spark, sf):
+    """Perceptual image hash (dHash — Krawetz 2013, public method) over
+    the near-dup fixture corpus: REAL PPM/PNG/BMP/GIF payloads decoded
+    by the package's own decoders, integer BT.601 luma, exact integer
+    9x8 nearest-neighbor resample, horizontal gradient bits. The
+    oracle recomputes every hash from the PATTERN in pure python (no
+    numpy, no encoders, no decoders), so a hash match certifies the
+    whole decode->luma->resample->compare chain bit-for-bit — the
+    image analogue of dedup.simhash (reference has no media ops; this
+    is pipeline-extension surface, multimodal DEDUP family)."""
+    from etl_cli_spark.operators.multimodal import (
+        make_fake_media_neardup,
+        phash_images,
+    )
+
+    media = make_fake_media_neardup(spark, n_groups=8, per_group=3)
+    return phash_images(media).select("media_id", "phash")
+
+
+def _q_image_neardup(spark, sf):
+    """Near-duplicate image pairs: dHash fingerprints through the
+    pigeonhole band join (dedup.fingerprint_pairs — 8 bands of 8 bits,
+    recall EXACT for distance <= 7) and a Hamming <= 6 verify. The
+    fixture plants 8 groups of 3 near-duplicates (single-cell pixel
+    bumps over a shared base image, formats cycling ppm/png/bmp/gif);
+    the oracle recomputes the hashes in pure python and replays the
+    pair semantics as a SQL self-join with xor + bit_count — so
+    candidate generation (bands) is verified against the exact
+    distance-<=6 pair set it must equal. Scale: pixels never shuffle,
+    only (id, 8-byte hash, band) tuples do."""
+    from etl_cli_spark.operators.multimodal import (
+        image_neardup,
+        make_fake_media_neardup,
+    )
+
+    media = make_fake_media_neardup(spark, n_groups=8, per_group=3)
+    return image_neardup(media, max_distance=6, chunks=8)
+
+
 def _q_multimodal_probe(spark, sf):
     """Header-only media probe (format/width/height from container
     headers, zero pixel decode — the cheap routing pass before decode)
@@ -3168,6 +3207,9 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "multimodal_features": [("media_id", "i"), ("fi", "i"), ("val", "f")],
     "multimodal_probe": [("media_id", "i"), ("probe_format", "s"),
                          ("probe_width", "i"), ("probe_height", "i")],
+    # round-13: multimodal DEDUP family (perceptual hash + near-dup)
+    "multimodal_phash": [("media_id", "i"), ("phash", "i")],
+    "image_neardup": [("a_id", "i"), ("b_id", "i"), ("distance", "i")],
     # -- sketch family (round-4 digest) --
     "sketch_distinct_kmv": [("o_orderstatus", "s"), ("est_distinct", "f")],
     "sketch_distinct_hll": [("l_returnflag", "s"), ("est_distinct", "f")],
@@ -3388,6 +3430,9 @@ _MULTIMODAL_FAMILY = [
     "multimodal_decode", "multimodal_audio", "audio_features", "multimodal_jpeg",
     "multimodal_resize", "multimodal_frames", "multimodal_features",
     "multimodal_probe",
+    # round-13: the multimodal DEDUP pair (perceptual hash + pigeonhole
+    # near-dup join) rides the in-window multimodal digest from birth
+    "multimodal_phash", "image_neardup",
 ]
 _SKETCH_FAMILY = [
     "sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist",
@@ -4222,6 +4267,8 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_attribution": _q_events_attribution,
     "multimodal_features": _q_multimodal_features,
     "multimodal_probe": _q_multimodal_probe,
+    "multimodal_phash": _q_multimodal_phash,
+    "image_neardup": _q_image_neardup,
     "write_upsert": _q_write_upsert,
     "split_deterministic": _q_split_deterministic,
     "hash_sample": _q_hash_sample,
@@ -4774,6 +4821,56 @@ def oracle_sql() -> dict[str, str]:
         "CAST(dec_width AS INTEGER) AS dec_width, "
         "CAST(dec_height AS INTEGER) AS dec_height, digest_hex "
         f"FROM (VALUES {', '.join(_vals)}) AS t(media_id, dec_width, dec_height, digest_hex)"
+    )
+
+    # multimodal_phash / image_neardup: the dHash of every fixture image
+    # recomputed INDEPENDENTLY in pure python (no numpy, no encoders, no
+    # decoders — straight from the neardup pattern spec: quadratic base
+    # + member bumps, integer BT.601 luma, y*h//8 / x*w//9 resample,
+    # horizontal gradient bits packed y-major into a signed int64).
+    # image_neardup's oracle then replays the PAIR SEMANTICS in SQL
+    # (self-join, xor + bit_count <= 6) — the banded candidate join must
+    # equal the exact distance set (pigeonhole guarantees it).
+    def _oracle_dhash(g: int, m: int, w: int, h: int) -> int:
+        bumps = {
+            ((((2 * j + 1) % 8) * h) // 8, (((3 * j + 1) % 9) * w) // 9)
+            for j in range(m)
+        }
+
+        def pval(y, x, c):
+            v = (x * x * 3 + y * y * 7 + 5 * x * y + 31 * g + 13 * c) % 256
+            return (v + 120) % 256 if (y, x) in bumps else v
+
+        def luma(y, x):
+            return (77 * pval(y, x, 0) + 150 * pval(y, x, 1) + 29 * pval(y, x, 2)) >> 8
+
+        ys = [(yy * h) // 8 for yy in range(8)]
+        xs = [(xx * w) // 9 for xx in range(9)]
+        grid = [[luma(sy, sx) for sx in xs] for sy in ys]
+        v = 0
+        for yy in range(8):
+            for xx in range(8):
+                if grid[yy][xx] > grid[yy][xx + 1]:
+                    v |= 1 << (yy * 8 + xx)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    _phvals = []
+    for _g in range(8):
+        _w, _h = 16 + _g % 5, 12 + _g % 3  # neardup_dims
+        for _m in range(3):
+            _phvals.append(f"({_g * 3 + _m}, {_oracle_dhash(_g, _m, _w, _h)})")
+    _pcte = f"(VALUES {', '.join(_phvals)}) AS p(media_id, hsh)"
+    sql["multimodal_phash"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        f"CAST(hsh AS BIGINT) AS phash FROM {_pcte}"
+    )
+    sql["image_neardup"] = (
+        f"SELECT CAST(a.media_id AS BIGINT) AS a_id, "
+        f"CAST(b.media_id AS BIGINT) AS b_id, "
+        f"CAST(bit_count(xor(CAST(a.hsh AS BIGINT), CAST(b.hsh AS BIGINT))) AS INT) AS distance "
+        f"FROM {_pcte.replace(' AS p(', ' AS a(')} JOIN {_pcte.replace(' AS p(', ' AS b(')} "
+        f"ON a.media_id < b.media_id "
+        f"WHERE bit_count(xor(CAST(a.hsh AS BIGINT), CAST(b.hsh AS BIGINT))) <= 6"
     )
 
     # profile_orders: every column's stats recomputed independently

@@ -463,12 +463,36 @@ def simhash_pairs(
     recall is EXACT (pigeonhole), not probabilistic, whenever
     ``max_distance <= chunks - 1``.
     """
-    width = 64 // chunks
-    mask = (1 << width) - 1
     base = df.select(
         F.col(id_col).alias("id"),
         simhash(F.col(text_col), token_hash=token_hash).alias("sh"),
     )
+    return fingerprint_pairs(
+        base, max_distance=max_distance, chunks=chunks, cache=cache
+    )
+
+
+def fingerprint_pairs(
+    base: DataFrame,
+    max_distance: int = 3,
+    chunks: int = 4,
+    cache: bool = True,
+) -> DataFrame:
+    """Pigeonhole-banded Hamming pair join over ANY 64-bit fingerprint
+    column (round-13): ``base`` is ``(id, sh)``. Shared by
+    ``simhash_pairs`` (text) and ``multimodal.image_neardup``
+    (perceptual image hashes) — the candidate set is every pair
+    agreeing on >= 1 of the ``chunks`` bands, which is EXACTLY the
+    pairs within ``chunks - 1`` Hamming bits (pigeonhole), then the
+    real distance filter runs on the 64-bit fingerprints.
+
+    Scale posture: only (id, fingerprint, band) tuples shuffle —
+    never documents or pixels; the per-band equi-join is the standard
+    LSH shape (skewed bands = near-constant images/text; cap or salt
+    the band key at extreme skew exactly like dedup_minhash's bands).
+    """
+    width = 64 // chunks
+    mask = (1 << width) - 1
     if cache:
         from pyspark import StorageLevel
 

@@ -523,6 +523,93 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(batches, out_schema)
 
 
+def _dhash64(px) -> int:
+    """64-bit dHash (difference hash) of an RGB uint8 array — the
+    standard perceptual image fingerprint (public method: Krawetz,
+    "Kind of Like That", hackerfactor 2013): integer BT.601 luma
+    ``(77R + 150G + 29B) >> 8``, EXACT integer nearest-neighbor
+    resample to 9x8 (the same ``y*h//H`` index map as
+    ``_resize_nearest``, so an oracle replays it bit-for-bit), then
+    bit ``y*8+x`` = 1 iff ``luma[y][x] > luma[y][x+1]``. Every step is
+    integer arithmetic — no floats, no library kernels — so the hash
+    is a pure function of the decoded pixels, identical across
+    engines. Returned as a SIGNED int64 (two's complement) so it fits
+    a Spark LongType / DuckDB BIGINT and XOR/bit_count work directly."""
+    import numpy as np
+
+    lum = (
+        77 * px[..., 0].astype(np.int64)
+        + 150 * px[..., 1].astype(np.int64)
+        + 29 * px[..., 2].astype(np.int64)
+    ) >> 8
+    h, w = lum.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    g = lum[ys][:, xs]
+    bits = (g[:, :8] > g[:, 1:]).flatten()  # y-major: bit index y*8+x
+    v = 0
+    for idx in range(64):
+        if bits[idx]:
+            v |= 1 << idx
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def phash_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach ``phash`` = 64-bit perceptual dHash of each image payload
+    (decoded with the real PPM/BMP/PNG/GIF/JPEG decoders). The
+    image-corpus analogue of ``dedup.simhash``: near-duplicate images
+    (re-encodes, minor edits) land within a few Hamming bits.
+
+    Scale posture: one Arrow-batched ``mapInPandas`` pass, no shuffle;
+    pixels never leave the task — only the 8-byte fingerprint joins
+    downstream work."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("phash", T.LongType(), True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pdf.assign(
+                phash=[
+                    _dhash64(_decode_pixels(bytes(p))) for p in pdf[payload_col]
+                ]
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def image_neardup(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_distance: int = 6,
+    chunks: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs: dHash fingerprints joined through
+    the pigeonhole band join (``dedup.fingerprint_pairs``) and verified
+    by exact Hamming distance — MinHash-for-images, the missing dedup
+    family for an image-text training corpus (reference has no media
+    ops; this composes the repo's real decoders with its LSH toolkit).
+
+    Recall is EXACT (pigeonhole) for ``max_distance <= chunks - 1``:
+    with 8 bands of 8 bits, any pair within 7 bits shares a full band.
+    Scale posture: pixels are consumed inside the phash task; only
+    (id, 8-byte hash, band) tuples shuffle, so the join cost is
+    independent of image size — the property that makes this viable
+    against 100 TB of media."""
+    from .dedup import fingerprint_pairs
+
+    if max_distance > chunks - 1:
+        raise ValueError(
+            f"image_neardup: pigeonhole recall needs max_distance <= "
+            f"chunks - 1 (got {max_distance} > {chunks - 1})"
+        )
+    base = phash_images(df, payload_col=payload_col).select(
+        F.col(id_col).alias("id"), F.col("phash").alias("sh")
+    )
+    return fingerprint_pairs(base, max_distance=max_distance, chunks=chunks)
+
+
 def _is_annexb(data: bytes) -> bool:
     """H.264 Annex-B elementary stream signature (3- or 4-byte start
     code)."""
@@ -1677,6 +1764,67 @@ def make_fake_media(spark, n: int = 20, kind: str = "image") -> DataFrame:
         rows.append(
             (i, kind, bytearray(payload), (w, h, 16000, 5000 + 1000 * (i % 3), fmt))
         )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def neardup_dims(g: int) -> tuple[int, int]:
+    """Dims of near-dup fixture group ``g`` — at least 9x8 with distinct
+    nearest-neighbor source indices, so one bumped source pixel maps to
+    exactly one cell of the 9x8 dHash grid."""
+    return 16 + g % 5, 12 + g % 3
+
+
+def neardup_pixels(g: int, m: int, w: int, h: int):
+    """Deterministic near-duplicate pixel pattern: group ``g``'s base is
+    p[y, x, c] = (x*x*3 + y*y*7 + 5*x*y + 31*g + 13*c) mod 256 — the
+    QUADRATIC terms wrap mod 256 every few pixels, so the luma field
+    has dense non-monotonic structure and the dHash carries real signal
+    (a smooth gradient hashes to all-zero bits, making every image a
+    'near-dup' of every other — the r13 first-draft failure mode).
+    Member ``m`` bumps the ``m`` source pixels that nearest-neighbor-map
+    to dHash grid cells (2j+1 mod 8, 3j+1 mod 9) by +120 (mod 256, all
+    channels) — each bump perturbs ONE grid cell, flipping at most its
+    two adjacent horizontal comparisons, so members of a group stay
+    within a few Hamming bits while distinct groups land far apart.
+    Trivially recomputable by an independent oracle without touching
+    encoders or decoders."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [
+            (xx * xx * 3 + yy * yy * 7 + 5 * xx * yy + 31 * g + 13 * c) % 256
+            for c in range(3)
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    for j in range(m):
+        y0, x0 = (2 * j + 1) % 8, (3 * j + 1) % 9
+        sy, sx = (y0 * h) // 8, (x0 * w) // 9
+        px[sy, sx] = (px[sy, sx].astype(np.int64) + 120) % 256
+    return px
+
+
+def make_fake_media_neardup(
+    spark, n_groups: int = 6, per_group: int = 3
+) -> DataFrame:
+    """Synthetic near-duplicate image corpus: ``n_groups`` groups of
+    ``per_group`` members (media_id = g * per_group + m), REAL encoded
+    payloads cycling PPM / PNG / BMP / GIF — members of a group are the
+    same image up to ``m`` single-cell bumps (a stand-in for re-encodes
+    and small edits), so ``image_neardup`` must recover the groups."""
+    encoders = {"ppm": encode_ppm, "png": encode_png, "bmp": encode_bmp}
+    rows = []
+    for g in range(n_groups):
+        w, h = neardup_dims(g)
+        for m in range(per_group):
+            i = g * per_group + m
+            px = neardup_pixels(g, m, w, h)
+            fmt = ("ppm", "png", "bmp", "gif")[i % 4]
+            payload = encode_gif(px) if fmt == "gif" else encoders[fmt](px)
+            rows.append(
+                (i, "image", bytearray(payload), (w, h, None, None, fmt))
+            )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -985,3 +985,105 @@ def test_sample_frames_fuzz_reel_and_gif_degrade(spark):
         assert r.frame_digest is not None
         by_vid[r.media_id] = by_vid.get(r.media_id, 0) + 1
     assert all(by_vid.get(i, 0) == 2 for i in range(len(payloads)))
+
+
+def test_phash_is_format_invariant(spark):
+    """The same pixels encoded as PPM, PNG, BMP, and GIF must produce
+    the SAME perceptual hash — the property that makes dHash a
+    re-encode-proof dedup key (round 13)."""
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_ppm,
+        neardup_pixels,
+        phash_images,
+    )
+
+    px = neardup_pixels(2, 0, 16, 12)
+    rows = [
+        (i, "image", bytearray(enc(px)), (16, 12, None, None, fmt))
+        for i, (fmt, enc) in enumerate(
+            [("ppm", encode_ppm), ("png", encode_png),
+             ("bmp", encode_bmp), ("gif", encode_gif)]
+        )
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = {r.phash for r in phash_images(df).collect()}
+    assert len(hashes) == 1 and None not in hashes
+
+
+def test_image_neardup_recovers_planted_groups(spark):
+    """The near-dup fixture plants groups of single-cell-bumped copies;
+    image_neardup must pair every in-group combination and nothing
+    across groups, with distances within the planted bound."""
+    from etl_cli_spark.operators.multimodal import (
+        image_neardup,
+        make_fake_media_neardup,
+    )
+
+    nd = make_fake_media_neardup(spark, n_groups=6, per_group=3)
+    pairs = sorted(
+        (r.a_id, r.b_id, r.distance) for r in image_neardup(nd).collect()
+    )
+    want = sorted(
+        (g * 3 + a, g * 3 + b)
+        for g in range(6)
+        for a in range(3)
+        for b in range(a + 1, 3)
+    )
+    assert [(a, b) for a, b, _ in pairs] == want
+    assert all(0 <= d <= 6 for _, _, d in pairs)
+    # each member bumps j extra cells vs member 0 -> <= 2 bits per bump
+    assert all(d <= 2 * 2 for a, b, d in pairs)
+
+
+def test_image_neardup_pigeonhole_bound_enforced(spark):
+    """max_distance beyond chunks-1 breaks the exact-recall guarantee
+    and must be refused, not silently under-recalled."""
+    import pytest
+
+    from etl_cli_spark.operators.multimodal import (
+        image_neardup,
+        make_fake_media_neardup,
+    )
+
+    nd = make_fake_media_neardup(spark, n_groups=2, per_group=2)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup(nd, max_distance=8, chunks=8)
+
+
+def test_phash_matches_independent_python_replay(spark):
+    """Differential: the numpy kernel vs a from-scratch pure-python
+    dHash over the same decoded spec — pins the luma coefficients, the
+    resample index map, and the y-major bit packing."""
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        neardup_pixels,
+        phash_images,
+    )
+
+    g, m, w, h = 3, 1, 17, 13
+    px = neardup_pixels(g, m, w, h)
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(encode_ppm(px)), (w, h, None, None, "ppm"))],
+        MEDIA_SCHEMA,
+    )
+    got = phash_images(df).collect()[0].phash
+
+    def luma(y, x):
+        r, gg, b = (int(px[y, x, c]) for c in range(3))
+        return (77 * r + 150 * gg + 29 * b) >> 8
+
+    ys = [(yy * h) // 8 for yy in range(8)]
+    xs = [(xx * w) // 9 for xx in range(9)]
+    grid = [[luma(sy, sx) for sx in xs] for sy in ys]
+    v = 0
+    for yy in range(8):
+        for xx in range(8):
+            if grid[yy][xx] > grid[yy][xx + 1]:
+                v |= 1 << (yy * 8 + xx)
+    want = v - (1 << 64) if v >= (1 << 63) else v
+    assert got == want
