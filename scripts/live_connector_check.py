@@ -173,3 +173,10 @@ if __name__ == "__main__":
 # or service not known"). Compose stack and --packages jar resolution
 # both impossible; the jar-gated seam + error contract stay the tested
 # surface and the three opt-in live tests stay skipped.
+# Round-13 environment attempt (2026-08-16): re-checked per the standing
+# ask (fifth round). Unchanged: docker client present at
+# /usr/local/bin/docker, daemon absent ("docker info" -> cannot connect
+# to unix:///var/run/docker.sock), no DNS ("getent hosts pypi.org" ->
+# exit 2). Compose stack and --packages jar resolution both impossible;
+# the jar-gated seam + error contract stay the tested surface and the
+# three opt-in live tests stay skipped.
