@@ -2851,6 +2851,42 @@ def _q_image_neardup(spark, sf):
     return image_neardup(media, max_distance=6, chunks=8)
 
 
+def _q_audio_fingerprint(spark, sf):
+    """Energy-contour audio fingerprint (Haitsma-Kalker-style
+    sign-of-energy-delta, one band over 65 fixed frames) over the audio
+    near-dup fixture: REAL PCM16 WAV payloads decoded by the package's
+    own RIFF walker; 64 integer energy comparisons packed into a signed
+    int64. The oracle recomputes every fingerprint from the SAMPLE
+    FORMULA in pure python (no numpy, no encoder, no decoder) — a match
+    certifies decode->frame->energy->compare bit-for-bit."""
+    from etl_cli_spark.operators.multimodal import (
+        audio_fingerprint,
+        make_fake_audio_neardup,
+    )
+
+    audio = make_fake_audio_neardup(spark, n_groups=8, per_group=3)
+    return audio_fingerprint(audio).select("media_id", "afp")
+
+
+def _q_audio_neardup(spark, sf):
+    """Near-duplicate audio pairs: energy-contour fingerprints through
+    the shared pigeonhole band join (dedup.fingerprint_pairs, 8 bands
+    of 8 bits — recall EXACT for distance <= 7) + Hamming <= 6 verify,
+    completing the multimodal DEDUP family (text simhash / image dHash
+    / audio contour). Fixture plants 8 groups of 3 near-identical
+    clips (single-frame silencing edits; measured in-group distances
+    0-4 bits, cross-group minimum 15); the oracle recomputes the
+    fingerprints in pure python and replays the pair semantics as a
+    SQL self-join with xor + bit_count. Scale: PCM never shuffles."""
+    from etl_cli_spark.operators.multimodal import (
+        audio_neardup,
+        make_fake_audio_neardup,
+    )
+
+    audio = make_fake_audio_neardup(spark, n_groups=8, per_group=3)
+    return audio_neardup(audio, max_distance=6, chunks=8)
+
+
 def _q_multimodal_probe(spark, sf):
     """Header-only media probe (format/width/height from container
     headers, zero pixel decode — the cheap routing pass before decode)
@@ -3210,6 +3246,8 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     # round-13: multimodal DEDUP family (perceptual hash + near-dup)
     "multimodal_phash": [("media_id", "i"), ("phash", "i")],
     "image_neardup": [("a_id", "i"), ("b_id", "i"), ("distance", "i")],
+    "audio_fingerprint": [("media_id", "i"), ("afp", "i")],
+    "audio_neardup": [("a_id", "i"), ("b_id", "i"), ("distance", "i")],
     # -- sketch family (round-4 digest) --
     "sketch_distinct_kmv": [("o_orderstatus", "s"), ("est_distinct", "f")],
     "sketch_distinct_hll": [("l_returnflag", "s"), ("est_distinct", "f")],
@@ -3430,9 +3468,10 @@ _MULTIMODAL_FAMILY = [
     "multimodal_decode", "multimodal_audio", "audio_features", "multimodal_jpeg",
     "multimodal_resize", "multimodal_frames", "multimodal_features",
     "multimodal_probe",
-    # round-13: the multimodal DEDUP pair (perceptual hash + pigeonhole
-    # near-dup join) rides the in-window multimodal digest from birth
-    "multimodal_phash", "image_neardup",
+    # round-13: the multimodal DEDUP quartet (image perceptual hash +
+    # audio energy-contour fingerprint + their pigeonhole near-dup
+    # joins) rides the in-window multimodal digest from birth
+    "multimodal_phash", "image_neardup", "audio_fingerprint", "audio_neardup",
 ]
 _SKETCH_FAMILY = [
     "sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist",
@@ -4269,6 +4308,8 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_probe": _q_multimodal_probe,
     "multimodal_phash": _q_multimodal_phash,
     "image_neardup": _q_image_neardup,
+    "audio_fingerprint": _q_audio_fingerprint,
+    "audio_neardup": _q_audio_neardup,
     "write_upsert": _q_write_upsert,
     "split_deterministic": _q_split_deterministic,
     "hash_sample": _q_hash_sample,
@@ -4869,6 +4910,44 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(b.media_id AS BIGINT) AS b_id, "
         f"CAST(bit_count(xor(CAST(a.hsh AS BIGINT), CAST(b.hsh AS BIGINT))) AS INT) AS distance "
         f"FROM {_pcte.replace(' AS p(', ' AS a(')} JOIN {_pcte.replace(' AS p(', ' AS b(')} "
+        f"ON a.media_id < b.media_id "
+        f"WHERE bit_count(xor(CAST(a.hsh AS BIGINT), CAST(b.hsh AS BIGINT))) <= 6"
+    )
+
+    # audio_fingerprint / audio_neardup: the same discipline for the
+    # audio contour hash — fingerprints recomputed in pure python from
+    # the neardup_samples spec (per-frame amplitude formula, in-frame
+    # shape, member silencing; frame energies as exact int sums), pair
+    # semantics replayed as SQL xor + bit_count
+    def _oracle_afp(g: int, m: int, frames: int = 65, frame_len: int = 30) -> int:
+        bumped = {(7 * k + 3) % (frames - 1) for k in range(m)}
+        energies = []
+        for f in range(frames):
+            amp = 0 if f in bumped else 500 + ((f * f * 7 + g * g * 13 + 5 * f * g) % 97) * 50
+            e = 0
+            for j in range(f * frame_len, (f + 1) * frame_len):
+                s = ((13 * j) % 7 - 3) * amp
+                e += s * s
+            energies.append(e)
+        v = 0
+        for f in range(frames - 1):
+            if energies[f] > energies[f + 1]:
+                v |= 1 << f
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    _afvals = [
+        f"({g * 3 + m}, {_oracle_afp(g, m)})" for g in range(8) for m in range(3)
+    ]
+    _acte = f"(VALUES {', '.join(_afvals)}) AS p(media_id, hsh)"
+    sql["audio_fingerprint"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        f"CAST(hsh AS BIGINT) AS afp FROM {_acte}"
+    )
+    sql["audio_neardup"] = (
+        f"SELECT CAST(a.media_id AS BIGINT) AS a_id, "
+        f"CAST(b.media_id AS BIGINT) AS b_id, "
+        f"CAST(bit_count(xor(CAST(a.hsh AS BIGINT), CAST(b.hsh AS BIGINT))) AS INT) AS distance "
+        f"FROM {_acte.replace(' AS p(', ' AS a(')} JOIN {_acte.replace(' AS p(', ' AS b(')} "
         f"ON a.media_id < b.media_id "
         f"WHERE bit_count(xor(CAST(a.hsh AS BIGINT), CAST(b.hsh AS BIGINT))) <= 6"
     )

@@ -1076,6 +1076,141 @@ def audio_features(
     return df.mapInPandas(batches, out_schema)
 
 
+def _afp64(s, frames: int = 65) -> int:
+    """64-bit energy-contour fingerprint of a mono int64 sample array —
+    the audio analogue of ``_dhash64`` (the sign-of-energy-delta idea
+    underlying published acoustic fingerprints — Haitsma & Kalker 2002,
+    "A Highly Robust Audio Fingerprint" — reduced to one band over
+    fixed time frames): split the stream into ``frames`` equal windows
+    by exact integer boundaries (``f*n // frames``), per-window energy
+    = sum of squared samples (exact int64), bit ``f`` = 1 iff
+    ``energy[f] > energy[f+1]``. All integer arithmetic — an oracle
+    replays it from the sample formula alone. Signed int64 packing,
+    same convention as the image dHash."""
+    import numpy as np
+
+    n = len(s)
+    starts = (np.arange(frames) * n) // frames
+    energy = np.add.reduceat(s * s, np.maximum(starts, 0)) if n else np.zeros(frames, dtype=np.int64)
+    v = 0
+    for f in range(frames - 1):
+        if energy[f] > energy[f + 1]:
+            v |= 1 << f
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach ``afp`` = 64-bit energy-contour fingerprint of each WAV
+    payload (real PCM16 decode, mono mix by floor-toward-zero integer
+    mean — the ``audio_features`` convention). Near-identical clips
+    (re-encodes, small edits) land within a few Hamming bits; non-WAV
+    payloads fingerprint to NULL. One Arrow-batched pass, no shuffle;
+    samples never leave the task — only the 8-byte fingerprint joins
+    downstream work."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("afp", T.LongType(), True)]
+    )
+
+    def fp_one(p):
+        data = bytes(p) if p is not None else b""
+        try:
+            _sr, ch, _n, pcm = _decode_wav(data)
+        except (ValueError, NotImplementedError, struct.error, IndexError):
+            return None
+        s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+        if ch > 1:
+            s = s[: (len(s) // ch) * ch].reshape(-1, ch)
+            s = (s.sum(axis=1) / ch).astype(np.int64)
+        if len(s) < 65:
+            return None
+        return _afp64(s)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pdf.assign(afp=[fp_one(p) for p in pdf[payload_col]])
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def audio_neardup(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_distance: int = 6,
+    chunks: int = 8,
+) -> DataFrame:
+    """Near-duplicate audio pairs: energy-contour fingerprints through
+    the pigeonhole band join (``dedup.fingerprint_pairs``) + exact
+    Hamming verify — completing the multimodal DEDUP family (text:
+    simhash; image: dHash; audio: this). Recall is EXACT (pigeonhole)
+    for ``max_distance <= chunks - 1``; undecodable payloads (NULL
+    fingerprints) are excluded. Scale: PCM is consumed inside the
+    fingerprint task; only (id, 8-byte hash, band) tuples shuffle."""
+    from .dedup import fingerprint_pairs
+
+    if max_distance > chunks - 1:
+        raise ValueError(
+            f"audio_neardup: pigeonhole recall needs max_distance <= "
+            f"chunks - 1 (got {max_distance} > {chunks - 1})"
+        )
+    base = (
+        audio_fingerprint(df, payload_col=payload_col)
+        .filter(F.col("afp").isNotNull())
+        .select(F.col(id_col).alias("id"), F.col("afp").alias("sh"))
+    )
+    return fingerprint_pairs(base, max_distance=max_distance, chunks=chunks)
+
+
+def neardup_samples(g: int, m: int, frames: int = 65, frame_len: int = 30):
+    """Deterministic near-duplicate PCM pattern: group ``g``'s clip has
+    per-frame amplitude amp(g, f) = 500 + ((7f² + 13g² + 5fg) mod 97)
+    * 50 — the quadratic AND the f·g cross-term wrap mod 97, so the
+    energy contour has dense up/down structure and distinct groups land
+    far apart (a g-only additive term is a constant mod-97 shift that
+    barely moves the comparisons — measured cross-group distances
+    collapsed to <= 6 bits on the first draft; with the cross-term the
+    measured cross-group minimum is 15 bits). In-frame shape is
+    s[j] = ((13j mod 7) - 3) * amp; member ``m`` SILENCES frames
+    (7k + 3) mod (frames - 1) for k < m (amplitude 0 — decisive, where
+    an energy x4 bump often failed to cross either neighbor), each
+    silenced frame perturbing at most its two adjacent comparisons:
+    measured in-group distances are 0-4 bits. |s| <= 3 * 5300 < 32768
+    fits int16. Trivially recomputable by an independent oracle
+    without the WAV encoder."""
+    import numpy as np
+
+    n = frames * frame_len
+    j = np.arange(n, dtype=np.int64)
+    f = j // frame_len
+    amp = 500 + ((f * f * 7 + g * g * 13 + 5 * f * g) % 97) * 50
+    bumped = {(7 * k + 3) % (frames - 1) for k in range(m)}
+    if bumped:
+        amp = np.where(np.isin(f, list(bumped)), 0, amp)
+    s = ((13 * j) % 7 - 3) * amp
+    return s.astype("<i2")
+
+
+def make_fake_audio_neardup(
+    spark, n_groups: int = 8, per_group: int = 3
+) -> DataFrame:
+    """Synthetic near-duplicate audio corpus: ``n_groups`` groups of
+    ``per_group`` members (media_id = g * per_group + m), REAL PCM16
+    WAV payloads — members of a group are the same clip up to ``m``
+    single-frame amplitude bumps (a stand-in for re-encodes and edits),
+    so ``audio_neardup`` must recover the groups."""
+    rows = []
+    for g in range(n_groups):
+        for m in range(per_group):
+            i = g * per_group + m
+            payload = encode_wav(neardup_samples(g, m), sample_rate=8000)
+            rows.append(
+                (i, "audio", bytearray(payload), (None, None, 8000, None, "wav"))
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def media_samples(i: int, n: int):
     """Deterministic int16 PCM pattern for synthetic audio row ``i``:
     s[j] = ((1234*i + 17*j) mod 65536) - 32768 — recomputable by an

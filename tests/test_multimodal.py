@@ -1087,3 +1087,98 @@ def test_phash_matches_independent_python_replay(spark):
                 v |= 1 << (yy * 8 + xx)
     want = v - (1 << 64) if v >= (1 << 63) else v
     assert got == want
+
+
+def test_audio_neardup_recovers_planted_groups(spark):
+    """The audio near-dup fixture plants groups of single-frame-silenced
+    copies; audio_neardup must pair every in-group combination and
+    nothing across groups (measured cross-group minimum is 15 bits)."""
+    from etl_cli_spark.operators.multimodal import (
+        audio_neardup,
+        make_fake_audio_neardup,
+    )
+
+    nd = make_fake_audio_neardup(spark, n_groups=6, per_group=3)
+    pairs = sorted(
+        (r.a_id, r.b_id, r.distance) for r in audio_neardup(nd).collect()
+    )
+    want = sorted(
+        (g * 3 + a, g * 3 + b)
+        for g in range(6)
+        for a in range(3)
+        for b in range(a + 1, 3)
+    )
+    assert [(a, b) for a, b, _ in pairs] == want
+    assert all(0 <= d <= 6 for _, _, d in pairs)
+
+
+def test_audio_fingerprint_null_on_undecodable_and_matches_replay(spark):
+    """Non-WAV payloads fingerprint to NULL (and are excluded from the
+    near-dup join); decodable payloads match a from-scratch pure-python
+    replay of the frame-energy-contour spec."""
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+        encode_wav,
+        neardup_samples,
+    )
+
+    s = neardup_samples(4, 1)
+    rows = [
+        (0, "audio", bytearray(encode_wav(s, sample_rate=8000)),
+         (None, None, 8000, None, "wav")),
+        (1, "audio", bytearray(b"not a wav at all"), (None, None, None, None, "junk")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.afp for r in audio_fingerprint(df).collect()}
+    assert got[1] is None
+
+    vals = [int(x) for x in s]
+    energies = []
+    for f in range(65):
+        lo, hi = (f * len(vals)) // 65, ((f + 1) * len(vals)) // 65
+        energies.append(sum(v * v for v in vals[lo:hi]))
+    v = 0
+    for f in range(64):
+        if energies[f] > energies[f + 1]:
+            v |= 1 << f
+    want = v - (1 << 64) if v >= (1 << 63) else v
+    assert got[0] == want
+
+
+def test_audio_neardup_pigeonhole_bound_enforced(spark):
+    import pytest
+
+    from etl_cli_spark.operators.multimodal import (
+        audio_neardup,
+        make_fake_audio_neardup,
+    )
+
+    nd = make_fake_audio_neardup(spark, n_groups=2, per_group=2)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        audio_neardup(nd, max_distance=9, chunks=8)
+
+
+def test_audio_fingerprint_robust_to_stereo_mix(spark):
+    """A stereo clip whose two channels are identical must fingerprint
+    exactly like its mono version (floor-toward-zero mean mix)."""
+    import numpy as np
+
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+        encode_wav,
+        neardup_samples,
+    )
+
+    s = neardup_samples(2, 0)
+    stereo = np.repeat(s, 2).astype("<i2")  # L=R interleaved
+    rows = [
+        (0, "audio", bytearray(encode_wav(s, sample_rate=8000)),
+         (None, None, 8000, None, "wav")),
+        (1, "audio", bytearray(encode_wav(stereo, sample_rate=8000, channels=2)),
+         (None, None, 8000, None, "wav")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.afp for r in audio_fingerprint(df).collect()}
+    assert got[0] == got[1] and got[0] is not None
