@@ -1482,6 +1482,47 @@ def _q_text_quality(spark, sf):
     )
 
 
+def _q_gopher_quality(spark, sf):
+    """Gopher rule-set quality filter (Rae et al. 2021 appendix A — the
+    rule list Dolma/RefinedWeb reuse) over documents ENRICHED with
+    deterministic bullet/ellipsis/markdown lines (the raw fixture text
+    is single-line prose, which would leave the line-shape rules
+    untested): every rule statistic plus the pass verdict, all pure
+    Column expressions replayed exactly in DuckDB list/regexp SQL.
+    Ratios rounded to 6 (the text_quality portable-hash convention)."""
+    from etl_cli_spark.operators.text import gopher_quality
+
+    d = _engine(spark, sf).read("documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n- bullet "),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\ntrails off..."))
+            .otherwise(F.lit("\nplain closing line")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\n### heading ## #"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    # min_words=20 and min_required_stops=1 fit the synthetic fixture
+    # (shortest docs ~15 words; the generated prose carries at most one
+    # of the 8 Gopher words) so BOTH verdicts occur; the operator's
+    # defaults stay at the published Gopher values
+    out = gopher_quality(enriched, min_words=20, min_required_stops=1)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("bullet_frac", 6).alias("bullet_frac"),
+        F.round("ellipsis_frac", 6).alias("ellipsis_frac"),
+        F.round("alpha_frac", 6).alias("alpha_frac"),
+        "n_required_stops",
+        "passes",
+    )
+
+
 def _q_dedup_exact(spark, sf):
     from etl_cli_spark.operators.dedup import exact_text_dedup
 
@@ -3283,6 +3324,12 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "split_sentences": [("doc_id", "i"), ("pos", "i"), ("sentence", "s")],
     "chunk_sentences": [("doc_id", "i"), ("chunk_id", "i"), ("chunk_text", "s"), ("n_tokens", "i")],
     "normalize_unicode": [("doc_id", "i"), ("norm_text", "s")],
+    # passes is boolean: both engines cast to 'true'/'false' strings
+    "gopher_quality": [("doc_id", "i"), ("n_words", "i"),
+                       ("mean_word_len", "f"), ("symbol_ratio", "f"),
+                       ("bullet_frac", "f"), ("ellipsis_frac", "f"),
+                       ("alpha_frac", "f"), ("n_required_stops", "i"),
+                       ("passes", "s")],
     # -- dedup / fuzzy-join family (round-8 digest) --
     "dedup_minhash": [("doc_id", "i"), ("lang", "s")],
     "dedup_minhash_cc": [("doc_id", "i"), ("lang", "s")],
@@ -3513,6 +3560,7 @@ _TEXT_FAMILY = [
     "text_stats_by_lang", "text_fingerprint", "text_quality",
     "text_repetition", "text_pii_scrub", "normalize_unicode",
     "html_extract", "html_links", "split_sentences", "chunk_sentences",
+    "gopher_quality",
 ]
 _DEDUP_FAMILY = [
     "dedup_minhash", "dedup_minhash_cc", "dedup_minhash_indexed",
@@ -4247,6 +4295,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_links": _q_html_links,
     "split_sentences": _q_split_sentences,
     "chunk_sentences": _q_chunk_sentences,
+    "gopher_quality": _q_gopher_quality,
     "normalize_unicode": _q_normalize_unicode,
     # dedup / fuzzy-join family (in-window via dedup_digest)
     "dedup_minhash": _q_dedup_minhash,
@@ -5517,6 +5566,48 @@ def oracle_sql() -> dict[str, str]:
         "sum(toks) AS n_tokens FROM c GROUP BY doc_id, raw_chunk) "
         "SELECT doc_id, CAST(dense_rank() OVER (PARTITION BY doc_id "
         "ORDER BY raw_chunk) - 1 AS INT) AS chunk_id, chunk_text, n_tokens FROM a"
+    )
+
+    # gopher_quality: the full rule set replayed in DuckDB list/regexp
+    # SQL over the identically-enriched text. Pass verdicts are
+    # computed on UNROUNDED ratios (the same int/int IEEE divisions in
+    # both engines, so the comparisons agree bit-for-bit); ratios are
+    # rounded to 6 only for output (the text_quality convention).
+    _gtext = (
+        "text || chr(10) || '- bullet ' || CAST(doc_id AS VARCHAR) || "
+        "CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'trails off...' "
+        "ELSE chr(10) || 'plain closing line' END || "
+        "CASE WHEN doc_id % 7 = 0 THEN chr(10) || '### heading ## #' ELSE '' END"
+    )
+    _greq = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+    sql["gopher_quality"] = (
+        f"WITH e AS (SELECT doc_id, {_gtext} AS t FROM documents), "
+        r"s AS (SELECT doc_id, t, string_split_regex(lower(trim(t)), '\s+') AS toks, "
+        "string_split(t, chr(10)) AS lines FROM e), "
+        "m AS (SELECT doc_id, len(toks) AS n_words, "
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        "list_sum(list_transform(toks, x -> len(x))) / len(toks) END AS mwl, "
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        "((len(t) - len(replace(t, '#', ''))) "
+        " + ((len(t) - len(replace(t, '...', ''))) // 3) "
+        " + (len(t) - len(replace(t, '…', '')))) / len(toks) END AS symr, "
+        "CASE WHEN len(lines) = 0 THEN 0.0 ELSE "
+        r"len(list_filter(lines, l -> regexp_matches(ltrim(l), '^(\-|\*|•)( |$)'))) "
+        "/ len(lines) END AS bf, "
+        "CASE WHEN len(lines) = 0 THEN 0.0 ELSE "
+        r"len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) "
+        "/ len(lines) END AS ef, "
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        "len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / len(toks) END AS af, "
+        f"len(list_filter({_greq}, w -> list_contains(toks, w))) AS nstops "
+        "FROM s) "
+        "SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len, "
+        "round(symr, 6) AS symbol_ratio, round(bf, 6) AS bullet_frac, "
+        "round(ef, 6) AS ellipsis_frac, round(af, 6) AS alpha_frac, "
+        "nstops AS n_required_stops, "
+        "(n_words >= 20 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0 "
+        "AND symr <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 "
+        "AND nstops >= 1) AS passes FROM m"
     )
 
     # pipeline_end_to_end: the composed stages, each reusing its

@@ -244,3 +244,35 @@ def test_split_sentences_boundaries_and_tail(spark):
     df2 = spark.createDataFrame([("pi is 3.14 and v1.2.3 ships. done",)], "t string")
     got2 = df2.select(split_sentences("t").alias("s")).collect()[0]["s"]
     assert got2 == ["pi is 3.14 and v1.2.3 ships.", "done"]
+
+
+def test_gopher_quality_rules_fire_individually(spark):
+    """Each Gopher rule must be independently falsifiable: engineered
+    documents trip exactly the intended rule (Rae et al. 2021 app. A)."""
+    from etl_cli_spark.operators.text import gopher_quality
+
+    good = (
+        "the quick brown fox and the lazy dog have agreed that surfing "
+        "with friends out of boredom can be fun to watch every day "
+        * 3
+    ).strip()
+    docs = [
+        (0, good),                                     # passes everything
+        (1, "too few words here"),                     # word count
+        (2, " ".join(["a"] * 60)),                     # mean word length low
+        (3, good + " " + "#" * 1 + " #### ## # # # ##"),  # symbol ratio
+        (4, good + ("\n- b" * 30)),                    # bullet lines
+        (5, (good + "\n") + "ends like this...\n" * 30),  # ellipsis lines
+        (6, good + " " + " ".join(["123"] * 40)),      # alpha fraction
+        (7, " ".join(["lorem ipsum dolor sit amet"] * 12)),  # no stop words
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r.doc_id: r for r in gopher_quality(df, min_words=20).collect()}
+    assert got[0].passes is True
+    assert got[1].passes is False and got[1].n_words < 20
+    assert got[2].passes is False and got[2].mean_word_len < 3.0
+    assert got[3].passes is False and got[3].symbol_ratio > 0.1
+    assert got[4].passes is False and got[4].bullet_frac > 0.9
+    assert got[5].passes is False and got[5].ellipsis_frac > 0.3
+    assert got[6].passes is False and got[6].alpha_frac < 0.8
+    assert got[7].passes is False and got[7].n_required_stops < 2
