@@ -65,6 +65,14 @@ READ_QUERIES = [
     "leakage_split",
     # round-10 operators
     "kmeans_refine",
+    # round-13 operators (fingerprint near-dup joins must stay banded
+    # equi-joins — a cartesian here is the exact failure the pigeonhole
+    # design exists to avoid; gopher is one projection)
+    "multimodal_phash",
+    "image_neardup",
+    "audio_fingerprint",
+    "audio_neardup",
+    "gopher_quality",
 ]
 
 
