@@ -177,6 +177,28 @@ AUDITED: dict[str, str] = {
         "(doc, bucket) ints. Training iterations (upstream of this plan) "
         "each collect exactly the model, never the corpus."
     ),
+    # round-13 additions
+    "image_neardup": (
+        "perceptual-hash near-dup: one MapInPandas decode+hash pass "
+        "(pixels consumed in-task), band explode, per-band equi-join on "
+        "(chunk, piece) — the shuffle carries only (id, 8-byte hash, "
+        "band) tuples, so join cost is independent of image size; the "
+        "Hamming verify is a codegen bit_count on the joined longs. A "
+        "cartesian here is the failure the pigeonhole design exists to "
+        "avoid (pinned by test_plan_quality)."
+    ),
+    "audio_neardup": (
+        "same banded shape over the audio energy-contour fingerprint: "
+        "PCM decodes in-task, only fingerprints shuffle. At 100 TB of "
+        "media the dominant cost is the embarrassingly-parallel decode "
+        "scan, not the join."
+    ),
+    "gopher_quality": (
+        "the whole Gopher rule set is ONE projection over one scan — no "
+        "exchange, no join, no window; whole-stage codegen end to end. "
+        "The filter every document passes through must run at scan "
+        "speed, and this plan does."
+    ),
 }
 
 _KEEP = re.compile(
