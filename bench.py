@@ -77,6 +77,42 @@ def _bpe_train_1k(spark, sf_dir):
 EXTRA_QUERIES = {"bpe_train_1k": _bpe_train_1k}
 
 
+def calibrate(spark) -> float:
+    """Single-reduce pure-CPU calibration job (best of 3): the fixed
+    workload whose cross-round movement marks box drift, not code."""
+    best = -1.0
+    for _ in range(3):
+        c0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id * 3 + 1) AS s").collect()
+        cdt = time.perf_counter() - c0
+        best = cdt if best < 0 else min(best, cdt)
+    return best
+
+
+def calibrate_parallel(spark) -> float:
+    """Parallel-slow-mode probe (round-13, VERDICT r12 item 3): the
+    single-reduce job under-measures the state it exists to detect —
+    SCALE.md shows the session slow mode inflates the SHUFFLE-heavy
+    rows ~25% at sf1 while the single-reduce probe moves only ~10%.
+    This job has the same shape as the inflated rows: a 32-way
+    hash-partial -> full exchange -> final aggregate, so all cores and
+    the shuffle machinery are on the timed path. Best of 3."""
+    best = -1.0
+    for _ in range(3):
+        c0 = time.perf_counter()
+        (
+            spark.range(0, 50_000_000, 1, 32)
+            .selectExpr("id % 997 AS k", "id * 3 + 1 AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .selectExpr("sum(`sum(v)`) AS s")
+            .collect()
+        )
+        cdt = time.perf_counter() - c0
+        best = cdt if best < 0 else min(best, cdt)
+    return best
+
+
 # in-run retry vs flag thresholds (r13, VERDICT r12 item 2): a median
 # >= ANCHOR_RETRY_RATIO x its cross-round anchor spends remaining retry
 # budget trying to recover the fast mode (r12's agg_q1 published +61%
@@ -290,36 +326,10 @@ def main() -> int:
     # distinguish "box was slow all run" from "box decayed mid-run";
     # the pre/post pair bounds which rows could be affected.
     def _calibrate() -> float:
-        best = -1.0
-        for _ in range(3):
-            c0 = time.perf_counter()
-            spark.range(50_000_000).selectExpr("sum(id * 3 + 1) AS s").collect()
-            cdt = time.perf_counter() - c0
-            best = cdt if best < 0 else min(best, cdt)
-        return best
+        return calibrate(spark)
 
-    # parallel-slow-mode probe (round-13, VERDICT r12 item 3): the
-    # single-reduce job above under-measures the state it exists to
-    # detect — SCALE.md shows the session slow mode inflates the
-    # SHUFFLE-heavy rows ~25% at sf1 while the single-reduce probe
-    # moves only ~10%. This job has the same shape as the inflated
-    # rows: a 32-way hash-partial -> full exchange -> final aggregate,
-    # so all cores and the shuffle machinery are on the timed path.
     def _calibrate_parallel() -> float:
-        best = -1.0
-        for _ in range(3):
-            c0 = time.perf_counter()
-            (
-                spark.range(0, 50_000_000, 1, 32)
-                .selectExpr("id % 997 AS k", "id * 3 + 1 AS v")
-                .groupBy("k")
-                .agg({"v": "sum"})
-                .selectExpr("sum(`sum(v)`) AS s")
-                .collect()
-            )
-            cdt = time.perf_counter() - c0
-            best = cdt if best < 0 else min(best, cdt)
-        return best
+        return calibrate_parallel(spark)
 
     cal_pre = _calibrate()
     cal_par_pre = _calibrate_parallel()

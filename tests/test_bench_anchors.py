@@ -156,3 +156,22 @@ def test_anchor_retry_is_strictly_tighter_than_flag():
     strictly below the flag threshold and catch the 1.61x case."""
     assert bench.ANCHOR_RETRY_RATIO < bench.ANCHOR_FLAG_RATIO
     assert bench.ANCHOR_RETRY_RATIO <= 1.61 <= bench.ANCHOR_FLAG_RATIO
+
+
+def test_calibrate_parallel_is_a_real_32_way_shuffle(spark):
+    """The r13 parallel probe must actually exercise the shuffle path
+    (32 input partitions -> exchange -> final aggregate) and return a
+    positive wall time — otherwise it degenerates back into the
+    single-reduce job that under-measured the parallel slow mode."""
+    # the probe's plan: input RDD has 32 partitions and the aggregate
+    # goes through an exchange
+    df = (
+        spark.range(0, 1_000, 1, 32)
+        .selectExpr("id % 997 AS k", "id * 3 + 1 AS v")
+        .groupBy("k").agg({"v": "sum"})
+    )
+    assert df.rdd.getNumPartitions() >= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+    t = bench.calibrate_parallel(spark)
+    assert isinstance(t, float) and t > 0
