@@ -2928,6 +2928,41 @@ def _q_audio_neardup(spark, sf):
     return audio_neardup(audio, max_distance=6, chunks=8)
 
 
+def _q_video_phash(spark, sf):
+    """Frame-sampled perceptual hashes over BMP-reel videos (the
+    sample_frames timing protocol + the image dHash per decoded
+    frame): one row per sampled frame. The oracle recomputes every
+    hash from the fixture's frame-pattern spec in pure python (no
+    numpy, no containers, no decoders)."""
+    from etl_cli_spark.operators.multimodal import (
+        make_fake_video_neardup,
+        video_phash,
+    )
+
+    vids = make_fake_video_neardup(spark, n_groups=4, per_group=3, n_frames=6)
+    return video_phash(vids).select(
+        "media_id", "frame_idx", "frame_ts_ms", "phash"
+    )
+
+
+def _q_video_neardup(spark, sf):
+    """Near-duplicate video pairs: frame dHashes through the pigeonhole
+    band join, aggregated to video pairs by matched-frame count
+    (distinct lower-video frames with a frame within Hamming 6 in the
+    other video; >= 3 of 6 sampled frames). Fixture plants 4 groups of
+    3 edits-of-the-same-reel (members replace whole frames); the
+    oracle recomputes the frame hashes in pure python and replays the
+    matched-frame aggregation as SQL. Completes the multimodal DEDUP
+    family across all three media types."""
+    from etl_cli_spark.operators.multimodal import (
+        make_fake_video_neardup,
+        video_neardup,
+    )
+
+    vids = make_fake_video_neardup(spark, n_groups=4, per_group=3, n_frames=6)
+    return video_neardup(vids, max_distance=6, chunks=8, min_matched_frames=3)
+
+
 def _q_multimodal_probe(spark, sf):
     """Header-only media probe (format/width/height from container
     headers, zero pixel decode — the cheap routing pass before decode)
@@ -3289,6 +3324,9 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "image_neardup": [("a_id", "i"), ("b_id", "i"), ("distance", "i")],
     "audio_fingerprint": [("media_id", "i"), ("afp", "i")],
     "audio_neardup": [("a_id", "i"), ("b_id", "i"), ("distance", "i")],
+    "video_phash": [("media_id", "i"), ("frame_idx", "i"),
+                    ("frame_ts_ms", "i"), ("phash", "i")],
+    "video_neardup": [("a_id", "i"), ("b_id", "i"), ("n_matched", "i")],
     # -- sketch family (round-4 digest) --
     "sketch_distinct_kmv": [("o_orderstatus", "s"), ("est_distinct", "f")],
     "sketch_distinct_hll": [("l_returnflag", "s"), ("est_distinct", "f")],
@@ -3515,10 +3553,12 @@ _MULTIMODAL_FAMILY = [
     "multimodal_decode", "multimodal_audio", "audio_features", "multimodal_jpeg",
     "multimodal_resize", "multimodal_frames", "multimodal_features",
     "multimodal_probe",
-    # round-13: the multimodal DEDUP quartet (image perceptual hash +
-    # audio energy-contour fingerprint + their pigeonhole near-dup
-    # joins) rides the in-window multimodal digest from birth
+    # round-13: the multimodal DEDUP family across all three media
+    # types (image dHash, audio energy contour, video frame-sampled
+    # dHash + matched-frame aggregation) rides the in-window
+    # multimodal digest from birth
     "multimodal_phash", "image_neardup", "audio_fingerprint", "audio_neardup",
+    "video_phash", "video_neardup",
 ]
 _SKETCH_FAMILY = [
     "sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist",
@@ -4359,6 +4399,8 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_neardup": _q_image_neardup,
     "audio_fingerprint": _q_audio_fingerprint,
     "audio_neardup": _q_audio_neardup,
+    "video_phash": _q_video_phash,
+    "video_neardup": _q_video_neardup,
     "write_upsert": _q_write_upsert,
     "split_deterministic": _q_split_deterministic,
     "hash_sample": _q_hash_sample,
@@ -4999,6 +5041,60 @@ def oracle_sql() -> dict[str, str]:
         f"FROM {_acte.replace(' AS p(', ' AS a(')} JOIN {_acte.replace(' AS p(', ' AS b(')} "
         f"ON a.media_id < b.media_id "
         f"WHERE bit_count(xor(CAST(a.hsh AS BIGINT), CAST(b.hsh AS BIGINT))) <= 6"
+    )
+
+    # video_phash / video_neardup: frame hashes recomputed in pure
+    # python from the video fixture spec (base frame pattern + member
+    # replaced-frame offsets, integer luma, exact resample, gradient
+    # bits — the same dHash replay as the image oracle, per frame);
+    # video_neardup's oracle replays the matched-frame aggregation in
+    # SQL over the recomputed frame table
+    def _oracle_vdhash(g: int, m: int, f: int, w: int, h: int, n_frames: int) -> int:
+        replaced = {(5 * k + 2) % n_frames for k in range(m)}
+        off = 101 * (m + 1) * (m + 1) if f in replaced else 0
+
+        def pval(y, x, c):
+            return (
+                x * x * 3 + y * y * 7 + 5 * x * y
+                + 31 * g + 17 * f * f + 11 * f * x + off + 13 * c
+            ) % 256
+
+        def luma(y, x):
+            return (77 * pval(y, x, 0) + 150 * pval(y, x, 1) + 29 * pval(y, x, 2)) >> 8
+
+        ys = [(yy * h) // 8 for yy in range(8)]
+        xs = [(xx * w) // 9 for xx in range(9)]
+        grid = [[luma(sy, sx) for sx in xs] for sy in ys]
+        v = 0
+        for yy in range(8):
+            for xx in range(8):
+                if grid[yy][xx] > grid[yy][xx + 1]:
+                    v |= 1 << (yy * 8 + xx)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    _vvals = []
+    for _g in range(4):
+        _w, _h = 16 + _g % 5, 12 + _g % 3  # neardup_dims
+        for _m in range(3):
+            for _f in range(6):
+                _vvals.append(
+                    f"({_g * 3 + _m}, {_f}, {_f * 1000}, "
+                    f"{_oracle_vdhash(_g, _m, _f, _w, _h, 6)})"
+                )
+    _vcte = f"(VALUES {', '.join(_vvals)}) AS v(media_id, fi, ts, hsh)"
+    sql["video_phash"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(fi AS INTEGER) AS frame_idx, CAST(ts AS BIGINT) AS frame_ts_ms, "
+        f"CAST(hsh AS BIGINT) AS phash FROM {_vcte}"
+    )
+    sql["video_neardup"] = (
+        f"SELECT CAST(a.media_id AS BIGINT) AS a_id, "
+        f"CAST(b.media_id AS BIGINT) AS b_id, "
+        f"count(DISTINCT a.fi) AS n_matched "
+        f"FROM {_vcte.replace(' AS v(', ' AS a(')} JOIN {_vcte.replace(' AS v(', ' AS b(')} "
+        f"ON a.media_id < b.media_id "
+        f"AND bit_count(xor(CAST(a.hsh AS BIGINT), CAST(b.hsh AS BIGINT))) <= 6 "
+        f"GROUP BY a.media_id, b.media_id HAVING count(DISTINCT a.fi) >= 3"
     )
 
     # profile_orders: every column's stats recomputed independently

@@ -1163,6 +1163,168 @@ def audio_neardup(
     return fingerprint_pairs(base, max_distance=max_distance, chunks=chunks)
 
 
+def video_phash(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Per-sampled-frame perceptual hash: the ``sample_frames`` timing
+    protocol (duration from metadata, one sample per ``every_ms``,
+    clamped at 10k samples) with ``_dhash64`` applied to each sampled
+    frame's decoded pixels — one row ``(media_id, frame_idx,
+    frame_ts_ms, phash)`` per sample. Real for BMP-reel payloads (the
+    codec-free container ``make_fake_video`` emits); other containers
+    emit no rows (the audio_features skip contract — a native decoder
+    drops into the same per-batch loop). Frames are decoded and hashed
+    IN-TASK: only 8-byte fingerprints leave the executor."""
+    max_samples = 10_000
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_ts_ms", T.LongType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+    span_cap = max_samples * every_ms
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = (r["meta"]["duration_ms"] if r["meta"] is not None else 0) or 0
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                if payload[:2] != b"BM":
+                    continue
+                try:
+                    frames = _split_bmp_reel(payload)
+                    frame_ms = dur / len(frames) if frames else 0
+                    for i, ts in enumerate(
+                        range(0, min(int(dur), span_cap), every_ms)
+                    ):
+                        fi = min(int(ts / frame_ms) if frame_ms else 0, len(frames) - 1)
+                        px = _decode_bmp(frames[fi])[2]
+                        rows.append((int(r["media_id"]), i, ts, _dhash64(px)))
+                except (ValueError, NotImplementedError, IndexError, struct.error):
+                    continue
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_ts_ms", "phash"]
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def video_neardup(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_distance: int = 6,
+    chunks: int = 8,
+    min_matched_frames: int = 3,
+) -> DataFrame:
+    """Near-duplicate video pairs: frame-level perceptual hashes through
+    the pigeonhole band join, aggregated to video pairs by MATCHED
+    FRAME COUNT — two videos are near-dups when >=
+    ``min_matched_frames`` of the lower-id video's sampled frames have
+    a frame within ``max_distance`` Hamming bits in the other video
+    (distinct a-side frames, so a static scene matching many b-frames
+    counts once). The video member of the multimodal DEDUP family:
+    re-encodes, trims, and overlay edits keep most frame hashes intact.
+
+    Scale posture: frames decode and hash in-task; the band join
+    shuffles only (composite id, 8-byte hash, band) tuples — one row
+    per sampled frame, NOT per pixel — and the final aggregate is a
+    hash aggregate on (a_video, b_video). Recall of the candidate
+    stage is EXACT (pigeonhole) for ``max_distance <= chunks - 1``.
+
+    Returns ``(a_id, b_id, n_matched)``, ``a_id < b_id``."""
+    from .dedup import fingerprint_pairs
+
+    if max_distance > chunks - 1:
+        raise ValueError(
+            f"video_neardup: pigeonhole recall needs max_distance <= "
+            f"chunks - 1 (got {max_distance} > {chunks - 1})"
+        )
+    fp = video_phash(df, every_ms=every_ms)
+    # composite frame id: media_id * 100000 + frame_idx (sample count
+    # is clamped at 10k per video, so the frame part can't collide)
+    base = fp.select(
+        (F.col("media_id") * 100000 + F.col("frame_idx")).alias("id"),
+        F.col("phash").alias("sh"),
+    )
+    # composite ids order media-major, so a_id < b_id from the band
+    # join implies a_media <= b_media — after dropping same-video
+    # pairs, the a side IS the lower video and a_frame its frame
+    frame_pairs = fingerprint_pairs(
+        base, max_distance=max_distance, chunks=chunks
+    ).select(
+        F.floor(F.col("a_id") / 100000).cast("long").alias("a_media"),
+        (F.col("a_id") % 100000).alias("a_frame"),
+        F.floor(F.col("b_id") / 100000).cast("long").alias("b_media"),
+    )
+    cross = frame_pairs.filter(F.col("a_media") != F.col("b_media"))
+    return (
+        cross.groupBy(
+            F.col("a_media").alias("a_id"), F.col("b_media").alias("b_id")
+        )
+        .agg(F.count_distinct("a_frame").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_matched_frames)
+    )
+
+
+def video_neardup_pixels(g: int, f: int, w: int, h: int):
+    """Base frame ``f`` of near-dup video fixture group ``g``: the
+    image-fixture quadratic base plus per-frame terms (17f² + 11f·x),
+    so frames within a video are distinct and groups land far apart.
+    The caller (make_fake_video_neardup) applies the member's
+    replaced-frame offset — a stand-in for inserted/edited scenes."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (
+                xx * xx * 3 + yy * yy * 7 + 5 * xx * yy
+                + 31 * g + 17 * f * f + 11 * f * xx + 13 * c
+            ) % 256
+            for c in range(3)
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def make_fake_video_neardup(
+    spark, n_groups: int = 4, per_group: int = 3, n_frames: int = 6
+) -> DataFrame:
+    """Synthetic near-duplicate video corpus: BMP reels of ``n_frames``
+    frames at 1 fps (duration = n_frames * 1000 ms, so the 1 s sampler
+    sees every frame exactly once); member ``m`` of group ``g``
+    replaces frames (5k + 2) mod n_frames (k < m) with a different
+    pattern. With per_group = 3 and n_frames = 6, any in-group pair
+    shares >= 6 - 3 = 3 unedited frames, and distinct groups share
+    none."""
+    import numpy as np
+
+    rows = []
+    for g in range(n_groups):
+        w, h = neardup_dims(g)
+        for m in range(per_group):
+            i = g * per_group + m
+            replaced = {(5 * k + 2) % n_frames for k in range(m)}
+            frames = []
+            for f in range(n_frames):
+                px = video_neardup_pixels(g, f, w, h)
+                if f in replaced:
+                    px = ((px.astype(np.int64) + 101 * (m + 1) * (m + 1)) % 256).astype(
+                        np.uint8
+                    )
+                frames.append(encode_bmp(px))
+            rows.append(
+                (
+                    i,
+                    "video",
+                    bytearray(b"".join(frames)),
+                    (w, h, None, n_frames * 1000, "bmp_reel"),
+                )
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def neardup_samples(g: int, m: int, frames: int = 65, frame_len: int = 30):
     """Deterministic near-duplicate PCM pattern: group ``g``'s clip has
     per-frame amplitude amp(g, f) = 500 + ((7f² + 13g² + 5fg) mod 97)

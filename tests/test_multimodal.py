@@ -1182,3 +1182,67 @@ def test_audio_fingerprint_robust_to_stereo_mix(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r.media_id: r.afp for r in audio_fingerprint(df).collect()}
     assert got[0] == got[1] and got[0] is not None
+
+
+def test_video_neardup_recovers_planted_reels(spark):
+    """The video fixture plants groups of whole-frame-edited reels;
+    video_neardup must pair every in-group combination (>= 3 of 6
+    unedited frames shared) and nothing across groups."""
+    from etl_cli_spark.operators.multimodal import (
+        make_fake_video_neardup,
+        video_neardup,
+    )
+
+    nd = make_fake_video_neardup(spark, n_groups=4, per_group=3, n_frames=6)
+    pairs = sorted(
+        (r.a_id, r.b_id, r.n_matched) for r in video_neardup(nd).collect()
+    )
+    want = sorted(
+        (g * 3 + a, g * 3 + b)
+        for g in range(4)
+        for a in range(3)
+        for b in range(a + 1, 3)
+    )
+    assert [(a, b) for a, b, _ in pairs] == want
+    # member m edits m frames: a pair (a, b) shares >= 6 - max(a%3,b%3)
+    # SAME-INDEX unedited frames (cross-index matches can only add)
+    assert all(
+        n >= 6 - max(a % 3, b % 3) - min(a % 3, b % 3) for a, b, n in pairs
+    )
+
+
+def test_video_phash_frames_hash_like_images(spark):
+    """A one-frame BMP reel must produce exactly the image dHash of
+    that frame — the video path is the image kernel per sampled
+    frame, not a different hash."""
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _dhash64,
+        encode_bmp,
+        video_neardup_pixels,
+        video_phash,
+    )
+
+    px = video_neardup_pixels(1, 0, 17, 13)
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(encode_bmp(px)), (17, 13, None, 1000, "bmp_reel"))],
+        MEDIA_SCHEMA,
+    )
+    rows = video_phash(df, every_ms=1000).collect()
+    assert len(rows) == 1 and rows[0].frame_idx == 0
+    assert rows[0].phash == _dhash64(px)
+
+
+def test_video_neardup_skips_undecodable_payloads(spark):
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_neardup,
+        video_phash,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(b"garbage not a reel"), (8, 6, None, 3000, "x"))],
+        MEDIA_SCHEMA,
+    )
+    assert video_phash(df).count() == 0
+    assert video_neardup(df).count() == 0

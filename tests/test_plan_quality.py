@@ -73,6 +73,8 @@ READ_QUERIES = [
     "audio_fingerprint",
     "audio_neardup",
     "gopher_quality",
+    "video_phash",
+    "video_neardup",
 ]
 
 
