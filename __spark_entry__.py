@@ -1523,6 +1523,21 @@ def _q_gopher_quality(spark, sf):
     )
 
 
+def _q_perplexity_buckets(spark, sf):
+    """CCNet-style per-language perplexity tiers (Wenzek et al. 2020):
+    unigram NLL against a reference model (here the doc_id % 5 == 0
+    'clean' subset — the CCNet shape: the LM trains on a reference
+    corpus, not the scored crawl) and quantile-threshold head/middle/
+    tail bucketing per language. The bucketing is the scale-safe
+    design (distinct-score cumulative table, never a per-language
+    doc-level sort); DuckDB replays the model, the scoring join, and
+    the cumulative-threshold window exactly."""
+    from etl_cli_spark.operators.rank import perplexity_buckets
+
+    d = _engine(spark, sf).read("documents")
+    return perplexity_buckets(d, model_docs=d.filter(F.col("doc_id") % 5 == 0))
+
+
 def _q_dedup_exact(spark, sf):
     from etl_cli_spark.operators.dedup import exact_text_dedup
 
@@ -3362,6 +3377,8 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "split_sentences": [("doc_id", "i"), ("pos", "i"), ("sentence", "s")],
     "chunk_sentences": [("doc_id", "i"), ("chunk_id", "i"), ("chunk_text", "s"), ("n_tokens", "i")],
     "normalize_unicode": [("doc_id", "i"), ("norm_text", "s")],
+    "perplexity_buckets": [("doc_id", "i"), ("lang", "s"), ("nll", "f"),
+                           ("bucket", "i"), ("tier", "s")],
     # passes is boolean: both engines cast to 'true'/'false' strings
     "gopher_quality": [("doc_id", "i"), ("n_words", "i"),
                        ("mean_word_len", "f"), ("symbol_ratio", "f"),
@@ -3600,7 +3617,7 @@ _TEXT_FAMILY = [
     "text_stats_by_lang", "text_fingerprint", "text_quality",
     "text_repetition", "text_pii_scrub", "normalize_unicode",
     "html_extract", "html_links", "split_sentences", "chunk_sentences",
-    "gopher_quality",
+    "gopher_quality", "perplexity_buckets",
 ]
 _DEDUP_FAMILY = [
     "dedup_minhash", "dedup_minhash_cc", "dedup_minhash_indexed",
@@ -4336,6 +4353,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_sentences": _q_split_sentences,
     "chunk_sentences": _q_chunk_sentences,
     "gopher_quality": _q_gopher_quality,
+    "perplexity_buckets": _q_perplexity_buckets,
     "normalize_unicode": _q_normalize_unicode,
     # dedup / fuzzy-join family (in-window via dedup_digest)
     "dedup_minhash": _q_dedup_minhash,
@@ -5704,6 +5722,33 @@ def oracle_sql() -> dict[str, str]:
         "(n_words >= 20 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0 "
         "AND symr <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 "
         "AND nstops >= 1) AS passes FROM m"
+    )
+
+    # perplexity_buckets: the CCNet tiering replayed — reference-subset
+    # unigram model, in-vocab NLL scoring join, and the scale-safe
+    # quantile-threshold bucketing (cumulative window over the DISTINCT
+    # (lang, nll6) table, never a per-document sort). bv has no order-
+    # key ties within a partition, so DuckDB's default RANGE frame
+    # equals the Spark side's explicit ROWS frame.
+    sql["perplexity_buckets"] = (
+        r"WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t "
+        "             FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM "
+        "       (SELECT doc_id, unnest(t) AS term FROM tok) "
+        "       WHERE term <> '' GROUP BY doc_id, term), "
+        "mtf AS (SELECT term, sum(tf) AS cnt FROM tf WHERE doc_id % 5 = 0 "
+        "        GROUP BY term), "
+        "tot AS (SELECT sum(cnt) AS total FROM mtf), "
+        "lm AS (SELECT doc_id, round(-sum(tf * ln(cnt / total)) / sum(tf), 6) AS nll "
+        "       FROM tf JOIN mtf USING (term), tot GROUP BY doc_id), "
+        "base AS (SELECT d.doc_id, d.lang, l.nll FROM documents d JOIN lm l USING (doc_id)), "
+        "bv AS (SELECT lang, nll, count(*) AS c FROM base GROUP BY lang, nll), "
+        "cum AS (SELECT lang, nll, sum(c) OVER (PARTITION BY lang ORDER BY nll) AS cum, "
+        "               sum(c) OVER (PARTITION BY lang) AS n_lang FROM bv), "
+        "tiers AS (SELECT lang, nll, CAST(ceil(cum * 3 / n_lang) AS INT) AS bucket FROM cum) "
+        "SELECT b.doc_id, b.lang, b.nll, t.bucket, "
+        "CASE t.bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier "
+        "FROM base b JOIN tiers t USING (lang, nll)"
     )
 
     # pipeline_end_to_end: the composed stages, each reusing its

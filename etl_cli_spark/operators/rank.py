@@ -157,21 +157,32 @@ def unigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     terms: DataFrame | None = None,
+    model_docs: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-token negative log-likelihood under the corpus's own unigram
-    model: nll(d) = -(1/|d|) * sum_t tf(d,t) * ln(count(t) / total).
+    """Per-token negative log-likelihood under a unigram model:
+    nll(d) = -(1/|d|) * sum_t tf(d,t) * ln(count(t) / total).
 
     The KenLM-style perplexity quality filter reduced to its relational
-    core — documents full of corpus-rare tokens score high (surprising),
-    boilerplate scores low. Train and score are ONE plan: corpus term
-    counts (one term-key shuffle with map-side partials), broadcast-join
-    back onto the (doc, term) pairs, weighted average per doc. No UDFs;
-    at 100 TB the vocabulary table is Zipf-small next to the corpus, so
+    core — documents full of model-rare tokens score high (surprising),
+    boilerplate scores low. ``model_docs`` (round-13) trains the term
+    counts on a REFERENCE corpus instead of the scored corpus itself —
+    the CCNet shape, where the LM comes from a clean corpus (their
+    Wikipedia KenLM) and scores the crawl. Out-of-vocabulary tokens are
+    excluded from both the sum and the normalizer (score over in-vocab
+    mass; a document with zero in-vocab tokens emits no row) — the
+    deterministic relational analogue of CCNet scoring only what the
+    LM knows. Train and score are ONE plan: model term counts (one
+    term-key shuffle with map-side partials), broadcast-join back onto
+    the (doc, term) pairs, weighted average per doc. No UDFs; at
+    100 TB the vocabulary table is Zipf-small next to the corpus, so
     AQE broadcasts it and the scoring pass adds no extra wide shuffle
     beyond the tf aggregate.
     """
     terms = _doc_terms(docs, text_col, id_col) if terms is None else terms
-    cnt = terms.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    model_terms = (
+        terms if model_docs is None else _doc_terms(model_docs, text_col, id_col)
+    )
+    cnt = model_terms.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = cnt.agg(F.sum("cnt").alias("total"))
     logp = cnt.crossJoin(F.broadcast(total)).select(
         "term", F.log(F.col("cnt") / F.col("total")).alias("logp")
@@ -181,6 +192,72 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg((-F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")).alias("nll"))
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data" — public method): score every document's unigram NLL
+    against a reference model (``model_docs``; the corpus itself by
+    default), then split each language into ``n_buckets`` equal-count
+    tiers by score — CCNet's head / middle / tail, the standard crawl
+    curation knob (keep head, sample middle, drop tail).
+
+    Bucketing is QUANTILE-THRESHOLD, not ntile: a per-language ntile
+    window would sort every document of a language on ONE task
+    (English = half the corpus at web scale — the classic window-scale
+    cliff). Instead: (1) NLL rounds to 6 dp (the portable-score grid
+    every rank oracle uses); (2) one hash aggregate counts docs per
+    (lang, nll6) — map-side combined, output bounded by DISTINCT
+    score values, not documents; (3) a window over that SMALL distinct
+    table builds per-language cumulative counts; (4) a broadcastable
+    join maps each document to ``bucket = ceil(cum * n_buckets /
+    n_lang)``. Equal scores land in the same bucket (tied documents
+    are genuinely indistinguishable — splitting them by id, as ntile
+    does, is arbitrary), buckets are equal-count up to tie granularity,
+    and every step is replayable SQL. Documents with no in-vocab
+    tokens are absent (the unigram_logprob contract).
+
+    Returns ``(id, lang, nll, bucket, tier)`` with bucket in
+    1..n_buckets (1 = most fluent) and tier = head/middle/tail when
+    ``n_buckets == 3`` (else the bucket number as a string)."""
+    from pyspark.sql import Window
+
+    nll = unigram_logprob(
+        docs, text_col=text_col, id_col=id_col, model_docs=model_docs
+    )
+    base = docs.select(id_col, lang_col).join(nll, id_col).select(
+        id_col, lang_col, F.round("nll", 6).alias("nll")
+    )
+    by_val = base.groupBy(lang_col, "nll").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(lang_col).orderBy("nll")
+    cum = by_val.select(
+        lang_col,
+        "nll",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n_lang"),
+    )
+    bucket = F.ceil(F.col("cum") * n_buckets / F.col("n_lang")).cast("int")
+    tiers = cum.select(lang_col, "nll", bucket.alias("bucket"))
+    out = base.join(F.broadcast(tiers), [lang_col, "nll"])
+    if n_buckets == 3:
+        tier = (
+            F.when(F.col("bucket") == 1, F.lit("head"))
+            .when(F.col("bucket") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        tier = F.col("bucket").cast("string")
+    return out.select(id_col, lang_col, "nll", "bucket", tier.alias("tier"))
 
 
 def bm25_score(

@@ -75,6 +75,7 @@ READ_QUERIES = [
     "gopher_quality",
     "video_phash",
     "video_neardup",
+    "perplexity_buckets",
 ]
 
 

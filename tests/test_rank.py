@@ -262,3 +262,49 @@ def test_dsir_gumbel_reproducible_and_distinct(engine):
     plain = {r.doc_id for r in dsir_select(d, target, k=20).collect()}
     other = {r.doc_id for r in dsir_select(d, target, k=20, gumbel=True, seed="x").collect()}
     assert g1 != plain or g1 != other  # noise actually does something
+
+
+def test_unigram_logprob_external_model_scores_in_vocab_only(spark):
+    """model_docs trains the counts on a reference corpus; OOV tokens
+    are excluded from sum AND normalizer, and a doc with zero in-vocab
+    tokens emits no row (the CCNet-shape contract)."""
+    import math
+
+    from etl_cli_spark.operators.rank import unigram_logprob
+
+    model = spark.createDataFrame(
+        [(100, "aa aa bb")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "aa bb zz"), (2, "zz qq")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.nll for r in unigram_logprob(docs, model_docs=model).collect()}
+    # model: aa 2/3, bb 1/3; doc 1 scores over {aa, bb} only
+    want = -(math.log(2 / 3) + math.log(1 / 3)) / 2
+    assert abs(got[1] - want) < 1e-12
+    assert 2 not in got  # fully OOV -> absent
+
+
+def test_perplexity_buckets_equal_count_tiers_and_tie_safety(spark):
+    """Quantile-threshold bucketing: equal-count head/middle/tail per
+    language; tied scores always share a bucket (never split by id,
+    which would be arbitrary)."""
+    from etl_cli_spark.operators.rank import perplexity_buckets
+
+    # 9 'en' docs with three distinct fluency levels (3 docs each: the
+    # common word, a mid word, a rare word), 3 'xx' docs
+    rows = []
+    for i in range(3):
+        rows.append((i, "en", "common common common"))
+        rows.append((10 + i, "en", "common mid"))
+        rows.append((20 + i, "en", "rare"))
+    for i in range(3):
+        rows.append((30 + i, "xx", "foo" if i < 2 else "foo bar"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: (r.lang, r.bucket, r.tier) for r in perplexity_buckets(df).collect()}
+    # en: the three score levels map to the three tiers, ties together
+    assert all(out[i] == ("en", 1, "head") for i in range(3))
+    assert all(out[10 + i] == ("en", 2, "middle") for i in range(3))
+    assert all(out[20 + i] == ("en", 3, "tail") for i in range(3))
+    # languages bucket independently
+    assert {out[30 + i][0] for i in range(3)} == {"xx"}
