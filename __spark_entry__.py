@@ -1523,6 +1523,42 @@ def _q_gopher_quality(spark, sf):
     )
 
 
+def _q_gopher_repetition(spark, sf):
+    """Gopher's repetition rule suite (the companion of
+    gopher_quality): duplicate-line fractions and top-{2,3,4}-gram
+    character fractions. Documents are enriched with deterministic
+    duplicate lines (the raw fixture prose is single-line, which would
+    leave the line rules untested); the DuckDB twin replays the line
+    hashing, the one-pass tri-n gram counting, and the deterministic
+    top pick (count desc, gram length desc, md5 asc)."""
+    from etl_cli_spark.operators.text import gopher_repetition
+
+    d = _engine(spark, sf).read("documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nrepeat me\nunique tail "),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nrepeat me")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = gopher_repetition(enriched)
+    return out.select(
+        "doc_id",
+        *[
+            F.round(c, 6).alias(c)
+            for c in (
+                "dup_line_frac", "dup_line_char_frac",
+                "top2gram_char_frac", "top3gram_char_frac",
+                "top4gram_char_frac",
+            )
+        ],
+    )
+
+
 def _q_perplexity_buckets(spark, sf):
     """CCNet-style per-language perplexity tiers (Wenzek et al. 2020):
     unigram NLL against a reference model (here the doc_id % 5 == 0
@@ -3379,6 +3415,11 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "normalize_unicode": [("doc_id", "i"), ("norm_text", "s")],
     "perplexity_buckets": [("doc_id", "i"), ("lang", "s"), ("nll", "f"),
                            ("bucket", "i"), ("tier", "s")],
+    "gopher_repetition": [("doc_id", "i"), ("dup_line_frac", "f"),
+                          ("dup_line_char_frac", "f"),
+                          ("top2gram_char_frac", "f"),
+                          ("top3gram_char_frac", "f"),
+                          ("top4gram_char_frac", "f")],
     # passes is boolean: both engines cast to 'true'/'false' strings
     "gopher_quality": [("doc_id", "i"), ("n_words", "i"),
                        ("mean_word_len", "f"), ("symbol_ratio", "f"),
@@ -3617,7 +3658,7 @@ _TEXT_FAMILY = [
     "text_stats_by_lang", "text_fingerprint", "text_quality",
     "text_repetition", "text_pii_scrub", "normalize_unicode",
     "html_extract", "html_links", "split_sentences", "chunk_sentences",
-    "gopher_quality", "perplexity_buckets",
+    "gopher_quality", "perplexity_buckets", "gopher_repetition",
 ]
 _DEDUP_FAMILY = [
     "dedup_minhash", "dedup_minhash_cc", "dedup_minhash_indexed",
@@ -4354,6 +4395,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_sentences": _q_chunk_sentences,
     "gopher_quality": _q_gopher_quality,
     "perplexity_buckets": _q_perplexity_buckets,
+    "gopher_repetition": _q_gopher_repetition,
     "normalize_unicode": _q_normalize_unicode,
     # dedup / fuzzy-join family (in-window via dedup_digest)
     "dedup_minhash": _q_dedup_minhash,
@@ -5722,6 +5764,55 @@ def oracle_sql() -> dict[str, str]:
         "(n_words >= 20 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0 "
         "AND symr <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 "
         "AND nstops >= 1) AS passes FROM m"
+    )
+
+    # gopher_repetition: line hashing, one-pass tri-n gram counting,
+    # deterministic top pick, identical fraction arithmetic. Gram
+    # char-fraction denominator is the normalized text (lowercased
+    # tokens joined by single spaces), as in the operator.
+    _rtext = (
+        "text || chr(10) || 'repeat me' || chr(10) || 'unique tail ' || "
+        "CAST(doc_id AS VARCHAR) || "
+        "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'repeat me' ELSE '' END"
+    )
+    sql["gopher_repetition"] = (
+        f"WITH e AS (SELECT doc_id, {_rtext} AS t FROM documents), "
+        "ln AS (SELECT doc_id, md5(l) AS lh, len(l) AS ll FROM "
+        "       (SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM e)), "
+        "pl AS (SELECT doc_id, lh, ll, count(*) AS c FROM ln GROUP BY doc_id, lh, ll), "
+        "ls AS (SELECT doc_id, "
+        "  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dlf, "
+        "  CASE WHEN sum(c * ll) = 0 THEN 0.0 ELSE "
+        "  CAST(sum(CASE WHEN c > 1 THEN c * ll ELSE 0 END) AS DOUBLE) / sum(c * ll) "
+        "  END AS dlcf FROM pl GROUP BY doc_id), "
+        r"tok AS (SELECT doc_id, string_split_regex(lower(trim(t)), '\s+') AS tk, "
+        "        len(array_to_string(string_split_regex(lower(trim(t)), "
+        r"'\s+'), ' ')) AS nc FROM e), "
+        # unnest in the SELECT list (not LATERAL): DuckDB's binder hits
+        # an internal error when a LATERAL references two FROM items
+        "g AS (SELECT doc_id, nc, n, "
+        "      array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + n - 1], ' ') AS gm "
+        "      FROM (SELECT doc_id, nc, n.n AS n, tk, "
+        "            unnest(generate_series(1, len(tk) - n.n + 1)) AS i "
+        "            FROM tok, (VALUES (2), (3), (4)) n(n) "
+        "            WHERE len(tk) >= n.n)), "
+        "pg AS (SELECT doc_id, nc, n, md5(gm) AS gh, len(gm) AS gl, count(*) AS c "
+        "       FROM g GROUP BY doc_id, nc, n, gh, gl), "
+        "top AS (SELECT doc_id, n, "
+        "  CASE WHEN nc = 0 THEN 0.0 ELSE CAST(c * gl AS DOUBLE) / nc END AS frac "
+        "  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n "
+        "        ORDER BY c DESC, gl DESC, gh ASC) AS rn FROM pg) WHERE rn = 1), "
+        "gs AS (SELECT doc_id, "
+        "  COALESCE(max(CASE WHEN n = 2 THEN frac END), 0.0) AS t2, "
+        "  COALESCE(max(CASE WHEN n = 3 THEN frac END), 0.0) AS t3, "
+        "  COALESCE(max(CASE WHEN n = 4 THEN frac END), 0.0) AS t4 "
+        "  FROM top GROUP BY doc_id) "
+        "SELECT l.doc_id, round(dlf, 6) AS dup_line_frac, "
+        "round(dlcf, 6) AS dup_line_char_frac, "
+        "round(COALESCE(g2.t2, 0.0), 6) AS top2gram_char_frac, "
+        "round(COALESCE(g2.t3, 0.0), 6) AS top3gram_char_frac, "
+        "round(COALESCE(g2.t4, 0.0), 6) AS top4gram_char_frac "
+        "FROM ls l LEFT JOIN gs g2 USING (doc_id)"
     )
 
     # perplexity_buckets: the CCNet tiering replayed — reference-subset

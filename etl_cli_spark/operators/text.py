@@ -8,7 +8,7 @@ at scan speed over 100 TB of documents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small per-language stopword lists for the n-gram/stopword heuristic.
@@ -311,6 +311,130 @@ def repetition_stats(
     return per.groupBy(id_col).agg(
         (F.max("c") / F.sum("c")).alias(f"top{n}gram_frac"),
         F.sum("c").alias(f"n_{n}grams"),
+    )
+
+
+def gopher_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher's repetition rule suite (Rae et al. 2021 appendix A1.1 —
+    the companion of :func:`gopher_quality`): per document,
+
+    - ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of lines
+      (and of line characters) belonging to a line that occurs more
+      than once in the document;
+    - ``top{2,3,4}gram_char_frac`` — characters covered by the single
+      most frequent word n-gram (occurrences × n-gram length) over the
+      NORMALIZED character count (lowercased tokens joined by single
+      spaces — the same text the n-grams are drawn from). Occurrences
+      may overlap, so the fraction can exceed 1 on pathologically
+      repetitive text ("a b a b ..."), exactly as in the public
+      reference implementations (count × len / total); the rule's
+      thresholds live well below 1 so this changes no verdicts.
+
+    Determinism: the "top" n-gram breaks count ties by larger char
+    length, then by smaller md5 — a total order both engines replay.
+
+    Scale posture: one narrow line explode + hash aggregate keyed on
+    (id, md5(line)) and one gram explode + hash aggregate keyed on
+    (id, n, md5(gram)) — the shuffles carry hashes and lengths, never
+    line or gram TEXT; the top-pick window runs over the per-(id, n)
+    AGGREGATED gram rows (bounded per document), not the corpus. Same
+    word-count shape as repetition_stats, three n values in one pass.
+    """
+    c = F.col(text_col)
+    # ---- duplicate-line fractions ----
+    ln = df.select(
+        F.col(id_col), F.explode(F.split(c, "\n")).alias("__line")
+    ).select(
+        id_col, F.md5(F.col("__line")).alias("__lh"),
+        F.length("__line").alias("__len"),
+    )
+    per_line = ln.groupBy(id_col, "__lh", "__len").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    line_stats = per_line.groupBy(id_col).agg(
+        (
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0))
+            / F.sum("__c")
+        ).alias("dup_line_frac"),
+        F.when(
+            F.sum(F.col("__c") * F.col("__len")) == 0, F.lit(0.0)
+        ).otherwise(
+            F.sum(
+                F.when(F.col("__c") > 1, F.col("__c") * F.col("__len")).otherwise(0)
+            )
+            / F.sum(F.col("__c") * F.col("__len"))
+        ).alias("dup_line_char_frac"),
+    )
+    # ---- top n-gram character fractions (n = 2, 3, 4, one pass) ----
+    toks = tokens(c)
+    norm_chars = F.length(F.concat_ws(" ", toks))
+
+    def _grams_of(n: int):
+        # a factory, NOT a default-arg lambda: a two-parameter lambda
+        # would make transform() bind the second arg to the ARRAY INDEX.
+        # Docs shorter than n tokens get an EMPTY array — sequence(1, 0)
+        # would otherwise DESCEND ([1, 0]) and feed slice a 0 start
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    gram_arrays = F.array(
+        *[
+            F.struct(F.lit(n).alias("n"), _grams_of(n).alias("gs"))
+            for n in (2, 3, 4)
+        ]
+    )
+    g = (
+        df.select(F.col(id_col), norm_chars.alias("__nc"), F.explode(gram_arrays).alias("__e"))
+        .select(
+            id_col, "__nc", F.col("__e.n").alias("__n"),
+            F.explode(F.col("__e.gs")).alias("__g"),
+        )
+        .select(
+            id_col, "__nc", "__n",
+            F.md5(F.col("__g")).alias("__gh"), F.length("__g").alias("__glen"),
+        )
+    )
+    per_gram = g.groupBy(id_col, "__nc", "__n", "__gh", "__glen").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(id_col, "__n").orderBy(
+        F.col("__c").desc(), F.col("__glen").desc(), F.col("__gh").asc()
+    )
+    top = (
+        per_gram.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col, "__n",
+            F.when(F.col("__nc") == 0, F.lit(0.0))
+            .otherwise(F.col("__c") * F.col("__glen") / F.col("__nc"))
+            .alias("__frac"),
+        )
+    )
+    gram_stats = top.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("__n") == n, F.col("__frac"))), F.lit(0.0)
+            ).alias(f"top{n}gram_char_frac")
+            for n in (2, 3, 4)
+        ]
+    )
+    return line_stats.join(gram_stats, id_col, "left").select(
+        id_col,
+        "dup_line_frac",
+        "dup_line_char_frac",
+        *[
+            F.coalesce(F.col(f"top{n}gram_char_frac"), F.lit(0.0)).alias(
+                f"top{n}gram_char_frac"
+            )
+            for n in (2, 3, 4)
+        ],
     )
 
 

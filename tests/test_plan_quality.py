@@ -76,6 +76,7 @@ READ_QUERIES = [
     "video_phash",
     "video_neardup",
     "perplexity_buckets",
+    "gopher_repetition",
 ]
 
 

@@ -276,3 +276,41 @@ def test_gopher_quality_rules_fire_individually(spark):
     assert got[5].passes is False and got[5].ellipsis_frac > 0.3
     assert got[6].passes is False and got[6].alpha_frac < 0.8
     assert got[7].passes is False and got[7].n_required_stops < 2
+
+
+def test_gopher_repetition_fractions_hand_computed(spark):
+    from etl_cli_spark.operators.text import gopher_repetition
+
+    rows = [
+        (1, "dup line\nunique one\ndup line\nother"),
+        (2, "a b a b a b c"),   # 13 norm chars; "a b" x3 (len 3)
+        (3, "solo"),            # no n-grams at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    # doc 1: 2 of 4 lines dup; dup chars 2*8 of (8+10+8+5)=31
+    assert got[1].dup_line_frac == 0.5
+    assert abs(got[1].dup_line_char_frac - 16 / 31) < 1e-12
+    # doc 2: top 2-gram "a b" x3 -> 9/13; top 3-gram "a b a" x2 -> 10/13;
+    # top 4-gram "a b a b" x2 overlapping -> 14/13 (public reference
+    # semantics: count x len / total, overlap can exceed 1)
+    assert abs(got[2].top2gram_char_frac - 9 / 13) < 1e-12
+    assert abs(got[2].top3gram_char_frac - 10 / 13) < 1e-12
+    assert abs(got[2].top4gram_char_frac - 14 / 13) < 1e-12
+    # doc 3: one token -> zero everywhere, no NULLs
+    assert (got[3].dup_line_frac, got[3].top2gram_char_frac,
+            got[3].top4gram_char_frac) == (0.0, 0.0, 0.0)
+
+
+def test_gopher_repetition_top_pick_is_deterministic(spark):
+    """Count ties break by longer gram, then smaller md5 — a total
+    order, so the published fraction is a pure function of the text."""
+    from etl_cli_spark.operators.text import gopher_repetition
+
+    # "xx yy" and "zz ww" both occur twice; lengths equal; md5 decides
+    df = spark.createDataFrame(
+        [(1, "xx yy q zz ww r xx yy s zz ww")], "doc_id long, text string"
+    )
+    a = gopher_repetition(df).collect()[0]
+    b = gopher_repetition(df.repartition(4)).collect()[0]
+    assert a == b
