@@ -3228,6 +3228,19 @@ def _q_quota_sample(spark, sf):
     return out.select("doc_id", "lang", "source")
 
 
+def _q_alpha_rebalance(spark, sf):
+    """mC4/XLM-R temperature rebalancing (alpha=0.3, budget=300):
+    per-language quotas ∝ n^alpha computed distributed (no collect),
+    selection by quota_sample's content-hash ranking. The oracle
+    recomputes the quota arithmetic (pow/floor on the same doubles)
+    and the exact kept set."""
+    from etl_cli_spark.operators.pipeline import alpha_rebalance
+
+    d = _engine(spark, sf).read("documents")
+    out = alpha_rebalance(d, group_col="lang", alpha=0.3, budget=300)
+    return out.select("doc_id", "lang", "source")
+
+
 def _q_bloom_decontaminate(spark, sf):
     """Bloom-filter n-gram decontamination: the filter's bit positions
     are md5-derived, so DuckDB replays the filter — including its false
@@ -3388,6 +3401,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "hash_sample": [("doc_id", "i"), ("lang", "s"), ("n_chars", "i")],
     "stratified_sample": [("doc_id", "i"), ("lang", "s"), ("source", "s")],
     "quota_sample": [("doc_id", "i"), ("lang", "s"), ("source", "s")],
+    "alpha_rebalance": [("doc_id", "i"), ("lang", "s"), ("source", "s")],
     "weighted_sample": [("doc_id", "i"), ("lang", "s"), ("n_chars", "i")],
     "events_attribution": [("event_id", "i"), ("user_id", "i"), ("conv_ts", "t"),
                            ("attributed_event_id", "i"), ("attributed_type", "s")],
@@ -3625,6 +3639,8 @@ _SKETCH_FAMILY = [
 _SAMPLING_FAMILY = [
     "split_deterministic", "hash_sample", "stratified_sample", "quota_sample",
     "weighted_sample",
+    # round-13: temperature rebalancing joins the family
+    "alpha_rebalance",
 ]
 
 
@@ -4466,6 +4482,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample": _q_hash_sample,
     "stratified_sample": _q_stratified_sample,
     "quota_sample": _q_quota_sample,
+    "alpha_rebalance": _q_alpha_rebalance,
     "profile_orders": _q_profile_orders,
     "pipeline_declarative": _q_pipeline_declarative,
     "window_running_sum": _q_window_running_sum,
@@ -5554,6 +5571,19 @@ def oracle_sql() -> dict[str, str]:
         f"         row_number() OVER (PARTITION BY lang ORDER BY {_H}, doc_id) AS rk "
         "  FROM documents) "
         "WHERE rk <= CASE lang WHEN 'en' THEN 120 WHEN 'fr' THEN 40 ELSE 25 END"
+    )
+
+    # alpha_rebalance: quota arithmetic (pow/floor over the same
+    # doubles) + the exact content-hash kept set, replayed end to end
+    sql["alpha_rebalance"] = (
+        "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), "
+        "t AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.3)) AS tot FROM c), "
+        "q AS (SELECT lang, least(n, CAST(floor(300 * pow(CAST(n AS DOUBLE), 0.3) "
+        "      / tot) AS BIGINT)) AS quota FROM c, t), "
+        "r AS (SELECT doc_id, lang, source, "
+        f"      row_number() OVER (PARTITION BY lang ORDER BY {_H}, doc_id) AS rk "
+        "      FROM documents) "
+        "SELECT doc_id, lang, source FROM r JOIN q USING (lang) WHERE rk <= quota"
     )
 
     # rank_vocab: integer-exact corpus vocabulary, top-40 by (count desc,

@@ -86,6 +86,55 @@ def hash_sample(
     return df.filter(hash_bucket(id_col, seed) < F.lit(cut))
 
 
+def alpha_rebalance(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+    budget: int = 0,
+    id_col: str = "doc_id",
+    seed: str = "",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Temperature-based group rebalancing — the multilingual mixture
+    move of mC4 / XLM-R (Xue et al. 2021; Conneau et al. 2020, public
+    methods): sample group ``g`` with probability ∝ n_g^alpha, so
+    low-resource groups are up-weighted relative to their raw share
+    (alpha = 1 keeps natural proportions, alpha -> 0 approaches
+    uniform). Quotas are ``min(n_g, floor(budget * n_g^alpha /
+    Σ n^alpha))`` and selection is :func:`quota_sample`'s deterministic
+    content-hash ranking, so the kept set is a pure function of
+    (data, alpha, budget, seed) — rerunning on a grown corpus keeps a
+    stable prefix per group.
+
+    Scale posture: group counts are one hash aggregate; the quota table
+    is groups-sized (tiny) and broadcasts; selection inherits
+    quota_sample's plan, including the ``salt_buckets`` hot-group
+    tournament — nothing here collects, and no new shuffle appears
+    beyond quota_sample's own.
+    """
+    if budget <= 0:
+        raise ValueError("alpha_rebalance: budget must be a positive row count")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))).alias("__tot")
+    )
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.least(
+            F.col("__n"),
+            F.floor(
+                F.lit(int(budget))
+                * F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+                / F.col("__tot")
+            ),
+        ).cast("int").alias("quota"),
+    )
+    return quota_sample(
+        df, [group_col], quotas, id_col=id_col, seed=seed,
+        salt_buckets=salt_buckets,
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

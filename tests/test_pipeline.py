@@ -1407,3 +1407,48 @@ def test_chunk_sentences_ids_are_dense_when_a_sentence_overflows(spark):
         (1, 1, "x y."),
         (2, 0, "s t. u v."),
     ]
+
+
+def test_alpha_rebalance_upweights_low_resource_groups(spark):
+    """mC4/XLM-R temperature sampling: quota ∝ n^alpha, so the largest
+    group keeps a SMALLER fraction than small groups; alpha=1 recovers
+    natural proportions; selection is the deterministic quota_sample
+    ranking (stable across partitionings)."""
+    import math
+
+    from etl_cli_spark.operators.pipeline import alpha_rebalance
+
+    rows = [(i, "big" if i < 800 else "small", f"t{i}") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    out = alpha_rebalance(df, alpha=0.3, budget=300)
+    kept = {r.lang: 0 for r in out.select("lang").distinct().collect()}
+    for r in out.collect():
+        kept[r.lang] += 1
+    w_big, w_small = 800 ** 0.3, 100 ** 0.3
+    tot = w_big + w_small
+    assert kept["big"] == min(800, math.floor(300 * w_big / tot))
+    assert kept["small"] == min(100, math.floor(300 * w_small / tot))
+    # the big group keeps a smaller FRACTION (the whole point)
+    assert kept["big"] / 800 < kept["small"] / 100
+
+    # alpha=1: quotas proportional to raw counts
+    nat = {r.lang: 1 for r in []}
+    out1 = alpha_rebalance(df, alpha=1.0, budget=450).collect()
+    c1 = {}
+    for r in out1:
+        c1[r.lang] = c1.get(r.lang, 0) + 1
+    assert c1["big"] == 400 and c1["small"] == 50
+
+    # determinism across partitionings
+    a = sorted(r.doc_id for r in alpha_rebalance(df, alpha=0.3, budget=300).collect())
+    b = sorted(
+        r.doc_id
+        for r in alpha_rebalance(df.repartition(7), alpha=0.3, budget=300).collect()
+    )
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        alpha_rebalance(df, alpha=0.3, budget=0)

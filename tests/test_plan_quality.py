@@ -77,6 +77,7 @@ READ_QUERIES = [
     "video_neardup",
     "perplexity_buckets",
     "gopher_repetition",
+    "alpha_rebalance",
 ]
 
 
