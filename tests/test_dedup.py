@@ -431,3 +431,48 @@ def test_fuzzy_join_indexed_matches_batch_join(spark, engine, tmp_path):
         for r in minhash_fuzzy_join(even, odd, threshold=0.8).collect()
     }
     assert a == b and a
+
+
+def test_fingerprint_pairs_recall_is_exactly_brute_force(spark):
+    """Pigeonhole exactness, the property all three multimodal near-dup
+    operators lean on: for max_distance <= chunks-1, the banded join's
+    pair set EQUALS the brute-force Hamming pair set — no probabilistic
+    recall. Seeded pseudo-random 64-bit fingerprints with planted
+    near-pairs; brute force computed in plain python."""
+    import random
+
+    from etl_cli_spark.operators.dedup import fingerprint_pairs
+
+    rng = random.Random(1337)
+    fps = {}
+    i = 0
+    for _ in range(40):  # base values
+        fps[i] = rng.getrandbits(64)
+        i += 1
+    for b in range(0, 40, 5):  # planted near-dups: flip 1-6 bits of a base
+        v = fps[b]
+        for k in (1, 3, 6):
+            w = v
+            for bit in rng.sample(range(64), k):
+                w ^= 1 << bit
+            fps[i] = w
+            i += 1
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [(j, signed(v)) for j, v in fps.items()]
+    base = spark.createDataFrame(rows, "id long, sh long")
+    for chunks, maxd in ((8, 6), (8, 7), (4, 3)):
+        got = sorted(
+            (r.a_id, r.b_id, r.distance)
+            for r in fingerprint_pairs(base, max_distance=maxd, chunks=chunks).collect()
+        )
+        want = sorted(
+            (a, b, bin(fps[a] ^ fps[b]).count("1"))
+            for a in fps
+            for b in fps
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= maxd
+        )
+        assert got == want, (chunks, maxd)
+    assert want, "fixture must contain real pairs"
