@@ -1867,6 +1867,38 @@ def _q_kmeans_refine_exact(spark, sf):
     return cells.select("vec_id", F.col("__cell").cast("int").alias("cid"))
 
 
+def _q_semantic_cross_dedup(spark, sf):
+    """Cross-corpus semantic dedup (similarity.semantic_cross_dedup):
+    the 'new crawl' is engineered from the embeddings fixture — exact
+    copies of the vec_id % 7 == 0 vectors (ids + 10000; must DROP,
+    cosine 1.0 in the originals' own cells) plus x -> 1.0 - x
+    transforms of the vec_id % 7 == 3 vectors (ids + 20000; a
+    deterministic arithmetic both engines replay — direction changes,
+    so these mostly survive). The index side is the full embeddings
+    table; cells come from ITS deterministic k-means, and DuckDB
+    replays centroid training, both assignments, the cross-cell cosine
+    verify, and the anti-join end to end."""
+    from etl_cli_spark.operators.similarity import (
+        _as_double,
+        semantic_cross_dedup,
+    )
+
+    emb = _engine(spark, sf).read("embeddings")
+    copies = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    flipped = emb.filter(F.col("vec_id") % 7 == 3).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.transform(_as_double(F.col("embedding")), lambda x: F.lit(1.0) - x).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    left = copies.unionByName(flipped)
+    out = semantic_cross_dedup(left, emb, n_clusters=16, threshold=0.97)
+    return out.select("vec_id", "label")
+
+
 def _q_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup: deterministic k-means clusters
     (the oracle-replayable IVF protocol), within-cluster cosine >= 0.4
@@ -3460,6 +3492,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "kmeans_refine": [("vec_id", "i"), ("cid", "i")],
     "kmeans_refine_exact": [("vec_id", "i"), ("cid", "i")],
     "semantic_dedup_refined": [("vec_id", "i"), ("cell", "i"), ("label", "i")],
+    "semantic_cross_dedup": [("vec_id", "i"), ("label", "i")],
     # -- round-13: every formerly-standalone out-of-window query joins a
     #    digest family (VERDICT r12 item 1: the driver must re-sign the
     #    WHOLE declared surface every round, not just the 50-slot window)
@@ -3685,6 +3718,8 @@ _SIMILARITY_FAMILY = [
     "similarity_topk", "similarity_ann", "similarity_ivf", "similarity_pq",
     "similarity_ivfpq", "embedding_neardup", "semantic_dedup",
     "kmeans_refine", "kmeans_refine_exact", "semantic_dedup_refined",
+    # round-13: cross-corpus semantic dedup joins the family
+    "semantic_cross_dedup",
 ]
 
 
@@ -4430,6 +4465,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivfpq": _q_similarity_ivfpq,
     "embedding_neardup": _q_embedding_neardup,
     "semantic_dedup": _q_semantic_dedup,
+    "semantic_cross_dedup": _q_semantic_cross_dedup,
     "kmeans_refine": _q_kmeans_refine,
     "kmeans_refine_exact": _q_kmeans_refine_exact,
     "semantic_dedup_refined": _q_semantic_dedup_refined,
@@ -6490,6 +6526,36 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c.vec_id, CAST(c.cid AS INTEGER) AS cell, em.label "
         "FROM cells c JOIN embeddings em USING (vec_id) "
         "WHERE c.vec_id NOT IN (SELECT d FROM drops)"
+    )
+
+    # semantic_cross_dedup: centroids from the INDEX corpus's k-means
+    # chain, BOTH sides assigned against them (the left side gets its
+    # own rounded-distance argmin over the final centroid table), then
+    # the same-cell cross cosine verify and the anti-join — end to end
+    _xdctes, _xprev = _ivf_cells_ctes(_DIM, _K, _ITERS)
+    _xdctes = list(_xdctes)
+    _xdctes.append(
+        "l AS (SELECT vec_id + 10000 AS lid, vec_id AS src, v FROM e "
+        "WHERE vec_id % 7 = 0 "
+        "UNION ALL SELECT vec_id + 20000, vec_id, "
+        "list_transform(v, x -> 1.0 - x) FROM e WHERE vec_id % 7 = 3)"
+    )
+    _xdctes.append(
+        f"lfin AS (SELECT t.lid, t.src, t.v, c.cid, row_number() OVER ("
+        f"PARTITION BY t.lid ORDER BY round({_d2('t.v', 'c.cv')}, 6), c.cid) AS rn "
+        f"FROM l t CROSS JOIN {_xprev} c)"
+    )
+    _xdctes.append("lcells AS (SELECT lid, src, v, cid FROM lfin WHERE rn = 1)")
+    _xdctes.append(
+        "xdrops AS (SELECT DISTINCT a.lid FROM lcells a JOIN cells b "
+        "ON a.cid = b.cid "
+        "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.97)"
+    )
+    sql["semantic_cross_dedup"] = (
+        "WITH " + ", ".join(_xdctes) + " "
+        "SELECT c.lid AS vec_id, em.label FROM lcells c "
+        "JOIN embeddings em ON c.src = em.vec_id "
+        "WHERE c.lid NOT IN (SELECT lid FROM xdrops)"
     )
 
     # kmeans_refine: the SAME deterministic Lloyd chain, but iterated

@@ -1040,6 +1040,79 @@ def semantic_dedup(
     return with_cells.join(drops, on=id_col, how="left_anti")
 
 
+def semantic_cross_dedup(
+    left: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.97,
+    sample_size: int = 2048,
+) -> DataFrame:
+    """Cross-corpus semantic dedup: drop every ``left`` row whose
+    embedding has cosine >= ``threshold`` (round-6, the portable
+    protocol) against ANY ``index`` row — dedup an incoming crawl
+    against the EXISTING training set, the embedding sibling of
+    ``dedup.minhash_fuzzy_join``'s text-side entity resolution and the
+    cross-corpus form of :func:`semantic_dedup` (SemDeDup applied
+    between snapshots rather than within one).
+
+    Cells come from the INDEX corpus's deterministic k-means (the
+    oracle-replayable ``ivf_index`` protocol — lowest-id sample,
+    rounded-distance argmin); both sides are assigned against the SAME
+    centroids, so only same-cell cross pairs are compared —
+    O(sum |L_cell| x |R_cell|), never |L| x |R|. The verify is the
+    pure-Column unit-vector dot (no UDF); the only shuffle is the
+    ``__cell`` equi-join. A persisted deployment keeps the index side
+    partitioned by ``__cell`` so each incremental drop probes only its
+    cells (the ivf_topk_indexed pattern).
+
+    One recall caveat, inherited from SemDeDup itself: a left vector
+    assigned to cell A can have a near-duplicate sitting in cell B
+    when the pair straddles a cell boundary — the same within-corpus
+    approximation the paper accepts; size ``n_clusters`` to the corpus
+    as usual. Returns the surviving ``left`` rows (original columns).
+    """
+    from pyspark import StorageLevel
+
+    indexed, cent = ivf_index(
+        index, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_clusters, sample_size=sample_size,
+    )
+
+    def _unit(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(
+                "__cell",
+                F.col(id_col).alias(out_id),
+                _as_double(F.col(vec_col)).alias("__v"),
+            )
+            .withColumn("__n", norm(F.col("__v")))
+            .select(
+                "__cell", out_id,
+                F.transform("__v", lambda x: x / F.col("__n")).alias(f"{out_id}_u"),
+            )
+        )
+
+    right_u = _unit(indexed, "__r_id").persist(StorageLevel.MEMORY_AND_DISK)
+    left_cells = _assign_cells(left.select(id_col, vec_col), cent, vec_col)
+    left_u = _unit(left_cells, "__l_id")
+    try:
+        drops = (
+            left_u.join(right_u, on="__cell")
+            .filter(
+                F.round(dot(F.col("__l_id_u"), F.col("__r_id_u")), 6)
+                >= F.lit(threshold)
+            )
+            .select(F.col("__l_id").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        right_u.unpersist()
+    return left.join(drops, on=id_col, how="left_anti")
+
+
 def _cell_pair_candidates(
     base: DataFrame,
     margin: float,

@@ -78,6 +78,7 @@ READ_QUERIES = [
     "perplexity_buckets",
     "gopher_repetition",
     "alpha_rebalance",
+    "semantic_cross_dedup",
 ]
 
 

@@ -1003,3 +1003,38 @@ def test_semantic_dedup_refined_cells_keep_independent_set(spark):
     )
     assert viol == 0
     assert 0 < kept.count() <= 30
+
+
+def test_semantic_cross_dedup_drops_index_matches_only(spark):
+    """Cross-corpus dedup: left rows with a >= threshold cosine against
+    ANY index row drop; everything else survives with its original
+    columns. Exact copies of index vectors must always drop (cosine
+    1.0 lands in the original's own cell)."""
+    from pyspark.sql import functions as F
+
+    from etl_cli_spark.operators.similarity import semantic_cross_dedup
+
+    # index: 3 well-separated directions x repeats
+    base = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    idx_rows = [(i, [x + (i % 3) * 0.001 for x in base[i % 3]]) for i in range(30)]
+    index = spark.createDataFrame(idx_rows, "vec_id long, embedding array<double>")
+    left_rows = [
+        (100, [10.0, 0.0, 0.0]),   # exact member direction -> drop
+        (101, [0.0, 9.5, 0.1]),    # near the y cluster -> drop
+        (102, [5.0, 5.0, 5.0]),    # diagonal, far from all -> survive
+        (103, [-10.0, 0.0, 0.0]),  # opposite direction -> survive
+    ]
+    left = spark.createDataFrame(left_rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r.vec_id
+        for r in semantic_cross_dedup(left, index, n_clusters=3, threshold=0.97).collect()
+    )
+    assert kept == [102, 103]
+    # determinism across partitionings (content-derived cells + round-6)
+    kept2 = sorted(
+        r.vec_id
+        for r in semantic_cross_dedup(
+            left.repartition(5), index.repartition(3), n_clusters=3, threshold=0.97
+        ).collect()
+    )
+    assert kept2 == kept
