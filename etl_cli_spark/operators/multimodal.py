@@ -1091,7 +1091,11 @@ def _afp64(s, frames: int = 65) -> int:
 
     n = len(s)
     starts = (np.arange(frames) * n) // frames
-    energy = np.add.reduceat(s * s, np.maximum(starts, 0)) if n else np.zeros(frames, dtype=np.int64)
+    energy = (
+        np.add.reduceat(s * s, starts)
+        if n
+        else np.zeros(frames, dtype=np.int64)
+    )
     v = 0
     for f in range(frames - 1):
         if energy[f] > energy[f + 1]:
