@@ -2382,6 +2382,33 @@ def _q_url_domain_cap(spark, sf):
     return capped.select("doc_id", "domain")
 
 
+def _q_url_blocklist(spark, sf):
+    """Domain blocklist filter over messy URLs through the table-driven
+    PSL path: the blocklist is DATA-DERIVED (the registrable domains of
+    the doc_id % 11 == 0 rows), so the oracle recomputes list and
+    survivors from the tables alone — domain extraction, PSL
+    longest-match, and the anti-join all replayed."""
+    from etl_cli_spark.operators.urls import (
+        domain_blocklist_filter,
+        fixture_public_suffixes,
+        with_registrable_domain,
+    )
+
+    d = _engine(spark, sf).read("documents").withColumn("url", F.expr(_MESSY_URL_SQL))
+    psl = spark.createDataFrame(
+        [(s,) for s in fixture_public_suffixes()], ["suffix"]
+    )
+    bl = (
+        with_registrable_domain(
+            d.filter(F.col("doc_id") % 11 == 0), "url", suffixes=psl
+        )
+        .select("domain")
+        .distinct()
+    )
+    out = domain_blocklist_filter(d, "url", bl, suffixes=psl)
+    return out.select("doc_id", "domain")
+
+
 def _q_pipeline_end_to_end(spark, sf):
     """Capstone: the whole training-data prep pipeline — quality filter
     -> exact dedup -> benchmark decontamination -> deterministic split ->
@@ -3493,6 +3520,11 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "kmeans_refine_exact": [("vec_id", "i"), ("cid", "i")],
     "semantic_dedup_refined": [("vec_id", "i"), ("cell", "i"), ("label", "i")],
     "semantic_cross_dedup": [("vec_id", "i"), ("label", "i")],
+    # -- URL curation family (round-13 digest) --
+    "url_canonicalize": [("doc_id", "i"), ("url", "s"), ("canon_url", "s"),
+                         ("domain", "s")],
+    "url_domain_cap": [("doc_id", "i"), ("domain", "s")],
+    "url_blocklist": [("doc_id", "i"), ("domain", "s")],
     # -- round-13: every formerly-standalone out-of-window query joins a
     #    digest family (VERDICT r12 item 1: the driver must re-sign the
     #    WHOLE declared surface every round, not just the 50-slot window)
@@ -3761,6 +3793,11 @@ _SPANS_FAMILY = [
     "strip_repeated_spans", "strip_spans_indexed", "strip_spans_compacted",
 ]
 _BPE_FAMILY = ["bpe_train", "bpe_encode"]
+# URL curation family (late round-13: url_blocklist joins canonicalize
+# and domain_cap; url_digest takes domain_cap's old window slot while
+# url_canonicalize stays directly in-window — a deliberate double
+# certification like the core pin's)
+_URL_FAMILY = ["url_canonicalize", "url_domain_cap", "url_blocklist"]
 
 
 def _q_jobops_digest(spark, sf):
@@ -3777,6 +3814,10 @@ def _q_spans_digest(spark, sf):
 
 def _q_bpe_digest(spark, sf):
     return _q_family_digest(spark, sf, _BPE_FAMILY)
+
+
+def _q_url_digest(spark, sf):
+    return _q_family_digest(spark, sf, _URL_FAMILY)
 
 
 # the single source of truth tying each digest query to its member
@@ -3801,6 +3842,7 @@ _FAMILIES: dict[str, list[str]] = {
     "ingest_digest": _INGEST_FAMILY,
     "spans_digest": _SPANS_FAMILY,
     "bpe_digest": _BPE_FAMILY,
+    "url_digest": _URL_FAMILY,
 }
 
 
@@ -4389,11 +4431,14 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interval_join": _q_stream_interval_join,
     "graph_pagerank": _q_graph_pagerank,
     # -- events + URL curation (slots 19-22; funnel/retention/
-    #    attribution/window_1h ride join_window_digest) --
+    #    attribution/window_1h ride join_window_digest; round-13:
+    #    url_digest certifies canonicalize + domain_cap + blocklist,
+    #    taking domain_cap's slot — canonicalize stays in-window
+    #    directly, a deliberate double certification) --
     "events_sessionize": _q_events_sessionize,
     "events_top_paths": _q_events_top_paths,
     "url_canonicalize": _q_url_canonicalize,
-    "url_domain_cap": _q_url_domain_cap,
+    "url_digest": _q_url_digest,
     # -- LLM-pipeline extension families via digests (slots 23-28) --
     "text_digest": _q_text_digest,
     "dedup_exact": _q_dedup_exact,
@@ -4434,6 +4479,9 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_spans_indexed": _q_strip_spans_indexed,
     "bpe_train": _q_bpe_train,
     "bpe_encode": _q_bpe_encode,
+    # URL family members (in-window via url_digest)
+    "url_domain_cap": _q_url_domain_cap,
+    "url_blocklist": _q_url_blocklist,
     # text family (in-window via text_digest)
     "text_stats_by_lang": _q_text_stats_by_lang,
     "text_fingerprint": _q_text_fingerprint,
@@ -4887,6 +4935,22 @@ def oracle_sql() -> dict[str, str]:
         "r AS (SELECT doc_id, domain, row_number() OVER ("
         "PARTITION BY domain ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn "
         "FROM dom) SELECT doc_id, domain FROM r WHERE rn <= 3"
+    )
+
+    # url_blocklist: the same PSL longest-match domain CTE, a
+    # data-derived blocklist (domains of the doc_id % 11 == 0 rows),
+    # and the anti-join — all recomputed from the tables
+    sql["url_blocklist"] = (
+        _url_parts_ctes()
+        + ", cand AS (SELECT doc_id, host, hp, hp[-2] || '.' || hp[-1] AS c2, "
+        "  CASE WHEN len(hp) >= 3 THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1] END AS c3 "
+        "  FROM s6), "
+        "dom AS (SELECT doc_id, "
+        f"  CASE WHEN len(hp) >= 4 AND list_contains({_psl}, c3) THEN hp[-4] || '.' || c3 "
+        f"       WHEN len(hp) >= 3 AND list_contains({_psl}, c2) THEN hp[-3] || '.' || c2 "
+        "       WHEN len(hp) >= 2 THEN c2 ELSE host END AS domain FROM cand), "
+        "bl AS (SELECT DISTINCT domain FROM dom WHERE doc_id % 11 = 0) "
+        "SELECT d.doc_id, d.domain FROM dom d ANTI JOIN bl USING (domain)"
     )
 
     sql["events_window_1h"] = (

@@ -143,6 +143,33 @@ def with_registrable_domain(
     return joined.withColumn(out_col, dom).drop("__psl2", "__psl3")
 
 
+def domain_blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame,
+    domain_col: str = "domain",
+    suffixes: DataFrame | None = None,
+) -> DataFrame:
+    """Drop every row whose registrable domain (eTLD+1) is on the
+    blocklist — the standard crawl-curation gate (spam / adult / SEO
+    domain lists run against every fetched URL before any content
+    work). ``blocklist`` is a one-column DataFrame of domains;
+    ``suffixes`` selects the table-driven PSL longest-match path
+    (broadcast) exactly as :func:`with_registrable_domain`.
+
+    Scale posture: the domain is a scan-speed projection (or two
+    broadcast suffix probes), and the blocklist anti-join broadcasts —
+    real blocklists are thousands to low millions of rows, megabytes
+    next to a 100 TB crawl; the corpus never shuffles. Output keeps
+    the input schema plus ``domain_col``.
+    """
+    d = with_registrable_domain(df, url_col, out_col=domain_col, suffixes=suffixes)
+    bl = blocklist.select(
+        F.col(blocklist.columns[0]).alias(domain_col)
+    ).distinct()
+    return d.join(F.broadcast(bl), domain_col, "left_anti")
+
+
 def canonicalize_url(col: Column | str) -> Column:
     """Canonical form of a URL so byte-different fetches of the same
     resource compare equal:

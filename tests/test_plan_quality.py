@@ -79,6 +79,7 @@ READ_QUERIES = [
     "gopher_repetition",
     "alpha_rebalance",
     "semantic_cross_dedup",
+    "url_blocklist",
 ]
 
 

@@ -174,3 +174,24 @@ def test_per_domain_cap_with_psl_table(spark):
     assert counts == {"site0.com.sg": 3, "site1.com.sg": 3}
     merged = per_domain_cap(df, "url", cap=3, domain_col="domain")
     assert merged.count() == 3  # embedded subset: one pseudo-domain
+
+
+def test_domain_blocklist_filter_drops_listed_etld1(spark):
+    """Blocklisting works at the REGISTRABLE-domain level: every host
+    under a listed eTLD+1 drops (subdomains included), unlisted domains
+    survive, and the anti-join broadcasts the list."""
+    from etl_cli_spark.operators.urls import domain_blocklist_filter
+
+    rows = [
+        (1, "https://spam.example.com/a"),
+        (2, "https://www.sub.spam.example.com/b"),   # subdomain of listed
+        (3, "https://good.example.org/c"),
+        (4, "http://another.net/d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([("example.com",)], ["domain"])
+    out = domain_blocklist_filter(df, "url", bl)
+    kept = sorted((r.doc_id, r.domain) for r in out.collect())
+    assert kept == [(3, "example.org"), (4, "another.net")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

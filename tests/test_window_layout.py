@@ -56,11 +56,14 @@ EXPECTED_WINDOW = [
     "incremental_loop",
     "stream_interval_join",
     "graph_pagerank",
-    # events + URL curation
+    # events + URL curation (round-13: url_digest certifies
+    # canonicalize + domain_cap + blocklist in domain_cap's old slot;
+    # canonicalize stays directly in-window — deliberate double
+    # certification, like the core pin)
     "events_sessionize",
     "events_top_paths",
     "url_canonicalize",
-    "url_domain_cap",
+    "url_digest",
     # LLM-pipeline extension families via digests
     "text_digest",
     "dedup_exact",
