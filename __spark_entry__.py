@@ -5884,7 +5884,7 @@ def oracle_sql() -> dict[str, str]:
         r"len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) "
         "/ len(lines) END AS ef, "
         "CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
-        "len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / len(toks) END AS af, "
+        r"len(list_filter(toks, x -> regexp_matches(x, '\p{L}'))) / len(toks) END AS af, "
         f"len(list_filter({_greq}, w -> list_contains(toks, w))) AS nstops "
         "FROM s) "
         "SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len, "
@@ -5910,10 +5910,11 @@ def oracle_sql() -> dict[str, str]:
         "ln AS (SELECT doc_id, md5(l) AS lh, len(l) AS ll FROM "
         "       (SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM e)), "
         "pl AS (SELECT doc_id, lh, ll, count(*) AS c FROM ln GROUP BY doc_id, lh, ll), "
+        # 2nd+ occurrences only (c - 1), the Gopher/Dolma convention
         "ls AS (SELECT doc_id, "
-        "  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dlf, "
+        "  CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS DOUBLE) / sum(c) AS dlf, "
         "  CASE WHEN sum(c * ll) = 0 THEN 0.0 ELSE "
-        "  CAST(sum(CASE WHEN c > 1 THEN c * ll ELSE 0 END) AS DOUBLE) / sum(c * ll) "
+        "  CAST(sum(CASE WHEN c > 1 THEN (c - 1) * ll ELSE 0 END) AS DOUBLE) / sum(c * ll) "
         "  END AS dlcf FROM pl GROUP BY doc_id), "
         r"tok AS (SELECT doc_id, string_split_regex(lower(trim(t)), '\s+') AS tk, "
         "        len(array_to_string(string_split_regex(lower(trim(t)), "

@@ -567,13 +567,19 @@ def phash_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         df.schema.fields + [T.StructField("phash", T.LongType(), True)]
     )
 
+    def hash_one(p):
+        # Batch-robustness contract (same as audio_fingerprint): a NULL
+        # or undecodable payload fingerprints to NULL instead of
+        # aborting the task — one corrupt image in a crawl batch must
+        # not kill the job.
+        if p is None:
+            return None
+        px = _decode_pixels(bytes(p))
+        return None if px is None else _dhash64(px)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield pdf.assign(
-                phash=[
-                    _dhash64(_decode_pixels(bytes(p))) for p in pdf[payload_col]
-                ]
-            )
+            yield pdf.assign(phash=[hash_one(p) for p in pdf[payload_col]])
 
     return df.mapInPandas(batches, out_schema)
 
@@ -604,8 +610,10 @@ def image_neardup(
             f"image_neardup: pigeonhole recall needs max_distance <= "
             f"chunks - 1 (got {max_distance} > {chunks - 1})"
         )
-    base = phash_images(df, payload_col=payload_col).select(
-        F.col(id_col).alias("id"), F.col("phash").alias("sh")
+    base = (
+        phash_images(df, payload_col=payload_col)
+        .filter(F.col("phash").isNotNull())
+        .select(F.col(id_col).alias("id"), F.col("phash").alias("sh"))
     )
     return fingerprint_pairs(base, max_distance=max_distance, chunks=chunks)
 
@@ -1246,20 +1254,37 @@ def video_neardup(
         )
     fp = video_phash(df, every_ms=every_ms)
     # composite frame id: media_id * 100000 + frame_idx (sample count
-    # is clamped at 10k per video, so the frame part can't collide)
-    base = fp.select(
-        (F.col("media_id") * 100000 + F.col("frame_idx")).alias("id"),
-        F.col("phash").alias("sh"),
+    # is clamped at 10k per video, so the frame part can't collide).
+    # The packing needs media_id in [0, (2^63-1) div 100000]: negative
+    # ids break media-major ordering and larger ids overflow the long,
+    # so out-of-range ids fail fast instead of silently mispairing.
+    id_bound = ((1 << 63) - 1) // 100_000
+    in_range = (F.col("media_id") >= 0) & (F.col("media_id") <= id_bound)
+    composite = F.when(
+        in_range, F.col("media_id") * 100000 + F.col("frame_idx")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "video_neardup: media_id outside the composite-id "
+                    f"range [0, {id_bound}]: "
+                ),
+                F.col("media_id").cast("string"),
+            )
+        )
     )
+    base = fp.select(composite.alias("id"), F.col("phash").alias("sh"))
     # composite ids order media-major, so a_id < b_id from the band
     # join implies a_media <= b_media — after dropping same-video
-    # pairs, the a side IS the lower video and a_frame its frame
+    # pairs, the a side IS the lower video and a_frame its frame.
+    # Decode with INTEGER division (div), not floor(double /): doubles
+    # lose exactness above 2^53 and would mispair high ids.
     frame_pairs = fingerprint_pairs(
         base, max_distance=max_distance, chunks=chunks
     ).select(
-        F.floor(F.col("a_id") / 100000).cast("long").alias("a_media"),
+        F.expr("a_id div 100000").alias("a_media"),
         (F.col("a_id") % 100000).alias("a_frame"),
-        F.floor(F.col("b_id") / 100000).cast("long").alias("b_media"),
+        F.expr("b_id div 100000").alias("b_media"),
     )
     cross = frame_pairs.filter(F.col("a_media") != F.col("b_media"))
     return (

@@ -137,8 +137,9 @@ def gopher_quality(
     ellipses per word) <= max; fraction of lines starting with a
     bullet (``-``/``*``/``•``) <= max; fraction of lines ending with
     an ellipsis <= max; fraction of words containing an alphabetic
-    character >= min; and >= ``min_required_stops`` of the 8 Gopher
-    must-contain words present.
+    character (any Unicode letter, ``\\p{L}`` — accented and
+    non-Latin scripts count) >= min; and >= ``min_required_stops`` of
+    the 8 Gopher must-contain words present.
 
     Everything is a pure Column expression over one whitespace
     tokenization and one line split — single projection, whole-stage
@@ -176,7 +177,10 @@ def gopher_quality(
     )
     bullet_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(bullet / n_lines)
     ellipsis_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(ellipsis / n_lines)
-    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    # Unicode letter class, not [a-z]: accented and non-Latin-script
+    # words must count as alphabetic (\p{L} is supported by both Java
+    # regex and RE2, so the DuckDB oracle replays it verbatim)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}")))
     alpha_frac = F.when(n_words == 0, F.lit(0.0)).otherwise(alpha / n_words)
     req = F.array(*[F.lit(w) for w in _GOPHER_REQUIRED_STOPS])
     n_stops = F.size(F.filter(req, lambda w: F.array_contains(toks, w)))
@@ -321,8 +325,10 @@ def gopher_repetition(
     the companion of :func:`gopher_quality`): per document,
 
     - ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of lines
-      (and of line characters) belonging to a line that occurs more
-      than once in the document;
+      (and of line characters) that are 2nd-or-later occurrences of a
+      repeated line (the first copy is not counted — the
+      Gopher/Dolma/DataTrove convention, so the published 30%
+      thresholds apply directly; ``[A,A,B,C]`` scores 0.25);
     - ``top{2,3,4}gram_char_frac`` — characters covered by the single
       most frequent word n-gram (occurrences × n-gram length) over the
       NORMALIZED character count (lowercased tokens joined by single
@@ -353,16 +359,22 @@ def gopher_repetition(
     per_line = ln.groupBy(id_col, "__lh", "__len").agg(
         F.count(F.lit(1)).alias("__c")
     )
+    # Gopher/Dolma/DataTrove convention: only the 2nd+ occurrences of a
+    # repeated line are "duplicate" — the first copy is legitimate text.
+    # [A,A,B,C] scores 1/4, not 2/4, so the published 30% thresholds
+    # apply directly (round-13 advice fix).
     line_stats = per_line.groupBy(id_col).agg(
         (
-            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0))
+            F.sum(F.when(F.col("__c") > 1, F.col("__c") - 1).otherwise(0))
             / F.sum("__c")
         ).alias("dup_line_frac"),
         F.when(
             F.sum(F.col("__c") * F.col("__len")) == 0, F.lit(0.0)
         ).otherwise(
             F.sum(
-                F.when(F.col("__c") > 1, F.col("__c") * F.col("__len")).otherwise(0)
+                F.when(
+                    F.col("__c") > 1, (F.col("__c") - 1) * F.col("__len")
+                ).otherwise(0)
             )
             / F.sum(F.col("__c") * F.col("__len"))
         ).alias("dup_line_char_frac"),

@@ -1233,6 +1233,81 @@ def test_video_phash_frames_hash_like_images(spark):
     assert rows[0].phash == _dhash64(px)
 
 
+def test_phash_null_on_undecodable_and_neardup_survives(spark):
+    """Batch-robustness contract (round-13 advice, mirrors
+    audio_fingerprint): a NULL or undecodable image payload must
+    fingerprint to NULL — one corrupt image in a crawl batch must not
+    abort the job — and image_neardup must filter it out while still
+    pairing the healthy images."""
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        image_neardup,
+        neardup_pixels,
+        phash_images,
+    )
+
+    good = [
+        (i, "image", bytearray(encode_ppm(neardup_pixels(0, i, 16, 12))),
+         (16, 12, None, None, "ppm"))
+        for i in range(2)
+    ]
+    bad = [
+        (2, "image", bytearray(b"\x00\x01garbage-not-an-image"),
+         (0, 0, None, None, "bin")),
+        (3, "image", None, (0, 0, None, None, "none")),
+    ]
+    df = spark.createDataFrame(good + bad, MEDIA_SCHEMA)
+    got = {r.media_id: r.phash for r in phash_images(df).collect()}
+    assert got[0] is not None and got[1] is not None
+    assert got[2] is None and got[3] is None
+    pairs = [(r.a_id, r.b_id) for r in image_neardup(df).collect()]
+    assert pairs == [(0, 1)]
+
+
+def test_video_neardup_rejects_out_of_range_media_ids(spark):
+    """The composite frame id packs media_id * 100000 + frame_idx into
+    a long; negative or too-large ids would silently mispair videos, so
+    they must fail fast (round-13 advice fix)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        make_fake_video_neardup,
+        video_neardup,
+    )
+    from pyspark.sql import functions as F
+
+    vids = make_fake_video_neardup(spark, n_groups=2, per_group=2)
+    bad = vids.withColumn(
+        "media_id",
+        F.when(F.col("media_id") == 0, F.lit(-1)).otherwise(F.col("media_id")),
+    )
+    with pytest.raises(Exception, match="composite-id range"):
+        video_neardup(bad).collect()
+
+
+def test_video_neardup_composite_decode_is_integer_exact(spark):
+    """Composite ids above 2^53 lose exactness under double division;
+    the div-based decode must keep pairing exact for large media_ids
+    (round-13 advice fix). Ids are shifted near the packing bound."""
+    from etl_cli_spark.operators.multimodal import (
+        make_fake_video_neardup,
+        video_neardup,
+    )
+    from pyspark.sql import functions as F
+
+    base = 92_233_720_368_000  # near (2^63-1) div 100000, still valid
+    vids = make_fake_video_neardup(spark, n_groups=2, per_group=2)
+    shifted = vids.withColumn("media_id", F.col("media_id") + F.lit(base))
+    pairs = sorted((r.a_id, r.b_id) for r in video_neardup(shifted).collect())
+    want = sorted(
+        (base + g * 2, base + g * 2 + 1) for g in range(2)
+    )
+    assert pairs == want
+
+
 def test_video_neardup_skips_undecodable_payloads(spark):
     from etl_cli_spark.operators.multimodal import (
         MEDIA_SCHEMA,

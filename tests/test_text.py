@@ -288,9 +288,11 @@ def test_gopher_repetition_fractions_hand_computed(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in gopher_repetition(df).collect()}
-    # doc 1: 2 of 4 lines dup; dup chars 2*8 of (8+10+8+5)=31
-    assert got[1].dup_line_frac == 0.5
-    assert abs(got[1].dup_line_char_frac - 16 / 31) < 1e-12
+    # doc 1: "dup line" occurs twice -> ONE extra occurrence counts
+    # (Gopher/Dolma convention: first copy is legitimate): 1 of 4
+    # lines, 1*8 of (8+10+8+5)=31 chars
+    assert got[1].dup_line_frac == 0.25
+    assert abs(got[1].dup_line_char_frac - 8 / 31) < 1e-12
     # doc 2: top 2-gram "a b" x3 -> 9/13; top 3-gram "a b a" x2 -> 10/13;
     # top 4-gram "a b a b" x2 overlapping -> 14/13 (public reference
     # semantics: count x len / total, overlap can exceed 1)
@@ -300,6 +302,39 @@ def test_gopher_repetition_fractions_hand_computed(spark):
     # doc 3: one token -> zero everywhere, no NULLs
     assert (got[3].dup_line_frac, got[3].top2gram_char_frac,
             got[3].top4gram_char_frac) == (0.0, 0.0, 0.0)
+
+
+def test_gopher_quality_alpha_frac_is_unicode(spark):
+    """alpha_frac counts any word containing a Unicode letter — an
+    accented / non-Latin-script document must not score 0 (round-13
+    advice fix: the old [a-z] class failed every non-ASCII corpus)."""
+    from etl_cli_spark.operators.text import gopher_quality
+
+    docs = [
+        (1, "Él está aquí y también allá según creía ñoño"),  # accented Latin
+        (2, "это текст на русском языке с буквами кириллицы"),  # Cyrillic
+        (3, "1 2 3 4 5 6 7 8 9 10"),  # digits only: still 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r.doc_id: r for r in gopher_quality(df, min_words=1).collect()}
+    assert got[1].alpha_frac == 1.0
+    assert got[2].alpha_frac == 1.0
+    assert got[3].alpha_frac == 0.0
+
+
+def test_gopher_repetition_dup_lines_match_reference_convention(spark):
+    """The documented [A,A,B,C] -> 0.25 example from the Gopher/Dolma
+    reference implementations (2nd+ occurrences only)."""
+    from etl_cli_spark.operators.text import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(1, "A\nA\nB\nC"), (2, "A\nA\nA\nA")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    assert got[1].dup_line_frac == 0.25
+    assert got[1].dup_line_char_frac == 0.25
+    assert got[2].dup_line_frac == 0.75   # 3 of 4 copies are duplicates
+    assert got[2].dup_line_char_frac == 0.75
 
 
 def test_gopher_repetition_top_pick_is_deterministic(spark):
