@@ -454,6 +454,7 @@ def simhash_pairs(
     chunks: int = 4,
     cache: bool = True,
     token_hash=None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs within Hamming distance via pigeonhole banding.
 
@@ -461,14 +462,20 @@ def simhash_pairs(
     within distance ``chunks-1`` must agree on >= 1 piece, so an
     equi-join per piece finds all candidates without a cross join —
     recall is EXACT (pigeonhole), not probabilistic, whenever
-    ``max_distance <= chunks - 1``.
+    ``max_distance <= chunks - 1``. ``max_bucket_size`` forwards to
+    :func:`fingerprint_pairs`'s degenerate-bucket guard (boilerplate
+    corpora collapse many documents onto one simhash).
     """
     base = df.select(
         F.col(id_col).alias("id"),
         simhash(F.col(text_col), token_hash=token_hash).alias("sh"),
     )
     return fingerprint_pairs(
-        base, max_distance=max_distance, chunks=chunks, cache=cache
+        base,
+        max_distance=max_distance,
+        chunks=chunks,
+        cache=cache,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -477,6 +484,7 @@ def fingerprint_pairs(
     max_distance: int = 3,
     chunks: int = 4,
     cache: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pigeonhole-banded Hamming pair join over ANY 64-bit fingerprint
     column (round-13): ``base`` is ``(id, sh)``. Shared by
@@ -487,9 +495,35 @@ def fingerprint_pairs(
     real distance filter runs on the 64-bit fingerprints.
 
     Scale posture: only (id, fingerprint, band) tuples shuffle —
-    never documents or pixels; the per-band equi-join is the standard
-    LSH shape (skewed bands = near-constant images/text; cap or salt
-    the band key at extreme skew exactly like dedup_minhash's bands).
+    never documents or pixels.
+
+    ``max_bucket_size`` is the degenerate-bucket guard (round-14; the
+    counterpart of ``minhash_candidate_pairs``'s cap, dedup.py:226).
+    Real crawls are full of near-blank media whose perceptual hashes
+    collapse to ONE value (a smooth gradient dHashes to all-zero
+    bits), so at 100 TB a single fingerprint can hold millions of ids
+    and the unconditional band self-join emits O(m^2/2) candidates —
+    an algorithmic blow-up AQE can only parallelize, not shrink. Two
+    layers, both engaging only past the cap:
+
+    1. **Identical-fingerprint collapse** — classes of > cap ids with
+       the SAME 64-bit fingerprint emit a STAR to the class's min-id
+       rep directly (distance 0 by definition, O(m) rows) and send
+       only the rep into banding. This layer is LOSSLESS for
+       connectivity, not just approximately: distance(member, x) ==
+       distance(rep, x) whenever member and rep share a fingerprint,
+       so the (rep, x) pair survives the verify exactly when
+       (member, x) would have — every component the clique semantics
+       would form is re-formed through the rep.
+    2. **Hot-band clique→star degrade** — residual (chunk, piece)
+       buckets holding > cap DISTINCT fingerprints pair each member
+       with the bucket's min-id hub only (O(m), same documented
+       recall trade as the MinHash cap: hub pairs still face the
+       exact Hamming verify, and degenerate buckets are
+       near-constant in practice).
+
+    Default ``None`` keeps the exact all-pairs-within-distance
+    semantics the oracles replay.
     """
     width = 64 // chunks
     mask = (1 << width) - 1
@@ -497,7 +531,33 @@ def fingerprint_pairs(
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    pieces = base.select(
+    star0 = None
+    if max_bucket_size is not None and max_bucket_size >= 1:
+        # layer 1: collapse identical-fingerprint classes > cap. One
+        # hash aggregate on the 8-byte fingerprint (map-side combine
+        # absorbs the hot value) + a broadcast of the (few) hot
+        # classes back onto base.
+        hot_cls = (
+            base.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__m"), F.min("id").alias("__rep"))
+            .filter(F.col("__m") > max_bucket_size)
+            .select("sh", "__rep")
+        )
+        tagged = base.join(F.broadcast(hot_cls), "sh", "left")
+        star0 = (
+            tagged.filter(F.col("__rep").isNotNull() & (F.col("id") != F.col("__rep")))
+            .select(
+                F.col("__rep").alias("a_id"),
+                F.col("id").alias("b_id"),
+                F.lit(0).alias("distance"),
+            )
+        )
+        banded = tagged.filter(
+            F.col("__rep").isNull() | (F.col("id") == F.col("__rep"))
+        ).select("id", "sh")
+    else:
+        banded = base
+    pieces = banded.select(
         "id",
         "sh",
         F.explode(
@@ -512,16 +572,51 @@ def fingerprint_pairs(
             )
         ).alias("p"),
     ).select("id", "sh", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"))
-    l = pieces.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), "chunk", "piece")
-    r = pieces.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), "chunk", "piece")
-    return (
-        l.join(r, on=["chunk", "piece"], how="inner")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
+    if max_bucket_size is not None and max_bucket_size >= 1:
+        # layer 2: residual hot band buckets degrade clique -> star.
+        # min_by carries the hub's fingerprint alongside its id so the
+        # star rows need no extra join to reach the Hamming verify.
+        hot = (
+            pieces.groupBy("chunk", "piece")
+            .agg(
+                F.count(F.lit(1)).alias("__sz"),
+                F.min("id").alias("__hub"),
+                F.min_by("sh", "id").alias("__hub_sh"),
+            )
+            .filter(F.col("__sz") > max_bucket_size)
+            .select("chunk", "piece", "__hub", "__hub_sh")
+        )
+        ptag = pieces.join(F.broadcast(hot), on=["chunk", "piece"], how="left")
+        cold = ptag.filter(F.col("__hub").isNull()).select("id", "sh", "chunk", "piece")
+        l = cold.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), "chunk", "piece")
+        r = cold.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), "chunk", "piece")
+        clique = l.join(r, on=["chunk", "piece"], how="inner").filter(
+            F.col("a_id") < F.col("b_id")
+        )
+        star = ptag.filter(
+            F.col("__hub").isNotNull() & (F.col("id") != F.col("__hub"))
+        ).select(
+            F.col("__hub").alias("a_id"),
+            F.col("__hub_sh").alias("a_sh"),
+            F.col("id").alias("b_id"),
+            F.col("sh").alias("b_sh"),
+        )
+        cand = clique.select("a_id", "a_sh", "b_id", "b_sh").unionByName(star)
+    else:
+        l = pieces.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), "chunk", "piece")
+        r = pieces.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), "chunk", "piece")
+        cand = (
+            l.join(r, on=["chunk", "piece"], how="inner")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "a_sh", "b_id", "b_sh")
+        )
+    out = (
+        cand.dropDuplicates(["a_id", "b_id"])
         .withColumn("distance", hamming64(F.col("a_sh"), F.col("b_sh")))
         .filter(F.col("distance") <= max_distance)
         .select("a_id", "b_id", "distance")
     )
+    return out if star0 is None else out.unionByName(star0)
 
 
 # --------------------------------------------------------------------------

@@ -590,6 +590,7 @@ def image_neardup(
     payload_col: str = "payload",
     max_distance: int = 6,
     chunks: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs: dHash fingerprints joined through
     the pigeonhole band join (``dedup.fingerprint_pairs``) and verified
@@ -602,7 +603,11 @@ def image_neardup(
     Scale posture: pixels are consumed inside the phash task; only
     (id, 8-byte hash, band) tuples shuffle, so the join cost is
     independent of image size — the property that makes this viable
-    against 100 TB of media."""
+    against 100 TB of media. For a real crawl set ``max_bucket_size``
+    (e.g. 1000): solid-color / near-blank images all dHash to the SAME
+    value (smooth gradients hash to all-zero bits), and the guard
+    collapses that hot class to a connectivity-lossless star instead
+    of an O(m^2) self-join — see ``fingerprint_pairs``."""
     from .dedup import fingerprint_pairs
 
     if max_distance > chunks - 1:
@@ -615,7 +620,12 @@ def image_neardup(
         .filter(F.col("phash").isNotNull())
         .select(F.col(id_col).alias("id"), F.col("phash").alias("sh"))
     )
-    return fingerprint_pairs(base, max_distance=max_distance, chunks=chunks)
+    return fingerprint_pairs(
+        base,
+        max_distance=max_distance,
+        chunks=chunks,
+        max_bucket_size=max_bucket_size,
+    )
 
 
 def _is_annexb(data: bytes) -> bool:
@@ -1152,6 +1162,7 @@ def audio_neardup(
     payload_col: str = "payload",
     max_distance: int = 6,
     chunks: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate audio pairs: energy-contour fingerprints through
     the pigeonhole band join (``dedup.fingerprint_pairs``) + exact
@@ -1159,7 +1170,10 @@ def audio_neardup(
     simhash; image: dHash; audio: this). Recall is EXACT (pigeonhole)
     for ``max_distance <= chunks - 1``; undecodable payloads (NULL
     fingerprints) are excluded. Scale: PCM is consumed inside the
-    fingerprint task; only (id, 8-byte hash, band) tuples shuffle."""
+    fingerprint task; only (id, 8-byte hash, band) tuples shuffle.
+    ``max_bucket_size`` engages the degenerate-bucket guard (silence
+    fingerprints to ONE value on a real corpus — the audio analogue of
+    the blank-image hot class); see ``fingerprint_pairs``."""
     from .dedup import fingerprint_pairs
 
     if max_distance > chunks - 1:
@@ -1172,7 +1186,12 @@ def audio_neardup(
         .filter(F.col("afp").isNotNull())
         .select(F.col(id_col).alias("id"), F.col("afp").alias("sh"))
     )
-    return fingerprint_pairs(base, max_distance=max_distance, chunks=chunks)
+    return fingerprint_pairs(
+        base,
+        max_distance=max_distance,
+        chunks=chunks,
+        max_bucket_size=max_bucket_size,
+    )
 
 
 def video_phash(df: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -1228,6 +1247,7 @@ def video_neardup(
     max_distance: int = 6,
     chunks: int = 8,
     min_matched_frames: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate video pairs: frame-level perceptual hashes through
     the pigeonhole band join, aggregated to video pairs by MATCHED
@@ -1243,6 +1263,9 @@ def video_neardup(
     per sampled frame, NOT per pixel — and the final aggregate is a
     hash aggregate on (a_video, b_video). Recall of the candidate
     stage is EXACT (pigeonhole) for ``max_distance <= chunks - 1``.
+    ``max_bucket_size`` engages the degenerate-bucket guard on the
+    FRAME fingerprints (black / static frames hash to one value in
+    every real video corpus); see ``fingerprint_pairs``.
 
     Returns ``(a_id, b_id, n_matched)``, ``a_id < b_id``."""
     from .dedup import fingerprint_pairs
@@ -1280,7 +1303,10 @@ def video_neardup(
     # Decode with INTEGER division (div), not floor(double /): doubles
     # lose exactness above 2^53 and would mispair high ids.
     frame_pairs = fingerprint_pairs(
-        base, max_distance=max_distance, chunks=chunks
+        base,
+        max_distance=max_distance,
+        chunks=chunks,
+        max_bucket_size=max_bucket_size,
     ).select(
         F.expr("a_id div 100000").alias("a_media"),
         (F.col("a_id") % 100000).alias("a_frame"),
