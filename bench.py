@@ -122,6 +122,36 @@ def calibrate_parallel(spark) -> float:
 ANCHOR_RETRY_RATIO = 1.5
 ANCHOR_FLAG_RATIO = 2.5
 
+# loaded-run anchor policy (round-14, VERDICT r13 item 2): the box's
+# documented parallel slow mode inflates shuffle-heavy rows 1.4-2.6x
+# while the single-core probe stays flat. The 32-way parallel probe
+# reads ~0.05-0.07s in the quiet mode and 0.24-0.41s loaded (SCALE.md,
+# BENCH_SF1_r13_attempt.json); 0.12s splits the two modes with margin.
+# A run whose BEST parallel probe (min of the pre/post bracket) is
+# above the band publishes "loaded_run": true, and _load_anchors skips
+# loaded artifacts when any quiet one exists — otherwise one loaded
+# round's inflated medians become the next round's anchors and mask a
+# real future regression at exactly the moment the box recovers.
+QUIET_PARALLEL_SEC = 0.12
+
+
+def _is_loaded_run(inner: dict) -> bool:
+    """Classify a bench artifact as loaded (parallel slow mode) from its
+    own probes. Artifacts that predate the probe (pre-r13) classify as
+    quiet — they can't be told apart, and the 3-artifact anchor median
+    already votes down one polluted round."""
+    if inner.get("loaded_run") is True:
+        return True
+    probes = [
+        float(p)
+        for p in (
+            inner.get("calibration_parallel_sec"),
+            inner.get("calibration_parallel_pre_sec"),
+        )
+        if isinstance(p, (int, float)) and p > 0
+    ]
+    return bool(probes) and min(probes) > QUIET_PARALLEL_SEC
+
 
 def central_spread(samples: list[float]) -> float:
     """max/min over the 3 sorted samples around the PUBLISHED median.
@@ -139,9 +169,13 @@ def central_spread(samples: list[float]) -> float:
     return max(s) / max(min(s), 1e-9)
 
 
-def _read_artifacts(repo_dir: str, sf: float) -> list[tuple[str, dict[str, float]]]:
-    """Per-query timings from the newest same-sf bench artifacts,
-    ordered OLDEST -> NEWEST (so drift detection reads left-to-right).
+def _read_artifacts(
+    repo_dir: str, sf: float
+) -> list[tuple[str, dict[str, float], bool]]:
+    """(fname, {query: sec}, loaded) from the newest same-sf bench
+    artifacts, ordered OLDEST -> NEWEST (so drift detection reads
+    left-to-right). ``loaded`` classifies the artifact's own parallel
+    probes against the quiet band (see QUIET_PARALLEL_SEC).
 
     sf0.1 reads the 3 newest BENCH_r{N}.json rounds; sf1/sf5 read their
     BENCH_SF{n}.json siblings. An artifact whose sf differs is skipped
@@ -160,7 +194,7 @@ def _read_artifacts(repo_dir: str, sf: float) -> list[tuple[str, dict[str, float
             if m:
                 rounds.append((int(m.group(1)), f))
         candidates = [f for _, f in sorted(rounds)[-3:]]
-    out: list[tuple[str, dict[str, float]]] = []
+    out: list[tuple[str, dict[str, float], bool]] = []
     for fname in candidates:
         path = os.path.join(repo_dir, fname)
         try:
@@ -176,7 +210,7 @@ def _read_artifacts(repo_dir: str, sf: float) -> list[tuple[str, dict[str, float
                 if isinstance(t, (int, float)) and t > 0
             }
             if qs:
-                out.append((fname, qs))
+                out.append((fname, qs, _is_loaded_run(inner)))
         except (OSError, ValueError):
             continue
     return out
@@ -192,12 +226,19 @@ def _load_anchors(repo_dir: str, sf: float) -> tuple[str, dict[str, float]]:
     become the anchor and hide a future slow mode. The sf1/sf5 tiers
     anchor to their BENCH_SF{n}.json siblings.
     """
+    arts = _read_artifacts(repo_dir, sf)
+    quiet = [(f, qs) for f, qs, loaded in arts if not loaded]
+    # loaded-run anchor policy: a run in the parallel slow mode must
+    # not re-mint rolling anchors. Fall back to loaded artifacts only
+    # when NO quiet one exists (a stale quiet anchor still beats no
+    # anchor — the retry/flag thresholds need a denominator).
+    use = quiet if quiet else [(f, qs) for f, qs, _ in arts]
     per_query: dict[str, list[float]] = {}
     used: list[str] = []
-    for fname, qs in _read_artifacts(repo_dir, sf):
+    for fname, qs in use:
         for q, t in qs.items():
             per_query.setdefault(q, []).append(t)
-        used.append(fname)
+        used.append(fname if quiet else f"{fname}!loaded")
     def _median(ts: list[float]) -> float:
         # even counts use the CENTRAL-PAIR MEAN, not the upper member:
         # with exactly 2 prior artifacts sorted(ts)[len//2] anchored to
@@ -217,7 +258,11 @@ def _load_history(repo_dir: str, sf: float) -> dict[str, list[float]]:
     """{query: [sec, ...]} oldest -> newest over the same artifacts the
     anchor reads — input for ``monotone_drift``."""
     hist: dict[str, list[float]] = {}
-    for _, qs in _read_artifacts(repo_dir, sf):
+    for _, qs, _loaded in _read_artifacts(repo_dir, sf):
+        # drift detection keeps loaded rounds: it wants the REAL time
+        # series (its mechanical flag response already adjudicates box
+        # state), and dropping middle points would splice non-adjacent
+        # rounds into fake windows. Only ANCHORS exclude loaded runs.
         for q, t in qs.items():
             hist.setdefault(q, []).append(t)
     return hist
@@ -467,6 +512,12 @@ def main() -> int:
     # rounds: the engine didn't change, so if calibration moved, the box
     # did, not the code.
     cal_best = _calibrate()
+    cal_par_post = _calibrate_parallel()
+    # loaded-run marker: best of the pre/post parallel bracket outside
+    # the quiet band => the whole run sat in the parallel slow mode.
+    # Next-round _load_anchors skips this artifact (unless no quiet
+    # artifact exists), so inflated medians never become anchors.
+    loaded_run = min(cal_par_pre, cal_par_post) > QUIET_PARALLEL_SEC
     try:
         load = round(os.getloadavg()[0], 2)
     except OSError:  # pragma: no cover
@@ -509,8 +560,13 @@ def main() -> int:
         # under-measures the parallel slow mode the shuffle-heavy rows
         # actually feel (~25% at sf1 vs ~10% on the reduce job) — this
         # pair brackets the run with the same plan shape as those rows
-        "calibration_parallel_sec": round(_calibrate_parallel(), 3),
+        "calibration_parallel_sec": round(cal_par_post, 3),
         "calibration_parallel_pre_sec": round(cal_par_pre, 3),
+        # true when even the best parallel probe sat outside the quiet
+        # band: this run's medians are slow-mode-inflated and MUST NOT
+        # re-mint rolling anchors (enforced by _load_anchors next round)
+        "loaded_run": loaded_run,
+        "quiet_parallel_band_sec": QUIET_PARALLEL_SEC,
         "load_1m": load,
     }))
     return 0

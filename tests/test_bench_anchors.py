@@ -175,3 +175,63 @@ def test_calibrate_parallel_is_a_real_32_way_shuffle(spark):
     assert "Exchange" in plan
     t = bench.calibrate_parallel(spark)
     assert isinstance(t, float) and t > 0
+
+
+def test_loaded_run_classifier_reads_probe_bracket():
+    # round-14 (VERDICT r13 item 2): classification from the artifact's
+    # own parallel probes — min of the pre/post bracket vs the band
+    assert bench._is_loaded_run(
+        {"calibration_parallel_sec": 0.24, "calibration_parallel_pre_sec": 0.41}
+    )
+    # one quiet probe means the box had the fast mode during the run
+    assert not bench._is_loaded_run(
+        {"calibration_parallel_sec": 0.24, "calibration_parallel_pre_sec": 0.06}
+    )
+    # explicit marker wins even without probes
+    assert bench._is_loaded_run({"loaded_run": True})
+    # pre-r13 artifacts (no probes) classify quiet
+    assert not bench._is_loaded_run({"calibration_sec": 0.05})
+
+
+def test_load_anchors_skip_loaded_runs(tmp_path):
+    # a loaded round's inflated medians must not become anchors: with a
+    # quiet artifact available, only it contributes
+    _write(tmp_path, "BENCH_r11.json",
+           {"sf": 0.1, "queries": {"q": 0.35},
+            "calibration_parallel_sec": 0.06,
+            "calibration_parallel_pre_sec": 0.05})
+    _write(tmp_path, "BENCH_r12.json",
+           {"sf": 0.1, "queries": {"q": 0.36},
+            "calibration_parallel_sec": 0.07,
+            "calibration_parallel_pre_sec": 0.06})
+    _write(tmp_path, "BENCH_r13.json",
+           {"sf": 0.1, "queries": {"q": 0.56},
+            "calibration_parallel_sec": 0.24,
+            "calibration_parallel_pre_sec": 0.41})
+    src, anchors = bench._load_anchors(str(tmp_path), 0.1)
+    assert anchors == {"q": 0.355}
+    assert "BENCH_r13.json" not in src
+
+
+def test_load_anchors_fall_back_when_all_runs_loaded(tmp_path):
+    # all-loaded history: a stale inflated anchor still beats none (the
+    # retry/flag ratio needs a denominator); the source marks the fallback
+    for n, v in [(12, 0.5), (13, 0.6)]:
+        _write(tmp_path, f"BENCH_r{n}.json",
+               {"sf": 0.1, "queries": {"q": v},
+                "calibration_parallel_sec": 0.3,
+                "calibration_parallel_pre_sec": 0.3})
+    src, anchors = bench._load_anchors(str(tmp_path), 0.1)
+    assert anchors == {"q": 0.55}
+    assert "!loaded" in src
+
+
+def test_load_history_keeps_loaded_runs(tmp_path):
+    # drift detection reads the REAL series (mechanical response
+    # adjudicates box state); only anchors exclude loaded rounds
+    _write(tmp_path, "BENCH_r12.json",
+           {"sf": 0.1, "queries": {"q": 1.0},
+            "calibration_parallel_sec": 0.3,
+            "calibration_parallel_pre_sec": 0.3})
+    _write(tmp_path, "BENCH_r13.json", {"sf": 0.1, "queries": {"q": 1.2}})
+    assert bench._load_history(str(tmp_path), 0.1) == {"q": [1.0, 1.2]}
