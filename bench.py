@@ -60,6 +60,24 @@ HEADLINE = [
     "bpe_train_1k",           # 1000 merges via the driver heap trainer
     # round-10 additions
     "kmeans_refine",          # distributed full-corpus Lloyd (4 iters + final assign)
+    # round-14 additions (VERDICT r13 item 3: the round-13 operator
+    # families get a per-round perf signal — correctness was signed for
+    # all of them, performance for none). The six text-family rows run
+    # the oracle queries themselves (they scale with sf); the three
+    # media rows run the SAME operators over a scale-proportional
+    # synthetic corpus (the oracle fixtures are 24 images / 24 clips /
+    # 12 videos — benching them would time fixture overhead, not the
+    # decode + band-join path), built once per process OUTSIDE the
+    # timed region (see _media_corpus).
+    "gopher_quality",         # Rae et al. rule set as one projection
+    "gopher_repetition",      # dup-line + top-n-gram fractions (gram aggregates)
+    "perplexity_buckets",     # unigram NLL + quantile-threshold tiers
+    "alpha_rebalance",        # temperature-resampling quota + content-hash pick
+    "semantic_cross_dedup",   # cross-corpus SemDeDup (cell-local verify)
+    "url_blocklist",          # PSL eTLD+1 + broadcast left_anti
+    "image_neardup_1k",       # dHash + pigeonhole band join, 1000 real images
+    "audio_neardup_2k",       # energy-contour fp + band join, 2100 real clips
+    "video_neardup_360",      # frame-sampled dHash + matched-frame agg, 360 reels
 ]
 
 
@@ -75,6 +93,85 @@ def _bpe_train_1k(spark, sf_dir):
 
 
 EXTRA_QUERIES = {"bpe_train_1k": _bpe_train_1k}
+
+
+# --- media near-dup bench rows (round-14) -------------------------------
+# The oracle fixtures for image/audio/video_neardup are tiny by design
+# (the DuckDB twin replays every hash in pure python); a perf signal
+# needs corpus sizes where the decode mapInPandas and the banded join
+# dominate. Corpus build (driver-side encoding of real BMP/PNG/WAV
+# payloads) is NOT part of the operator and runs once per process in
+# the untimed setup: the timed region starts from a parquet scan, which
+# is also the real-crawl shape (media arrives from storage).
+
+_MEDIA_DIRS: dict[str, str] = {}
+
+
+def _media_corpus(spark, name: str, builder) -> str:
+    if name not in _MEDIA_DIRS:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"bench_{name}_")
+        path = f"{d}/media.parquet"
+        builder(spark).repartition(32).write.parquet(path)
+        _MEDIA_DIRS[name] = path
+    return _MEDIA_DIRS[name]
+
+
+def _setup_image_neardup_1k(spark, sf_dir):
+    from etl_cli_spark.operators.multimodal import make_fake_media_neardup
+
+    return _media_corpus(
+        spark, "image_neardup_1k",
+        lambda s: make_fake_media_neardup(s, n_groups=250, per_group=4),
+    )
+
+
+def _run_image_neardup_1k(spark, sf_dir, path):
+    from etl_cli_spark.operators.multimodal import image_neardup
+
+    return image_neardup(spark.read.parquet(path), max_distance=6, chunks=8)
+
+
+def _setup_audio_neardup_2k(spark, sf_dir):
+    from etl_cli_spark.operators.multimodal import make_fake_audio_neardup
+
+    return _media_corpus(
+        spark, "audio_neardup_2k",
+        lambda s: make_fake_audio_neardup(s, n_groups=700, per_group=3),
+    )
+
+
+def _run_audio_neardup_2k(spark, sf_dir, path):
+    from etl_cli_spark.operators.multimodal import audio_neardup
+
+    return audio_neardup(spark.read.parquet(path), max_distance=6, chunks=8)
+
+
+def _setup_video_neardup_360(spark, sf_dir):
+    from etl_cli_spark.operators.multimodal import make_fake_video_neardup
+
+    return _media_corpus(
+        spark, "video_neardup_360",
+        lambda s: make_fake_video_neardup(
+            s, n_groups=120, per_group=3, n_frames=6
+        ),
+    )
+
+
+def _run_video_neardup_360(spark, sf_dir, path):
+    from etl_cli_spark.operators.multimodal import video_neardup
+
+    return video_neardup(
+        spark.read.parquet(path), max_distance=6, chunks=8, min_matched_frames=3
+    )
+
+
+EXTRA_PARTS = {
+    "image_neardup_1k": (_setup_image_neardup_1k, _run_image_neardup_1k),
+    "audio_neardup_2k": (_setup_audio_neardup_2k, _run_audio_neardup_2k),
+    "video_neardup_360": (_setup_video_neardup_360, _run_video_neardup_360),
+}
 
 
 def calibrate(spark) -> float:
@@ -422,7 +519,10 @@ def main() -> int:
     # the manifest queries' commit-protocol history): setup re-runs
     # before every attempt but OUTSIDE the timed region, so the headline
     # number is the op alone; setup cost is reported aside
-    parts = entrymod.bench_parts() if hasattr(entrymod, "bench_parts") else {}
+    parts = dict(
+        entrymod.bench_parts() if hasattr(entrymod, "bench_parts") else {},
+        **EXTRA_PARTS,
+    )
     # optional subset (comma-separated names) for focused tier runs
     # (e.g. the sf5 scaling sweep) — the default full list is untouched
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
@@ -434,7 +534,7 @@ def main() -> int:
     extra_runs: dict[str, int] = {}
     drift_adjudication: dict[str, dict[str, float]] = {}
     for name in headline:
-        fn = qs[name]
+        fn = qs.get(name)  # bench-only setup/run rows live in parts alone
         samples: list[float] = []
         failed = False
         # r13 (VERDICT r12 item 2): the in-run retry now fires at 1.5x
