@@ -3002,6 +3002,46 @@ def _q_image_neardup(spark, sf):
     return image_neardup(media, max_distance=6, chunks=8)
 
 
+def _q_image_neardup_indexed(spark, sf):
+    """Incremental-crawl image near-dup: the oracle fixture corpus (8
+    groups x 3 members) is fingerprinted ONCE into a persisted banded
+    index (multimodal.build_media_index — (id, sh, chunk, piece)
+    hive-partitioned by __bb), then a NEW-CRAWL batch (members m=3,4 of
+    groups 0..11 — 8..11 never indexed, ids offset to 1000+) probes it
+    via media_neardup_indexed: the batch hashes only itself, the index
+    read partition-prunes to the __bb dirs the batch's pieces touch,
+    and the Hamming verify runs inline (the 8-byte fingerprint rides
+    with its band row — no second join). The DuckDB twin recomputes
+    every dHash in pure python from the neardup pattern spec and
+    replays the cross join + bit_count filter — so the pruned banded
+    probe must equal the exact cross-corpus distance-<=6 pair set
+    (pigeonhole guarantees recall for distance <= chunks-1 = 7)."""
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        build_media_index,
+        encode_bmp,
+        make_fake_media_neardup,
+        media_neardup_indexed,
+        neardup_dims,
+        neardup_pixels,
+    )
+
+    idx_corpus = make_fake_media_neardup(spark, n_groups=8, per_group=3)
+    path = tempfile.mkdtemp(prefix="etl_media_idx_") + "/idx"
+    build_media_index(idx_corpus, path, chunks=8, n_parts=16)
+    rows = []
+    for g in range(12):
+        w, h = neardup_dims(g)
+        for m in (3, 4):
+            px = neardup_pixels(g, m, w, h)
+            rows.append(
+                (1000 + g * 2 + (m - 3), "image", bytearray(encode_bmp(px)),
+                 (w, h, None, None, "bmp"))
+            )
+    batch = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return media_neardup_indexed(batch, path, max_distance=6)
+
+
 def _q_audio_fingerprint(spark, sf):
     """Energy-contour audio fingerprint (Haitsma-Kalker-style
     sign-of-energy-delta, one band over 65 fixed frames) over the audio
@@ -3450,6 +3490,8 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "video_phash": [("media_id", "i"), ("frame_idx", "i"),
                     ("frame_ts_ms", "i"), ("phash", "i")],
     "video_neardup": [("a_id", "i"), ("b_id", "i"), ("n_matched", "i")],
+    # round-14: persisted media-fingerprint index probe
+    "image_neardup_indexed": [("new_id", "i"), ("old_id", "i"), ("distance", "i")],
     # -- sketch family (round-4 digest) --
     "sketch_distinct_kmv": [("o_orderstatus", "s"), ("est_distinct", "f")],
     "sketch_distinct_hll": [("l_returnflag", "s"), ("est_distinct", "f")],
@@ -3696,6 +3738,9 @@ _MULTIMODAL_FAMILY = [
     # multimodal digest from birth
     "multimodal_phash", "image_neardup", "audio_fingerprint", "audio_neardup",
     "video_phash", "video_neardup",
+    # round-14: the persisted media-fingerprint index (incremental
+    # crawl probe — the image analogue of dedup_minhash_indexed)
+    "image_neardup_indexed",
 ]
 _SKETCH_FAMILY = [
     "sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist",
@@ -4557,6 +4602,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_probe": _q_multimodal_probe,
     "multimodal_phash": _q_multimodal_phash,
     "image_neardup": _q_image_neardup,
+    "image_neardup_indexed": _q_image_neardup_indexed,
     "audio_fingerprint": _q_audio_fingerprint,
     "audio_neardup": _q_audio_neardup,
     "video_phash": _q_video_phash,
@@ -5180,6 +5226,25 @@ def oracle_sql() -> dict[str, str]:
         f"FROM {_pcte.replace(' AS p(', ' AS a(')} JOIN {_pcte.replace(' AS p(', ' AS b(')} "
         f"ON a.media_id < b.media_id "
         f"WHERE bit_count(xor(CAST(a.hsh AS BIGINT), CAST(b.hsh AS BIGINT))) <= 6"
+    )
+    # image_neardup_indexed: the persisted-index probe must equal the
+    # exact CROSS-corpus pair set — index side = the fixture corpus
+    # (_phvals), batch side = members m=3,4 of groups 0..11 at ids
+    # 1000 + g*2 + (m-3), every dHash recomputed in pure python
+    _bvals = []
+    for _g in range(12):
+        _w, _h = 16 + _g % 5, 12 + _g % 3  # neardup_dims
+        for _m in (3, 4):
+            _bvals.append(
+                f"({1000 + _g * 2 + (_m - 3)}, {_oracle_dhash(_g, _m, _w, _h)})"
+            )
+    _bcte = f"(VALUES {', '.join(_bvals)}) AS n(media_id, hsh)"
+    sql["image_neardup_indexed"] = (
+        f"SELECT CAST(n.media_id AS BIGINT) AS new_id, "
+        f"CAST(o.media_id AS BIGINT) AS old_id, "
+        f"CAST(bit_count(xor(CAST(n.hsh AS BIGINT), CAST(o.hsh AS BIGINT))) AS INT) AS distance "
+        f"FROM {_bcte} CROSS JOIN {_pcte.replace(' AS p(', ' AS o(')} "
+        f"WHERE bit_count(xor(CAST(n.hsh AS BIGINT), CAST(o.hsh AS BIGINT))) <= 6"
     )
 
     # audio_fingerprint / audio_neardup: the same discipline for the

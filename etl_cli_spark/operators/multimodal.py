@@ -1322,6 +1322,235 @@ def video_neardup(
     )
 
 
+# --------------------------------------------------------------------------
+# persisted media-fingerprint index (incremental-crawl shape, round-14)
+# --------------------------------------------------------------------------
+# The media analogue of the text side's persisted minhash index
+# (dedup.py build_dedup_index / fuzzy_join_indexed): an image-text
+# corpus refreshes incrementally, and decoding + re-banding the full
+# image history every crawl drop is exactly the full-corpus pass the
+# text side already refuses to run. Fingerprints are a pure function
+# of the payload, so hash once, persist banded, and each new drop
+# hashes only ITSELF and probes the touched band partitions.
+#
+# Layout under <path>/:
+#   bands/  (id, sh, chunk, piece) hive-partitioned by __bb =
+#           pmod(xxhash64(chunk, piece), n_parts) — a probe computes
+#           its own pieces' __bb values (driver list bounded by
+#           n_parts) and partition-prunes the read to those dirs.
+#           Unlike the text index there is NO separate sigs/ store:
+#           the fingerprint is 8 bytes and rides inline with its band
+#           row, so the Hamming verify needs no second join.
+#   _media_index_meta.json  frozen parameters — append MUST reuse
+#           them bit-for-bit or append==rebuild breaks.
+#
+# Ids must be crawl-monotone (appended batches carry larger ids than
+# everything indexed) — the contract the text index already documents.
+
+_MEDIA_IDX_META = "_media_index_meta.json"
+
+
+def _media_fingerprint_base(df: DataFrame, meta: dict) -> DataFrame:
+    """(id, sh) under an index's FROZEN parameters. ``kind`` picks the
+    fingerprint family: image -> dHash (phash_images), audio ->
+    energy-contour hash (audio_fingerprint). NULL fingerprints
+    (undecodable payloads) drop here — they carry no band signal."""
+    kind = meta["kind"]
+    if kind == "image":
+        fp = phash_images(df, payload_col=meta["payload_col"]).select(
+            F.col(meta["id_col"]).alias("id"), F.col("phash").alias("sh")
+        )
+    elif kind == "audio":
+        fp = audio_fingerprint(df, payload_col=meta["payload_col"]).select(
+            F.col(meta["id_col"]).alias("id"), F.col("afp").alias("sh")
+        )
+    else:  # pragma: no cover - guarded at build time
+        raise ValueError(f"media index kind must be image|audio, got {kind!r}")
+    return fp.filter(F.col("sh").isNotNull())
+
+
+def _media_index_pieces(base: DataFrame, chunks: int, n_parts: int) -> DataFrame:
+    """(id, sh, chunk, piece, __bb): the banded rows both the writer
+    and the probe derive — ONE function so they can never disagree on
+    the chunking or the partition hash."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    return (
+        base.select(
+            "id",
+            "sh",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("chunk"),
+                            F.shiftright("sh", i * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("piece"),
+                        )
+                        for i in range(chunks)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("id", "sh", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"))
+        .withColumn("__bb", F.pmod(F.xxhash64("chunk", "piece"), F.lit(n_parts)))
+    )
+
+
+def _write_media_index_meta(path: str, **params) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _MEDIA_IDX_META), "w") as f:
+        json.dump(params, f)
+
+
+def _read_media_index_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, _MEDIA_IDX_META)) as f:
+        return json.load(f)
+
+
+def build_media_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    kind: str = "image",
+    chunks: int = 8,
+    n_parts: int = 64,
+) -> None:
+    """Fingerprint the media corpus once and persist the banded index
+    (see section notes on layout). One corpus pass: decode + hash in
+    the Arrow task, then the only exchange is the repartition on
+    ``__bb`` (narrow (id, 8-byte hash, band) rows — pixels never
+    shuffle, the property the whole family is built on)."""
+    if kind not in ("image", "audio"):
+        raise ValueError(f"media index kind must be image|audio, got {kind!r}")
+    if 64 % chunks:
+        raise ValueError(f"chunks must divide 64, got {chunks}")
+    meta = dict(
+        id_col=id_col, payload_col=payload_col, kind=kind,
+        chunks=chunks, n_parts=n_parts,
+    )
+    import os
+
+    base = _media_fingerprint_base(df, meta)
+    (
+        _media_index_pieces(base, chunks, n_parts)
+        .repartition(n_parts, F.col("__bb"))
+        .write.mode("overwrite")
+        .partitionBy("__bb")
+        .parquet(os.path.join(path, "bands"))
+    )
+    _write_media_index_meta(path, **meta)
+
+
+def append_media_fingerprints(df: DataFrame, path: str) -> None:
+    """Append a new crawl drop's fingerprints under the index's FROZEN
+    parameters (append == rebuild, the text-index invariant). The batch
+    hashes only itself — the historical corpus is untouched."""
+    import os
+
+    meta = _read_media_index_meta(path)
+    base = _media_fingerprint_base(df, meta)
+    (
+        _media_index_pieces(base, meta["chunks"], meta["n_parts"])
+        .repartition(meta["n_parts"], F.col("__bb"))
+        .write.mode("append")
+        .partitionBy("__bb")
+        .parquet(os.path.join(path, "bands"))
+    )
+
+
+def media_neardup_indexed(
+    df: DataFrame,
+    path: str,
+    max_distance: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate probe of a new-crawl batch AGAINST a persisted
+    media-fingerprint index — "which of this drop's images near-match
+    anything crawled before", without re-decoding the history. Returns
+    ``(new_id, old_id, distance)`` with ``distance <= max_distance``.
+
+    Plan shape: the batch fingerprints itself (one Arrow pass), its
+    band pieces' ``__bb`` values (driver list bounded by ``n_parts`` —
+    metadata, not data) partition-prune the index read to the touched
+    ``bands/__bb=N`` dirs (PartitionFilters, unit-asserted), the
+    candidate join moves (id, 8-byte hash, band) only, and the exact
+    Hamming verify runs inline — the fingerprint rides with its band
+    row, so no second join. Work scales with the BATCH and its hit
+    set, never the corpus. Recall is EXACT (pigeonhole) for
+    ``max_distance <= chunks - 1``.
+
+    Index rows whose id is IN the batch are excluded (self-pair
+    suppression on crash replay — the text index's contract).
+
+    ``max_bucket_size`` guards the degenerate buckets on the INDEX
+    side: a (chunk, piece) bucket holding more than the cap of indexed
+    rows contributes only its min-id hub (the star degrade
+    ``fingerprint_pairs`` documents — hub candidates still face the
+    exact verify; the trade is recall against the blanked-out class,
+    which distance-0 collapses dominate in practice)."""
+    import os
+
+    spark = df.sparkSession
+    meta = _read_media_index_meta(path)
+    chunks = meta["chunks"]
+    if max_distance > chunks - 1:
+        raise ValueError(
+            f"media_neardup_indexed: pigeonhole recall needs "
+            f"max_distance <= chunks - 1 (got {max_distance} > {chunks - 1})"
+        )
+    from pyspark import StorageLevel
+
+    from .dedup import hamming64
+
+    base = _media_fingerprint_base(df, meta).persist(StorageLevel.MEMORY_AND_DISK)
+    probe = _media_index_pieces(base, chunks, meta["n_parts"])
+    # driver-side partition list: bounded by n_parts, metadata not data
+    bbs = sorted(r[0] for r in probe.select("__bb").distinct().collect())
+    idx = (
+        spark.read.parquet(os.path.join(path, "bands"))
+        .filter(F.col("__bb").isin(bbs))
+        .select(
+            F.col("id").alias("old_id"), F.col("sh").alias("old_sh"),
+            "chunk", "piece",
+        )
+        .join(
+            base.select(F.col("id").alias("old_id")), "old_id", "left_anti"
+        )
+    )
+    if max_bucket_size is not None and max_bucket_size >= 1:
+        hot = (
+            idx.groupBy("chunk", "piece")
+            .agg(F.count(F.lit(1)).alias("__sz"), F.min("old_id").alias("__hub"))
+            .filter(F.col("__sz") > max_bucket_size)
+            .select("chunk", "piece", "__hub")
+        )
+        idx = idx.join(F.broadcast(hot), on=["chunk", "piece"], how="left").filter(
+            F.col("__hub").isNull() | (F.col("old_id") == F.col("__hub"))
+        ).drop("__hub")
+    cand = (
+        probe.select(
+            F.col("id").alias("new_id"), F.col("sh").alias("new_sh"),
+            "chunk", "piece",
+        )
+        .join(idx, on=["chunk", "piece"], how="inner")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    return (
+        cand.withColumn("distance", hamming64(F.col("new_sh"), F.col("old_sh")))
+        .filter(F.col("distance") <= max_distance)
+        .select("new_id", "old_id", "distance")
+    )
+
+
 def video_neardup_pixels(g: int, f: int, w: int, h: int):
     """Base frame ``f`` of near-dup video fixture group ``g``: the
     image-fixture quadratic base plus per-frame terms (17f² + 11f·x),

@@ -199,6 +199,17 @@ AUDITED: dict[str, str] = {
         "The filter every document passes through must run at scan "
         "speed, and this plan does."
     ),
+    "image_neardup_indexed": (
+        "incremental-crawl probe against the persisted banded index: the "
+        "batch fingerprints only ITSELF (MapInPandas), and the index "
+        "FileScan carries PartitionFilters on __bb — only the band dirs "
+        "the batch's pieces hash to are read, so probe cost scales with "
+        "the batch and its hit set, never the indexed history. The "
+        "8-byte fingerprint rides inline with its band row: the Hamming "
+        "verify is a codegen bit_count with NO second join (unlike the "
+        "text index's sigs/ lookup — minhash signatures are arrays, "
+        "these are single longs)."
+    ),
 }
 
 _KEEP = re.compile(
@@ -245,6 +256,17 @@ def main() -> None:
                ""]
         if pushed and any(p.strip() for p in pushed):
             sec += ["Pushed filters: " + "; ".join(p for p in pushed if p.strip())[:300], ""]
+        # partition-prune evidence (hive-layout indexes: the probe must
+        # read only the partition dirs its keys hash to, not the corpus)
+        parts = sorted(
+            set(
+                re.sub(r"#\d+L?", "", p).strip()
+                for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+                if p.strip()
+            )
+        )
+        if parts:
+            sec += ["Partition filters: " + "; ".join(parts)[:300], ""]
         sec += ["```"] + lines + ["```", ""]
         sections.append("\n".join(sec))
         print(f"audited {name}: {counts}")

@@ -1321,3 +1321,201 @@ def test_video_neardup_skips_undecodable_payloads(spark):
     )
     assert video_phash(df).count() == 0
     assert video_neardup(df).count() == 0
+
+
+# --------------------------------------------------------------------------
+# persisted media-fingerprint index (round-14)
+# --------------------------------------------------------------------------
+
+def _index_fixture(spark, tmp_path, n_groups=6, n_parts=16):
+    from etl_cli_spark.operators.multimodal import (
+        build_media_index,
+        make_fake_media_neardup,
+    )
+
+    corpus = make_fake_media_neardup(spark, n_groups=n_groups, per_group=3)
+    path = str(tmp_path / "idx")
+    build_media_index(corpus, path, chunks=8, n_parts=n_parts)
+    return corpus, path
+
+
+def _new_batch(spark, groups, members=(3, 4), id_base=1000):
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        neardup_dims,
+        neardup_pixels,
+    )
+
+    rows = []
+    for gi, g in enumerate(groups):
+        w, h = neardup_dims(g)
+        for mi, m in enumerate(members):
+            px = neardup_pixels(g, m, w, h)
+            rows.append(
+                (id_base + gi * len(members) + mi, "image",
+                 bytearray(encode_bmp(px)), (w, h, None, None, "bmp"))
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_media_index_probe_equals_direct_cross_pairs(spark, tmp_path):
+    """The partition-pruned indexed probe must return EXACTLY the
+    brute-force cross-corpus pair set (pigeonhole recall is exact for
+    distance <= chunks-1; the verify is the same Hamming filter)."""
+    from pyspark.sql import functions as F
+
+    from etl_cli_spark.operators.dedup import hamming64
+    from etl_cli_spark.operators.multimodal import (
+        media_neardup_indexed,
+        phash_images,
+    )
+
+    corpus, path = _index_fixture(spark, tmp_path)
+    batch = _new_batch(spark, groups=range(8))  # 6,7 never indexed
+    got = sorted(
+        (r.new_id, r.old_id, r.distance)
+        for r in media_neardup_indexed(batch, path, max_distance=6).collect()
+    )
+    old = phash_images(corpus).select(
+        F.col("media_id").alias("old_id"), F.col("phash").alias("old_sh")
+    )
+    new = phash_images(batch).select(
+        F.col("media_id").alias("new_id"), F.col("phash").alias("new_sh")
+    )
+    brute = sorted(
+        (r.new_id, r.old_id, r.distance)
+        for r in new.crossJoin(old)
+        .withColumn("distance", hamming64(F.col("new_sh"), F.col("old_sh")))
+        .filter("distance <= 6")
+        .collect()
+    )
+    assert got == brute and len(got) > 0
+    # unseen groups (6, 7) must contribute nothing
+    assert all((n - 1000) // 2 < 6 for n, _, _ in got)
+
+
+def test_media_index_probe_partition_prunes(spark, tmp_path):
+    """A small batch touches at most 8 band values (one per chunk per
+    distinct fingerprint); with n_parts=64 the index scan must carry a
+    PartitionFilter on __bb listing only those dirs, not all 64."""
+    import re
+
+    from etl_cli_spark.operators.multimodal import media_neardup_indexed
+
+    _, path = _index_fixture(spark, tmp_path, n_parts=64)
+    batch = _new_batch(spark, groups=[0])  # 2 images -> <= 16 pieces
+    out = media_neardup_indexed(batch, path, max_distance=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # small probes render "__bb#N IN (1,3,...)", large ones "INSET 1, 3"
+    m = re.search(r"PartitionFilters: \[__bb#\d+ (?:IN \(|INSET )([^\])]*)", plan)
+    assert m, plan[:2000]
+    n_dirs = len(m.group(1).split(","))
+    assert n_dirs <= 16  # 2 images x 8 chunks upper bound, far below 64
+
+
+def test_media_index_append_equals_rebuild(spark, tmp_path):
+    """append_media_fingerprints under frozen params must produce the
+    same banded rows as a from-scratch rebuild over the union."""
+    from etl_cli_spark.operators.multimodal import (
+        append_media_fingerprints,
+        build_media_index,
+        make_fake_media_neardup,
+    )
+
+    corpus, path = _index_fixture(spark, tmp_path)
+    batch = _new_batch(spark, groups=range(4))
+    append_media_fingerprints(batch, path)
+    path2 = str(tmp_path / "idx2")
+    build_media_index(
+        corpus.unionByName(batch), path2, chunks=8, n_parts=16
+    )
+    rows = lambda p: sorted(
+        map(tuple, spark.read.parquet(p + "/bands")
+            .select("id", "sh", "chunk", "piece", "__bb").collect())
+    )
+    assert rows(path) == rows(path2)
+
+
+def test_media_index_probe_excludes_batch_ids(spark, tmp_path):
+    """Crash-replay self-suppression: after the batch's own fingerprints
+    were appended, re-probing the same batch must not pair a batch image
+    with itself — the result equals the pre-append probe."""
+    from etl_cli_spark.operators.multimodal import (
+        append_media_fingerprints,
+        media_neardup_indexed,
+    )
+
+    _, path = _index_fixture(spark, tmp_path)
+    batch = _new_batch(spark, groups=range(4))
+    before = sorted(
+        map(tuple, media_neardup_indexed(batch, path, max_distance=6).collect())
+    )
+    append_media_fingerprints(batch, path)
+    after = sorted(
+        map(tuple, media_neardup_indexed(batch, path, max_distance=6).collect())
+    )
+    assert after == before
+    batch_ids = {1000 + i for i in range(8)}
+    assert all(o not in batch_ids for _, o, _ in after)
+
+
+def test_media_index_hot_bucket_guard_degrades_to_hub(spark, tmp_path):
+    """An index-side degenerate bucket (m identical blank fingerprints)
+    must contribute only its min-id hub under max_bucket_size — O(1)
+    pairs per probe image instead of O(m)."""
+    import numpy as np
+
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        build_media_index,
+        encode_bmp,
+        media_neardup_indexed,
+    )
+
+    blank = bytearray(encode_bmp(np.full((12, 16, 3), 200, dtype=np.uint8)))
+    m = 30
+    corpus = spark.createDataFrame(
+        [(i, "image", blank, (16, 12, None, None, "bmp")) for i in range(m)],
+        MEDIA_SCHEMA,
+    )
+    path = str(tmp_path / "hot")
+    build_media_index(corpus, path, chunks=8, n_parts=16)
+    probe = spark.createDataFrame(
+        [(999, "image", blank, (16, 12, None, None, "bmp"))], MEDIA_SCHEMA
+    )
+    exact = media_neardup_indexed(probe, path, max_distance=6).collect()
+    assert len(exact) == m  # unguarded: every identical image pairs
+    guarded = media_neardup_indexed(
+        probe, path, max_distance=6, max_bucket_size=5
+    ).collect()
+    assert [(r.new_id, r.old_id, r.distance) for r in guarded] == [(999, 0, 0)]
+
+
+def test_media_index_audio_kind_and_validation(spark, tmp_path):
+    import pytest
+
+    from etl_cli_spark.operators.multimodal import (
+        build_media_index,
+        make_fake_audio_neardup,
+        media_neardup_indexed,
+    )
+
+    audio = make_fake_audio_neardup(spark, n_groups=3, per_group=3)
+    path = str(tmp_path / "aidx")
+    build_media_index(audio.filter("media_id % 3 < 2"), path, kind="audio")
+    probe = audio.filter("media_id % 3 = 2")
+    pairs = sorted(
+        (r.new_id, r.old_id)
+        for r in media_neardup_indexed(probe, path, max_distance=6).collect()
+    )
+    # member 2 of each group near-dups members 0 and 1 of ITS group only
+    assert pairs == sorted(
+        (g * 3 + 2, g * 3 + m) for g in range(3) for m in (0, 1)
+    )
+    with pytest.raises(ValueError, match="kind"):
+        build_media_index(audio, str(tmp_path / "bad"), kind="video")
+    with pytest.raises(ValueError, match="chunks"):
+        build_media_index(audio, str(tmp_path / "bad2"), chunks=7)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        media_neardup_indexed(probe, path, max_distance=8)
