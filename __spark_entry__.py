@@ -1523,6 +1523,43 @@ def _q_gopher_quality(spark, sf):
     )
 
 
+def _q_c4_quality(spark, sf):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over documents
+    ENRICHED with deterministic line variety (the raw fixture text is
+    single-line prose): a surviving long sentence line, a too-short
+    line, a no-terminal-punctuation line, and per-residue javascript /
+    lorem-ipsum / curly-brace / bad-word injections so every rule
+    fires on a known subset and BOTH verdicts occur. The operator is
+    line-REWRITING: clean_text (the surviving lines) is part of the
+    compared surface, so the DuckDB twin must replay the filter, the
+    rejoin, and the sentence segmentation of the cleaned text."""
+    from etl_cli_spark.operators.text import c4_quality
+
+    d = _engine(spark, sf).read("documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nThis first appended line has enough words to survive."),
+            F.lit("\nshort line."),
+            F.lit("\nthis line has no terminal punctuation at all"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nPlease enable JavaScript to view this page."),
+            ).otherwise(F.lit("\nAnother good sentence for the cleaned output.")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\nlorem ipsum dolor sit amet."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\nfunction f() { return 1; }"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit("\nThis closing line contains badtok as a word."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_quality(enriched, bad_words=("badtok",))
+
+
 def _q_gopher_repetition(spark, sf):
     """Gopher's repetition rule suite (the companion of
     gopher_quality): duplicate-line fractions and top-{2,3,4}-gram
@@ -3535,6 +3572,11 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
                           ("top2gram_char_frac", "f"),
                           ("top3gram_char_frac", "f"),
                           ("top4gram_char_frac", "f")],
+    # booleans: both engines cast to 'true'/'false' strings
+    "c4_quality": [("doc_id", "i"), ("n_lines", "i"), ("n_kept_lines", "i"),
+                   ("n_sentences", "i"), ("has_lorem", "s"),
+                   ("has_brace", "s"), ("has_bad_word", "s"),
+                   ("clean_text", "s"), ("passes", "s")],
     # passes is boolean: both engines cast to 'true'/'false' strings
     "gopher_quality": [("doc_id", "i"), ("n_words", "i"),
                        ("mean_word_len", "f"), ("symbol_ratio", "f"),
@@ -3785,6 +3827,8 @@ _TEXT_FAMILY = [
     "text_repetition", "text_pii_scrub", "normalize_unicode",
     "html_extract", "html_links", "split_sentences", "chunk_sentences",
     "gopher_quality", "perplexity_buckets", "gopher_repetition",
+    # round-14: the C4 rule set joins the quality family
+    "c4_quality",
 ]
 _DEDUP_FAMILY = [
     "dedup_minhash", "dedup_minhash_cc", "dedup_minhash_indexed",
@@ -4538,6 +4582,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_sentences": _q_split_sentences,
     "chunk_sentences": _q_chunk_sentences,
     "gopher_quality": _q_gopher_quality,
+    "c4_quality": _q_c4_quality,
     "perplexity_buckets": _q_perplexity_buckets,
     "gopher_repetition": _q_gopher_repetition,
     "normalize_unicode": _q_normalize_unicode,
@@ -5959,6 +6004,53 @@ def oracle_sql() -> dict[str, str]:
         "(n_words >= 20 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0 "
         "AND symr <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 "
         "AND nstops >= 1) AS passes FROM m"
+    )
+
+    # c4_quality: the full line-rewriting replay — line filter
+    # (terminal punct + min words + no 'javascript'), rejoin, sentence
+    # segmentation of the CLEANED text (the split_sentences protocol),
+    # page-level lorem/brace/bad-word flags, verdict
+    _ctext = (
+        "text"
+        " || chr(10) || 'This first appended line has enough words to survive.'"
+        " || chr(10) || 'short line.'"
+        " || chr(10) || 'this line has no terminal punctuation at all'"
+        " || CASE WHEN doc_id % 5 = 0"
+        " THEN chr(10) || 'Please enable JavaScript to view this page.'"
+        " ELSE chr(10) || 'Another good sentence for the cleaned output.' END"
+        " || CASE WHEN doc_id % 7 = 0"
+        " THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0"
+        " THEN chr(10) || 'function f() { return 1; }' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0"
+        " THEN chr(10) || 'This closing line contains badtok as a word.'"
+        " ELSE '' END"
+    )
+    _csents = (
+        "list_filter(list_transform(string_split("
+        f"regexp_replace(clean, '{_SENTENCE_BOUNDARY}', "
+        "'\\1' || chr(1), 'g'), chr(1)), x -> trim(x)), x -> x <> '')"
+    )
+    sql["c4_quality"] = (
+        f"WITH e AS (SELECT doc_id, {_ctext} AS t FROM documents), "
+        "s AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM e), "
+        "k AS (SELECT doc_id, t, lines, "
+        "list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?\"”]$') "
+        r"AND len(string_split_regex(trim(l), '\s+')) >= 5 "
+        "AND NOT contains(lower(l), 'javascript')) AS kept FROM s), "
+        "c AS (SELECT doc_id, t, len(lines) AS n_lines, "
+        "len(kept) AS n_kept_lines, "
+        "array_to_string(kept, chr(10)) AS clean FROM k), "
+        f"sen AS (SELECT *, len({_csents}) AS n_sentences FROM c) "
+        "SELECT doc_id, n_lines, n_kept_lines, n_sentences, "
+        "contains(lower(t), 'lorem ipsum') AS has_lorem, "
+        "contains(t, '{') AS has_brace, "
+        r"list_contains(string_split_regex(lower(trim(t)), '\s+'), 'badtok') "
+        "AS has_bad_word, clean AS clean_text, "
+        "(n_sentences >= 3 AND NOT contains(lower(t), 'lorem ipsum') "
+        "AND NOT contains(t, '{') "
+        r"AND NOT list_contains(string_split_regex(lower(trim(t)), '\s+'), "
+        "'badtok')) AS passes FROM sen"
     )
 
     # gopher_repetition: line hashing, one-pass tri-n gram counting,

@@ -208,6 +208,79 @@ def gopher_quality(
     )
 
 
+def c4_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    bad_words: tuple[str, ...] = (),
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning with a Unified Text-to-Text Transformer", §2.2 —
+    the other canonical public web-cleaning recipe next to Gopher; the
+    rule set mC4/The Pile's CC pipeline reuse). C4 is LINE-REWRITING
+    where Gopher is document-scoring: the operator returns the cleaned
+    text alongside the stats and verdict.
+
+    Line rules (a line survives into ``clean_text`` iff ALL hold):
+    ends in a terminal punctuation mark (``.``, ``!``, ``?``, or a
+    closing quote ``"``/``”`` — the paper's "end quotation mark");
+    has >= ``min_line_words`` whitespace words; does not contain the
+    word "javascript" (case-insensitive).
+
+    Document rules (the ``passes`` verdict): >= ``min_sentences``
+    sentences in the CLEANED text (the repo's ``split_sentences``
+    segmentation — C4 used a sentence tokenizer; same approximation
+    class); no "lorem ipsum" (lowercased substring); no ``{`` (the
+    code-page tell); no whitespace token from ``bad_words`` (the
+    paper's word-list rule — the list is caller data, not shipped).
+    C4's cross-document three-sentence-span dedup is the separate
+    ``pipeline.repeated_spans`` family.
+
+    Everything is pure Column expressions over one line split — a
+    single projection, zero UDFs, scan-speed at 100 TB, replayed
+    bit-for-bit by the DuckDB twin."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+
+    def _line_ok(ln: Column) -> Column:
+        return (
+            F.rtrim(ln).rlike(r'[.!?"”]$')
+            & (F.size(F.split(F.trim(ln), _WS)) >= min_line_words)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    clean = F.concat_ws("\n", kept)
+    n_sentences = F.size(split_sentences(clean))
+    lowered = F.lower(c)
+    has_lorem = lowered.contains("lorem ipsum")
+    has_brace = c.contains("{")
+    if bad_words:
+        bw = F.array(*[F.lit(w.lower()) for w in bad_words])
+        has_bad = F.arrays_overlap(tokens(c), bw)
+    else:
+        has_bad = F.lit(False)
+    out = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_bad.alias("has_bad_word"),
+        clean.alias("clean_text"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & ~F.col("has_bad_word"),
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """Stopword-vote language ID: the language whose function words hit most.
 

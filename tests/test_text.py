@@ -349,3 +349,84 @@ def test_gopher_repetition_top_pick_is_deterministic(spark):
     a = gopher_repetition(df).collect()[0]
     b = gopher_repetition(df.repartition(4)).collect()[0]
     assert a == b
+
+
+def test_c4_quality_line_rules_fire_individually(spark):
+    """Each C4 line rule drops exactly its target line; survivors
+    rejoin in document order."""
+    from etl_cli_spark.operators.text import c4_quality
+
+    text = "\n".join([
+        "This opening sentence has plenty of words and ends well.",
+        "too short.",                                   # < 5 words
+        "this line never terminates so it must go",     # no terminal punct
+        "Please enable JavaScript to continue reading.",  # javascript
+        "The middle sentence also survives the filter cleanly.",
+        # quote-terminated line LAST: '."' + newline is not a
+        # punct-then-whitespace boundary, so mid-text it would merge
+        # with the next segment (split_sentences' documented shape)
+        'He said "the quote can end a valid line here."',
+    ])
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = c4_quality(df).collect()[0]
+    assert r.n_lines == 6 and r.n_kept_lines == 3
+    assert r.clean_text.split("\n") == [
+        "This opening sentence has plenty of words and ends well.",
+        "The middle sentence also survives the filter cleanly.",
+        'He said "the quote can end a valid line here."',
+    ]
+    assert r.n_sentences == 3 and r.passes
+
+
+def test_c4_quality_page_rules_and_verdict(spark):
+    from etl_cli_spark.operators.text import c4_quality
+
+    good = "\n".join([
+        "First good sentence with enough words right here.",
+        "Second good sentence with enough words right here.",
+        "Third good sentence with enough words right here.",
+    ])
+    rows = [
+        (1, good),
+        (2, good + "\nsome Lorem Ipsum filler text appears."),
+        (3, good + "\nif (x) { return; }"),
+        (4, good + "\nthis page mentions the forbidden zorblax token."),
+        (5, "Only one good sentence with enough words here."),  # < 3 sentences
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in c4_quality(df, bad_words=("zorblax",)).collect()}
+    assert out[1].passes
+    assert out[2].has_lorem and not out[2].passes
+    assert out[3].has_brace and not out[3].passes
+    assert out[4].has_bad_word and not out[4].passes
+    assert out[5].n_sentences == 1 and not out[5].passes
+    # page flags look at the RAW text, line filter at lines: doc 3's
+    # brace line also fails the line filter (no terminal punct)
+    assert "{" not in out[3].clean_text
+
+
+def test_c4_quality_sentence_count_spans_lines(spark):
+    """Sentences are counted on the CLEANED text: two sentences inside
+    one surviving line both count."""
+    from etl_cli_spark.operators.text import c4_quality
+
+    text = (
+        "This line holds two sentences. Both of them count fine.\n"
+        "And a third sentence arrives on its own line here."
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = c4_quality(df).collect()[0]
+    assert r.n_kept_lines == 2 and r.n_sentences == 3 and r.passes
+
+
+def test_c4_quality_empty_and_no_survivors(spark):
+    from etl_cli_spark.operators.text import c4_quality
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "no terminal punctuation anywhere in this text")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in c4_quality(df).collect()}
+    assert out[1].n_kept_lines == 0 and out[1].clean_text == ""
+    assert out[1].n_sentences == 0 and not out[1].passes
+    assert out[2].n_kept_lines == 0 and not out[2].passes
