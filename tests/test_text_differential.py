@@ -34,6 +34,7 @@ from check_oracle import frame_hash
 DIFFERENTIAL_QUERIES = [
     "gopher_quality",
     "gopher_repetition",
+    "c4_quality",
     "split_sentences",
     "chunk_sentences",
     "html_extract",
@@ -45,7 +46,7 @@ DIFFERENTIAL_QUERIES = [
 _WORDS = (
     "the and of to with that have be alpha beta gamma delta kilo "
     "zebra quux lorem ipsum data spark join window shuffle "
-    "internationalization a I x42 99 #tag"
+    "internationalization a I x42 99 #tag javascript {curly} badtok"
 ).split()
 _DECOR = ["\n", "\n\n", " - ", " • ", "... ", "… ", " # ", "  ", "\t", ". ", "! ", "? ", "é ", "ü "]
 
