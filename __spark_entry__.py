@@ -3150,6 +3150,56 @@ def _q_video_neardup(spark, sf):
     return video_neardup(vids, max_distance=6, chunks=8, min_matched_frames=3)
 
 
+def _q_video_neardup_indexed(spark, sf):
+    """Incremental-crawl video near-dup: the video fixture corpus (4
+    groups x 3 reels, 6 frames) is frame-fingerprinted ONCE into the
+    persisted banded index (video kind — composite frame ids, every_ms
+    frozen in the meta), then a new-crawl batch (members m=3,4 of
+    groups 0..5, groups 4-5 never indexed, ids 1000+) probes it: the
+    frame-level partition-pruned band join aggregated to video pairs
+    by matched-frame count (>= 3 of 6 sampled frames). Member m=3
+    shares exactly frames {3,4,5} with its group (passes), m=4 shares
+    only {3,4} (below threshold) — both outcomes exercised. The DuckDB
+    twin recomputes every frame hash in pure python from the fixture
+    spec and replays the frame join + aggregation."""
+    import numpy as np
+
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        build_media_index,
+        encode_bmp,
+        make_fake_video_neardup,
+        neardup_dims,
+        video_neardup_indexed,
+        video_neardup_pixels,
+    )
+
+    idx_corpus = make_fake_video_neardup(spark, n_groups=4, per_group=3, n_frames=6)
+    path = tempfile.mkdtemp(prefix="etl_video_idx_") + "/idx"
+    build_media_index(idx_corpus, path, kind="video", chunks=8, n_parts=16)
+    rows = []
+    for gi, g in enumerate(range(6)):
+        w, h = neardup_dims(g)
+        for mi, m in enumerate((3, 4)):
+            replaced = {(5 * k + 2) % 6 for k in range(m)}
+            frames = []
+            for f in range(6):
+                px = video_neardup_pixels(g, f, w, h)
+                if f in replaced:
+                    px = (
+                        (px.astype(np.int64) + 101 * (m + 1) * (m + 1)) % 256
+                    ).astype(np.uint8)
+                frames.append(encode_bmp(px))
+            rows.append(
+                (1000 + gi * 2 + mi, "video", bytearray(b"".join(frames)),
+                 (w, h, None, 6000, "bmp_reel"))
+            )
+    batch = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return video_neardup_indexed(
+        batch, path, max_distance=6, min_matched_frames=3
+    )
+
+
 def _q_multimodal_probe(spark, sf):
     """Header-only media probe (format/width/height from container
     headers, zero pixel decode — the cheap routing pass before decode)
@@ -3527,8 +3577,9 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "video_phash": [("media_id", "i"), ("frame_idx", "i"),
                     ("frame_ts_ms", "i"), ("phash", "i")],
     "video_neardup": [("a_id", "i"), ("b_id", "i"), ("n_matched", "i")],
-    # round-14: persisted media-fingerprint index probe
+    # round-14: persisted media-fingerprint index probes
     "image_neardup_indexed": [("new_id", "i"), ("old_id", "i"), ("distance", "i")],
+    "video_neardup_indexed": [("new_id", "i"), ("old_id", "i"), ("n_matched", "i")],
     # -- sketch family (round-4 digest) --
     "sketch_distinct_kmv": [("o_orderstatus", "s"), ("est_distinct", "f")],
     "sketch_distinct_hll": [("l_returnflag", "s"), ("est_distinct", "f")],
@@ -3781,8 +3832,9 @@ _MULTIMODAL_FAMILY = [
     "multimodal_phash", "image_neardup", "audio_fingerprint", "audio_neardup",
     "video_phash", "video_neardup",
     # round-14: the persisted media-fingerprint index (incremental
-    # crawl probe — the image analogue of dedup_minhash_indexed)
-    "image_neardup_indexed",
+    # crawl probe — the image analogue of dedup_minhash_indexed), plus
+    # its video kind (frame-level composite ids + matched-frame agg)
+    "image_neardup_indexed", "video_neardup_indexed",
 ]
 _SKETCH_FAMILY = [
     "sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist",
@@ -4648,6 +4700,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_phash": _q_multimodal_phash,
     "image_neardup": _q_image_neardup,
     "image_neardup_indexed": _q_image_neardup_indexed,
+    "video_neardup_indexed": _q_video_neardup_indexed,
     "audio_fingerprint": _q_audio_fingerprint,
     "audio_neardup": _q_audio_neardup,
     "video_phash": _q_video_phash,
@@ -5382,6 +5435,28 @@ def oracle_sql() -> dict[str, str]:
         f"ON a.media_id < b.media_id "
         f"AND bit_count(xor(CAST(a.hsh AS BIGINT), CAST(b.hsh AS BIGINT))) <= 6 "
         f"GROUP BY a.media_id, b.media_id HAVING count(DISTINCT a.fi) >= 3"
+    )
+    # video_neardup_indexed: persisted-index probe — batch side is
+    # members m=3,4 of groups 0..5 (ids 1000 + gi*2 + mi), every frame
+    # hash recomputed in pure python; the pruned frame-level band join
+    # + matched-frame aggregation must equal this exact replay
+    _vbvals = []
+    for _g in range(6):
+        _w, _h = 16 + _g % 5, 12 + _g % 3  # neardup_dims
+        for _mi, _m in enumerate((3, 4)):
+            for _f in range(6):
+                _vbvals.append(
+                    f"({1000 + _g * 2 + _mi}, {_f}, "
+                    f"{_oracle_vdhash(_g, _m, _f, _w, _h, 6)})"
+                )
+    _vbcte = f"(VALUES {', '.join(_vbvals)}) AS n(media_id, fi, hsh)"
+    sql["video_neardup_indexed"] = (
+        f"SELECT CAST(n.media_id AS BIGINT) AS new_id, "
+        f"CAST(o.media_id AS BIGINT) AS old_id, "
+        f"count(DISTINCT n.fi) AS n_matched "
+        f"FROM {_vbcte} JOIN {_vcte.replace(' AS v(', ' AS o(')} "
+        f"ON bit_count(xor(CAST(n.hsh AS BIGINT), CAST(o.hsh AS BIGINT))) <= 6 "
+        f"GROUP BY n.media_id, o.media_id HAVING count(DISTINCT n.fi) >= 3"
     )
 
     # profile_orders: every column's stats recomputed independently

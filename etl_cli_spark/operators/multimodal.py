@@ -1241,6 +1241,38 @@ def video_phash(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.mapInPandas(batches, out_schema)
 
 
+_VIDEO_ID_STRIDE = 100_000
+
+
+def _video_frame_base(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """(id, sh) over sampled video frames with the composite frame id
+    media_id * 100000 + frame_idx (sample count is clamped at 10k per
+    video, so the frame part can't collide) — shared by
+    ``video_neardup`` and the video kind of the persisted media index,
+    so banding and decoding can never diverge between them.
+
+    The packing needs media_id in [0, (2^63-1) div 100000]: negative
+    ids break media-major ordering and larger ids overflow the long,
+    so out-of-range ids fail fast instead of silently mispairing."""
+    fp = video_phash(df, every_ms=every_ms)
+    id_bound = ((1 << 63) - 1) // _VIDEO_ID_STRIDE
+    in_range = (F.col("media_id") >= 0) & (F.col("media_id") <= id_bound)
+    composite = F.when(
+        in_range, F.col("media_id") * _VIDEO_ID_STRIDE + F.col("frame_idx")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "video composite id: media_id outside the range "
+                    f"[0, {id_bound}]: "
+                ),
+                F.col("media_id").cast("string"),
+            )
+        )
+    )
+    return fp.select(composite.alias("id"), F.col("phash").alias("sh"))
+
+
 def video_neardup(
     df: DataFrame,
     every_ms: int = 1000,
@@ -1275,28 +1307,7 @@ def video_neardup(
             f"video_neardup: pigeonhole recall needs max_distance <= "
             f"chunks - 1 (got {max_distance} > {chunks - 1})"
         )
-    fp = video_phash(df, every_ms=every_ms)
-    # composite frame id: media_id * 100000 + frame_idx (sample count
-    # is clamped at 10k per video, so the frame part can't collide).
-    # The packing needs media_id in [0, (2^63-1) div 100000]: negative
-    # ids break media-major ordering and larger ids overflow the long,
-    # so out-of-range ids fail fast instead of silently mispairing.
-    id_bound = ((1 << 63) - 1) // 100_000
-    in_range = (F.col("media_id") >= 0) & (F.col("media_id") <= id_bound)
-    composite = F.when(
-        in_range, F.col("media_id") * 100000 + F.col("frame_idx")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "video_neardup: media_id outside the composite-id "
-                    f"range [0, {id_bound}]: "
-                ),
-                F.col("media_id").cast("string"),
-            )
-        )
-    )
-    base = fp.select(composite.alias("id"), F.col("phash").alias("sh"))
+    base = _video_frame_base(df, every_ms=every_ms)
     # composite ids order media-major, so a_id < b_id from the band
     # join implies a_media <= b_media — after dropping same-video
     # pairs, the a side IS the lower video and a_frame its frame.
@@ -1353,9 +1364,14 @@ _MEDIA_IDX_META = "_media_index_meta.json"
 def _media_fingerprint_base(df: DataFrame, meta: dict) -> DataFrame:
     """(id, sh) under an index's FROZEN parameters. ``kind`` picks the
     fingerprint family: image -> dHash (phash_images), audio ->
-    energy-contour hash (audio_fingerprint). NULL fingerprints
-    (undecodable payloads) drop here — they carry no band signal."""
+    energy-contour hash (audio_fingerprint), video -> per-sampled-frame
+    dHash keyed by the COMPOSITE frame id (media_id * 100000 +
+    frame_idx — ``_video_frame_base``, shared with ``video_neardup``).
+    NULL fingerprints (undecodable payloads) drop here — they carry no
+    band signal."""
     kind = meta["kind"]
+    if kind == "video" and meta["id_col"] != "media_id":
+        df = df.withColumnRenamed(meta["id_col"], "media_id")
     if kind == "image":
         fp = phash_images(df, payload_col=meta["payload_col"]).select(
             F.col(meta["id_col"]).alias("id"), F.col("phash").alias("sh")
@@ -1364,8 +1380,12 @@ def _media_fingerprint_base(df: DataFrame, meta: dict) -> DataFrame:
         fp = audio_fingerprint(df, payload_col=meta["payload_col"]).select(
             F.col(meta["id_col"]).alias("id"), F.col("afp").alias("sh")
         )
+    elif kind == "video":
+        fp = _video_frame_base(df, every_ms=meta.get("every_ms", 1000))
     else:  # pragma: no cover - guarded at build time
-        raise ValueError(f"media index kind must be image|audio, got {kind!r}")
+        raise ValueError(
+            f"media index kind must be image|audio|video, got {kind!r}"
+        )
     return fp.filter(F.col("sh").isNotNull())
 
 
@@ -1423,19 +1443,24 @@ def build_media_index(
     kind: str = "image",
     chunks: int = 8,
     n_parts: int = 64,
+    every_ms: int = 1000,
 ) -> None:
     """Fingerprint the media corpus once and persist the banded index
     (see section notes on layout). One corpus pass: decode + hash in
     the Arrow task, then the only exchange is the repartition on
     ``__bb`` (narrow (id, 8-byte hash, band) rows — pixels never
-    shuffle, the property the whole family is built on)."""
-    if kind not in ("image", "audio"):
-        raise ValueError(f"media index kind must be image|audio, got {kind!r}")
+    shuffle, the property the whole family is built on). The video
+    kind indexes one row per SAMPLED FRAME (``every_ms`` cadence,
+    frozen with the other parameters) under the composite frame id."""
+    if kind not in ("image", "audio", "video"):
+        raise ValueError(
+            f"media index kind must be image|audio|video, got {kind!r}"
+        )
     if 64 % chunks:
         raise ValueError(f"chunks must divide 64, got {chunks}")
     meta = dict(
         id_col=id_col, payload_col=payload_col, kind=kind,
-        chunks=chunks, n_parts=n_parts,
+        chunks=chunks, n_parts=n_parts, every_ms=every_ms,
     )
     import os
 
@@ -1548,6 +1573,51 @@ def media_neardup_indexed(
         cand.withColumn("distance", hamming64(F.col("new_sh"), F.col("old_sh")))
         .filter(F.col("distance") <= max_distance)
         .select("new_id", "old_id", "distance")
+    )
+
+
+def video_neardup_indexed(
+    df: DataFrame,
+    path: str,
+    max_distance: int = 6,
+    min_matched_frames: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate probe of a new-crawl VIDEO batch against a
+    persisted video-kind media index: the frame-level banded probe
+    (``media_neardup_indexed`` over composite frame ids — batch frames
+    decode and hash in-task, the index read partition-prunes to the
+    touched band dirs) aggregated to video pairs by MATCHED FRAME
+    COUNT, exactly ``video_neardup``'s rule: >= ``min_matched_frames``
+    distinct batch frames with an indexed frame within
+    ``max_distance`` Hamming bits in the same historical video.
+    Returns ``(new_id, old_id, n_matched)`` with new_id the batch
+    video and old_id the indexed one."""
+    meta = _read_media_index_meta(path)
+    if meta["kind"] != "video":
+        raise ValueError(
+            f"video_neardup_indexed needs a video-kind index, "
+            f"got {meta['kind']!r}"
+        )
+    fp = media_neardup_indexed(
+        df, path, max_distance=max_distance, max_bucket_size=max_bucket_size
+    )
+    return (
+        fp.select(
+            F.expr(f"new_id div {_VIDEO_ID_STRIDE}").alias("new_media"),
+            (F.col("new_id") % _VIDEO_ID_STRIDE).alias("new_frame"),
+            F.expr(f"old_id div {_VIDEO_ID_STRIDE}").alias("old_media"),
+        )
+        # composite-id self-suppression already removed replayed FRAMES;
+        # drop residual same-video pairs (a replay with a different
+        # sampling cadence could otherwise pair a video with itself)
+        .filter(F.col("new_media") != F.col("old_media"))
+        .groupBy(
+            F.col("new_media").alias("new_id"),
+            F.col("old_media").alias("old_id"),
+        )
+        .agg(F.count_distinct("new_frame").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_matched_frames)
     )
 
 

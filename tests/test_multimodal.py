@@ -1519,3 +1519,113 @@ def test_media_index_audio_kind_and_validation(spark, tmp_path):
         build_media_index(audio, str(tmp_path / "bad2"), chunks=7)
     with pytest.raises(ValueError, match="pigeonhole"):
         media_neardup_indexed(probe, path, max_distance=8)
+
+
+def _video_batch(spark, groups, members=(3, 4), id_base=1000, n_frames=6):
+    import numpy as np
+
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        neardup_dims,
+        video_neardup_pixels,
+    )
+
+    rows = []
+    for gi, g in enumerate(groups):
+        w, h = neardup_dims(g)
+        for mi, m in enumerate(members):
+            replaced = {(5 * k + 2) % n_frames for k in range(m)}
+            frames = []
+            for f in range(n_frames):
+                px = video_neardup_pixels(g, f, w, h)
+                if f in replaced:
+                    px = (
+                        (px.astype(np.int64) + 101 * (m + 1) * (m + 1)) % 256
+                    ).astype(np.uint8)
+                frames.append(encode_bmp(px))
+            rows.append(
+                (id_base + gi * len(members) + mi, "video",
+                 bytearray(b"".join(frames)),
+                 (w, h, None, n_frames * 1000, "bmp_reel"))
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_video_index_probe_equals_direct_frame_aggregation(spark, tmp_path):
+    """The video-kind indexed probe must equal the brute-force
+    frame-level cross join + matched-frame aggregation; member m=3
+    shares exactly 3 frames with its group (passes), m=4 only 2
+    (below threshold), unseen groups nothing."""
+    from pyspark.sql import functions as F
+
+    from etl_cli_spark.operators.dedup import hamming64
+    from etl_cli_spark.operators.multimodal import (
+        build_media_index,
+        make_fake_video_neardup,
+        video_neardup_indexed,
+        video_phash,
+    )
+
+    corpus = make_fake_video_neardup(spark, n_groups=4, per_group=3, n_frames=6)
+    path = str(tmp_path / "vidx")
+    build_media_index(corpus, path, kind="video", chunks=8, n_parts=16)
+    batch = _video_batch(spark, groups=range(6))  # groups 4,5 unseen
+    got = sorted(
+        map(tuple, video_neardup_indexed(
+            batch, path, max_distance=6, min_matched_frames=3
+        ).collect())
+    )
+    nfp = video_phash(batch).select(
+        F.col("media_id").alias("nm"), F.col("frame_idx").alias("nf"),
+        F.col("phash").alias("nh"),
+    )
+    ofp = video_phash(corpus).select(
+        F.col("media_id").alias("om"), F.col("phash").alias("oh")
+    )
+    brute = sorted(
+        map(tuple, nfp.crossJoin(ofp)
+            .withColumn("d", hamming64(F.col("nh"), F.col("oh")))
+            .filter("d <= 6").groupBy("nm", "om")
+            .agg(F.count_distinct("nf").alias("n")).filter("n >= 3")
+            .collect())
+    )
+    assert got == brute and len(got) == 12
+    # m=3 members (even batch offsets) pair with all 3 group members
+    assert {(n - 1000) % 2 for n, _, _ in got} == {0}
+    assert all(m == 3 for _, _, m in got)
+
+
+def test_video_index_append_equals_rebuild_and_kind_guard(spark, tmp_path):
+    import pytest
+
+    from etl_cli_spark.operators.multimodal import (
+        append_media_fingerprints,
+        build_media_index,
+        make_fake_video_neardup,
+        video_neardup_indexed,
+    )
+
+    corpus = make_fake_video_neardup(spark, n_groups=3, per_group=2, n_frames=4)
+    path = str(tmp_path / "vidx")
+    build_media_index(corpus, path, kind="video", chunks=8, n_parts=16)
+    batch = _video_batch(spark, groups=[0, 1], members=(2,), n_frames=4)
+    append_media_fingerprints(batch, path)
+    path2 = str(tmp_path / "vidx2")
+    build_media_index(
+        corpus.unionByName(batch), path2, kind="video", chunks=8, n_parts=16
+    )
+    rows = lambda p: sorted(
+        map(tuple, spark.read.parquet(p + "/bands")
+            .select("id", "sh", "chunk", "piece", "__bb").collect())
+    )
+    assert rows(path) == rows(path2)
+    # an image-kind index must refuse the video probe
+    from etl_cli_spark.operators.multimodal import make_fake_media_neardup
+
+    ipath = str(tmp_path / "iidx")
+    build_media_index(
+        make_fake_media_neardup(spark, n_groups=2, per_group=2), ipath
+    )
+    with pytest.raises(ValueError, match="video-kind"):
+        video_neardup_indexed(batch, ipath)
