@@ -3079,6 +3079,42 @@ def _q_image_neardup_indexed(spark, sf):
     return media_neardup_indexed(batch, path, max_distance=6)
 
 
+def _q_image_dedup_indexed(spark, sf):
+    """Incremental media dedup policy: the surviving subset of the
+    new-crawl batch after dropping items near-dup of ANY indexed image
+    or of a smaller-id batch twin (the text dedup_against_index greedy
+    policy over perceptual fingerprints). Same fixture as
+    image_neardup_indexed; expected survivors are exactly the m=3
+    members of the never-indexed groups 8..11 (their m=4 twins lose to
+    the in-batch pair). The DuckDB twin recomputes every dHash and
+    replays both loser sets."""
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        build_media_index,
+        dedup_against_media_index,
+        encode_bmp,
+        make_fake_media_neardup,
+        neardup_dims,
+        neardup_pixels,
+    )
+
+    idx_corpus = make_fake_media_neardup(spark, n_groups=8, per_group=3)
+    path = tempfile.mkdtemp(prefix="etl_media_dedup_") + "/idx"
+    build_media_index(idx_corpus, path, chunks=8, n_parts=16)
+    rows = []
+    for g in range(12):
+        w, h = neardup_dims(g)
+        for m in (3, 4):
+            px = neardup_pixels(g, m, w, h)
+            rows.append(
+                (1000 + g * 2 + (m - 3), "image", bytearray(encode_bmp(px)),
+                 (w, h, None, None, "bmp"))
+            )
+    batch = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = dedup_against_media_index(batch, path, max_distance=6)
+    return out.select("media_id", "kind")
+
+
 def _q_audio_fingerprint(spark, sf):
     """Energy-contour audio fingerprint (Haitsma-Kalker-style
     sign-of-energy-delta, one band over 65 fixed frames) over the audio
@@ -3580,6 +3616,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     # round-14: persisted media-fingerprint index probes
     "image_neardup_indexed": [("new_id", "i"), ("old_id", "i"), ("distance", "i")],
     "video_neardup_indexed": [("new_id", "i"), ("old_id", "i"), ("n_matched", "i")],
+    "image_dedup_indexed": [("media_id", "i"), ("kind", "s")],
     # -- sketch family (round-4 digest) --
     "sketch_distinct_kmv": [("o_orderstatus", "s"), ("est_distinct", "f")],
     "sketch_distinct_hll": [("l_returnflag", "s"), ("est_distinct", "f")],
@@ -3834,7 +3871,7 @@ _MULTIMODAL_FAMILY = [
     # round-14: the persisted media-fingerprint index (incremental
     # crawl probe — the image analogue of dedup_minhash_indexed), plus
     # its video kind (frame-level composite ids + matched-frame agg)
-    "image_neardup_indexed", "video_neardup_indexed",
+    "image_neardup_indexed", "video_neardup_indexed", "image_dedup_indexed",
 ]
 _SKETCH_FAMILY = [
     "sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist",
@@ -4701,6 +4738,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_neardup": _q_image_neardup,
     "image_neardup_indexed": _q_image_neardup_indexed,
     "video_neardup_indexed": _q_video_neardup_indexed,
+    "image_dedup_indexed": _q_image_dedup_indexed,
     "audio_fingerprint": _q_audio_fingerprint,
     "audio_neardup": _q_audio_neardup,
     "video_phash": _q_video_phash,
@@ -5343,6 +5381,20 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(bit_count(xor(CAST(n.hsh AS BIGINT), CAST(o.hsh AS BIGINT))) AS INT) AS distance "
         f"FROM {_bcte} CROSS JOIN {_pcte.replace(' AS p(', ' AS o(')} "
         f"WHERE bit_count(xor(CAST(n.hsh AS BIGINT), CAST(o.hsh AS BIGINT))) <= 6"
+    )
+    # image_dedup_indexed: the greedy surviving subset — drop batch ids
+    # with a cross pair to the index OR a smaller-id in-batch pair
+    sql["image_dedup_indexed"] = (
+        f"WITH b AS (SELECT * FROM {_bcte}), "
+        f"o AS (SELECT * FROM {_pcte.replace(' AS p(', ' AS o(')}), "
+        "cl AS (SELECT DISTINCT b.media_id FROM b JOIN o "
+        "ON bit_count(xor(CAST(b.hsh AS BIGINT), CAST(o.hsh AS BIGINT))) <= 6), "
+        "ib AS (SELECT DISTINCT b2.media_id FROM b b1 JOIN b b2 "
+        "ON b1.media_id < b2.media_id "
+        "AND bit_count(xor(CAST(b1.hsh AS BIGINT), CAST(b2.hsh AS BIGINT))) <= 6) "
+        "SELECT CAST(media_id AS BIGINT) AS media_id, 'image' AS kind FROM b "
+        "WHERE media_id NOT IN (SELECT media_id FROM cl) "
+        "AND media_id NOT IN (SELECT media_id FROM ib)"
     )
 
     # audio_fingerprint / audio_neardup: the same discipline for the

@@ -1522,21 +1522,33 @@ def media_neardup_indexed(
     ``fingerprint_pairs`` documents — hub candidates still face the
     exact verify; the trade is recall against the blanked-out class,
     which distance-0 collapses dominate in practice)."""
-    import os
-
     spark = df.sparkSession
     meta = _read_media_index_meta(path)
+    from pyspark import StorageLevel
+
+    base = _media_fingerprint_base(df, meta).persist(StorageLevel.MEMORY_AND_DISK)
+    return _media_index_cross_pairs(
+        spark, base, path, meta, max_distance, max_bucket_size
+    )
+
+
+def _media_index_cross_pairs(
+    spark, base, path, meta, max_distance, max_bucket_size
+):
+    """(new_id, old_id, distance) between a (persisted) fingerprint
+    base and the banded index — the partition-pruned probe shared by
+    :func:`media_neardup_indexed` (returns the pairs) and
+    :func:`dedup_against_media_index` (keeps only loser ids)."""
+    import os
+
     chunks = meta["chunks"]
     if max_distance > chunks - 1:
         raise ValueError(
-            f"media_neardup_indexed: pigeonhole recall needs "
+            f"media index probe: pigeonhole recall needs "
             f"max_distance <= chunks - 1 (got {max_distance} > {chunks - 1})"
         )
-    from pyspark import StorageLevel
-
     from .dedup import hamming64
 
-    base = _media_fingerprint_base(df, meta).persist(StorageLevel.MEMORY_AND_DISK)
     probe = _media_index_pieces(base, chunks, meta["n_parts"])
     # driver-side partition list: bounded by n_parts, metadata not data
     bbs = sorted(r[0] for r in probe.select("__bb").distinct().collect())
@@ -1574,6 +1586,68 @@ def media_neardup_indexed(
         .filter(F.col("distance") <= max_distance)
         .select("new_id", "old_id", "distance")
     )
+
+
+def dedup_against_media_index(
+    df: DataFrame,
+    path: str,
+    max_distance: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The surviving subset of a media batch: drop items near-dup
+    (Hamming <= ``max_distance``) of ANY indexed item, or of a
+    smaller-id item inside the batch itself — the text side's
+    ``dedup_against_index`` greedy min-id policy (dedup.py) evaluated
+    incrementally over perceptual fingerprints. Image and audio kinds
+    only: video dedup is pair-level by matched-frame count — use
+    :func:`video_neardup_indexed` and apply a policy to its pairs.
+
+    Plan shape: the batch fingerprints itself once (persisted for this
+    call), the cross probe partition-prunes the index read, the
+    in-batch pass is ``fingerprint_pairs`` over the same base, and the
+    loser-id set is narrow and checkpointed eagerly so the returned
+    plan doesn't depend on the persisted base after release. Work
+    scales with the batch and its hit set, never the corpus."""
+    spark = df.sparkSession
+    meta = _read_media_index_meta(path)
+    if meta["kind"] == "video":
+        raise ValueError(
+            "dedup_against_media_index: video dedup is pair-level "
+            "(matched-frame count) — use video_neardup_indexed"
+        )
+    from pyspark import StorageLevel
+
+    from .dedup import fingerprint_pairs
+
+    base = _media_fingerprint_base(df, meta).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cross = (
+            _media_index_cross_pairs(
+                spark, base, path, meta, max_distance, max_bucket_size
+            )
+            .select(F.col("new_id").alias("id"))
+            .distinct()
+        )
+        in_batch = (
+            fingerprint_pairs(
+                base,
+                max_distance=max_distance,
+                chunks=meta["chunks"],
+                cache=False,
+                max_bucket_size=max_bucket_size,
+            )
+            .select(F.col("b_id").alias("id"))
+            .distinct()
+        )
+        losers = (
+            cross.unionByName(in_batch)
+            .distinct()
+            .withColumnRenamed("id", meta["id_col"])
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        base.unpersist()
+    return df.join(losers, on=meta["id_col"], how="left_anti")
 
 
 def video_neardup_indexed(

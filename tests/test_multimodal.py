@@ -1629,3 +1629,54 @@ def test_video_index_append_equals_rebuild_and_kind_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="video-kind"):
         video_neardup_indexed(batch, ipath)
+
+
+def test_dedup_against_media_index_greedy_policy(spark, tmp_path):
+    """Batch items near-dup of ANY indexed image drop; within the
+    batch, only the smaller-id twin of each pair survives; the video
+    kind is refused (its dedup is pair-level)."""
+    import pytest
+
+    from etl_cli_spark.operators.multimodal import (
+        build_media_index,
+        dedup_against_media_index,
+        make_fake_video_neardup,
+    )
+
+    corpus, path = _index_fixture(spark, tmp_path, n_groups=4)
+    # groups 0..3 indexed; 4,5 new — m=3 survives, m=4 loses in-batch
+    batch = _new_batch(spark, groups=range(6))
+    surv = sorted(
+        r.media_id
+        for r in dedup_against_media_index(batch, path, max_distance=6).collect()
+    )
+    assert surv == [1000 + 4 * 2, 1000 + 5 * 2]
+    vpath = str(tmp_path / "vidx")
+    build_media_index(
+        make_fake_video_neardup(spark, n_groups=2, per_group=2, n_frames=4),
+        vpath, kind="video",
+    )
+    with pytest.raises(ValueError, match="pair-level"):
+        dedup_against_media_index(batch, vpath)
+
+
+def test_dedup_against_media_index_replay_keeps_original_survivors(spark, tmp_path):
+    """Crash-replay contract: after the batch's own fingerprints were
+    appended (write happened, checkpoint didn't), re-running the dedup
+    keeps exactly the original survivor set instead of self-dedup-ing
+    to empty."""
+    from etl_cli_spark.operators.multimodal import (
+        append_media_fingerprints,
+        dedup_against_media_index,
+    )
+
+    _, path = _index_fixture(spark, tmp_path, n_groups=4)
+    batch = _new_batch(spark, groups=range(6))
+    before = sorted(
+        r.media_id for r in dedup_against_media_index(batch, path).collect()
+    )
+    append_media_fingerprints(batch, path)
+    after = sorted(
+        r.media_id for r in dedup_against_media_index(batch, path).collect()
+    )
+    assert after == before
