@@ -3186,6 +3186,40 @@ def _q_video_neardup(spark, sf):
     return video_neardup(vids, max_distance=6, chunks=8, min_matched_frames=3)
 
 
+def _q_audio_neardup_indexed(spark, sf):
+    """Incremental-crawl audio near-dup: the audio fixture corpus (8
+    groups x 3 clips, real PCM16 WAV) is fingerprinted ONCE into the
+    audio-kind persisted index, then a new-crawl batch (members m=3,4
+    of groups 0..11 — 8..11 never indexed, ids 1000+) probes it
+    through the same pruned band join. Completes the oracle-certified
+    index family across all three media kinds. The DuckDB twin
+    recomputes every energy-contour fingerprint in pure python from
+    the sample formula and replays the cross join + bit_count
+    filter."""
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        build_media_index,
+        encode_wav,
+        make_fake_audio_neardup,
+        media_neardup_indexed,
+        neardup_samples,
+    )
+
+    idx_corpus = make_fake_audio_neardup(spark, n_groups=8, per_group=3)
+    path = tempfile.mkdtemp(prefix="etl_audio_idx_") + "/idx"
+    build_media_index(idx_corpus, path, kind="audio", chunks=8, n_parts=16)
+    rows = []
+    for g in range(12):
+        for mi, m in enumerate((3, 4)):
+            payload = encode_wav(neardup_samples(g, m), sample_rate=8000)
+            rows.append(
+                (1000 + g * 2 + mi, "audio", bytearray(payload),
+                 (None, None, 8000, None, "wav"))
+            )
+    batch = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return media_neardup_indexed(batch, path, max_distance=6)
+
+
 def _q_video_neardup_indexed(spark, sf):
     """Incremental-crawl video near-dup: the video fixture corpus (4
     groups x 3 reels, 6 frames) is frame-fingerprinted ONCE into the
@@ -3617,6 +3651,7 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "image_neardup_indexed": [("new_id", "i"), ("old_id", "i"), ("distance", "i")],
     "video_neardup_indexed": [("new_id", "i"), ("old_id", "i"), ("n_matched", "i")],
     "image_dedup_indexed": [("media_id", "i"), ("kind", "s")],
+    "audio_neardup_indexed": [("new_id", "i"), ("old_id", "i"), ("distance", "i")],
     # -- sketch family (round-4 digest) --
     "sketch_distinct_kmv": [("o_orderstatus", "s"), ("est_distinct", "f")],
     "sketch_distinct_hll": [("l_returnflag", "s"), ("est_distinct", "f")],
@@ -3872,6 +3907,7 @@ _MULTIMODAL_FAMILY = [
     # crawl probe — the image analogue of dedup_minhash_indexed), plus
     # its video kind (frame-level composite ids + matched-frame agg)
     "image_neardup_indexed", "video_neardup_indexed", "image_dedup_indexed",
+    "audio_neardup_indexed",
 ]
 _SKETCH_FAMILY = [
     "sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist",
@@ -4739,6 +4775,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_neardup_indexed": _q_image_neardup_indexed,
     "video_neardup_indexed": _q_video_neardup_indexed,
     "image_dedup_indexed": _q_image_dedup_indexed,
+    "audio_neardup_indexed": _q_audio_neardup_indexed,
     "audio_fingerprint": _q_audio_fingerprint,
     "audio_neardup": _q_audio_neardup,
     "video_phash": _q_video_phash,
@@ -5425,6 +5462,21 @@ def oracle_sql() -> dict[str, str]:
     sql["audio_fingerprint"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, "
         f"CAST(hsh AS BIGINT) AS afp FROM {_acte}"
+    )
+    # audio_neardup_indexed: persisted-index probe — batch side is
+    # members m=3,4 of groups 0..11 at ids 1000 + g*2 + mi, every
+    # fingerprint recomputed in pure python from the sample formula
+    _abvals = []
+    for _g in range(12):
+        for _mi, _m in enumerate((3, 4)):
+            _abvals.append(f"({1000 + _g * 2 + _mi}, {_oracle_afp(_g, _m)})")
+    _abcte = f"(VALUES {', '.join(_abvals)}) AS n(media_id, hsh)"
+    sql["audio_neardup_indexed"] = (
+        f"SELECT CAST(n.media_id AS BIGINT) AS new_id, "
+        f"CAST(o.media_id AS BIGINT) AS old_id, "
+        f"CAST(bit_count(xor(CAST(n.hsh AS BIGINT), CAST(o.hsh AS BIGINT))) AS INT) AS distance "
+        f"FROM {_abcte} CROSS JOIN {_acte.replace(' AS p(', ' AS o(')} "
+        f"WHERE bit_count(xor(CAST(n.hsh AS BIGINT), CAST(o.hsh AS BIGINT))) <= 6"
     )
     sql["audio_neardup"] = (
         f"SELECT CAST(a.media_id AS BIGINT) AS a_id, "
