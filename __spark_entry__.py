@@ -1560,6 +1560,48 @@ def _q_c4_quality(spark, sf):
     return c4_quality(enriched, bad_words=("badtok",))
 
 
+def _q_script_profile(spark, sf):
+    """Unicode script composition (text.script_profile) over documents
+    ENRICHED with per-residue non-Latin snippets (the raw fixture is
+    ASCII prose, which would leave five of the six script counters at
+    zero): Cyrillic, Han, Greek, Arabic, and Hangul text mixes in on
+    disjoint residues so dominance flips on a known subset. The DuckDB
+    twin counts the same script classes with RE2's ``\\p{X}`` dialect
+    (Java's ``\\p{IsX}`` — verified equivalent) and replays the
+    first-to-max dominance rule."""
+    from etl_cli_spark.operators.text import script_profile
+
+    d = _engine(spark, sf).read("documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" Привет мир кириллица текст слова здесь ещё больше букв"),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" 漢字文本混合測試"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ελληνικά κείμενο"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" مرحبا بالعالم"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" 한국어 텍스트"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = script_profile(enriched)
+    return out.select(
+        "doc_id",
+        "n_letters",
+        *[
+            F.round(f"{s}_frac", 6).alias(f"{s}_frac")
+            for s in ("latin", "cyrillic", "greek", "han", "arabic", "hangul")
+        ],
+        "script",
+    )
+
+
 def _q_gopher_repetition(spark, sf):
     """Gopher's repetition rule suite (the companion of
     gopher_quality): duplicate-line fractions and top-{2,3,4}-gram
@@ -3696,6 +3738,11 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
                           ("top3gram_char_frac", "f"),
                           ("top4gram_char_frac", "f")],
     # booleans: both engines cast to 'true'/'false' strings
+    "script_profile": [("doc_id", "i"), ("n_letters", "i"),
+                       ("latin_frac", "f"), ("cyrillic_frac", "f"),
+                       ("greek_frac", "f"), ("han_frac", "f"),
+                       ("arabic_frac", "f"), ("hangul_frac", "f"),
+                       ("script", "s")],
     "c4_quality": [("doc_id", "i"), ("n_lines", "i"), ("n_kept_lines", "i"),
                    ("n_sentences", "i"), ("has_lorem", "s"),
                    ("has_brace", "s"), ("has_bad_word", "s"),
@@ -3952,8 +3999,8 @@ _TEXT_FAMILY = [
     "text_repetition", "text_pii_scrub", "normalize_unicode",
     "html_extract", "html_links", "split_sentences", "chunk_sentences",
     "gopher_quality", "perplexity_buckets", "gopher_repetition",
-    # round-14: the C4 rule set joins the quality family
-    "c4_quality",
+    # round-14: the C4 rule set + script routing join the quality family
+    "c4_quality", "script_profile",
 ]
 _DEDUP_FAMILY = [
     "dedup_minhash", "dedup_minhash_cc", "dedup_minhash_indexed",
@@ -4708,6 +4755,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_sentences": _q_chunk_sentences,
     "gopher_quality": _q_gopher_quality,
     "c4_quality": _q_c4_quality,
+    "script_profile": _q_script_profile,
     "perplexity_buckets": _q_perplexity_buckets,
     "gopher_repetition": _q_gopher_repetition,
     "normalize_unicode": _q_normalize_unicode,
@@ -6230,6 +6278,45 @@ def oracle_sql() -> dict[str, str]:
         "AND NOT contains(t, '{') "
         r"AND NOT list_contains(string_split_regex(lower(trim(t)), '\s+'), "
         "'badtok')) AS passes FROM sen"
+    )
+
+    # script_profile: RE2 script classes (\p{X}) replay Java's
+    # \p{IsX} counts; dominance = first script in family order to
+    # reach the max (the fold's strict-greater replacement rule)
+    _stext = (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN"
+        " ' Привет мир кириллица текст слова здесь ещё больше букв' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' 漢字文本混合測試' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' ελληνικά κείμενο' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' مرحبا بالعالم' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' 한국어 텍스트' ELSE '' END"
+    )
+    _scnt = {
+        s: rf"len(regexp_extract_all(t, '\p{{{s}}}'))"
+        for s in ("Latin", "Cyrillic", "Greek", "Han", "Arabic", "Hangul")
+    }
+    sql["script_profile"] = (
+        f"WITH e AS (SELECT doc_id, {_stext} AS t FROM documents), "
+        "m AS (SELECT doc_id, "
+        r"len(regexp_extract_all(t, '\p{L}')) AS nl, "
+        + ", ".join(f"{x} AS c_{s.lower()}" for s, x in _scnt.items())
+        + " FROM e), "
+        "g AS (SELECT *, greatest(c_latin, c_cyrillic, c_greek, c_han, "
+        "c_arabic, c_hangul) AS cmax FROM m) "
+        "SELECT doc_id, nl AS n_letters, "
+        + ", ".join(
+            f"CASE WHEN nl = 0 THEN 0.0 ELSE "
+            f"round(CAST(c_{s} AS DOUBLE) / nl, 6) END AS {s}_frac"
+            for s in ("latin", "cyrillic", "greek", "han", "arabic", "hangul")
+        )
+        + ", CASE WHEN cmax = 0 THEN 'und' "
+        "WHEN c_latin = cmax THEN 'latin' "
+        "WHEN c_cyrillic = cmax THEN 'cyrillic' "
+        "WHEN c_greek = cmax THEN 'greek' "
+        "WHEN c_han = cmax THEN 'han' "
+        "WHEN c_arabic = cmax THEN 'arabic' "
+        "ELSE 'hangul' END AS script FROM g"
     )
 
     # gopher_repetition: line hashing, one-pass tri-n gram counting,

@@ -208,6 +208,47 @@ def gopher_quality(
     )
 
 
+_SCRIPTS = ("Latin", "Cyrillic", "Greek", "Han", "Arabic", "Hangul")
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode script composition per document: total letter count
+    (``\\p{L}``), the per-script letter fraction for the six major
+    script families, and the dominant script — the routing signal a
+    multilingual pipeline needs BEFORE language ID (script is cheap
+    and exact where lang-ID is statistical: a Han-dominant page never
+    goes to the English quality rules, mixed-script pages flag
+    boilerplate/spam injection). Fractions are over LETTERS, not
+    chars, so punctuation/digit-heavy pages don't dilute the signal.
+
+    Dominant script = the first script in the fixed family order to
+    reach the maximum count ('und' when the document has no letters
+    from any family). Pure Column expressions (``regexp_count`` over
+    script classes — Java ``\\p{IsX}``, replayed by RE2's ``\\p{X}``
+    in the DuckDB twin); one projection, scan speed."""
+    c = F.col(text_col)
+    counts = {s: F.regexp_count(c, F.lit(rf"\p{{Is{s}}}")) for s in _SCRIPTS}
+    n_letters = F.regexp_count(c, F.lit(r"\p{L}"))
+    best_s, best_c = F.lit("und"), F.lit(0)
+    for s in _SCRIPTS:
+        better = counts[s] > best_c
+        best_s = F.when(better, F.lit(s.lower())).otherwise(best_s)
+        best_c = F.when(better, counts[s]).otherwise(best_c)
+    return df.select(
+        F.col(id_col),
+        n_letters.alias("n_letters"),
+        *[
+            F.when(n_letters == 0, F.lit(0.0))
+            .otherwise(counts[s] / n_letters)
+            .alias(f"{s.lower()}_frac")
+            for s in _SCRIPTS
+        ],
+        best_s.alias("script"),
+    )
+
+
 def c4_quality(
     df: DataFrame,
     text_col: str = "text",

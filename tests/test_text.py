@@ -430,3 +430,31 @@ def test_c4_quality_empty_and_no_survivors(spark):
     assert out[1].n_kept_lines == 0 and out[1].clean_text == ""
     assert out[1].n_sentences == 0 and not out[1].passes
     assert out[2].n_kept_lines == 0 and not out[2].passes
+
+
+def test_script_profile_counts_and_dominance(spark):
+    from etl_cli_spark.operators.text import script_profile
+
+    rows = [
+        (1, "hello world"),                      # pure latin
+        (2, "Привет мир"),                       # pure cyrillic
+        (3, "hello Привет мир тут"),             # cyrillic-dominant mix
+        (4, "12345 !!! ..."),                    # no letters
+        (5, "ab ДЕ"),                            # exact tie -> latin (first in order)
+        (6, "漢字 한국어 한글"),                  # hangul over han
+    ]
+    out = {
+        r.doc_id: r
+        for r in script_profile(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1].script == "latin" and out[1].latin_frac == 1.0
+    assert out[2].script == "cyrillic" and out[2].cyrillic_frac == 1.0
+    assert out[3].script == "cyrillic" and 0 < out[3].latin_frac < 0.5
+    assert out[4].script == "und" and out[4].n_letters == 0
+    assert out[4].latin_frac == 0.0
+    assert out[5].script == "latin"  # strict-greater fold: first wins ties
+    assert out[6].script == "hangul" and out[6].han_frac > 0
+    # fractions over LETTERS: doc 1's spaces don't dilute
+    assert out[1].n_letters == 10

@@ -35,6 +35,7 @@ DIFFERENTIAL_QUERIES = [
     "gopher_quality",
     "gopher_repetition",
     "c4_quality",
+    "script_profile",
     "split_sentences",
     "chunk_sentences",
     "html_extract",
@@ -46,7 +47,8 @@ DIFFERENTIAL_QUERIES = [
 _WORDS = (
     "the and of to with that have be alpha beta gamma delta kilo "
     "zebra quux lorem ipsum data spark join window shuffle "
-    "internationalization a I x42 99 #tag javascript {curly} badtok"
+    "internationalization a I x42 99 #tag javascript {curly} badtok "
+    "Жук мир 漢字 한글 ελλάς سلام"
 ).split()
 _DECOR = ["\n", "\n\n", " - ", " • ", "... ", "… ", " # ", "  ", "\t", ". ", "! ", "? ", "é ", "ü "]
 
