@@ -3312,6 +3312,21 @@ def _q_video_neardup_indexed(spark, sf):
     )
 
 
+def _q_pdf_extract(spark, sf):
+    """PDF text extraction (operators/pdf.py — the document member of
+    the multimodal decode family): 24 deterministic fixture PDFs (page
+    counts 1-3, FlateDecode on odd ids, raw streams on even, every
+    line carrying parens + backslash so the literal-string escape path
+    always runs) -> per-page text rows. The oracle replays the
+    expected rows from the fixture SPEC in pure python — a match
+    certifies container walk -> zlib inflate -> content-stream
+    tokenize -> escape decode end to end (the multimodal_decode
+    protocol-pin discipline)."""
+    from etl_cli_spark.operators.pdf import make_fake_pdfs, pdf_text
+
+    return pdf_text(make_fake_pdfs(spark, n_docs=24))
+
+
 def _q_multimodal_probe(spark, sf):
     """Header-only media probe (format/width/height from container
     headers, zero pixel decode — the cheap routing pass before decode)
@@ -3694,6 +3709,8 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "video_neardup_indexed": [("new_id", "i"), ("old_id", "i"), ("n_matched", "i")],
     "image_dedup_indexed": [("media_id", "i"), ("kind", "s")],
     "audio_neardup_indexed": [("new_id", "i"), ("old_id", "i"), ("distance", "i")],
+    "pdf_extract": [("media_id", "i"), ("page_idx", "i"),
+                    ("n_pages", "i"), ("text", "s")],
     # -- sketch family (round-4 digest) --
     "sketch_distinct_kmv": [("o_orderstatus", "s"), ("est_distinct", "f")],
     "sketch_distinct_hll": [("l_returnflag", "s"), ("est_distinct", "f")],
@@ -3955,6 +3972,8 @@ _MULTIMODAL_FAMILY = [
     # its video kind (frame-level composite ids + matched-frame agg)
     "image_neardup_indexed", "video_neardup_indexed", "image_dedup_indexed",
     "audio_neardup_indexed",
+    # round-14: PDF text extraction (the document decode member)
+    "pdf_extract",
 ]
 _SKETCH_FAMILY = [
     "sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist",
@@ -4824,6 +4843,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_neardup_indexed": _q_video_neardup_indexed,
     "image_dedup_indexed": _q_image_dedup_indexed,
     "audio_neardup_indexed": _q_audio_neardup_indexed,
+    "pdf_extract": _q_pdf_extract,
     "audio_fingerprint": _q_audio_fingerprint,
     "audio_neardup": _q_audio_neardup,
     "video_phash": _q_video_phash,
@@ -5609,6 +5629,26 @@ def oracle_sql() -> dict[str, str]:
         f"FROM {_vbcte} JOIN {_vcte.replace(' AS v(', ' AS o(')} "
         f"ON bit_count(xor(CAST(n.hsh AS BIGINT), CAST(o.hsh AS BIGINT))) <= 6 "
         f"GROUP BY n.media_id, o.media_id HAVING count(DISTINCT n.fi) >= 3"
+    )
+
+    # pdf_extract: expected per-page text replayed from the fixture
+    # SPEC in pure python (multimodal_decode protocol-pin discipline —
+    # no PDF code on the oracle side)
+    _pdfvals = []
+    for _i in range(24):
+        _np = 1 + _i % 3
+        for _p in range(_np):
+            _t = "\n".join(
+                f"doc {_i} page {_p} line {_j} (escaped) \\ end"
+                for _j in range(2 + (_i + _p) % 2)
+            )
+            _t_sql = _t.replace("'", "''").replace("\n", "' || chr(10) || '")
+            _pdfvals.append(f"({_i}, {_p}, {_np}, '{_t_sql}')")
+    sql["pdf_extract"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(page_idx AS INTEGER) AS page_idx, "
+        "CAST(n_pages AS INTEGER) AS n_pages, text "
+        f"FROM (VALUES {', '.join(_pdfvals)}) AS t(media_id, page_idx, n_pages, text)"
     )
 
     # profile_orders: every column's stats recomputed independently
