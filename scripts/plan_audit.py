@@ -199,6 +199,26 @@ AUDITED: dict[str, str] = {
         "The filter every document passes through must run at scan "
         "speed, and this plan does."
     ),
+    "c4_quality": (
+        "the C4 rule set is line-REWRITING yet still ONE projection "
+        "over one scan — the line filter, rejoin, sentence count, and "
+        "page flags are all higher-order array expressions; no "
+        "exchange, no UDF. Like gopher_quality, the filter every "
+        "document passes through runs at scan speed."
+    ),
+    "script_profile": (
+        "script routing is one projection of regexp_count expressions "
+        "over one scan — six script classes + the letter total + the "
+        "dominance fold, all whole-stage codegen; the pre-lang-ID "
+        "routing pass must cost a scan and this plan does."
+    ),
+    "pdf_extract": (
+        "one MapInPandas pass: PDF payloads decode INSIDE the Arrow "
+        "task (container walk, zlib inflate, content-stream tokenize) "
+        "and only (id, page_idx, text) rows leave the executor — the "
+        "same pixels-never-shuffle property as the image decoders, "
+        "for the densest text source a crawl has."
+    ),
     "image_neardup_indexed": (
         "incremental-crawl probe against the persisted banded index: the "
         "batch fingerprints only ITSELF (MapInPandas), and the index "

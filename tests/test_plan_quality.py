@@ -80,6 +80,11 @@ READ_QUERIES = [
     "alpha_rebalance",
     "semantic_cross_dedup",
     "url_blocklist",
+    # round-14 operators (the quality filters are single projections;
+    # pdf_extract is one MapInPandas pass with no join at all)
+    "c4_quality",
+    "script_profile",
+    "pdf_extract",
 ]
 
 
