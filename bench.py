@@ -78,6 +78,11 @@ HEADLINE = [
     "image_neardup_1k",       # dHash + pigeonhole band join, 1000 real images
     "audio_neardup_2k",       # energy-contour fp + band join, 2100 real clips
     "video_neardup_360",      # frame-sampled dHash + matched-frame agg, 360 reels
+    # round-14 operators get their perf signal from birth (the r13
+    # families waited a round for theirs — VERDICT r13 item 3)
+    "c4_quality",             # C4 line-rewriting rules, one projection
+    "script_profile",         # six script-class regexp counts, one projection
+    "pdf_extract_1k",         # PDF decode + text extract, 1000 real PDFs
 ]
 
 
@@ -167,10 +172,25 @@ def _run_video_neardup_360(spark, sf_dir, path):
     )
 
 
+def _setup_pdf_extract_1k(spark, sf_dir):
+    from etl_cli_spark.operators.pdf import make_fake_pdfs
+
+    return _media_corpus(
+        spark, "pdf_extract_1k", lambda s: make_fake_pdfs(s, n_docs=1000)
+    )
+
+
+def _run_pdf_extract_1k(spark, sf_dir, path):
+    from etl_cli_spark.operators.pdf import pdf_text
+
+    return pdf_text(spark.read.parquet(path))
+
+
 EXTRA_PARTS = {
     "image_neardup_1k": (_setup_image_neardup_1k, _run_image_neardup_1k),
     "audio_neardup_2k": (_setup_audio_neardup_2k, _run_audio_neardup_2k),
     "video_neardup_360": (_setup_video_neardup_360, _run_video_neardup_360),
+    "pdf_extract_1k": (_setup_pdf_extract_1k, _run_pdf_extract_1k),
 }
 
 

@@ -229,19 +229,35 @@ def script_profile(
     script classes — Java ``\\p{IsX}``, replayed by RE2's ``\\p{X}``
     in the DuckDB twin); one projection, scan speed."""
     c = F.col(text_col)
-    counts = {s: F.regexp_count(c, F.lit(rf"\p{{Is{s}}}")) for s in _SCRIPTS}
-    n_letters = F.regexp_count(c, F.lit(r"\p{L}"))
+    # TWO projections, deliberately: the regex counts materialize once
+    # under ``__c_*`` names, and the dominance fold + fracs reference
+    # those columns. Folding directly over the regexp_count expressions
+    # builds a when()-tree that duplicates each count O(2^k) times
+    # (condition + otherwise at every step) — measured 35 s at sf0.1
+    # vs ~2 s for this shape; Catalyst refuses to collapse the two
+    # projects precisely because the inner expressions are expensive
+    # and multiply-referenced.
+    counted = df.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(r"\p{L}")).alias("n_letters"),
+        *[
+            F.regexp_count(c, F.lit(rf"\p{{Is{s}}}")).alias(f"__c_{s.lower()}")
+            for s in _SCRIPTS
+        ],
+    )
     best_s, best_c = F.lit("und"), F.lit(0)
     for s in _SCRIPTS:
-        better = counts[s] > best_c
+        cnt = F.col(f"__c_{s.lower()}")
+        better = cnt > best_c
         best_s = F.when(better, F.lit(s.lower())).otherwise(best_s)
-        best_c = F.when(better, counts[s]).otherwise(best_c)
-    return df.select(
+        best_c = F.when(better, cnt).otherwise(best_c)
+    nl = F.col("n_letters")
+    return counted.select(
         F.col(id_col),
-        n_letters.alias("n_letters"),
+        nl,
         *[
-            F.when(n_letters == 0, F.lit(0.0))
-            .otherwise(counts[s] / n_letters)
+            F.when(nl == 0, F.lit(0.0))
+            .otherwise(F.col(f"__c_{s.lower()}") / nl)
             .alias(f"{s.lower()}_frac")
             for s in _SCRIPTS
         ],

@@ -111,3 +111,34 @@ def test_fixture_matches_spec(spark):
                 for j in range(2 + (i + p) % 2)
             )
             assert got[(i, p)] == (np, want)
+
+
+# --------------------------------------------------------------------------
+# property-based: encoder -> decoder roundtrip over the subset charset
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# latin-1 printable text incl. the chars the escape path must handle
+_line = st.text(
+    alphabet=st.characters(
+        codec="latin-1", categories=("L", "N", "P", "S", "Zs")
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pages=st.lists(
+        st.lists(_line, min_size=1, max_size=4), min_size=1, max_size=3
+    ),
+    compress=st.booleans(),
+)
+def test_encode_decode_roundtrip_property(pages, compress):
+    """Any latin-1 page text (parens, backslashes, every printable)
+    survives encode -> extract verbatim, both stream forms."""
+    got = _pdf_pages(encode_pdf(pages, compress=compress))
+    assert got == ["\n".join(lines) for lines in pages]
