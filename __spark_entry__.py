@@ -3344,6 +3344,7 @@ def _q_multimodal_probe(spark, sf):
         make_fake_media,
         probe_media,
     )
+    from etl_cli_spark.operators.pdf import make_fake_pdfs
 
     media = (
         make_fake_media(spark, n=20)
@@ -3373,6 +3374,14 @@ def _q_multimodal_probe(spark, sf):
         .unionByName(
             make_fake_avi_h264_video(spark, n=6).withColumn(
                 "media_id", F.col("media_id") + 500
+            )
+        )
+        # round-14: PDFs probe as 'pdf' from the %PDF- magic (600+),
+        # dims NULL — the routing pass that sends documents to
+        # operators/pdf.py instead of the pixel decoders
+        .unionByName(
+            make_fake_pdfs(spark, n_docs=6).withColumn(
+                "media_id", F.col("media_id") + 600
             )
         )
     )
@@ -5827,6 +5836,8 @@ def oracle_sql() -> dict[str, str]:
         _pvals.append(f"({400 + i}, 'h264', {20 + 4 * (i % 3)}, {12 + 8 * (i % 2)})")
     for i in range(6):  # H.264-in-AVI: container wins, dims from avih
         _pvals.append(f"({500 + i}, 'avi', {20 + 4 * (i % 3)}, {12 + 8 * (i % 2)})")
+    for i in range(6):  # PDFs: %PDF- magic, no pixel dims
+        _pvals.append(f"({600 + i}, 'pdf', -1, -1)")
     sql["multimodal_probe"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, probe_format, "
         "CAST(probe_width AS INTEGER) AS probe_width, "

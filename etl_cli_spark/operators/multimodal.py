@@ -2587,6 +2587,9 @@ def _probe_one(data: bytes):
             return dims("gif", int(w), int(h))
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return "wav", None, None
+        if data[:5] == b"%PDF-":
+            # documents route to operators/pdf.py; no pixel dims
+            return "pdf", None, None
         if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
             from .avi import probe_avi
 
