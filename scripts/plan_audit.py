@@ -207,10 +207,12 @@ AUDITED: dict[str, str] = {
         "document passes through runs at scan speed."
     ),
     "script_profile": (
-        "script routing is one projection of regexp_count expressions "
-        "over one scan — six script classes + the letter total + the "
-        "dominance fold, all whole-stage codegen; the pre-lang-ID "
-        "routing pass must cost a scan and this plan does."
+        "script routing is TWO projections over one scan, deliberately: "
+        "the seven regexp_count expressions materialize once, and the "
+        "dominance fold + fracs reference those columns — folding over "
+        "the raw regex expressions duplicated each one O(2^k) times "
+        "(measured 35 s -> 5 s at sf0.1). No exchange, no UDF; the "
+        "pre-lang-ID routing pass costs a scan."
     ),
     "pdf_extract": (
         "one MapInPandas pass: PDF payloads decode INSIDE the Arrow "
