@@ -6313,7 +6313,7 @@ def oracle_sql() -> dict[str, str]:
         f"WITH e AS (SELECT doc_id, {_ctext} AS t FROM documents), "
         "s AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM e), "
         "k AS (SELECT doc_id, t, lines, "
-        "list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?\"”]$') "
+        "list_filter(lines, l -> regexp_matches(l, '[.!?\"”][ \\t\\r]*$') "
         r"AND len(string_split_regex(trim(l), '\s+')) >= 5 "
         "AND NOT contains(lower(l), 'javascript')) AS kept FROM s), "
         "c AS (SELECT doc_id, t, len(lines) AS n_lines, "

@@ -547,6 +547,13 @@ def main() -> int:
     # (e.g. the sf5 scaling sweep) — the default full list is untouched
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     headline = [q for q in HEADLINE if q in only.split(",")] if only else HEADLINE
+    # fail fast on a typo'd/renamed headline name: qs.get() below would
+    # otherwise record it as a benign-looking "FAILED: NoneType" row
+    # and the missing perf signal could go unnoticed for a round
+    unknown = [q for q in headline if q not in qs and q not in parts]
+    if unknown:
+        print(f"bench: unknown headline queries: {unknown}", file=sys.stderr)
+        return 2
     timings: dict[str, float] = {}
     setup_cost: dict[str, float] = {}
     spread: dict[str, float] = {}

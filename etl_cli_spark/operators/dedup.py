@@ -479,6 +479,37 @@ def simhash_pairs(
     )
 
 
+def banded_pieces(base: DataFrame, chunks: int) -> DataFrame:
+    """(id, sh, chunk, piece): the pigeonhole band rows of a 64-bit
+    fingerprint base — THE single chunking definition, shared by the
+    in-memory pair join (:func:`fingerprint_pairs`) and the persisted
+    media-fingerprint index (multimodal ``_media_index_pieces``). A
+    second copy of this explode would let the two silently band the
+    same fingerprints differently (round-14 review finding) — exactly
+    the writer/probe divergence the index layout forbids."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    return base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("sh", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("piece"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "id", "sh", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece")
+    )
+
+
 def fingerprint_pairs(
     base: DataFrame,
     max_distance: int = 3,
@@ -516,17 +547,17 @@ def fingerprint_pairs(
        (member, x) would have — every component the clique semantics
        would form is re-formed through the rep.
     2. **Hot-band clique→star degrade** — residual (chunk, piece)
-       buckets holding > cap DISTINCT fingerprints pair each member
-       with the bucket's min-id hub only (O(m), same documented
-       recall trade as the MinHash cap: hub pairs still face the
-       exact Hamming verify, and degenerate buckets are
+       buckets holding > cap MEMBER ROWS (the quantity whose square
+       is the join cost; after layer 1 collapses the > cap identical
+       classes, surviving rows are near-distinct anyway) pair each
+       member with the bucket's min-id hub only (O(m), same
+       documented recall trade as the MinHash cap: hub pairs still
+       face the exact Hamming verify, and degenerate buckets are
        near-constant in practice).
 
     Default ``None`` keeps the exact all-pairs-within-distance
     semantics the oracles replay.
     """
-    width = 64 // chunks
-    mask = (1 << width) - 1
     if cache:
         from pyspark import StorageLevel
 
@@ -557,21 +588,7 @@ def fingerprint_pairs(
         ).select("id", "sh")
     else:
         banded = base
-    pieces = banded.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright("sh", i * width).bitwiseAND(F.lit(mask)).alias("piece"),
-                    )
-                    for i in range(chunks)
-                ]
-            )
-        ).alias("p"),
-    ).select("id", "sh", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"))
+    pieces = banded_pieces(banded, chunks)
     if max_bucket_size is not None and max_bucket_size >= 1:
         # layer 2: residual hot band buckets degrade clique -> star.
         # min_by carries the hub's fingerprint alongside its id so the

@@ -1263,7 +1263,7 @@ def _video_frame_base(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.raise_error(
             F.concat(
                 F.lit(
-                    "video composite id: media_id outside the range "
+                    "video frames: media_id outside the composite-id range "
                     f"[0, {id_bound}]: "
                 ),
                 F.col("media_id").cast("string"),
@@ -1391,30 +1391,15 @@ def _media_fingerprint_base(df: DataFrame, meta: dict) -> DataFrame:
 
 def _media_index_pieces(base: DataFrame, chunks: int, n_parts: int) -> DataFrame:
     """(id, sh, chunk, piece, __bb): the banded rows both the writer
-    and the probe derive — ONE function so they can never disagree on
-    the chunking or the partition hash."""
-    width = 64 // chunks
-    mask = (1 << width) - 1
-    return (
-        base.select(
-            "id",
-            "sh",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("chunk"),
-                            F.shiftright("sh", i * width)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("piece"),
-                        )
-                        for i in range(chunks)
-                    ]
-                )
-            ).alias("p"),
-        )
-        .select("id", "sh", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"))
-        .withColumn("__bb", F.pmod(F.xxhash64("chunk", "piece"), F.lit(n_parts)))
+    and the probe derive — delegates the chunking itself to
+    ``dedup.banded_pieces`` (the SAME function the in-batch pair join
+    uses), so index, probe, and ``fingerprint_pairs`` can never band
+    the same fingerprints differently; this only adds the partition
+    hash."""
+    from .dedup import banded_pieces
+
+    return banded_pieces(base, chunks).withColumn(
+        "__bb", F.pmod(F.xxhash64("chunk", "piece"), F.lit(n_parts))
     )
 
 
@@ -1524,9 +1509,14 @@ def media_neardup_indexed(
     which distance-0 collapses dominate in practice)."""
     spark = df.sparkSession
     meta = _read_media_index_meta(path)
-    from pyspark import StorageLevel
-
-    base = _media_fingerprint_base(df, meta).persist(StorageLevel.MEMORY_AND_DISK)
+    # eager localCheckpoint, NOT persist: the narrow (id, 8-byte hash)
+    # base materializes once (decode runs a single time, before the
+    # __bb driver collect) and its blocks release via the
+    # ContextCleaner when the returned plan is dropped — persist()
+    # here pinned one cache entry per probe call for the session
+    # lifetime (round-14 review finding; a crawl session probes many
+    # drops).
+    base = _media_fingerprint_base(df, meta).localCheckpoint(eager=True)
     return _media_index_cross_pairs(
         spark, base, path, meta, max_distance, max_bucket_size
     )

@@ -154,8 +154,11 @@ def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
 # decoder
 # --------------------------------------------------------------------------
 
+# NOTE: lazy body scan — compressed bytes that happen to contain the
+# 6-byte sequence "endobj" truncate that object and the affected row
+# is skipped (documented subset limitation; stream extraction itself
+# slices by /Length, so the common 1-byte collisions are immune)
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.DOTALL)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:[^\[\]])*)\]")
 
@@ -178,10 +181,18 @@ def _parse_literal(data: bytes, i: int) -> tuple[bytes, int]:
         ch = data[i : i + 1]
         if ch == b"\\":
             nxt = data[i + 1 : i + 2]
-            if nxt.isdigit():
+            # octal digits are 0-7 ONLY: '\8' is a backslash before a
+            # non-escape char, which the spec says to ignore — treating
+            # 8/9 as octal made int(_, 8) raise and silently dropped
+            # the whole document (round-14 review finding)
+            if nxt in (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"):
                 j = i + 1
                 oct_digits = b""
-                while j < n and len(oct_digits) < 3 and data[j : j + 1].isdigit():
+                while (
+                    j < n
+                    and len(oct_digits) < 3
+                    and data[j] in b"01234567"
+                ):
                     oct_digits += data[j : j + 1]
                     j += 1
                 out.append(int(oct_digits, 8) & 0xFF)
@@ -274,13 +285,28 @@ def _pdf_pages(data: bytes) -> list[str]:
         raise NotImplementedError("pdf: no classic obj bodies (xref streams?)")
 
     def stream_of(body: bytes) -> bytes:
-        m = _STREAM_RE.search(body)
+        head = body.split(b"stream", 1)[0]
+        m = re.search(rb"stream\r?\n", body)
         if not m:
             raise NotImplementedError("pdf: /Contents object has no stream")
-        raw = m.group(1)
-        if b"/FlateDecode" in body.split(b"stream", 1)[0]:
+        start = m.end()
+        # slice by /Length when it's a direct value — the spec's own
+        # mechanism. The old `(.*?)\r?\nendstream` regex consumed a
+        # trailing data byte whenever the COMPRESSED bytes happened to
+        # end in \r (1/256 of streams; found by the hypothesis
+        # roundtrip property) — binary data and delimiter scanning
+        # don't mix.
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+0\s+R)", head)
+        if lm:
+            raw = body[start : start + int(lm.group(1))]
+        else:
+            m2 = re.compile(rb"(?:\r?\n)?endstream").search(body, start)
+            if not m2:
+                raise NotImplementedError("pdf: unterminated stream")
+            raw = body[start : m2.start()]
+        if b"/FlateDecode" in head:
             raw = zlib.decompress(raw)
-        elif b"/Filter" in body.split(b"stream", 1)[0]:
+        elif b"/Filter" in head:
             raise NotImplementedError("pdf: only FlateDecode in subset")
         return raw
 

@@ -302,8 +302,13 @@ def c4_quality(
     lines = F.split(c, "\n")
 
     def _line_ok(ln: Column) -> Column:
+        # the terminal-punct test absorbs trailing spaces/tabs/CR in
+        # the PATTERN ([ \t\r]*$), not via rtrim: Java's $ matches
+        # before a trailing \r (line terminator) while RE2's does not,
+        # so an rtrim(space-only) + bare-$ anchor diverges between the
+        # engines on CRLF text (round-14 review finding)
         return (
-            F.rtrim(ln).rlike(r'[.!?"”]$')
+            ln.rlike(r'[.!?"”][ \t\r]*$')
             & (F.size(F.split(F.trim(ln), _WS)) >= min_line_words)
             & ~F.lower(ln).contains("javascript")
         )

@@ -1514,7 +1514,7 @@ def test_media_index_audio_kind_and_validation(spark, tmp_path):
         (g * 3 + 2, g * 3 + m) for g in range(3) for m in (0, 1)
     )
     with pytest.raises(ValueError, match="kind"):
-        build_media_index(audio, str(tmp_path / "bad"), kind="video")
+        build_media_index(audio, str(tmp_path / "bad"), kind="tabular")
     with pytest.raises(ValueError, match="chunks"):
         build_media_index(audio, str(tmp_path / "bad2"), chunks=7)
     with pytest.raises(ValueError, match="pigeonhole"):

@@ -142,3 +142,12 @@ def test_encode_decode_roundtrip_property(pages, compress):
     survives encode -> extract verbatim, both stream forms."""
     got = _pdf_pages(encode_pdf(pages, compress=compress))
     assert got == ["\n".join(lines) for lines in pages]
+
+
+def test_backslash_before_non_escape_digit_is_ignored():
+    """Octal digits are 0-7 only: '\\8' is a backslash before a
+    non-escape char (spec: ignore the backslash), not a crash that
+    drops the document."""
+    assert _content_text(rb"BT (price \80 and \9 and \0777) Tj ET") == (
+        "price 80 and 9 and " + chr(0o77) + "7"
+    )

@@ -458,3 +458,19 @@ def test_script_profile_counts_and_dominance(spark):
     assert out[6].script == "hangul" and out[6].han_frac > 0
     # fractions over LETTERS: doc 1's spaces don't dilute
     assert out[1].n_letters == 10
+
+
+def test_c4_quality_crlf_lines(spark):
+    """Windows line endings: a line ending '.\r' must pass the
+    terminal-punct rule identically in Spark and the DuckDB replay
+    (Java's $ matches before a trailing \r, RE2's does not — the rule
+    absorbs trailing whitespace in the pattern instead)."""
+    from etl_cli_spark.operators.text import c4_quality
+
+    text = (
+        "First good sentence with enough words right here.\r\n"
+        "Second good sentence with enough words right here.\r\n"
+        "Third good sentence with enough words right here."
+    )
+    r = c4_quality(spark.createDataFrame([(1, text)], ["doc_id", "text"])).collect()[0]
+    assert r.n_kept_lines == 3 and r.passes

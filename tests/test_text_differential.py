@@ -50,7 +50,7 @@ _WORDS = (
     "internationalization a I x42 99 #tag javascript {curly} badtok "
     "Жук мир 漢字 한글 ελλάς سلام"
 ).split()
-_DECOR = ["\n", "\n\n", " - ", " • ", "... ", "… ", " # ", "  ", "\t", ". ", "! ", "? ", "é ", "ü "]
+_DECOR = ["\n", "\n\n", " - ", " • ", "... ", "… ", " # ", "  ", "\t", ". ", "! ", "? ", "é ", "ü ", ".\r\n"]
 
 
 def _random_docs(n: int = 60, seed: int = 20260816):
