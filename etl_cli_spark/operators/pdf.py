@@ -12,17 +12,19 @@ Supported subset (documented, guarded — NOT a general PDF renderer):
 - classic ``N 0 obj``/``endobj`` bodies with ``/Type /Page`` objects
   whose ``/Contents`` is a single indirect stream reference
 - content streams raw or ``/Filter /FlateDecode`` (zlib)
-- text via ``Tj`` (literal string), ``'`` (move-and-show), and ``TJ``
+- text via ``Tj`` (string show), ``'`` (move-and-show), and ``TJ``
   (array of strings with kerning numbers, which are ignored)
-- literal strings with the standard escapes: ``\\``, ``\(``, ``\)``,
-  ``\n``, ``\r``, ``\t``, ``\b``, ``\f``, and octal ``\ddd``;
-  WinAnsi/Latin-1 byte semantics (the fixture encoder's charset)
+- literal ``(...)`` strings with the standard escapes: ``\\``,
+  ``\(``, ``\)``, ``\n``, ``\r``, ``\t``, ``\b``, ``\f``, and octal
+  ``\ddd`` (digits 0-7); hex ``<...>`` strings incl. whitespace and
+  odd-count padding; WinAnsi/Latin-1 byte semantics (the fixture
+  encoder's charset)
 - a newline is emitted between text runs separated by a ``Td``/``TD``/
   ``T*`` line move or an ``ET``..``BT`` block break; runs inside one
   line concatenate
 
-Everything else (xref streams, object streams, hex strings, CID/Type0
-fonts, encryption) raises ``NotImplementedError`` inside the per-row
+Everything else (xref streams, object streams, CID/Type0 fonts,
+encryption) raises ``NotImplementedError`` inside the per-row
 decode, which the batch operator converts to a NULL row — one exotic
 PDF in a crawl batch must not kill the job (the module-wide
 batch-robustness contract).
@@ -68,12 +70,15 @@ def _pdf_escape(s: str) -> bytes:
     return "".join(out).encode("latin-1")
 
 
-def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
+def encode_pdf(
+    pages: list[list[str]], compress: bool = True, hex_strings: bool = False
+) -> bytes:
     """Minimal deterministic PDF: one content stream per page, each
     inner list entry one text LINE (``Tj`` + ``Td`` line moves). Line
     text is latin-1 (the subset's charset). ``compress`` wraps content
     streams in FlateDecode — the wild default — with zlib level pinned
-    for byte determinism."""
+    for byte determinism; ``hex_strings`` emits ``<hex>`` strings
+    instead of literals (both forms occur in the wild)."""
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -87,7 +92,12 @@ def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
         for i, line in enumerate(lines):
             if i:
                 ops.append(b"0 -14 Td")
-            ops.append(b"(" + _pdf_escape(line) + b") Tj")
+            if hex_strings:
+                ops.append(
+                    b"<" + line.encode("latin-1").hex().encode() + b"> Tj"
+                )
+            else:
+                ops.append(b"(" + _pdf_escape(line) + b") Tj")
         ops.append(b"ET")
         data = b" ".join(ops)
         if compress:
@@ -212,15 +222,32 @@ def _parse_literal(data: bytes, i: int) -> tuple[bytes, int]:
     raise NotImplementedError("pdf: unterminated literal string")
 
 
-_TOKEN_RE = re.compile(rb"\(|\[|\]|\bTj\b|\bTJ\b|\bTd\b|\bTD\b|\bT\*|\bBT\b|\bET\b|'")
+def _parse_hex(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ``<...>`` hex string starting at the '<' — returns
+    (bytes, index past the '>'). Whitespace between digits is legal;
+    an odd digit count pads a trailing 0 (both per spec)."""
+    assert data[i : i + 1] == b"<"
+    j = data.find(b">", i)
+    if j < 0:
+        raise NotImplementedError("pdf: unterminated hex string")
+    digits = re.sub(rb"[ \t\r\n]", b"", data[i + 1 : j])
+    if not re.fullmatch(rb"[0-9A-Fa-f]*", digits):
+        raise NotImplementedError("pdf: malformed hex string")
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")), j + 1
+
+
+_TOKEN_RE = re.compile(
+    rb"\(|<|\[|\]|\bTj\b|\bTJ\b|\bTd\b|\bTD\b|\bT\*|\bBT\b|\bET\b|'"
+)
 
 
 def _content_text(data: bytes) -> str:
     """Text of one content stream under the subset semantics: runs
     shown by Tj / ' / TJ, newline on line moves (Td/TD/T*) and block
-    breaks (ET..BT) between runs."""
-    if b"<" in data and re.search(rb"<[0-9A-Fa-f \r\n]*>\s*Tj", data):
-        raise NotImplementedError("pdf: hex strings not in subset")
+    breaks (ET..BT) between runs. Strings may be literal ``(...)`` or
+    hex ``<...>``; ``<<`` dictionary delimiters are skipped."""
     parts: list[str] = []
     pending: bytes | None = None  # last parsed literal, awaiting operator
     stack: list[bytes] = []  # literals inside a TJ array
@@ -244,6 +271,17 @@ def _content_text(data: bytes) -> str:
         tok = m.group(0)
         if tok == b"(":
             lit, j = _parse_literal(data, m.start())
+            if in_array:
+                stack.append(lit)
+            else:
+                pending = lit
+            i = j
+            continue
+        if tok == b"<":
+            if data[m.start() : m.start() + 2] == b"<<":
+                i = m.start() + 2  # dict delimiter, not a string
+                continue
+            lit, j = _parse_hex(data, m.start())
             if in_array:
                 stack.append(lit)
             else:
@@ -400,7 +438,9 @@ def make_fake_pdfs(spark, n_docs: int = 24):
     ``line j = f"doc {i} page {p} line {j} (escaped) \\ end"`` for
     ``j < 2 + (i + p) % 2`` — parens and backslashes included so the
     escape path is always exercised. Odd ids compress (FlateDecode),
-    even ids don't, so both stream forms are always decoded."""
+    even ids don't, and every third id encodes its strings as hex
+    ``<...>``, so both stream forms AND both string forms are always
+    decoded."""
     from .multimodal import MEDIA_SCHEMA
 
     rows = []
@@ -412,6 +452,8 @@ def make_fake_pdfs(spark, n_docs: int = 24):
             ]
             for p in range(1 + i % 3)
         ]
-        payload = encode_pdf(pages, compress=bool(i % 2))
+        payload = encode_pdf(
+            pages, compress=bool(i % 2), hex_strings=(i % 3 == 0)
+        )
         rows.append((i, "document", bytearray(payload), (None, None, None, None, "pdf")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -51,7 +51,9 @@ def test_out_of_subset_guards():
     with pytest.raises(NotImplementedError, match="encrypted"):
         _pdf_pages(good.replace(b"/Type /Catalog", b"/Encrypt 9 0 R"))
     with pytest.raises(NotImplementedError, match="hex"):
-        _content_text(b"BT <48656C6C6F> Tj ET")
+        _content_text(b"BT <48656C6C6F Tj ET")  # unterminated
+    with pytest.raises(NotImplementedError, match="hex"):
+        _content_text(b"BT <48zz> Tj ET")  # non-hex digits
     # only FlateDecode: another filter name refuses
     bad = good.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
     with pytest.raises(NotImplementedError, match="FlateDecode"):
@@ -136,11 +138,13 @@ _line = st.text(
         st.lists(_line, min_size=1, max_size=4), min_size=1, max_size=3
     ),
     compress=st.booleans(),
+    hex_strings=st.booleans(),
 )
-def test_encode_decode_roundtrip_property(pages, compress):
+def test_encode_decode_roundtrip_property(pages, compress, hex_strings):
     """Any latin-1 page text (parens, backslashes, every printable)
-    survives encode -> extract verbatim, both stream forms."""
-    got = _pdf_pages(encode_pdf(pages, compress=compress))
+    survives encode -> extract verbatim, both stream forms and both
+    string forms."""
+    got = _pdf_pages(encode_pdf(pages, compress=compress, hex_strings=hex_strings))
     assert got == ["\n".join(lines) for lines in pages]
 
 
@@ -151,3 +155,20 @@ def test_backslash_before_non_escape_digit_is_ignored():
     assert _content_text(rb"BT (price \80 and \9 and \0777) Tj ET") == (
         "price 80 and 9 and " + chr(0o77) + "7"
     )
+
+
+def test_hex_strings():
+    """Hex <...> strings: whitespace between digits, odd-count trailing
+    pad, TJ arrays, and << dict delimiters skipped."""
+    assert _content_text(b"BT <48656C6C6F> Tj ET") == "Hello"
+    assert _content_text(b"BT <48 65\r\n6C 6C 6F> Tj ET") == "Hello"
+    assert _content_text(b"BT <48656C6C6F7> Tj ET") == "Hellop"  # odd pads 0
+    assert _content_text(b"BT [(a) <62> -50 (c)] TJ ET") == "abc"
+    # a stray dict (e.g. inline-image params) must not parse as hex
+    assert _content_text(b"BT << /W 1 >> (x) Tj ET") == "x"
+    # full roundtrip through the encoder's hex mode
+    pages = [["hex (line) \\ one", "two"], ["three"]]
+    assert _pdf_pages(encode_pdf(pages, hex_strings=True)) == [
+        "hex (line) \\ one\ntwo",
+        "three",
+    ]
