@@ -3312,6 +3312,77 @@ def _q_video_neardup_indexed(spark, sf):
     )
 
 
+def _q_image_text_pairs(spark, sf):
+    """LAION-style image-text pair assembly (multimodal
+    .image_text_pairs): documents get deterministic html with TWO real
+    img references each (attribute order varies; alt length varies by
+    doc residue), one dangling src, and one src-less tag; the media
+    side is the near-dup fixture (24 images, ids 0-23, urls /m/<id>)
+    plus 8 BMP re-encodes of each group's member 0 (ids 100+g, urls
+    /c/<g>) that must COLLAPSE with their originals by identical
+    dHash. The DuckDB twin recomputes every hash in pure python,
+    replays the img harvest with the identical Java∩RE2 patterns over
+    the same constructed html, and re-runs the join + dup collapse +
+    caption election end to end."""
+    from etl_cli_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_text_pairs,
+        make_fake_media_neardup,
+        neardup_dims,
+        neardup_pixels,
+    )
+
+    base_media = make_fake_media_neardup(spark, n_groups=8, per_group=3)
+    copy_rows = []
+    for g in range(8):
+        w, h = neardup_dims(g)
+        px = neardup_pixels(g, 0, w, h)
+        copy_rows.append(
+            (100 + g, "image", bytearray(encode_bmp(px)),
+             (w, h, None, None, "bmp"))
+        )
+    media = base_media.unionByName(
+        spark.createDataFrame(copy_rows, MEDIA_SCHEMA)
+    ).withColumn(
+        "url",
+        F.when(
+            F.col("media_id") < 100,
+            F.concat(F.lit("https://img.example.com/m/"),
+                     F.col("media_id").cast("string")),
+        ).otherwise(
+            F.concat(F.lit("https://img.example.com/c/"),
+                     (F.col("media_id") - 100).cast("string")),
+        ),
+    )
+
+    def _ref_url(r):
+        return F.when(
+            r < 24,
+            F.concat(F.lit("https://img.example.com/m/"), r.cast("string")),
+        ).otherwise(
+            F.concat(F.lit("https://img.example.com/c/"), (r - 24).cast("string"))
+        )
+
+    d = _engine(spark, sf).read("documents")
+    r1 = F.col("doc_id") % 32
+    r2 = (F.col("doc_id") * 7 + 3) % 32
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p>t</p><img class="a" src="'), _ref_url(r1),
+            F.lit('" alt="caption for image '), r1.cast("string"),
+            F.lit(" from doc "), F.col("doc_id").cast("string"),
+            F.lit(" "), F.expr("repeat('x', CAST(doc_id % 7 AS INT))"),
+            F.lit('"><img alt="alt2 '), F.col("doc_id").cast("string"),
+            F.lit('" src="'), _ref_url(r2),
+            F.lit('"><img src="https://img.example.com/m/999" '
+                  'alt="dangling"><img alt="nosrc">'),
+        ).alias("html"),
+    )
+    return image_text_pairs(docs, media)
+
+
 def _q_pdf_extract(spark, sf):
     """PDF text extraction (operators/pdf.py — the document member of
     the multimodal decode family): 24 deterministic fixture PDFs (page
@@ -3720,6 +3791,8 @@ _DIGEST_SPECS: dict[str, list[tuple[str, str]]] = {
     "audio_neardup_indexed": [("new_id", "i"), ("old_id", "i"), ("distance", "i")],
     "pdf_extract": [("media_id", "i"), ("page_idx", "i"),
                     ("n_pages", "i"), ("text", "s")],
+    "image_text_pairs": [("media_id", "i"), ("url", "s"), ("caption", "s"),
+                         ("n_sources", "i"), ("n_dups", "i")],
     # -- sketch family (round-4 digest) --
     "sketch_distinct_kmv": [("o_orderstatus", "s"), ("est_distinct", "f")],
     "sketch_distinct_hll": [("l_returnflag", "s"), ("est_distinct", "f")],
@@ -3981,8 +4054,9 @@ _MULTIMODAL_FAMILY = [
     # its video kind (frame-level composite ids + matched-frame agg)
     "image_neardup_indexed", "video_neardup_indexed", "image_dedup_indexed",
     "audio_neardup_indexed",
-    # round-14: PDF text extraction (the document decode member)
-    "pdf_extract",
+    # round-14: PDF text extraction (the document decode member) and
+    # the LAION-style cross-modal pair assembly
+    "pdf_extract", "image_text_pairs",
 ]
 _SKETCH_FAMILY = [
     "sketch_distinct_kmv", "sketch_topk_cms", "sketch_quantile_hist",
@@ -4853,6 +4927,7 @@ _QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_dedup_indexed": _q_image_dedup_indexed,
     "audio_neardup_indexed": _q_audio_neardup_indexed,
     "pdf_extract": _q_pdf_extract,
+    "image_text_pairs": _q_image_text_pairs,
     "audio_fingerprint": _q_audio_fingerprint,
     "audio_neardup": _q_audio_neardup,
     "video_phash": _q_video_phash,
@@ -5638,6 +5713,62 @@ def oracle_sql() -> dict[str, str]:
         f"FROM {_vbcte} JOIN {_vcte.replace(' AS v(', ' AS o(')} "
         f"ON bit_count(xor(CAST(n.hsh AS BIGINT), CAST(o.hsh AS BIGINT))) <= 6 "
         f"GROUP BY n.media_id, o.media_id HAVING count(DISTINCT n.fi) >= 3"
+    )
+
+    # image_text_pairs: media hashes recomputed in pure python (fixture
+    # members + the member-0 copies at 100+g), img harvest replayed
+    # with the identical (?is) patterns over the same constructed html,
+    # then dup collapse + url join + caption election re-run in SQL
+    _itp_m = []
+    for _g in range(8):
+        _w, _h = 16 + _g % 5, 12 + _g % 3  # neardup_dims
+        for _m in range(3):
+            _mid = _g * 3 + _m
+            _itp_m.append(
+                f"({_mid}, 'https://img.example.com/m/{_mid}', "
+                f"{_oracle_dhash(_g, _m, _w, _h)})"
+            )
+        _itp_m.append(
+            f"({100 + _g}, 'https://img.example.com/c/{_g}', "
+            f"{_oracle_dhash(_g, 0, _w, _h)})"
+        )
+    _itp_url = (
+        "CASE WHEN {r} < 24 THEN 'https://img.example.com/m/' || ({r}) "
+        "ELSE 'https://img.example.com/c/' || ({r} - 24) END"
+    )
+    _itp_html = (
+        "'<p>t</p><img class=\"a\" src=\"' || "
+        + _itp_url.format(r="(doc_id % 32)")
+        + " || '\" alt=\"caption for image ' || (doc_id % 32) || "
+        "' from doc ' || doc_id || ' ' || repeat('x', CAST(doc_id % 7 AS INT))"
+        " || '\"><img alt=\"alt2 ' || doc_id || '\" src=\"' || "
+        + _itp_url.format(r="((doc_id * 7 + 3) % 32)")
+        + " || '\"><img src=\"https://img.example.com/m/999\" "
+        "alt=\"dangling\"><img alt=\"nosrc\">'"
+    )
+    sql["image_text_pairs"] = (
+        f"WITH m(media_id, url, hsh) AS (VALUES {', '.join(_itp_m)}), "
+        f"e AS (SELECT doc_id, {_itp_html} AS html FROM documents), "
+        r"tg AS (SELECT doc_id, unnest(regexp_extract_all(html, '(?is)<img\b[^>]*>')) AS tag FROM e), "
+        "refs AS (SELECT * FROM (SELECT doc_id, "
+        r"regexp_extract(tag, '(?is)\bsrc\s*=\s*\"([^\"]*)\"', 1) AS src, "
+        r"regexp_extract(tag, '(?is)\balt\s*=\s*\"([^\"]*)\"', 1) AS alt "
+        "FROM tg) WHERE src <> ''), "
+        "reps AS (SELECT hsh, min(media_id) AS rep, "
+        "arg_min(url, media_id) AS rep_url, count(*) AS n_dups "
+        "FROM m GROUP BY hsh), "
+        "wr AS (SELECT m.url, r.rep, r.rep_url, r.n_dups "
+        "FROM m JOIN reps r USING (hsh)), "
+        "j AS (SELECT refs.doc_id, refs.src, refs.alt, wr.rep, "
+        "wr.rep_url, wr.n_dups FROM refs JOIN wr ON refs.src = wr.url), "
+        "pick AS (SELECT rep, alt, ROW_NUMBER() OVER (PARTITION BY rep "
+        "ORDER BY len(alt) DESC, alt DESC, doc_id ASC) AS rn FROM j), "
+        "agg AS (SELECT rep, rep_url, n_dups, "
+        "count(DISTINCT (doc_id, src)) AS n_sources FROM j "
+        "GROUP BY rep, rep_url, n_dups) "
+        "SELECT CAST(agg.rep AS BIGINT) AS media_id, agg.rep_url AS url, "
+        "pick.alt AS caption, agg.n_sources, CAST(agg.n_dups AS BIGINT) AS n_dups "
+        "FROM agg JOIN pick ON agg.rep = pick.rep AND pick.rn = 1"
     )
 
     # pdf_extract: expected per-page text replayed from the fixture

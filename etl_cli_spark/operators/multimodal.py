@@ -1685,6 +1685,86 @@ def video_neardup_indexed(
     )
 
 
+def image_text_pairs(
+    docs: DataFrame,
+    media: DataFrame,
+    html_col: str = "html",
+    doc_id_col: str = "doc_id",
+    media_id_col: str = "media_id",
+    url_col: str = "url",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """LAION-style image-text pair assembly — the cross-modal corpus
+    step an image-text training set is built from: harvest ``<img>``
+    references from crawled documents (``text.html_images``), join
+    them to the crawled media by URL, collapse perceptually IDENTICAL
+    images (equal dHash — re-hosted/re-encoded copies of one image)
+    to their min-id representative, and keep ONE caption per image:
+    the longest alt text, ties broken by lexicographically greatest
+    alt then smallest doc id (a deterministic total order both
+    engines replay).
+
+    Returns ``(media_id, url, caption, n_sources, n_dups)`` — the
+    representative image, its URL, the winning caption, the number of
+    distinct (document, src) references across the whole dup class,
+    and the class size. Images nothing references don't appear;
+    references to URLs absent from the media table drop (dangling
+    crawl frontier).
+
+    Scale posture: the harvest is a projection + explode of (doc, src,
+    alt) — html never joins; payloads hash in-task and only (id,
+    8-byte hash, url) rows reach the joins; the url join shuffles
+    narrow reference rows; caption election is a hash aggregate via
+    ``max(struct(len, alt, -doc))``, no window sort. NEAR-dup classes
+    (not just identical) come from composing ``image_neardup`` +
+    ``dedup.connected_components`` upstream and substituting that
+    cluster id for the phash here."""
+    from .text import html_images
+
+    refs = docs.select(
+        F.col(doc_id_col).alias("__doc"),
+        F.explode(html_images(F.col(html_col))).alias("__r"),
+    ).select(
+        "__doc", F.col("__r.src").alias("__src"), F.col("__r.alt").alias("__alt")
+    )
+    hashed = (
+        phash_images(media, payload_col=payload_col)
+        .filter(F.col("phash").isNotNull())
+        .select(
+            F.col(media_id_col).alias("__mid"),
+            F.col(url_col).alias("__url"),
+            "phash",
+        )
+    )
+    reps = hashed.groupBy("phash").agg(
+        F.min("__mid").alias("__rep"),
+        F.min_by("__url", "__mid").alias("__rep_url"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+    with_rep = hashed.join(reps, "phash")
+    joined = refs.join(with_rep, refs["__src"] == with_rep["__url"], "inner")
+    return (
+        joined.groupBy("__rep", "__rep_url", "n_dups")
+        .agg(
+            F.count_distinct("__doc", "__src").alias("n_sources"),
+            F.max(
+                F.struct(
+                    F.length("__alt").alias("l"),
+                    F.col("__alt").alias("a"),
+                    (-F.col("__doc")).alias("nd"),
+                )
+            ).alias("__best"),
+        )
+        .select(
+            F.col("__rep").alias("media_id"),
+            F.col("__rep_url").alias("url"),
+            F.col("__best.a").alias("caption"),
+            "n_sources",
+            "n_dups",
+        )
+    )
+
+
 def video_neardup_pixels(g: int, f: int, w: int, h: int):
     """Base frame ``f`` of near-dup video fixture group ``g``: the
     image-fixture quadratic base plus per-frame terms (17f² + 11f·x),

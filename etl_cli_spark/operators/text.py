@@ -703,6 +703,30 @@ def html_links(col: Column | str) -> Column:
     return F.regexp_extract_all(c, F.lit(_HREF_PATTERN), 1)
 
 
+_IMG_TAG_PATTERN = r"(?is)<img\b[^>]*>"
+_SRC_ATTR = r'(?is)\bsrc\s*=\s*"([^"]*)"'
+_ALT_ATTR = r'(?is)\balt\s*=\s*"([^"]*)"'
+
+
+def html_images(col: Column | str) -> Column:
+    """(src, alt) of ``<img>`` tags in document order — the image-text
+    pair feed (compose with ``multimodal.image_text_pairs`` for the
+    LAION-style corpus assembly). Attributes in ANY order; values are
+    raw attribute text under the ``html_links`` scope rule
+    (double-quoted only, entities not decoded). Tags without a src
+    drop; a missing alt yields ''."""
+    c = F.col(col) if isinstance(col, str) else col
+    tags = F.regexp_extract_all(c, F.lit(_IMG_TAG_PATTERN), 0)
+    pairs = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, _SRC_ATTR, 1).alias("src"),
+            F.regexp_extract(t, _ALT_ATTR, 1).alias("alt"),
+        ),
+    )
+    return F.filter(pairs, lambda p: p["src"] != F.lit(""))
+
+
 def html_title(col: Column | str) -> Column:
     """<title> contents, entity-decoded and trimmed ('' if absent)."""
     c = F.col(col) if isinstance(col, str) else col

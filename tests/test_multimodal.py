@@ -1680,3 +1680,68 @@ def test_dedup_against_media_index_replay_keeps_original_survivors(spark, tmp_pa
         r.media_id for r in dedup_against_media_index(batch, path).collect()
     )
     assert after == before
+
+
+def test_html_images_harvest(spark):
+    from pyspark.sql import functions as F
+
+    from etl_cli_spark.operators.text import html_images
+
+    html = (
+        '<p>x</p><img class="a" src="https://x/1" alt="one">'
+        '<IMG ALT="two" SRC="https://x/2">'   # case + attribute order
+        '<img src="https://x/3">'             # no alt -> ''
+        "<img src='https://x/4' alt='sq'>"    # single quotes: out of scope
+        '<img alt="nosrc">'                   # no src: dropped
+    )
+    rows = (
+        spark.createDataFrame([(html,)], "h string")
+        .select(F.explode(html_images("h")).alias("r"))
+        .select("r.src", "r.alt")
+        .collect()
+    )
+    assert [(r.src, r.alt) for r in rows] == [
+        ("https://x/1", "one"), ("https://x/2", "two"), ("https://x/3", ""),
+    ]
+
+
+def test_image_text_pairs_assembly(spark):
+    """Dup collapse across formats (PNG copy of a BMP original shares
+    the dHash), caption election (longest alt, then greatest alt, then
+    smallest doc), dangling refs and unreferenced images dropped."""
+    from etl_cli_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_text_pairs,
+        neardup_dims,
+        neardup_pixels,
+    )
+
+    rows = []
+    for g in range(2):
+        w, h = neardup_dims(g)
+        for m in range(2):
+            rows.append(
+                (g * 2 + m, f"https://x/m/{g * 2 + m}",
+                 bytearray(encode_bmp(neardup_pixels(g, m, w, h))))
+            )
+    w, h = neardup_dims(0)
+    rows.append(
+        (100, "https://x/c/0", bytearray(encode_png(neardup_pixels(0, 0, w, h))))
+    )
+    media = spark.createDataFrame(rows, "media_id long, url string, payload binary")
+    docs = spark.createDataFrame(
+        [
+            (1, '<img src="https://x/m/0" alt="short">'),
+            (2, '<img alt="a much longer caption here" src="https://x/c/0">'
+                '<img src="https://x/m/999" alt="dangling">'),
+            (3, '<img src="https://x/m/3" alt="solo"><img alt="nosrc">'),
+            (4, '<img src="https://x/m/0" alt="short">'),
+        ],
+        "doc_id long, html string",
+    )
+    out = sorted(map(tuple, image_text_pairs(docs, media).collect()))
+    assert out == [
+        (0, "https://x/m/0", "a much longer caption here", 3, 2),
+        (3, "https://x/m/3", "solo", 1, 1),
+    ]

@@ -85,6 +85,7 @@ READ_QUERIES = [
     "c4_quality",
     "script_profile",
     "pdf_extract",
+    "image_text_pairs",
 ]
 
 
