@@ -83,6 +83,8 @@ HEADLINE = [
     "c4_quality",             # C4 line-rewriting rules, one projection
     "script_profile",         # six script-class regexp counts, one projection
     "pdf_extract_1k",         # PDF decode + text extract, 1000 real PDFs
+    "image_text_pairs",       # img harvest + url join + dup collapse + election
+    "media_index_probe_1k",   # pruned index probe: 50 new vs 1000 indexed
 ]
 
 
@@ -186,11 +188,53 @@ def _run_pdf_extract_1k(spark, sf_dir, path):
     return pdf_text(spark.read.parquet(path))
 
 
+_MEDIA_IDX_STATE: dict[str, tuple[str, str]] = {}
+
+
+def _setup_media_index_probe_1k(spark, sf_dir):
+    """Persisted-index probe row: 1000-image history indexed ONCE per
+    process (untimed — the index is the amortized artifact), a
+    50-image new-crawl batch written as parquet; the timed region is
+    the incremental probe alone: batch decode + hash + pruned band
+    partitions read + inline Hamming verify."""
+    if "k" not in _MEDIA_IDX_STATE:
+        import tempfile
+
+        from etl_cli_spark.operators.multimodal import (
+            build_media_index,
+            make_fake_media_neardup,
+        )
+
+        d = tempfile.mkdtemp(prefix="bench_media_idx_")
+        hist = make_fake_media_neardup(spark, n_groups=250, per_group=4)
+        build_media_index(hist, f"{d}/idx", chunks=8, n_parts=64)
+        batch = make_fake_media_neardup(spark, n_groups=50, per_group=1)
+        from pyspark.sql import functions as F
+
+        batch.withColumn("media_id", F.col("media_id") + 1_000_000).repartition(
+            8
+        ).write.parquet(f"{d}/batch")
+        _MEDIA_IDX_STATE["k"] = (f"{d}/idx", f"{d}/batch")
+    return _MEDIA_IDX_STATE["k"]
+
+
+def _run_media_index_probe_1k(spark, sf_dir, state):
+    from etl_cli_spark.operators.multimodal import media_neardup_indexed
+
+    idx_path, batch_path = state
+    return media_neardup_indexed(
+        spark.read.parquet(batch_path), idx_path, max_distance=6
+    )
+
+
 EXTRA_PARTS = {
     "image_neardup_1k": (_setup_image_neardup_1k, _run_image_neardup_1k),
     "audio_neardup_2k": (_setup_audio_neardup_2k, _run_audio_neardup_2k),
     "video_neardup_360": (_setup_video_neardup_360, _run_video_neardup_360),
     "pdf_extract_1k": (_setup_pdf_extract_1k, _run_pdf_extract_1k),
+    "media_index_probe_1k": (
+        _setup_media_index_probe_1k, _run_media_index_probe_1k,
+    ),
 }
 
 
