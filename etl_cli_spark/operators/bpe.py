@@ -336,9 +336,16 @@ def bpe_train(
             merges,
             "rank int, left string, right string, merged string, pair_count bigint",
         )
+    # eager=False: the checkpoint materializes inside the FIRST job
+    # that reads it (the next round's pair-count collect) instead of
+    # paying a dedicated materialization job per round — halves the
+    # Spark-job count of the training loop, and the LAST round's fold
+    # (whose checkpoint nothing ever reads) is never computed at all.
+    # Lineage still truncates at every round boundary exactly as
+    # before (round-14 optimization).
     syms_df = words.select(
         "word", "cnt", _char_syms(F.col("word")).alias("syms")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     batch_k = max(1, min(int(batch_k), 32))
     # deep top-K: the collect is driver-trivial (K narrow rows off an
@@ -397,12 +404,14 @@ def bpe_train(
                     stale_merge = True
         for left, right, merged, cnt in batch:
             merges.append((len(merges) + 1, left, right, merged, cnt))
-        # localCheckpoint: truncate the per-round fold lineage so round
-        # t's plan doesn't nest t folds (vocab-sized table, cheap)
+        # lazy localCheckpoint: truncate the per-round fold lineage so
+        # round t's plan doesn't nest t folds (vocab-sized table) —
+        # materialized by the next round's own collect, not a
+        # dedicated job (see the eager=False note above)
         syms_df = syms_df.withColumn(
             "syms",
             _apply_merge_batch(F.col("syms"), [(b[0], b[1]) for b in batch]),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     )

@@ -1735,6 +1735,15 @@ def image_text_pairs(
             F.col(url_col).alias("__url"),
             "phash",
         )
+        # materialized ONCE: `hashed` feeds both the rep election and
+        # the rep-attach join below, and without the checkpoint each
+        # branch re-runs the mapInPandas DECODE of every payload — the
+        # single most expensive step in the pipeline, paid twice
+        # (round-14 plan audit: two ArrowEval decode nodes). The
+        # checkpointed table is (id, url, 8-byte hash) — metadata-sized
+        # next to the payload bytes it replaces (guide §8: fingerprint
+        # once, decide on small rows).
+        .localCheckpoint(eager=True)
     )
     reps = hashed.groupBy("phash").agg(
         F.min("__mid").alias("__rep"),

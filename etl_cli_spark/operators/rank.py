@@ -227,7 +227,17 @@ def perplexity_buckets(
 
     Returns ``(id, lang, nll, bucket, tier)`` with bucket in
     1..n_buckets (1 = most fluent) and tier = head/middle/tail when
-    ``n_buckets == 3`` (else the bucket number as a string)."""
+    ``n_buckets == 3`` (else the bucket number as a string).
+
+    The scored ``(id, lang, nll6)`` table is materialized ONCE
+    (``localCheckpoint``) before fanning out to its two consumers (the
+    tier-threshold aggregate and the final doc→bucket join): both
+    branches otherwise re-evaluate the ENTIRE scoring pipeline —
+    tokenize + (id, term, tf) aggregate for the corpus AND the model
+    — doubling every exchange under it (round-14 plan audit: 23
+    Exchange nodes, the whole NLL subtree twice). The checkpoint is
+    narrow (id, lang, one double) — far cheaper at any scale than a
+    second tokenize pass over the corpus."""
     from pyspark.sql import Window
 
     nll = unigram_logprob(
@@ -235,7 +245,7 @@ def perplexity_buckets(
     )
     base = docs.select(id_col, lang_col).join(nll, id_col).select(
         id_col, lang_col, F.round("nll", 6).alias("nll")
-    )
+    ).localCheckpoint(eager=True)
     by_val = base.groupBy(lang_col, "nll").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy(lang_col).orderBy("nll")
     cum = by_val.select(

@@ -427,12 +427,25 @@ def kmeans_refine(
     (the IVF-PQ per-subspace pattern) rather than shipping one giant
     flat model; ``n_centroids × dim`` is the knob to budget.
     """
-    init_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-    )
+    # the training loop reads the SAME (id, vec) projection iters+1
+    # times (init + each Lloyd pass would re-scan the source otherwise
+    # — iterative training is the textbook persist case, guide §5);
+    # persisting BEFORE the init collect lets that first job fill the
+    # cache. Released before returning, and the RETURNED final
+    # assignment reads the original ``df`` so no cached plan escapes.
+    from pyspark import StorageLevel
+
+    train = df.select(id_col, vec_col)
+    if iters > 0:
+        train = train.persist(StorageLevel.MEMORY_AND_DISK)
+    init_rows = train.orderBy(id_col).limit(n_centroids).collect()
     if not init_rows:
+        if iters > 0:
+            train.unpersist()
         raise ValueError("kmeans_refine: empty input")
     if mean_strategy not in ("auto", "wide", "long", "exact"):
+        if iters > 0:
+            train.unpersist()
         raise ValueError(f"kmeans_refine: unknown mean_strategy {mean_strategy!r}")
     cent: list[list[float]] = [[float(x) for x in r[1]] for r in init_rows]
     dim = len(cent[0])
@@ -441,7 +454,7 @@ def kmeans_refine(
     wide = mean_strategy == "wide" or (mean_strategy == "auto" and dim <= 96)
     exact = mean_strategy == "exact"
     for _ in range(iters):
-        assigned = _assign_cells(df.select(id_col, vec_col), cent, vec_col, exact=exact)
+        assigned = _assign_cells(train, cent, vec_col, exact=exact)
         new = [list(c) for c in cent]
         if wide:
             # one row per cell, dim avg columns: partial aggregation
@@ -502,6 +515,8 @@ def kmeans_refine(
             cent = [[_quantize(float(v), 1e9) for v in c] for c in new]
         else:
             cent = [[round(float(v), 9) for v in c] for c in new]
+    if iters > 0:
+        train.unpersist()
     return _assign_cells(df, cent, vec_col, exact=exact), cent
 
 

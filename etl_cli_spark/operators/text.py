@@ -473,62 +473,41 @@ def gopher_repetition(
       reference implementations (count × len / total); the rule's
       thresholds live well below 1 so this changes no verdicts.
 
-    Determinism: the "top" n-gram breaks count ties by larger char
-    length, then by smaller md5 — a total order both engines replay.
+    Determinism: the "top" n-gram fraction is a pure max over
+    (count, length) — among grams tying on both, ``count × len / nc``
+    is the same number, so no further tie-break is needed (the md5
+    tie-break the first version carried could never change the output;
+    round-14 optimization dropped it from the aggregate).
 
-    Scale posture: one narrow line explode + hash aggregate keyed on
-    (id, md5(line)) and one gram explode + hash aggregate keyed on
-    (id, n, md5(gram)) — the shuffles carry hashes and lengths, never
-    line or gram TEXT. Gram arrays build as a chained ``zip_with``
-    (g2 from the token array and its shift, g3 from g2, g4 from g3):
-    one O(tokens) pass per n with cheap concats, ~2x faster than the
-    per-position ``slice``+``concat_ws`` transform it replaced
-    (round-14 bench finding — construction, not hashing, dominated).
-    The top pick per (id, n) is ONE ``max(struct(count, len,
-    translate(md5, hex, reversed-hex)))`` hash aggregate — the
-    hex-digit inversion turns "smaller md5" into a max-able key, so
-    the corpus-scale window sort the first version ran is gone. Same
-    word-count shape as repetition_stats, three n values in one pass.
+    Scale posture (round-14 single-pass shape): ONE scan, ONE explode,
+    TWO hash aggregates. Lines and n-grams ride the same exploded
+    stream as ``struct(n, piece)`` rows (n = 0 marks a line, 2/3/4 a
+    gram), so the first aggregate — keyed (id, n, md5-16-bytes, len),
+    map-side combined — counts both families at once, and the second
+    collapses to one row per document computing the line fractions
+    (conditional sums over n = 0) and the three top-gram picks
+    (``max(struct(count, len))`` over each n) in a single pass. The
+    previous shape ran the line and gram branches as separate
+    scan+aggregate pipelines joined at the end: 2 scans, 4 aggregates,
+    5 exchanges — this is 1 scan, 2 exchanges, and the second exchange
+    carries one row per distinct (piece, len) per doc. Shuffled keys
+    are ``unhex(md5(piece))`` (16-byte binary, half the hex-string
+    footprint) and lengths — never line or gram TEXT. Gram arrays
+    build as a chained ``zip_with`` (g2 from the token array and its
+    shift, g3 from g2, g4 from g3), each ``let``-bound so it
+    constructs ONCE per row — inlined, g3/g4 re-embed g2's tree and
+    HOF subtrees sit outside codegen's common-subexpression
+    elimination, so g2 built 3x and g3 2x per row (round-14 measured
+    construction, not hashing, as the dominant cost).
     """
     c = F.col(text_col)
-    # ---- duplicate-line fractions ----
-    ln = df.select(
-        F.col(id_col), F.explode(F.split(c, "\n")).alias("__line")
-    ).select(
-        id_col, F.md5(F.col("__line")).alias("__lh"),
-        F.length("__line").alias("__len"),
-    )
-    per_line = ln.groupBy(id_col, "__lh", "__len").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    # Gopher/Dolma/DataTrove convention: only the 2nd+ occurrences of a
-    # repeated line are "duplicate" — the first copy is legitimate text.
-    # [A,A,B,C] scores 1/4, not 2/4, so the published 30% thresholds
-    # apply directly (round-13 advice fix).
-    line_stats = per_line.groupBy(id_col).agg(
-        (
-            F.sum(F.when(F.col("__c") > 1, F.col("__c") - 1).otherwise(0))
-            / F.sum("__c")
-        ).alias("dup_line_frac"),
-        F.when(
-            F.sum(F.col("__c") * F.col("__len")) == 0, F.lit(0.0)
-        ).otherwise(
-            F.sum(
-                F.when(
-                    F.col("__c") > 1, (F.col("__c") - 1) * F.col("__len")
-                ).otherwise(0)
-            )
-            / F.sum(F.col("__c") * F.col("__len"))
-        ).alias("dup_line_char_frac"),
-    )
-    # ---- top n-gram character fractions (n = 2, 3, 4, one pass) ----
     # tokens materialize ONCE; gram arrays chain via zip_with: g2[i] =
     # t[i] + ' ' + t[i+1] (a single O(N) pass — no per-position array
     # slice), g3[i] = g2[i] + ' ' + t[i+2], g4[i] = g3[i] + ' ' + t[i+3].
     # slice() with a greatest(..., 0) length yields [] for docs shorter
     # than n tokens (sequence(1, 0) would DESCEND), and a null token
-    # array coalesces to [] at the end.
-    base = df.select(F.col(id_col), tokens(c).alias("__t"))
+    # array coalesces to [] in _tag.
+    base = df.select(F.col(id_col), c.alias("__txt"), tokens(c).alias("__t"))
     t = F.col("__t")
 
     def _shift(k: int):
@@ -542,18 +521,29 @@ def gopher_repetition(
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
 
-    g2 = _extend(t, 1)
-    g3 = _extend(g2, 2)
-    g4 = _extend(g3, 3)
-    grams = {2: g2, 3: g3, 4: g4}
-    combined = F.concat(
-        *[
-            F.transform(
-                F.coalesce(grams[n], F.array().cast("array<string>")),
-                (lambda _n: lambda x: F.struct(F.lit(_n).alias("n"), x.alias("g")))(n),
-            )
-            for n in (2, 3, 4)
-        ]
+    def _tag(arr: Column, n: int) -> Column:
+        return F.transform(
+            F.coalesce(arr, F.array().cast("array<string>")),
+            lambda x: F.struct(F.lit(n).alias("n"), x.alias("g")),
+        )
+
+    # one combined piece stream: raw lines tagged n=0 (md5 over the RAW
+    # line — dup-line identity is case/space-sensitive, as before) plus
+    # the three gram families. A null text yields a null lines-array
+    # inside _tag -> [] ... but split() of non-null text never nulls, so
+    # null-text docs produce an empty combined array and drop at the
+    # explode — exactly the rowset the old two-branch shape produced.
+    combined = let(
+        _extend(t, 1),
+        lambda g2: let(
+            _extend(g2, 2),
+            lambda g3: F.concat(
+                _tag(F.split(F.col("__txt"), "\n"), 0),
+                _tag(g2, 2),
+                _tag(g3, 3),
+                _tag(_extend(g3, 3), 4),
+            ),
+        ),
     )
     g = (
         base.select(
@@ -563,37 +553,56 @@ def gopher_repetition(
         )
         .select(
             id_col, "__nc", F.col("__e.n").alias("__n"),
-            F.md5(F.col("__e.g")).alias("__gh"),
+            F.unhex(F.md5(F.col("__e.g"))).alias("__gh"),
             F.length(F.col("__e.g")).alias("__glen"),
         )
     )
-    per_gram = g.groupBy(id_col, "__nc", "__n", "__gh", "__glen").agg(
+    per_piece = g.groupBy(id_col, "__nc", "__n", "__gh", "__glen").agg(
         F.count(F.lit(1)).alias("__c")
     )
-    # top pick per (id, n) WITHOUT a window: max over struct(count,
-    # len, inverted-hex md5) is exactly (count desc, len desc, md5
-    # asc) — translate() maps each hex digit to its complement, which
-    # reverses lexicographic order for the fixed-width md5 string, so
-    # the whole pick is one hash aggregate instead of an exchange +
-    # per-partition sort over every distinct gram in the corpus.
-    _inv = F.translate(F.col("__gh"), "0123456789abcdef", "fedcba9876543210")
-    picks = per_gram.groupBy(id_col, "__nc").agg(
+    # one row per document: line fractions from the n=0 rows
+    # (Gopher/Dolma/DataTrove convention — only 2nd+ occurrences of a
+    # repeated line count as duplicate, so [A,A,B,C] scores 1/4 and the
+    # published 30% thresholds apply directly; round-13 advice fix),
+    # top-gram picks from the n=2/3/4 rows, all in ONE hash aggregate.
+    is_line = F.col("__n") == 0
+    stats = per_piece.groupBy(id_col).agg(
+        F.max("__nc").alias("__nc"),
+        (
+            F.sum(
+                F.when(is_line & (F.col("__c") > 1), F.col("__c") - 1)
+                .when(is_line, 0)
+            )
+            / F.sum(F.when(is_line, F.col("__c")))
+        ).alias("dup_line_frac"),
+        F.when(
+            F.sum(F.when(is_line, F.col("__c") * F.col("__glen"))) == 0,
+            F.lit(0.0),
+        ).otherwise(
+            F.sum(
+                F.when(
+                    is_line & (F.col("__c") > 1),
+                    (F.col("__c") - 1) * F.col("__glen"),
+                ).when(is_line, 0)
+            )
+            / F.sum(F.when(is_line, F.col("__c") * F.col("__glen")))
+        ).alias("dup_line_char_frac"),
         *[
             F.max(
                 F.when(
                     F.col("__n") == n,
                     F.struct(
-                        F.col("__c").alias("c"),
-                        F.col("__glen").alias("glen"),
-                        _inv.alias("ghi"),
+                        F.col("__c").alias("c"), F.col("__glen").alias("glen")
                     ),
                 )
             ).alias(f"__m{n}")
             for n in (2, 3, 4)
-        ]
+        ],
     )
-    gram_stats = picks.select(
+    return stats.select(
         id_col,
+        "dup_line_frac",
+        "dup_line_char_frac",
         *[
             F.when(
                 F.col(f"__m{n}").isNull() | (F.col("__nc") == 0), F.lit(0.0)
@@ -602,17 +611,6 @@ def gopher_repetition(
                 F.col(f"__m{n}.c") * F.col(f"__m{n}.glen") / F.col("__nc")
             )
             .alias(f"top{n}gram_char_frac")
-            for n in (2, 3, 4)
-        ]
-    )
-    return line_stats.join(gram_stats, id_col, "left").select(
-        id_col,
-        "dup_line_frac",
-        "dup_line_char_frac",
-        *[
-            F.coalesce(F.col(f"top{n}gram_char_frac"), F.lit(0.0)).alias(
-                f"top{n}gram_char_frac"
-            )
             for n in (2, 3, 4)
         ],
     )
