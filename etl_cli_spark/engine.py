@@ -210,36 +210,14 @@ class Engine:
         if ds.backend == "parquet" and "__etl_bucket" in df.columns:
             df = _bucket_point_prune(df, resolve_path(ds, self.root), query)
             out = q.apply(df)
-            out = out.drop("__etl_bucket") if "__etl_bucket" in out.columns else out
-            return self._scan_fan_out(out, q)
-        return self._scan_fan_out(q.apply(df), q)
-
-    def _scan_fan_out(self, df: DataFrame, q) -> DataFrame:
-        """Scale-adaptive scan fan-out (round-14, optimization guide
-        §2.5 "input skew: one huge unsplittable file"): a parquet file
-        is parallelizable only at row-group granularity, so a source
-        whose split count is below the session's core count leaves
-        cores idle for every downstream per-row computation (gram
-        construction, hashing, decode) — measured at sf0.1, where each
-        fixture table is ONE single-row-group file, the whole map phase
-        of every query ran on 1 of 32 cores. When (and only when) the
-        scan under-fans, redistribute rows round-robin to
-        ``defaultParallelism``; at production scale a 100 TB table
-        yields thousands of splits, the condition is false, and NO
-        extra exchange is added — the knob derives from the actual
-        split count vs the session's parallelism, never a constant.
-        Sorted / limited / counted DSL reads keep their plan unchanged
-        (a repartition above a sort would break its order contract, and
-        a count/top-k gains nothing from fan-out)."""
-        if q.sort or q.limit is not None or q.count:
-            return df
-        sc = self.spark.sparkContext
-        target = sc.defaultParallelism
-        try:
-            nparts = df.rdd.getNumPartitions()
-        except Exception:  # pragma: no cover - exotic sources
-            return df
-        return df.repartition(target) if nparts < target else df
+            return out.drop("__etl_bucket") if "__etl_bucket" in out.columns else out
+        # NOTE (round-14): an under-fanned scan (single-row-group file)
+        # is redistributed INSIDE the CPU-heavy operators
+        # (etl_cli_spark.fanout.fan_out_for_compute), not here — a
+        # global fan-out at the read taxed every light shuffle-bound
+        # query ~0.2-0.5 s at sf0.1 for nothing (measured A/B), while
+        # the wins live where per-row work dominates.
+        return q.apply(df)
 
     def table(
         self,

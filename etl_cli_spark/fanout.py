@@ -1,0 +1,42 @@
+"""Scale-adaptive fan-out for CPU-heavy per-row operators.
+
+A parquet source parallelizes at row-group granularity, so a small or
+badly-laid-out input (one file, one row group — every sf fixture table,
+and any packed small-file drop) scans as ONE task and serializes every
+downstream per-row computation on one core while the rest idle
+(optimization guide §2.5, "input skew: one huge unsplittable file —
+repartition immediately after the read"; measured round-14: the
+gopher_repetition gram+md5 pass ran 8.8 s single-core vs 0.9 s fanned
+at sf0.1).
+
+The fan-out is applied INSIDE the operators whose per-row work is the
+expensive part (tokenize + gram construction + hashing, media decode,
+signature computation) — not at the generic read — because for light
+shuffle-bound queries (windows, joins, small aggregates) the extra
+exchange is pure overhead with nothing to amortize it (measured
+round-14 A/B: +0.2-0.5 s per query at sf0.1 when applied globally,
+1.5-2x on the smallest rows).
+
+Scale-adaptive by construction: the trigger compares the input's REAL
+split count to the session's ``defaultParallelism``, so a production
+table with thousands of splits adds NO exchange, and a lower-core
+session fans to proportionally fewer partitions (the knob is never a
+constant). The redistribution is a deterministic round-robin
+repartition of the under-fanned input — a one-time move of an input
+that is by definition smaller than cores x maxPartitionBytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out_for_compute(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to the session parallelism iff it under-fans."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic sources
+        return df
+    return df.repartition(target) if nparts < target else df

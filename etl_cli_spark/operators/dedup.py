@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..fanout import fan_out_for_compute
 from pyspark.sql.window import Window
 
 from .text import fingerprint, let, tokens
@@ -52,7 +54,10 @@ def exact_text_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     shuffle payload tiny at 100 TB (shuffle the hash, not the document).
     """
     return exact_dedup(
-        df.withColumn("__fp", fingerprint(F.col(text_col))), ["__fp"], [id_col]
+        fan_out_for_compute(df).withColumn(
+            "__fp", fingerprint(F.col(text_col))
+        ),  # fan out: the md5-over-text pass is the cost (round-14)
+        ["__fp"], [id_col],
     ).drop("__fp")
 
 
@@ -192,6 +197,7 @@ def _minhash_base(
     instead of re-shuffling the shingle strings.
     """
     rows = num_hashes // bands
+    df = fan_out_for_compute(df)  # parallelize shingle+signature pass (round-14)
     hs_df = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles(F.col(text_col), n_shingle), lambda s: F.xxhash64(s)).alias("hs"),

@@ -32,6 +32,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..fanout import fan_out_for_compute
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -563,6 +565,7 @@ def phash_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     Scale posture: one Arrow-batched ``mapInPandas`` pass, no shuffle;
     pixels never leave the task — only the 8-byte fingerprint joins
     downstream work."""
+    df = fan_out_for_compute(df)  # parallelize the in-task decode (round-14)
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("phash", T.LongType(), True)]
     )
@@ -691,6 +694,7 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     pipeline-supplied durations never hit the cap (10k samples at the
     1 s default = a 2.7-hour video)."""
     max_samples = 10_000
+    df = fan_out_for_compute(df)  # parallelize the in-task decode (round-14)
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -1131,6 +1135,7 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     downstream work."""
     import numpy as np
 
+    df = fan_out_for_compute(df)  # parallelize the in-task decode (round-14)
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("afp", T.LongType(), True)]
     )

@@ -47,6 +47,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..fanout import fan_out_for_compute
 from pyspark.sql import types as T
 
 # --------------------------------------------------------------------------
@@ -399,6 +401,7 @@ def pdf_text(
     pdfium/poppler decoder drops into the same per-batch loop at
     production scale). Decode runs inside the Arrow task; only text
     rows shuffle."""
+    df = fan_out_for_compute(df)  # parallelize the in-task decode (round-14)
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType(), False),

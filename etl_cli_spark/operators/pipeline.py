@@ -26,6 +26,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..fanout import fan_out_for_compute
+
 from .text import token_count
 
 # md5-prefix -> uint32: the portable deterministic hash. Spark's
@@ -629,6 +631,7 @@ def _strip_spans(
 def _span_windows(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
     """(id, start, gh) positioned n-gram hash windows — the shared
     discovery pass."""
+    docs = fan_out_for_compute(docs)  # parallelize gram build+hash (round-14)
     return docs.select(
         F.col(id_col),
         F.posexplode(ngrams(text_col, n)).alias("start", "g"),

@@ -23,12 +23,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..fanout import fan_out_for_compute
+
 from .text import tokens
 
 
 def _doc_terms(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, term, tf) — term frequency per document. The explode is
     narrow; the groupBy shuffles (id, term) pairs only."""
+    docs = fan_out_for_compute(docs)  # parallelize tokenize+explode (round-14)
     return (
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .filter(F.col("term") != "")
@@ -526,6 +529,7 @@ def _doc_gram_buckets(
         )
 
     grams = let(tokens(text_col), _grams)
+    docs = fan_out_for_compute(docs)  # parallelize gram build+hash (round-14)
     return (
         docs.select(F.col(id_col), F.explode(grams).alias("__g"))
         .select(F.col(id_col), _gram_bucket(F.col("__g"), m_buckets).alias("bucket"))

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..fanout import fan_out_for_compute
+
 # Small per-language stopword lists for the n-gram/stopword heuristic.
 # Deliberately tiny: the heuristic is "which language's function words
 # dominate", which needs only the few highest-frequency words.
@@ -147,6 +149,7 @@ def gopher_quality(
     web-corpus pipeline runs on EVERY document, so it must cost a
     projection, not a shuffle). Ratios are exact integer-over-integer
     IEEE divisions, replayable bit-for-bit by any engine."""
+    df = fan_out_for_compute(df)  # parallelize the per-row pass (round-14)
     c = F.col(text_col)
     toks = tokens(c)
     n_words = token_count(c)
@@ -228,6 +231,7 @@ def script_profile(
     from any family). Pure Column expressions (``regexp_count`` over
     script classes — Java ``\\p{IsX}``, replayed by RE2's ``\\p{X}``
     in the DuckDB twin); one projection, scan speed."""
+    df = fan_out_for_compute(df)  # parallelize the per-row pass (round-14)
     c = F.col(text_col)
     # TWO projections, deliberately: the regex counts materialize once
     # under ``__c_*`` names, and the dominance fold + fracs reference
@@ -298,6 +302,7 @@ def c4_quality(
     Everything is pure Column expressions over one line split — a
     single projection, zero UDFs, scan-speed at 100 TB, replayed
     bit-for-bit by the DuckDB twin."""
+    df = fan_out_for_compute(df)  # parallelize the per-row pass (round-14)
     c = F.col(text_col)
     lines = F.split(c, "\n")
 
@@ -500,6 +505,7 @@ def gopher_repetition(
     elimination, so g2 built 3x and g3 2x per row (round-14 measured
     construction, not hashing, as the dominant cost).
     """
+    df = fan_out_for_compute(df)  # parallelize the per-row pass (round-14)
     c = F.col(text_col)
     # tokens materialize ONCE; gram arrays chain via zip_with: g2[i] =
     # t[i] + ' ' + t[i+1] (a single O(N) pass — no per-position array
@@ -533,18 +539,19 @@ def gopher_repetition(
     # inside _tag -> [] ... but split() of non-null text never nulls, so
     # null-text docs produce an empty combined array and drop at the
     # explode — exactly the rowset the old two-branch shape produced.
-    combined = let(
+    # The lines array is built OUTSIDE the let chain (it depends on no
+    # gram array; inside the lambdas it would be a loop-invariant
+    # expression the HOF-lambda audit rightly rejects).
+    grams = let(
         _extend(t, 1),
         lambda g2: let(
             _extend(g2, 2),
             lambda g3: F.concat(
-                _tag(F.split(F.col("__txt"), "\n"), 0),
-                _tag(g2, 2),
-                _tag(g3, 3),
-                _tag(_extend(g3, 3), 4),
+                _tag(g2, 2), _tag(g3, 3), _tag(_extend(g3, 3), 4)
             ),
         ),
     )
+    combined = F.concat(_tag(F.split(F.col("__txt"), "\n"), 0), grams)
     g = (
         base.select(
             F.col(id_col),

@@ -94,3 +94,49 @@ def test_flatten_roundtrip(spark):
     back = unflatten(flat)
     assert back.schema["s"].dataType.fieldNames() == ["a", "b"]
     assert back.select("s.b.c").collect()[0][0] == 3
+
+
+class TestComputeFanOut:
+    """Round-14 scale-adaptive fan-out (fanout.fan_out_for_compute): an
+    under-fanned source (single-row-group parquet) must redistribute to
+    the session parallelism INSIDE the CPU-heavy operators so per-row
+    map work uses every core; already-parallel inputs and the generic
+    engine.read path must stay untouched (a global read-side fan-out
+    measurably taxed light shuffle-bound queries for nothing)."""
+
+    def test_under_fanned_input_redistributes(self, spark, engine):
+        from etl_cli_spark.fanout import fan_out_for_compute
+
+        df = engine.read("orders")  # one single-row-group file -> 1 split
+        assert df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+        assert (
+            fan_out_for_compute(df).rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+
+    def test_already_parallel_input_untouched(self, spark, engine):
+        from etl_cli_spark.fanout import fan_out_for_compute
+
+        df = engine.read("orders").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        assert fan_out_for_compute(df) is df
+
+    def test_cpu_heavy_operator_fans_out(self, spark, engine):
+        from etl_cli_spark.operators.text import gopher_quality
+
+        out = gopher_quality(engine.read("documents"))
+        assert (
+            out.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+
+    def test_generic_read_keeps_scan_partitioning(self, spark, engine):
+        # light queries must not pay a fan-out exchange at the read
+        plan = (
+            engine.read("orders", ["o_orderstatus=F"])
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "Repartition" not in plan

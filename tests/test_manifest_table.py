@@ -34,7 +34,13 @@ def _versions(path):
 
 @pytest.fixture()
 def orders(engine):
-    return engine.read("orders")
+    # ordered by key so the module's bare ``.limit(n)`` scratch-table
+    # builders keep selecting the n LOWEST keys: engine.read's round-14
+    # scan fan-out redistributes an under-fanned source round-robin,
+    # which is free to hand ``limit`` any n rows (bare limit row
+    # identity was never a Spark contract — several tests here assert
+    # specific keys survive, e.g. o_orderkey=5 after limit(20))
+    return engine.read("orders").orderBy("o_orderkey")
 
 
 # -- basic roundtrips across every layout -----------------------------------
