@@ -30,9 +30,53 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Narrow logical operators a scan-rooted plan may contain. Anything else
+# (Join, Aggregate, Window, Sort, Repartition*, Deduplicate, ...) either
+# introduces its own exchange — after which the input is already fanned
+# to spark.sql.shuffle.partitions and a second redistribution is pure
+# overhead — or makes the ``.rdd`` partition probe below UNSAFE: with
+# AQE enabled, converting a plan that contains exchanges to an RDD
+# eagerly submits every upstream shuffle-map job at operator-CONSTRUCTION
+# time, and those materialized stages are not reused by the separately
+# planned repartition query (round-14 ADVICE item #1 — upstream stages
+# ran twice and the lazy API gained eager side effects).
+_NARROW_NODES = (
+    "Relation",
+    "LogicalRDD",
+    "LocalRelation",
+    "Project",
+    "Filter",
+    "Generate",
+    "SubqueryAlias",
+    "View",
+    "Union",
+    "InMemoryRelation",
+)
+
+
+def _scan_rooted(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan contains only narrow nodes over
+    its source relations — the only shape whose partition count can be
+    probed without side effects and whose fan-out a shuffle hasn't
+    already performed."""
+    try:
+        tree = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover - exotic sources
+        return False
+    for line in tree.splitlines():
+        node = line.lstrip(" :+-*")
+        if not node:
+            continue
+        if not node.startswith(_NARROW_NODES):
+            return False
+    return True
+
 
 def fan_out_for_compute(df: DataFrame) -> DataFrame:
-    """Repartition ``df`` to the session parallelism iff it under-fans."""
+    """Repartition ``df`` to the session parallelism iff it is a
+    scan-rooted plan that under-fans (see :func:`_scan_rooted`)."""
+    if not _scan_rooted(df):
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:

@@ -53,10 +53,13 @@ def exact_text_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     Grouping on the 32-byte md5 instead of the full text keeps the
     shuffle payload tiny at 100 TB (shuffle the hash, not the document).
     """
+    # NO compute fan-out here (round-15, driver-confirmed): one md5 per
+    # row is far too cheap to amortize shuffling full document text —
+    # the round-14 fan-out attempt doubled the bench row (0.23->0.44 s,
+    # reproduced at 8 cores). The group-on-hash window is the only
+    # exchange, per the contract above.
     return exact_dedup(
-        fan_out_for_compute(df).withColumn(
-            "__fp", fingerprint(F.col(text_col))
-        ),  # fan out: the md5-over-text pass is the cost (round-14)
+        df.withColumn("__fp", fingerprint(F.col(text_col))),
         ["__fp"], [id_col],
     ).drop("__fp")
 
@@ -186,6 +189,7 @@ def _minhash_base(
     num_hashes: int,
     bands: int,
     impl: str = "auto",
+    fan_out: bool = True,
 ) -> DataFrame:
     """(id, hs, bh): per-document shingle hashes + band hashes — the
     shared first pass of every minhash operator (pairs, dedup, and the
@@ -195,9 +199,16 @@ def _minhash_base(
     hs: one 64-bit hash per distinct shingle — signatures derive from
     it, and the exact-Jaccard verify compares long arrays (cheap)
     instead of re-shuffling the shingle strings.
+
+    ``fan_out=False`` (round-15): callers that sign TWO corpora in one
+    query (``minhash_fuzzy_join``) opt out — the doubled exchange cost
+    exceeded the parallelism gain there (driver-confirmed 1.9x bench
+    regression, reproduced at 8 cores), while the single-base operators
+    keep the round-14 fan-out for the shingle+signature pass.
     """
     rows = num_hashes // bands
-    df = fan_out_for_compute(df)  # parallelize shingle+signature pass (round-14)
+    if fan_out:
+        df = fan_out_for_compute(df)  # parallelize shingle+signature pass (round-14)
     hs_df = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles(F.col(text_col), n_shingle), lambda s: F.xxhash64(s)).alias("hs"),
@@ -1213,8 +1224,17 @@ def minhash_fuzzy_join(
     hash arrays re-attached after pair dedup. No threshold-less
     cross join exists at any size.
     """
-    base_l = _minhash_base(left, left_id, left_text, n_shingle, num_hashes, bands, impl)
-    base_r = _minhash_base(right, right_id, right_text, n_shingle, num_hashes, bands, impl)
+    # fan_out=False on both sides (round-15): two fanned bases meant two
+    # extra full-text exchanges per query — driver-measured 0.74->1.41 s
+    # at sf0.1 and still regressed at 8 cores. Each side's signature
+    # pass is half a corpus; the band-bucket equi-join that follows
+    # repartitions everything anyway.
+    base_l = _minhash_base(
+        left, left_id, left_text, n_shingle, num_hashes, bands, impl, fan_out=False
+    )
+    base_r = _minhash_base(
+        right, right_id, right_text, n_shingle, num_hashes, bands, impl, fan_out=False
+    )
     if cache:
         from pyspark import StorageLevel
 

@@ -1724,6 +1724,8 @@ def image_text_pairs(
     (not just identical) come from composing ``image_neardup`` +
     ``dedup.connected_components`` upstream and substituting that
     cluster id for the phash here."""
+    from pyspark import StorageLevel
+
     from .text import html_images
 
     refs = docs.select(
@@ -1740,15 +1742,18 @@ def image_text_pairs(
             F.col(url_col).alias("__url"),
             "phash",
         )
-        # materialized ONCE: `hashed` feeds both the rep election and
-        # the rep-attach join below, and without the checkpoint each
-        # branch re-runs the mapInPandas DECODE of every payload — the
-        # single most expensive step in the pipeline, paid twice
-        # (round-14 plan audit: two ArrowEval decode nodes). The
-        # checkpointed table is (id, url, 8-byte hash) — metadata-sized
-        # next to the payload bytes it replaces (guide §8: fingerprint
-        # once, decide on small rows).
-        .localCheckpoint(eager=True)
+        # evaluated ONCE: `hashed` feeds both the rep election and the
+        # rep-attach join below, and without a shared materialization
+        # each branch re-runs the mapInPandas DECODE of every payload —
+        # the single most expensive step in the pipeline, paid twice
+        # (round-14 plan audit: two ArrowEval decode nodes). The cached
+        # table is (id, url, 8-byte hash) — metadata-sized next to the
+        # payload bytes it replaces (guide §8: fingerprint once, decide
+        # on small rows). Round-15: persist(MEMORY_AND_DISK) instead of
+        # the round-14 eager localCheckpoint — lineage survives executor
+        # loss (recompute instead of query death at cluster scale,
+        # guide §5) and construction stays lazy.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     reps = hashed.groupBy("phash").agg(
         F.min("__mid").alias("__rep"),

@@ -232,15 +232,20 @@ def perplexity_buckets(
     1..n_buckets (1 = most fluent) and tier = head/middle/tail when
     ``n_buckets == 3`` (else the bucket number as a string).
 
-    The scored ``(id, lang, nll6)`` table is materialized ONCE
-    (``localCheckpoint``) before fanning out to its two consumers (the
-    tier-threshold aggregate and the final doc→bucket join): both
-    branches otherwise re-evaluate the ENTIRE scoring pipeline —
-    tokenize + (id, term, tf) aggregate for the corpus AND the model
-    — doubling every exchange under it (round-14 plan audit: 23
-    Exchange nodes, the whole NLL subtree twice). The checkpoint is
-    narrow (id, lang, one double) — far cheaper at any scale than a
-    second tokenize pass over the corpus."""
+    The scored ``(id, lang, nll6)`` table is evaluated ONCE before
+    fanning out to its two consumers (the tier-threshold aggregate and
+    the final doc→bucket join): both branches otherwise re-evaluate the
+    ENTIRE scoring pipeline — tokenize + (id, term, tf) aggregate for
+    the corpus AND the model — doubling every exchange under it
+    (round-14 plan audit: 23 Exchange nodes, the whole NLL subtree
+    twice). Round-15: the share point is ``persist(MEMORY_AND_DISK)``
+    rather than the round-14 eager ``localCheckpoint`` — persist keeps
+    lineage (an executor loss recomputes the narrow (id, lang, double)
+    partition instead of killing the query, the guide §5 posture) and
+    stays LAZY (declaring the query no longer runs the scoring
+    pipeline at construction time). The cached table lives until the
+    session drops it (LRU / clearCache) — narrow by construction."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     nll = unigram_logprob(
@@ -248,7 +253,7 @@ def perplexity_buckets(
     )
     base = docs.select(id_col, lang_col).join(nll, id_col).select(
         id_col, lang_col, F.round("nll", 6).alias("nll")
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     by_val = base.groupBy(lang_col, "nll").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy(lang_col).orderBy("nll")
     cum = by_val.select(

@@ -438,14 +438,35 @@ def kmeans_refine(
     train = df.select(id_col, vec_col)
     if iters > 0:
         train = train.persist(StorageLevel.MEMORY_AND_DISK)
+    # try/finally (round-15 ADVICE): an exception anywhere in the init
+    # collect or the Lloyd loop (an _assign_cells failure, a collect
+    # error) must not leak the MEMORY_AND_DISK cached relation for the
+    # session lifetime — every exit path releases it exactly once.
+    try:
+        return _kmeans_refine_loop(
+            df, train, n_centroids, iters, id_col, vec_col, mean_strategy
+        )
+    finally:
+        if iters > 0:
+            train.unpersist()
+
+
+def _kmeans_refine_loop(
+    df: DataFrame,
+    train: DataFrame,
+    n_centroids: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    mean_strategy: str,
+) -> tuple[DataFrame, list[list[float]]]:
+    """The Lloyd iteration body of :func:`kmeans_refine` — split out so
+    the caller can own the persisted ``train``'s lifecycle with one
+    try/finally instead of per-exit-path unpersists."""
     init_rows = train.orderBy(id_col).limit(n_centroids).collect()
     if not init_rows:
-        if iters > 0:
-            train.unpersist()
         raise ValueError("kmeans_refine: empty input")
     if mean_strategy not in ("auto", "wide", "long", "exact"):
-        if iters > 0:
-            train.unpersist()
         raise ValueError(f"kmeans_refine: unknown mean_strategy {mean_strategy!r}")
     cent: list[list[float]] = [[float(x) for x in r[1]] for r in init_rows]
     dim = len(cent[0])
@@ -515,8 +536,6 @@ def kmeans_refine(
             cent = [[_quantize(float(v), 1e9) for v in c] for c in new]
         else:
             cent = [[round(float(v), 9) for v in c] for c in new]
-    if iters > 0:
-        train.unpersist()
     return _assign_cells(df, cent, vec_col, exact=exact), cent
 
 

@@ -264,7 +264,24 @@ def changefeed_merge(
             gone = changes.filter(F.col("change_type") == "delete").select(*pk)
             if transform is not None:
                 post = transform(post)
-            n_post, n_gone = post.count(), gone.count()
+            # ONE job for both counts (round-15, guide §1 job-count
+            # reduction): post and gone are narrow filters of the same
+            # cached diff, but two .count() actions scheduled two
+            # separate jobs per run. Project each side to a tag literal
+            # and aggregate the union — same numbers (the post side
+            # counts AFTER ``transform``, which may filter), half the
+            # count jobs per drain.
+            tallies = (
+                post.select(F.lit(1).alias("__post"))
+                .unionByName(gone.select(F.lit(0).alias("__post")))
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.sum("__post").alias("__np"),
+                )
+                .first()
+            )
+            n_post = int(tallies["__np"] or 0)
+            n_gone = int(tallies["__n"]) - n_post
             committed = False
             if n_post:
                 if n_gone == 0:

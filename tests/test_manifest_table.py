@@ -35,11 +35,13 @@ def _versions(path):
 @pytest.fixture()
 def orders(engine):
     # ordered by key so the module's bare ``.limit(n)`` scratch-table
-    # builders keep selecting the n LOWEST keys: engine.read's round-14
-    # scan fan-out redistributes an under-fanned source round-robin,
-    # which is free to hand ``limit`` any n rows (bare limit row
-    # identity was never a Spark contract — several tests here assert
-    # specific keys survive, e.g. o_orderkey=5 after limit(20))
+    # builders keep selecting the n LOWEST keys: bare limit row identity
+    # was never a Spark contract (any plan change — partitioning, AQE,
+    # scan order — is free to hand ``limit`` a different n rows), and
+    # several tests here assert specific keys survive, e.g. o_orderkey=5
+    # after limit(20). Determinism hardening, not a workaround for any
+    # current engine behavior (the round-14 read-side fan-out this
+    # comment once cited was reverted in the same round).
     return engine.read("orders").orderBy("o_orderkey")
 
 
